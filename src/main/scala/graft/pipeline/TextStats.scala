@@ -1,0 +1,222 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines (SURVEY.md §2B B30 +
+  * B37 and the language-ID / quality-score / token-count / fingerprint
+  * extensions).
+  *
+  * All operators are pure column-expression pipelines (split/explode/HOFs)
+  * — no UDFs, fully inside whole-stage codegen, shuffling only for the
+  * final aggregations. `explode` output is a generator, so token streams
+  * never materialize per-document arrays beyond the row batch.
+  */
+object TextStats {
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  private val toks = split(col("text"), " ")
+
+  // ---------------------------------------------------------------- B30
+  /** Per-language corpus statistics. */
+  def langStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        round(avg(size(toks).cast("double")), 2).as("avg_tokens"),
+        max("n_chars").as("max_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  private val b30Sql =
+    """SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars,
+       round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 2) AS avg_tokens,
+       max(n_chars) AS max_chars,
+       count(DISTINCT source) AS n_sources
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** Global term frequencies (tokenize → explode → count), top 25. */
+  def termFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(25)
+      .orderBy(col("tf").desc, col("tok"))
+
+  private val b30bSql =
+    """SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       GROUP BY tok ORDER BY tf DESC, tok LIMIT 25"""
+
+  // ---------------------------------------------------------------- B37
+  /** Generator/UDTF analogue: 3-token shingles via sequence+transform then
+    * explode (the built-in Generator), global shingle frequencies. */
+  def shingleFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(3))))).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .orderBy(col("n").desc, col("shingle"))
+      .limit(20)
+      .orderBy(col("n").desc, col("shingle"))
+
+  private val b37Sql =
+    """SELECT shingle, count(*) AS n, count(DISTINCT doc_id) AS nd
+       FROM (SELECT doc_id,
+               unnest(list_transform(range(len(t) - 2),
+                 i -> array_to_string(t[(i+1):(i+3)], ' '))) AS shingle
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             WHERE len(t) >= 3)
+       GROUP BY shingle ORDER BY n DESC, shingle LIMIT 20"""
+
+  // ---------------------------------------------------------------- x01
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality scoring: token/char ratios of the kind used to filter LLM
+    * training corpora (length, stopword density, digit density). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
+    val digitChars = length(regexp_replace(col("text"), "[^0-9]", ""))
+    val stopRatio = stopHits.cast("double") / nTokens
+    val digitRatio = digitChars.cast("double") / length(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      round((length(col("text")) - (nTokens - 1)).cast("double") / nTokens, 4).as("avg_tok_len"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(digitRatio, 4).as("digit_ratio"),
+      round(lit(0.5) * stopRatio + lit(0.5) * (lit(1.0) - digitRatio), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val x01Sql = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS avg_tok_len,
+       round(CAST(len(list_filter(string_split(text, ' '),
+               t -> list_contains([$stop], t))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stop_ratio,
+       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS digit_ratio,
+       round(0.5 * (CAST(len(list_filter(string_split(text, ' '),
+               t -> list_contains([$stop], t))) AS DOUBLE)
+             / len(string_split(text, ' ')))
+           + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / length(text)), 4) AS quality
+       FROM documents ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------- x02
+  /** Language-ID heuristic: stopword-set voting (n-gram-profile style, one
+    * profile per candidate language, argmax with fixed tie order). */
+  def langIdHeuristic(s: SparkSession, dir: String): DataFrame = {
+    def score(words: Seq[String]) = size(filter(toks, t => t.isin(words: _*)))
+    val en = score(Seq("the", "a", "of"))
+    val dataish = score(Seq("data", "row", "table"))
+    val queryish = score(Seq("query", "scan", "join"))
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      en.as("s_en"), dataish.as("s_data"), queryish.as("s_query"),
+      when(en >= dataish && en >= queryish, "en")
+        .when(dataish >= queryish, "datalang")
+        .otherwise("querylang").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  private val x02Sql =
+    """SELECT doc_id, lang,
+       CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'of'], t))) AS INT) AS s_en,
+       CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['data', 'row', 'table'], t))) AS INT) AS s_data,
+       CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['query', 'scan', 'join'], t))) AS INT) AS s_query,
+       CASE WHEN len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'of'], t)))
+                 >= len(list_filter(string_split(text, ' '), t -> list_contains(['data', 'row', 'table'], t)))
+             AND len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'of'], t)))
+                 >= len(list_filter(string_split(text, ' '), t -> list_contains(['query', 'scan', 'join'], t)))
+            THEN 'en'
+            WHEN len(list_filter(string_split(text, ' '), t -> list_contains(['data', 'row', 'table'], t)))
+                 >= len(list_filter(string_split(text, ' '), t -> list_contains(['query', 'scan', 'join'], t)))
+            THEN 'datalang'
+            ELSE 'querylang' END AS lang_pred
+       FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x03
+  /** Content fingerprint: order-insensitive token-set digest + raw digest.
+    * (A rolling-hash variant lives in graft.functions as a custom
+    * expression; this form is oracle-expressible.) */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("token_fp"),
+      sha2(col("text"), 256).as("raw_fp"))
+      .orderBy("doc_id")
+
+  private val x03Sql =
+    """SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS token_fp,
+       sha256(text) AS raw_fp
+       FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x04
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
+    * (letter runs / digit runs as separate tokens). */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"),
+      length(regexp_replace(col("text"), " ", "")).as("chars_nospace"))
+      .orderBy("doc_id")
+
+  private val x04Sql =
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+       CAST(length(replace(text, ' ', '')) AS INT) AS chars_nospace
+       FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x08
+  /** Multimodal column plumbing, metadata side: treat the payload as an
+    * opaque binary column with typed metadata. The "decode" here is the
+    * deterministic fake (real codecs live behind the stub in
+    * [[Multimodal]]); the Spark-side schema/partitioning is real. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("n_chars"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        (col("n_chars") % 64).as("fake_width"),
+        (col("n_chars") % 48).as("fake_height"))
+      .orderBy("doc_id")
+
+  private[pipeline] val x08OracleSql =
+    """SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS payload_md5,
+       n_chars % 64 AS fake_width,
+       n_chars % 48 AS fake_height
+       FROM documents ORDER BY doc_id"""
+
+  // ----------------------------------------------------------------
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("b30_lang_stats", langStats, Some(b30Sql)),
+    QueryDef("b30b_term_freq", termFreq, Some(b30bSql)),
+    QueryDef("b37_shingle_freq", shingleFreq, Some(b37Sql)),
+    QueryDef("x01_quality_score", qualityScore, Some(x01Sql)),
+    QueryDef("x02_langid", langIdHeuristic, Some(x02Sql)),
+    QueryDef("x03_fingerprint", fingerprint, Some(x03Sql)),
+    QueryDef("x04_token_counts", tokenCounts, Some(x04Sql)))
+}

@@ -1,0 +1,674 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2B, B5–B26 + B36).
+  *
+  * Design rules applied throughout, with the 100 TB deployment in mind:
+  *  - dimensions (`region`, `nation`, small literal tables) are broadcast
+  *    explicitly so the fact-side scan never shuffles for them;
+  *  - fact⋈fact joins (`orders⋈lineitem`) are plain equi-joins so Catalyst
+  *    plans a shuffle on the join key once and AQE can re-plan/skew-split;
+  *  - aggregations are expressed as `groupBy().agg()` so partial (map-side)
+  *    aggregation happens before the exchange;
+  *  - every query ends in a total ORDER BY with rounded float aggregates —
+  *    the determinism contract for the DuckDB hash-compare (§7.4.1). The
+  *    final sort is on already-reduced output, so it is not a scale concern.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Exact-decimal money arithmetic. `round(double_expr, 2)` is engine-
+    * dependent when the true value has >2 exact decimals (Spark rounds the
+    * shortest decimal repr, DuckDB the binary value — a 4-decimal product
+    * like 1222.745 rounds to .75 vs .74). Casting the 2-decimal source
+    * columns to DECIMAL first makes the product exact in both engines, so
+    * the final round is unambiguous. */
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private def pct2(c: Column): Column = c.cast("decimal(3,2)")
+  /** l_extendedprice * (1 - l_discount) as an exact decimal. */
+  private def netDec: Column =
+    dec2(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - pct2(col("l_discount")))
+  /** net * (1 + l_tax) as an exact decimal. */
+  private def chargeDec: Column =
+    netDec * (lit(1).cast("decimal(3,2)") + pct2(col("l_tax")))
+
+  // ---------------------------------------------------------------- B5
+  /** Projection / rename / cast — pure narrow plan, no shuffle except the
+    * final output sort. */
+  private def b05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey").as("cust_id"),
+      col("c_name").as("name"),
+      col("c_nationkey").cast("bigint").as("nation_id"),
+      round(col("c_acctbal"), 2).as("acctbal_r"),
+      col("c_mktsegment").as("segment"),
+      concat(col("c_mktsegment"), lit(":"), col("c_name")).as("seg_name")
+    ).orderBy("cust_id")
+
+  private val b05Sql =
+    """SELECT c_custkey AS cust_id, c_name AS name,
+       CAST(c_nationkey AS BIGINT) AS nation_id,
+       round(c_acctbal, 2) AS acctbal_r,
+       c_mktsegment AS segment,
+       c_mktsegment || ':' || c_name AS seg_name
+       FROM customer ORDER BY cust_id"""
+
+  // ---------------------------------------------------------------- B6
+  /** Conjunctive predicates: BETWEEN / IN / equality / null check / range.
+    * All predicates push down to the parquet scan (PushedFilters). */
+  private def b06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity").between(10, 20)
+        && col("l_returnflag").isin("A", "R")
+        && col("l_linestatus") === "F"
+        && col("l_shipdate").isNotNull
+        && col("l_discount") > 0.02
+        && col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(netDec, 2).cast("double").as("net"))
+      // lineitem has no unique key in the synthetic data — order by every
+      // output column so the order is total (identical rows are
+      // interchangeable).
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "net")
+
+  private val b06Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS net
+       FROM lineitem
+       WHERE l_quantity BETWEEN 10 AND 20
+         AND l_returnflag IN ('A', 'R')
+         AND l_linestatus = 'F'
+         AND l_shipdate IS NOT NULL
+         AND l_discount > 0.02
+         AND l_shipdate >= TIMESTAMP '1995-06-01'
+       ORDER BY l_orderkey, l_linenumber, l_quantity, net"""
+
+  // ---------------------------------------------------------------- B7
+  /** Star-schema join with explicitly broadcast dimensions: at any scale
+    * `nation` (25 rows) and `region` (5 rows) ship to every executor and
+    * the customer scan never shuffles for the join. */
+  private def b07(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val b07Sql =
+    """SELECT r_name, n_name, count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
+  // ---------------------------------------------------------------- B8
+  /** Fact⋈fact equi-join: planner picks shuffle/sort-merge at scale (both
+    * sides large); partial aggregation runs before the final exchange. */
+  private def b08(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(netDec), 2).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val b08Sql =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+       count(DISTINCT o_orderkey) AS n_orders,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---------------------------------------------------------------- B9
+  /** Left outer join + aggregate: keeps customers with zero orders. */
+  private def b09a(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  private val b09aSql =
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       round(sum(coalesce(o_totalprice, 0)), 2) AS total_spent
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey, c_name ORDER BY c_custkey"""
+
+  /** Left-semi join (EXISTS): customers having at least one finished order. */
+  private def b09b(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  private val b09bSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+       ORDER BY c_custkey"""
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  private def b09c(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .orderBy("c_custkey")
+  }
+
+  private val b09cSql =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------- B10
+  /** Theta/range join against a tiny literal band table. The band side is
+    * broadcast, so the non-equi predicate is evaluated stream-side with no
+    * shuffle (BroadcastNestedLoopJoin) — the right plan shape at any scale
+    * when one side is O(1) rows. */
+  private def b10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (900.0, 905.0, "band_900"),
+      (905.0, 910.0, "band_905"),
+      (910.0, 915.0, "band_910"),
+      (915.0, 925.0, "band_915")).toDF("lo", "hi", "band")
+    t(s, dir, "part")
+      .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg("p_retailprice"), 2).as("avg_price"),
+        round(min("p_retailprice"), 2).as("min_price"),
+        round(max("p_retailprice"), 2).as("max_price"))
+      .orderBy("band")
+  }
+
+  private val b10Sql =
+    """SELECT band, count(*) AS n_parts,
+       round(avg(p_retailprice), 2) AS avg_price,
+       round(min(p_retailprice), 2) AS min_price,
+       round(max(p_retailprice), 2) AS max_price
+       FROM part JOIN (VALUES (900.0, 905.0, 'band_900'),
+                              (905.0, 910.0, 'band_905'),
+                              (910.0, 915.0, 'band_910'),
+                              (915.0, 925.0, 'band_915')) AS b(lo, hi, band)
+         ON p_retailprice >= lo AND p_retailprice < hi
+       GROUP BY band ORDER BY band"""
+
+  // ---------------------------------------------------------------- B11
+  /** As-of join: for each order, the latest event of the same user at or
+    * before the order date. Implemented as equi-join on the user key (one
+    * shuffle, AQE-skew-splittable) + time predicate + max-aggregate; the
+    * per-key event history is bounded, so the intermediate stays linear. */
+  private def b11(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val e = t(s, dir, "events")
+    o.join(e, e("user_id") === o("o_custkey") && e("ts") <= o("o_orderdate"))
+      .groupBy("o_orderkey")
+      .agg(
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_event_at"),
+        count(lit(1)).as("n_prior"))
+      .orderBy("o_orderkey")
+  }
+
+  private val b11Sql =
+    """SELECT o_orderkey,
+       strftime(max(e.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_event_at,
+       count(*) AS n_prior
+       FROM orders o JOIN events e
+         ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+       GROUP BY o_orderkey ORDER BY o_orderkey"""
+
+  // ---------------------------------------------------------------- B12
+  /** TPC-H Q1 shape: the canonical partial+final hash aggregate. */
+  private[graft] def b12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(netDec), 2).cast("double").as("sum_disc_price"),
+        round(sum(chargeDec), 2).cast("double").as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val b12Sql =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // ---------------------------------------------------------------- B13
+  /** Exact distinct counts (Spark rewrites to expand + two-phase agg). */
+  private def b13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val b13Sql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+       count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Sketch-based distinct count — the 100 TB path (single pass, mergeable
+    * HLL state, no expand). Not oracle-comparable (approximate), so the
+    * driver applies the rows-only check. */
+  private def b13b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("apx_part"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("apx_supp"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- B14
+  /** ROLLUP with grouping level indicator. */
+  private def b14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("lvl"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("lvl"), col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  private val b14Sql =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS lvl,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       ORDER BY status, priority"""
+
+  /** CUBE over status × order-year. */
+  private def b14b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .cube(col("o_orderstatus"), col("o_year"))
+      .agg(grouping_id().cast("int").as("lvl"),
+        count(lit(1)).as("n"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_year").cast("string"), lit("(all)")).as("o_year"),
+        col("lvl"), col("n"), col("avg_price"))
+      .orderBy("status", "o_year")
+
+  private val b14bSql =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(CAST(y AS VARCHAR), '(all)') AS o_year,
+       CAST(GROUPING(o_orderstatus, y) AS INT) AS lvl,
+       count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+       FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS y,
+             o_totalprice FROM orders)
+       GROUP BY CUBE(o_orderstatus, y) ORDER BY status, o_year"""
+
+  // ---------------------------------------------------------------- B15
+  /** Provenance-style per-table row counts (A11 analogue): each branch is a
+    * metadata-cheap count, unioned into one tiny result. */
+  private def b15(s: SparkSession, dir: String): DataFrame =
+    Tables.all.map { name =>
+      t(s, dir, name).agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"), col("n_rows"))
+    }.reduce(_ union _).orderBy("table_name")
+
+  private val b15Sql = Tables.all
+    .map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
+    .mkString("", " UNION ALL ", " ORDER BY table_name")
+
+  // ---------------------------------------------------------------- B16
+  /** Ranking window functions; per-group top-k with a unique tiebreak so
+    * rank/dense_rank/row_number are all deterministic. */
+  private def b16(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("tp"),
+        row_number().over(w).as("rn"),
+        rank().over(w).cast("int").as("rnk"),
+        dense_rank().over(w).cast("int").as("drnk"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val b16Sql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS tp,
+       CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w AS rn, rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey))
+       WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  // ---------------------------------------------------------------- B17
+  /** Analytic window functions: lag / lead / first_value + date arithmetic. */
+  private def b17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        date_format(lag(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("prev_od"),
+        date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("next_od"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("gap_days"),
+        first(col("o_orderkey")).over(w).as("first_orderkey"))
+      .orderBy("o_custkey", "od", "o_orderkey")
+  }
+
+  private val b17Sql =
+    """SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS od,
+       strftime(lag(o_orderdate) OVER w, '%Y-%m-%d') AS prev_od,
+       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_od,
+       CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                      CAST(o_orderdate AS DATE)) AS INT) AS gap_days,
+       first_value(o_orderkey) OVER w AS first_orderkey
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, od, o_orderkey"""
+
+  // ---------------------------------------------------------------- B18
+  /** Frame-spec windows: 3-row moving average + running sum per user. */
+  private def b18(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(avg(col("value")).over(w.rowsBetween(-2, 0)), 4).as("mv3"),
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("run_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val b18Sql =
+    """SELECT user_id, event_id, value,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv3,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING), 2) AS run_sum
+       FROM events ORDER BY user_id, event_id"""
+
+  // ---------------------------------------------------------------- B19
+  /** Global top-k: Catalyst plans TakeOrderedAndProject — each partition
+    * keeps only k rows, the driver merges k×partitions; no full sort at
+    * scale. */
+  private def b19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("tp"))
+      .orderBy(col("tp").desc, col("o_orderkey"))
+
+  private val b19Sql =
+    """SELECT o_orderkey, o_custkey, tp FROM
+       (SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS tp,
+               o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+       ORDER BY tp DESC, o_orderkey"""
+
+  // ---------------------------------------------------------------- B20
+  private def b20a(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .union(t(s, dir, "customer").filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey")))
+      .distinct()
+      .orderBy("custkey")
+
+  private val b20aSql =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+       UNION
+       SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+       ORDER BY custkey"""
+
+  private def b20b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .intersect(t(s, dir, "customer").filter(col("c_acctbal") > 1000).select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  private val b20bSql =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+       ORDER BY custkey"""
+
+  private def b20c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey"))
+      .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  private val b20cSql =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+       EXCEPT
+       SELECT o_custkey FROM orders
+       ORDER BY custkey"""
+
+  // ---------------------------------------------------------------- B21
+  /** String function family, including the reference's `sanitize_name`
+    * semantics as a pure expression chain (fmp_reader.py:56-61) — no UDF,
+    * stays inside whole-stage codegen. */
+  private def b21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      regexp_replace(lower(trim(col("p_name"))), "[^a-z0-9_]+", "_").as("sanitized"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      substring(col("p_type"), 1, 4).as("type4"),
+      length(col("p_name")).as("name_len"),
+      size(split(col("p_name"), " ")).as("n_words"),
+      col("p_name").like("%widget%").as("is_widget"))
+      .orderBy("p_partkey")
+
+  private val b21Sql =
+    """SELECT p_partkey,
+       regexp_replace(lower(trim(p_name)), '[^a-z0-9_]+', '_', 'g') AS sanitized,
+       p_brand || '#' || p_type AS brand_type,
+       substring(p_type, 1, 4) AS type4,
+       CAST(length(p_name) AS INT) AS name_len,
+       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+       p_name LIKE '%widget%' AS is_widget
+       FROM part ORDER BY p_partkey"""
+
+  // ---------------------------------------------------------------- B22
+  /** Temporal function family on `orders` (ms-precision timestamps). */
+  private def b22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+      datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).as("days_since"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  private val b22Sql =
+    """SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+       CAST(floor(epoch_us(o_orderdate) / 1000000) AS BIGINT) AS epoch_s
+       FROM orders ORDER BY o_orderkey"""
+
+  // ---------------------------------------------------------------- B23
+  /** Math / arithmetic family on lineitem prices. */
+  private def b23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(netDec, 2).cast("double").as("net"),
+      round(chargeDec, 2).cast("double").as("charge"),
+      round(abs(col("l_quantity") - lit(25.0)), 2).as("qdev"),
+      round(pow(col("l_quantity"), 2), 2).as("q2"),
+      round(log(col("l_extendedprice")), 6).as("ln_price"),
+      round(sqrt(col("l_quantity")), 6).as("sqrt_q"))
+      .orderBy("l_orderkey", "l_linenumber", "net", "charge", "qdev")
+
+  private val b23Sql =
+    """SELECT l_orderkey, l_linenumber,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS net,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))), 2) AS DOUBLE) AS charge,
+       round(abs(l_quantity - 25.0), 2) AS qdev,
+       round(pow(l_quantity, 2), 2) AS q2,
+       round(ln(l_extendedprice), 6) AS ln_price,
+       round(sqrt(l_quantity), 6) AS sqrt_q
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, net, charge, qdev"""
+
+  // ---------------------------------------------------------------- B24
+  /** Array / higher-order function family over the embedding column. The
+    * fold runs element-order-sequential in both engines, so double sums are
+    * bit-comparable; rounding guards the last ulp. */
+  private def b24(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val dbl = (c: Column) => c.cast("double")
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(e).as("dim"),
+      round(dbl(element_at(e, 1)), 6).as("first_val"),
+      round(aggregate(e, lit(0.0), (acc, x) => acc + dbl(x) * dbl(x)), 4).as("norm2"),
+      round(aggregate(filter(e, x => x > 0), lit(0.0), (acc, x) => acc + dbl(x)), 4).as("pos_sum"))
+      .orderBy("vec_id")
+  }
+
+  private val b24Sql =
+    """SELECT m.vec_id, CAST(len(m.embedding) AS INT) AS dim,
+       round(CAST(m.embedding[1] AS DOUBLE), 6) AS first_val,
+       round(s.norm2, 4) AS norm2, round(s.pos_sum, 4) AS pos_sum
+       FROM embeddings m JOIN
+       (SELECT vec_id,
+               sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS norm2,
+               sum(CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0 END) AS pos_sum
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id) s USING (vec_id)
+       ORDER BY vec_id"""
+
+  // ---------------------------------------------------------------- B25
+  /** JSON extraction from the `events.props` payload column. */
+  private def b25(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(k).as("k_sum"),
+        round(avg(k), 4).as("k_avg"),
+        max(k).as("k_max"))
+      .orderBy("event_type")
+  }
+
+  private val b25Sql =
+    """SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       round(avg(k), 4) AS k_avg,
+       max(k) AS k_max
+       FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+       GROUP BY event_type ORDER BY event_type"""
+
+  // ---------------------------------------------------------------- B26
+  /** Data-plane hashing (the reference's SHA-256 provenance, A12, as a
+    * distributed column op). */
+  private def b26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      sha2(col("text"), 256).as("text_sha256"),
+      md5(col("text")).as("text_md5"),
+      sha2(concat_ws("|", col("source"), col("text")), 256).as("src_sha256"))
+      .orderBy("doc_id")
+
+  private val b26Sql =
+    """SELECT doc_id, sha256(text) AS text_sha256, md5(text) AS text_md5,
+       sha256(source || '|' || text) AS src_sha256
+       FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- B36
+  /** Typed UDAF (Aggregator) — weighted average; see [[WeightedAvg]]. */
+  private def b36(s: SparkSession, dir: String): DataFrame = {
+    val wavg = WeightedAvg.udafColumn
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+        round(sum(col("l_quantity")), 2).as("sum_w"))
+      .orderBy("l_returnflag")
+  }
+
+  private val b36Sql =
+    """SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+       round(sum(l_quantity), 2) AS sum_w
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ----------------------------------------------------------------
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("b05_select_rename_cast", b05, Some(b05Sql)),
+    QueryDef("b06_filter_predicates", b06, Some(b06Sql)),
+    QueryDef("b07_broadcast_join", b07, Some(b07Sql)),
+    QueryDef("b08_shuffle_join", b08, Some(b08Sql)),
+    QueryDef("b09a_left_outer_join", b09a, Some(b09aSql)),
+    QueryDef("b09b_semi_join", b09b, Some(b09bSql)),
+    QueryDef("b09c_anti_join", b09c, Some(b09cSql)),
+    QueryDef("b10_range_join", b10, Some(b10Sql)),
+    QueryDef("b11_asof_join", b11, Some(b11Sql)),
+    QueryDef("b12_q1_agg", b12, Some(b12Sql)),
+    QueryDef("b13_distinct_counts", b13, Some(b13Sql)),
+    QueryDef("b13b_approx_distinct", b13b, None),
+    QueryDef("b14_rollup", b14, Some(b14Sql)),
+    QueryDef("b14b_cube", b14b, Some(b14bSql)),
+    QueryDef("b15_provenance_counts", b15, Some(b15Sql)),
+    QueryDef("b16_rank_topk", b16, Some(b16Sql)),
+    QueryDef("b17_lag_lead", b17, Some(b17Sql)),
+    QueryDef("b18_moving_avg", b18, Some(b18Sql)),
+    QueryDef("b19_global_topk", b19, Some(b19Sql)),
+    QueryDef("b20a_union", b20a, Some(b20aSql)),
+    QueryDef("b20b_intersect", b20b, Some(b20bSql)),
+    QueryDef("b20c_except", b20c, Some(b20cSql)),
+    QueryDef("b21_string_funcs", b21, Some(b21Sql)),
+    QueryDef("b22_datetime_funcs", b22, Some(b22Sql)),
+    QueryDef("b23_math_funcs", b23, Some(b23Sql)),
+    QueryDef("b24_array_funcs", b24, Some(b24Sql)),
+    QueryDef("b25_json_funcs", b25, Some(b25Sql)),
+    QueryDef("b26_hash_provenance", b26, Some(b26Sql)),
+    QueryDef("b36_weighted_avg_udaf", b36, Some(b36Sql)))
+}

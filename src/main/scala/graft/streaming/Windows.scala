@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windowed event aggregations (SURVEY.md §2B B31–B34).
+  *
+  * Each operator is written once against a DataFrame so the SAME logical
+  * query runs in batch (driver verify, below) and over `readStream` with a
+  * watermark (see [[StreamingJobs]] and the streaming specs). Event-time
+  * windows shuffle on (window, key) — at scale the watermark bounds state,
+  * and tumbling/sliding windows compact map-side before the exchange.
+  */
+object Windows {
+  private def events(s: SparkSession, dir: String) = Tables.t(s, dir, "events")
+
+  // ---------------------------------------------------------------- B31
+  /** Tumbling 1-hour window × event_type. Core shared form: works on a
+    * batch DF or a streaming DF unchanged. */
+  def tumblingAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  def tumblingQuery(s: SparkSession, dir: String): DataFrame =
+    tumblingAgg(events(s, dir)).orderBy("hr", "event_type")
+
+  private val b31Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY hr, event_type"""
+
+  // ---------------------------------------------------------------- B32
+  /** Sliding window: 1-hour length, 30-minute slide (each event lands in
+    * exactly two windows, epoch-aligned). */
+  def slidingAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  def slidingQuery(s: SparkSession, dir: String): DataFrame =
+    slidingAgg(events(s, dir)).orderBy("ws", "event_type")
+
+  private val b32Sql =
+    """SELECT CAST(floor(epoch_us(ts) / 1000000 / 1800) * 1800 AS BIGINT) - k * 1800 AS ws,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) kk
+       GROUP BY 1, 2 ORDER BY ws, event_type"""
+
+  // ---------------------------------------------------------------- B33
+  /** Session windows (30-minute inactivity gap) in the lag+cumsum batch
+    * form — the same session ids `session_window(ts, "30 minutes")`
+    * assigns; the streaming form lives in [[StreamingJobs.sessionized]]. */
+  def sessionAgg(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    df.withColumn("new_sess",
+        when(prevTs.isNull ||
+          unix_micros(col("ts")) - unix_micros(prevTs) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
+  def sessionQuery(s: SparkSession, dir: String): DataFrame =
+    sessionAgg(events(s, dir)).orderBy("user_id", "sess")
+
+  private val b33Sql =
+    """WITH x AS (SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       y AS (SELECT user_id, ts, value,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+         FROM x)
+       SELECT user_id, sess, count(*) AS n_events,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+         round(sum(value), 2) AS sum_value
+       FROM y GROUP BY user_id, sess ORDER BY user_id, sess"""
+
+  // ---------------------------------------------------------------- B34
+  /** Event-id dedup — batch form of the streaming
+    * `withWatermark + dropDuplicates` job (event_id is the idempotency
+    * key). Aggregated so the result is deterministic even under dup keys. */
+  def dedupCounts(df: DataFrame): DataFrame =
+    df.dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"))
+
+  def dedupQuery(s: SparkSession, dir: String): DataFrame =
+    dedupCounts(events(s, dir)).orderBy("event_type")
+
+  private val b34Sql =
+    """SELECT event_type, count(DISTINCT event_id) AS n_unique
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  // ----------------------------------------------------------------
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("b31_tumbling_window", tumblingQuery, Some(b31Sql)),
+    QueryDef("b32_sliding_window", slidingQuery, Some(b32Sql)),
+    QueryDef("b33_session_windows", sessionQuery, Some(b33Sql)),
+    QueryDef("b34_dedup_events", dedupQuery, Some(b34Sql)))
+}
