@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{AsOf, Relational}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
 import graft.streaming.Windows
 
@@ -14,7 +14,7 @@ import graft.streaming.Windows
   */
 object SparkEntry {
   private val modules: Seq[QueryDef] =
-    Relational.defs ++ Dedup.defs ++ Similarity.defs ++
+    Relational.defs ++ AsOf.defs ++ Dedup.defs ++ Similarity.defs ++
       TextStats.defs ++ Multimodal.defs ++ Windows.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

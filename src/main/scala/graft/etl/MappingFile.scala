@@ -1,0 +1,41 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's `--mapping-column` rename support (_cli.py:86-105):
+  * parse a `file.csv[:column]` spec, read the CSV, and build a
+  * `clean_name → target_name` map. Keys always come from CSV column index
+  * 1 (the clean names); the value column is resolved by header name when
+  * `:column` is given, else defaults to index 1.
+  *
+  * The mapping renames COLUMNS, not data, so it is driver-side metadata: a
+  * broadcast/data-plane join would be the wrong tool (SURVEY.md §2A A8).
+  */
+object MappingFile {
+
+  /** Parse `"file.csv"` or `"file.csv:column_name"`. */
+  def parseSpec(spec: String): (String, Option[String]) =
+    spec.split(":", 2) match {
+      case Array(f, c) => (f, Some(c))
+      case Array(f) => (f, None)
+    }
+
+  /** Read the mapping CSV (driver-side; header row required). */
+  def readMapping(spark: SparkSession, spec: String): Map[String, String] = {
+    val (file, columnName) = parseSpec(spec)
+    val df = spark.read.option("header", "true").csv(file)
+    val header = df.columns
+    val valueIdx = columnName match {
+      case Some(c) =>
+        val i = header.indexOf(c)
+        require(i >= 0, s"Mapping column '$c' not found in $file (have: ${header.mkString(", ")})")
+        i
+      case None => 1
+    }
+    df.collect().map(r => r.getString(1) -> r.getString(valueIdx)).toMap
+  }
+
+  /** Apply a rename mapping to a DataFrame (pure metadata op, no job). */
+  def applyMapping(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    df.withColumnsRenamed(mapping)
+}

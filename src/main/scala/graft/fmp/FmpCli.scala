@@ -1,0 +1,92 @@
+package graft.fmp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.{KeyValueArgs, MappingFile, Sanitize}
+import graft.sinks.Sinks
+
+/** CLI parity with the reference's four `ct-db` commands (_cli.py:18-181):
+  * dump_headers, print, to_json, create_db. Same argument shapes
+  * (positional FILE [DB_URL], `--mapping-column f.csv[:col]`,
+  * `--table-name t`, repeated `--db-metadata k=v`).
+  *
+  * Usage:
+  *   runMain graft.fmp.FmpCli dump_headers FILE
+  *   runMain graft.fmp.FmpCli print FILE
+  *   runMain graft.fmp.FmpCli to_json FILE
+  *   runMain graft.fmp.FmpCli create_db FILE DB_URL [--mapping-column f.csv:col]
+  *       [--table-name t] [--db-metadata k=v]...
+  */
+object FmpCli {
+  private def session(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+    .appName("graft-fmp-cli")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "dump_headers" :: file :: Nil =>
+      // Schema-only path: no Spark job at all (SURVEY.md §3.3).
+      val schema = FmpReader.readSchemaOnly(file)
+      println("original_name,clean_name")
+      schema.nameMapping.foreach { case (clean, f) => println(s"${f.name},$clean") }
+
+    case "print" :: file :: Nil =>
+      val spark = session()
+      val (df, schema) = FmpReader.readWithSchema(spark, file)
+      println(s"Parsing ${schema.foundCount} records from ${schema.name}")
+      println(s"Materialized ${df.count()} records")
+      println("Done")
+      spark.stop()
+
+    case "to_json" :: file :: Nil =>
+      val spark = session()
+      val (df, _) = FmpReader.readWithSchema(spark, file)
+      Sinks.toJsonlLines(df).foreach(println)
+      spark.stop()
+
+    case "create_db" :: file :: dbUrl :: rest =>
+      val opts = parseOptions(rest)
+      val spark = session()
+      val resolved = FmpReader.resolvePath(file)
+      val sha = Sinks.sha256OfFile(resolved.toString)
+      val (df0, schema) = FmpReader.readWithSchema(spark, file)
+      val mapping = opts.mappingColumn.map(MappingFile.readMapping(spark, _))
+      val df = mapping.fold(df0)(MappingFile.applyMapping(df0, _))
+      val tableName = opts.tableName.getOrElse(Sanitize.sanitize(schema.name))
+      val extra = opts.dbMetadata ++ Map(
+        "source_url" -> resolved.toAbsolutePath.normalize.toString,
+        "source_sha256" -> sha)
+      Sinks.writeJdbc(df, dbUrl, tableName,
+        sourceSchemaName = schema.name, recordCount = schema.foundCount,
+        extraMetadata = extra)
+      println(s"Loaded ${schema.foundCount} records into $tableName")
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"Unknown command: ${other.mkString(" ")}\n" +
+          "Commands: dump_headers FILE | print FILE | to_json FILE | " +
+          "create_db FILE DB_URL [--mapping-column f.csv[:col]] [--table-name t] [--db-metadata k=v]...")
+      sys.exit(2)
+  }
+
+  private case class Options(
+      mappingColumn: Option[String] = None,
+      tableName: Option[String] = None,
+      dbMetadata: Map[String, String] = Map.empty)
+
+  private def parseOptions(rest: List[String]): Options = {
+    @annotation.tailrec
+    def loop(args: List[String], acc: Options, kvs: List[String]): Options = args match {
+      case "--mapping-column" :: v :: tail => loop(tail, acc.copy(mappingColumn = Some(v)), kvs)
+      case "--table-name" :: v :: tail => loop(tail, acc.copy(tableName = Some(v)), kvs)
+      case "--db-metadata" :: v :: tail => loop(tail, acc, v :: kvs)
+      case Nil => acc.copy(dbMetadata = KeyValueArgs.parse(kvs.reverse))
+      case bad :: _ => throw new IllegalArgumentException(s"Unknown option: $bad")
+    }
+    loop(rest, Options(), Nil)
+  }
+}

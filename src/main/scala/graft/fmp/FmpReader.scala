@@ -1,0 +1,218 @@
+package graft.fmp
+
+import java.io.{BufferedInputStream, FileInputStream, InputStream}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StringType, StructField, StructType}
+import org.slf4j.LoggerFactory
+
+import graft.etl.Sanitize
+
+/** One `<FIELD EMPTYOK= MAXREPEAT= NAME= TYPE=>` header entry
+  * (fmp_reader.py:37-42). */
+final case class FmpField(name: String, fieldType: String, emptyOk: Boolean, maxRepeat: Int)
+
+/** Parsed FMPXMLRESULT header (fmp_reader.py:45-50): table name, field
+  * definitions, sanitized column names, `<RESULTSET FOUND>` and
+  * `<DATABASE RECORDS>` counts. */
+final case class FmpSchema(
+    name: String,
+    fields: Seq[FmpField],
+    cleanNames: Seq[String],
+    foundCount: Long,
+    databaseRecords: Long) {
+  /** clean name → original field, insertion-ordered (fmp_reader.py:171). */
+  def nameMapping: Seq[(String, FmpField)] = cleanNames.zip(fields)
+}
+
+/** FileMaker Pro FMPXMLRESULT reader (reference operator A1,
+  * fmp_reader.py:79-187) re-expressed for Spark.
+  *
+  * Semantics preserved exactly (SURVEY.md §2C): every cell is a raw
+  * nullable string (`<DATA/>` → null); clean names via [[Sanitize]];
+  * duplicate clean names are a hard failure; `FOUND != RECORDS` warns
+  * ("looking at a subset") but proceeds; directory inputs resolve to the
+  * lexicographically last `*.bz2` snapshot; `.bz2` decompresses
+  * transparently.
+  *
+  * Architecture: bz2 + a single XML document are non-splittable, so the
+  * parse happens once on the driver with a constant-memory StAX pull
+  * parser (unlike the reference, which retains the whole lxml element
+  * tree — SURVEY.md §4.1), and rows are then `parallelize`d so everything
+  * downstream is distributed. For multi-file exports at scale, each file
+  * becomes one task of the same parser — the document, not the byte
+  * range, is the parallelism unit.
+  */
+object FmpReader {
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Directory input → lexicographically last `*.bz2` (latest snapshot,
+    * _cli.py:26-28); plain files pass through. */
+  def resolvePath(path: String): Path = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      val snaps = Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".bz2")).toSeq.sortBy(_.getFileName.toString)
+      require(snaps.nonEmpty, s"No *.bz2 snapshots in directory $path")
+      snaps.last
+    } else p
+  }
+
+  /** Open with transparent bz2 decompression by extension (_cli.py:30-35). */
+  def open(path: Path): InputStream = {
+    val raw = new BufferedInputStream(new FileInputStream(path.toFile))
+    if (path.getFileName.toString.endsWith(".bz2")) new BZip2CompressorInputStream(raw)
+    else raw
+  }
+
+  private def newStreamReader(in: InputStream) = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(in)
+  }
+
+  /** Parse the header only and stop at `<RESULTSET>` — the schema-only
+    * path (`dump_headers`, _cli.py:38-53) runs no Spark job at all. */
+  def readSchema(in: InputStream,
+      headerStrategy: Seq[String] => Seq[String] = Sanitize.defaultHeaderStrategy): FmpSchema = {
+    val r = newStreamReader(in)
+    var dbName = ""
+    var dbRecords = -1L
+    val fields = ArrayBuffer.empty[FmpField]
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "RESULTSET" =>
+            val found = r.getAttributeValue(null, "FOUND").toLong
+            if (found != dbRecords)
+              log.warn(s"Number of records in header ($dbRecords) does not match " +
+                s"number of records in result set ($found). " +
+                "We are looking at a subset of the database.")
+            val clean = headerStrategy(fields.map(_.name).toSeq)
+            require(clean.distinct.size == fields.size,
+              s"There are duplicate 'cleaned' names in the field list: $clean")
+            return FmpSchema(dbName, fields.toSeq, clean, found, dbRecords)
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "DATABASE" =>
+            dbName = r.getAttributeValue(null, "NAME")
+            dbRecords = r.getAttributeValue(null, "RECORDS").toLong
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "FIELD" =>
+            fields += FmpField(
+              name = r.getAttributeValue(null, "NAME"),
+              fieldType = r.getAttributeValue(null, "TYPE"),
+              emptyOk = r.getAttributeValue(null, "EMPTYOK") == "YES",
+              maxRepeat = r.getAttributeValue(null, "MAXREPEAT").toInt)
+          case _ =>
+        }
+      }
+    } finally if (!r.hasNext) r.close()
+    throw new IllegalArgumentException("No <RESULTSET> element found: not an FMPXMLRESULT document")
+  }
+
+  /** Full streaming parse: header + all rows (`<DATA>` texts appended
+    * positionally per row, fmp_reader.py:108-120). Constant memory —
+    * rows are handed to `sink` as they complete. */
+  def parseRows(in: InputStream,
+      headerStrategy: Seq[String] => Seq[String],
+      sink: Array[String] => Unit): FmpSchema = {
+    val r = newStreamReader(in)
+    var dbName = ""
+    var dbRecords = -1L
+    val fields = ArrayBuffer.empty[FmpField]
+    var schema: FmpSchema = null
+    var inResults = false
+    val current = ArrayBuffer.empty[String]
+    var inData = false
+    var sawText = false
+    val text = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "RESULTSET" =>
+              val found = r.getAttributeValue(null, "FOUND").toLong
+              if (found != dbRecords)
+                log.warn(s"Number of records in header ($dbRecords) does not match " +
+                  s"number of records in result set ($found). " +
+                  "We are looking at a subset of the database.")
+              val clean = headerStrategy(fields.map(_.name).toSeq)
+              require(clean.distinct.size == fields.size,
+                s"There are duplicate 'cleaned' names in the field list: $clean")
+              schema = FmpSchema(dbName, fields.toSeq, clean, found, dbRecords)
+              inResults = true
+            case "DATABASE" if !inResults =>
+              dbName = r.getAttributeValue(null, "NAME")
+              dbRecords = r.getAttributeValue(null, "RECORDS").toLong
+            case "FIELD" if !inResults =>
+              fields += FmpField(
+                name = r.getAttributeValue(null, "NAME"),
+                fieldType = r.getAttributeValue(null, "TYPE"),
+                emptyOk = r.getAttributeValue(null, "EMPTYOK") == "YES",
+                maxRepeat = r.getAttributeValue(null, "MAXREPEAT").toInt)
+            case "ROW" if inResults => current.clear()
+            case "DATA" if inResults =>
+              inData = true; sawText = false; text.clear()
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inData =>
+          text.appendAll(r.getTextCharacters, r.getTextStart, r.getTextLength)
+          sawText = true
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "DATA" if inResults =>
+              current += (if (sawText) text.toString else null)
+              inData = false
+            case "ROW" if inResults =>
+              sink(current.toArray)
+              current.clear()
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    require(schema != null, "No <RESULTSET> element found: not an FMPXMLRESULT document")
+    schema
+  }
+
+  /** Spark StructType for an FMP schema: all-nullable strings (reference
+    * semantics §2C.1), original header name carried as `comment` metadata
+    * (the SQL column comment at sql.py:31-34). */
+  def toStructType(schema: FmpSchema): StructType =
+    StructType(schema.nameMapping.map { case (clean, field) =>
+      StructField(clean, StringType, nullable = true,
+        metadata = new MetadataBuilder().putString("comment", field.name).build())
+    })
+
+  /** Read an FMPXMLRESULT export (file, `.bz2`, or snapshot directory)
+    * into a DataFrame. Returns the schema (with counts) alongside. */
+  def readWithSchema(spark: SparkSession, path: String,
+      headerStrategy: Seq[String] => Seq[String] = Sanitize.defaultHeaderStrategy,
+      numPartitions: Int = 0): (DataFrame, FmpSchema) = {
+    val p = resolvePath(path)
+    val rows = ArrayBuffer.empty[Row]
+    val in = open(p)
+    val schema = try parseRows(in, headerStrategy, arr => rows += Row.fromSeq(arr.toSeq))
+    finally in.close()
+    val struct = toStructType(schema)
+    val parts = if (numPartitions > 0) numPartitions
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.size / 1000 + 1))
+    (spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, parts), struct), schema)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    readWithSchema(spark, path)._1
+
+  /** Schema-only read (no Spark job) for the `dump_headers` path. */
+  def readSchemaOnly(path: String): FmpSchema = {
+    val in = open(resolvePath(path))
+    try readSchema(in) finally in.close()
+  }
+}

@@ -168,10 +168,10 @@ object Relational {
                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
        ORDER BY c_custkey"""
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no in-progress orders. */
   private def b09c(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
       .withColumn("c_acctbal", round(col("c_acctbal"), 2))
@@ -181,7 +181,9 @@ object Relational {
   private val b09cSql =
     """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
        FROM customer c
-       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'P')
        ORDER BY c_custkey"""
 
   // ---------------------------------------------------------------- B10
@@ -219,28 +221,30 @@ object Relational {
        GROUP BY band ORDER BY band"""
 
   // ---------------------------------------------------------------- B11
-  /** As-of join: for each order, the latest event of the same user at or
-    * before the order date. Implemented as equi-join on the user key (one
+  /** As-of join: for each event, the latest order of the same user at or
+    * before the event time. Implemented as equi-join on the user key (one
     * shuffle, AQE-skew-splittable) + time predicate + max-aggregate; the
-    * per-key event history is bounded, so the intermediate stays linear. */
+    * per-key order history is bounded, so the intermediate stays linear.
+    * (A window-based as-of for unbounded histories lives in
+    * [[graft.queries.AsOf]].) */
   private def b11(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val e = t(s, dir, "events")
-    o.join(e, e("user_id") === o("o_custkey") && e("ts") <= o("o_orderdate"))
-      .groupBy("o_orderkey")
+    e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
+      .groupBy("event_id")
       .agg(
-        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_event_at"),
-        count(lit(1)).as("n_prior"))
-      .orderBy("o_orderkey")
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("last_order_at"),
+        count(lit(1)).as("n_prior_orders"))
+      .orderBy("event_id")
   }
 
   private val b11Sql =
-    """SELECT o_orderkey,
-       strftime(max(e.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_event_at,
-       count(*) AS n_prior
-       FROM orders o JOIN events e
-         ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-       GROUP BY o_orderkey ORDER BY o_orderkey"""
+    """SELECT event_id,
+       strftime(max(o.o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order_at,
+       count(*) AS n_prior_orders
+       FROM events e JOIN orders o
+         ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+       GROUP BY event_id ORDER BY event_id"""
 
   // ---------------------------------------------------------------- B12
   /** TPC-H Q1 shape: the canonical partial+final hash aggregate. */
@@ -473,14 +477,14 @@ object Relational {
        ORDER BY custkey"""
 
   private def b20c(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer").filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey"))
-      .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+    t(s, dir, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .except(t(s, dir, "orders").filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey")))
       .orderBy("custkey")
 
   private val b20cSql =
-    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
        EXCEPT
-       SELECT o_custkey FROM orders
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
        ORDER BY custkey"""
 
   // ---------------------------------------------------------------- B21

@@ -1,0 +1,145 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import java.sql.DriverManager
+import java.time.Instant
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Output sinks with reference parity (SURVEY.md §2A A5/A7/A9-A12).
+  */
+object Sinks {
+
+  // ---------------------------------------------------------------- A7
+  /** Null-preserving JSONL sink (`to_json`, _cli.py:71-83). Spark's JSON
+    * writer drops null fields by default; the reference emits explicit
+    * `"field": null`, so `ignoreNullFields=false` is load-bearing
+    * (SURVEY.md §7.4.4). Field order = schema order (struct order).
+    *
+    * `ordered=true` reproduces the reference's single-stream line order
+    * (coalesce to one file after the caller's sort); leave false at scale
+    * where line order across part-files is not a contract. */
+  def writeJsonl(df: DataFrame, path: String, ordered: Boolean = false): Unit = {
+    val out = if (ordered) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).option("ignoreNullFields", "false").json(path)
+  }
+
+  /** JSONL as in-order strings (the stdout-parity path for small data). */
+  def toJsonlLines(df: DataFrame): Iterator[String] = {
+    val cols = df.columns.map(col)
+    df.select(to_json(struct(cols: _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
+      .toLocalIterator().asInstanceOf[java.util.Iterator[Row]]
+      .asScala.map(_.getString(0))
+  }
+
+  // ---------------------------------------------------------------- A5
+  /** Header-mapping CSV (`dump_headers`, _cli.py:38-53): two columns,
+    * original_name,clean_name, one row per field in schema order. Built
+    * from the DataFrame schema + `comment` metadata — no job runs. */
+  def headersDf(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.schema.fields.map { f =>
+      val orig = if (f.metadata.contains("comment")) f.metadata.getString("comment") else f.name
+      Row(orig, f.name)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("original_name", StringType, nullable = false),
+        StructField("clean_name", StringType, nullable = false))))
+  }
+
+  def writeHeadersCsv(spark: SparkSession, df: DataFrame, path: String): Unit =
+    headersDf(spark, df).coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  // ---------------------------------------------------------------- A9-A12
+  /** Provenance rows for the `<table>_metadata` side table (sql.py:96-113
+    * + _cli.py:146-150): created_at, source_schema_name, record_count,
+    * plus caller pairs (source_url, source_sha256, user --db-metadata). */
+  def provenanceRows(
+      sourceSchemaName: String,
+      recordCount: Long,
+      extra: Map[String, String],
+      createdAt: Instant): Seq[(String, String, java.sql.Timestamp)] = {
+    val ts = java.sql.Timestamp.from(createdAt)
+    Seq(
+      ("created_at", createdAt.toString, ts),
+      ("source_schema_name", sourceSchemaName, ts),
+      ("record_count", recordCount.toString, ts)) ++
+      extra.toSeq.sortBy(_._1).map { case (k, v) => (k, v, ts) }
+  }
+
+  private val metadataTableTypes = "key VARCHAR(255), value VARCHAR(1000), created_at TIMESTAMP"
+
+  private def existingTables(url: String): Set[String] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = scala.collection.mutable.Set.empty[String]
+      while (rs.next()) names += rs.getString("TABLE_NAME").toLowerCase
+      names.toSet
+    } finally conn.close()
+  }
+
+  /** JDBC bulk-load sink with reference parity (A12, _cli.py:108-181):
+    *  - hard failure if the core OR metadata table already exists
+    *    (sql.py:65-75 — checked up front, before any DDL);
+    *  - batched inserts (`batchsize`, reference default 500);
+    *  - provenance side table `<table>_metadata` written alongside.
+    *
+    * `singleTransactionParity=true` coalesces the load to one partition —
+    * one connection, one commit, matching the reference's single outer
+    * transaction (_cli.py:169). At scale, leave it false (per-partition
+    * parallel connections) and load into a staging table that is atomically
+    * renamed — cross-partition transactional writes are not a Spark JDBC
+    * primitive (SURVEY.md §7.4.3).
+    */
+  def writeJdbc(
+      df: DataFrame,
+      url: String,
+      tableName: String,
+      sourceSchemaName: String,
+      recordCount: Long,
+      extraMetadata: Map[String, String] = Map.empty,
+      batchSize: Int = 500,
+      singleTransactionParity: Boolean = true,
+      createTableColumnTypes: Option[String] = None,
+      createdAt: Instant = Instant.now()): Unit = {
+    val spark = df.sparkSession
+    val metaTable = s"${tableName}_metadata"
+    val existing = existingTables(url)
+    if (existing.contains(tableName.toLowerCase))
+      throw new IllegalStateException(s"Table '$tableName' already exists in the database")
+    if (existing.contains(metaTable.toLowerCase))
+      throw new IllegalStateException(s"Metadata table '$metaTable' already exists in the database")
+
+    val props = new Properties()
+    val out = if (singleTransactionParity) df.coalesce(1) else df
+    val writer = out.write.mode(SaveMode.ErrorIfExists).option("batchsize", batchSize.toString)
+    createTableColumnTypes.fold(writer)(t => writer.option("createTableColumnTypes", t))
+      .jdbc(url, tableName, props)
+
+    import spark.implicits._
+    val meta = provenanceRows(sourceSchemaName, recordCount, extraMetadata, createdAt)
+      .toDF("key", "value", "created_at")
+    meta.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+      .option("createTableColumnTypes", metadataTableTypes)
+      .jdbc(url, metaTable, props)
+  }
+
+  /** SHA-256 of a file's raw bytes (the reference hashes the input before
+    * parsing, _cli.py:147-148) — driver-side by design; the data-plane
+    * analogue is `sha2(col, 256)` (B26). */
+  def sha256OfFile(path: String): String = {
+    val digest = MessageDigest.getInstance("SHA-256")
+    val bytes = Files.readAllBytes(Paths.get(path))
+    digest.digest(bytes).map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the windowed event operators (B31–B34).
+  * Each reuses the SAME logical query as the batch form in [[Windows]],
+  * with a watermark bounding state — the batch/streaming duality Spark's
+  * incrementalization model is built on. State size at scale is
+  * (watermark horizon × active keys), independent of total stream length.
+  */
+object StreamingJobs {
+
+  /** B31 streaming: tumbling 1-hour aggregation with a 10-minute
+    * late-data watermark. */
+  def tumbling(events: DataFrame): DataFrame =
+    Windows.tumblingAgg(events.withWatermark("ts", "10 minutes"))
+
+  /** B32 streaming: sliding windows under the same watermark. */
+  def sliding(events: DataFrame): DataFrame =
+    Windows.slidingAgg(events.withWatermark("ts", "10 minutes"))
+
+  /** B33 streaming: native session windows (30-minute inactivity gap) —
+    * the streaming counterpart of [[Windows.sessionAgg]]'s lag+cumsum
+    * batch form. */
+  def sessionized(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** B34 streaming: exactly-once event-id dedup inside the watermark
+    * horizon (`dropDuplicates` keeps per-key state until the watermark
+    * passes — bounded, unlike an unwatermarked global dedup). */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+}

@@ -1,0 +1,27 @@
+package graft
+
+/** Smoke: every registered query runs at sf0.001 and returns rows (the
+  * oracle hash-compare itself is the driver's t2 gate + local_verify.py).
+  * A few sampled/threshold queries legitimately return small or zero row
+  * counts at this scale. */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val mayBeEmpty = Set("b28_jaccard_pairs", "x07_ann_lsh")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Dedup / similarity / multimodal operator semantics on controlled
+  * inputs (the oracle hash-compare covers the registered query shapes). */
+class PipelineSpec extends SparkSpec {
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different text about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (5L, "unrelated words forming another document entirely"))
+      .toDF("doc_id", "text")
+  }
+
+  test("MinHash+LSH finds planted near-dups and the exact dup") {
+    val pairs = Dedup.minhashCandidatePairs(docsDf, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact duplicate must collide in every band")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      s"near-duplicate should be a candidate, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("MinHash signatures are deterministic and k-long") {
+    val sigs = Dedup.minhashSignatures(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(_.size == Dedup.MinhashK))
+    assert(sigs(1L) == sigs(4L), "identical docs → identical signatures")
+    val again = Dedup.minhashSignatures(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs == again, "signatures must be run-deterministic")
+  }
+
+  test("SimHash: identical docs equal, near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docsDf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    val near = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(near < far, s"near-dup hamming $near should be < unrelated $far")
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val a = df.as("a"); val b = df.as("b")
+    val sims = a.crossJoin(b)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((1L, 1L)) == 1.0)
+    assert(sims((1L, 3L)) == 1.0, "colinear vectors → cosine 1")
+    assert(sims((1L, 2L)) == 0.0)
+  }
+
+  test("IVF search space is pruned to the query label partition") {
+    val all = Tables.t(spark, sf, "embeddings")
+    val qLabel = all.filter(col("vec_id") === 0).select("label").collect()(0).getInt(0)
+    val got = Similarity.annIvfTopK(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getInt(1) == qLabel), "IVF results must stay in the coarse partition")
+  }
+
+  test("multimodal feature extraction is deterministic and schema-stable") {
+    val media = Multimodal.fromDocuments(Tables.t(spark, sf, "documents"))
+    assert(media.schema == Multimodal.mediaSchema ||
+      media.columns.toSeq == Multimodal.mediaSchema.fields.map(_.name).toSeq)
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect().toSeq
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect().toSeq
+    assert(f1 == f2)
+    assert(f1.size == 500)
+    val first = f1.head
+    assert(first.getInt(1) > 0, "payload bytes")
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exactDedup _
+    import spark.implicits._
+    val spark2 = spark
+    val res = Dedup.exactDedup(spark, sf).agg(sum("n_dups")).collect()(0).getLong(0)
+    assert(res == 500, "every doc accounted for exactly once")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double, props: String)
+
+/** B31–B34 streaming semantics: the same logical query must produce the
+  * same result in batch and over a stream; watermark dedup drops
+  * duplicate event ids. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val evs = Seq(
+    Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0, "{}"),
+    Ev(2, ts("2024-01-01 00:15:00"), 1, "click", 2.0, "{}"),
+    Ev(3, ts("2024-01-01 01:05:00"), 2, "view", 3.0, "{}"),
+    Ev(4, ts("2024-01-01 01:45:00"), 2, "view", 4.0, "{}"),
+    Ev(5, ts("2024-01-01 03:00:00"), 1, "click", 5.0, "{}"))
+
+  test("B31 tumbling agg: streaming result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingJobs.tumbling(input.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("tumbling_out").start()
+    input.addData(evs.take(3))
+    q.processAllAvailable()
+    input.addData(evs.drop(3))
+    q.processAllAvailable()
+    val streaming = spark.table("tumbling_out")
+      .orderBy("hr", "event_type").collect().toSeq
+    q.stop()
+    val batch = Windows.tumblingAgg(evs.toDF()).orderBy("hr", "event_type").collect().toSeq
+    assert(streaming == batch)
+  }
+
+  test("B34 watermark dedup drops duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingJobs.dedup(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    input.addData(evs)
+    q.processAllAvailable()
+    // same ids again, inside the watermark horizon → must be dropped
+    input.addData(evs.map(e => e.copy(value = e.value + 100)))
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").collect()
+    q.stop()
+    assert(got.length == evs.length, s"expected ${evs.length} unique events, got ${got.length}")
+  }
+
+  test("B33: native session_window and lag+cumsum batch form agree on session structure") {
+    val events = Tables.t(spark, sf, "events")
+    val native = StreamingJobs.sessionized(events)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id").collect().toSeq
+    val batch = Windows.sessionAgg(events)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id").collect().toSeq
+    assert(native == batch)
+  }
+
+  test("B32 sliding windows assign each event to exactly two windows") {
+    import spark.implicits._
+    val total = Windows.slidingAgg(evs.toDF()).agg(sum("n")).collect()(0).getLong(0)
+    assert(total == evs.length * 2)
+  }
+}
