@@ -303,8 +303,8 @@ object Relational {
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("apx_part"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("apx_supp"))
+        approx_count_distinct(col("l_partkey"), 0.05).as("apx_part"),
+        approx_count_distinct(col("l_suppkey"), 0.05).as("apx_supp"))
       .orderBy("l_returnflag")
 
   // ---------------------------------------------------------------- B14
@@ -536,7 +536,10 @@ object Relational {
        FROM orders ORDER BY o_orderkey"""
 
   // ---------------------------------------------------------------- B23
-  /** Math / arithmetic family on lineitem prices. */
+  /** Math / arithmetic family on lineitem prices. Sorts on the RAW input
+    * columns (which functionally determine every output) rather than the
+    * computed ones, so the range-partitioner's sampling pass doesn't
+    * evaluate the decimal/transcendental projection a second time. */
   private def b23(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
@@ -545,8 +548,11 @@ object Relational {
       round(abs(col("l_quantity") - lit(25.0)), 2).as("qdev"),
       round(pow(col("l_quantity"), 2), 2).as("q2"),
       round(log(col("l_extendedprice")), 6).as("ln_price"),
-      round(sqrt(col("l_quantity")), 6).as("sqrt_q"))
-      .orderBy("l_orderkey", "l_linenumber", "net", "charge", "qdev")
+      round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+      col("l_quantity").as("_q"), col("l_extendedprice").as("_ep"),
+      col("l_discount").as("_d"), col("l_tax").as("_t"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("_q"), col("_ep"), col("_d"), col("_t"))
+      .drop("_q", "_ep", "_d", "_t")
 
   private val b23Sql =
     """SELECT l_orderkey, l_linenumber,
@@ -559,7 +565,8 @@ object Relational {
        round(pow(l_quantity, 2), 2) AS q2,
        round(ln(l_extendedprice), 6) AS ln_price,
        round(sqrt(l_quantity), 6) AS sqrt_q
-       FROM lineitem ORDER BY l_orderkey, l_linenumber, net, charge, qdev"""
+       FROM lineitem
+       ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""
 
   // ---------------------------------------------------------------- B24
   /** Array / higher-order function family over the embedding column. The

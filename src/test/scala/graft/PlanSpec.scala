@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions — the properties that decide whether
+  * these queries survive a 100× scale-up: dimensions broadcast (no
+  * shuffle for small sides), predicates and projections pushed into the
+  * parquet scan, aggregates partial+final, top-k via TakeOrderedAndProject
+  * rather than a global sort. A regression here passes correctness but
+  * dies at scale, so it's gated in tests. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("b07: small dims join as BroadcastHashJoin, never SortMergeJoin") {
+    val p = plan("b07_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dims must not shuffle")
+  }
+
+  test("b06: filters push down to the lineitem parquet scan") {
+    val p = plan("b06_filter_predicates")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)")
+      || p.contains("PushedFilters: [In(l_returnflag"), p)
+  }
+
+  test("b21: scan reads only the projected part columns (pruning)") {
+    val p = plan("b21_string_funcs")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("p_retailprice") && !readSchema.contains("p_size"),
+      s"unused columns must be pruned from the scan: $readSchema")
+  }
+
+  test("b12: aggregation is partial+final (map-side combine before exchange)") {
+    val p = plan("b12_q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("b19: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("b19_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("b10: literal band table broadcasts (nested-loop on the small side)") {
+    val p = plan("b10_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("b29: query vector broadcasts; no shuffle before the top-k") {
+    val p = plan("b29_cosine_topk")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("b08: fact-fact join shuffles on the join key once both sides are big") {
+    // At sf0.001 AQE correctly broadcasts the small side; disable the
+    // broadcast path to assert the large-scale plan shape is a key-shuffle
+    // join, which is what a 100 TB orders⋈lineitem must produce.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("b08_shuffle_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
+    val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages materialize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen stages in plan:\n$p")
+  }
+}
