@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{RollingHash, SanitizeName}
+
+/** `SparkSessionExtensions` entry point: registers the engine's native
+  * expressions at session build time, so deployments can opt in with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * (Queries running on driver-provided sessions use
+  * [[graft.functions.GraftFunctions.register]] instead, which installs the
+  * same functions as session temp functions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      exprs => RollingHash(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("sanitize_name"),
+      new ExpressionInfo(classOf[SanitizeName].getName, "sanitize_name"),
+      exprs => SanitizeName(exprs.head)))
+  }
+}

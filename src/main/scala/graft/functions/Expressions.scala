@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (operator decision table tier (b),
+  * SURVEY.md §7.3): native `UnaryExpression`s with `doGenCode`, so they
+  * run inside whole-stage codegen like built-ins — no UDF serialization,
+  * no codegen fence in the hot path.
+  */
+
+/** Polynomial rolling hash over a string's UTF-16 code units:
+  * `acc = (acc * 31 + c) mod 1_000_000_007` — the document-fingerprint
+  * primitive (deterministic, order-sensitive, mergeable for chunked
+  * hashing). ASCII-equivalent to folding DuckDB `ascii()` codepoints, so
+  * it is oracle-comparable on ASCII corpora. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"rolling_hash requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  final val Mod = 1000000007L
+
+  def hash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31 + s.charAt(i)) % Mod
+      i += 1
+    }
+    acc
+  }
+}
+
+/** The reference's `sanitize_name` (fmp_reader.py:56-61) as a native
+  * data-plane expression — same unicode-aware semantics as
+  * [[graft.etl.Sanitize.sanitize]], codegen'd for per-row use (B35's
+  * "showcase UDF" upgraded to a real Catalyst expression). */
+case class SanitizeName(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"sanitize_name requires STRING, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sanitize_name"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.etl.Sanitize.sanitize(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.etl.Sanitize.sanitize($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): SanitizeName =
+    copy(child = newChild)
+}
+
+/** Registration for the custom expressions: per-session temp functions
+  * (usable on any driver-provided session) — see also
+  * [[graft.GraftExtensions]] for the `SparkSessionExtensions` path. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("rolling_hash",
+      exprs => RollingHash(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("sanitize_name",
+      exprs => SanitizeName(exprs.head), "scala_udf")
+  }
+}

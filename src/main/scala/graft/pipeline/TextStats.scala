@@ -186,6 +186,27 @@ object TextStats {
        CAST(length(replace(text, ' ', '')) AS INT) AS chars_nospace
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x03b
+  /** Fingerprinting via the engine's native Catalyst expressions
+    * ([[graft.functions.RollingHash]] / [[graft.functions.SanitizeName]]):
+    * codegen'd per-row hashing, registered on the session at query build. */
+  def nativeFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir).select(
+      col("doc_id"),
+      expr("rolling_hash(text)").as("roll_fp"),
+      expr("sanitize_name(concat(source, ' ', lang))").as("src_tag"))
+      .orderBy("doc_id")
+  }
+
+  private val x03bSql =
+    """SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, c) -> (a * 31 + c) % 1000000007) AS roll_fp,
+       regexp_replace(lower(trim(source || ' ' || lang)), '[^a-z0-9_]+', '_', 'g') AS src_tag
+       FROM documents ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x08
   /** Multimodal column plumbing, metadata side: treat the payload as an
     * opaque binary column with typed metadata. The "decode" here is the
@@ -218,5 +239,6 @@ object TextStats {
     QueryDef("x01_quality_score", qualityScore, Some(x01Sql)),
     QueryDef("x02_langid", langIdHeuristic, Some(x02Sql)),
     QueryDef("x03_fingerprint", fingerprint, Some(x03Sql)),
+    QueryDef("x03b_rolling_hash", nativeFingerprint, Some(x03bSql)),
     QueryDef("x04_token_counts", tokenCounts, Some(x04Sql)))
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.etl.Sanitize
+
+/** Native Catalyst expression semantics: interpreted and codegen paths
+  * must agree, nulls propagate, and sanitize_name matches the driver-side
+  * sanitizer exactly. */
+class ExpressionsSpec extends SparkSpec {
+
+  test("rolling_hash matches the reference fold and handles nulls") {
+    assert(RollingHash.hash("abc") == 96354L)
+    assert(RollingHash.hash("") == 0L)
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq(("abc"), (null: String)).toDF("s")
+      .select(expr("rolling_hash(s)").as("h")).collect()
+    assert(got(0).getLong(0) == 96354L)
+    assert(got(1).isNullAt(0), "null in → null out")
+  }
+
+  test("rolling_hash runs inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // parquet-backed source so the projection isn't constant-folded away
+    val df = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), expr("rolling_hash(text)").as("h"))
+    val rows = df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "expression must not break codegen")
+    // codegen result equals the interpreted reference fold
+    rows.take(50).foreach { r =>
+      assert(r.getLong(2) == RollingHash.hash(r.getString(1)))
+    }
+  }
+
+  test("sanitize_name expression == driver-side Sanitize on golden cases") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq("Aantal bedr.", "Auteur o.g.v.", "Enschedé", "1e druk", "  UPPER Case  ")
+    val got = cases.toDF("s").select(expr("sanitize_name(s)").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(Sanitize.sanitize))
+  }
+
+  test("extensions entry point registers both functions") {
+    val s2 = spark.newSession()
+    new graft.GraftExtensions()
+    // injectFunction path needs a fresh builder; the registry path is the
+    // session-level equivalent — assert it resolves through SQL.
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT rolling_hash('abc')").collect()(0).getLong(0) == 96354L)
+    assert(s2.sql("SELECT sanitize_name('A b.C')").collect()(0).getString(0) == "a_b_c")
+  }
+}
