@@ -83,4 +83,13 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("sanitize_name",
       exprs => SanitizeName(exprs.head), "scala_udf")
   }
+
+  /** B35's one showcase scalar UDF — kept for API-surface parity; the
+    * production path is [[SanitizeName]] (native, codegen'd) or the
+    * expression chain in B21. A closure UDF is a codegen fence and a
+    * serialization cost per batch: that is exactly why it stays a
+    * showcase. */
+  lazy val sanitizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) null else graft.etl.Sanitize.sanitize(s))
 }

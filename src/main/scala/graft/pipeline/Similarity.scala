@@ -122,8 +122,10 @@ object Similarity {
   }
 
   /** Exact all-pairs cosine above a threshold for a sampled slice —
-    * embedding near-dup detection (the embedding analogue of B28). */
-  def embeddingNearDups(s: SparkSession, dir: String, mod: Int = 13, threshold: Double = 0.5): DataFrame = {
+    * embedding near-dup detection (the embedding analogue of B28). At
+    * corpus scale the pair generation runs behind the LSH buckets above
+    * instead of the sampled self-join. */
+  def embeddingNearDups(s: SparkSession, dir: String, mod: Int = 7, threshold: Double = 0.2): DataFrame = {
     val e = Tables.t(s, dir, "embeddings").filter(col("vec_id") % mod === 0)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
@@ -132,9 +134,27 @@ object Similarity {
       .orderBy("va", "vb")
   }
 
+  private def x09(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDups(s, dir)
+
+  private val x09Sql =
+    """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+       z AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+               unnest(a.embedding) AS x, unnest(b.embedding) AS y
+             FROM sub a JOIN sub b ON a.vec_id < b.vec_id),
+       s AS (SELECT va, vb,
+               sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+               sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+               sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+             FROM z GROUP BY va, vb)
+       SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+       FROM s WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.2
+       ORDER BY va, vb"""
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b29_cosine_topk", cosineTopK, Some(b29Sql)),
     QueryDef("b29b_ann_ivf", annIvfTopK, Some(b29bSql)),
-    QueryDef("x07_ann_lsh", annLshQuery, None))
+    QueryDef("x07_ann_lsh", annLshQuery, None),
+    QueryDef("x09_embedding_neardup", x09, Some(x09Sql)))
 }

@@ -44,6 +44,14 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == cases.map(Sanitize.sanitize))
   }
 
+  test("B35 showcase scalar UDF matches the native expression") {
+    import spark.implicits._
+    val got = Seq("Aantal bedr.", "1e druk").toDF("s")
+      .select(GraftFunctions.sanitizeUdf(col("s")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("aantal_bedr_", "_1e_druk"))
+  }
+
   test("extensions entry point registers both functions") {
     val s2 = spark.newSession()
     new graft.GraftExtensions()
