@@ -116,71 +116,107 @@ object FmpReader {
     throw new IllegalArgumentException("No <RESULTSET> element found: not an FMPXMLRESULT document")
   }
 
+  /** Pull-based row iterator over an FMPXMLRESULT stream: parses the
+    * header eagerly (schema available immediately), then yields one
+    * `Array[String]` per `<ROW>` on demand — the shape both the driver
+    * reader and the DataSource V2 executor-side reader consume. Constant
+    * memory; close() releases the underlying stream. */
+  final class FmpRowIterator(in: InputStream,
+      headerStrategy: Seq[String] => Seq[String] = Sanitize.defaultHeaderStrategy)
+      extends Iterator[Array[String]] with AutoCloseable {
+    private val r = newStreamReader(in)
+    val schema: FmpSchema = {
+      var dbName = ""
+      var dbRecords = -1L
+      val fields = ArrayBuffer.empty[FmpField]
+      var out: FmpSchema = null
+      while (out == null && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "RESULTSET" =>
+                val found = r.getAttributeValue(null, "FOUND").toLong
+                if (found != dbRecords)
+                  log.warn(s"Number of records in header ($dbRecords) does not match " +
+                    s"number of records in result set ($found). " +
+                    "We are looking at a subset of the database.")
+                val clean = headerStrategy(fields.map(_.name).toSeq)
+                require(clean.distinct.size == fields.size,
+                  s"There are duplicate 'cleaned' names in the field list: $clean")
+                out = FmpSchema(dbName, fields.toSeq, clean, found, dbRecords)
+              case "DATABASE" =>
+                dbName = r.getAttributeValue(null, "NAME")
+                dbRecords = r.getAttributeValue(null, "RECORDS").toLong
+              case "FIELD" =>
+                fields += FmpField(
+                  name = r.getAttributeValue(null, "NAME"),
+                  fieldType = r.getAttributeValue(null, "TYPE"),
+                  emptyOk = r.getAttributeValue(null, "EMPTYOK") == "YES",
+                  maxRepeat = r.getAttributeValue(null, "MAXREPEAT").toInt)
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      require(out != null, "No <RESULTSET> element found: not an FMPXMLRESULT document")
+      out
+    }
+
+    private val current = ArrayBuffer.empty[String]
+    private var pending: Array[String] = null
+    private var inData = false
+    private var sawText = false
+    private val text = new StringBuilder
+    private var exhausted = false
+
+    private def advance(): Unit = {
+      while (pending == null && !exhausted && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "ROW" => current.clear()
+              case "DATA" => inData = true; sawText = false; text.clear()
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inData =>
+            text.appendAll(r.getTextCharacters, r.getTextStart, r.getTextLength)
+            sawText = true
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "DATA" =>
+                current += (if (sawText) text.toString else null)
+                inData = false
+              case "ROW" =>
+                pending = current.toArray
+                current.clear()
+              case "RESULTSET" => exhausted = true
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      if (!r.hasNext) exhausted = true
+    }
+
+    override def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+    override def next(): Array[String] = {
+      if (!hasNext) throw new NoSuchElementException
+      val out = pending; pending = null; out
+    }
+    override def close(): Unit = { r.close(); in.close() }
+  }
+
   /** Full streaming parse: header + all rows (`<DATA>` texts appended
     * positionally per row, fmp_reader.py:108-120). Constant memory —
     * rows are handed to `sink` as they complete. */
   def parseRows(in: InputStream,
       headerStrategy: Seq[String] => Seq[String],
       sink: Array[String] => Unit): FmpSchema = {
-    val r = newStreamReader(in)
-    var dbName = ""
-    var dbRecords = -1L
-    val fields = ArrayBuffer.empty[FmpField]
-    var schema: FmpSchema = null
-    var inResults = false
-    val current = ArrayBuffer.empty[String]
-    var inData = false
-    var sawText = false
-    val text = new StringBuilder
-    while (r.hasNext) {
-      r.next() match {
-        case XMLStreamConstants.START_ELEMENT =>
-          r.getLocalName match {
-            case "RESULTSET" =>
-              val found = r.getAttributeValue(null, "FOUND").toLong
-              if (found != dbRecords)
-                log.warn(s"Number of records in header ($dbRecords) does not match " +
-                  s"number of records in result set ($found). " +
-                  "We are looking at a subset of the database.")
-              val clean = headerStrategy(fields.map(_.name).toSeq)
-              require(clean.distinct.size == fields.size,
-                s"There are duplicate 'cleaned' names in the field list: $clean")
-              schema = FmpSchema(dbName, fields.toSeq, clean, found, dbRecords)
-              inResults = true
-            case "DATABASE" if !inResults =>
-              dbName = r.getAttributeValue(null, "NAME")
-              dbRecords = r.getAttributeValue(null, "RECORDS").toLong
-            case "FIELD" if !inResults =>
-              fields += FmpField(
-                name = r.getAttributeValue(null, "NAME"),
-                fieldType = r.getAttributeValue(null, "TYPE"),
-                emptyOk = r.getAttributeValue(null, "EMPTYOK") == "YES",
-                maxRepeat = r.getAttributeValue(null, "MAXREPEAT").toInt)
-            case "ROW" if inResults => current.clear()
-            case "DATA" if inResults =>
-              inData = true; sawText = false; text.clear()
-            case _ =>
-          }
-        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inData =>
-          text.appendAll(r.getTextCharacters, r.getTextStart, r.getTextLength)
-          sawText = true
-        case XMLStreamConstants.END_ELEMENT =>
-          r.getLocalName match {
-            case "DATA" if inResults =>
-              current += (if (sawText) text.toString else null)
-              inData = false
-            case "ROW" if inResults =>
-              sink(current.toArray)
-              current.clear()
-            case _ =>
-          }
-        case _ =>
-      }
-    }
-    r.close()
-    require(schema != null, "No <RESULTSET> element found: not an FMPXMLRESULT document")
-    schema
+    val it = new FmpRowIterator(in, headerStrategy)
+    while (it.hasNext) sink(it.next())
+    it.schema
   }
+
 
   /** Spark StructType for an FMP schema: all-nullable strings (reference
     * semantics §2C.1), original header name carried as `comment` metadata

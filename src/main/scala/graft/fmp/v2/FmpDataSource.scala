@@ -1,0 +1,132 @@
+package graft.fmp.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.fmp.FmpReader
+
+/** DataSource V2 provider for FMPXMLRESULT exports — the idiomatic
+  * ingestion surface (SURVEY.md §7.3 stretch goal):
+  *
+  * {{{ spark.read.format("fmp").load("/path/export.xml.bz2") }}}
+  *
+  * Design:
+  *  - schema inference parses only the `<METADATA>` header on the driver
+  *    (early-exit, no row parse — the A5/`dump_headers` path);
+  *  - row parsing happens INSIDE the executor task with the same
+  *    constant-memory StAX pull iterator — the document never materializes
+  *    on the driver (unlike the parallelize path in [[FmpReader.read]]);
+  *  - one InputPartition per document: bz2 + single-XML-document inputs
+  *    are not byte-splittable, so the file is the unit of parallelism —
+  *    a directory of exports scans as one task per snapshot;
+  *  - column pruning is pushed into the reader (unneeded `<DATA>` cells
+  *    are skipped before row assembly), so `select(two_cols)` does not
+  *    pay for 126-column rows.
+  *
+  * Registered via META-INF/services as short name `fmp`.
+  */
+class FmpDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fmp"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("format(\"fmp\") requires a path"))
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FmpReader.toStructType(FmpReader.readSchemaOnly(pathOf(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FmpTable(schema, properties.get("path"))
+}
+
+class FmpTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
+  override def name(): String = s"fmp:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FmpScanBuilder(tableSchema, path)
+}
+
+class FmpScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new FmpScan(fullSchema, required, path)
+}
+
+class FmpScan(fullSchema: StructType, required: StructType, path: String) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // Directory semantics follow the reference (latest *.bz2 snapshot). A
+    // multi-document deployment would list all snapshots here — one
+    // partition each.
+    Array(FmpInputPartition(FmpReader.resolvePath(path).toString))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FmpPartitionReaderFactory(fullSchema.fieldNames, required.fieldNames)
+}
+
+case class FmpInputPartition(resolvedPath: String) extends InputPartition
+
+class FmpPartitionReaderFactory(allColumns: Array[String], requiredColumns: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FmpPartitionReader(partition.asInstanceOf[FmpInputPartition].resolvedPath,
+      allColumns, requiredColumns)
+}
+
+/** Executor-side streaming reader: StAX-parses the document and projects
+  * only the pruned columns into InternalRows. */
+class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumns: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val it = new FmpReader.FmpRowIterator(
+    FmpReader.open(java.nio.file.Paths.get(path)))
+  // map required column -> position in the parsed row (by clean name; a
+  // user-supplied schema must use the same positional layout)
+  private val indices: Array[Int] = requiredColumns.map { c =>
+    val i = it.schema.cleanNames.indexOf(c)
+    if (i >= 0) i else allColumns.indexOf(c)
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) {
+      val raw = it.next()
+      val values = new Array[Any](indices.length)
+      var i = 0
+      while (i < indices.length) {
+        val idx = indices(i)
+        values(i) = if (idx >= 0 && idx < raw.length && raw(idx) != null)
+          UTF8String.fromString(raw(idx)) else null
+        i += 1
+      }
+      current = new GenericInternalRow(values)
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = it.close()
+}

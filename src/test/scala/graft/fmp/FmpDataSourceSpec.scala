@@ -1,0 +1,87 @@
+package graft.fmp
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
+
+import graft.SparkSpec
+
+/** DataSource V2 surface: `spark.read.format("fmp")` must infer the
+  * sanitized schema, stream rows executor-side, prune columns, and match
+  * the driver-parallelize reader exactly. */
+class FmpDataSourceSpec extends SparkSpec {
+
+  private val ns = "http://www.filemaker.com/fmp/1/result"
+
+  private def doc(n: Int): String = {
+    val rows = (1 to n).map { i =>
+      s"""    <ROW MODID="0" RECORDID="$i">
+         |      <COL><DATA>$i</DATA></COL>
+         |      <COL><DATA>author $i</DATA></COL>
+         |      <COL>${if (i % 3 == 0) "<DATA/>" else s"<DATA>${1600 + i}</DATA>"}</COL>
+         |    </ROW>""".stripMargin
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<FMPXMLRESULT xmlns="$ns">
+       |  <ERRORCODE>0</ERRORCODE>
+       |  <PRODUCT BUILD="x" NAME="FileMaker" VERSION="1"/>
+       |  <DATABASE DATEFORMAT="d" LAYOUT="" NAME="Ceneton" RECORDS="$n" TIMEFORMAT="h"/>
+       |  <METADATA>
+       |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Aantal bedr." TYPE="TEXT"/>
+       |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Auteur" TYPE="TEXT"/>
+       |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Jaar" TYPE="NUMBER"/>
+       |  </METADATA>
+       |  <RESULTSET FOUND="$n">
+       |$rows
+       |  </RESULTSET>
+       |</FMPXMLRESULT>""".stripMargin
+  }
+
+  private def writeFixture(n: Int): String = {
+    val p = Files.createTempDirectory("fmpv2").resolve("export.xml")
+    Files.write(p, doc(n).getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  test("format(\"fmp\") infers the sanitized all-string schema") {
+    val df = spark.read.format("fmp").load(writeFixture(5))
+    assert(df.columns.toSeq == Seq("aantal_bedr_", "auteur", "jaar"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("V2 scan rows equal the driver-parallelize reader rows") {
+    val path = writeFixture(50)
+    val v2 = spark.read.format("fmp").load(path).orderBy("aantal_bedr_").collect().toSeq
+    val v1 = FmpReader.read(spark, path).orderBy("aantal_bedr_").collect().toSeq
+    assert(v2 == v1)
+    assert(v2.size == 50)
+  }
+
+  test("column pruning pushes into the scan (physical plan reads 1 column)") {
+    val df = spark.read.format("fmp").load(writeFixture(10)).select("auteur")
+    val got = df.collect().map(_.getString(0)).toSet
+    assert(got == (1 to 10).map(i => s"author $i").toSet)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("auteur"), plan)
+    assert(!plan.contains("aantal_bedr_"), s"pruned column still in scan: $plan")
+  }
+
+  test("nulls survive the V2 path") {
+    val df = spark.read.format("fmp").load(writeFixture(9))
+    assert(df.filter(df("jaar").isNull).count() == 3)
+  }
+
+  test("bz2 + directory snapshot resolution work through format(\"fmp\")") {
+    val dir = Files.createTempDirectory("fmpv2snap")
+    def bz(name: String, n: Int): Unit = {
+      val out = new BZip2CompressorOutputStream(new FileOutputStream(dir.resolve(name).toFile))
+      out.write(doc(n).getBytes(StandardCharsets.UTF_8)); out.close()
+    }
+    bz("a-2024-01.xml.bz2", 3)
+    bz("b-2024-06.xml.bz2", 7)
+    val df = spark.read.format("fmp").load(dir.toString)
+    assert(df.count() == 7, "must read the latest snapshot")
+  }
+}
