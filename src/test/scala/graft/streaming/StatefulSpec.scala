@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** flatMapGroupsWithState: per-user running state across micro-batches —
+  * counts accumulate between batches and anomalies flag against the
+  * running mean. */
+class StatefulSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, user: Long, v: Double) =
+    EventRow(id, Timestamp.valueOf(t), user, "click", v, "{}")
+
+  test("state accumulates across micro-batches and flags anomalies") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Stateful.userProfiles(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("stateful_out").start()
+
+    input.addData(Seq(
+      ev(1, "2024-01-01 00:00:01", 1, 10.0),
+      ev(2, "2024-01-01 00:00:02", 1, 12.0),
+      ev(3, "2024-01-01 00:00:03", 1, 11.0)))
+    q.processAllAvailable()
+    // second batch: state must carry over (counts continue), 500 ≫ 10× mean
+    input.addData(Seq(
+      ev(4, "2024-01-01 00:10:00", 1, 500.0),
+      ev(5, "2024-01-01 00:10:01", 2, 1.0)))
+    q.processAllAvailable()
+    val rows = spark.table("stateful_out").as[UserUpdate].collect().toSeq
+    q.stop()
+
+    val user1 = rows.filter(_.user_id == 1).sortBy(_.n_events)
+    assert(user1.map(_.n_events) == Seq(1L, 2L, 3L, 4L), "state must survive batches")
+    assert(user1.last.anomaly, "500 vs mean ~11 must flag")
+    assert(user1.init.forall(!_.anomaly))
+    assert(rows.count(_.user_id == 2) == 1)
+  }
+
+  test("batch mode runs the same operator with empty initial state") {
+    import spark.implicits._
+    val out = Stateful.userProfiles(Seq(
+      ev(1, "2024-01-01 00:00:01", 7, 5.0),
+      ev(2, "2024-01-01 00:00:02", 7, 6.0)).toDS())
+      .collect().sortBy(_.n_events)
+    assert(out.map(_.n_events).toSeq == Seq(1L, 2L))
+    assert(out.last.total_value == 11.0)
+  }
+}
