@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+
+/** Property-style invariants (SURVEY.md §5.2.3) over seeded generated
+  * inputs: JSONL round-trips, dedup idempotence, sanitizer output charset.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+
+  test("JSONL round-trip: write → read preserves rows including nulls") {
+    import spark.implicits._
+    val rows = (1 to 200).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) null else s"val_$i",
+        if (i % 11 == 0) null else s"x ${rnd.nextInt(1000)}")
+    }
+    val df = rows.toDF("id", "a", "b")
+    val dir = Files.createTempDirectory("rt").resolve("out").toString
+    sinks.Sinks.writeJsonl(df.orderBy("id"), dir, ordered = true)
+    val back = spark.read.json(dir).select("id", "a", "b").orderBy("id")
+    assert(back.collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(X)) == dedup(X)") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"text ${i % 100}")).toDF("doc_id", "text")
+    val once = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("keep_id"))
+    val keptDocs = docs.join(once, sha2(col("text"), 256) === col("h"))
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "text")
+    val twice = keptDocs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("keep_id"))
+    assert(once.orderBy("h").collect().toSeq == twice.orderBy("h").collect().toSeq)
+    assert(keptDocs.count() == 100)
+  }
+
+  test("sanitizer output always matches ^[^0-9\\W]\\w*$ semantics (or empty)") {
+    val alphabet = "aZ 0.9-_'é漢\n\t,;!"
+    (1 to 1000).foreach { _ =>
+      val s = (0 to rnd.nextInt(15)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val out = etl.Sanitize.sanitize(s)
+      assert(!out.exists(c => c.isWhitespace || c.isUpper), s"'$s' -> '$out'")
+      assert(out.isEmpty || !out.head.isDigit, s"'$s' -> '$out'")
+      // only word characters survive
+      assert("(?U)^\\w*$".r.matches(out), s"'$s' -> '$out'")
+    }
+  }
+
+  test("minhash candidate generation is a superset of high-jaccard pairs (planted)") {
+    import spark.implicits._
+    // 20 base docs + exact copies → every copy pair must be found
+    val base = (1 to 20).map(i => (i.toLong,
+      (1 to 12).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")))
+    val copies = base.map { case (id, t) => (id + 100, t) }
+    val df = (base ++ copies).toDF("doc_id", "text")
+    val found = Dedup.minhashCandidatePairs(df, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.foreach { case (id, _) =>
+      assert(found.contains((id, id + 100)), s"exact copy pair ($id, ${id + 100}) missed")
+    }
+  }
+}
