@@ -126,10 +126,14 @@ object Similarity {
     * corpus scale the pair generation runs behind the LSH buckets above
     * instead of the sampled self-join. */
   def embeddingNearDups(s: SparkSession, dir: String, mod: Int = 7, threshold: Double = 0.2): DataFrame = {
+    // Norms are per-vector, so compute them ONCE before the pairwise join:
+    // each pair then costs a single dot-product fold instead of three.
     val e = Tables.t(s, dir, "embeddings").filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"), col("embedding"), sqrt(norm2(col("embedding"))).as("norm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cosine"))
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("va", "vb")
   }

@@ -597,15 +597,19 @@ object Relational {
        ORDER BY vec_id"""
 
   // ---------------------------------------------------------------- B25
-  /** JSON extraction from the `events.props` payload column. */
+  /** JSON extraction from the `events.props` payload column — both JSON
+    * APIs: path extraction (`get_json_object`) and schema-full parse
+    * (`from_json` to a struct). */
   private def b25(s: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("bigint")
+    val kStruct = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k")
     t(s, dir, "events")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(k).as("k_sum"),
         round(avg(k), 4).as("k_avg"),
-        max(k).as("k_max"))
+        max(kStruct).as("k_max"))
       .orderBy("event_type")
   }
 
