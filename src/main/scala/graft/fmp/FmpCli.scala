@@ -18,13 +18,19 @@ import graft.sinks.Sinks
   *       [--table-name t] [--db-metadata k=v]...
   */
 object FmpCli {
-  private def session(): SparkSession = SparkSession.builder()
-    .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-    .appName("graft-fmp-cli")
-    .config("spark.sql.shuffle.partitions", "32")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private def withSession[T](f: SparkSession => T): T = {
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-fmp-cli")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // Only stop a context this invocation created — in-process callers
+    // (tests, notebooks) keep theirs.
+    try f(spark) finally if (preExisting.isEmpty) spark.stop()
+  }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "dump_headers" :: file :: Nil =>
@@ -33,23 +39,20 @@ object FmpCli {
       println("original_name,clean_name")
       schema.nameMapping.foreach { case (clean, f) => println(s"${f.name},$clean") }
 
-    case "print" :: file :: Nil =>
-      val spark = session()
+    case "print" :: file :: Nil => withSession { spark =>
       val (df, schema) = FmpReader.readWithSchema(spark, file)
       println(s"Parsing ${schema.foundCount} records from ${schema.name}")
       println(s"Materialized ${df.count()} records")
       println("Done")
-      spark.stop()
+    }
 
-    case "to_json" :: file :: Nil =>
-      val spark = session()
+    case "to_json" :: file :: Nil => withSession { spark =>
       val (df, _) = FmpReader.readWithSchema(spark, file)
       Sinks.toJsonlLines(df).foreach(println)
-      spark.stop()
+    }
 
-    case "create_db" :: file :: dbUrl :: rest =>
+    case "create_db" :: file :: dbUrl :: rest => withSession { spark =>
       val opts = parseOptions(rest)
-      val spark = session()
       val resolved = FmpReader.resolvePath(file)
       val sha = Sinks.sha256OfFile(resolved.toString)
       val (df0, schema) = FmpReader.readWithSchema(spark, file)
@@ -63,7 +66,7 @@ object FmpCli {
         sourceSchemaName = schema.name, recordCount = schema.foundCount,
         extraMetadata = extra)
       println(s"Loaded ${schema.foundCount} records into $tableName")
-      spark.stop()
+    }
 
     case other =>
       System.err.println(
