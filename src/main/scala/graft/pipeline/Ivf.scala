@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** IVF (inverted-file) approximate nearest neighbour index: a k-means
+  * coarse quantizer partitions the corpus into `nlist` lists; a query
+  * probes only the `nprobe` lists whose centroids are nearest, reading
+  * ~nprobe/nlist of the data instead of all of it.
+  *
+  * Scale design:
+  *  - the index BUILD is one ML fit (sampled at very large corpus sizes)
+  *    plus one transform that tags every vector with its list id — at rest
+  *    the corpus is then written partitioned by `list_id` (SCALE.md), so a
+  *    probe is a partition-pruned scan;
+  *  - the centroid table is `nlist × dim` floats — an index structure that
+  *    lives on the driver / in a broadcast, exactly like parquet footer
+  *    metadata;
+  *  - the probe-side search reuses the exact cosine top-k kernel
+  *    ([[Similarity.cosine]]) over the pruned candidate set.
+  *
+  * Deterministic given the fixed seed, but k-means assignments are not
+  * portable to other engines → registered as a rows-only query.
+  */
+object Ivf {
+  val DefaultNlist = 8
+  val Seed = 42L
+
+  /** Fit the coarse quantizer and tag each vector with its list id. */
+  def build(embeddings: DataFrame, nlist: Int = DefaultNlist): (KMeansModel, DataFrame) = {
+    val vecs = embeddings.withColumn("features",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(Seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("list_id").fit(vecs)
+    (model, model.transform(vecs).drop("features"))
+  }
+
+  /** Nearest `nprobe` list ids for a query vector (driver-side centroid
+    * scan — the centroid table IS the index). */
+  def probeLists(model: KMeansModel, query: Array[Double], nprobe: Int): Seq[Int] =
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      val arr = c.toArray
+      while (j < arr.length) { val t = arr(j) - query(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+
+  /** End-to-end IVF top-k cosine search for the vec_id=0 query vector. */
+  def searchQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.t(s, dir, "embeddings")
+    val (model, indexed) = build(emb)
+    val queryVec = indexed.filter(col("vec_id") === 0)
+      .select(vector_to_array(array_to_vector(col("embedding").cast("array<double>"))))
+      .head().getSeq[Double](0).toArray
+    val lists = probeLists(model, queryVec, nprobe = 2)
+    val q = indexed.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    indexed.filter(col("vec_id") =!= 0 && col("list_id").isin(lists: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("list_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x10_ann_ivf_kmeans", searchQuery, None))
+}
