@@ -280,6 +280,45 @@ object Relational {
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
 
+  // ---------------------------------------------------------------- B12b
+  /** Exact percentiles (interpolated) — the ordered-aggregate family.
+    * Exact percentile buffers each group's values; at 100 TB switch to
+    * `approx_percentile` (mergeable t-digest-style sketch). */
+  private def b12b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_extendedprice, 0.1)"), 4).as("p10_price"))
+      .orderBy("l_returnflag")
+
+  private val b12bSql =
+    """SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_extendedprice, 0.1), 4) AS p10_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Statistical aggregates: spread and correlation. */
+  private def b12c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"))
+      .orderBy("l_returnflag")
+
+  private val b12cSql =
+    """SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // ---------------------------------------------------------------- B13
   /** Exact distinct counts (Spark rewrites to expand + two-phase agg). */
   private def b13(s: SparkSession, dir: String): DataFrame =
@@ -512,6 +551,27 @@ object Relational {
        p_name LIKE '%widget%' AS is_widget
        FROM part ORDER BY p_partkey"""
 
+  /** Extended string family: padding, translation, edit distance,
+    * reversal, substring position. */
+  private def b21b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("padded"),
+      translate(col("p_type"), "EO", "eo").as("translated"),
+      levenshtein(col("p_type"), lit("PROMO")).as("edit_dist"),
+      reverse(col("p_name")).as("reversed"),
+      instr(col("p_name"), "widget").as("widget_pos"))
+      .orderBy("p_partkey")
+
+  private val b21bSql =
+    """SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS padded,
+       translate(p_type, 'EO', 'eo') AS translated,
+       CAST(levenshtein(p_type, 'PROMO') AS INT) AS edit_dist,
+       reverse(p_name) AS reversed,
+       CAST(strpos(p_name, 'widget') AS INT) AS widget_pos
+       FROM part ORDER BY p_partkey"""
+
   // ---------------------------------------------------------------- B22
   /** Temporal function family on `orders` (ms-precision timestamps). */
   private def b22(s: SparkSession, dir: String): DataFrame =
@@ -533,6 +593,27 @@ object Relational {
        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
        CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
        CAST(floor(epoch_us(o_orderdate) / 1000000) AS BIGINT) AS epoch_s
+       FROM orders ORDER BY o_orderkey"""
+
+  /** Extended temporal family: calendar navigation (quarter, ISO week,
+    * day-of-week, month-end, month arithmetic with clamping). */
+  private def b22b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      quarter(col("o_orderdate")).as("q"),
+      weekofyear(col("o_orderdate")).as("wk"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+      date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"))
+      .orderBy("o_orderkey")
+
+  private val b22bSql =
+    """SELECT o_orderkey,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(week(o_orderdate) AS INT) AS wk,
+       CAST(isodow(o_orderdate) % 7 + 1 AS INT) AS dow,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+       strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m
        FROM orders ORDER BY o_orderkey"""
 
   // ---------------------------------------------------------------- B23
@@ -667,6 +748,8 @@ object Relational {
     QueryDef("b10_range_join", b10, Some(b10Sql)),
     QueryDef("b11_asof_join", b11, Some(b11Sql)),
     QueryDef("b12_q1_agg", b12, Some(b12Sql)),
+    QueryDef("b12b_percentiles", b12b, Some(b12bSql)),
+    QueryDef("b12c_stats", b12c, Some(b12cSql)),
     QueryDef("b13_distinct_counts", b13, Some(b13Sql)),
     QueryDef("b13b_approx_distinct", b13b, None),
     QueryDef("b14_rollup", b14, Some(b14Sql)),
@@ -680,7 +763,9 @@ object Relational {
     QueryDef("b20b_intersect", b20b, Some(b20bSql)),
     QueryDef("b20c_except", b20c, Some(b20cSql)),
     QueryDef("b21_string_funcs", b21, Some(b21Sql)),
+    QueryDef("b21b_string_extra", b21b, Some(b21bSql)),
     QueryDef("b22_datetime_funcs", b22, Some(b22Sql)),
+    QueryDef("b22b_datetime_extra", b22b, Some(b22bSql)),
     QueryDef("b23_math_funcs", b23, Some(b23Sql)),
     QueryDef("b24_array_funcs", b24, Some(b24Sql)),
     QueryDef("b25_json_funcs", b25, Some(b25Sql)),
