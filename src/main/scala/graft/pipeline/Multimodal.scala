@@ -67,6 +67,55 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resized-media row produced by [[resize]]. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta_width", IntegerType, nullable = false),
+    StructField("meta_height", IntegerType, nullable = false)))
+
+  /** STUB resize: a real deployment decodes, scales, and re-encodes here.
+    * The fake deterministically truncates the payload proportionally to
+    * the target area so output sizes are testable; the Spark-side shape —
+    * per-partition batch transform, metadata recomputed alongside the
+    * payload — is the real contract. */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(resizedSchema)
+    media.select("media_id", "payload", "meta_width", "meta_height").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val srcArea = math.max(1, r.getInt(2) * r.getInt(3))
+        val frac = math.min(1.0, (width * height).toDouble / srcArea)
+        val resized = payload.take(math.max(1, (payload.length * frac).toInt))
+        Row(r.getLong(0), resized, width, height)
+      }
+    }(enc)
+  }
+
+  /** Frame-sampled row produced by [[frameSample]]. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_payload", BinaryType, nullable = false)))
+
+  /** STUB frame sampling: one output row per sampled "frame" (every
+    * `stride`-th 64-byte chunk of the payload standing in for decoded
+    * video frames). The flatMap shape — one input row fanning out to N
+    * frame rows inside a partition iterator — is exactly how a real
+    * demuxer integrates; downstream operators (dedup, embedding, filter)
+    * consume frames as ordinary rows. */
+  def frameSample(media: DataFrame, stride: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        payload.grouped(64).zipWithIndex
+          .filter { case (_, i) => i % stride == 0 }
+          .map { case (chunk, i) => Row(r.getLong(0), i, chunk) }
+      }
+    }(enc)
+  }
+
   /** Build a multimodal table from `documents` (text bytes standing in for
     * media payloads — the container ships no codecs or media fixtures). */
   def fromDocuments(docs: DataFrame): DataFrame =

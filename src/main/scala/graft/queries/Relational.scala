@@ -391,6 +391,24 @@ object Relational {
              o_totalprice FROM orders)
        GROUP BY CUBE(o_orderstatus, y) ORDER BY status, o_year"""
 
+  /** Pivot: long→wide reshape with an explicit value list (providing the
+    * values keeps the plan single-pass — no extra distinct-scan job to
+    * discover them, which matters when the pivot source is a 100 TB
+    * fact table). */
+  private def b14c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderpriority")
+
+  private val b14cSql =
+    """SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ---------------------------------------------------------------- B15
   /** Provenance-style per-table row counts (A11 analogue): each branch is a
     * metadata-cheap count, unioned into one tiny result. */
@@ -754,6 +772,7 @@ object Relational {
     QueryDef("b13b_approx_distinct", b13b, None),
     QueryDef("b14_rollup", b14, Some(b14Sql)),
     QueryDef("b14b_cube", b14b, Some(b14bSql)),
+    QueryDef("b14c_pivot", b14c, Some(b14cSql)),
     QueryDef("b15_provenance_counts", b15, Some(b15Sql)),
     QueryDef("b16_rank_topk", b16, Some(b16Sql)),
     QueryDef("b17_lag_lead", b17, Some(b17Sql)),

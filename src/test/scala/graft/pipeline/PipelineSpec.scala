@@ -81,6 +81,26 @@ class PipelineSpec extends SparkSpec {
     assert(first.getInt(1) > 0, "payload bytes")
   }
 
+  test("multimodal resize recomputes metadata and bounds payloads") {
+    val media = Multimodal.fromDocuments(Tables.t(spark, sf, "documents"))
+    val resized = Multimodal.resize(media, 8, 8).orderBy("media_id").collect()
+    assert(resized.length == 500)
+    assert(resized.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))
+    val orig = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    resized.zip(orig).foreach { case (rz, o) =>
+      assert(rz.getAs[Array[Byte]](1).length <= o.getInt(1), "resize must not grow payloads")
+    }
+  }
+
+  test("multimodal frame sampling fans one row out per sampled frame") {
+    val media = Multimodal.fromDocuments(Tables.t(spark, sf, "documents"))
+    val frames = Multimodal.frameSample(media, stride = 2)
+    val perDoc = frames.groupBy("media_id").count().orderBy("media_id").collect()
+    assert(perDoc.length == 500)
+    assert(frames.select("frame_idx").distinct().collect()
+      .forall(_.getInt(0) % 2 == 0), "only every stride-th frame sampled")
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactDedup _
     import spark.implicits._
