@@ -64,6 +64,57 @@ object Profile {
         time("sort only")(noop(li
           .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")))
         time("full b23")(noop(SparkEntry.queries("b23_math_funcs")(spark, sfDir)))
+      case "fmpbench" :: Nil =>
+        // Reference comparison point: the reference's only published number
+        // is ~5,234 records/s parsing 12,543 records × 126 fields
+        // (README.md:71-73, single thread). Same workload shape here.
+        val nRows = 12543
+        val fields = (0 until 126).map(i => s"Field $i")
+        val meta = fields.map(n =>
+          s"""<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="$n" TYPE="TEXT"/>""").mkString("\n")
+        val sb = new StringBuilder
+        sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+          .append("<FMPXMLRESULT xmlns=\"http://www.filemaker.com/fmp/1/result\">\n")
+          .append("<ERRORCODE>0</ERRORCODE><PRODUCT BUILD=\"x\" NAME=\"FM\" VERSION=\"1\"/>\n")
+          .append(s"""<DATABASE DATEFORMAT="d" LAYOUT="" NAME="Ceneton" RECORDS="$nRows" TIMEFORMAT="h"/>\n""")
+          .append(s"<METADATA>\n$meta\n</METADATA>\n")
+          .append(s"""<RESULTSET FOUND="$nRows">\n""")
+        (1 to nRows).foreach { i =>
+          sb.append("<ROW><COL><DATA>v").append(i).append("</DATA></COL>")
+          (1 until 126).foreach { j =>
+            if ((i + j) % 7 == 0) sb.append("<COL><DATA/></COL>")
+            else sb.append("<COL><DATA>cell").append(j).append("</DATA></COL>")
+          }
+          sb.append("</ROW>\n")
+        }
+        sb.append("</RESULTSET>\n</FMPXMLRESULT>\n")
+        val dir = java.nio.file.Files.createTempDirectory("fmpbench")
+        val f = dir.resolve("ceneton.xml")
+        java.nio.file.Files.write(f, sb.toString.getBytes("UTF-8"))
+        // warm-up then timed parse (iterator drain == the reference's
+        // `print` loop shape: pure parse throughput, no Spark job)
+        (1 to 2).foreach { _ =>
+          val it = new graft.fmp.FmpReader.FmpRowIterator(
+            graft.fmp.FmpReader.open(f))
+          var n = 0
+          val t0 = System.nanoTime()
+          while (it.hasNext) { it.next(); n += 1 }
+          val secs = (System.nanoTime() - t0) / 1e9
+          it.close()
+          println(f"parsed $n records x 126 fields in $secs%.2f s = ${n / secs}%.0f records/s")
+        }
+        val t1 = System.nanoTime()
+        val df = graft.fmp.FmpReader.read(spark, f.toString)
+        val cnt = df.count()
+        val secs1 = (System.nanoTime() - t1) / 1e9
+        println(f"driver-parallelize read->count: $cnt rows in $secs1%.2f s = ${cnt / secs1}%.0f records/s")
+        (1 to 2).foreach { _ =>
+          val t2 = System.nanoTime()
+          val cnt2 = spark.read.format("fmp").load(f.toString).count()
+          val secs2 = (System.nanoTime() - t2) / 1e9
+          println(f"DataSource V2 read->count: $cnt2 rows in $secs2%.2f s = ${cnt2 / secs2}%.0f records/s")
+        }
+
       case other =>
         System.err.println(s"Unknown args: $other")
         sys.exit(2)
