@@ -186,6 +186,30 @@ object Relational {
                            AND o.o_orderstatus = 'P')
        ORDER BY c_custkey"""
 
+  /** Full outer join on two filtered subsets so both sides have orphans. */
+  private def b09d(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("ck"), round(col("c_acctbal"), 2).as("acctbal"))
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey").as("ok"))
+      .agg(count(lit(1)).as("n_p_orders"), round(sum("o_totalprice"), 2).as("p_total"))
+    c.join(o, col("ck") === col("ok"), "full")
+      .select(coalesce(col("ck"), col("ok")).as("custkey"),
+        col("acctbal"), col("n_p_orders"), col("p_total"))
+      .orderBy("custkey")
+  }
+
+  private val b09dSql =
+    """SELECT coalesce(ck, ok) AS custkey, acctbal, n_p_orders, p_total
+       FROM (SELECT c_custkey AS ck, round(c_acctbal, 2) AS acctbal
+             FROM customer WHERE c_acctbal > 9000) c
+       FULL OUTER JOIN
+            (SELECT o_custkey AS ok, count(*) AS n_p_orders,
+                    round(sum(o_totalprice), 2) AS p_total
+             FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) o
+         ON ck = ok
+       ORDER BY custkey"""
+
   // ---------------------------------------------------------------- B10
   /** Theta/range join against a tiny literal band table. The band side is
     * broadcast, so the non-equi predicate is evaluated stream-side with no
@@ -445,6 +469,32 @@ object Relational {
              WINDOW w AS (PARTITION BY o_custkey
                           ORDER BY o_totalprice DESC, o_orderkey))
        WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * nth_value over the same per-customer ordering. */
+  private def b16b(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("second_best"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val b16bSql =
+    """SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(o_orderkey, 2) OVER
+         (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_custkey, o_orderkey"""
 
   // ---------------------------------------------------------------- B17
   /** Analytic window functions: lag / lead / first_value + date arithmetic. */
@@ -763,6 +813,7 @@ object Relational {
     QueryDef("b09a_left_outer_join", b09a, Some(b09aSql)),
     QueryDef("b09b_semi_join", b09b, Some(b09bSql)),
     QueryDef("b09c_anti_join", b09c, Some(b09cSql)),
+    QueryDef("b09d_full_outer", b09d, Some(b09dSql)),
     QueryDef("b10_range_join", b10, Some(b10Sql)),
     QueryDef("b11_asof_join", b11, Some(b11Sql)),
     QueryDef("b12_q1_agg", b12, Some(b12Sql)),
@@ -775,6 +826,7 @@ object Relational {
     QueryDef("b14c_pivot", b14c, Some(b14cSql)),
     QueryDef("b15_provenance_counts", b15, Some(b15Sql)),
     QueryDef("b16_rank_topk", b16, Some(b16Sql)),
+    QueryDef("b16b_window_extra", b16b, Some(b16bSql)),
     QueryDef("b17_lag_lead", b17, Some(b17Sql)),
     QueryDef("b18_moving_avg", b18, Some(b18Sql)),
     QueryDef("b19_global_topk", b19, Some(b19Sql)),
