@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{RollingHash, SanitizeName}
+import graft.functions.{CollapseSanitize, RollingHash, SanitizeName}
 
 /** `SparkSessionExtensions` entry point: registers the engine's native
   * expressions at session build time, so deployments can opt in with
@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sanitize_name"),
       new ExpressionInfo(classOf[SanitizeName].getName, "sanitize_name"),
       exprs => SanitizeName(exprs.head)))
+    e.injectOptimizerRule(_ => CollapseSanitize)
   }
 }

@@ -72,6 +72,20 @@ case class SanitizeName(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Algebraic simplification for [[SanitizeName]]: the sanitizer is
+  * idempotent (property-tested in SanitizeSpec), so nested applications
+  * collapse to one — the engine's own little optimizer rule, injected via
+  * [[graft.GraftExtensions]]. Composed pipelines (e.g. a sanitize in a
+  * view under a sanitize in a query) stop paying the double per-row
+  * regex. */
+object CollapseSanitize extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case SanitizeName(inner @ SanitizeName(_)) => inner
+    }
+}
+
 /** Registration for the custom expressions: per-session temp functions
   * (usable on any driver-provided session) — see also
   * [[graft.GraftExtensions]] for the `SparkSessionExtensions` path. */

@@ -717,6 +717,31 @@ object Relational {
        FROM lineitem
        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""
 
+  /** Conditional / null-handling family: CASE, greatest/least, nullif,
+    * coalesce. */
+  private def b23b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      greatest(round(col("c_acctbal"), 2), lit(5000.0)).as("floor5k"),
+      least(round(col("c_acctbal"), 2), lit(5000.0)).as("cap5k"),
+      nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(default)")).as("seg_defaulted"),
+      when(col("c_acctbal") < 0, "negative")
+        .when(col("c_acctbal") < 5000, "mid")
+        .otherwise("high").as("bal_band"))
+      .orderBy("c_custkey")
+
+  private val b23bSql =
+    """SELECT c_custkey,
+       greatest(round(c_acctbal, 2), 5000.0) AS floor5k,
+       least(round(c_acctbal, 2), 5000.0) AS cap5k,
+       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg_defaulted,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_band
+       FROM customer ORDER BY c_custkey"""
+
   // ---------------------------------------------------------------- B24
   /** Array / higher-order function family over the embedding column. The
     * fold runs element-order-sequential in both engines, so double sums are
@@ -838,6 +863,7 @@ object Relational {
     QueryDef("b22_datetime_funcs", b22, Some(b22Sql)),
     QueryDef("b22b_datetime_extra", b22b, Some(b22bSql)),
     QueryDef("b23_math_funcs", b23, Some(b23Sql)),
+    QueryDef("b23b_conditional", b23b, Some(b23bSql)),
     QueryDef("b24_array_funcs", b24, Some(b24Sql)),
     QueryDef("b25_json_funcs", b25, Some(b25Sql)),
     QueryDef("b26_hash_provenance", b26, Some(b26Sql)),

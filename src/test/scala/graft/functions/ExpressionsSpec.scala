@@ -52,6 +52,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == Seq("aantal_bedr_", "_1e_druk"))
   }
 
+  test("CollapseSanitize rule folds nested sanitize_name applications") {
+    GraftFunctions.register(spark)
+    val df = graft.Tables.t(spark, sf, "documents")
+      .select(expr("sanitize_name(sanitize_name(source))").as("s"))
+    val analyzed = df.queryExecution.analyzed
+    val before = analyzed.toString
+    assert("sanitize_name".r.findAllIn(before).size >= 2, before)
+    val after = CollapseSanitize(analyzed).toString
+    assert("sanitize_name".r.findAllIn(after).size == 1,
+      s"nested calls must collapse to one:\n$after")
+    // and the rewrite is semantics-preserving (idempotence)
+    val single = graft.Tables.t(spark, sf, "documents")
+      .select(expr("sanitize_name(source)").as("s"))
+    assert(df.collect().toSeq == single.collect().toSeq)
+  }
+
   test("extensions entry point registers both functions") {
     val s2 = spark.newSession()
     new graft.GraftExtensions()
