@@ -663,6 +663,23 @@ object Relational {
        CAST(floor(epoch_us(o_orderdate) / 1000000) AS BIGINT) AS epoch_s
        FROM orders ORDER BY o_orderkey"""
 
+  /** Regexp family: group extraction, pattern match, character-class
+    * stripping. */
+  private def b21c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+      col("p_name").rlike("widget$").as("ends_widget"),
+      length(regexp_replace(col("p_name"), "[^aeiou]", "")).as("n_vowels"))
+      .orderBy("p_partkey")
+
+  private val b21cSql =
+    """SELECT p_partkey,
+       CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT) AS brand_num,
+       regexp_matches(p_name, 'widget$') AS ends_widget,
+       CAST(length(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS INT) AS n_vowels
+       FROM part ORDER BY p_partkey"""
+
   /** Extended temporal family: calendar navigation (quarter, ISO week,
     * day-of-week, month-end, month arithmetic with clamping). */
   private def b22b(s: SparkSession, dir: String): DataFrame =
@@ -683,6 +700,37 @@ object Relational {
        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
        strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m
        FROM orders ORDER BY o_orderkey"""
+
+  /** Zero-filled time spine (gap filling): generate the dense month range
+    * with sequence+explode, left-join sparse monthly aggregates, default
+    * the gaps — the standard dense-time-series reshape. The spine is tiny
+    * (months, not rows), so it broadcast-joins against the aggregate. */
+  private def b22c(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val bounds = o.agg(
+      date_trunc("month", min(col("o_orderdate"))).as("lo"),
+      date_trunc("month", max(col("o_orderdate"))).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("ms"))
+    val monthly = o.groupBy(date_trunc("month", col("o_orderdate")).as("ms"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("t"))
+    spine.join(monthly, Seq("ms"), "left")
+      .select(date_format(col("ms"), "yyyy-MM-dd").as("month"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("t"), lit(0.0)).as("total"))
+      .orderBy("month")
+  }
+
+  private val b22cSql =
+    """WITH bounds AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                              date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+       spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS ms FROM bounds),
+       monthly AS (SELECT date_trunc('month', o_orderdate) AS ms, count(*) AS n,
+                          round(sum(o_totalprice), 2) AS t
+                   FROM orders GROUP BY 1)
+       SELECT strftime(s.ms, '%Y-%m-%d') AS month,
+              coalesce(m.n, 0) AS n_orders, coalesce(m.t, 0.0) AS total
+       FROM spine s LEFT JOIN monthly m USING (ms) ORDER BY month"""
 
   // ---------------------------------------------------------------- B23
   /** Math / arithmetic family on lineitem prices. Sorts on the RAW input
@@ -769,6 +817,24 @@ object Relational {
         FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
         GROUP BY vec_id) s USING (vec_id)
        ORDER BY vec_id"""
+
+  /** Array predicate HOFs: exists / forall / filter-count. */
+  private def b24b(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      exists(e, x => x.cast("double") > 0.2).as("any_big"),
+      forall(e, x => x.cast("double") < 1.0).as("all_small"),
+      size(filter(e, x => x > 0)).as("n_pos"))
+      .orderBy("vec_id")
+  }
+
+  private val b24bSql =
+    """SELECT vec_id,
+       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.2)) > 0 AS any_big,
+       len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 1.0)) = len(embedding) AS all_small,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+       FROM embeddings ORDER BY vec_id"""
 
   // ---------------------------------------------------------------- B25
   /** JSON extraction from the `events.props` payload column — both JSON
@@ -860,11 +926,14 @@ object Relational {
     QueryDef("b20c_except", b20c, Some(b20cSql)),
     QueryDef("b21_string_funcs", b21, Some(b21Sql)),
     QueryDef("b21b_string_extra", b21b, Some(b21bSql)),
+    QueryDef("b21c_regexp", b21c, Some(b21cSql)),
     QueryDef("b22_datetime_funcs", b22, Some(b22Sql)),
     QueryDef("b22b_datetime_extra", b22b, Some(b22bSql)),
+    QueryDef("b22c_time_spine", b22c, Some(b22cSql)),
     QueryDef("b23_math_funcs", b23, Some(b23Sql)),
     QueryDef("b23b_conditional", b23b, Some(b23bSql)),
     QueryDef("b24_array_funcs", b24, Some(b24Sql)),
+    QueryDef("b24b_array_predicates", b24b, Some(b24bSql)),
     QueryDef("b25_json_funcs", b25, Some(b25Sql)),
     QueryDef("b26_hash_provenance", b26, Some(b26Sql)),
     QueryDef("b36_weighted_avg_udaf", b36, Some(b36Sql)))
