@@ -134,6 +134,12 @@ object Sinks {
       .jdbc(url, metaTable, props)
   }
 
+  /** Partitioned parquet sink — the at-rest layout SCALE.md prescribes:
+    * directory-partitioned by low-cardinality keys so predicate queries
+    * prune whole partitions before any IO. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
   /** SHA-256 of a file's raw bytes (the reference hashes the input before
     * parsing, _cli.py:147-148) — driver-side by design; the data-plane
     * analogue is `sha2(col, 256)` (B26). */
