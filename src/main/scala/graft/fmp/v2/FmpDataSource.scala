@@ -61,28 +61,42 @@ class FmpTable(tableSchema: StructType, path: String) extends Table with Support
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FmpScanBuilder(tableSchema, path)
+    new FmpScanBuilder(tableSchema, path, options.getBoolean("allSnapshots", false))
 }
 
-class FmpScanBuilder(fullSchema: StructType, path: String)
+class FmpScanBuilder(fullSchema: StructType, path: String, allSnapshots: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new FmpScan(fullSchema, required, path)
+  override def build(): Scan = new FmpScan(fullSchema, required, path, allSnapshots)
 }
 
-class FmpScan(fullSchema: StructType, required: StructType, path: String) extends Scan with Batch {
+class FmpScan(fullSchema: StructType, required: StructType, path: String,
+    allSnapshots: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // Directory semantics follow the reference (latest *.bz2 snapshot). A
-    // multi-document deployment would list all snapshots here — one
-    // partition each.
-    Array(FmpInputPartition(FmpReader.resolvePath(path).toString))
+    // Default directory semantics follow the reference (latest *.bz2
+    // snapshot). With `allSnapshots=true` every archive in the directory
+    // becomes its own partition — the document, not the byte range, is
+    // the parallelism unit for non-splittable bz2 XML, so a directory of
+    // N exports ingests N-wide. Per-file schemas resolve by clean column
+    // name in the reader (snapshot schema evolution by name).
+    val p = java.nio.file.Paths.get(path)
+    if (allSnapshots && java.nio.file.Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      val snaps = java.nio.file.Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".bz2"))
+        .toSeq.sortBy(_.getFileName.toString)
+      require(snaps.nonEmpty, s"No *.bz2 snapshots in directory $path")
+      snaps.map(f => FmpInputPartition(f.toString)).toArray
+    } else {
+      Array(FmpInputPartition(FmpReader.resolvePath(path).toString))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

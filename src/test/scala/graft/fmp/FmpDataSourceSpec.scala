@@ -73,6 +73,22 @@ class FmpDataSourceSpec extends SparkSpec {
     assert(df.filter(df("jaar").isNull).count() == 3)
   }
 
+  test("allSnapshots=true scans every archive in parallel (one task each)") {
+    val dir = Files.createTempDirectory("fmpall")
+    def bz(name: String, n: Int): Unit = {
+      val out = new BZip2CompressorOutputStream(new FileOutputStream(dir.resolve(name).toFile))
+      out.write(doc(n).getBytes(StandardCharsets.UTF_8)); out.close()
+    }
+    bz("a.xml.bz2", 3)
+    bz("b.xml.bz2", 7)
+    bz("c.xml.bz2", 5)
+    val df = spark.read.format("fmp").option("allSnapshots", "true").load(dir.toString)
+    assert(df.count() == 15, "all snapshots read")
+    assert(df.rdd.getNumPartitions == 3, "one partition per archive")
+    // default behavior unchanged: latest snapshot only
+    assert(spark.read.format("fmp").load(dir.toString).count() == 5)
+  }
+
   test("bz2 + directory snapshot resolution work through format(\"fmp\")") {
     val dir = Files.createTempDirectory("fmpv2snap")
     def bz(name: String, n: Int): Unit = {
