@@ -370,6 +370,24 @@ object Relational {
         approx_count_distinct(col("l_suppkey"), 0.05).as("apx_supp"))
       .orderBy("l_returnflag")
 
+  /** Ordered string aggregation (collect → sort → join: deterministic,
+    * unlike raw collect_list order). */
+  private def b13c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+      .distinct()
+      .groupBy("o_orderpriority")
+      .agg(array_join(array_sort(collect_list(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n_statuses"))
+      .orderBy("o_orderpriority")
+
+  private val b13cSql =
+    """SELECT o_orderpriority,
+       string_agg(s, ',' ORDER BY s) AS statuses,
+       count(*) AS n_statuses
+       FROM (SELECT DISTINCT o_orderpriority, o_orderstatus AS s FROM orders)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ---------------------------------------------------------------- B14
   /** ROLLUP with grouping level indicator. */
   private def b14(s: SparkSession, dir: String): DataFrame =
@@ -765,6 +783,27 @@ object Relational {
        FROM lineitem
        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""
 
+  /** Bitwise operator family (partition routing / bloom-filter style key
+    * math). */
+  private def b23c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_orderkey").bitwiseAND(lit(255L)).as("band"),
+      col("l_orderkey").bitwiseOR(lit(1024L)).as("bor"),
+      col("l_orderkey").bitwiseXOR(lit(255L)).as("bxor"),
+      shiftleft(col("l_orderkey"), 2).as("shl"),
+      shiftright(col("l_orderkey"), 3).as("shr"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val b23cSql =
+    """SELECT l_orderkey, l_linenumber,
+       l_orderkey & 255 AS band,
+       l_orderkey | 1024 AS bor,
+       xor(l_orderkey, 255) AS bxor,
+       l_orderkey << 2 AS shl,
+       l_orderkey >> 3 AS shr
+       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
   /** Conditional / null-handling family: CASE, greatest/least, nullif,
     * coalesce. */
   private def b23b(s: SparkSession, dir: String): DataFrame =
@@ -912,6 +951,7 @@ object Relational {
     QueryDef("b12c_stats", b12c, Some(b12cSql)),
     QueryDef("b13_distinct_counts", b13, Some(b13Sql)),
     QueryDef("b13b_approx_distinct", b13b, None),
+    QueryDef("b13c_string_agg", b13c, Some(b13cSql)),
     QueryDef("b14_rollup", b14, Some(b14Sql)),
     QueryDef("b14b_cube", b14b, Some(b14bSql)),
     QueryDef("b14c_pivot", b14c, Some(b14cSql)),
@@ -932,6 +972,7 @@ object Relational {
     QueryDef("b22c_time_spine", b22c, Some(b22cSql)),
     QueryDef("b23_math_funcs", b23, Some(b23Sql)),
     QueryDef("b23b_conditional", b23b, Some(b23bSql)),
+    QueryDef("b23c_bitwise", b23c, Some(b23cSql)),
     QueryDef("b24_array_funcs", b24, Some(b24Sql)),
     QueryDef("b24b_array_predicates", b24b, Some(b24bSql)),
     QueryDef("b25_json_funcs", b25, Some(b25Sql)),
