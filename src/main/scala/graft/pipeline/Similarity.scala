@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   *    (here the precomputed `label` column; at 100 TB a k-means assignment
   *    materialized at ingest and used as a partition key, turning top-k
   *    into a partition-pruned scan of ~1/nlist of the data);
-  *  - the LSH variant buckets vectors by deterministic sign-projections so
-  *    candidate generation is an equi-join on bucket id.
+  *  - near-dup detection and the LSH ANN variant bucket vectors with
+  *    banded random-hyperplane sign projections, so candidate generation
+  *    is an EQUI-join on (band, bucket) — never an all-pairs product. The
+  *    hyperplanes are derived from pure integer arithmetic (a Knuth
+  *    multiplicative hash of (plane, dim)), and the projection quantizes
+  *    coordinates to integers first, so the bucket ids are bit-exact
+  *    reproducible in any engine — the DuckDB oracle recomputes them.
   */
 object Similarity {
   private def dbl(c: Column): Column = c.cast("double")
@@ -89,76 +94,154 @@ object Similarity {
        FROM s ORDER BY cosine DESC, vec_id LIMIT 5"""
 
   // ---------------------------------------------------------------- LSH
-  /** Number of sign-projection bits in the LSH bucket id. */
-  val LshBits = 8
+  /** Random-hyperplane LSH layout: `LshBands` bands × `LshBandBits` sign
+    * bits. Two vectors are candidates iff ALL bits of at least one band
+    * agree — banding trades per-band precision for recall exactly as in
+    * MinHash LSH. */
+  val LshBands = 2
+  val LshBandBits = 16
+  private val NPlanes = LshBands * LshBandBits
+  // Knuth's 32-bit multiplicative constant; (plane, dim) → well-mixed bits.
+  private val Knuth = 2654435761L
+  private val TwoTo32 = 4294967296L
 
-  /** Deterministic random-hyperplane LSH bucket id: bit i is the sign of
-    * the dot product with a pseudo-random ±1 hyperplane derived from
-    * xxhash64(i, dim-index). Equal buckets ⇒ likely-high cosine. */
-  def lshBucket(emb: Column): Column = {
-    // hyperplane(i)[j] = +1 if xxhash64(i*10007 + j) even else -1
-    val projections = (0 until LshBits).map { i =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, j) => when(pmod(xxhash64(lit(i) * lit(10007) + j), lit(2)) === 0, dbl(x))
-            .otherwise(-dbl(x))),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
+  /** Quantize a coordinate to an integer (×1e6) so the projection sum is
+    * order-independent EXACT integer arithmetic — bucket ids then match
+    * bit-for-bit across engines regardless of aggregation order. */
+  private def quant(x: Column): Column =
+    round(dbl(x) * 1000000, 0).cast("long")
+
+  /** Sign projection for plane `p`: +q(x_j) where the hash bit of (p, j)
+    * is set, −q(x_j) otherwise. */
+  private def signProj(emb: Column, p: Int): Column =
+    aggregate(
+      zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) =>
+        when(((lit(p.toLong) * 10007L + j) * Knuth) % TwoTo32 >= TwoTo32 / 2, quant(x))
+          .otherwise(-quant(x))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Array of `LshBands` bucket ids for one embedding column. */
+  def lshBuckets(emb: Column): Column = {
+    val bits = (0 until NPlanes).map(p => when(signProj(emb, p) > 0, 1L).otherwise(0L))
+    val bands = (0 until LshBands).map { b =>
+      (0 until LshBandBits).map(k => bits(b * LshBandBits + k) * (1L << k)).reduce(_ + _)
     }
-    projections.reduce(_ + _)
+    array(bands: _*)
   }
 
-  /** LSH-bucketed candidate search: same-bucket vectors, exact cosine
-    * verify. Output is deterministic but hash-seeded → rows-only check. */
+  /** (vec_id, embedding, band, bucket) — one row per band per vector. */
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        posexplode(lshBuckets(col("embedding"))).as(Seq("band", "bucket")))
+
+  /** Shared DuckDB CTE computing the same (vec_id, band, bucket) rows. */
+  private val bucketsCte =
+    s"""dims AS (SELECT j FROM generate_series(0, 63) t(j)),
+       planes AS (SELECT p FROM generate_series(0, ${NPlanes - 1}) t(p)),
+       z AS (SELECT vec_id, j, embedding[j + 1] AS x FROM embeddings CROSS JOIN dims),
+       proj AS (SELECT vec_id, p,
+           sum(CASE WHEN ((p * 10007 + j) * $Knuth) % $TwoTo32 >= ${TwoTo32 / 2}
+               THEN CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               ELSE -CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) END) AS s
+         FROM z CROSS JOIN planes GROUP BY vec_id, p),
+       buckets AS (SELECT vec_id, p // $LshBandBits AS band,
+           sum(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1 << (p % $LshBandBits))) AS bucket
+         FROM proj GROUP BY vec_id, p // $LshBandBits)"""
+
+  /** LSH-bucketed ANN: candidates share ≥1 band bucket with the vec_id=0
+    * query vector; exact cosine ranks them. Candidate generation is a
+    * broadcast equi-join on (band, bucket). */
   def annLshQuery(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings").withColumn("bucket", lshBucket(col("embedding")))
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
-    e.filter(col("vec_id") =!= 0)
-      .join(broadcast(q), col("bucket") === col("q_bucket"))
-      .select(col("vec_id"), col("bucket"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
+    val b = bucketed(s, dir)
+    val qb = b.filter(col("vec_id") === 0).select(col("band"), col("bucket"))
+    val qe = Tables.t(s, dir, "embeddings")
+      .filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    b.filter(col("vec_id") =!= 0)
+      .join(broadcast(qb), Seq("band", "bucket"))
+      .select(col("vec_id"), col("embedding")).distinct()
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
-  /** Exact all-pairs cosine above a threshold for a sampled slice —
-    * embedding near-dup detection (the embedding analogue of B28). At
-    * corpus scale the pair generation runs behind the LSH buckets above
-    * instead of the sampled self-join. */
-  def embeddingNearDups(s: SparkSession, dir: String, mod: Int = 7, threshold: Double = 0.2): DataFrame = {
-    // Norms are per-vector, so compute them ONCE before the pairwise join:
-    // each pair then costs a single dot-product fold instead of three.
-    val e = Tables.t(s, dir, "embeddings").filter(col("vec_id") % mod === 0)
-      .select(col("vec_id"), col("embedding"), sqrt(norm2(col("embedding"))).as("norm"))
+  private val x07Sql =
+    s"""WITH $bucketsCte,
+       qb AS (SELECT band, bucket FROM buckets WHERE vec_id = 0),
+       cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb USING (band, bucket)
+                WHERE b.vec_id <> 0),
+       pz AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+                unnest((SELECT embedding FROM embeddings WHERE vec_id = 0)) AS y
+              FROM embeddings e JOIN cand USING (vec_id)),
+       sc AS (SELECT vec_id,
+                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+              FROM pz GROUP BY vec_id)
+       SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 4) AS cosine
+       FROM sc ORDER BY cosine DESC, vec_id"""
+
+  // ------------------------------------------------------- near-dup (x09)
+  /** Embedding near-dup detection, LSH-bucketed (the embedding analogue of
+    * B28's posting-list join): candidate pairs collide in ≥1 band
+    * (equi-join on (band, bucket), distinct), then exact cosine verifies
+    * against `threshold`. No all-pairs product anywhere — candidate cost
+    * is Σ_bucket n_b², i.e. proportional to genuine cluster structure,
+    * not to n². */
+  def embeddingNearDupsLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val b = bucketed(s, dir).select(col("vec_id"), col("band"), col("bucket"))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val e = Tables.t(s, dir, "embeddings")
+    cand
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .select(col("va"), col("vb"), round(cosine(col("ea"), col("eb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("va", "vb")
+  }
+
+  private val x09Sql =
+    s"""WITH $bucketsCte,
+       cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       pz AS (SELECT va, vb, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+              FROM cand JOIN embeddings ea ON va = ea.vec_id
+                        JOIN embeddings eb ON vb = eb.vec_id),
+       sc AS (SELECT va, vb,
+                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+              FROM pz GROUP BY va, vb)
+       SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+       FROM sc WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.3
+       ORDER BY va, vb"""
+
+  /** Exact all-pairs cosine above a threshold — TEST-ONLY oracle for
+    * cross-validating the LSH path (every LSH-verified pair must appear
+    * here with the same cosine). Deliberately NOT a registered query: the
+    * `vec_id < vec_id` self-join is a nested-loop product that does not
+    * survive scale-up; the registered form is [[embeddingNearDupsLsh]]. */
+  def embeddingNearDupsAllPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val e = df.select(col("vec_id"), col("embedding"), sqrt(norm2(col("embedding"))).as("norm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         round(dot(col("a.embedding"), col("b.embedding")) /
           (col("a.norm") * col("b.norm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .orderBy("va", "vb")
   }
 
   private def x09(s: SparkSession, dir: String): DataFrame =
-    embeddingNearDups(s, dir)
-
-  private val x09Sql =
-    """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
-       z AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-               unnest(a.embedding) AS x, unnest(b.embedding) AS y
-             FROM sub a JOIN sub b ON a.vec_id < b.vec_id),
-       s AS (SELECT va, vb,
-               sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-               sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-               sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-             FROM z GROUP BY va, vb)
-       SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
-       FROM s WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.2
-       ORDER BY va, vb"""
+    embeddingNearDupsLsh(s, dir)
 
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b29_cosine_topk", cosineTopK, Some(b29Sql)),
     QueryDef("b29b_ann_ivf", annIvfTopK, Some(b29bSql)),
-    QueryDef("x07_ann_lsh", annLshQuery, None),
+    QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),
     QueryDef("x09_embedding_neardup", x09, Some(x09Sql)))
 }

@@ -69,6 +69,12 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("x09: near-dup candidate generation is an equi-join, never a nested-loop product") {
+    val p = plan("x09_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs product over the corpus would not survive scale-up:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

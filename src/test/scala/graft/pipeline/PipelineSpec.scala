@@ -101,6 +101,21 @@ class PipelineSpec extends SparkSpec {
       .forall(_.getInt(0) % 2 == 0), "only every stride-th frame sampled")
   }
 
+  test("LSH near-dup pairs are a subset of exact all-pairs with identical cosines") {
+    val lsh = Similarity.embeddingNearDupsLsh(spark, sf, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val allPairs = Similarity
+      .embeddingNearDupsAllPairs(Tables.t(spark, sf, "embeddings"), threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "bucketed path should surface some near-dups")
+    lsh.foreach { case (pair, cos) =>
+      assert(allPairs.get(pair).contains(cos),
+        s"LSH pair $pair cosine $cos must match the exact all-pairs oracle")
+    }
+    val recall = lsh.size.toDouble / allPairs.size
+    assert(recall > 0.05, s"LSH recall $recall collapsed (${lsh.size}/${allPairs.size})")
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactDedup _
     import spark.implicits._
