@@ -2,14 +2,21 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** The reference's `--mapping-column` rename support (_cli.py:86-105):
-  * parse a `file.csv[:column]` spec, read the CSV, and build a
+/** The reference's `--mapping-column` support (_cli.py:86-105): parse a
+  * `file.csv[:column]` spec, read the CSV, and build a
   * `clean_name → target_name` map. Keys always come from CSV column index
   * 1 (the clean names); the value column is resolved by header name when
   * `:column` is given, else defaults to index 1.
   *
-  * The mapping renames COLUMNS, not data, so it is driver-side metadata: a
-  * broadcast/data-plane join would be the wrong tool (SURVEY.md §2A A8).
+  * In the reference the mapping does NOT rename the database columns —
+  * the table always keeps the sanitized clean names, and the mapped value
+  * becomes the column COMMENT (sql.py:29-37 passes `mapping[name]` as
+  * `comment` while `Column(name=clean)`). [[applyCommentMapping]] is that
+  * behavior; [[applyMapping]] (a real rename) is this engine's extension
+  * for callers that want English column names in the DataFrame itself.
+  *
+  * Either way the mapping is driver-side metadata: a broadcast/data-plane
+  * join would be the wrong tool (SURVEY.md §2A A8).
   */
 object MappingFile {
 
@@ -38,4 +45,22 @@ object MappingFile {
   /** Apply a rename mapping to a DataFrame (pure metadata op, no job). */
   def applyMapping(df: DataFrame, mapping: Map[String, String]): DataFrame =
     df.withColumnsRenamed(mapping)
+
+  /** Reference-parity mapping application: keep the clean column names and
+    * carry the mapped value as the column `comment` metadata (sql.py:29-37).
+    * Pure metadata op, no job. */
+  def applyCommentMapping(df: DataFrame, mapping: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    val cols = df.schema.fields.map { f =>
+      mapping.get(f.name) match {
+        case Some(comment) =>
+          val m = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("comment", comment).build()
+          col(f.name).as(f.name, m)
+        case None => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
 }

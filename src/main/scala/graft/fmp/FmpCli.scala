@@ -32,32 +32,56 @@ object FmpCli {
     try f(spark) finally if (preExisting.isEmpty) spark.stop()
   }
 
+  /** RFC 4180 field quoting (the reference uses csv.writer, which quotes
+    * fields containing commas/quotes/newlines — FileMaker field names can
+    * contain any of them). */
+  private def csvField(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** Records between progress lines for the `print` command. */
+  private[fmp] val ProgressEvery = 5000L
+
   def main(args: Array[String]): Unit = args.toList match {
     case "dump_headers" :: file :: Nil =>
       // Schema-only path: no Spark job at all (SURVEY.md §3.3).
       val schema = FmpReader.readSchemaOnly(file)
       println("original_name,clean_name")
-      schema.nameMapping.foreach { case (clean, f) => println(s"${f.name},$clean") }
+      schema.nameMapping.foreach { case (clean, f) =>
+        println(s"${csvField(f.name)},${csvField(clean)}")
+      }
 
     case "print" :: file :: Nil => withSession { spark =>
-      val (df, schema) = FmpReader.readWithSchema(spark, file)
+      // Header parse on the driver for the counts line; the actual record
+      // parse runs executor-side through the V2 source, which also emits
+      // the incremental progress lines (the reference's tqdm analogue).
+      val schema = FmpReader.readSchemaOnly(file)
       println(s"Parsing ${schema.foundCount} records from ${schema.name}")
+      val df = spark.read.format("fmp")
+        .option("progressEvery", ProgressEvery.toString).load(file)
       println(s"Materialized ${df.count()} records")
       println("Done")
     }
 
     case "to_json" :: file :: Nil => withSession { spark =>
-      val (df, _) = FmpReader.readWithSchema(spark, file)
-      Sinks.toJsonlLines(df).foreach(println)
+      // One partition per document ⇒ toLocalIterator preserves row order.
+      Sinks.toJsonlLines(FmpReader.read(spark, file)).foreach(println)
     }
 
     case "create_db" :: file :: dbUrl :: rest => withSession { spark =>
       val opts = parseOptions(rest)
       val resolved = FmpReader.resolvePath(file)
-      val sha = Sinks.sha256OfFile(resolved.toString)
-      val (df0, schema) = FmpReader.readWithSchema(spark, file)
+      // Provenance hash covers the DECOMPRESSED content — the reference
+      // reads from the bz2-decompressed handle before hashing
+      // (_cli.py:146-148), so .bz2 snapshots hash their XML bytes.
+      val sha = Sinks.sha256OfStream(FmpReader.open(resolved))
+      val schema = FmpReader.readSchemaOnly(file)
+      val df0 = FmpReader.read(spark, file)
       val mapping = opts.mappingColumn.map(MappingFile.readMapping(spark, _))
-      val df = mapping.fold(df0)(MappingFile.applyMapping(df0, _))
+      // Reference parity: the table keeps the sanitized clean names; the
+      // mapping supplies the column COMMENT metadata (sql.py:29-37).
+      val df = mapping.fold(df0)(MappingFile.applyCommentMapping(df0, _))
       val tableName = opts.tableName.getOrElse(Sanitize.sanitize(schema.name))
       val extra = opts.dbMetadata ++ Map(
         "source_url" -> resolved.toAbsolutePath.normalize.toString,

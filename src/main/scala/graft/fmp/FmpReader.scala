@@ -43,12 +43,13 @@ final case class FmpSchema(
   * transparently.
   *
   * Architecture: bz2 + a single XML document are non-splittable, so the
-  * parse happens once on the driver with a constant-memory StAX pull
-  * parser (unlike the reference, which retains the whole lxml element
-  * tree — SURVEY.md §4.1), and rows are then `parallelize`d so everything
-  * downstream is distributed. For multi-file exports at scale, each file
-  * becomes one task of the same parser — the document, not the byte
-  * range, is the parallelism unit.
+  * document — not the byte range — is the parallelism unit. The default
+  * [[read]] goes through the `format("fmp")` DataSource V2 provider,
+  * which infers the schema from the `<METADATA>` header on the driver and
+  * runs the constant-memory StAX pull parse inside executor tasks (unlike
+  * the reference, which retains the whole lxml element tree —
+  * SURVEY.md §4.1). [[readWithSchema]] keeps the driver-side parse for
+  * callers that need the `FmpSchema` record counts with the data.
   */
 object FmpReader {
   private val log = LoggerFactory.getLogger(getClass)
@@ -58,8 +59,10 @@ object FmpReader {
   def resolvePath(path: String): Path = {
     val p = Paths.get(path)
     if (Files.isDirectory(p)) {
-      val snaps = Files.list(p).iterator().asScala
+      val listing = Files.list(p)
+      val snaps = try listing.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".bz2")).toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
       require(snaps.nonEmpty, s"No *.bz2 snapshots in directory $path")
       snaps.last
     } else p
@@ -79,41 +82,58 @@ object FmpReader {
     f.createXMLStreamReader(in)
   }
 
-  /** Parse the header only and stop at `<RESULTSET>` — the schema-only
-    * path (`dump_headers`, _cli.py:38-53) runs no Spark job at all. */
-  def readSchema(in: InputStream,
-      headerStrategy: Seq[String] => Seq[String] = Sanitize.defaultHeaderStrategy): FmpSchema = {
-    val r = newStreamReader(in)
+  /** Advance `r` through the FMPXMLRESULT header and stop just after the
+    * `<RESULTSET>` open tag. Shared by the schema-only path and the row
+    * iterator so warnings and validation live in exactly one place. */
+  private def parseHeader(r: javax.xml.stream.XMLStreamReader,
+      headerStrategy: Seq[String] => Seq[String]): FmpSchema = {
     var dbName = ""
     var dbRecords = -1L
     val fields = ArrayBuffer.empty[FmpField]
-    try {
-      while (r.hasNext) {
-        r.next() match {
-          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "RESULTSET" =>
-            val found = r.getAttributeValue(null, "FOUND").toLong
-            if (found != dbRecords)
-              log.warn(s"Number of records in header ($dbRecords) does not match " +
-                s"number of records in result set ($found). " +
-                "We are looking at a subset of the database.")
-            val clean = headerStrategy(fields.map(_.name).toSeq)
-            require(clean.distinct.size == fields.size,
-              s"There are duplicate 'cleaned' names in the field list: $clean")
-            return FmpSchema(dbName, fields.toSeq, clean, found, dbRecords)
-          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "DATABASE" =>
-            dbName = r.getAttributeValue(null, "NAME")
-            dbRecords = r.getAttributeValue(null, "RECORDS").toLong
-          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "FIELD" =>
-            fields += FmpField(
-              name = r.getAttributeValue(null, "NAME"),
-              fieldType = r.getAttributeValue(null, "TYPE"),
-              emptyOk = r.getAttributeValue(null, "EMPTYOK") == "YES",
-              maxRepeat = r.getAttributeValue(null, "MAXREPEAT").toInt)
-          case _ =>
-        }
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "RESULTSET" =>
+          val found = r.getAttributeValue(null, "FOUND").toLong
+          if (found != dbRecords)
+            log.warn(s"Number of records in header ($dbRecords) does not match " +
+              s"number of records in result set ($found). " +
+              "We are looking at a subset of the database.")
+          val clean = headerStrategy(fields.map(_.name).toSeq)
+          require(clean.distinct.size == fields.size,
+            s"There are duplicate 'cleaned' names in the field list: $clean")
+          return FmpSchema(dbName, fields.toSeq, clean, found, dbRecords)
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "DATABASE" =>
+          dbName = r.getAttributeValue(null, "NAME")
+          dbRecords = r.getAttributeValue(null, "RECORDS").toLong
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "FIELD" =>
+          val f = FmpField(
+            name = r.getAttributeValue(null, "NAME"),
+            fieldType = r.getAttributeValue(null, "TYPE"),
+            emptyOk = r.getAttributeValue(null, "EMPTYOK") == "YES",
+            maxRepeat = r.getAttributeValue(null, "MAXREPEAT").toInt)
+          // The reference silently assumes one <DATA> per column
+          // (fmp_reader.py:116-117,135); we keep that behavior for parity
+          // but refuse to do it silently — repeating fields would be
+          // dropped past the first repetition.
+          if (f.maxRepeat > 1)
+            log.warn(s"Field '${f.name}' declares MAXREPEAT=${f.maxRepeat}; only the " +
+              "first <DATA> per column is read (reference-parity behavior). " +
+              "Values beyond the first repetition are ignored.")
+          fields += f
+        case _ =>
       }
-    } finally if (!r.hasNext) r.close()
+    }
     throw new IllegalArgumentException("No <RESULTSET> element found: not an FMPXMLRESULT document")
+  }
+
+  /** Parse the header only and stop at `<RESULTSET>` — the schema-only
+    * path (`dump_headers`, _cli.py:38-53) runs no Spark job at all.
+    * The stream reader is always closed (closing an XMLStreamReader does
+    * not close the underlying InputStream, which the caller owns). */
+  def readSchema(in: InputStream,
+      headerStrategy: Seq[String] => Seq[String] = Sanitize.defaultHeaderStrategy): FmpSchema = {
+    val r = newStreamReader(in)
+    try parseHeader(r, headerStrategy) finally r.close()
   }
 
   /** Pull-based row iterator over an FMPXMLRESULT stream: parses the
@@ -125,42 +145,7 @@ object FmpReader {
       headerStrategy: Seq[String] => Seq[String] = Sanitize.defaultHeaderStrategy)
       extends Iterator[Array[String]] with AutoCloseable {
     private val r = newStreamReader(in)
-    val schema: FmpSchema = {
-      var dbName = ""
-      var dbRecords = -1L
-      val fields = ArrayBuffer.empty[FmpField]
-      var out: FmpSchema = null
-      while (out == null && r.hasNext) {
-        r.next() match {
-          case XMLStreamConstants.START_ELEMENT =>
-            r.getLocalName match {
-              case "RESULTSET" =>
-                val found = r.getAttributeValue(null, "FOUND").toLong
-                if (found != dbRecords)
-                  log.warn(s"Number of records in header ($dbRecords) does not match " +
-                    s"number of records in result set ($found). " +
-                    "We are looking at a subset of the database.")
-                val clean = headerStrategy(fields.map(_.name).toSeq)
-                require(clean.distinct.size == fields.size,
-                  s"There are duplicate 'cleaned' names in the field list: $clean")
-                out = FmpSchema(dbName, fields.toSeq, clean, found, dbRecords)
-              case "DATABASE" =>
-                dbName = r.getAttributeValue(null, "NAME")
-                dbRecords = r.getAttributeValue(null, "RECORDS").toLong
-              case "FIELD" =>
-                fields += FmpField(
-                  name = r.getAttributeValue(null, "NAME"),
-                  fieldType = r.getAttributeValue(null, "TYPE"),
-                  emptyOk = r.getAttributeValue(null, "EMPTYOK") == "YES",
-                  maxRepeat = r.getAttributeValue(null, "MAXREPEAT").toInt)
-              case _ =>
-            }
-          case _ =>
-        }
-      }
-      require(out != null, "No <RESULTSET> element found: not an FMPXMLRESULT document")
-      out
-    }
+    val schema: FmpSchema = parseHeader(r, headerStrategy)
 
     private val current = ArrayBuffer.empty[String]
     private var pending: Array[String] = null
@@ -243,8 +228,13 @@ object FmpReader {
     (spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, parts), struct), schema)
   }
 
+  /** Default read path: the DataSource V2 `format("fmp")` source, which
+    * parses rows INSIDE executor tasks (the driver touches only the
+    * `<METADATA>` header for schema inference). The driver-parallelize
+    * [[readWithSchema]] remains for callers that need the `FmpSchema`
+    * counts alongside the data. */
   def read(spark: SparkSession, path: String): DataFrame =
-    readWithSchema(spark, path)._1
+    spark.read.format("fmp").load(path)
 
   /** Schema-only read (no Spark job) for the `dump_headers` path. */
   def readSchemaOnly(path: String): FmpSchema = {

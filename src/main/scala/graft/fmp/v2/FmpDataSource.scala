@@ -61,21 +61,24 @@ class FmpTable(tableSchema: StructType, path: String) extends Table with Support
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FmpScanBuilder(tableSchema, path, options.getBoolean("allSnapshots", false))
+    new FmpScanBuilder(tableSchema, path, options.getBoolean("allSnapshots", false),
+      options.getLong("progressEvery", 0L))
 }
 
-class FmpScanBuilder(fullSchema: StructType, path: String, allSnapshots: Boolean)
+class FmpScanBuilder(fullSchema: StructType, path: String, allSnapshots: Boolean,
+    progressEvery: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new FmpScan(fullSchema, required, path, allSnapshots)
+  override def build(): Scan =
+    new FmpScan(fullSchema, required, path, allSnapshots, progressEvery)
 }
 
 class FmpScan(fullSchema: StructType, required: StructType, path: String,
-    allSnapshots: Boolean) extends Scan with Batch {
+    allSnapshots: Boolean, progressEvery: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -100,31 +103,54 @@ class FmpScan(fullSchema: StructType, required: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FmpPartitionReaderFactory(fullSchema.fieldNames, required.fieldNames)
+    new FmpPartitionReaderFactory(fullSchema.fieldNames, required.fieldNames, progressEvery)
 }
 
 case class FmpInputPartition(resolvedPath: String) extends InputPartition
 
-class FmpPartitionReaderFactory(allColumns: Array[String], requiredColumns: Array[String])
+class FmpPartitionReaderFactory(allColumns: Array[String], requiredColumns: Array[String],
+    progressEvery: Long)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FmpPartitionReader(partition.asInstanceOf[FmpInputPartition].resolvedPath,
-      allColumns, requiredColumns)
+      allColumns, requiredColumns, progressEvery)
 }
 
 /** Executor-side streaming reader: StAX-parses the document and projects
-  * only the pruned columns into InternalRows. */
-class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumns: Array[String])
+  * only the pruned columns into InternalRows. With `progressEvery > 0`
+  * the reader emits a progress line every that-many records and a final
+  * rec/s summary on close (the tqdm analogue of the reference's `print`
+  * command, _cli.py:56-68).
+  */
+class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumns: Array[String],
+    progressEvery: Long = 0L)
     extends PartitionReader[InternalRow] {
   private val it = new FmpReader.FmpRowIterator(
     FmpReader.open(java.nio.file.Paths.get(path)))
-  // map required column -> position in the parsed row (by clean name; a
-  // user-supplied schema must use the same positional layout)
+  // Map each required column to its position in the parsed row. Resolution
+  // is by clean name against the FILE's own header. When the file's header
+  // matches none of the required names, the caller supplied an external
+  // positional schema — fall back to the ordinal in the full schema. When
+  // the header matches some names but not this one, the column is absent
+  // from this snapshot (schema evolution): yield null, never another
+  // column's values.
+  private val anyByName: Boolean =
+    requiredColumns.exists(c => it.schema.cleanNames.contains(c))
   private val indices: Array[Int] = requiredColumns.map { c =>
     val i = it.schema.cleanNames.indexOf(c)
-    if (i >= 0) i else allColumns.indexOf(c)
+    if (i >= 0) i
+    else if (anyByName) -1
+    else allColumns.indexOf(c)
   }
   private var current: InternalRow = _
+  private var nRecords = 0L
+  private val startNanos = System.nanoTime()
+  private val fileName = java.nio.file.Paths.get(path).getFileName.toString
+
+  private def recPerSec: Long = {
+    val secs = (System.nanoTime() - startNanos) / 1e9
+    if (secs > 0) (nRecords / secs).toLong else 0L
+  }
 
   override def next(): Boolean =
     if (it.hasNext) {
@@ -138,9 +164,19 @@ class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumn
         i += 1
       }
       current = new GenericInternalRow(values)
+      nRecords += 1
+      // Progress goes through System.out (resolved per call), not Scala's
+      // Console: executor task threads inherit Console's stream from pool
+      // creation time, which would bypass any later redirect.
+      if (progressEvery > 0 && nRecords % progressEvery == 0)
+        System.out.println(s"[fmp] $fileName: $nRecords records ($recPerSec rec/s)")
       true
     } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = it.close()
+  override def close(): Unit = {
+    if (progressEvery > 0)
+      System.out.println(s"[fmp] $fileName: parsed $nRecords records ($recPerSec rec/s)")
+    it.close()
+  }
 }

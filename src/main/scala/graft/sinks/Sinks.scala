@@ -140,12 +140,28 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
-  /** SHA-256 of a file's raw bytes (the reference hashes the input before
-    * parsing, _cli.py:147-148) — driver-side by design; the data-plane
-    * analogue is `sha2(col, 256)` (B26). */
+  /** SHA-256 of a file's raw bytes — driver-side by design; the
+    * data-plane analogue is `sha2(col, 256)` (B26). */
   def sha256OfFile(path: String): String = {
     val digest = MessageDigest.getInstance("SHA-256")
     val bytes = Files.readAllBytes(Paths.get(path))
     digest.digest(bytes).map("%02x".format(_)).mkString
+  }
+
+  /** Streamed SHA-256 of an InputStream's contents, closing it when done.
+    * The reference hashes the content read from the already-decompressed
+    * handle (_cli.py:146-148), so for `.bz2` snapshots the provenance
+    * hash must cover the XML bytes, not the compressed archive. */
+  def sha256OfStream(in: java.io.InputStream): String = {
+    val digest = MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](65536)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) digest.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    digest.digest().map("%02x".format(_)).mkString
   }
 }

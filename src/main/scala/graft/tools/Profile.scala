@@ -103,11 +103,12 @@ object Profile {
           it.close()
           println(f"parsed $n records x 126 fields in $secs%.2f s = ${n / secs}%.0f records/s")
         }
-        val t1 = System.nanoTime()
-        val df = graft.fmp.FmpReader.read(spark, f.toString)
-        val cnt = df.count()
-        val secs1 = (System.nanoTime() - t1) / 1e9
-        println(f"driver-parallelize read->count: $cnt rows in $secs1%.2f s = ${cnt / secs1}%.0f records/s")
+        (1 to 2).foreach { _ =>
+          val t1 = System.nanoTime()
+          val cnt = graft.fmp.FmpReader.read(spark, f.toString).count()
+          val secs1 = (System.nanoTime() - t1) / 1e9
+          println(f"default read()->count: $cnt rows in $secs1%.2f s = ${cnt / secs1}%.0f records/s")
+        }
         (1 to 2).foreach { _ =>
           val t2 = System.nanoTime()
           val cnt2 = spark.read.format("fmp").load(f.toString).count()

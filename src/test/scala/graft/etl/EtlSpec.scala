@@ -48,4 +48,15 @@ class EtlSpec extends SparkSpec {
     assert(renamed.columns.toSeq == Seq("author", "jaar"))
     assert(renamed.collect().head.getString(0) == "x")
   }
+
+  test("applyCommentMapping keeps names and carries the mapping as comment metadata") {
+    import spark.implicits._
+    val df = Seq(("x", 1)).toDF("auteur", "jaar")
+    val out = MappingFile.applyCommentMapping(df, Map("auteur" -> "author"))
+    assert(out.columns.toSeq == Seq("auteur", "jaar"), "reference never renames")
+    val f = out.schema.fields(0)
+    assert(f.metadata.contains("comment") && f.metadata.getString("comment") == "author")
+    assert(!out.schema.fields(1).metadata.contains("comment"))
+    assert(out.collect().head.getString(0) == "x", "pure metadata op")
+  }
 }

@@ -54,9 +54,45 @@ class FmpDataSourceSpec extends SparkSpec {
   test("V2 scan rows equal the driver-parallelize reader rows") {
     val path = writeFixture(50)
     val v2 = spark.read.format("fmp").load(path).orderBy("aantal_bedr_").collect().toSeq
-    val v1 = FmpReader.read(spark, path).orderBy("aantal_bedr_").collect().toSeq
+    val v1 = FmpReader.readWithSchema(spark, path)._1.orderBy("aantal_bedr_").collect().toSeq
     assert(v2 == v1)
     assert(v2.size == 50)
+    // FmpReader.read IS the V2 path now (the default; VERDICT r1 item 2)
+    assert(FmpReader.read(spark, path).rdd.getNumPartitions == 1)
+  }
+
+  test("schema evolution: a column absent from an old snapshot reads as null") {
+    val dir = Files.createTempDirectory("fmpevo")
+    // old snapshot lacks the Jaar column; new snapshot (lexicographically
+    // last) has all three — its schema wins at inference time.
+    val oldDoc =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<FMPXMLRESULT xmlns="$ns">
+         |  <DATABASE DATEFORMAT="d" LAYOUT="" NAME="Ceneton" RECORDS="2" TIMEFORMAT="h"/>
+         |  <METADATA>
+         |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Aantal bedr." TYPE="TEXT"/>
+         |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Auteur" TYPE="TEXT"/>
+         |  </METADATA>
+         |  <RESULTSET FOUND="2">
+         |    <ROW MODID="0" RECORDID="1"><COL><DATA>1</DATA></COL><COL><DATA>old author</DATA></COL></ROW>
+         |    <ROW MODID="0" RECORDID="2"><COL><DATA>2</DATA></COL><COL><DATA>older author</DATA></COL></ROW>
+         |  </RESULTSET>
+         |</FMPXMLRESULT>""".stripMargin
+    def bz(name: String, content: String): Unit = {
+      val out = new BZip2CompressorOutputStream(new FileOutputStream(dir.resolve(name).toFile))
+      out.write(content.getBytes(StandardCharsets.UTF_8)); out.close()
+    }
+    bz("a-old.xml.bz2", oldDoc)
+    bz("b-new.xml.bz2", doc(3))
+    val df = spark.read.format("fmp").option("allSnapshots", "true").load(dir.toString)
+    assert(df.count() == 5)
+    val oldRows = df.filter(df("auteur").contains("old")).collect()
+    assert(oldRows.length == 2)
+    assert(oldRows.forall(_.isNullAt(df.columns.indexOf("jaar"))),
+      "absent column must read as null, never another column's values")
+    val newRows = df.filter(!df("auteur").contains("old"))
+    assert(newRows.filter(df("jaar").isNotNull).count() == 2, // i=3 is <DATA/>
+      "rows from the full-schema snapshot keep their jaar values")
   }
 
   test("column pruning pushes into the scan (physical plan reads 1 column)") {

@@ -132,4 +132,21 @@ class FmpReaderSpec extends SparkSpec {
     val schema = FmpReader.readSchema(stream(broken))
     assert(schema.cleanNames.size == 3)
   }
+
+  test("MAXREPEAT > 1 is parsed (warned, first <DATA> read — reference parity)") {
+    // The reference silently assumes one <DATA> per column
+    // (fmp_reader.py:116-117,135); we keep the behavior but warn. A field
+    // declaring MAXREPEAT=2 whose rows carry one <DATA> each must parse
+    // exactly like MAXREPEAT=1.
+    val repeated = doc(3, 3, threeRows)
+      .replace("""MAXREPEAT="1" NAME="Jaar"""", """MAXREPEAT="2" NAME="Jaar"""")
+    val schema = FmpReader.readSchema(stream(repeated))
+    assert(schema.fields.find(_.name == "Jaar").get.maxRepeat == 2)
+    val it = new FmpReader.FmpRowIterator(stream(repeated))
+    try {
+      val rows = it.toSeq.map(_.toSeq)
+      assert(rows.size == 3)
+      assert(rows.head == Seq("3", "Vondel, Joost van den", "1637"))
+    } finally it.close()
+  }
 }
