@@ -111,29 +111,34 @@ object Similarity {
   private def quant(x: Column): Column =
     round(dbl(x) * 1000000, 0).cast("long")
 
-  /** Sign projection for plane `p`: +q(x_j) where the hash bit of (p, j)
-    * is set, −q(x_j) otherwise. */
-  private def signProj(emb: Column, p: Int): Column =
-    aggregate(
-      zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) =>
-        when(((lit(p.toLong) * 10007L + j) * Knuth) % TwoTo32 >= TwoTo32 / 2, quant(x))
-          .otherwise(-quant(x))),
-      lit(0L), (acc, v) => acc + v)
-
-  /** Array of `LshBands` bucket ids for one embedding column. */
-  def lshBuckets(emb: Column): Column = {
-    val bits = (0 until NPlanes).map(p => when(signProj(emb, p) > 0, 1L).otherwise(0L))
-    val bands = (0 until LshBands).map { b =>
-      (0 until LshBandBits).map(k => bits(b * LshBandBits + k) * (1L << k)).reduce(_ + _)
-    }
-    array(bands: _*)
+  /** (vec_id, band, bucket) — one row per band per vector.
+    *
+    * Computed as a flat explode→aggregate pipeline rather than nested
+    * higher-order folds: (vec, dim, plane) rows are narrow longs flowing
+    * through whole-stage codegen, and the two aggregations combine
+    * map-side before their exchanges. The input is repartitioned first so
+    * a single-file local read does not serialize the projection work — at
+    * deployment scale the scan is already many-partition and the
+    * repartition collapses into the existing distribution. */
+  private def bucketed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+      .repartition(col("vec_id"))
+    // one row per (vector, dimension, plane) — all integer arithmetic
+    val signed = e
+      .select(col("vec_id"), posexplode(transform(col("embedding"), x => quant(x))).as(Seq("j", "q")))
+      .select(col("vec_id"), col("j"), col("q"),
+        explode(sequence(lit(0), lit(NPlanes - 1))).as("p"))
+      .select(col("vec_id"), col("p"),
+        when(((col("p").cast("long") * 10007L + col("j")) * Knuth) % TwoTo32 >= TwoTo32 / 2,
+          col("q")).otherwise(-col("q")).as("w"))
+    signed
+      .groupBy("vec_id", "p").agg(sum("w").as("s"))
+      .select(col("vec_id"), (col("p") / LshBandBits).cast("int").as("band"),
+        when(col("s") > 0,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $LshBandBits AS INT))"))
+          .otherwise(0L).as("bit"))
+      .groupBy("vec_id", "band").agg(sum("bit").as("bucket"))
   }
-
-  /** (vec_id, embedding, band, bucket) — one row per band per vector. */
-  private def bucketed(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        posexplode(lshBuckets(col("embedding"))).as(Seq("band", "bucket")))
 
   /** Shared DuckDB CTE computing the same (vec_id, band, bucket) rows. */
   private val bucketsCte =
@@ -157,9 +162,11 @@ object Similarity {
     val qb = b.filter(col("vec_id") === 0).select(col("band"), col("bucket"))
     val qe = Tables.t(s, dir, "embeddings")
       .filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    b.filter(col("vec_id") =!= 0)
+    val cand = b.filter(col("vec_id") =!= 0)
       .join(broadcast(qb), Seq("band", "bucket"))
-      .select(col("vec_id"), col("embedding")).distinct()
+      .select(col("vec_id")).distinct()
+    cand
+      .join(Tables.t(s, dir, "embeddings"), "vec_id")
       .crossJoin(broadcast(qe))
       .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -189,17 +196,21 @@ object Similarity {
     * is Σ_bucket n_b², i.e. proportional to genuine cluster structure,
     * not to n². */
   def embeddingNearDupsLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val b = bucketed(s, dir).select(col("vec_id"), col("band"), col("bucket"))
+    val b = bucketed(s, dir)
     val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
+    // Norms are per-vector: compute them once on the 1×n side, so each
+    // candidate pair costs a single dot-product fold, not three.
     val e = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sqrt(norm2(col("embedding"))).as("norm"))
     cand
-      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
-      .select(col("va"), col("vb"), round(cosine(col("ea"), col("eb")), 4).as("cosine"))
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb")), "vb")
+      .select(col("va"), col("vb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("va", "vb")
   }

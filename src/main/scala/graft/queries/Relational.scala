@@ -453,7 +453,13 @@ object Relational {
 
   // ---------------------------------------------------------------- B15
   /** Provenance-style per-table row counts (A11 analogue): each branch is a
-    * metadata-cheap count, unioned into one tiny result. */
+    * metadata-cheap count, unioned into one tiny result — one job, all ten
+    * scan stages schedule concurrently. Each count prunes to an EMPTY
+    * projection (`ReadSchema: struct<>`), so the parquet reader returns
+    * batch row counts without decoding any column data; remaining cost is
+    * per-stage scheduling, not IO. (True footer-only COUNT(*) via
+    * `spark.sql.parquet.aggregatePushDown` + v2 scans was measured NOT to
+    * engage in this Spark build — see OPERATORS.md.) */
   private def b15(s: SparkSession, dir: String): DataFrame =
     Tables.all.map { name =>
       t(s, dir, name).agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"), col("n_rows"))
@@ -934,6 +940,116 @@ object Relational {
        round(sum(l_quantity), 2) AS sum_w
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ------------------------------------------------- B38-B40 deep joins
+  // TPC-H Q3/Q5/Q10 shapes: 3-6 table join trees with a mixed broadcast/
+  // shuffle strategy. The dims (nation, region) are genuinely tiny at any
+  // scale and broadcast explicitly; customer/orders/lineitem are facts and
+  // must shuffle on their join keys (AQE handles skew/re-plan). Join order
+  // is left to Catalyst's cost-based reorder — declaring the joins rather
+  // than hand-ordering them is exactly what survives a 100× scale-up.
+
+  /** Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, revenue
+    * top-10. Filters sit directly on the scans (pushdown), the two fact
+    * joins shuffle on their keys, and the top-k is TakeOrderedAndProject. */
+  private def b38(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .join(t(s, dir, "lineitem").filter(
+        col("l_shipdate") > lit("1998-07-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(netDec), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+
+  private val b38Sql =
+    """SELECT l_orderkey, o_orderdate,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-07-01'
+         AND l_shipdate > TIMESTAMP '1998-07-01'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** Q5 shape: region ⋈ nation dims broadcast over a customer ⋈ orders ⋈
+    * lineitem ⋈ supplier fact chain, revenue per nation. The
+    * c_nationkey = s_nationkey predicate makes the supplier join
+    * selective (local-supplier semantics). */
+  private def b39(s: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      t(s, dir, "nation").join(
+        broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey")))
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(netDec), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val b39Sql =
+    """SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  /** Q10 shape: returned-item revenue per customer over a quarter —
+    * customer ⋈ orders ⋈ lineitem facts plus the broadcast nation dim,
+    * grouped at customer grain, top-20. */
+  private def b40(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(netDec), 2).cast("double").as("revenue"),
+        round(max(col("c_acctbal")), 2).as("acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .orderBy(col("revenue").desc, col("c_custkey"))
+
+  private val b40Sql =
+    """SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
+       round(max(c_acctbal), 2) AS acctbal
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1997-04-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b05_select_rename_cast", b05, Some(b05Sql)),
@@ -977,5 +1093,8 @@ object Relational {
     QueryDef("b24b_array_predicates", b24b, Some(b24bSql)),
     QueryDef("b25_json_funcs", b25, Some(b25Sql)),
     QueryDef("b26_hash_provenance", b26, Some(b26Sql)),
-    QueryDef("b36_weighted_avg_udaf", b36, Some(b36Sql)))
+    QueryDef("b36_weighted_avg_udaf", b36, Some(b36Sql)),
+    QueryDef("b38_q3_shape", b38, Some(b38Sql)),
+    QueryDef("b39_q5_shape", b39, Some(b39Sql)),
+    QueryDef("b40_q10_shape", b40, Some(b40Sql)))
 }

@@ -42,6 +42,15 @@ object Profile {
           time(q)(noop(fn(spark, sfDir)))
           time(s"$q (2nd)")(noop(fn(spark, sfDir)))
         }
+      case "aggpush" :: sfDir :: Nil =>
+        // Probe: does parquet aggregate pushdown engage in this build?
+        // (Answer recorded in OPERATORS.md: it does not — the v2 BatchScan
+        // keeps partial_count/partial_min above an empty-projection scan.)
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        val df = spark.read.parquet(s"$sfDir/region.parquet")
+          .agg(expr("count(*)").as("n"), expr("min(r_regionkey)").as("m"))
+        println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
       case "explain" :: sfDir :: q :: Nil =>
         println(SparkEntry.queries(q)(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted")))

@@ -69,6 +69,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("b39: deep join tree mixes broadcast dims with shuffled fact joins") {
+    // Disable auto-broadcast so only the EXPLICIT dim broadcasts remain —
+    // the plan a 100 TB customer/orders/lineitem/supplier must produce.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("b39_q5_shape")
+      assert(p.contains("BroadcastHashJoin"), s"nation⋈region dims must broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"fact⋈fact joins must shuffle on their keys:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("b38: filters push into all three scans of the Q3-shape join") {
+    val p = plan("b38_q3_shape")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate") || p.contains("o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate") || p.contains("l_shipdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not globally sort")
+  }
+
   test("x09: near-dup candidate generation is an equi-join, never a nested-loop product") {
     val p = plan("x09_embedding_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
