@@ -17,6 +17,11 @@ case class UserState(nEvents: Long, totalValue: Double, lastTs: Long)
 case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
     anomaly: Boolean)
 
+/** Closed per-user session emitted when the watermark passes the user's
+  * last event + gap (event-time eviction). */
+case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+    last_event_ms: Long)
+
 /** Custom stateful streaming (SURVEY.md §2B B34 surface:
   * `KeyValueGroupedDataset.flatMapGroupsWithState`): arbitrary per-key
   * state that Spark's built-in windows can't express — here a running
@@ -51,6 +56,46 @@ object Stateful {
       if (ageOutIdle) state.setTimeoutDuration("1 hour")
       out.iterator
     }
+  }
+
+  private def sessionize(gapMs: Long)(
+      userId: Long,
+      events: Iterator[EventRow],
+      state: GroupState[UserState]): Iterator[UserSession] = {
+    if (state.hasTimedOut) {
+      // Watermark passed lastTs + gap: the session is complete BY EVENT
+      // TIME — late events inside the gap would have extended it; later
+      // ones are beyond the watermark contract.
+      val s = state.get
+      state.remove()
+      Iterator.single(UserSession(userId, s.nEvents, s.totalValue, s.lastTs))
+    } else {
+      var s = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+      events.foreach { e =>
+        s = UserState(s.nEvents + 1, s.totalValue + e.value,
+          math.max(s.lastTs, e.ts.getTime))
+      }
+      state.update(s)
+      state.setTimeoutTimestamp(s.lastTs + gapMs)
+      Iterator.empty
+    }
+  }
+
+  /** Event-time session aggregation via `EventTimeTimeout`: state for a
+    * user is evicted — and its closed session emitted — when the stream's
+    * WATERMARK (not the wall clock) passes the user's last event plus the
+    * gap. This is the correct timeout mode for replayed/late data: a
+    * backfill running at full speed closes sessions on the data's own
+    * timeline, where a processing-time timeout would close them early or
+    * never. Input must carry `withWatermark` on `ts` (asserted here). */
+  def userSessions(events: Dataset[EventRow], gapMs: Long = 600000L): Dataset[UserSession] = {
+    implicit val sessionEnc = Encoders.product[UserSession]
+    implicit val stateEnc = Encoders.product[UserState]
+    events
+      .withWatermark("ts", s"$gapMs milliseconds")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionize(gapMs))
   }
 
   /** Works on both batch and streaming Datasets (flatMapGroupsWithState

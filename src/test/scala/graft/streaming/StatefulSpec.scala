@@ -41,6 +41,39 @@ class StatefulSpec extends SparkSpec {
     assert(rows.count(_.user_id == 2) == 1)
   }
 
+  test("event-time timeout closes sessions when the WATERMARK passes gap, not wall clock") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Stateful.userSessions(input.toDS(), gapMs = 600000L) // 10 min gap
+      .writeStream.outputMode("append").format("memory").queryName("sessions_out").start()
+
+    // user 1's session: three events inside one minute
+    input.addData(Seq(
+      ev(1, "2024-01-01 00:00:01", 1, 10.0),
+      ev(2, "2024-01-01 00:00:02", 1, 12.0),
+      ev(3, "2024-01-01 00:00:30", 1, 11.0)))
+    q.processAllAvailable()
+    assert(spark.table("sessions_out").isEmpty,
+      "no wall-clock time passed, but more importantly no WATERMARK passed: session stays open")
+
+    // an unrelated user's much-later event advances the watermark to
+    // 00:50:00, far past user 1's last event (00:00:30) + 10 min
+    input.addData(Seq(ev(4, "2024-01-01 01:00:00", 2, 1.0)))
+    q.processAllAvailable()
+    // timeouts fire in the micro-batch AFTER the watermark update
+    input.addData(Seq(ev(5, "2024-01-01 01:00:01", 2, 1.0)))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_out").as[UserSession].collect().toSeq
+    q.stop()
+
+    val s1 = rows.filter(_.user_id == 1)
+    assert(s1.size == 1, s"user 1's session must close exactly once, got $rows")
+    assert(s1.head.n_events == 3 && s1.head.total_value == 33.0)
+    assert(s1.head.last_event_ms == Timestamp.valueOf("2024-01-01 00:00:30").getTime)
+    assert(!rows.exists(_.user_id == 2), "user 2's session is still open (watermark at 00:50)")
+  }
+
   test("batch mode runs the same operator with empty initial state") {
     import spark.implicits._
     val out = Stateful.userProfiles(Seq(
