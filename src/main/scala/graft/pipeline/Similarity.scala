@@ -123,21 +123,25 @@ object Similarity {
   private def bucketed(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
       .repartition(col("vec_id"))
-    // one row per (vector, dimension, plane) — all integer arithmetic
-    val signed = e
-      .select(col("vec_id"), posexplode(transform(col("embedding"), x => quant(x))).as(Seq("j", "q")))
-      .select(col("vec_id"), col("j"), col("q"),
-        explode(sequence(lit(0), lit(NPlanes - 1))).as("p"))
-      .select(col("vec_id"), col("p"),
-        when(((col("p").cast("long") * 10007L + col("j")) * Knuth) % TwoTo32 >= TwoTo32 / 2,
-          col("q")).otherwise(-col("q")).as("w"))
-    signed
-      .groupBy("vec_id", "p").agg(sum("w").as("s"))
-      .select(col("vec_id"), (col("p") / LshBandBits).cast("int").as("band"),
-        when(col("s") > 0,
-          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $LshBandBits AS INT))"))
-          .otherwise(0L).as("bit"))
-      .groupBy("vec_id", "band").agg(sum("bit").as("bucket"))
+    // One row per (vector, dimension); the PLANE axis stays columnar — the
+    // plane index is static per expression, so each projection is a plain
+    // conditional sum and all NPlanes of them ride ONE aggregation (no
+    // NPlanes× row blowup, no lambda in the aggregate, exchange-free after
+    // the repartition).
+    val byDim = e.select(col("vec_id"),
+      posexplode(transform(col("embedding"), x => quant(x))).as(Seq("j", "q")))
+    val projSums = (0 until NPlanes).map { p =>
+      sum(when(((lit(p.toLong) * 10007L + col("j")) * Knuth) % TwoTo32 >= TwoTo32 / 2,
+        col("q")).otherwise(-col("q"))).as(s"s$p")
+    }
+    val proj = byDim.groupBy("vec_id").agg(projSums.head, projSums.tail: _*)
+    val bands = (0 until LshBands).map { b =>
+      (0 until LshBandBits).map { k =>
+        when(col(s"s${b * LshBandBits + k}") > 0, lit(1L << k)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    proj.select(col("vec_id"),
+      posexplode(array(bands: _*)).as(Seq("band", "bucket")))
   }
 
   /** Shared DuckDB CTE computing the same (vec_id, band, bucket) rows. */
@@ -195,13 +199,19 @@ object Similarity {
     * against `threshold`. No all-pairs product anywhere — candidate cost
     * is Σ_bucket n_b², i.e. proportional to genuine cluster structure,
     * not to n². */
-  def embeddingNearDupsLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+  /** Distinct candidate pairs sharing ≥1 band bucket (exposed for the
+    * Profile breakdown). */
+  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val b = bucketed(s, dir)
-    val cand = b.as("a").join(b.as("b"),
+    b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
+  }
+
+  def embeddingNearDupsLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val cand = lshCandidates(s, dir)
     // Norms are per-vector: compute them once on the 1×n side, so each
     // candidate pair costs a single dot-product fold, not three.
     val e = Tables.t(s, dir, "embeddings")

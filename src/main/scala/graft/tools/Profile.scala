@@ -51,6 +51,13 @@ object Profile {
         val df = spark.read.parquet(s"$sfDir/region.parquet")
           .agg(expr("count(*)").as("n"), expr("min(r_regionkey)").as("m"))
         println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      case "x09parts" :: sfDir :: Nil =>
+        // Where does x09 spend: bucket pipeline, candidate join, or verify?
+        import graft.pipeline.Similarity
+        noop(graft.Tables.t(spark, sfDir, "embeddings"))
+        time("candidates only")(noop(Similarity.lshCandidates(spark, sfDir)))
+        time("full x09")(noop(SparkEntry.queries("x09_embedding_neardup")(spark, sfDir)))
+        time("full x09 (2nd)")(noop(SparkEntry.queries("x09_embedding_neardup")(spark, sfDir)))
       case "explain" :: sfDir :: q :: Nil =>
         println(SparkEntry.queries(q)(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted")))
