@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Typed event row for the stateful operators (matches the `events`
   * table / the [[StreamingSpec]] fixture shape). */
@@ -96,6 +96,56 @@ object Stateful {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[UserState, UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionize(gapMs))
+  }
+
+  /** Spark-4-native session processor for [[userSessionsTws]]: `ValueState`
+    * in the RocksDB state store plus an explicit event-time TIMER per user
+    * — each batch of events re-arms the timer at lastTs + gap, and
+    * `handleExpiredTimer` fires once the watermark passes it, emitting the
+    * closed session. Same semantics as the flatMapGroupsWithState form
+    * ([[userSessions]]), cross-validated in StatefulSpec. */
+  private class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, EventRow, UserSession] {
+    @transient private var state: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState](
+        "session", Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, events: Iterator[EventRow],
+        timers: TimerValues): Iterator[UserSession] = {
+      var s = if (state.exists()) state.get() else UserState(0L, 0.0, Long.MinValue)
+      events.foreach { e =>
+        s = UserState(s.nEvents + 1, s.totalValue + e.value,
+          math.max(s.lastTs, e.ts.getTime))
+      }
+      state.update(s)
+      // one pending timer per user: re-arm at the new session deadline
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(s.lastTs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[UserSession] = {
+      val s = state.get()
+      state.clear()
+      Iterator.single(UserSession(userId, s.nEvents, s.totalValue, s.lastTs))
+    }
+  }
+
+  /** [[userSessions]] re-expressed on the Spark 4 `transformWithState`
+    * API: typed `ValueState` in the RocksDB state store and explicit
+    * event-time timers instead of the single implicit GroupState timeout.
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (transformWithState's state backend). */
+  def userSessionsTws(events: Dataset[EventRow], gapMs: Long = 600000L): Dataset[UserSession] = {
+    implicit val sessionEnc = Encoders.product[UserSession]
+    events
+      .withWatermark("ts", s"$gapMs milliseconds")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Works on both batch and streaming Datasets (flatMapGroupsWithState

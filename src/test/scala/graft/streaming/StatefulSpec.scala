@@ -74,6 +74,39 @@ class StatefulSpec extends SparkSpec {
     assert(!rows.exists(_.user_id == 2), "user 2's session is still open (watermark at 00:50)")
   }
 
+  test("transformWithState sessionizer matches the flatMapGroupsWithState form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventRow]
+      val q = Stateful.userSessionsTws(input.toDS(), gapMs = 600000L)
+        .writeStream.outputMode("append").format("memory").queryName("tws_out").start()
+      input.addData(Seq(
+        ev(1, "2024-01-01 00:00:01", 1, 10.0),
+        ev(2, "2024-01-01 00:00:02", 1, 12.0),
+        ev(3, "2024-01-01 00:00:30", 1, 11.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(4, "2024-01-01 01:00:00", 2, 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(5, "2024-01-01 01:00:01", 2, 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out").as[UserSession].collect().toSeq
+      q.stop()
+      // identical close to the GroupState form's assertions
+      val s1 = rows.filter(_.user_id == 1)
+      assert(s1.size == 1, s"user 1's session must close exactly once, got $rows")
+      assert(s1.head.n_events == 3 && s1.head.total_value == 33.0)
+      assert(s1.head.last_event_ms == Timestamp.valueOf("2024-01-01 00:00:30").getTime)
+      assert(!rows.exists(_.user_id == 2), "user 2's session still open")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batch mode runs the same operator with empty initial state") {
     import spark.implicits._
     val out = Stateful.userProfiles(Seq(
