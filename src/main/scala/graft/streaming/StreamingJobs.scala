@@ -35,4 +35,17 @@ object StreamingJobs {
     * passes — bounded, unlike an unwatermarked global dedup). */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  /** x12 streaming: stream-stream interval join. Both sides carry
+    * watermarks and the join condition bounds purchase time to
+    * [click, click + 2h], so Spark evicts click state once the watermark
+    * passes click + 2h and purchase state immediately — join state stays
+    * (horizon × arrival rate), independent of stream length. */
+  def attribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+    Windows.attributionJoin(clicks, purchases)
+  }
 }

@@ -107,7 +107,44 @@ object Windows {
        FROM events GROUP BY event_type ORDER BY event_type"""
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- x12
+  /** Event-time interval join (click→purchase attribution): purchases
+    * credit any click by the same user in the preceding 2 hours. One
+    * shared form for batch and stream-stream: in streaming, both sides
+    * carry watermarks and the two-sided time bound lets Spark evict join
+    * state past the watermark — the join never holds unbounded history.
+    * At scale this shuffles both streams once on user_id; the range
+    * predicate evaluates inside the joined partition. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.alias("c").join(purchases.alias("p"),
+        expr("c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + interval 2 hours"))
+      .select(
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"),
+        round(col("p.value"), 2).as("purchase_value"),
+        (unix_timestamp(col("p.ts")) - unix_timestamp(col("c.ts"))).as("lag_seconds"))
+
+  def attributionQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    attributionJoin(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private val x12Sql =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       round(CAST(p.value AS DOUBLE), 2) AS purchase_value,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+       WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+       ORDER BY click_id, purchase_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x12_attribution_join", attributionQuery, Some(x12Sql)),
     QueryDef("b31_tumbling_window", tumblingQuery, Some(b31Sql)),
     QueryDef("b32_sliding_window", slidingQuery, Some(b32Sql)),
     QueryDef("b33_session_windows", sessionQuery, Some(b33Sql)),

@@ -40,6 +40,36 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == batch)
   }
 
+  test("x12 stream-stream interval join equals the batch attribution join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val joined = Seq(
+      Ev(10, ts("2024-01-01 00:05:00"), 1, "click", 1.0, "{}"),
+      Ev(11, ts("2024-01-01 00:30:00"), 1, "purchase", 9.99, "{}"), // within 2h of 10
+      Ev(12, ts("2024-01-01 05:00:00"), 1, "purchase", 5.00, "{}"), // too late for 10
+      Ev(13, ts("2024-01-01 04:30:00"), 2, "click", 1.0, "{}"),
+      Ev(14, ts("2024-01-01 04:45:00"), 2, "purchase", 3.50, "{}"), // within 2h of 13
+      Ev(15, ts("2024-01-01 04:40:00"), 3, "purchase", 2.00, "{}"), // no prior click
+      Ev(16, ts("2024-01-01 09:00:00"), 9, "view", 0.0, "{}")) // watermark pusher
+    val input = MemoryStream[Ev]
+    val q = StreamingJobs.attribution(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("attrib_out").start()
+    input.addData(joined.take(3))
+    q.processAllAvailable()
+    input.addData(joined.drop(3))
+    q.processAllAvailable()
+    val streaming = spark.table("attrib_out")
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    q.stop()
+    val e = joined.toDF()
+    val batch = Windows.attributionJoin(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"))
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(batch.map(r => (r.getLong(0), r.getLong(1))) == Seq((10L, 11L), (13L, 14L)))
+    assert(streaming == batch, s"stream=$streaming batch=$batch")
+  }
+
   test("B34 watermark dedup drops duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
