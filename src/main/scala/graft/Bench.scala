@@ -35,6 +35,21 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // FMP ingest throughput on the reference's own benchmark shape
+    // (12,543 records × 126 fields — the ONE number BASELINE.md
+    // publishes, 5,234 rec/s): default executor-side read, best of two
+    // warm runs.
+    val fmpRecsPerSec = {
+      val f = graft.tools.FmpFixture.write()
+      graft.fmp.FmpReader.read(spark, f.toString).count() // warm-up
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.fmp.FmpReader.read(spark, f.toString).count()
+        n / ((System.nanoTime() - t0) / 1e9)
+      }.max
+      best
+    }
+
     // Times rounded to 1 ms so the whole line stays well under the
     // driver's output-tail buffer (round 1 recorded parsed:null because
     // the full-precision line outgrew it); also persisted to a file so a
@@ -43,7 +58,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""fmp_recs_per_sec":${fmpRecsPerSec.toLong},""" +
+      s""""fmp_baseline_recs_per_sec":${graft.tools.FmpFixture.BaselineRecsPerSec.toLong},""" +
+      s""""sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), line + "\n")
     println(line)
     spark.stop()

@@ -84,29 +84,8 @@ object Profile {
         // Reference comparison point: the reference's only published number
         // is ~5,234 records/s parsing 12,543 records × 126 fields
         // (README.md:71-73, single thread). Same workload shape here.
-        val nRows = 12543
-        val fields = (0 until 126).map(i => s"Field $i")
-        val meta = fields.map(n =>
-          s"""<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="$n" TYPE="TEXT"/>""").mkString("\n")
-        val sb = new StringBuilder
-        sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
-          .append("<FMPXMLRESULT xmlns=\"http://www.filemaker.com/fmp/1/result\">\n")
-          .append("<ERRORCODE>0</ERRORCODE><PRODUCT BUILD=\"x\" NAME=\"FM\" VERSION=\"1\"/>\n")
-          .append(s"""<DATABASE DATEFORMAT="d" LAYOUT="" NAME="Ceneton" RECORDS="$nRows" TIMEFORMAT="h"/>\n""")
-          .append(s"<METADATA>\n$meta\n</METADATA>\n")
-          .append(s"""<RESULTSET FOUND="$nRows">\n""")
-        (1 to nRows).foreach { i =>
-          sb.append("<ROW><COL><DATA>v").append(i).append("</DATA></COL>")
-          (1 until 126).foreach { j =>
-            if ((i + j) % 7 == 0) sb.append("<COL><DATA/></COL>")
-            else sb.append("<COL><DATA>cell").append(j).append("</DATA></COL>")
-          }
-          sb.append("</ROW>\n")
-        }
-        sb.append("</RESULTSET>\n</FMPXMLRESULT>\n")
-        val dir = java.nio.file.Files.createTempDirectory("fmpbench")
-        val f = dir.resolve("ceneton.xml")
-        java.nio.file.Files.write(f, sb.toString.getBytes("UTF-8"))
+        val nRows = FmpFixture.BaselineRows
+        val f = FmpFixture.write()
         // warm-up then timed parse (iterator drain == the reference's
         // `print` loop shape: pure parse throughput, no Spark job)
         (1 to 2).foreach { _ =>
