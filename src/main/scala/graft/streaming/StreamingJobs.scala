@@ -36,6 +36,27 @@ object StreamingJobs {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
 
+  /** Streaming → JDBC sink via `foreachBatch`: each micro-batch appends
+    * through the same Spark JDBC writer the batch loader uses
+    * (`batchsize` batched inserts). Delivery is at-least-once — a restart
+    * may replay the last uncommitted micro-batch — so the documented
+    * production pattern is an idempotent target (unique key + MERGE, or a
+    * `batch_id` column with dedup-on-read); Spark's JDBC writer has no
+    * cross-partition transaction to offer exactly-once on its own.
+    * Checkpointing makes replays bounded to one batch. */
+  def toJdbc(df: org.apache.spark.sql.DataFrame, url: String, table: String,
+      checkpointDir: String, batchSize: Int = 500): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .option("batchsize", batchSize.toString)
+          .jdbc(url, table, new java.util.Properties())
+      }
+      .start()
+
   /** x12 streaming: stream-stream interval join. Both sides carry
     * watermarks and the join condition bounds purchase time to
     * [click, click + 2h], so Spark evicts click state once the watermark

@@ -104,4 +104,21 @@ class StreamingSpec extends SparkSpec {
     val total = Windows.slidingAgg(evs.toDF()).agg(sum("n")).collect()(0).getLong(0)
     assert(total == evs.length * 2)
   }
+
+  test("foreachBatch JDBC sink appends micro-batches with batch ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:streamjdbc;create=true"
+    val ckpt = java.nio.file.Files.createTempDirectory("sjdbc").toString
+    val input = MemoryStream[Ev]
+    val q = StreamingJobs.toJdbc(input.toDF(), url, "stream_events", ckpt)
+    input.addData(evs.take(3)); q.processAllAvailable()
+    input.addData(evs.drop(3)); q.processAllAvailable()
+    q.stop()
+    val loaded = spark.read.jdbc(url, "stream_events", new java.util.Properties())
+    assert(loaded.count() == evs.length)
+    val batchIds = loaded.select("batch_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(batchIds.length == 2, s"two micro-batches expected, got ${batchIds.toSeq}")
+    assert(loaded.select("event_id").distinct().count() == evs.length)
+  }
 }
