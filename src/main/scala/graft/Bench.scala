@@ -39,16 +39,24 @@ object Bench {
     // (12,543 records × 126 fields — the ONE number BASELINE.md
     // publishes, 5,234 rec/s): default executor-side read, best of two
     // warm runs.
-    val fmpRecsPerSec = {
-      val f = graft.tools.FmpFixture.write()
-      graft.fmp.FmpReader.read(spark, f.toString).count() // warm-up
-      val best = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val n = graft.fmp.FmpReader.read(spark, f.toString).count()
-        n / ((System.nanoTime() - t0) / 1e9)
-      }.max
-      best
-    }
+    // Guarded: a fixture/IO failure here must never cost the per-query
+    // timings already collected (-1 marks the metric as unavailable).
+    val fmpRecsPerSec: Double =
+      try {
+        val f = graft.tools.FmpFixture.write()
+        try {
+          graft.fmp.FmpReader.read(spark, f.toString).count() // warm-up
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            val n = graft.fmp.FmpReader.read(spark, f.toString).count()
+            n / ((System.nanoTime() - t0) / 1e9)
+          }.max
+        } finally graft.tools.FmpFixture.delete(f)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] fmp throughput failed: ${e.getMessage}")
+          -1.0
+      }
 
     // Times rounded to 1 ms so the whole line stays well under the
     // driver's output-tail buffer (round 1 recorded parsed:null because

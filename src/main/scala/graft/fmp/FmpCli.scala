@@ -56,6 +56,10 @@ object FmpCli {
       // Header parse on the driver for the counts line; the actual record
       // parse runs executor-side through the V2 source, which also emits
       // the incremental progress lines (the reference's tqdm analogue).
+      // NOTE: the progress lines print from the executor task — visible on
+      // the CLI's stdout in local mode (this tool's deployment); under a
+      // remote SPARK_MASTER they land in executor logs, as executor-side
+      // output always does.
       val schema = FmpReader.readSchemaOnly(file)
       println(s"Parsing ${schema.foundCount} records from ${schema.name}")
       val df = spark.read.format("fmp")

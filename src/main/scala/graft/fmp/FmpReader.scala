@@ -111,14 +111,17 @@ object FmpReader {
             fieldType = r.getAttributeValue(null, "TYPE"),
             emptyOk = r.getAttributeValue(null, "EMPTYOK") == "YES",
             maxRepeat = r.getAttributeValue(null, "MAXREPEAT").toInt)
-          // The reference silently assumes one <DATA> per column
-          // (fmp_reader.py:116-117,135); we keep that behavior for parity
-          // but refuse to do it silently — repeating fields would be
-          // dropped past the first repetition.
+          // The reference silently assumes one <DATA> per column: it
+          // appends EVERY <DATA> text to the record (fmp_reader.py:116-117)
+          // and a repeating column therefore misaligns/overflows the row
+          // (namedtuple arity failure at fmp_reader.py:112). This parser
+          // reproduces that per-<DATA> behavior exactly for parity, but
+          // refuses to do it silently.
           if (f.maxRepeat > 1)
-            log.warn(s"Field '${f.name}' declares MAXREPEAT=${f.maxRepeat}; only the " +
-              "first <DATA> per column is read (reference-parity behavior). " +
-              "Values beyond the first repetition are ignored.")
+            log.warn(s"Field '${f.name}' declares MAXREPEAT=${f.maxRepeat}; repeating " +
+              "fields are NOT supported (reference-parity): each <DATA> becomes its own " +
+              "cell, so a row carrying more than one <DATA> for this column will " +
+              "misalign or fail. Export with MAXREPEAT=1 or flatten repetitions upstream.")
           fields += f
         case _ =>
       }

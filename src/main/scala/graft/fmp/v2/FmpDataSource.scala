@@ -26,13 +26,16 @@ import graft.fmp.FmpReader
   *    (early-exit, no row parse — the A5/`dump_headers` path);
   *  - row parsing happens INSIDE the executor task with the same
   *    constant-memory StAX pull iterator — the document never materializes
-  *    on the driver (unlike the parallelize path in [[FmpReader.read]]);
+  *    on the driver (this IS the default [[FmpReader.read]] path; the
+  *    driver-parallelize form survives only in `readWithSchema`);
   *  - one InputPartition per document: bz2 + single-XML-document inputs
   *    are not byte-splittable, so the file is the unit of parallelism —
   *    a directory of exports scans as one task per snapshot;
-  *  - column pruning is pushed into the reader (unneeded `<DATA>` cells
-  *    are skipped before row assembly), so `select(two_cols)` does not
-  *    pay for 126-column rows.
+  *  - column pruning is pushed into the reader's ROW PROJECTION: every
+  *    `<DATA>` cell is still parsed (StAX must walk the document), but
+  *    only required columns are converted to UTF8String and carried in
+  *    the InternalRow, so `select(two_cols)` does not pay 126-column
+  *    row construction downstream.
   *
   * Registered via META-INF/services as short name `fmp`.
   */
@@ -128,18 +131,19 @@ class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumn
   private val it = new FmpReader.FmpRowIterator(
     FmpReader.open(java.nio.file.Paths.get(path)))
   // Map each required column to its position in the parsed row. Resolution
-  // is by clean name against the FILE's own header. When the file's header
-  // matches none of the required names, the caller supplied an external
-  // positional schema — fall back to the ordinal in the full schema. When
-  // the header matches some names but not this one, the column is absent
-  // from this snapshot (schema evolution): yield null, never another
-  // column's values.
-  private val anyByName: Boolean =
-    requiredColumns.exists(c => it.schema.cleanNames.contains(c))
+  // is by clean name against the FILE's own header. Classification of the
+  // file checks the FULL schema (not just the pruned columns, which may
+  // all be absent from an old snapshot): if the file's header shares any
+  // name with the schema, it is a by-name file and a missing column is
+  // schema evolution — yield null, never another column's values. Only a
+  // header sharing NOTHING with the schema is an external positional
+  // schema, where the ordinal fallback applies.
+  private val fileIsByName: Boolean =
+    allColumns.exists(c => it.schema.cleanNames.contains(c))
   private val indices: Array[Int] = requiredColumns.map { c =>
     val i = it.schema.cleanNames.indexOf(c)
     if (i >= 0) i
-    else if (anyByName) -1
+    else if (fileIsByName) -1
     else allColumns.indexOf(c)
   }
   private var current: InternalRow = _

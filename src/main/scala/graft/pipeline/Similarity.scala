@@ -144,9 +144,12 @@ object Similarity {
       posexplode(array(bands: _*)).as(Seq("band", "bucket")))
   }
 
-  /** Shared DuckDB CTE computing the same (vec_id, band, bucket) rows. */
+  /** Shared DuckDB CTE computing the same (vec_id, band, bucket) rows.
+    * The dims CTE derives the dimensionality from the data (as the Spark
+    * side's posexplode does) rather than hardcoding it. */
   private val bucketsCte =
-    s"""dims AS (SELECT j FROM generate_series(0, 63) t(j)),
+    s"""dims AS (SELECT unnest(generate_series(0,
+           (SELECT max(len(embedding)) - 1 FROM embeddings))) AS j),
        planes AS (SELECT p FROM generate_series(0, ${NPlanes - 1}) t(p)),
        z AS (SELECT vec_id, j, embedding[j + 1] AS x FROM embeddings CROSS JOIN dims),
        proj AS (SELECT vec_id, p,

@@ -38,4 +38,11 @@ object FmpFixture {
     Files.write(f, sb.toString.getBytes("UTF-8"))
     f
   }
+
+  /** Remove a fixture written by [[write]] (file + its temp directory) —
+    * each fixture is ~25 MB, so callers must not leak them across runs. */
+  def delete(f: Path): Unit = {
+    Files.deleteIfExists(f)
+    Files.deleteIfExists(f.getParent)
+  }
 }

@@ -84,7 +84,6 @@ object Profile {
         // Reference comparison point: the reference's only published number
         // is ~5,234 records/s parsing 12,543 records × 126 fields
         // (README.md:71-73, single thread). Same workload shape here.
-        val nRows = FmpFixture.BaselineRows
         val f = FmpFixture.write()
         // warm-up then timed parse (iterator drain == the reference's
         // `print` loop shape: pure parse throughput, no Spark job)
@@ -98,18 +97,21 @@ object Profile {
           it.close()
           println(f"parsed $n records x 126 fields in $secs%.2f s = ${n / secs}%.0f records/s")
         }
+        // default read() == the executor-side V2 scan
         (1 to 2).foreach { _ =>
           val t1 = System.nanoTime()
           val cnt = graft.fmp.FmpReader.read(spark, f.toString).count()
           val secs1 = (System.nanoTime() - t1) / 1e9
-          println(f"default read()->count: $cnt rows in $secs1%.2f s = ${cnt / secs1}%.0f records/s")
+          println(f"default read() [V2] ->count: $cnt rows in $secs1%.2f s = ${cnt / secs1}%.0f records/s")
         }
+        // contrast: the schema-rich driver-parallelize path (readWithSchema)
         (1 to 2).foreach { _ =>
           val t2 = System.nanoTime()
-          val cnt2 = spark.read.format("fmp").load(f.toString).count()
+          val cnt2 = graft.fmp.FmpReader.readWithSchema(spark, f.toString)._1.count()
           val secs2 = (System.nanoTime() - t2) / 1e9
-          println(f"DataSource V2 read->count: $cnt2 rows in $secs2%.2f s = ${cnt2 / secs2}%.0f records/s")
+          println(f"readWithSchema (driver-parallelize) ->count: $cnt2 rows in $secs2%.2f s = ${cnt2 / secs2}%.0f records/s")
         }
+        FmpFixture.delete(f)
 
       case other =>
         System.err.println(s"Unknown args: $other")

@@ -93,6 +93,15 @@ class FmpDataSourceSpec extends SparkSpec {
     val newRows = df.filter(!df("auteur").contains("old"))
     assert(newRows.filter(df("jaar").isNotNull).count() == 2, // i=3 is <DATA/>
       "rows from the full-schema snapshot keep their jaar values")
+
+    // Pruning to ONLY the evolved column must not fall back to ordinals:
+    // the old snapshot's header shares other names with the schema, so it
+    // is a by-name file and its missing jaar is null — never auteur's data.
+    val onlyJaar = spark.read.format("fmp").option("allSnapshots", "true")
+      .load(dir.toString).select("jaar").collect()
+    assert(onlyJaar.length == 5)
+    assert(onlyJaar.count(_.isNullAt(0)) == 3, // 2 old rows + <DATA/> in new
+      "pruned read of an absent column must yield nulls, not a foreign ordinal")
   }
 
   test("column pruning pushes into the scan (physical plan reads 1 column)") {
