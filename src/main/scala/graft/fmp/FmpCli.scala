@@ -73,6 +73,18 @@ object FmpCli {
       Sinks.toJsonlLines(FmpReader.read(spark, file)).foreach(println)
     }
 
+    // The reference's create_db docstring promises "You can also set the
+    // DB_URL environment variable" (_cli.py:132) but its click wiring
+    // never reads it (no envvar= on the argument) — honor the documented
+    // contract: positional DB_URL wins, the env var is the fallback.
+    case "create_db" :: file :: rest0 if rest0.isEmpty || rest0.head.startsWith("--") =>
+      resolveDbUrl(None, sys.env) match {
+        case Some(url) => main(("create_db" :: file :: url :: rest0).toArray)
+        case None =>
+          System.err.println("create_db requires a DB_URL argument (or the DB_URL environment variable)")
+          sys.exit(2)
+      }
+
     case "create_db" :: file :: dbUrl :: rest => withSession { spark =>
       val opts = parseOptions(rest)
       val resolved = FmpReader.resolvePath(file)
@@ -103,6 +115,12 @@ object FmpCli {
           "create_db FILE DB_URL [--mapping-column f.csv[:col]] [--table-name t] [--db-metadata k=v]...")
       sys.exit(2)
   }
+
+  /** Positional DB_URL wins; the DB_URL environment variable is the
+    * documented fallback (reference _cli.py:132). */
+  private[fmp] def resolveDbUrl(positional: Option[String],
+      env: Map[String, String]): Option[String] =
+    positional.orElse(env.get("DB_URL"))
 
   private case class Options(
       mappingColumn: Option[String] = None,

@@ -124,6 +124,14 @@ class FmpCliSpec extends SparkSpec {
     assert(loaded.count() == 2)
   }
 
+  test("DB_URL resolution: positional wins, env var is the documented fallback") {
+    assert(FmpCli.resolveDbUrl(Some("jdbc:derby:a"), Map("DB_URL" -> "jdbc:derby:b"))
+      .contains("jdbc:derby:a"))
+    assert(FmpCli.resolveDbUrl(None, Map("DB_URL" -> "jdbc:derby:b"))
+      .contains("jdbc:derby:b"))
+    assert(FmpCli.resolveDbUrl(None, Map.empty).isEmpty)
+  }
+
   test("create_db loads Derby with provenance incl. sha256 and db-metadata") {
     spark
     val url = "jdbc:derby:memory:clitest;create=true"
