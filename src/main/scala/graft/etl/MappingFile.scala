@@ -48,16 +48,21 @@ object MappingFile {
 
   /** Reference-parity mapping application: keep the clean column names and
     * carry the mapped value as the column `comment` metadata (sql.py:29-37).
-    * Pure metadata op, no job. */
+    * The FMP reader also uses `comment` for the ORIGINAL FileMaker field
+    * name (the A5/`dump_headers` contract), so any pre-existing comment is
+    * preserved under `fmp_original_name` before being overwritten —
+    * [[graft.sinks.Sinks.headersDf]] reads that key first. Pure metadata
+    * op, no job. */
   def applyCommentMapping(df: DataFrame, mapping: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.MetadataBuilder
     val cols = df.schema.fields.map { f =>
       mapping.get(f.name) match {
         case Some(comment) =>
-          val m = new MetadataBuilder().withMetadata(f.metadata)
-            .putString("comment", comment).build()
-          col(f.name).as(f.name, m)
+          val b = new MetadataBuilder().withMetadata(f.metadata)
+          if (f.metadata.contains("comment") && !f.metadata.contains("fmp_original_name"))
+            b.putString("fmp_original_name", f.metadata.getString("comment"))
+          col(f.name).as(f.name, b.putString("comment", comment).build())
         case None => col(f.name)
       }
     }

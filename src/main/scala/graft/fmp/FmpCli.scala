@@ -97,9 +97,16 @@ object FmpCli {
       val mapping = opts.mappingColumn.map(MappingFile.readMapping(spark, _))
       // Reference parity: the table keeps the sanitized clean names; the
       // mapping supplies the column COMMENT metadata (sql.py:29-37).
+      // Spark's JDBC writer emits no per-column COMMENT DDL on any
+      // dialect, so the comments ALSO persist as `column_comment.<clean>`
+      // rows in the provenance metadata table — queryable in the database
+      // rather than silently dropped with the DataFrame.
       val df = mapping.fold(df0)(MappingFile.applyCommentMapping(df0, _))
       val tableName = opts.tableName.getOrElse(Sanitize.sanitize(schema.name))
-      val extra = opts.dbMetadata ++ Map(
+      val commentRows = mapping.getOrElse(Map.empty)
+        .filter { case (clean, _) => df0.columns.contains(clean) }
+        .map { case (clean, target) => s"column_comment.$clean" -> target }
+      val extra = opts.dbMetadata ++ commentRows ++ Map(
         "source_url" -> resolved.toAbsolutePath.normalize.toString,
         "source_sha256" -> sha)
       Sinks.writeJdbc(df, dbUrl, tableName,

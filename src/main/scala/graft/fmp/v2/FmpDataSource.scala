@@ -95,9 +95,11 @@ class FmpScan(fullSchema: StructType, required: StructType, path: String,
     val p = java.nio.file.Paths.get(path)
     if (allSnapshots && java.nio.file.Files.isDirectory(p)) {
       import scala.jdk.CollectionConverters._
-      val snaps = java.nio.file.Files.list(p).iterator().asScala
+      val listing = java.nio.file.Files.list(p)
+      val snaps = try listing.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".bz2"))
         .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
       require(snaps.nonEmpty, s"No *.bz2 snapshots in directory $path")
       snaps.map(f => FmpInputPartition(f.toString)).toArray
     } else {

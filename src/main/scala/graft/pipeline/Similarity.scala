@@ -101,9 +101,9 @@ object Similarity {
   val LshBands = 2
   val LshBandBits = 16
   private val NPlanes = LshBands * LshBandBits
-  // Knuth's 32-bit multiplicative constant; (plane, dim) → well-mixed bits.
-  private val Knuth = 2654435761L
-  private val TwoTo32 = 4294967296L
+  // (plane, dim) → well-mixed bits via the shared Knuth hash constants.
+  private val Knuth = HashConstants.Knuth
+  private val TwoTo32 = HashConstants.TwoTo32
 
   /** Quantize a coordinate to an integer (×1e6) so the projection sum is
     * order-independent EXACT integer arithmetic — bucket ids then match

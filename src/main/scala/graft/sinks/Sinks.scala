@@ -45,7 +45,12 @@ object Sinks {
     * from the DataFrame schema + `comment` metadata — no job runs. */
   def headersDf(spark: SparkSession, df: DataFrame): DataFrame = {
     val rows = df.schema.fields.map { f =>
-      val orig = if (f.metadata.contains("comment")) f.metadata.getString("comment") else f.name
+      // `fmp_original_name` survives a comment-mapping overwrite of
+      // `comment` (MappingFile.applyCommentMapping); prefer it.
+      val orig =
+        if (f.metadata.contains("fmp_original_name")) f.metadata.getString("fmp_original_name")
+        else if (f.metadata.contains("comment")) f.metadata.getString("comment")
+        else f.name
       Row(orig, f.name)
     }
     spark.createDataFrame(

@@ -85,33 +85,37 @@ object Profile {
         // is ~5,234 records/s parsing 12,543 records × 126 fields
         // (README.md:71-73, single thread). Same workload shape here.
         val f = FmpFixture.write()
-        // warm-up then timed parse (iterator drain == the reference's
-        // `print` loop shape: pure parse throughput, no Spark job)
-        (1 to 2).foreach { _ =>
-          val it = new graft.fmp.FmpReader.FmpRowIterator(
-            graft.fmp.FmpReader.open(f))
-          var n = 0
-          val t0 = System.nanoTime()
-          while (it.hasNext) { it.next(); n += 1 }
-          val secs = (System.nanoTime() - t0) / 1e9
-          it.close()
-          println(f"parsed $n records x 126 fields in $secs%.2f s = ${n / secs}%.0f records/s")
-        }
-        // default read() == the executor-side V2 scan
-        (1 to 2).foreach { _ =>
-          val t1 = System.nanoTime()
-          val cnt = graft.fmp.FmpReader.read(spark, f.toString).count()
-          val secs1 = (System.nanoTime() - t1) / 1e9
-          println(f"default read() [V2] ->count: $cnt rows in $secs1%.2f s = ${cnt / secs1}%.0f records/s")
-        }
-        // contrast: the schema-rich driver-parallelize path (readWithSchema)
-        (1 to 2).foreach { _ =>
-          val t2 = System.nanoTime()
-          val cnt2 = graft.fmp.FmpReader.readWithSchema(spark, f.toString)._1.count()
-          val secs2 = (System.nanoTime() - t2) / 1e9
-          println(f"readWithSchema (driver-parallelize) ->count: $cnt2 rows in $secs2%.2f s = ${cnt2 / secs2}%.0f records/s")
-        }
-        FmpFixture.delete(f)
+        val nRows = FmpFixture.BaselineRows
+        try {
+          // warm-up then timed parse (iterator drain == the reference's
+          // `print` loop shape: pure parse throughput, no Spark job)
+          (1 to 2).foreach { _ =>
+            val it = new graft.fmp.FmpReader.FmpRowIterator(
+              graft.fmp.FmpReader.open(f))
+            var n = 0
+            val t0 = System.nanoTime()
+            while (it.hasNext) { it.next(); n += 1 }
+            val secs = (System.nanoTime() - t0) / 1e9
+            it.close()
+            println(f"parsed $n records x 126 fields in $secs%.2f s = ${n / secs}%.0f records/s")
+          }
+          // default read() == the executor-side V2 scan; noop sink so all
+          // 126 columns materialize (count() would prune the scan to
+          // nothing and inflate the number vs the baseline's full parse)
+          (1 to 2).foreach { _ =>
+            val t1 = System.nanoTime()
+            noop(graft.fmp.FmpReader.read(spark, f.toString))
+            val secs1 = (System.nanoTime() - t1) / 1e9
+            println(f"default read() [V2] ->noop: $nRows rows in $secs1%.2f s = ${nRows / secs1}%.0f records/s")
+          }
+          // contrast: the schema-rich driver-parallelize path (readWithSchema)
+          (1 to 2).foreach { _ =>
+            val t2 = System.nanoTime()
+            noop(graft.fmp.FmpReader.readWithSchema(spark, f.toString)._1)
+            val secs2 = (System.nanoTime() - t2) / 1e9
+            println(f"readWithSchema (driver-parallelize) ->noop: $nRows rows in $secs2%.2f s = ${nRows / secs2}%.0f records/s")
+          }
+        } finally FmpFixture.delete(f)
 
       case other =>
         System.err.println(s"Unknown args: $other")

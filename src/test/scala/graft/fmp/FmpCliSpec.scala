@@ -122,6 +122,12 @@ class FmpCliSpec extends SparkSpec {
     assert(loaded.columns.toSeq == Seq("auteur", "jaar"),
       "reference keeps sanitized clean names; mapping must not rename the table columns")
     assert(loaded.count() == 2)
+    // Spark's JDBC writer emits no column COMMENT DDL, so the mapping must
+    // land in the provenance metadata table — not be silently dropped.
+    val meta = spark.read.jdbc(url, "mapped_plays_metadata", new java.util.Properties())
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(meta("column_comment.auteur") == "author")
+    assert(meta("column_comment.jaar") == "year")
   }
 
   test("DB_URL resolution: positional wins, env var is the documented fallback") {
