@@ -49,6 +49,35 @@ object RollingHash {
   }
 }
 
+/** The dedup pipeline's token hash as a native codegen'd expression:
+  * [[RollingHash]]'s polynomial fold spread by a Knuth multiplicative
+  * step (`(fold * 2654435761) mod p`) — the per-token primitive under
+  * MinHash signatures (x05) and SimHash bits (x06). Equivalent to the
+  * interpreted `aggregate(transform(split(tok,'')))` fold it replaces
+  * (property-tested in ExpressionsSpec), but runs inside whole-stage
+  * codegen with no per-element lambda dispatch. */
+case class TokenHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"token_hash requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash =
+    copy(child = newChild)
+}
+
+object TokenHash {
+  def hash(s: String): Long =
+    RollingHash.hash(s) * graft.pipeline.HashConstants.Knuth % graft.pipeline.HashConstants.HashPrime
+}
+
 /** The reference's `sanitize_name` (fmp_reader.py:56-61) as a native
   * data-plane expression — same unicode-aware semantics as
   * [[graft.etl.Sanitize.sanitize]], codegen'd for per-row use (B35's
@@ -96,6 +125,8 @@ object GraftFunctions {
       exprs => RollingHash(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("sanitize_name",
       exprs => SanitizeName(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("token_hash",
+      exprs => TokenHash(exprs.head), "scala_udf")
   }
 
   /** B35's one showcase scalar UDF — kept for API-surface parity; the

@@ -6,7 +6,7 @@ package graft.pipeline
   * hashing). Editing a constant here changes both pipelines and their
   * oracles together — two private copies previously risked silent
   * desynchronization. */
-private[pipeline] object HashConstants {
+private[graft] object HashConstants {
   /** Modulus of the polynomial ascii fold and the affine permutations. */
   val HashPrime = 1000000007L
   /** Knuth's 32-bit multiplicative constant — spreads small fold values. */

@@ -68,6 +68,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.collect().toSeq == single.collect().toSeq)
   }
 
+  test("token_hash expression equals the interpreted ascii-fold it replaced") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val toks = Seq("a", "the", "spark", "", "a b", "zzzzzzzzzz", "Enschedé").toDF("tok")
+    val both = toks.select(
+      call_function("token_hash", col("tok")).as("native"),
+      (aggregate(transform(split(col("tok"), ""), c => ascii(c).cast("long")),
+        lit(0L), (a, c) => (a * 31L + c) % 1000000007L) * 2654435761L % 1000000007L).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r"))
+    // and it must execute inside whole-stage codegen (a parquet scan, not
+    // the literal table above, which ConvertToLocalRelation pre-evaluates)
+    val plan = graft.Tables.t(spark, sf, "documents")
+      .select(call_function("token_hash", col("text")))
+    plan.collect()
+    assert(plan.queryExecution.executedPlan.toString.contains("*("))
+  }
+
   test("extensions entry point registers both functions") {
     val s2 = spark.newSession()
     new graft.GraftExtensions()
