@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions (operator decision table tier (b),
@@ -101,6 +102,96 @@ case class SanitizeName(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Element loops shared by [[VecDot]]/[[VecNorm2]] — accumulation is in
+  * ARRAY ORDER with double precision, exactly the semantics of the
+  * `zip_with`/`aggregate` folds they replace, so cosine values (and the
+  * DuckDB oracle comparisons built on them) are bit-identical. */
+object VecOps {
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  def norm2(a: ArrayData, aFloat: Boolean): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  private[functions] def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  private[functions] def isFloatVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** Dot product of two numeric vectors (array<float> | array<double>) as a
+  * native codegen'd expression — the hot primitive under cosine top-k
+  * (B29) and LSH near-dup verification (x09), where the interpreted
+  * `aggregate(zip_with(...))` fold costs a lambda dispatch per element
+  * per candidate pair. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecOps.isVec(left.dataType) && VecOps.isVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires ARRAY<FLOAT|DOUBLE> args, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private lazy val aFloat = VecOps.isFloatVec(left.dataType)
+  private lazy val bFloat = VecOps.isFloatVec(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecOps.dot($a, $b, $aFloat, $bFloat)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 norm of a numeric vector — [[VecDot]]'s companion for
+  * cosine denominators, same ordering/precision contract. */
+case class VecNorm2(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecOps.isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_norm2 requires ARRAY<FLOAT|DOUBLE>, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm2"
+
+  private lazy val aFloat = VecOps.isFloatVec(child.dataType)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.norm2(a.asInstanceOf[ArrayData], aFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.norm2($a, $aFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm2 =
+    copy(child = newChild)
+}
+
 /** Algebraic simplification for [[SanitizeName]]: the sanitizer is
   * idempotent (property-tested in SanitizeSpec), so nested applications
   * collapse to one — the engine's own little optimizer rule, injected via
@@ -127,6 +218,10 @@ object GraftFunctions {
       exprs => SanitizeName(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("token_hash",
       exprs => TokenHash(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("vec_norm2",
+      exprs => VecNorm2(exprs.head), "scala_udf")
   }
 
   /** B35's one showcase scalar UDF — kept for API-surface parity; the

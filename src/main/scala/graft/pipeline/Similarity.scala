@@ -29,11 +29,23 @@ import org.apache.spark.sql.functions._
 object Similarity {
   private def dbl(c: Column): Column = c.cast("double")
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)), lit(0.0), (acc, v) => acc + v)
+  // Dot/norm evaluate through the native codegen'd VecDot/VecNorm2
+  // expressions (same array-order double accumulation as the
+  // zip_with/aggregate folds they replaced — ExpressionsSpec proves
+  // equality — but no per-element lambda dispatch per candidate pair).
+  private def registered: Unit =
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
 
-  private def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + dbl(x) * dbl(x))
+  private def dot(a: Column, b: Column): Column = {
+    registered
+    call_function("vec_dot", a, b)
+  }
+
+  private def norm2(a: Column): Column = {
+    registered
+    call_function("vec_norm2", a)
+  }
 
   /** Cosine similarity between two array<float> columns (exact, double
     * accumulation in array order — reproducible across engines). */

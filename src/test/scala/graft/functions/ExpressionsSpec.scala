@@ -87,6 +87,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("vec_dot/vec_norm2 equal the zip_with/aggregate folds they replaced") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val e = graft.Tables.t(spark, sf, "embeddings").limit(50)
+    val q = e.select(col("embedding").as("b")).limit(1)
+    val both = e.crossJoin(broadcast(q)).select(
+      call_function("vec_dot", col("embedding"), col("b")).as("nd"),
+      aggregate(zip_with(col("embedding"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v).as("hd"),
+      call_function("vec_norm2", col("embedding")).as("nn"),
+      aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("hn"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"dot mismatch: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"norm mismatch: $r")
+    }
+  }
+
   test("extensions entry point registers both functions") {
     val s2 = spark.newSession()
     new graft.GraftExtensions()
