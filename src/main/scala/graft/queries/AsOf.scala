@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Window-based as-of join — the scale path for "latest left row at or
   * before each right row's timestamp".
@@ -39,27 +40,39 @@ object AsOf {
       leftSeq: String,
       payloadCols: Seq[String]): DataFrame = {
     val rightCols = right.columns.toSeq
-    val lSide = left.select(
-      Seq(col(leftKey).as("_k"), col(leftTs).cast("timestamp").as("_ts"),
-        lit(0).as("_kind"), col(leftSeq).as("_seq")) ++
-        payloadCols.map(c => col(c).as(s"_p_$c")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val payloadType = StructType(payloadCols.map(c => left.schema(c)))
+    // Left rows with a null key or timestamp can never satisfy the
+    // join+max form's `leftTs <= rightTs` / key-equality predicates, so
+    // they are excluded up front — under the window's nulls-first order
+    // they would otherwise become universal "matches".
+    val lSide = left
+      .filter(col(leftKey).isNotNull && col(leftTs).isNotNull)
+      .select(
+        Seq(col(leftKey).as("_k"), col(leftTs).cast("timestamp").as("_ts"),
+          lit(0).as("_kind"), col(leftSeq).as("_seq"),
+          // The payload travels as ONE struct so propagation is atomic per
+          // left row: a null payload FIELD in the latest left row stays
+          // null instead of falling back to an older row's value (which
+          // would fabricate a column mix no left row ever contained).
+          struct(payloadCols.map(col): _*).as("_p")) ++
+          rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
     val rSide = right.select(
       Seq(col(rightKey).as("_k"), col(rightTs).cast("timestamp").as("_ts"),
-        lit(1).as("_kind"), lit(null).cast(left.schema(leftSeq).dataType).as("_seq")) ++
-        payloadCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_p_$c")) ++
+        lit(1).as("_kind"), lit(null).cast(left.schema(leftSeq).dataType).as("_seq"),
+        lit(null).cast(payloadType).as("_p")) ++
         rightCols.map(c => col(c).as(s"_r_$c")): _*)
     val w = Window.partitionBy("_k")
       .orderBy(col("_ts"), col("_kind"), col("_seq"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lSide.unionByName(rSide)
       .select(
-        Seq(col("_kind")) ++
-          rightCols.map(c => col(s"_r_$c").as(c)) ++
-          payloadCols.map(c =>
-            last(col(s"_p_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+        Seq(col("_kind"),
+          last(col("_p"), ignoreNulls = true).over(w).as("_asof")) ++
+          rightCols.map(c => col(s"_r_$c").as(c)): _*)
       .filter(col("_kind") === 1)
-      .drop("_kind")
+      .select(
+        rightCols.map(col) ++
+          payloadCols.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 
   /** B11 in window form: latest order per event (same semantics as the

@@ -30,11 +30,22 @@ object Relational {
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
   private def pct2(c: Column): Column = c.cast("decimal(3,2)")
   /** l_extendedprice * (1 - l_discount) as an exact decimal. */
-  private def netDec: Column =
+  private[graft] def netDec: Column =
     dec2(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - pct2(col("l_discount")))
   /** net * (1 + l_tax) as an exact decimal. */
-  private def chargeDec: Column =
+  private[graft] def chargeDec: Column =
     netDec * (lit(1).cast("decimal(3,2)") + pct2(col("l_tax")))
+
+  /** The DuckDB-side spelling of [[netDec]] — interpolated into every
+    * oracle that sums net revenue, so the exact-decimal contract has ONE
+    * source of truth per engine side. */
+  private val netSql =
+    """CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"""
+  /** DuckDB-side spelling of [[chargeDec]]. */
+  private val chargeSql = netSql + """
+         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"""
+
 
   // ---------------------------------------------------------------- B5
   /** Projection / rename / cast — pure narrow plan, no shuffle except the
@@ -76,9 +87,8 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "net")
 
   private val b06Sql =
-    """SELECT l_orderkey, l_linenumber, l_quantity,
-       CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
-         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS net
+    s"""SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(round($netSql, 2) AS DOUBLE) AS net
        FROM lineitem
        WHERE l_quantity BETWEEN 10 AND 20
          AND l_returnflag IN ('A', 'R')
@@ -134,10 +144,9 @@ object Relational {
   }
 
   private val b08Sql =
-    """SELECT o_orderpriority, count(*) AS n_lines,
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
        count(DISTINCT o_orderkey) AS n_orders,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum($netSql), 2) AS DOUBLE) AS revenue
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
@@ -295,14 +304,11 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
 
   private val b12Sql =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
+       CAST(round(sum($netSql), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum($chargeSql), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
@@ -336,10 +342,14 @@ object Relational {
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(var_samp(col("l_quantity")), 4).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"))
+        // Spark returns NaN for zero-variance/single-row groups where
+        // DuckDB (and SQL generally) returns NULL; nanvl aligns them.
+        round(nanvl(stddev_samp(col("l_quantity")), lit(null).cast("double")), 4).as("sd_qty"),
+        round(nanvl(var_samp(col("l_quantity")), lit(null).cast("double")), 4).as("var_qty"),
+        round(nanvl(corr(col("l_quantity"), col("l_extendedprice")),
+          lit(null).cast("double")), 6).as("corr_qp"),
+        round(nanvl(covar_samp(col("l_quantity"), col("l_extendedprice")),
+          lit(null).cast("double")), 4).as("covar_qp"))
       .orderBy("l_returnflag")
 
   private val b12cSql =
@@ -699,14 +709,17 @@ object Relational {
   private def b21c(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(
       col("p_partkey"),
-      regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+      // regexp_extract yields '' on no match; nullif guards the cast so a
+      // non-matching brand produces NULL instead of an ANSI cast error
+      // (both engines would otherwise throw on CAST('' AS INT))
+      nullif(regexp_extract(col("p_brand"), "#(\\d+)", 1), lit("")).cast("int").as("brand_num"),
       col("p_name").rlike("widget$").as("ends_widget"),
       length(regexp_replace(col("p_name"), "[^aeiou]", "")).as("n_vowels"))
       .orderBy("p_partkey")
 
   private val b21cSql =
     """SELECT p_partkey,
-       CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT) AS brand_num,
+       CAST(NULLIF(regexp_extract(p_brand, '#(\d+)', 1), '') AS INT) AS brand_num,
        regexp_matches(p_name, 'widget$') AS ends_widget,
        CAST(length(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS INT) AS n_vowels
        FROM part ORDER BY p_partkey"""
@@ -783,12 +796,9 @@ object Relational {
       .drop("_q", "_ep", "_d", "_t")
 
   private val b23Sql =
-    """SELECT l_orderkey, l_linenumber,
-       CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
-         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS net,
-       CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
-         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))), 2) AS DOUBLE) AS charge,
+    s"""SELECT l_orderkey, l_linenumber,
+       CAST(round($netSql, 2) AS DOUBLE) AS net,
+       CAST(round($chargeSql, 2) AS DOUBLE) AS charge,
        round(abs(l_quantity - 25.0), 2) AS qdev,
        round(pow(l_quantity, 2), 2) AS q2,
        round(ln(l_extendedprice), 6) AS ln_price,
@@ -936,7 +946,10 @@ object Relational {
     val wavg = WeightedAvg.udafColumn
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+      // the UDAF yields NaN for a zero total weight where the SQL
+      // sum/sum oracle yields NULL (division by zero) — align here
+      .agg(round(nanvl(wavg(col("l_extendedprice"), col("l_quantity")),
+          lit(null).cast("double")), 4).as("wavg_price"),
         round(sum(col("l_quantity")), 2).as("sum_w"))
       .orderBy("l_returnflag")
   }
@@ -972,9 +985,8 @@ object Relational {
       .orderBy(col("revenue").desc, col("l_orderkey"))
 
   private val b38Sql =
-    """SELECT l_orderkey, o_orderdate,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
+    s"""SELECT l_orderkey, o_orderdate,
+       CAST(round(sum($netSql), 2) AS DOUBLE) AS revenue
        FROM customer
        JOIN orders ON c_custkey = o_custkey
        JOIN lineitem ON o_orderkey = l_orderkey
@@ -1009,9 +1021,8 @@ object Relational {
   }
 
   private val b39Sql =
-    """SELECT n_name,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
+    s"""SELECT n_name,
+       CAST(round(sum($netSql), 2) AS DOUBLE) AS revenue
        FROM customer
        JOIN orders ON c_custkey = o_custkey
        JOIN lineitem ON o_orderkey = l_orderkey
@@ -1043,9 +1054,8 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey"))
 
   private val b40Sql =
-    """SELECT c_custkey, c_name, n_name,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
+    s"""SELECT c_custkey, c_name, n_name,
+       CAST(round(sum($netSql), 2) AS DOUBLE) AS revenue,
        round(max(c_acctbal), 2) AS acctbal
        FROM customer
        JOIN orders ON c_custkey = o_custkey

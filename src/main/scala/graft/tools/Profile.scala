@@ -64,9 +64,9 @@ object Profile {
       case "b23parts" :: sfDir :: Nil =>
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         noop(li.select(col("l_orderkey")))
-        val netDec = col("l_extendedprice").cast("decimal(12,2)") *
-          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
-        val chargeDec = netDec * (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)"))
+        // the one source of truth for the exact-decimal money contract
+        val netDec = graft.queries.Relational.netDec
+        val chargeDec = graft.queries.Relational.chargeDec
         time("scan only")(noop(li))
         time("double math")(noop(li.select(col("l_orderkey"),
           round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"))))
