@@ -20,12 +20,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object MappingFile {
 
-  /** Parse `"file.csv"` or `"file.csv:column_name"`. */
-  def parseSpec(spec: String): (String, Option[String]) =
-    spec.split(":", 2) match {
-      case Array(f, c) => (f, Some(c))
-      case Array(f) => (f, None)
+  /** Parse `"file.csv"` or `"file.csv:column_name"`. The column is taken
+    * after the LAST colon and only when it looks like a column identifier
+    * — sanitized column names cannot contain `:`/`/`, so URI paths
+    * (`file:///...`, `s3://...`) and Windows drives are never misparsed
+    * into (scheme, rest). */
+  def parseSpec(spec: String): (String, Option[String]) = {
+    val i = spec.lastIndexOf(':')
+    if (i < 0) (spec, None)
+    else {
+      val suffix = spec.substring(i + 1)
+      if (suffix.matches("[A-Za-z_][A-Za-z0-9_]*")) (spec.substring(0, i), Some(suffix))
+      else (spec, None)
     }
+  }
 
   /** Read the mapping CSV (driver-side; header row required). */
   def readMapping(spark: SparkSession, spec: String): Map[String, String] = {
@@ -39,7 +47,11 @@ object MappingFile {
         i
       case None => 1
     }
-    df.collect().map(r => r.getString(1) -> r.getString(valueIdx)).toMap
+    // Spark's CSV reader parses empty cells as null; the reference's csv
+    // module yields "" — normalize so comments/provenance never carry null.
+    df.collect().map(r =>
+      Option(r.getString(1)).getOrElse("") ->
+        Option(r.getString(valueIdx)).getOrElse("")).toMap
   }
 
   /** Apply a rename mapping to a DataFrame (pure metadata op, no job). */

@@ -16,7 +16,9 @@ object Sanitize {
   private val LeadingDigit = "(?U)^\\d".r
 
   def sanitize(name: String): String = {
-    val base = NonWord.replaceAllIn(name.trim.toLowerCase, "_")
+    // Locale.ROOT: Python's str.lower() is locale-independent; a default
+    // tr/az JVM locale would otherwise map I→ı and corrupt clean names.
+    val base = NonWord.replaceAllIn(name.trim.toLowerCase(java.util.Locale.ROOT), "_")
     if (LeadingDigit.findPrefixOf(base).isDefined) "_" + base else base
   }
 
@@ -26,9 +28,10 @@ object Sanitize {
     */
   def defaultHeaderStrategy(originalNames: Seq[String]): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
+    val seen = scala.collection.mutable.Set.empty[String]
     originalNames.foreach { orig =>
       val clean = sanitize(orig)
-      if (out.contains(clean))
+      if (!seen.add(clean))
         throw new IllegalArgumentException(s"Duplicate field name: $clean")
       out += clean
     }

@@ -35,8 +35,7 @@ object Sinks {
     val cols = df.columns.map(col)
     df.select(to_json(struct(cols: _*),
         Map("ignoreNullFields" -> "false")).as("j"))
-      .toLocalIterator().asInstanceOf[java.util.Iterator[Row]]
-      .asScala.map(_.getString(0))
+      .toLocalIterator().asScala.map(_.getString(0))
   }
 
   // ---------------------------------------------------------------- A5

@@ -31,10 +31,14 @@ object StreamingJobs {
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
 
   /** B34 streaming: exactly-once event-id dedup inside the watermark
-    * horizon (`dropDuplicates` keeps per-key state until the watermark
-    * passes — bounded, unlike an unwatermarked global dedup). */
+    * horizon. `dropDuplicatesWithinWatermark` is load-bearing: plain
+    * dropDuplicates("event_id") would NOT evict state via the watermark
+    * (eviction requires the event-time column among the dedup keys), so
+    * its state grows with total stream length; the within-watermark form
+    * drops each key's state once the watermark passes it — state stays
+    * (horizon × arrival rate). */
   def dedup(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+    events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming → JDBC sink via `foreachBatch`: each micro-batch appends
     * through the same Spark JDBC writer the batch loader uses

@@ -54,13 +54,15 @@ object Windows {
   // ---------------------------------------------------------------- B33
   /** Session windows (30-minute inactivity gap) in the lag+cumsum batch
     * form — the same session ids `session_window(ts, "30 minutes")`
-    * assigns; the streaming form lives in [[StreamingJobs.sessionized]]. */
+    * assigns (native windows are end-EXCLUSIVE: an event exactly `gap`
+    * after its predecessor starts a new session, hence `>=`); the
+    * streaming form lives in [[StreamingJobs.sessionized]]. */
   def sessionAgg(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val prevTs = lag(col("ts"), 1).over(w)
     df.withColumn("new_sess",
         when(prevTs.isNull ||
-          unix_micros(col("ts")) - unix_micros(prevTs) > 1800L * 1000000L, 1)
+          unix_micros(col("ts")) - unix_micros(prevTs) >= 1800L * 1000000L, 1)
           .otherwise(0))
       .withColumn("sess", sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "sess")
@@ -76,7 +78,7 @@ object Windows {
   private val b33Sql =
     """WITH x AS (SELECT user_id, event_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                 THEN 1 ELSE 0 END AS new_sess
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -91,13 +93,15 @@ object Windows {
        FROM y GROUP BY user_id, sess ORDER BY user_id, sess"""
 
   // ---------------------------------------------------------------- B34
-  /** Event-id dedup — batch form of the streaming
-    * `withWatermark + dropDuplicates` job (event_id is the idempotency
-    * key). Aggregated so the result is deterministic even under dup keys. */
+  /** Event-id dedup counts — batch counterpart of the streaming
+    * watermarked dedup ([[StreamingJobs.dedup]]). countDistinct (not
+    * dropDuplicates-then-count) so a duplicated event_id carrying
+    * different event_types counts under BOTH types deterministically,
+    * exactly as the COUNT(DISTINCT) oracle does — dropDuplicates would
+    * keep a partition-order-dependent arbitrary row. */
   def dedupCounts(df: DataFrame): DataFrame =
-    df.dropDuplicates("event_id")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_unique"))
+    df.groupBy("event_type")
+      .agg(countDistinct(col("event_id")).as("n_unique"))
 
   def dedupQuery(s: SparkSession, dir: String): DataFrame =
     dedupCounts(events(s, dir)).orderBy("event_type")
