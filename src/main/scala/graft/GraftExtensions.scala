@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CollapseSanitize, RollingHash, SanitizeName}
+import graft.functions.{CollapseSanitize, RollingHash, SanitizeName, TokenHash, VecDot, VecNorm2}
 
 /** `SparkSessionExtensions` entry point: registers the engine's native
   * expressions at session build time, so deployments can opt in with
@@ -29,6 +29,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sanitize_name"),
       new ExpressionInfo(classOf[SanitizeName].getName, "sanitize_name"),
       exprs => SanitizeName(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("token_hash"),
+      new ExpressionInfo(classOf[TokenHash].getName, "token_hash"),
+      exprs => TokenHash(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      exprs => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("vec_norm2"),
+      new ExpressionInfo(classOf[VecNorm2].getName, "vec_norm2"),
+      exprs => VecNorm2(exprs.head)))
     e.injectOptimizerRule(_ => CollapseSanitize)
   }
 }

@@ -108,7 +108,7 @@ case class SanitizeName(child: Expression) extends UnaryExpression {
   * DuckDB oracle comparisons built on them) are bit-identical. */
 object VecOps {
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -154,17 +154,29 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     else TypeCheckResult.TypeCheckFailure(
       s"vec_dot requires ARRAY<FLOAT|DOUBLE> args, got ${left.dataType}, ${right.dataType}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   private lazy val aFloat = VecOps.isFloatVec(left.dataType)
   private lazy val bFloat = VecOps.isFloatVec(right.dataType)
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+  // Mismatched lengths yield NULL — the semantics of the zip_with fold
+  // this replaces (zip_with pads the shorter array with null elements,
+  // nulling the whole sum), so ragged/corrupt embeddings surface as null
+  // cosines instead of a plausible-but-wrong truncated product.
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else VecOps.dot(x, y, aFloat, bFloat)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecOps.dot($a, $b, $aFloat, $bFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecOps.dot($a, $b, $aFloat, $bFloat);
+      }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)

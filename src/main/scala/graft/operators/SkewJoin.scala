@@ -23,21 +23,25 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
-    val salted = left.withColumn("_salt",
+    // fail fast instead of silently clobbering-then-dropping a caller's
+    // column of the same name
+    require(!left.columns.contains("__graft_salt") && !right.columns.contains("__graft_salt"),
+      "input already has a __graft_salt column")
+    val salted = left.withColumn("__graft_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
     val replicated = right
-      .withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
-    salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")
+      .withColumn("__graft_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "__graft_salt"), "inner").drop("__graft_salt")
   }
 
   /** Two-phase (salted) aggregation: `sum` of `valueCol` per `key` with
     * the first exchange spread over `saltBuckets` partial keys. */
   def twoPhaseSum(df: DataFrame, key: String, valueCol: String,
       saltBuckets: Int, resultName: String = "total"): DataFrame = {
-    val salted = df.withColumn("_salt",
+    val salted = df.withColumn("__graft_salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltBuckets)))
     salted
-      .groupBy(col(key), col("_salt"))
+      .groupBy(col(key), col("__graft_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(key))
       .agg(sum(col("_partial")).as(resultName))

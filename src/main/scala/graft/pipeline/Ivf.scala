@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,10 +52,11 @@ object Ivf {
 
   /** End-to-end IVF top-k cosine search for the vec_id=0 query vector. */
   def searchQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // vec_dot/vec_norm2 for cosine
     val emb = Tables.t(s, dir, "embeddings")
     val (model, indexed) = build(emb)
     val queryVec = indexed.filter(col("vec_id") === 0)
-      .select(vector_to_array(array_to_vector(col("embedding").cast("array<double>"))))
+      .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     val lists = probeLists(model, queryVec, nprobe = 2)
     val q = indexed.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))

@@ -84,7 +84,11 @@ object Multimodal {
     media.select("media_id", "payload", "meta_width", "meta_height").mapPartitions { rows =>
       rows.map { r =>
         val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val srcArea = math.max(1, r.getInt(2) * r.getInt(3))
+        // meta_width/meta_height are nullable in mediaSchema — getInt on
+        // null throws; treat missing dimensions as 1x1 (no shrink basis)
+        val w0 = if (r.isNullAt(2)) 1 else r.getInt(2)
+        val h0 = if (r.isNullAt(3)) 1 else r.getInt(3)
+        val srcArea = math.max(1, w0 * h0)
         val frac = math.min(1.0, (width * height).toDouble / srcArea)
         val resized = payload.take(math.max(1, (payload.length * frac).toInt))
         Row(r.getLong(0), resized, width, height)
@@ -105,6 +109,7 @@ object Multimodal {
     * demuxer integrates; downstream operators (dedup, embedding, filter)
     * consume frames as ordinary rows. */
   def frameSample(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive (1 keeps every frame), got $stride")
     val enc = RowEncoder.encoderFor(frameSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>

@@ -33,28 +33,30 @@ object Similarity {
   // expressions (same array-order double accumulation as the
   // zip_with/aggregate folds they replaced — ExpressionsSpec proves
   // equality — but no per-element lambda dispatch per candidate pair).
-  private def registered: Unit =
-    graft.functions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
+  // Each query-building method registers the functions on ITS session
+  // (`reg(s)`) before constructing columns; the active-session fallback
+  // below only covers callers of the bare [[cosine]] helper, whose
+  // Column-only signature cannot name a target session.
+  private def reg(s: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
 
-  private def dot(a: Column, b: Column): Column = {
-    registered
+  private def dot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
-  }
 
-  private def norm2(a: Column): Column = {
-    registered
+  private def norm2(a: Column): Column =
     call_function("vec_norm2", a)
-  }
 
   /** Cosine similarity between two array<float> columns (exact, double
     * accumulation in array order — reproducible across engines). */
-  def cosine(a: Column, b: Column): Column =
+  def cosine(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(reg)
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+  }
 
   // ---------------------------------------------------------------- B29
   /** Brute-force cosine top-k of all vectors vs the vec_id=0 query row. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    reg(s)
     val e = Tables.t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     e.filter(col("vec_id") =!= 0)
@@ -81,6 +83,7 @@ object Similarity {
   /** IVF-style ANN: restrict the scan to the query vector's coarse
     * partition (`label`), then exact cosine top-k inside it. */
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    reg(s)
     val e = Tables.t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"), col("label").as("q_label"))
@@ -177,6 +180,7 @@ object Similarity {
     * query vector; exact cosine ranks them. Candidate generation is a
     * broadcast equi-join on (band, bucket). */
   def annLshQuery(s: SparkSession, dir: String): DataFrame = {
+    reg(s)
     val b = bucketed(s, dir)
     val qb = b.filter(col("vec_id") === 0).select(col("band"), col("bucket"))
     val qe = Tables.t(s, dir, "embeddings")
@@ -226,6 +230,7 @@ object Similarity {
   }
 
   def embeddingNearDupsLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    reg(s)
     val cand = lshCandidates(s, dir)
     // Norms are per-vector: compute them once on the 1×n side, so each
     // candidate pair costs a single dot-product fold, not three.
@@ -263,6 +268,7 @@ object Similarity {
     * `vec_id < vec_id` self-join is a nested-loop product that does not
     * survive scale-up; the registered form is [[embeddingNearDupsLsh]]. */
   def embeddingNearDupsAllPairs(df: DataFrame, threshold: Double): DataFrame = {
+    reg(df.sparkSession)
     val e = df.select(col("vec_id"), col("embedding"), sqrt(norm2(col("embedding"))).as("norm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),

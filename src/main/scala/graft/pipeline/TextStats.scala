@@ -88,7 +88,9 @@ object TextStats {
     val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
     val digitChars = length(regexp_replace(col("text"), "[^0-9]", ""))
     val stopRatio = stopHits.cast("double") / nTokens
-    val digitRatio = digitChars.cast("double") / length(col("text"))
+    // nullif guards the empty-text denominator; DuckDB's IEEE 0.0/0
+    // would yield NaN where Spark yields NULL — NULLIF aligns both on NULL
+    val digitRatio = digitChars.cast("double") / nullif(length(col("text")), lit(0))
     docs(s, dir).select(
       col("doc_id"),
       nTokens.as("n_tokens"),
@@ -109,12 +111,12 @@ object TextStats {
                t -> list_contains([$stop], t))) AS DOUBLE)
              / len(string_split(text, ' ')), 4) AS stop_ratio,
        round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-             / length(text), 4) AS digit_ratio,
+             / NULLIF(length(text), 0), 4) AS digit_ratio,
        round(0.5 * (CAST(len(list_filter(string_split(text, ' '),
                t -> list_contains([$stop], t))) AS DOUBLE)
              / len(string_split(text, ' ')))
            + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-             / length(text)), 4) AS quality
+             / NULLIF(length(text), 0)), 4) AS quality
        FROM documents ORDER BY doc_id"""
   }
 

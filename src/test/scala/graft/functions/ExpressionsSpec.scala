@@ -106,13 +106,31 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
-  test("extensions entry point registers both functions") {
+  test("vec_dot yields NULL for mismatched vector lengths (zip_with parity)") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val out = df.select(call_function("vec_dot", col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0),
+      "ragged embeddings must surface as null, not a truncated dot product")
+  }
+
+  test("extensions entry point registers every native function") {
     val s2 = spark.newSession()
     new graft.GraftExtensions()
     // injectFunction path needs a fresh builder; the registry path is the
-    // session-level equivalent — assert it resolves through SQL.
+    // session-level equivalent — assert every function resolves through
+    // SQL on a NON-active session (regression: vec ops once registered on
+    // SparkSession.active only).
     GraftFunctions.register(s2)
     assert(s2.sql("SELECT rolling_hash('abc')").collect()(0).getLong(0) == 96354L)
     assert(s2.sql("SELECT sanitize_name('A b.C')").collect()(0).getString(0) == "a_b_c")
+    assert(s2.sql("SELECT token_hash('abc')").collect()(0).getLong(0) ==
+      TokenHash.hash("abc"))
+    assert(s2.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
+      .collect()(0).getDouble(0) == 2.0)
+    assert(s2.sql("SELECT vec_norm2(array(CAST(3.0 AS FLOAT)))")
+      .collect()(0).getDouble(0) == 9.0)
   }
 }
