@@ -116,6 +116,32 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.05, s"LSH recall $recall collapsed (${lsh.size}/${allPairs.size})")
   }
 
+  test("df cap keeps posting-list candidates ~linear on a stopword-heavy corpus") {
+    import spark.implicits._
+    val n = 120
+    val stop = "the and of to in a for with on is"
+    val corpus = ((1 to n).map(i => (i.toLong, s"$stop unique${i}a unique${i}b unique${i}c")) ++
+      Seq((1000L, "rareterm alpha beta gamma delta"),
+          (1001L, "rareterm alpha beta gamma epsilon"))).toDF("doc_id", "text")
+    // Every doc shares the 10 stopwords: uncapped, the posting self-join
+    // would emit ≥ n(n-1)/2 ≈ 7k candidate pairs from those keys alone.
+    // The cap (df² ≤ 64·122 → df ≤ 88 < 122) drops them → linear candidates.
+    val tok = Dedup.cappedPostings(corpus,
+      array_distinct(split(col("text"), " ")), "tok", Dedup.DfCapC)
+    val candidates = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(candidates <= 4L * (n + 2), s"candidate pairs $candidates blew past linear")
+    // Rare-token signal survives the cap: the planted near-dup still pairs.
+    val pairs = Dedup.jaccardPairsOn(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1000L, 1001L)), s"expected only the planted pair, got $pairs")
+    // Same planted pair through the char-3-gram form.
+    val gpairs = Dedup.ngramJaccardPairsOn(corpus, n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gpairs.contains((1000L, 1001L)), s"n-gram form lost the planted pair: $gpairs")
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactDedup _
     import spark.implicits._
