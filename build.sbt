@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout bypasses sbt's logger: without this, every line the
+// Bench/Verify mains print is prefixed with "[info] ", which broke the
+// external driver's JSON-tail parse two rounds running (parsed:null in
+// BENCH_r01/r02). StdoutOutput inherits the parent's raw stdout instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
