@@ -17,13 +17,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Engine {
 
+  private val AttachedDirKey = "graft.engine.attachedDir"
+
   /** Register every test-data table as a temp view + the native function
-    * set ([[graft.functions.GraftFunctions]]). */
+    * set ([[graft.functions.GraftFunctions]]). Idempotent-cheap: a repeat
+    * attach for the same dir on the same session is a single conf lookup
+    * (the marker rides in session conf, so each `newSession()` — with its
+    * own view registry AND own conf — re-attaches correctly). */
   def attach(spark: SparkSession, dir: String): Unit = {
+    if (spark.conf.getOption(AttachedDirKey).contains(dir)) return
+    Tables.ensureNanosConf(spark)
     Tables.all.foreach { name =>
       Tables.t(spark, dir, name).createOrReplaceTempView(name)
     }
     functions.GraftFunctions.register(spark)
+    spark.conf.set(AttachedDirKey, dir)
   }
 
   /** Convenience: attach + run one SQL statement. */

@@ -16,14 +16,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    * this flag makes it surface as a raw int64. Our own mains set it at
+    * session construction; this guard exists because the external driver
+    * may call queries with a session it built itself. It mutates session
+    * conf at most ONCE per session (idempotent check-then-set), not per
+    * read. */
+  def ensureNanosConf(spark: SparkSession): Unit = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(k).contains("true")) spark.conf.set(k, "true")
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default. Read the raw int64 nanos and truncate to a microsecond
+      // Read the raw int64 nanos and truncate to a microsecond
       // timestamp — the same value DuckDB produces when casting its
       // TIMESTAMP_NS to TIMESTAMP, so oracle comparisons stay exact
       // (SURVEY.md §7.4.2; the test data is µs-precision anyway).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ensureNanosConf(spark)
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {

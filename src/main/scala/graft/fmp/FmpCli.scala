@@ -60,6 +60,9 @@ object FmpCli {
       // the CLI's stdout in local mode (this tool's deployment); under a
       // remote SPARK_MASTER they land in executor logs, as executor-side
       // output always does.
+      // COST: the snapshot is decompressed twice (header walk here, full
+      // parse in the V2 load) — accepted for header/count parity; bz2
+      // decompression is single-pass-streamed both times, never buffered.
       val schema = FmpReader.readSchemaOnly(file)
       println(s"Parsing ${schema.foundCount} records from ${schema.name}")
       val df = spark.read.format("fmp")

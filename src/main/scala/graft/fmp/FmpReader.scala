@@ -10,7 +10,7 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, Metadata, MetadataBuilder, StringType, StructField, StructType}
 import org.slf4j.LoggerFactory
 
 import graft.etl.Sanitize
@@ -86,7 +86,8 @@ object FmpReader {
     * `<RESULTSET>` open tag. Shared by the schema-only path and the row
     * iterator so warnings and validation live in exactly one place. */
   private def parseHeader(r: javax.xml.stream.XMLStreamReader,
-      headerStrategy: Seq[String] => Seq[String]): FmpSchema = {
+      headerStrategy: Seq[String] => Seq[String],
+      warnRepeating: Boolean = true): FmpSchema = {
     var dbName = ""
     var dbRecords = -1L
     val fields = ArrayBuffer.empty[FmpField]
@@ -117,11 +118,13 @@ object FmpReader {
           // (namedtuple arity failure at fmp_reader.py:112). This parser
           // reproduces that per-<DATA> behavior exactly for parity, but
           // refuses to do it silently.
-          if (f.maxRepeat > 1)
+          if (f.maxRepeat > 1 && warnRepeating)
             log.warn(s"Field '${f.name}' declares MAXREPEAT=${f.maxRepeat}; repeating " +
-              "fields are NOT supported (reference-parity): each <DATA> becomes its own " +
-              "cell, so a row carrying more than one <DATA> for this column will " +
-              "misalign or fail. Export with MAXREPEAT=1 or flatten repetitions upstream.")
+              "fields are NOT supported in positional mode (reference-parity): each " +
+              "<DATA> becomes its own cell, so a row carrying more than one <DATA> for " +
+              "this column will misalign or fail. Export with MAXREPEAT=1, flatten " +
+              "repetitions upstream, or read with option(\"repeatingAsArray\", true) " +
+              "to ingest this column as array<string>.")
           fields += f
         case _ =>
       }
@@ -194,6 +197,70 @@ object FmpReader {
     override def close(): Unit = { r.close(); in.close() }
   }
 
+  /** COL-grouping variant of [[FmpRowIterator]] for `repeatingAsArray`
+    * ingestion: yields one `Array[Array[String]]` per `<ROW>` — one entry
+    * per `<COL>`, holding that column's `<DATA>` texts in document order
+    * (`<DATA/>` → null element; an empty `<COL>` → empty array). A
+    * MAXREPEAT>1 column thus arrives as a real repeated value instead of
+    * misaligning the positional row — capability the reference lacks (it
+    * appends every `<DATA>` flat, fmp_reader.py:116-117, and a repeating
+    * row overflows its namedtuple). Same constant-memory StAX pull shape
+    * as the positional iterator. */
+  final class FmpColRowIterator(in: InputStream,
+      headerStrategy: Seq[String] => Seq[String] = Sanitize.defaultHeaderStrategy)
+      extends Iterator[Array[Array[String]]] with AutoCloseable {
+    private val r = newStreamReader(in)
+    val schema: FmpSchema = parseHeader(r, headerStrategy, warnRepeating = false)
+
+    private val cells = ArrayBuffer.empty[Array[String]]
+    private val colBuf = ArrayBuffer.empty[String]
+    private var pending: Array[Array[String]] = null
+    private var inData = false
+    private var sawText = false
+    private val text = new StringBuilder
+    private var exhausted = false
+
+    private def advance(): Unit = {
+      while (pending == null && !exhausted && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "ROW" => cells.clear()
+              case "COL" => colBuf.clear()
+              case "DATA" => inData = true; sawText = false; text.clear()
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inData =>
+            text.appendAll(r.getTextCharacters, r.getTextStart, r.getTextLength)
+            sawText = true
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "DATA" =>
+                colBuf += (if (sawText) text.toString else null)
+                inData = false
+              case "COL" =>
+                cells += colBuf.toArray
+                colBuf.clear()
+              case "ROW" =>
+                pending = cells.toArray
+                cells.clear()
+              case "RESULTSET" => exhausted = true
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      if (!r.hasNext) exhausted = true
+    }
+
+    override def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+    override def next(): Array[Array[String]] = {
+      if (!hasNext) throw new NoSuchElementException
+      val out = pending; pending = null; out
+    }
+    override def close(): Unit = { r.close(); in.close() }
+  }
+
   /** Full streaming parse: header + all rows (`<DATA>` texts appended
     * positionally per row, fmp_reader.py:108-120). Constant memory —
     * rows are handed to `sink` as they complete. */
@@ -208,10 +275,14 @@ object FmpReader {
 
   /** Spark StructType for an FMP schema: all-nullable strings (reference
     * semantics §2C.1), original header name carried as `comment` metadata
-    * (the SQL column comment at sql.py:31-34). */
-  def toStructType(schema: FmpSchema): StructType =
+    * (the SQL column comment at sql.py:31-34). With `repeatingAsArray`,
+    * MAXREPEAT>1 fields surface as `array<string>` instead. */
+  def toStructType(schema: FmpSchema, repeatingAsArray: Boolean = false): StructType =
     StructType(schema.nameMapping.map { case (clean, field) =>
-      StructField(clean, StringType, nullable = true,
+      val dt: DataType =
+        if (repeatingAsArray && field.maxRepeat > 1) ArrayType(StringType, containsNull = true)
+        else StringType
+      StructField(clean, dt, nullable = true,
         metadata = new MetadataBuilder().putString("comment", field.name).build())
     })
 

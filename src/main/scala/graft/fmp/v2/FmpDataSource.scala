@@ -9,8 +9,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -51,7 +52,8 @@ class FmpDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FmpReader.toStructType(FmpReader.readSchemaOnly(pathOf(options)))
+    FmpReader.toStructType(FmpReader.readSchemaOnly(pathOf(options)),
+      options.getBoolean("repeatingAsArray", false))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -65,11 +67,12 @@ class FmpTable(tableSchema: StructType, path: String) extends Table with Support
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FmpScanBuilder(tableSchema, path, options.getBoolean("allSnapshots", false),
-      options.getLong("progressEvery", 0L))
+      options.getLong("progressEvery", 0L),
+      options.getBoolean("repeatingAsArray", false))
 }
 
 class FmpScanBuilder(fullSchema: StructType, path: String, allSnapshots: Boolean,
-    progressEvery: Long)
+    progressEvery: Long, repeatingAsArray: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -77,11 +80,12 @@ class FmpScanBuilder(fullSchema: StructType, path: String, allSnapshots: Boolean
     required = requiredSchema
 
   override def build(): Scan =
-    new FmpScan(fullSchema, required, path, allSnapshots, progressEvery)
+    new FmpScan(fullSchema, required, path, allSnapshots, progressEvery, repeatingAsArray)
 }
 
 class FmpScan(fullSchema: StructType, required: StructType, path: String,
-    allSnapshots: Boolean, progressEvery: Long) extends Scan with Batch {
+    allSnapshots: Boolean, progressEvery: Long, repeatingAsArray: Boolean)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -108,17 +112,22 @@ class FmpScan(fullSchema: StructType, required: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FmpPartitionReaderFactory(fullSchema.fieldNames, required.fieldNames, progressEvery)
+    new FmpPartitionReaderFactory(fullSchema.fieldNames, required, progressEvery,
+      repeatingAsArray)
 }
 
 case class FmpInputPartition(resolvedPath: String) extends InputPartition
 
-class FmpPartitionReaderFactory(allColumns: Array[String], requiredColumns: Array[String],
-    progressEvery: Long)
+class FmpPartitionReaderFactory(allColumns: Array[String], requiredSchema: StructType,
+    progressEvery: Long, repeatingAsArray: Boolean)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FmpPartitionReader(partition.asInstanceOf[FmpInputPartition].resolvedPath,
-      allColumns, requiredColumns, progressEvery)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[FmpInputPartition].resolvedPath
+    if (repeatingAsArray)
+      new FmpArrayPartitionReader(path, allColumns, requiredSchema)
+    else
+      new FmpPartitionReader(path, allColumns, requiredSchema.fieldNames, progressEvery)
+  }
 }
 
 /** Executor-side streaming reader: StAX-parses the document and projects
@@ -185,4 +194,58 @@ class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumn
       System.out.println(s"[fmp] $fileName: parsed $nRecords records ($recPerSec rec/s)")
     it.close()
   }
+}
+
+/** Executor-side reader for `repeatingAsArray` mode: the COL-grouping
+  * iterator yields every cell as the `<COL>`'s `<DATA>` list, and this
+  * reader converts each required column by its schema type — MAXREPEAT>1
+  * fields (`array<string>`) carry the full repetition as ArrayData,
+  * MAXREPEAT=1 fields (`string`) take the cell's single value. Column
+  * resolution is by clean name against the file's own header with the
+  * same by-name/positional classification as the flat reader, so
+  * multi-snapshot (`allSnapshots`) reads evolve by name here too; a
+  * snapshot whose own header declared the field MAXREPEAT=1 still
+  * converts fine (its one-element cell becomes a one-element array). */
+class FmpArrayPartitionReader(path: String, allColumns: Array[String],
+    requiredSchema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val it = new FmpReader.FmpColRowIterator(
+    FmpReader.open(java.nio.file.Paths.get(path)))
+  private val fileIsByName: Boolean =
+    allColumns.exists(c => it.schema.cleanNames.contains(c))
+  private val indices: Array[Int] = requiredSchema.fieldNames.map { c =>
+    val i = it.schema.cleanNames.indexOf(c)
+    if (i >= 0) i
+    else if (fileIsByName) -1
+    else allColumns.indexOf(c)
+  }
+  private val isArray: Array[Boolean] =
+    requiredSchema.fields.map(_.dataType.isInstanceOf[ArrayType])
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) {
+      val raw = it.next()
+      val values = new Array[Any](indices.length)
+      var i = 0
+      while (i < indices.length) {
+        val idx = indices(i)
+        values(i) =
+          if (idx < 0 || idx >= raw.length) null
+          else {
+            val cell = raw(idx)
+            if (isArray(i))
+              new GenericArrayData(cell.map(s =>
+                if (s == null) null else UTF8String.fromString(s)): Array[Any])
+            else if (cell.isEmpty || cell(0) == null) null
+            else UTF8String.fromString(cell(0))
+          }
+        i += 1
+      }
+      current = new GenericInternalRow(values)
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = it.close()
 }

@@ -29,13 +29,28 @@ import graft.{QueryDef, Tables}
 object Ivf {
   val DefaultNlist = 8
   val Seed = 42L
+  /** Upper bound on vectors fed to the k-means fit. A coarse quantizer
+    * needs only a representative sample — centroids from 100k vectors are
+    * statistically indistinguishable from centroids over the full corpus,
+    * while a full-corpus fit at 100 TB would iterate the entire dataset
+    * maxIter times. */
+  val FitSampleCap = 100000L
 
-  /** Fit the coarse quantizer and tag each vector with its list id. */
+  /** Fit the coarse quantizer (on a bounded sample of the corpus) and tag
+    * every vector with its list id. */
   def build(embeddings: DataFrame, nlist: Int = DefaultNlist): (KMeansModel, DataFrame) = {
     val vecs = embeddings.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
+    // One cheap count decides whether sampling is needed; the fraction is
+    // padded 10% so the Bernoulli sample almost surely clears the cap's
+    // intent, and the fit input stays index-sized regardless of corpus size.
+    val n = vecs.count()
+    val fitInput =
+      if (n <= FitSampleCap) vecs
+      else vecs.sample(withReplacement = false,
+        math.min(1.0, 1.1 * FitSampleCap.toDouble / n), Seed)
     val model = new KMeans().setK(nlist).setSeed(Seed).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("list_id").fit(vecs)
+      .setFeaturesCol("features").setPredictionCol("list_id").fit(fitInput)
     (model, model.transform(vecs).drop("features"))
   }
 

@@ -47,11 +47,23 @@ object Similarity {
     call_function("vec_norm2", a)
 
   /** Cosine similarity between two array<float> columns (exact, double
-    * accumulation in array order — reproducible across engines). */
-  def cosine(a: Column, b: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach(reg)
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
-  }
+    * accumulation in array order — reproducible across engines).
+    *
+    * With an active session the native codegen'd VecDot/VecNorm2 path is
+    * used; without one (Column built on a bare thread) it falls back to
+    * the built-in zip_with/aggregate fold — proven element-for-element
+    * equal in ExpressionsSpec — instead of failing analysis later with an
+    * obscure "undefined function: vec_dot". */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        reg(s)
+        dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+      case None =>
+        def fDot(x: Column, y: Column) = aggregate(
+          zip_with(x, y, (p, q) => dbl(p) * dbl(q)), lit(0.0), (acc, v) => acc + v)
+        fDot(a, b) / (sqrt(fDot(a, a)) * sqrt(fDot(b, b)))
+    }
 
   // ---------------------------------------------------------------- B29
   /** Brute-force cosine top-k of all vectors vs the vec_id=0 query row. */

@@ -337,6 +337,25 @@ object Relational {
        round(quantile_cont(l_extendedprice, 0.1), 4) AS p10_price
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Sketch-based percentiles — the PRODUCTION path at scale. Exact
+    * `percentile` (b12b) is a TypedImperativeAggregate buffering a
+    * value→count map per group: on a near-continuous column like
+    * l_extendedprice the buffer is O(rows/group), which at 100× is a
+    * multi-billion-entry executor-memory killer. `approx_percentile`
+    * keeps a fixed-size mergeable QuantileSummaries sketch per group
+    * (memory bounded by the accuracy parameter, not the data), combines
+    * map-side, and lands within 1/accuracy relative rank error. Rows-only
+    * entry (sketch internals are engine-specific, like b13b's HLL);
+    * RelationalSpec bounds it against the exact form. */
+  private def b12d(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("med_qty"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price"),
+        expr("approx_percentile(l_extendedprice, 0.1, 10000)").as("p10_price"))
+      .orderBy("l_returnflag")
+
   /** Statistical aggregates: spread and correlation. */
   private def b12c(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -1082,6 +1101,7 @@ object Relational {
     QueryDef("b12_q1_agg", b12, Some(b12Sql)),
     QueryDef("b12b_percentiles", b12b, Some(b12bSql)),
     QueryDef("b12c_stats", b12c, Some(b12cSql)),
+    QueryDef("b12d_approx_percentiles", b12d, None),
     QueryDef("b13_distinct_counts", b13, Some(b13Sql)),
     QueryDef("b13b_approx_distinct", b13b, None),
     QueryDef("b13c_string_agg", b13c, Some(b13cSql)),

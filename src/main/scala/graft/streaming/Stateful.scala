@@ -128,6 +128,9 @@ object Stateful {
 
     override def handleExpiredTimer(userId: Long, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[UserSession] = {
+      // An orphaned timer (state cleared elsewhere, or a replayed
+      // checkpoint edge) must be ignored, not thrown on.
+      if (!state.exists()) return Iterator.empty
       val s = state.get()
       state.clear()
       Iterator.single(UserSession(userId, s.nEvents, s.totalValue, s.lastTs))

@@ -149,4 +149,56 @@ class FmpReaderSpec extends SparkSpec {
       assert(rows.head == Seq("3", "Vondel, Joost van den", "1637"))
     } finally it.close()
   }
+
+  // A MAXREPEAT=2 export whose "Jaar" column really repeats: rows carry
+  // two <DATA> (one with an empty second repetition, one with a single
+  // value — FileMaker omits trailing empty repetitions).
+  private def repeatingDoc: String =
+    doc(3, 3,
+      """    <ROW MODID="0" RECORDID="1">
+        |      <COL><DATA>3</DATA></COL>
+        |      <COL><DATA>Vondel, Joost van den</DATA></COL>
+        |      <COL><DATA>1637</DATA><DATA>1654</DATA></COL>
+        |    </ROW>
+        |    <ROW MODID="0" RECORDID="2">
+        |      <COL><DATA>5</DATA></COL>
+        |      <COL><DATA/></COL>
+        |      <COL><DATA>ca. 1660</DATA><DATA/></COL>
+        |    </ROW>
+        |    <ROW MODID="0" RECORDID="3">
+        |      <COL><DATA>1</DATA></COL>
+        |      <COL><DATA>Bredero, G.A.</DATA></COL>
+        |      <COL><DATA>1618</DATA></COL>
+        |    </ROW>""".stripMargin)
+      .replace("""MAXREPEAT="1" NAME="Jaar"""", """MAXREPEAT="2" NAME="Jaar"""")
+
+  test("MAXREPEAT=2 rows: positional mode misaligns (warned parity), array mode ingests arrays") {
+    val dir = Files.createTempDirectory("fmprep")
+    val p = write(dir.resolve("rep.xml"), repeatingDoc)
+
+    // Positional (reference-parity) mode: every <DATA> is its own cell, so
+    // row 1 carries 4 cells for 3 columns — exactly the reference's
+    // misalignment, reproduced but warned.
+    val it = new FmpReader.FmpRowIterator(stream(repeatingDoc))
+    try {
+      val flat = it.toSeq.map(_.toSeq)
+      assert(flat.head == Seq("3", "Vondel, Joost van den", "1637", "1654"))
+    } finally it.close()
+
+    // repeatingAsArray: MAXREPEAT>1 column surfaces as array<string>, one
+    // element per <DATA> repetition, rows never misalign.
+    val df = spark.read.format("fmp").option("repeatingAsArray", "true").load(p.toString)
+    assert(df.schema("jaar").dataType.typeName == "array")
+    assert(df.schema("auteur").dataType.typeName == "string")
+    val rows = df.orderBy("aantal_bedr_").collect()
+    val byKey = rows.map(r => r.getString(0) -> r).toMap
+    assert(byKey("3").getSeq[String](2) == Seq("1637", "1654"))
+    assert(byKey("5").getSeq[String](2) == Seq("ca. 1660", null), "empty repetition → null element")
+    assert(byKey("1").getSeq[String](2) == Seq("1618"))
+    assert(byKey("5").isNullAt(1), "<DATA/> in a string column stays null")
+    // Column pruning still works through the array reader.
+    val pruned = spark.read.format("fmp").option("repeatingAsArray", "true")
+      .load(p.toString).select("jaar").collect()
+    assert(pruned.map(_.getSeq[String](0).length).sorted.toSeq == Seq(1, 2, 2))
+  }
 }
