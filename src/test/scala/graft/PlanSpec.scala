@@ -97,6 +97,36 @@ class PlanSpec extends SparkSpec {
       s"all-pairs product over the corpus would not survive scale-up:\n$p")
   }
 
+  test("x13: tf and df aggregations are partial+final; corpus count broadcasts") {
+    val p = plan("x13_tfidf_top")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"tf and df aggs must each be map-side combinable:\n$p")
+    assert(p.contains("Broadcast"), s"1-row corpus count must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x14: hash split is map-only + one aggregation exchange") {
+    val p = plan("x14_hash_split")
+    assert(!p.contains("Join"), s"split assignment must not join:\n$p")
+    // Tree section lists each Exchange once as "+- Exchange": expect the
+    // 3-group agg shuffle plus the deterministic-output sort, nothing else.
+    assert("\\+- Exchange".r.findAllIn(p).size <= 2,
+      s"one shuffle for the 3-group agg (plus the ordering exchange):\n$p")
+  }
+
+  test("x16: cluster pair generation joins on the token key, never a corpus product") {
+    val pairs = graft.pipeline.Dedup.jaccardPairs(spark, sf)
+    val p = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"),
+      s"posting-list join must never degrade to a product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"token self-join must be an equi-join:\n$p")
+    // The only nested-loop allowed is the broadcast 1-row corpus count,
+    // which appears once per self-join side in the plan tree.
+    assert("\\+- BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

@@ -6,7 +6,7 @@ package graft
   * counts at this scale. */
 class QueriesSmokeSpec extends SparkSpec {
 
-  private val mayBeEmpty = Set("b28_jaccard_pairs", "x07_ann_lsh")
+  private val mayBeEmpty = Set("b28_jaccard_pairs", "x07_ann_lsh", "x16_dedup_clusters")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
