@@ -34,14 +34,18 @@ object Bench {
     // one GC pause or scheduling hiccup (round 2's b23 read 22.9 s driver-
     // side vs 3.2-5.1 s reproduced). The min is the stable estimator of
     // the plan's actual cost; both runs execute the full plan end-to-end.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed run yields None so min can never prefer a fast failure
+    // over a slow success; a query failing both runs reports -1.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      val runs = Seq(timeOnce(name, fn), timeOnce(name, fn)).flatten
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     // FMP ingest throughput on the reference's own benchmark shape
     // (12,543 records × 126 fields — the ONE number BASELINE.md

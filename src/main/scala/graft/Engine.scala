@@ -23,9 +23,20 @@ object Engine {
     * set ([[graft.functions.GraftFunctions]]). Idempotent-cheap: a repeat
     * attach for the same dir on the same session is a single conf lookup
     * (the marker rides in session conf, so each `newSession()` — with its
-    * own view registry AND own conf — re-attaches correctly). */
+    * own view registry AND own conf — re-attaches correctly).
+    *
+    * The marker tracks (session, dir), NOT view health: a caller that
+    * drops or replaces one of the ten views afterwards keeps that change
+    * until [[reattach]] — which restores the canonical views
+    * unconditionally — is called or the dir changes. */
   def attach(spark: SparkSession, dir: String): Unit = {
     if (spark.conf.getOption(AttachedDirKey).contains(dir)) return
+    reattach(spark, dir)
+  }
+
+  /** Unconditional (re-)registration — restores all canonical views even
+    * when the idempotence marker says the session is already attached. */
+  def reattach(spark: SparkSession, dir: String): Unit = {
     Tables.ensureNanosConf(spark)
     Tables.all.foreach { name =>
       Tables.t(spark, dir, name).createOrReplaceTempView(name)

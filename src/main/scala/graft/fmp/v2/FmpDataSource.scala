@@ -124,7 +124,7 @@ class FmpPartitionReaderFactory(allColumns: Array[String], requiredSchema: Struc
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[FmpInputPartition].resolvedPath
     if (repeatingAsArray)
-      new FmpArrayPartitionReader(path, allColumns, requiredSchema)
+      new FmpArrayPartitionReader(path, allColumns, requiredSchema, progressEvery)
     else
       new FmpPartitionReader(path, allColumns, requiredSchema.fieldNames, progressEvery)
   }
@@ -207,7 +207,7 @@ class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumn
   * snapshot whose own header declared the field MAXREPEAT=1 still
   * converts fine (its one-element cell becomes a one-element array). */
 class FmpArrayPartitionReader(path: String, allColumns: Array[String],
-    requiredSchema: StructType)
+    requiredSchema: StructType, progressEvery: Long = 0L)
     extends PartitionReader[InternalRow] {
   private val it = new FmpReader.FmpColRowIterator(
     FmpReader.open(java.nio.file.Paths.get(path)))
@@ -222,6 +222,19 @@ class FmpArrayPartitionReader(path: String, allColumns: Array[String],
   private val isArray: Array[Boolean] =
     requiredSchema.fields.map(_.dataType.isInstanceOf[ArrayType])
   private var current: InternalRow = _
+  private var nRecords = 0L
+  private val startNanos = System.nanoTime()
+  private val fileName = java.nio.file.Paths.get(path).getFileName.toString
+  // A string-typed column receiving a multi-<DATA> cell (e.g. an
+  // allSnapshots read whose unified schema came from a MAXREPEAT=1
+  // snapshot) keeps only the first repetition — warned once per
+  // file+column, never silently (the module contract).
+  private val warnedTruncation = scala.collection.mutable.Set.empty[Int]
+
+  private def recPerSec: Long = {
+    val secs = (System.nanoTime() - startNanos) / 1e9
+    if (secs > 0) (nRecords / secs).toLong else 0L
+  }
 
   override def next(): Boolean =
     if (it.hasNext) {
@@ -237,15 +250,30 @@ class FmpArrayPartitionReader(path: String, allColumns: Array[String],
             if (isArray(i))
               new GenericArrayData(cell.map(s =>
                 if (s == null) null else UTF8String.fromString(s)): Array[Any])
-            else if (cell.isEmpty || cell(0) == null) null
-            else UTF8String.fromString(cell(0))
+            else {
+              if (cell.length > 1 && warnedTruncation.add(i))
+                System.err.println(s"[fmp] $fileName: column " +
+                  s"'${requiredSchema.fieldNames(i)}' carries ${cell.length} <DATA> " +
+                  "repetitions but the unified schema types it string; keeping the " +
+                  "first repetition only (re-read with repeatingAsArray inferred " +
+                  "from this snapshot to preserve all repetitions)")
+              if (cell.isEmpty || cell(0) == null) null
+              else UTF8String.fromString(cell(0))
+            }
           }
         i += 1
       }
       current = new GenericInternalRow(values)
+      nRecords += 1
+      if (progressEvery > 0 && nRecords % progressEvery == 0)
+        System.out.println(s"[fmp] $fileName: $nRecords records ($recPerSec rec/s)")
       true
     } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = it.close()
+  override def close(): Unit = {
+    if (progressEvery > 0)
+      System.out.println(s"[fmp] $fileName: parsed $nRecords records ($recPerSec rec/s)")
+    it.close()
+  }
 }

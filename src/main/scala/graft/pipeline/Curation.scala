@@ -152,7 +152,8 @@ object Curation {
       .withColumn("lbl", col("node")).persist()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    val MaxRounds = 100
+    while (!converged && rounds < MaxRounds) {
       val next = labels
         .join(edges, col("node") === col("src"), "left")
         .join(labels.select(col("node").as("dst2"), col("lbl").as("nbr_lbl")),
@@ -167,29 +168,34 @@ object Curation {
       converged = changed == 0
       rounds += 1
     }
-    val out = labels
+    // Non-convergence must be loud: truncated propagation would silently
+    // split one component into several clusters (and diverge from the
+    // recursive-CTE oracle). MaxRounds bounds the component DIAMETER, not
+    // its size — near-dup graphs are shallow, so hitting it means
+    // something is structurally wrong with the input.
+    if (!converged) {
+      edges.unpersist(); labels.unpersist()
+      throw new IllegalStateException(
+        s"dedupClusters: min-label propagation did not converge in $MaxRounds rounds")
+    }
+    // localCheckpoint truncates lineage past the persisted loop state, so
+    // edges + the final round's cache can be released here instead of
+    // leaking into the shared session for the caller's lifetime.
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    finalLabels
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
       .orderBy("doc_id")
-    edges.unpersist()
-    out
   }
 
+  /** Pair generation is textually shared with b28 ([[Dedup.b28PairCtes]])
+    * so the two oracles cannot drift; the recursive `reach` CTE then
+    * computes min-over-all-reachable-labels — the same fixpoint the
+    * Spark-side propagation loop converges to. */
   private val x16Sql =
-    s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
-       nd AS (SELECT count(*) AS ndocs FROM base),
-       tok0 AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-                FROM base),
-       dfc AS (SELECT tok, count(*) AS df FROM tok0 GROUP BY tok),
-       tok AS (SELECT t.doc_id, t.tok FROM tok0 t JOIN dfc USING (tok) CROSS JOIN nd
-               WHERE dfc.df * dfc.df <= ${Dedup.DfCapC} * nd.ndocs),
-       cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-       shared AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-                  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
-                  GROUP BY a.doc_id, b.doc_id),
-       pairs AS (SELECT da, db FROM shared
-                 JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
-                 WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) >= 0.2),
+    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
        edges AS (SELECT da AS src, db AS dst FROM pairs
                  UNION ALL SELECT db, da FROM pairs),
        reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges

@@ -36,29 +36,34 @@ object Dedup {
        FROM documents GROUP BY sha256(text) ORDER BY content_hash"""
 
   // ---------------------------------------------------------------- B28
-  /** Document-frequency cap constant: a token/gram is dropped when
-    * `df² > DfCapC × ndocs`, i.e. df ≤ √(C·n). This makes the posting-list
-    * self-join's candidate cost subquadratic: each surviving key
-    * contributes at most df² ≤ C·n pairs (LINEAR in corpus size per key),
-    * and Σ df² ≤ √(C·n)·Σdf overall — versus an uncapped stopword key
-    * ("the", " th") whose single bucket alone is ~n² pairs landing on one
-    * reducer. Pure integer comparison so DuckDB mirrors it bit-for-bit,
-    * and √n-relative so the same constant works at every scale factor.
-    * C=64 (df ≤ 8√n) was chosen by sweeping the identical DuckDB SQL: it
-    * is recall-lossless at test scale (149/149 b28 pairs, 727/727 x11
-    * pairs at sf0.01 — nothing there exceeds 8√n) while an English
-    * stopword at web scale (df ≈ 0.9n ≫ 8√n for n ≥ ~80) is dropped. */
+  /** Document-frequency cap constant: a token/gram is dropped from
+    * CANDIDATE GENERATION when `df² > DfCapC × ndocs`, i.e. df ≤ √(C·n).
+    * This makes the posting-list self-join's candidate cost subquadratic:
+    * each surviving key contributes at most df² ≤ C·n pairs (LINEAR in
+    * corpus size per key), and Σ df² ≤ √(C·n)·Σdf overall — versus an
+    * uncapped stopword key ("the", " th") whose single bucket alone is
+    * ~n² pairs landing on one reducer. The Jaccard VERIFY always runs on
+    * the full uncapped sets, so scores are exact; the cap only costs
+    * recall for pairs whose every shared key is hotter than 8√n — pairs
+    * whose full Jaccard is dominated by near-ubiquitous keys. Pure
+    * integer comparison so DuckDB mirrors it bit-for-bit, and √n-relative
+    * so the same constant works at every scale factor. C=64 (df ≤ 8√n)
+    * was chosen by sweeping the identical DuckDB SQL: candidate-lossless
+    * at test scale (149/149 b28 pairs, 727/727 x11 pairs at sf0.01)
+    * while an English stopword at web scale (df ≈ 0.9n ≫ 8√n for
+    * n ≥ ~80) is dropped. */
   val DfCapC = 64
 
-  /** Tokens (or grams) surviving the df cap, with per-doc set size `n`
-    * counted AFTER the cap — the Jaccard below is over capped sets, and
-    * the oracle applies the identical cap. One extra aggregation (df per
+  /** Tokens (or grams) surviving the df cap — the CANDIDATE-GENERATION
+    * key set only; the Jaccard verify below always runs on the full
+    * uncapped sets, so the cap never changes a surviving pair's score
+    * (counting set sizes after the cap would shrink denominators and
+    * manufacture false-positive pairs). One extra aggregation (df per
     * key, map-side partial so hot keys stay cheap) + a 1-row ndocs
     * broadcast; the df join shuffles on the same key as the subsequent
     * self-join. */
   private[pipeline] def cappedPostings(base: DataFrame, key: Column, keyName: String,
       dfCapC: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok0 = base.select(col("doc_id"), explode(key).as(keyName))
     val nd = base.agg(count(lit(1)).as("ndocs"))
     val dfTbl = tok0.groupBy(keyName).agg(count(lit(1)).as("df"))
@@ -66,23 +71,35 @@ object Dedup {
       .crossJoin(broadcast(nd))
       .filter(col("df") * col("df") <= lit(dfCapC.toLong) * col("ndocs"))
       .select(col("doc_id"), col(keyName))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
 
-  /** Posting-list self-join → pair aggregation → Jaccard ≥ threshold.
-    * Per-doc set size rides along as a window constant, so it comes out of
-    * the pair aggregation for free (min of a per-doc constant). */
-  private def jaccardFromPostings(tok: DataFrame, keyName: String,
-      threshold: Double): DataFrame =
-    tok.as("a").join(tok.as("b"),
+  /** Candidate pairs from the df-capped posting self-join, then EXACT
+    * Jaccard over the full uncapped sets (the minhashCandidatePairs
+    * shape): recall is bounded only by "the pair must share at least one
+    * sub-√n-frequency key", precision is untouched. */
+  private def jaccardFromCandidates(base: DataFrame, key: Column, keyName: String,
+      threshold: Double, dfCapC: Int): DataFrame = {
+    val tok0 = base.select(col("doc_id"), explode(key).as(keyName))
+    val capped = cappedPostings(base, key, keyName, dfCapC)
+    val cand = capped.as("a").join(capped.as("b"),
         col(s"a.$keyName") === col(s"b.$keyName") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("shared"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val cnt = tok0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(tok0.as("ta"), col("da") === col("ta.doc_id"))
+      .join(tok0.as("tb"),
+        col("db") === col("tb.doc_id") && col(s"ta.$keyName") === col(s"tb.$keyName"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
       .select(col("da"), col("db"),
         round(col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+          (col("ca.n") + col("cb.n") - col("shared")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("da", "db")
+  }
 
   /** Exact token-set Jaccard over candidate pairs that share ≥1 surviving
     * token, generated by a df-capped posting-list self-join (no cross
@@ -96,27 +113,38 @@ object Dedup {
     * registered query and by the planted-stopword scale test. */
   def jaccardPairsOn(base: DataFrame, threshold: Double,
       dfCapC: Int = DfCapC): DataFrame =
-    jaccardFromPostings(
-      cappedPostings(base, array_distinct(split(col("text"), " ")), "tok", dfCapC),
-      "tok", threshold)
+    jaccardFromCandidates(base, array_distinct(split(col("text"), " ")), "tok",
+      threshold, dfCapC)
 
-  private val b28Sql =
-    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
+  /** Shared oracle CTE chain producing the b28 `pairs(da, db, jaccard)`
+    * relation — single source of truth for b28Sql AND x16Sql (the
+    * cluster query's recursive CTE builds on the same pair graph), so the
+    * two oracles cannot drift. Mirrors [[jaccardFromCandidates]]:
+    * candidates from the capped postings, exact Jaccard from the full
+    * ones. */
+  private[pipeline] val b28PairCtes: String =
+    s"""base AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
        nd AS (SELECT count(*) AS ndocs FROM base),
        tok0 AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
                 FROM base),
        dfc AS (SELECT tok, count(*) AS df FROM tok0 GROUP BY tok),
-       tok AS (SELECT t.doc_id, t.tok FROM tok0 t JOIN dfc USING (tok) CROSS JOIN nd
-               WHERE dfc.df * dfc.df <= $DfCapC * nd.ndocs),
-       cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-       shared AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-                  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
-                  GROUP BY a.doc_id, b.doc_id)
-       SELECT da, db,
-              round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) AS jaccard
-       FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
-       WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) >= 0.2
-       ORDER BY da, db"""
+       ctok AS (SELECT t.doc_id, t.tok FROM tok0 t JOIN dfc USING (tok) CROSS JOIN nd
+                WHERE dfc.df * dfc.df <= $DfCapC * nd.ndocs),
+       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                FROM ctok a JOIN ctok b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+       cnt AS (SELECT doc_id, count(*) AS n FROM tok0 GROUP BY doc_id),
+       shared AS (SELECT c.da, c.db, count(*) AS shared
+                  FROM cand c
+                  JOIN tok0 ta ON c.da = ta.doc_id
+                  JOIN tok0 tb ON c.db = tb.doc_id AND ta.tok = tb.tok
+                  GROUP BY c.da, c.db),
+       pairs AS (SELECT da, db,
+                   round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) AS jaccard
+                 FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+                 WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) >= 0.2)"""
+
+  private val b28Sql =
+    s"WITH $b28PairCtes SELECT da, db, jaccard FROM pairs ORDER BY da, db"
 
   // ---------------------------------------------------------------- x11
   /** Character n-gram (shingle) Jaccard near-dup — the orthographic
@@ -131,15 +159,16 @@ object Dedup {
       docs(s, dir).filter(col("doc_id") % mod === 0 && length(col("text")) >= n),
       n, threshold)
 
-  /** Full-corpus form over an arbitrary (doc_id, text) frame. */
+  /** Full-corpus form over an arbitrary (doc_id, text) frame. Docs
+    * shorter than `n` chars have no n-gram and are excluded here (not
+    * only in the registered query's slice), so callers can never feed a
+    * descending `sequence()` range garbage grams. */
   def ngramJaccardPairsOn(base: DataFrame, n: Int, threshold: Double,
       dfCapC: Int = DfCapC): DataFrame =
-    jaccardFromPostings(
-      cappedPostings(base,
-        array_distinct(transform(sequence(lit(1), length(col("text")) - (n - 1)),
-          i => col("text").substr(i, lit(n)))),
-        "gram", dfCapC),
-      "gram", threshold)
+    jaccardFromCandidates(base.filter(length(col("text")) >= n),
+      array_distinct(transform(sequence(lit(1), length(col("text")) - (n - 1)),
+        i => col("text").substr(i, lit(n)))),
+      "gram", threshold, dfCapC)
 
   private def x11(s: SparkSession, dir: String): DataFrame = ngramJaccardPairs(s, dir)
 
@@ -151,12 +180,16 @@ object Dedup {
              generate_series(1, length(text) - 2), i -> substr(text, i, 3)))) AS gram
            FROM base),
        dfc AS (SELECT gram, count(*) AS df FROM g0 GROUP BY gram),
-       g AS (SELECT t.doc_id, t.gram FROM g0 t JOIN dfc USING (gram) CROSS JOIN nd
-             WHERE dfc.df * dfc.df <= $DfCapC * nd.ndocs),
-       cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-       shared AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-                  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-                  GROUP BY a.doc_id, b.doc_id)
+       cg AS (SELECT t.doc_id, t.gram FROM g0 t JOIN dfc USING (gram) CROSS JOIN nd
+              WHERE dfc.df * dfc.df <= $DfCapC * nd.ndocs),
+       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       cnt AS (SELECT doc_id, count(*) AS n FROM g0 GROUP BY doc_id),
+       shared AS (SELECT c.da, c.db, count(*) AS shared
+                  FROM cand c
+                  JOIN g0 ga ON c.da = ga.doc_id
+                  JOIN g0 gb ON c.db = gb.doc_id AND ga.gram = gb.gram
+                  GROUP BY c.da, c.db)
        SELECT da, db,
               round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) AS jaccard
        FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id

@@ -24,22 +24,25 @@ class EngineSpec extends SparkSpec {
   }
 
   test("attach is idempotent-cheap and re-attaches on dir or session change") {
-    Engine.attach(spark, sf)
-    // Same session + dir: a repeat attach must not re-register views (the
-    // marker short-circuits), so a view dropped in between stays dropped.
-    spark.catalog.dropTempView("region")
-    Engine.attach(spark, sf)
-    assert(!spark.catalog.tableExists("region"), "repeat attach must be a no-op")
-    // Different dir on the same session: full re-attach, view restored.
-    Engine.attach(spark, "/root/testdata/sf0.01")
-    assert(spark.catalog.tableExists("region"))
-    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) == 60000L,
-      "views must follow the newly attached dir")
-    // A newSession has its own registry and conf: attach must re-register.
-    val s2 = spark.newSession()
-    Engine.attach(s2, sf)
-    assert(s2.sql("SELECT count(*) FROM lineitem").head().getLong(0) == 6000L)
-    Engine.attach(spark, sf) // restore for later tests
+    try {
+      Engine.attach(spark, sf)
+      // Same session + dir: a repeat attach must not re-register views (the
+      // marker short-circuits), so a view dropped in between stays dropped;
+      // reattach restores it unconditionally.
+      spark.catalog.dropTempView("region")
+      Engine.attach(spark, sf)
+      assert(!spark.catalog.tableExists("region"), "repeat attach must be a no-op")
+      Engine.reattach(spark, sf)
+      assert(spark.catalog.tableExists("region"), "reattach must restore views")
+      // Different dir on the same session: full re-attach, views follow.
+      Engine.attach(spark, "/root/testdata/sf0.01")
+      assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) == 60000L,
+        "views must follow the newly attached dir")
+      // A newSession has its own registry and conf: attach must re-register.
+      val s2 = spark.newSession()
+      Engine.attach(s2, sf)
+      assert(s2.sql("SELECT count(*) FROM lineitem").head().getLong(0) == 6000L)
+    } finally Engine.reattach(spark, sf) // restore even on assertion failure
   }
 
   test("partitioned write prunes partitions on read (PartitionFilters)") {
