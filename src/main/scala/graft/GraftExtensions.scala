@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CollapseSanitize, RollingHash, SanitizeName, TokenHash, VecDot, VecNorm2}
+import graft.functions.{CollapseSanitize, RollingHash, SanitizeName, SetJaccard, TokenHash, VecDot, VecNorm2}
 
 /** `SparkSessionExtensions` entry point: registers the engine's native
   * expressions at session build time, so deployments can opt in with
@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_norm2"),
       new ExpressionInfo(classOf[VecNorm2].getName, "vec_norm2"),
       exprs => VecNorm2(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("set_jaccard"),
+      new ExpressionInfo(classOf[SetJaccard].getName, "set_jaccard"),
+      exprs => SetJaccard(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => CollapseSanitize)
   }
 }

@@ -204,6 +204,60 @@ case class VecNorm2(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Jaccard coefficient of two SORTED, de-duplicated string arrays in one
+  * native codegen'd pass: a two-pointer merge count of shared elements
+  * with zero per-row allocation. Replaces
+  * `size(array_intersect(a,b)) / (size(a)+size(b)-size(array_intersect))`
+  * whose hash-set build runs once per REFERENCE (Catalyst inlines the
+  * column into the numerator, denominator, and the pushed-down filter —
+  * 4+ evaluations per row), the hot primitive under the df-capped
+  * near-dup verify (B28/x11/x16). Inputs MUST be `array_sort`ed and
+  * distinct with no null elements (Spark's array_sort uses UTF8String
+  * binary order — the same ordering the merge uses);
+  * [[graft.pipeline.Dedup]] guarantees this at the set projection.
+  * ExpressionsSpec proves equality with the array_intersect form. */
+case class SetJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"set_jaccard requires ARRAY<STRING> args, got ${left.dataType}, ${right.dataType}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "set_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetJaccard.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SetJaccard.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SetJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object SetJaccard {
+  /** |A∩B| / |A∪B| by two-pointer merge; both arrays sorted ascending in
+    * UTF8String binary order and element-distinct. Empty∩empty yields
+    * 0/0 = NaN — the same value the division form produces, so oracle
+    * behavior is unchanged. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var shared = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { shared += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    shared.toDouble / (na + nb - shared)
+  }
+}
+
 /** Algebraic simplification for [[SanitizeName]]: the sanitizer is
   * idempotent (property-tested in SanitizeSpec), so nested applications
   * collapse to one — the engine's own little optimizer rule, injected via
@@ -234,6 +288,8 @@ object GraftFunctions {
       exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("vec_norm2",
       exprs => VecNorm2(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("set_jaccard",
+      exprs => SetJaccard(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** B35's one showcase scalar UDF — kept for API-surface parity; the

@@ -59,6 +59,41 @@ object Profile {
         time("candidates only")(noop(Similarity.lshCandidates(spark, sfDir)))
         time("full x09")(noop(SparkEntry.queries("x09_embedding_neardup")(spark, sfDir)))
         time("full x09 (2nd)")(noop(SparkEntry.queries("x09_embedding_neardup")(spark, sfDir)))
+      case "x11parts" :: sfDir :: Nil =>
+        // Where does x11 spend: gram explode, df cap, candidate self-join,
+        // or the array-intersect verify?
+        import graft.pipeline.Dedup
+        val base = graft.Tables.t(spark, sfDir, "documents")
+          .filter(col("doc_id") % 13 === 0 && length(col("text")) >= 3)
+        val grams = array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 2), i => col("text").substr(i, lit(3))))
+        noop(base)
+        time("gram sets only")(noop(base.select(col("doc_id"), grams.as("keys"))))
+        val tok0 = base.select(col("doc_id"), explode(grams).as("gram"))
+        val nd = base.agg(count(lit(1)).as("ndocs"))
+        val capped = tok0.join(tok0.groupBy("gram").agg(count(lit(1)).as("df")), "gram")
+          .crossJoin(broadcast(nd))
+          .filter(col("df") * col("df") <= lit(Dedup.DfCapC.toLong) * col("ndocs"))
+          .select(col("doc_id"), col("gram"))
+        time("capped postings")(noop(capped))
+        val cand = capped.as("a").join(capped.as("b"),
+            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+        time("candidates")(noop(cand))
+        val sets = base.select(col("doc_id"), grams.as("keys"))
+        val joined = cand
+          .join(sets.select(col("doc_id").as("da2"), col("keys").as("ka")), col("da") === col("da2"))
+          .join(sets.select(col("doc_id").as("db2"), col("keys").as("kb")), col("db") === col("db2"))
+        time("verify: intersect 1x, no filter")(noop(
+          joined.select(col("da"), col("db"), size(array_intersect(col("ka"), col("kb"))).as("s"))))
+        time("verify: intersect + jaccard + filter")(noop(
+          joined.select(col("da"), col("db"),
+              (size(array_intersect(col("ka"), col("kb"))).cast("double") /
+                (size(col("ka")) + size(col("kb")) -
+                  size(array_intersect(col("ka"), col("kb"))))).as("j"))
+            .filter(col("j") >= 0.15)))
+        time("full x11")(noop(SparkEntry.queries("x11_ngram_jaccard")(spark, sfDir)))
+        time("full x11 (2nd)")(noop(SparkEntry.queries("x11_ngram_jaccard")(spark, sfDir)))
       case "explain" :: sfDir :: q :: Nil =>
         println(SparkEntry.queries(q)(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted")))

@@ -116,6 +116,34 @@ class ExpressionsSpec extends SparkSpec {
       "ragged embeddings must surface as null, not a truncated dot product")
   }
 
+  test("set_jaccard equals the array_intersect division it replaced") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val docs = graft.Tables.t(spark, sf, "documents").limit(40)
+    val keys = array_sort(array_distinct(split(col("text"), " ")))
+    val sets = docs.select(col("doc_id"), keys.as("k"))
+    val both = sets.as("a").crossJoin(sets.as("b"))
+      .select(
+        call_function("set_jaccard", col("a.k"), col("b.k")).as("nj"),
+        (size(array_intersect(col("a.k"), col("b.k"))).cast("double") /
+          (size(col("a.k")) + size(col("b.k")) -
+            size(array_intersect(col("a.k"), col("b.k"))))).as("hj"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"jaccard mismatch: $r")
+    }
+    // Disjoint, identical, and empty-array edges.
+    import spark.implicits._
+    val edges = Seq(
+      (Seq("a", "b"), Seq("c", "d")), (Seq("a", "b"), Seq("a", "b")),
+      (Seq[String](), Seq("a"))).toDF("x", "y")
+      .select(call_function("set_jaccard", col("x"), col("y"))).collect()
+    assert(edges(0).getDouble(0) == 0.0)
+    assert(edges(1).getDouble(0) == 1.0)
+    assert(edges(2).getDouble(0) == 0.0)
+  }
+
   test("extensions entry point registers every native function") {
     val s2 = spark.newSession()
     new graft.GraftExtensions()
