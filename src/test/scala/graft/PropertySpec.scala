@@ -53,6 +53,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("df-capped jaccard pairs are a value-exact subset of uncapped pairs (random corpora)") {
+    import spark.implicits._
+    // Random corpora over a small vocabulary (so token overlap is common):
+    // the cap may only REMOVE pairs (candidate recall), never change a
+    // surviving pair's Jaccard value and never invent a pair.
+    val docs = (1 to 80).map { i =>
+      (i.toLong, (1 to (3 + rnd.nextInt(10))).map(_ => s"w${rnd.nextInt(25)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairsOn(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = Dedup.jaccardPairsOn(docs, threshold = 0.3, dfCapC = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncapped.nonEmpty, "vocabulary is small enough that some pairs must match")
+    capped.foreach { case (pair, j) =>
+      assert(uncapped.get(pair).contains(j),
+        s"capped pair $pair=$j must exist with the identical value uncapped")
+    }
+  }
+
   test("minhash candidate generation is a superset of high-jaccard pairs (planted)") {
     import spark.implicits._
     // 20 base docs + exact copies → every copy pair must be found
