@@ -206,10 +206,106 @@ object Curation {
               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        FROM cc ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x17
+  /** Benchmark decontamination: flag training documents sharing any
+    * 3-token shingle with the held-out evaluation slice (the n-gram
+    * overlap check every serious LLM data pipeline runs before training —
+    * GPT-3 App. C style, shortened shingles for the small test corpus).
+    * The eval shingle set is corpus-tiny (eval slices are ~1% of data) and
+    * BROADCASTS; the train side streams through one semi-join-shaped
+    * equi-join + per-doc count — no shuffle of the train corpus beyond
+    * the final aggregation, which is map-side combinable. */
+  def decontamination(s: SparkSession, dir: String, shingleLen: Int = 3): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= shingleLen)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("t")) - shingleLen),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(shingleLen)))))).as("sh"))
+    val d = docs(s, dir)
+    val evalShingles = shingles(d.filter(col("doc_id") % 97 === 0))
+      .select(col("sh")).distinct()
+    shingles(d.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  private val x17Sql =
+    """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(0, len(t) - 3),
+             i -> array_to_string(t[(i+1):(i+3)], ' ')))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+           WHERE len(t) >= 3),
+       ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+       SELECT doc_id, count(*) AS n_overlap
+       FROM sh JOIN ev USING (sh)
+       WHERE doc_id % 97 <> 0
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x18
+  /** Intra-document repetition ratio — the "is this doc boilerplate/spam"
+    * quality signal (repeated n-gram mass). Per doc over its 3-token
+    * shingles WITH repetition: total count, distinct count, and the
+    * hottest shingle's share. Two map-side-combinable aggregations keyed
+    * (doc, shingle) then doc. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    val perGram = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(3))))).as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+    perGram.groupBy("doc_id")
+      .agg(sum("c").as("total"), count(lit(1)).as("distinct_sh"), max("c").as("top"))
+      .select(col("doc_id"),
+        col("total"), col("distinct_sh"),
+        round(lit(1.0) - col("distinct_sh").cast("double") / col("total"), 4).as("rep_ratio"),
+        round(col("top").cast("double") / col("total"), 4).as("top_gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val x18Sql =
+    """WITH g AS (SELECT doc_id, unnest(list_transform(
+             generate_series(0, len(t) - 3),
+             i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+           WHERE len(t) >= 3),
+       pg AS (SELECT doc_id, sh, count(*) AS c FROM g GROUP BY doc_id, sh)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, count(*) AS distinct_sh,
+              round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS rep_ratio,
+              round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_gram_frac
+       FROM pg GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x19
+  /** PII-pattern scan — training-data hygiene counts per document
+    * (email-shaped, URL-shaped, long digit runs). Pure regexp projection,
+    * map-only; patterns are RE2-safe so DuckDB reproduces them. */
+  def piiScan(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+', 0)"))
+        .as("n_emails"),
+      size(expr("regexp_extract_all(text, 'https?://[^ ]+', 0)")).as("n_urls"),
+      size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)")).as("n_digit_runs"))
+      .orderBy("doc_id")
+
+  private val x19Sql =
+    """SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
+       FROM documents ORDER BY doc_id"""
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x13_tfidf_top", tfidfTop, Some(x13Sql)),
     QueryDef("x14_hash_split", hashSplit, Some(x14Sql)),
     QueryDef("x15_shard_pack", (s, d) => shardPack(s, d), Some(x15Sql(20000))),
-    QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)))
+    QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
+    QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
+    QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),
+    QueryDef("x19_pii_scan", piiScan, Some(x19Sql)))
 }

@@ -6,7 +6,8 @@ package graft
   * counts at this scale. */
 class QueriesSmokeSpec extends SparkSpec {
 
-  private val mayBeEmpty = Set("b28_jaccard_pairs", "x07_ann_lsh", "x16_dedup_clusters")
+  private val mayBeEmpty = Set("b28_jaccard_pairs", "x07_ann_lsh", "x16_dedup_clusters",
+    "x17_decontamination")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {

@@ -57,6 +57,37 @@ class CurationSpec extends SparkSpec {
     assert(out.values.toSet == Set(29L), s"chain must collapse to one cluster rooted at 29: $out")
   }
 
+  test("decontamination flags only train docs sharing shingles with the eval slice") {
+    import spark.implicits._
+    // 97 divides 97 and 194: those are the "eval" docs. Train doc 1 copies
+    // eval text (contaminated); train doc 2 is clean.
+    val corpus = Seq(
+      (97L, "the quick brown fox jumps high"),
+      (194L, "completely different eval material here"),
+      (1L, "prefix words then the quick brown fox jumps high suffix"),
+      (2L, "nothing in common with held out data at all")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.decontamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(1L) && out(1L) >= 4, s"copied shingles must flag doc 1: $out")
+    assert(!out.contains(2L), s"clean doc must not be flagged: $out")
+    assert(!out.contains(97L) && !out.contains(194L), "eval docs are not scanned")
+  }
+
+  test("repetition ratio separates boilerplate from varied text") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "each word here appears exactly once today")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.repetitionRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) > 0.5, s"pure repetition must score high: $out")
+    assert(out(2L) == 0.0, s"all-distinct shingles must score zero: $out")
+  }
+
   test("tfidf ranks a document's most frequent distinctive term first") {
     val top = Curation.tfidfTop(spark, sf)
       .filter(col("rk") === 1).collect()
