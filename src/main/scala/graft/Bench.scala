@@ -80,8 +80,12 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+    // -1 failure sentinels stay visible per-query but must not make the
+    // headline total smaller (a double-failure would otherwise read as a
+    // speedup); the failed count makes a partially-failed run unmissable.
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val nFailed = results.count(_._2 < 0)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,"queries":$qs,""" +
       s""""fmp_recs_per_sec":${fmpRecsPerSec.toLong},""" +
       s""""fmp_baseline_recs_per_sec":${graft.tools.FmpFixture.BaselineRecsPerSec.toLong},""" +
       s""""sf":"$sfDir"}"""

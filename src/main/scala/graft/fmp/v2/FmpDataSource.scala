@@ -130,15 +130,42 @@ class FmpPartitionReaderFactory(allColumns: Array[String], requiredSchema: Struc
   }
 }
 
+/** Progress-line plumbing shared by both partition readers: a line every
+  * `progressEvery` records plus a final rec/s summary on close (the tqdm
+  * analogue of the reference's `print` command, _cli.py:56-68). Output
+  * goes through System.out (resolved per call), not Scala's Console:
+  * executor task threads inherit Console's stream from pool creation
+  * time, which would bypass any later redirect. */
+trait FmpProgress {
+  protected def path: String
+  protected def progressEvery: Long
+  protected var nRecords = 0L
+  private val startNanos = System.nanoTime()
+  protected lazy val fileName: String = java.nio.file.Paths.get(path).getFileName.toString
+
+  private def recPerSec: Long = {
+    val secs = (System.nanoTime() - startNanos) / 1e9
+    if (secs > 0) (nRecords / secs).toLong else 0L
+  }
+
+  /** Call after each produced record. */
+  protected def recordProduced(): Unit = {
+    nRecords += 1
+    if (progressEvery > 0 && nRecords % progressEvery == 0)
+      System.out.println(s"[fmp] $fileName: $nRecords records ($recPerSec rec/s)")
+  }
+
+  /** Call once from close(). */
+  protected def reportFinal(): Unit =
+    if (progressEvery > 0)
+      System.out.println(s"[fmp] $fileName: parsed $nRecords records ($recPerSec rec/s)")
+}
+
 /** Executor-side streaming reader: StAX-parses the document and projects
-  * only the pruned columns into InternalRows. With `progressEvery > 0`
-  * the reader emits a progress line every that-many records and a final
-  * rec/s summary on close (the tqdm analogue of the reference's `print`
-  * command, _cli.py:56-68).
-  */
-class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumns: Array[String],
-    progressEvery: Long = 0L)
-    extends PartitionReader[InternalRow] {
+  * only the pruned columns into InternalRows. */
+class FmpPartitionReader(val path: String, allColumns: Array[String], requiredColumns: Array[String],
+    val progressEvery: Long = 0L)
+    extends PartitionReader[InternalRow] with FmpProgress {
   private val it = new FmpReader.FmpRowIterator(
     FmpReader.open(java.nio.file.Paths.get(path)))
   // Map each required column to its position in the parsed row. Resolution
@@ -158,14 +185,6 @@ class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumn
     else allColumns.indexOf(c)
   }
   private var current: InternalRow = _
-  private var nRecords = 0L
-  private val startNanos = System.nanoTime()
-  private val fileName = java.nio.file.Paths.get(path).getFileName.toString
-
-  private def recPerSec: Long = {
-    val secs = (System.nanoTime() - startNanos) / 1e9
-    if (secs > 0) (nRecords / secs).toLong else 0L
-  }
 
   override def next(): Boolean =
     if (it.hasNext) {
@@ -179,19 +198,13 @@ class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumn
         i += 1
       }
       current = new GenericInternalRow(values)
-      nRecords += 1
-      // Progress goes through System.out (resolved per call), not Scala's
-      // Console: executor task threads inherit Console's stream from pool
-      // creation time, which would bypass any later redirect.
-      if (progressEvery > 0 && nRecords % progressEvery == 0)
-        System.out.println(s"[fmp] $fileName: $nRecords records ($recPerSec rec/s)")
+      recordProduced()
       true
     } else false
 
   override def get(): InternalRow = current
   override def close(): Unit = {
-    if (progressEvery > 0)
-      System.out.println(s"[fmp] $fileName: parsed $nRecords records ($recPerSec rec/s)")
+    reportFinal()
     it.close()
   }
 }
@@ -206,9 +219,9 @@ class FmpPartitionReader(path: String, allColumns: Array[String], requiredColumn
   * multi-snapshot (`allSnapshots`) reads evolve by name here too; a
   * snapshot whose own header declared the field MAXREPEAT=1 still
   * converts fine (its one-element cell becomes a one-element array). */
-class FmpArrayPartitionReader(path: String, allColumns: Array[String],
-    requiredSchema: StructType, progressEvery: Long = 0L)
-    extends PartitionReader[InternalRow] {
+class FmpArrayPartitionReader(val path: String, allColumns: Array[String],
+    requiredSchema: StructType, val progressEvery: Long = 0L)
+    extends PartitionReader[InternalRow] with FmpProgress {
   private val it = new FmpReader.FmpColRowIterator(
     FmpReader.open(java.nio.file.Paths.get(path)))
   private val fileIsByName: Boolean =
@@ -222,19 +235,11 @@ class FmpArrayPartitionReader(path: String, allColumns: Array[String],
   private val isArray: Array[Boolean] =
     requiredSchema.fields.map(_.dataType.isInstanceOf[ArrayType])
   private var current: InternalRow = _
-  private var nRecords = 0L
-  private val startNanos = System.nanoTime()
-  private val fileName = java.nio.file.Paths.get(path).getFileName.toString
   // A string-typed column receiving a multi-<DATA> cell (e.g. an
   // allSnapshots read whose unified schema came from a MAXREPEAT=1
   // snapshot) keeps only the first repetition — warned once per
   // file+column, never silently (the module contract).
   private val warnedTruncation = scala.collection.mutable.Set.empty[Int]
-
-  private def recPerSec: Long = {
-    val secs = (System.nanoTime() - startNanos) / 1e9
-    if (secs > 0) (nRecords / secs).toLong else 0L
-  }
 
   override def next(): Boolean =
     if (it.hasNext) {
@@ -264,16 +269,13 @@ class FmpArrayPartitionReader(path: String, allColumns: Array[String],
         i += 1
       }
       current = new GenericInternalRow(values)
-      nRecords += 1
-      if (progressEvery > 0 && nRecords % progressEvery == 0)
-        System.out.println(s"[fmp] $fileName: $nRecords records ($recPerSec rec/s)")
+      recordProduced()
       true
     } else false
 
   override def get(): InternalRow = current
   override def close(): Unit = {
-    if (progressEvery > 0)
-      System.out.println(s"[fmp] $fileName: parsed $nRecords records ($recPerSec rec/s)")
+    reportFinal()
     it.close()
   }
 }

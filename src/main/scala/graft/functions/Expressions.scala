@@ -239,9 +239,13 @@ case class SetJaccard(left: Expression, right: Expression) extends BinaryExpress
 
 object SetJaccard {
   /** |A∩B| / |A∪B| by two-pointer merge; both arrays sorted ascending in
-    * UTF8String binary order and element-distinct. Empty∩empty yields
-    * 0/0 = NaN — the same value the division form produces, so oracle
-    * behavior is unchanged. */
+    * UTF8String binary order and element-distinct. Null elements are
+    * ordered LAST (exactly where Spark's `array_sort` places them) and a
+    * null matches a null, so SQL callers with nullable elements get set
+    * semantics instead of an NPE. Empty∩empty yields 0/0 = NaN — the
+    * same value the division form produces, so oracle behavior is
+    * unchanged. UNSORTED input returns an undefined (not error) result —
+    * a documented precondition of the sorted-merge design. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -249,7 +253,13 @@ object SetJaccard {
     var j = 0
     var shared = 0
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val an = a.isNullAt(i)
+      val bn = b.isNullAt(j)
+      val cmp =
+        if (an && bn) 0
+        else if (an) 1
+        else if (bn) -1
+        else a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { shared += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1

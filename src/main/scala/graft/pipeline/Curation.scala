@@ -286,16 +286,16 @@ object Curation {
   def piiScan(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      size(expr("regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+', 0)"))
+      size(expr("regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+', 0)"))
         .as("n_emails"),
-      size(expr("regexp_extract_all(text, 'https?://[^ ]+', 0)")).as("n_urls"),
+      size(expr("regexp_extract_all(text, '(?i)https?://[^ ]+', 0)")).as("n_urls"),
       size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)")).as("n_digit_runs"))
       .orderBy("doc_id")
 
   private val x19Sql =
     """SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '(?i)https?://[^ ]+')) AS INT) AS n_urls,
        CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
        FROM documents ORDER BY doc_id"""
 

@@ -55,12 +55,16 @@ class PropertySpec extends SparkSpec {
 
   test("df-capped jaccard pairs are a value-exact subset of uncapped pairs (random corpora)") {
     import spark.implicits._
-    // Random corpora over a small vocabulary (so token overlap is common):
-    // the cap may only REMOVE pairs (candidate recall), never change a
-    // surviving pair's Jaccard value and never invent a pair.
-    val docs = (1 to 80).map { i =>
-      (i.toLong, (1 to (3 + rnd.nextInt(10))).map(_ => s"w${rnd.nextInt(25)}").mkString(" "))
-    }.toDF("doc_id", "text")
+    // Random corpora over a small vocabulary PLUS a planted corpus-wide
+    // hot token: the cap may only REMOVE pairs (candidate recall), never
+    // change a surviving pair's Jaccard value and never invent a pair —
+    // and the hot token must actually trigger the cap (df = n ≫ 8√n), so
+    // the subset relation is tested non-vacuously: "hot uniqX" docs pair
+    // uncapped (j = 1/3 via the hot token) but lose their only surviving
+    // candidate key when capped.
+    val docs = ((1 to 80).map { i =>
+      (i.toLong, "hot " + (1 to (3 + rnd.nextInt(10))).map(_ => s"w${rnd.nextInt(25)}").mkString(" "))
+    } ++ (81 to 90).map(i => (i.toLong, s"hot uniq$i"))).toDF("doc_id", "text")
     val capped = Dedup.jaccardPairsOn(docs, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val uncapped = Dedup.jaccardPairsOn(docs, threshold = 0.3, dfCapC = Int.MaxValue)
@@ -70,6 +74,11 @@ class PropertySpec extends SparkSpec {
       assert(uncapped.get(pair).contains(j),
         s"capped pair $pair=$j must exist with the identical value uncapped")
     }
+    val hotOnly = (81 to 90).flatMap(a => (a + 1 to 90).map(b => (a.toLong, b.toLong)))
+    assert(hotOnly.forall(uncapped.contains),
+      "uncapped must pair the hot-token-only docs (j = 1/3 >= 0.3)")
+    assert(hotOnly.forall(p => !capped.contains(p)),
+      "the cap must drop pairs whose only shared key is the hot token")
   }
 
   test("minhash candidate generation is a superset of high-jaccard pairs (planted)") {

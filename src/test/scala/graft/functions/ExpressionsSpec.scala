@@ -160,5 +160,11 @@ class ExpressionsSpec extends SparkSpec {
       .collect()(0).getDouble(0) == 2.0)
     assert(s2.sql("SELECT vec_norm2(array(CAST(3.0 AS FLOAT)))")
       .collect()(0).getDouble(0) == 9.0)
+    assert(s2.sql("SELECT set_jaccard(array('a','b','c'), array('b','c','d'))")
+      .collect()(0).getDouble(0) == 0.5)
+    // null elements (sorted last by array_sort) must not NPE and match
+    // each other as a set element
+    assert(s2.sql("SELECT set_jaccard(array('a', NULL), array('a', NULL))")
+      .collect()(0).getDouble(0) == 1.0)
   }
 }
