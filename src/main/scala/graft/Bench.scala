@@ -30,6 +30,43 @@ object Bench {
     run(Tables.t(spark, sfDir, "region"))
     run(SparkEntry.queries("b12_q1_agg")(spark, sfDir))
 
+    // FMP ingest throughput on the reference's own benchmark shape
+    // (12,543 records × 126 fields — the ONE number BASELINE.md
+    // publishes, 5,234 rec/s). Measured FIRST, before the query
+    // gauntlet: round 3 measured it LAST and recorded 3,745 rec/s on a
+    // JVM degraded by 156 preceding query executions (GC/code-cache
+    // pressure) while the same read reproduced 16,637 rec/s warm — the
+    // artifact must tell the truth about the engine, not about the
+    // JVM's end-of-run state. One warm-up read, then best of three.
+    // Guarded: a fixture/IO failure must never cost the query timings
+    // (-1 marks the metric as unavailable). The noop sink (not count)
+    // is the action so the scan materializes all 126 columns — the same
+    // work the published baseline paid; a count() would column-prune
+    // the read to nothing and inflate rec/s.
+    val fmpRecsPerSec: Double =
+      try {
+        val f = graft.tools.FmpFixture.write()
+        try {
+          run(graft.fmp.FmpReader.read(spark, f.toString)) // warm-up
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            run(graft.fmp.FmpReader.read(spark, f.toString))
+            graft.tools.FmpFixture.BaselineRows / ((System.nanoTime() - t0) / 1e9)
+          }.max
+        } finally graft.tools.FmpFixture.delete(f)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] fmp throughput failed: ${e.getMessage}")
+          -1.0
+      }
+    // Regressions must be loud: the 2x-baseline perf gate binds on this
+    // one number, so a sub-baseline measurement is flagged in the JSON
+    // itself (fmp_ok) and on stderr — never silently recorded.
+    val fmpOk = fmpRecsPerSec >= graft.tools.FmpFixture.BaselineRecsPerSec
+    if (!fmpOk) System.err.println(
+      s"[bench] FMP THROUGHPUT BELOW BASELINE: $fmpRecsPerSec < " +
+        s"${graft.tools.FmpFixture.BaselineRecsPerSec} rec/s — investigate before trusting this artifact")
+
     // Min of two runs per query: a single-shot timing is at the mercy of
     // one GC pause or scheduling hiccup (round 2's b23 read 22.9 s driver-
     // side vs 3.2-5.1 s reproduced). The min is the stable estimator of
@@ -47,32 +84,6 @@ object Bench {
       val runs = Seq(timeOnce(name, fn), timeOnce(name, fn)).flatten
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
-    // FMP ingest throughput on the reference's own benchmark shape
-    // (12,543 records × 126 fields — the ONE number BASELINE.md
-    // publishes, 5,234 rec/s): default executor-side read, best of two
-    // warm runs.
-    // Guarded: a fixture/IO failure here must never cost the per-query
-    // timings already collected (-1 marks the metric as unavailable).
-    // The noop sink (not count) is the action so the scan materializes
-    // all 126 columns — the same work the published baseline paid; a
-    // count() would column-prune the read to nothing and inflate rec/s.
-    val fmpRecsPerSec: Double =
-      try {
-        val f = graft.tools.FmpFixture.write()
-        try {
-          run(graft.fmp.FmpReader.read(spark, f.toString)) // warm-up
-          (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            run(graft.fmp.FmpReader.read(spark, f.toString))
-            graft.tools.FmpFixture.BaselineRows / ((System.nanoTime() - t0) / 1e9)
-          }.max
-        } finally graft.tools.FmpFixture.delete(f)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] fmp throughput failed: ${e.getMessage}")
-          -1.0
-      }
-
     // Times rounded to 1 ms so the whole line stays well under the
     // driver's output-tail buffer (round 1 recorded parsed:null because
     // the full-precision line outgrew it); also persisted to a file so a
@@ -88,7 +99,15 @@ object Bench {
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,"queries":$qs,""" +
       s""""fmp_recs_per_sec":${fmpRecsPerSec.toLong},""" +
       s""""fmp_baseline_recs_per_sec":${graft.tools.FmpFixture.BaselineRecsPerSec.toLong},""" +
-      s""""sf":"$sfDir"}"""
+      s""""fmp_ok":$fmpOk,"sf":"$sfDir"}"""
+    // Compact headline (<200 bytes): the driver captures only a ~2-3 KB
+    // tail of stdout, and the full per-query line above outgrew it three
+    // rounds running (BENCH_r01-r03 all parsed:null — sbt's [success]
+    // trailer pushed the line's head out of the window). This short line
+    // is printed LAST so it is always complete inside any tail buffer;
+    // the per-query detail stays in the long line and bench_result.json.
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,""" +
+      s""""fmp_recs_per_sec":${fmpRecsPerSec.toLong},"fmp_ok":$fmpOk,"sf":"$sfDir"}"""
     // File persistence is best-effort: an IO failure here must never cost
     // the stdout line the driver contract depends on.
     try java.nio.file.Files.writeString(
@@ -96,10 +115,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_result.json write failed: ${e.getMessage}")
     }
-    // LAST stdout line of the program, raw (build.sbt routes forked stdout
-    // past sbt's [info] logger via StdoutOutput).
-    println(line)
-    Console.out.flush()
+    // Stop Spark BEFORE the final prints so no executor/shutdown log line
+    // can land after the compact headline on stdout.
     spark.stop()
+    // Raw stdout (build.sbt routes forked stdout past sbt's [info] logger
+    // via StdoutOutput); compact headline is the program's LAST line.
+    println(line)
+    println(compact)
+    Console.out.flush()
   }
 }
