@@ -100,10 +100,8 @@ object Curation {
     * reorders. Output is the per-shard manifest.
     *
     * Scale note: the global ordered prefix sum exists for the oracle
-    * comparison; the production form runs the identical expression
-    * per-partition (sortWithinPartitions + the same window keyed by
-    * partition id) so no global sort is required — shard ids then embed
-    * the partition id. Documented in SCALE.md. */
+    * comparison; the production form is [[shardPackPartitioned]] (x15b) —
+    * the identical expression per input partition, no global sort. */
   def shardPack(s: SparkSession, dir: String, budget: Int = 20000): DataFrame = {
     val nTok = size(split(col("text"), " "))
     val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
@@ -116,6 +114,49 @@ object Curation {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("shard_id")
   }
+
+  /** Scale-safe shard packing (the production form of [[shardPack]]):
+    * the identical exclusive-prefix-sum // budget expression, but keyed by
+    * `spark_partition_id` instead of a global order — Spark never funnels
+    * the corpus through one task. Per-doc assignment output:
+    * (doc_id, n_tok, pid, local_shard, shard_id) with
+    * `shard_id = pid << 32 | local_shard`, so shard ids are globally
+    * unique and decode back to their producing partition.
+    *
+    * Plan shape: scan → sortWithinPartitions(doc_id) → project pid →
+    * window partitioned BY pid (one hash exchange on pid — parallelism
+    * preserved, each input partition's rows stay together and are packed
+    * by one task). No SinglePartition exchange anywhere (gated in
+    * CurationSpec). Packing guarantee is per partition, same as the
+    * global form's: each shard's token sum minus its last doc < budget,
+    * so ≤ budget+1 docs per shard when every doc has ≥ 1 token.
+    *
+    * Determinism: shard ids depend on the input split layout (file set +
+    * maxPartitionBytes), which is deterministic for a fixed corpus and
+    * config but NOT engine-portable — hence rows-only registration
+    * (x15b) beside the oracle-matched global form (x15). */
+  def shardPackPartitioned(s: SparkSession, dir: String, budget: Int = 20000): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), nTok.as("n_tok"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .withColumn("local_shard",
+        (coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
+      .withColumn("shard_id", shiftleft(col("pid"), 32) + col("local_shard"))
+  }
+
+  /** Per-shard manifest over [[shardPackPartitioned]] — the registered
+    * x15b artifact (rows-only: shard ids embed partition ids, which no
+    * other engine reproduces). */
+  def shardPackPartitionedManifest(s: SparkSession, dir: String, budget: Int = 20000): DataFrame =
+    shardPackPartitioned(s, dir, budget)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
 
   private def x15Sql(budget: Int) =
     s"""WITH t AS (SELECT doc_id,
@@ -147,47 +188,91 @@ object Curation {
     val pairs = Dedup.jaccardPairs(s, dir).select(col("da"), col("db"))
     // Undirected edge list, both directions.
     val edges = pairs.union(pairs.select(col("db"), col("da")))
-      .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).persist()
-    var converged = false
-    var rounds = 0
-    val MaxRounds = 100
-    while (!converged && rounds < MaxRounds) {
-      val next = labels
-        .join(edges, col("node") === col("src"), "left")
-        .join(labels.select(col("node").as("dst2"), col("lbl").as("nbr_lbl")),
-          col("dst") === col("dst2"), "left")
-        .groupBy("node")
-        .agg(least(min("lbl"), coalesce(min("nbr_lbl"), min("lbl"))).as("lbl"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      rounds += 1
-    }
-    // Non-convergence must be loud: truncated propagation would silently
-    // split one component into several clusters (and diverge from the
-    // recursive-CTE oracle). MaxRounds bounds the component DIAMETER, not
-    // its size — near-dup graphs are shallow, so hitting it means
-    // something is structurally wrong with the input.
-    if (!converged) {
-      edges.unpersist(); labels.unpersist()
-      throw new IllegalStateException(
-        s"dedupClusters: min-label propagation did not converge in $MaxRounds rounds")
-    }
-    // localCheckpoint truncates lineage past the persisted loop state, so
-    // edges + the final round's cache can be released here instead of
-    // leaking into the shared session for the caller's lifetime.
-    val finalLabels = labels.localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
+      .toDF("src", "dst")
+    val (finalLabels, _) = propagateMinLabels(edges)
     finalLabels
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
       .orderBy("doc_id")
+  }
+
+  /** Min-label propagation to a fixpoint over a directed-both-ways edge
+    * list (src, dst) — the loop behind [[dedupClusters]], exposed for
+    * direct testing (CurationSpec's planted diameter-20 path graph pins
+    * the round count).
+    *
+    * Each round does TWO contractions, so rounds ≈ log2(diameter), not
+    * diameter:
+    *  1. neighbor min — lbl(u) ← min(lbl(u), min over N(u) of lbl(v)):
+    *     one equi-join on node id + a partial-agg min (the classic
+    *     propagation step; alone it needs diameter rounds);
+    *  2. pointer doubling — lbl(u) ← min(lbl(u), lbl(lbl(u))): one more
+    *     equi-join that shortcuts label chains the way large-star/
+    *     small-star (Kiveris et al., "Connected Components in MapReduce",
+    *     SoCC'14) does, without that algorithm's edge-rewriting — labels
+    *     only ever move within their component and only decrease, so the
+    *     fixpoint (every node labelled with its component minimum, the
+    *     recursive-CTE oracle's answer) is unchanged; only the round
+    *     count drops. Near-dup graphs are shallow (diameter 2-4) so this
+    *     is insurance for adversarial chain shapes, not the common case.
+    *
+    * Convergence is detected by a changed-row COUNT (an aggregate, never
+    * a collect); non-convergence throws — truncated propagation would
+    * silently split one component into several clusters. MaxRounds=100
+    * therefore bounds diameter 2^100, i.e. it only fires on a structural
+    * bug, not on any real input. All loop caches are released on EVERY
+    * exit path (try/finally); the returned frame is localCheckpoint-ed so
+    * its lineage does not pin the unpersisted loop state. */
+  private[pipeline] def propagateMinLabels(
+      edgeList: DataFrame, maxRounds: Int = 100): (DataFrame, Int) = {
+    // Every persisted frame registers in `live`; the finally block sweeps
+    // whatever is still cached, so NO exit path — happy, non-convergence
+    // throw, or a failed mid-round action — leaks caches into the shared
+    // session (unpersisting an already-released frame is a no-op).
+    val live = scala.collection.mutable.Set.empty[DataFrame]
+    def cache(df: DataFrame): DataFrame = { df.persist(); live += df; df }
+    def release(df: DataFrame): Unit = { df.unpersist(); live -= df }
+    val edges = cache(edgeList)
+    var labels = cache(edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
+    var converged = false
+    var rounds = 0
+    try {
+      while (!converged && rounds < maxRounds) {
+        // 1. neighbor min (left join: isolated self-loops keep their label).
+        // Persisted within the round: it feeds both sides of the doubling
+        // self-join below.
+        val nbrMin = cache(labels
+          .join(edges, col("node") === col("src"), "left")
+          .join(labels.select(col("node").as("dst2"), col("lbl").as("nbr_lbl")),
+            col("dst") === col("dst2"), "left")
+          .groupBy("node")
+          .agg(least(min("lbl"), coalesce(min("nbr_lbl"), min("lbl"))).as("lbl")))
+        // 2. pointer doubling: follow the label one hop through itself.
+        // The result is eagerly localCheckpoint-ed, NOT persist-ed: the
+        // doubling self-join references nbrMin twice, so without lineage
+        // truncation the logical plan would double every round and blow
+        // up plan compilation exponentially (persist caches data but
+        // keeps the full plan tree). Checkpointed round outputs are
+        // released by Spark's ContextCleaner once the next round drops
+        // the reference.
+        val short = nbrMin.select(col("node").as("p"), col("lbl").as("plbl"))
+        val next = nbrMin
+          .join(short, col("lbl") === col("p"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+          .filter(col("lbl") =!= col("old")).count()
+        release(nbrMin)
+        release(labels)
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"propagateMinLabels: did not converge in $maxRounds rounds")
+      (labels, rounds)
+    } finally live.foreach(_.unpersist())
   }
 
   /** Pair generation is textually shared with b28 ([[Dedup.b28PairCtes]])
@@ -304,6 +389,8 @@ object Curation {
     QueryDef("x13_tfidf_top", tfidfTop, Some(x13Sql)),
     QueryDef("x14_hash_split", hashSplit, Some(x14Sql)),
     QueryDef("x15_shard_pack", (s, d) => shardPack(s, d), Some(x15Sql(20000))),
+    QueryDef("x15b_shard_pack_partitioned",
+      (s, d) => shardPackPartitionedManifest(s, d), None),
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),

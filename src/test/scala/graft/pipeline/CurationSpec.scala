@@ -39,6 +39,47 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("partitioned shard packing: per-shard budget, order, decodable ids, no single-task plan") {
+    val budget = 500
+    val perDoc = Curation.shardPackPartitioned(spark, sf, budget)
+    // Scale gate: the production form must never funnel the corpus
+    // through one task (the global x15 form does, by design, for the
+    // oracle). SinglePartition only appears for a single-partition
+    // exchange; the pid window is a hash exchange.
+    val plan = perDoc.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"partitioned packer must not plan a single-partition exchange:\n$plan")
+    val rows = perDoc.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == graft.Tables.t(spark, sf, "documents").count(),
+      "every document is assigned to exactly one shard")
+    // Shard ids decode back to their producing partition.
+    rows.foreach { case (doc, _, pid, local, shard) =>
+      assert(shard == (pid << 32 | local), s"shard id must embed pid: doc $doc")
+    }
+    // Exclusive-prefix-sum packing invariant, per shard: the token sum
+    // excluding the shard's LAST doc is < budget (so a shard over-runs
+    // the budget by at most one document, hence ≤ budget+1 docs when
+    // every doc has ≥ 1 token).
+    rows.groupBy(_._5).foreach { case (shard, docsInShard) =>
+      val sorted = docsInShard.sortBy(_._1)
+      val sumButLast = sorted.init.map(_._2).sum
+      assert(sumButLast < budget,
+        s"shard $shard holds $sumButLast tokens before its last doc (budget $budget)")
+      assert(sorted.length <= budget + 1, s"shard $shard exceeds budget+1 docs")
+    }
+    // Within a partition, packing follows doc_id order: local shard ids
+    // are non-decreasing in doc_id.
+    rows.groupBy(_._3).foreach { case (pid, docsInPid) =>
+      val locals = docsInPid.sortBy(_._1).map(_._4)
+      assert(locals.zip(locals.tail).forall { case (a, b) => a <= b },
+        s"partition $pid packs out of doc_id order")
+    }
+    // Same corpus mass as the global oracle form.
+    val globalTokens = Curation.shardPack(spark, sf, budget).collect().map(_.getLong(2)).sum
+    assert(rows.map(_._2).sum == globalTokens, "partitioned form must cover the same tokens")
+  }
+
   test("dedup clusters are transitive (A~B, B~C, A!~C still one cluster)") {
     import spark.implicits._
     // 29 divides every doc_id so the % 29 slice keeps all docs. A chain:
@@ -55,6 +96,24 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == Set(29L, 58L, 87L), s"only paired docs belong to clusters: $out")
     assert(out.values.toSet == Set(29L), s"chain must collapse to one cluster rooted at 29: $out")
+  }
+
+  test("label propagation converges in O(log d) rounds on a diameter-20 path graph") {
+    import spark.implicits._
+    // Path 0-1-2-...-20: the adversarial shape for plain neighbor-min
+    // propagation (needs diameter+1 = 21 rounds). Pointer doubling
+    // shortcuts label chains: the shift after round r is a_r = 2(a_{r-1}+1)
+    // (2, 6, 14, 30, ...), so 21 nodes collapse in 4 rounds + 1 to detect
+    // the fixpoint. This pins the MaxRounds=100 rationale: it bounds
+    // diameter ~2^100, firing only on a structural bug.
+    val edges = (0L until 20L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val (labels, rounds) = Curation.propagateMinLabels(edges)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (0L to 20L).toSet)
+    assert(out.values.forall(_ == 0L), s"every node must reach the component min: $out")
+    assert(rounds <= 6, s"doubling must beat the diameter (took $rounds rounds for d=20)")
+    assert(rounds >= 3, s"a diameter-20 path cannot converge in ${rounds - 1} propagation rounds")
   }
 
   test("decontamination flags only train docs sharing shingles with the eval slice") {
