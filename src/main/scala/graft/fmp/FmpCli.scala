@@ -43,6 +43,16 @@ object FmpCli {
   /** Records between progress lines for the `print` command. */
   private[fmp] val ProgressEvery = 5000L
 
+  /** Driver-side adapter over the shared [[graft.fmp.v2.FmpProgress]]
+    * plumbing so the single-pass `print` emits the identical progress and
+    * summary lines as the executor-side V2 readers. */
+  private final class DriverProgress(val path: String, val progressEvery: Long)
+      extends graft.fmp.v2.FmpProgress {
+    def record(): Unit = recordProduced()
+    def finish(): Unit = reportFinal()
+    def count: Long = nRecords
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "dump_headers" :: file :: Nil =>
       // Schema-only path: no Spark job at all (SURVEY.md §3.3).
@@ -52,28 +62,30 @@ object FmpCli {
         println(s"${csvField(f.name)},${csvField(clean)}")
       }
 
-    case "print" :: file :: Nil => withSession { spark =>
-      // Header parse on the driver for the counts line; the actual record
-      // parse runs executor-side through the V2 source, which also emits
-      // the incremental progress lines (the reference's tqdm analogue).
-      // NOTE: the progress lines print from the executor task — visible on
-      // the CLI's stdout in local mode (this tool's deployment); under a
-      // remote SPARK_MASTER they land in executor logs, as executor-side
-      // output always does.
-      // COST: the snapshot is decompressed twice (header walk here, full
-      // parse in the V2 load) — accepted for header/count parity; bz2
-      // decompression is single-pass-streamed both times, never buffered.
-      val schema = FmpReader.readSchemaOnly(file)
-      println(s"Parsing ${schema.foundCount} records from ${schema.name}")
-      val df = spark.read.format("fmp")
-        .option("progressEvery", ProgressEvery.toString).load(file)
-      println(s"Materialized ${df.count()} records")
-      println("Done")
-    }
+    case "print" :: file :: Nil =>
+      // ONE stream, ONE decompression: header counts line, then the same
+      // constant-memory StAX iterator continues over the rows with the
+      // shared progress-line format (the reference's tqdm analogue,
+      // _cli.py:56-68 — also a single pass). A count of one
+      // non-splittable document gains nothing from a Spark job; the V2
+      // source's `progressEvery` option remains the executor-side
+      // progress surface for distributed reads.
+      val resolved = FmpReader.resolvePath(file)
+      val it = new FmpReader.FmpRowIterator(FmpReader.open(resolved))
+      try {
+        println(s"Parsing ${it.schema.foundCount} records from ${it.schema.name}")
+        val progress = new DriverProgress(resolved.toString, ProgressEvery)
+        while (it.hasNext) { it.next(); progress.record() }
+        progress.finish()
+        println(s"Materialized ${progress.count} records")
+        println("Done")
+      } finally it.close()
 
     case "to_json" :: file :: Nil => withSession { spark =>
-      // One partition per document ⇒ toLocalIterator preserves row order.
-      Sinks.toJsonlLines(FmpReader.read(spark, file)).foreach(println)
+      // Single-pass driver parse (one decompression); parallelize
+      // preserves row order across partitions for toLocalIterator, and
+      // the output is driver-printed regardless.
+      Sinks.toJsonlLines(FmpReader.readWithSchema(spark, file)._1).foreach(println)
     }
 
     // The reference's create_db docstring promises "You can also set the
@@ -91,12 +103,12 @@ object FmpCli {
     case "create_db" :: file :: dbUrl :: rest => withSession { spark =>
       val opts = parseOptions(rest)
       val resolved = FmpReader.resolvePath(file)
-      // Provenance hash covers the DECOMPRESSED content — the reference
-      // reads from the bz2-decompressed handle before hashing
-      // (_cli.py:146-148), so .bz2 snapshots hash their XML bytes.
-      val sha = Sinks.sha256OfStream(FmpReader.open(resolved))
-      val schema = FmpReader.readSchemaOnly(file)
-      val df0 = FmpReader.read(spark, file)
+      // ONE decompression: rows, header counts, and the provenance hash
+      // come from a single tapped stream. The hash covers the
+      // DECOMPRESSED content — the reference reads from the
+      // bz2-decompressed handle before hashing (_cli.py:146-148), so
+      // .bz2 snapshots hash their XML bytes.
+      val (df0, schema, sha) = FmpReader.readWithSchemaAndSha(spark, file)
       val mapping = opts.mappingColumn.map(MappingFile.readMapping(spark, _))
       // Reference parity: the table keeps the sanitized clean names; the
       // mapping supplies the column COMMENT metadata (sql.py:29-37).

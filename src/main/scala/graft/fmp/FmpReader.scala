@@ -68,8 +68,14 @@ object FmpReader {
     } else p
   }
 
+  /** Test seam: every [[open]] call increments this — a CLI command's
+    * open-count delta IS its decompression-pass count (FmpCliSpec asserts
+    * exactly one per command). */
+  private[fmp] val streamOpens = new java.util.concurrent.atomic.AtomicLong
+
   /** Open with transparent bz2 decompression by extension (_cli.py:30-35). */
   def open(path: Path): InputStream = {
+    streamOpens.incrementAndGet()
     val raw = new BufferedInputStream(new FileInputStream(path.toFile))
     if (path.getFileName.toString.endsWith(".bz2")) new BZip2CompressorInputStream(raw)
     else raw
@@ -300,6 +306,38 @@ object FmpReader {
     val parts = if (numPartitions > 0) numPartitions
       else math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.size / 1000 + 1))
     (spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, parts), struct), schema)
+  }
+
+  /** Single-pass driver read for bulk-load flows (`create_db`): ONE
+    * decompression yields the rows, the `FmpSchema` counts, AND the
+    * sha256 of the complete decompressed byte stream — a DigestInputStream
+    * taps the stream beneath the StAX parser, and the tail bytes after
+    * `</RESULTSET>` (which the row iterator never consumes) are drained
+    * through it so the digest equals a full-file hash (the reference
+    * hashes the whole decompressed handle, _cli.py:146-148).
+    *
+    * Driver-buffered by design: a FileMaker snapshot is one bounded
+    * curated database, and the JDBC bulk load is driver-adjacent anyway
+    * (single-transaction parity coalesces to one connection). The
+    * executor-side streaming path for analytics remains [[read]]. */
+  def readWithSchemaAndSha(spark: SparkSession, path: String,
+      headerStrategy: Seq[String] => Seq[String] = Sanitize.defaultHeaderStrategy)
+      : (DataFrame, FmpSchema, String) = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = new java.security.DigestInputStream(open(resolvePath(path)), md)
+    val rows = ArrayBuffer.empty[Row]
+    val it = new FmpRowIterator(in, headerStrategy)
+    val schema = try {
+      while (it.hasNext) rows += Row.fromSeq(it.next().toSeq)
+      val drain = new Array[Byte](8192)
+      while (in.read(drain) != -1) {}
+      it.schema
+    } finally it.close()
+    val sha = md.digest().map("%02x".format(_)).mkString
+    val struct = toStructType(schema)
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.size / 1000 + 1))
+    (spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, parts), struct),
+      schema, sha)
   }
 
   /** Default read path: the DataSource V2 `format("fmp")` source, which

@@ -130,6 +130,25 @@ class FmpCliSpec extends SparkSpec {
     assert(meta("column_comment.jaar") == "year")
   }
 
+  test("every CLI command opens (decompresses) the snapshot exactly once") {
+    spark
+    def opensDuring(f: => Unit): Long = {
+      val before = FmpReader.streamOpens.get()
+      f
+      FmpReader.streamOpens.get() - before
+    }
+    val f = fixture()
+    assert(opensDuring(captureStdout(FmpCli.main(Array("dump_headers", f)))) == 1L,
+      "dump_headers must open the stream once (header-only early exit)")
+    assert(opensDuring(captureStdout(FmpCli.main(Array("print", f)))) == 1L,
+      "print must count records on the same stream that read the header")
+    assert(opensDuring(captureStdout(FmpCli.main(Array("to_json", f)))) == 1L,
+      "to_json must parse in a single pass")
+    assert(opensDuring(captureStdout(FmpCli.main(Array(
+      "create_db", f, "jdbc:derby:memory:clionce;create=true", "--table-name", "once")))) == 1L,
+      "create_db must take rows, counts, and the sha256 from one tapped stream")
+  }
+
   test("DB_URL resolution: positional wins, env var is the documented fallback") {
     assert(FmpCli.resolveDbUrl(Some("jdbc:derby:a"), Map("DB_URL" -> "jdbc:derby:b"))
       .contains("jdbc:derby:a"))
