@@ -43,7 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => VecNorm2(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("set_jaccard"),
-      new ExpressionInfo(classOf[SetJaccard].getName, "set_jaccard"),
+      new ExpressionInfo(
+        classOf[SetJaccard].getName, null, "set_jaccard",
+        "_FUNC_(a, b) - Jaccard coefficient |a∩b|/|a∪b| of two ARRAY<STRING> " +
+          "sets. PRECONDITION: both arrays must be sorted ascending (array_sort " +
+          "order) and element-distinct — e.g. array_sort(array_distinct(x)); " +
+          "unsorted or duplicated input yields an undefined result. " +
+          "Two empty arrays yield 1.0.",
+        "", "", "", "", "", "", "scala_udf"),
       exprs => SetJaccard(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => CollapseSanitize)
   }

@@ -242,13 +242,18 @@ object SetJaccard {
     * UTF8String binary order and element-distinct. Null elements are
     * ordered LAST (exactly where Spark's `array_sort` places them) and a
     * null matches a null, so SQL callers with nullable elements get set
-    * semantics instead of an NPE. Empty∩empty yields 0/0 = NaN — the
-    * same value the division form produces, so oracle behavior is
-    * unchanged. UNSORTED input returns an undefined (not error) result —
-    * a documented precondition of the sorted-merge design. */
+    * semantics instead of an NPE. Empty∩empty is DEFINED as 1.0 (two
+    * identical — vacuously equal — sets), not left to 0/0 = NaN whose
+    * `NaN >= t` comparison quirk would silently pass dedup filters. The
+    * oracle division form never reaches this case: its candidate pairs
+    * come from a posting-list join, so shared >= 1 and the denominator
+    * is always positive. UNSORTED input returns an undefined (not error)
+    * result — a precondition documented here AND in the SQL usage text
+    * ([[graft.GraftExtensions]]). */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
     var i = 0
     var j = 0
     var shared = 0

