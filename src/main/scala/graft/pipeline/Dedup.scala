@@ -86,22 +86,47 @@ object Dedup {
     * every consumer); the merge expression is the same exact math at a
     * fraction of the cost. */
   private def jaccardFromCandidates(base: DataFrame, key: Column, keyName: String,
-      threshold: Double, dfCapC: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(base.sparkSession)
-    val sets = base.select(col("doc_id"), array_sort(key).as("keys"))
-    val capped = cappedPostings(base, key, keyName, dfCapC)
-    val cand = capped.as("a").join(capped.as("b"),
-        col(s"a.$keyName") === col(s"b.$keyName") && col("a.doc_id") < col("b.doc_id"))
+      threshold: Double, dfCapC: Int): DataFrame =
+    verifyExact(base, key,
+      selfJoinCandidates(cappedPostings(base, key, keyName, dfCapC), keyName),
+      threshold, filterOnRounded = true)
+
+  /** Distinct (da < db) pairs sharing at least one posting key — the
+    * candidate self-join shared by the df-cap and prefix-filter paths.
+    * `extraCond` lets the prefix path add its length filter INSIDE the
+    * join (pruning before the distinct shuffle, where it pays). */
+  private def selfJoinCandidates(postings: DataFrame, keyName: String,
+      extraCond: Column = lit(true)): DataFrame =
+    postings.as("a").join(postings.as("b"),
+        col(s"a.$keyName") === col(s"b.$keyName") &&
+          col("a.doc_id") < col("b.doc_id") && extraCond)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+
+  /** EXACT Jaccard verify over a candidate pair set: join each pair to the
+    * two docs' full SORTED distinct-key arrays, score with the native
+    * [[graft.functions.SetJaccard]], filter by `threshold`.
+    * `filterOnRounded` controls whether the threshold applies to the
+    * 4-decimal display rounding (b28/x11 oracle parity — their oracles
+    * mirror the same rounding) or to the raw double (the prefix path,
+    * whose LOSSLESS guarantee covers true-J ≥ t pairs only: a 0.79996
+    * pair that display-rounds to 0.8000 is NOT guaranteed a candidate, so
+    * filtering on the rounded value there would make results depend on
+    * which near-misses the filter happened to surface). */
+  private def verifyExact(base: DataFrame, key: Column, cand: DataFrame,
+      threshold: Double, filterOnRounded: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val sets = base.select(col("doc_id"), array_sort(key).as("keys"))
+    val raw = call_function("set_jaccard", col("ka"), col("kb"))
+    val thresholded =
+      if (filterOnRounded) round(raw, 4) >= threshold else raw >= threshold
     cand
       .join(sets.select(col("doc_id").as("da2"), col("keys").as("ka")),
         col("da") === col("da2"))
       .join(sets.select(col("doc_id").as("db2"), col("keys").as("kb")),
         col("db") === col("db2"))
-      .select(col("da"), col("db"),
-        round(call_function("set_jaccard", col("ka"), col("kb")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(thresholded)
+      .select(col("da"), col("db"), round(raw, 4).as("jaccard"))
       .orderBy("da", "db")
   }
 
@@ -174,6 +199,111 @@ object Dedup {
       "gram", threshold, dfCapC)
 
   private def x11(s: SparkSession, dir: String): DataFrame = ngramJaccardPairs(s, dir)
+
+  // ---------------------------------------------------------------- x20
+  /** Thresholds are carried in basis points (t·10⁴) so prefix lengths use
+    * EXACT integer arithmetic: in doubles, `ceil(0.8 * 25)` evaluates to
+    * ceil(20.000000000000004) = 21, silently shortening the prefix by one
+    * and breaking the lossless guarantee for every n where t·n lands on
+    * an integer. */
+  private val BpScale = 10000L
+
+  private def toBasisPoints(threshold: Double): Long = {
+    val bp = math.round(threshold * BpScale)
+    require(bp > 0 && bp <= BpScale,
+      s"prefix-filter threshold must be in (0, 1], got $threshold")
+    bp
+  }
+
+  /** Prefix-filtered postings (AllPairs / PPJoin, PAPERS.md SIGMOD'20
+    * adaptive similarity joins): order each doc's keys by ascending
+    * document frequency (ties broken by the key itself — a TOTAL global
+    * order) and keep only the first `n − ⌈t·n⌉ + 1` as posting entries.
+    * LOSSLESS for Jaccard ≥ t: such a pair shares ≥ ⌈t·max(na,nb)⌉ keys,
+    * too many for the intersection to hide entirely in both suffixes, so
+    * the two prefixes must collide on ≥ 1 key. Complements the df cap at
+    * HIGH thresholds: the cap is subquadratic but lossy for pairs whose
+    * every shared key is hot (on a vocabulary-dense corpus at t=0.8 it
+    * keeps ~1% of true pairs), while the prefix keeps exactly the keys
+    * that certify similarity — and because rare keys sort FIRST, hot keys
+    * almost never enter a prefix, so the self-join is skew-resistant at
+    * scale without losing a single qualifying pair.
+    *
+    * Emitted `n` (full key-set size) feeds the length filter in
+    * [[prefixCandidates]]. The per-doc `Window` is corpus-safe: it
+    * partitions by doc_id, so state is one doc's key list. */
+  private[pipeline] def prefixPostings(base: DataFrame, key: Column, keyName: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tBp = toBasisPoints(threshold)
+    val tok0 = base.select(col("doc_id"), explode(key).as(keyName))
+    val dfTbl = tok0.groupBy(keyName).agg(count(lit(1)).as("df"))
+    val perDoc = Window.partitionBy("doc_id")
+    val ranked = tok0.join(dfTbl, keyName)
+      .withColumn("pos", row_number().over(perDoc.orderBy(col("df"), col(keyName))))
+      .withColumn("n", count(lit(1)).over(perDoc))
+    // ⌈t·n⌉ = (tBp·n + BpScale−1) div BpScale, exact: the product stays
+    // far below 2^53 so the floor-of-double-division below is the true
+    // integer quotient.
+    val ceilTn = floor((lit(tBp) * col("n") + lit(BpScale - 1)) / lit(BpScale))
+    ranked.filter(col("pos") <= col("n") - ceilTn + 1)
+      .select(col("doc_id"), col(keyName), col("n"))
+  }
+
+  /** Candidate pairs from the prefix postings, with the Jaccard length
+    * filter `t·max(na,nb) ≤ min(na,nb)` applied inside the join (also
+    * exact-integer: `t·na ≤ nb  ⇔  tBp·na ≤ nb·10⁴`). */
+  private def prefixCandidates(pre: DataFrame, keyName: String,
+      threshold: Double): DataFrame = {
+    val tBp = toBasisPoints(threshold)
+    selfJoinCandidates(pre, keyName,
+      lit(tBp) * col("a.n") <= lit(BpScale) * col("b.n") &&
+        lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n"))
+  }
+
+  /** High-threshold near-dup pairs via the lossless prefix filter: every
+    * pair with TRUE Jaccard ≥ `threshold` is found — no candidate-
+    * generation recall loss, unlike the df-cap path. The verify filters
+    * on the RAW score (see [[verifyExact]]); `jaccard` in the output is
+    * display-rounded to 4 decimals. */
+  def jaccardPairsPrefixOn(base: DataFrame, threshold: Double,
+      key: Column = array_distinct(split(col("text"), " ")),
+      keyName: String = "tok"): DataFrame =
+    verifyExact(base, key,
+      prefixCandidates(prefixPostings(base, key, keyName, threshold), keyName, threshold),
+      threshold, filterOnRounded = false)
+
+  /** Threshold above which the prefix filter replaces the df cap for
+    * candidate generation. Below it prefixes approach the full sets
+    * (pruning measured <15% at t=0.15, OPERATORS.md) and the lossy-but-
+    * subquadratic cap is the right trade; at and above it the prefix
+    * prunes hard AND is lossless. */
+  val PrefixFilterMinThreshold = 0.5
+
+  /** Adaptive near-dup dispatch (word tokens): lossless prefix filter at
+    * high thresholds, df-capped posting join at low ones. */
+  def nearDupPairsOn(base: DataFrame, threshold: Double,
+      dfCapC: Int = DfCapC): DataFrame =
+    if (threshold >= PrefixFilterMinThreshold) jaccardPairsPrefixOn(base, threshold)
+    else jaccardPairsOn(base, threshold, dfCapC)
+
+  /** Registered prefix-filter query: strict near-dups (t=0.8) on the
+    * `doc_id % 7` slice. The oracle is NOT a mirror of the candidate
+    * pipeline — it is the BRUTE-FORCE all-pairs Jaccard, so the driver's
+    * hash compare proves the lossless claim end-to-end, not just that two
+    * copies of the same pruning agree. */
+  private def x20(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsPrefixOn(docs(s, dir).filter(col("doc_id") % 7 === 0), 0.8)
+
+  private val x20Sql =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+       sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS keys FROM base),
+       scored AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                    CAST(len(list_intersect(a.keys, b.keys)) AS DOUBLE) /
+                      (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) AS j
+                  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+       SELECT da, db, round(j, 4) AS jaccard FROM scored
+       WHERE j >= 0.8 ORDER BY da, db"""
 
   private val x11Sql =
     s"""WITH base AS (SELECT doc_id, text FROM documents
@@ -359,6 +489,7 @@ object Dedup {
     QueryDef("b27_dedup_exact", exactDedup, Some(b27Sql)),
     QueryDef("b28_jaccard_pairs", jaccardPairs, Some(b28Sql)),
     QueryDef("x11_ngram_jaccard", x11, Some(x11Sql)),
+    QueryDef("x20_neardup_prefix", x20, Some(x20Sql)),
     QueryDef("x05_minhash_sigs", minhashQuery, Some(x05Sql)),
     QueryDef("x06_simhash", simhashQuery, Some(x06Sql)))
 }

@@ -142,6 +142,91 @@ class PipelineSpec extends SparkSpec {
     assert(gpairs.contains((1000L, 1001L)), s"n-gram form lost the planted pair: $gpairs")
   }
 
+  /** Brute-force all-pairs Jaccard ≥ t with exact scores — the truth set
+    * the prefix filter's LOSSLESS claim is checked against. */
+  private def bruteForcePairs(base: org.apache.spark.sql.DataFrame,
+      t: Double): Map[(Long, Long), Double] = {
+    graft.functions.GraftFunctions.register(spark)
+    val sets = base.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("keys"))
+    sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        call_function("set_jaccard", col("a.keys"), col("b.keys")).as("j"))
+      .filter(col("j") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  test("prefix filter prunes >=50% of candidates at t=0.8 and loses no pair") {
+    import spark.implicits._
+    val n = 120
+    val stop = "the and of to in a for with on is"
+    // Every doc: the 10 stopwords + 10 doc-unique tokens (20 keys). The
+    // planted near-dup clones swap ONE unique token: J = 19/21 ≈ 0.905.
+    def uniques(tag: String) = (1 to 10).map(j => s"u${tag}_$j").mkString(" ")
+    val corpus = ((1 to n).map(i => (i.toLong, s"$stop ${uniques(i.toString)}")) ++
+      Seq((2001L, s"$stop ${uniques("a")}"),
+          (2002L, s"$stop ${uniques("a").replace("ua_10", "swapped")}"),
+          (2003L, s"$stop ${uniques("b")}"),
+          (2004L, s"$stop ${uniques("b").replace("ub_10", "other")}")))
+      .toDF("doc_id", "text")
+    val key = array_distinct(split(col("text"), " "))
+    // Baseline: the UNFILTERED posting self-join — the shared stopwords
+    // make every doc pair a candidate, ~n²/2.
+    val tok0 = corpus.select(col("doc_id"), explode(key).as("tok"))
+    val uncapped = tok0.as("a").join(tok0.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(uncapped > 7000, s"fixture lost its density: $uncapped candidates")
+    // Prefix postings at t=0.8 keep the 5 globally-rarest keys per doc —
+    // the doc-unique tokens — so stopword collisions vanish.
+    val pre = Dedup.prefixPostings(corpus, key, "tok", 0.8)
+    val prefCands = pre.as("a").join(pre.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(prefCands <= uncapped / 2,
+      s"prefix filter pruned ${uncapped - prefCands} of $uncapped — below the 50% bar")
+    // Lossless: the full pipeline equals brute-force all-pairs truth.
+    val got = Dedup.jaccardPairsPrefixOn(corpus, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = bruteForcePairs(corpus, 0.8)
+      .map { case (p, j) => p -> math.rint(j * 10000) / 10000 }
+    assert(truth.keySet == Set((2001L, 2002L), (2003L, 2004L)),
+      s"fixture should plant exactly two strict near-dup pairs, got ${truth.keySet}")
+    assert(got == truth, s"prefix path diverged from brute force: $got vs $truth")
+    // The adaptive dispatch routes high thresholds through the prefix path.
+    val adaptive = Dedup.nearDupPairsOn(corpus, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive == truth.keySet)
+  }
+
+  test("prefix filter is lossless on the dense corpus where the df cap is not") {
+    // At 500 docs the synthetic documents table is vocabulary-dense: most
+    // tokens have df > 8·√n, so the df cap drops nearly every posting and
+    // with it nearly every true high-threshold pair — the measured
+    // motivation for routing t ≥ 0.5 through the prefix filter instead.
+    val dense = Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val truth = bruteForcePairs(dense, 0.8)
+    val viaPrefix = Dedup.jaccardPairsPrefixOn(dense, 0.8).count()
+    val viaCap = Dedup.jaccardPairsOn(dense, 0.8).count()
+    assert(truth.size > 10000, s"density assumption broke: ${truth.size} true pairs")
+    assert(viaPrefix == truth.size,
+      s"prefix path found $viaPrefix of ${truth.size} true pairs")
+    assert(viaCap < truth.size / 10,
+      s"df cap unexpectedly kept $viaCap of ${truth.size} — contrast test is stale")
+  }
+
+  test("prefix length uses exact integer arithmetic (ceil(0.8*25) trap)") {
+    import spark.implicits._
+    // 25 distinct tokens at t=0.8: prefix must be 25 - ceil(20) + 1 = 6.
+    // Double arithmetic computes ceil(0.8*25) = ceil(20.000000000000004)
+    // = 21 and would emit 5 — one lost certificate key per such doc.
+    val one = Seq((1L, (1 to 25).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val kept = Dedup.prefixPostings(one,
+      array_distinct(split(col("text"), " ")), "tok", 0.8).count()
+    assert(kept == 6, s"expected prefix of 6 keys for n=25, t=0.8; got $kept")
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactDedup _
     import spark.implicits._
