@@ -7,10 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, IsNotNull, IsNull, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{ArrayType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,21 +73,104 @@ class FmpTable(tableSchema: StructType, path: String) extends Table with Support
 
 class FmpScanBuilder(fullSchema: StructType, path: String, allSnapshots: Boolean,
     progressEvery: Long, repeatingAsArray: Boolean)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Accepted filters are applied row-by-row on the RAW parsed strings
+    * (before UTF8String conversion and InternalRow construction), with
+    * full SQL three-valued semantics — so they are claimed completely and
+    * only genuinely unsupported shapes remain for Spark to re-evaluate.
+    * `repeatingAsArray` mode declines everything: its cells are `<DATA>`
+    * LISTS, and the flat string comparison below would see only a
+    * truncated scalar view of them. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] =
+    if (repeatingAsArray) filters
+    else {
+      val (sup, rest) = filters.partition(FmpFilters.isSupported)
+      pushed = sup
+      rest
+    }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
-    new FmpScan(fullSchema, required, path, allSnapshots, progressEvery, repeatingAsArray)
+    new FmpScan(fullSchema, required, path, allSnapshots, progressEvery,
+      repeatingAsArray, pushed)
+}
+
+/** Pushed-filter support and evaluation for the FMP scan. The value side
+  * of every comparison is a String (the source is all-string by design —
+  * A9); any other value type (a cast the analyzer pushed past the scan)
+  * is declined rather than mis-compared. */
+object FmpFilters {
+  def isSupported(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => v == null || v.isInstanceOf[String]
+    case EqualNullSafe(_, v) => v == null || v.isInstanceOf[String]
+    case In(_, vs) => vs != null && vs.forall(v => v == null || v.isInstanceOf[String])
+    case IsNull(_) | IsNotNull(_) => true
+    case StringStartsWith(_, _) | StringEndsWith(_, _) | StringContains(_, _) => true
+    case And(l, r) => isSupported(l) && isSupported(r)
+    case Or(l, r) => isSupported(l) && isSupported(r)
+    case Not(c) => isSupported(c)
+    case _ => false
+  }
+
+  /** Kleene three-valued evaluation over the raw parsed row (`get`
+    * resolves a clean column name to the cell value, null when absent —
+    * including columns missing from an old snapshot, which thereby filter
+    * exactly like the nulls they read as). None is SQL NULL; a row is
+    * emitted iff every pushed filter yields Some(true). */
+  def eval(f: Filter, get: String => String): Option[Boolean] = f match {
+    case EqualTo(a, v) =>
+      val x = get(a)
+      if (x == null || v == null) None else Some(x == v.asInstanceOf[String])
+    case EqualNullSafe(a, v) =>
+      val x = get(a)
+      Some(if (v == null) x == null else x != null && x == v.asInstanceOf[String])
+    case In(a, vs) =>
+      val x = get(a)
+      if (x == null) None
+      else if (vs.exists(v => v != null && v.asInstanceOf[String] == x)) Some(true)
+      else if (vs.contains(null)) None
+      else Some(false)
+    case IsNull(a) => Some(get(a) == null)
+    case IsNotNull(a) => Some(get(a) != null)
+    case StringStartsWith(a, p) => Option(get(a)).map(_.startsWith(p))
+    case StringEndsWith(a, p) => Option(get(a)).map(_.endsWith(p))
+    case StringContains(a, p) => Option(get(a)).map(_.contains(p))
+    case And(l, r) => (eval(l, get), eval(r, get)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, get), eval(r, get)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => eval(c, get).map(!_)
+    case _ => None // unreachable: only supported shapes are pushed
+  }
 }
 
 class FmpScan(fullSchema: StructType, required: StructType, path: String,
-    allSnapshots: Boolean, progressEvery: Long, repeatingAsArray: Boolean)
+    allSnapshots: Boolean, progressEvery: Long, repeatingAsArray: Boolean,
+    pushed: Array[Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Shown by BatchScanExec in `.explain` — the same `PushedFilters: [...]`
+    * convention the built-in file sources use, so plan audits can gate on
+    * it (FmpDataSourceSpec does). */
+  override def description(): String =
+    s"FmpScan $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // Default directory semantics follow the reference (latest *.bz2
@@ -113,20 +196,22 @@ class FmpScan(fullSchema: StructType, required: StructType, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FmpPartitionReaderFactory(fullSchema.fieldNames, required, progressEvery,
-      repeatingAsArray)
+      repeatingAsArray, pushed)
 }
 
 case class FmpInputPartition(resolvedPath: String) extends InputPartition
 
 class FmpPartitionReaderFactory(allColumns: Array[String], requiredSchema: StructType,
-    progressEvery: Long, repeatingAsArray: Boolean)
+    progressEvery: Long, repeatingAsArray: Boolean,
+    pushed: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[FmpInputPartition].resolvedPath
     if (repeatingAsArray)
       new FmpArrayPartitionReader(path, allColumns, requiredSchema, progressEvery)
     else
-      new FmpPartitionReader(path, allColumns, requiredSchema.fieldNames, progressEvery)
+      new FmpPartitionReader(path, allColumns, requiredSchema.fieldNames, progressEvery,
+        pushed)
   }
 }
 
@@ -164,7 +249,7 @@ trait FmpProgress {
 /** Executor-side streaming reader: StAX-parses the document and projects
   * only the pruned columns into InternalRows. */
 class FmpPartitionReader(val path: String, allColumns: Array[String], requiredColumns: Array[String],
-    val progressEvery: Long = 0L)
+    val progressEvery: Long = 0L, pushedFilters: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] with FmpProgress {
   private val it = new FmpReader.FmpRowIterator(
     FmpReader.open(java.nio.file.Paths.get(path)))
@@ -186,21 +271,50 @@ class FmpPartitionReader(val path: String, allColumns: Array[String], requiredCo
   }
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (it.hasNext) {
+  // Filter-attribute resolution uses the same by-name/positional logic as
+  // the data columns — filters may reference columns Spark pruned OUT of
+  // the required schema (it trusts the claim and drops both the Filter
+  // node and the column), so resolution is independent of `indices`.
+  private val filterIdx = scala.collection.mutable.HashMap.empty[String, Int]
+  private def rawValue(raw: Array[String], name: String): String = {
+    val idx = filterIdx.getOrElseUpdate(name, {
+      val i = it.schema.cleanNames.indexOf(name)
+      if (i >= 0) i else if (fileIsByName) -1 else allColumns.indexOf(name)
+    })
+    if (idx >= 0 && idx < raw.length) raw(idx) else null
+  }
+
+  /** Pushed filters run on the RAW parsed strings, so a skipped record
+    * pays zero UTF8String conversion and no row allocation. */
+  private def passes(raw: Array[String]): Boolean = {
+    var i = 0
+    while (i < pushedFilters.length) {
+      if (!FmpFilters.eval(pushedFilters(i), rawValue(raw, _)).contains(true))
+        return false
+      i += 1
+    }
+    true
+  }
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
       val raw = it.next()
-      val values = new Array[Any](indices.length)
-      var i = 0
-      while (i < indices.length) {
-        val idx = indices(i)
-        values(i) = if (idx >= 0 && idx < raw.length && raw(idx) != null)
-          UTF8String.fromString(raw(idx)) else null
-        i += 1
+      if (pushedFilters.isEmpty || passes(raw)) {
+        val values = new Array[Any](indices.length)
+        var i = 0
+        while (i < indices.length) {
+          val idx = indices(i)
+          values(i) = if (idx >= 0 && idx < raw.length && raw(idx) != null)
+            UTF8String.fromString(raw(idx)) else null
+          i += 1
+        }
+        current = new GenericInternalRow(values)
+        recordProduced()
+        return true
       }
-      current = new GenericInternalRow(values)
-      recordProduced()
-      true
-    } else false
+    }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = {

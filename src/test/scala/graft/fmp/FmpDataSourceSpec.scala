@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
 import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -132,6 +133,81 @@ class FmpDataSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 3, "one partition per archive")
     // default behavior unchanged: latest snapshot only
     assert(spark.read.format("fmp").load(dir.toString).count() == 5)
+  }
+
+  test("filters push into the scan, show in explain, and are fully claimed") {
+    val path = writeFixture(30)
+    val df = spark.read.format("fmp").load(path)
+      .filter(col("auteur") === "author 3")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [") &&
+      physical.contains("EqualTo(auteur,author 3)"),
+      s"equality filter missing from scan description: $physical")
+    // Fully claimed: no residual Filter node survives optimization.
+    val residual = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(residual.isEmpty, s"claimed filter re-evaluated by Spark: $residual")
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("author 3"))
+  }
+
+  test("pushed-filter semantics equal Spark's own post-scan evaluation") {
+    val path = writeFixture(30)
+    val v2 = spark.read.format("fmp").load(path)
+    // Ground truth: the driver-parallelize reader, whose filters Spark
+    // itself evaluates post-scan.
+    val v1 = FmpReader.readWithSchema(spark, path)._1
+    val predicates: Seq[org.apache.spark.sql.Column] = Seq(
+      col("jaar").isNull,                        // <DATA/> rows (i % 3 == 0)
+      col("jaar").isNotNull && col("jaar") < "1610",
+      col("auteur").isin("author 1", "author 2", "author 25"),
+      !(col("auteur") === "author 7"),           // must EXCLUDE null-free match only
+      col("auteur").startsWith("author 1") || col("jaar").endsWith("5"),
+      col("auteur").contains("r 2") && !col("jaar").isNull)
+    predicates.foreach { p =>
+      val got = v2.filter(p).orderBy("aantal_bedr_").collect().toSeq
+      val want = v1.filter(p).orderBy("aantal_bedr_").collect().toSeq
+      assert(got == want, s"pushdown diverged for $p: $got vs $want")
+    }
+  }
+
+  test("filter on a column missing from an old snapshot sees null") {
+    val dir = Files.createTempDirectory("fmpfiltevo")
+    val oldDoc =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<FMPXMLRESULT xmlns="$ns">
+         |  <DATABASE DATEFORMAT="d" LAYOUT="" NAME="Ceneton" RECORDS="2" TIMEFORMAT="h"/>
+         |  <METADATA>
+         |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Aantal bedr." TYPE="TEXT"/>
+         |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Auteur" TYPE="TEXT"/>
+         |  </METADATA>
+         |  <RESULTSET FOUND="2">
+         |    <ROW MODID="0" RECORDID="1"><COL><DATA>1</DATA></COL><COL><DATA>old author</DATA></COL></ROW>
+         |    <ROW MODID="0" RECORDID="2"><COL><DATA>2</DATA></COL><COL><DATA>older author</DATA></COL></ROW>
+         |  </RESULTSET>
+         |</FMPXMLRESULT>""".stripMargin
+    def bz(name: String, content: String): Unit = {
+      val out = new BZip2CompressorOutputStream(new FileOutputStream(dir.resolve(name).toFile))
+      out.write(content.getBytes(StandardCharsets.UTF_8)); out.close()
+    }
+    bz("a-old.xml.bz2", oldDoc)
+    bz("b-new.xml.bz2", doc(3))
+    val df = spark.read.format("fmp").option("allSnapshots", "true").load(dir.toString)
+    // jaar IS NULL: both old-snapshot rows + the new snapshot's <DATA/> row.
+    assert(df.filter(col("jaar").isNull).count() == 3)
+    // An equality on the absent column can never match an old-snapshot row.
+    val eq = df.filter(col("jaar") === "1601").collect()
+    assert(eq.length == 1 && !eq(0).getString(1).contains("old"))
+  }
+
+  test("repeatingAsArray mode declines pushdown but filters still apply") {
+    val path = writeFixture(12)
+    val df = spark.read.format("fmp").option("repeatingAsArray", "true").load(path)
+      .filter(col("auteur") === "author 4")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: []"),
+      s"array mode must not claim flat-string filters: $physical")
+    assert(df.count() == 1, "Spark's post-scan filter still applies")
   }
 
   test("bz2 + directory snapshot resolution work through format(\"fmp\")") {
