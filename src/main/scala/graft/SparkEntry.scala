@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{AsOf, Relational}
-import graft.pipeline.{Curation, Dedup, Ivf, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Curation, Dedup, Ivf, Multimodal, Sampling, Similarity, TextStats}
 import graft.streaming.Windows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,8 @@ import graft.streaming.Windows
 object SparkEntry {
   private val modules: Seq[QueryDef] =
     Relational.defs ++ AsOf.defs ++ Dedup.defs ++ Similarity.defs ++
-      Ivf.defs ++ TextStats.defs ++ Curation.defs ++ Multimodal.defs ++ Windows.defs
+      Ivf.defs ++ TextStats.defs ++ Curation.defs ++ Sampling.defs ++
+      Multimodal.defs ++ Windows.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling & mixture operators for LLM training-data pipelines — the
+  * steps that turn a curated corpus into a training distribution:
+  * per-stratum downsampling (cap the dominant language/source),
+  * per-source token-budget selection (bound any one source's share), and
+  * weighted mixture materialization with fractional upsampling (emit each
+  * doc `w` times in expectation, deterministically).
+  *
+  * Everything is pure integer/hash arithmetic over the existing columns,
+  * so every query is oracle-exact in DuckDB AND every decision is
+  * engine/cluster/run-independent — the reproducibility property dataset
+  * versioning needs: re-running the pipeline on a different cluster
+  * yields byte-identical sample membership.
+  *
+  * Scale: x21/x23 are map-only projections + one map-side-combinable
+  * aggregation (no shuffle of the corpus). x22's window partitions by
+  * `source` — fine when strata are numerous (the normal case: thousands
+  * of domains/sources at 100 TB); a single whale stratum funnels into one
+  * task, the same caveat as any per-group top-k, mitigated by splitting
+  * whales upstream or pre-aggregating to (source, doc) grain first.
+  */
+object Sampling {
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  private val Knuth = HashConstants.Knuth
+  private val HashPrime = HashConstants.HashPrime
+  /** Selection decisions are made in basis points (1/10000ths). */
+  private val Bp = 10000L
+
+  /** Deterministic uniform-ish selector in [0, 10000): a Knuth-spread
+    * integer hash of (doc_id + salt). The salt DECORRELATES independent
+    * sampling decisions — x14's train/val/test split hashes bare doc_id,
+    * and reusing its value here would make "sampled" correlate with
+    * "test split", quietly biasing held-out evaluation. */
+  private def hashBp(salt: Long): Column =
+    pmod(pmod(col("doc_id") + salt, lit(HashPrime)) * lit(Knuth), lit(HashPrime)) % Bp
+
+  private def hashBpSql(salt: Long): String =
+    s"(((doc_id + $salt) % $HashPrime) * $Knuth % $HashPrime) % $Bp"
+
+  // ---------------------------------------------------------------- x21
+  /** Per-language sampling rates in basis points: downsample the dominant
+    * language, keep the rest — the classic rebalancing move. */
+  val StratumRatesBp: Map[String, Long] =
+    Map("en" -> 2500L, "de" -> 5000L, "fr" -> 5000L, "es" -> 5000L)
+  val DefaultRateBp: Long = Bp // unknown strata pass through untouched
+  private val SampleSalt = 7919L
+
+  /** Stratified downsampling: keep a doc iff its hash falls under its
+    * language's rate. Per-doc assignment is the inner projection; the
+    * registered artifact is the per-stratum summary with a membership
+    * checksum (sum of selected doc_ids) so the oracle compare pins the
+    * exact selected SET, not just its size. Map-only + one agg. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = StratumRatesBp.foldLeft(lit(DefaultRateBp)) {
+      case (acc, (lang, bp)) => when(col("lang") === lang, bp).otherwise(acc)
+    }
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        (hashBp(SampleSalt) < rate).as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("sampled_tokens"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("lang")
+  }
+
+  private val x21Sql = {
+    val rateCase = StratumRatesBp.toSeq.sortBy(_._1)
+      .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }
+      .mkString("CASE ", " ", s" ELSE $DefaultRateBp END")
+    s"""WITH a AS (SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           ${hashBpSql(SampleSalt)} < ($rateCase) AS keep
+         FROM documents)
+       SELECT lang, count(*) AS n_total,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+              CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS sampled_tokens,
+              CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+       FROM a GROUP BY lang ORDER BY lang"""
+  }
+
+  // ---------------------------------------------------------------- x22
+  /** Per-source token budget (largest-first selection): within each
+    * source, take docs by (n_tok DESC, doc_id) while the EXCLUSIVE
+    * running token sum is under `budget` — same convention as x15's shard
+    * pack, so every source keeps ≥ 1 doc and a source's kept tokens
+    * overshoot by less than its largest kept doc. Bounds any one
+    * source's share of the training mix. Output: per-source manifest
+    * with a kept-set checksum. */
+  def sourceBudgetSelect(s: SparkSession, dir: String, budget: Long = 800L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("kept", coalesce(sum("n_tok").over(w), lit(0L)) < budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("source")
+  }
+
+  private def x22Sql(budget: Long) =
+    s"""WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+       c AS (SELECT doc_id, source, n_tok,
+           coalesce(sum(n_tok) OVER (PARTITION BY source
+             ORDER BY n_tok DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < $budget AS kept
+         FROM t)
+       SELECT source, count(*) AS n_total,
+              CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+              CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+       FROM c GROUP BY source ORDER BY source"""
+
+  // ---------------------------------------------------------------- x23
+  /** Per-language mixture weights ×100 (integer): zh is upsampled 2.5×,
+    * fr 1.5×, the rest pass through — the "data mixture" step that turns
+    * curated corpora into the training distribution. */
+  val MixWeightsX100: Map[String, Long] = Map("zh" -> 250L, "fr" -> 150L)
+  val DefaultWeightX100: Long = 100L
+  private val MixSalt = 104729L
+
+  /** Weighted mixture materialization with deterministic fractional
+    * upsampling: a doc with weight w is emitted ⌊w⌋ times, plus one more
+    * iff its hash falls under frac(w) — so exactly-w in expectation and
+    * byte-identical membership on every engine/run. The explode is
+    * `sequence(1, n_rep)`, map-only; the registered artifact aggregates
+    * the emitted stream per language with an (id × epoch) checksum that
+    * pins every emitted copy, not just the counts. */
+  def mixtureMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val wX100 = MixWeightsX100.foldLeft(lit(DefaultWeightX100)) {
+      case (acc, (lang, w)) => when(col("lang") === lang, w).otherwise(acc)
+    }
+    val whole = (col("w") / 100L).cast("long")
+    val extra = when(hashBp(MixSalt) * 100L < (col("w") % 100L) * Bp, 1L).otherwise(0L)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), wX100.as("w"))
+      .withColumn("n_rep", whole + extra)
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("lang"), explode(sequence(lit(1L), col("n_rep"))).as("epoch"))
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_emitted"),
+        sum(col("doc_id") * col("epoch")).as("emit_checksum"))
+      .orderBy("lang")
+  }
+
+  private val x23Sql = {
+    val wCase = MixWeightsX100.toSeq.sortBy(_._1)
+      .map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+      .mkString("CASE ", " ", s" ELSE $DefaultWeightX100 END")
+    s"""WITH a AS (SELECT doc_id, lang, ($wCase) AS w FROM documents),
+       r AS (SELECT doc_id, lang,
+           w // 100 + (CASE WHEN ${hashBpSql(MixSalt)} * 100 < (w % 100) * $Bp
+                       THEN 1 ELSE 0 END) AS n_rep
+         FROM a),
+       e AS (SELECT doc_id, lang, unnest(generate_series(1, n_rep)) AS epoch
+             FROM r WHERE n_rep > 0)
+       SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_emitted,
+              CAST(sum(doc_id * epoch) AS BIGINT) AS emit_checksum
+       FROM e GROUP BY lang ORDER BY lang"""
+  }
+
+  // ----------------------------------------------------------------
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x21_stratified_sample", stratifiedSample, Some(x21Sql)),
+    QueryDef("x22_source_budget", (s, d) => sourceBudgetSelect(s, d), Some(x22Sql(800L))),
+    QueryDef("x23_mixture", mixtureMaterialize, Some(x23Sql)))
+}

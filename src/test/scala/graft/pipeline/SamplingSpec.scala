@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Invariants of the sampling/mixture family beyond the oracle hash
+  * compare: rate adherence, budget bounds, and the deterministic
+  * fractional-upsampling contract. */
+class SamplingSpec extends SparkSpec {
+
+  test("stratified sample holds per-language rates and is deterministic") {
+    val rows = Sampling.stratifiedSample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (lang, (total, sampled)) =>
+      val rate = Sampling.StratumRatesBp.getOrElse(lang, Sampling.DefaultRateBp)
+      if (rate == Sampling.DefaultRateBp)
+        assert(sampled == total, s"$lang: default rate must keep everything")
+      else {
+        // Bernoulli bound: ±4σ around the expected fraction.
+        val p = rate.toDouble / 10000
+        val sd = math.sqrt(total * p * (1 - p))
+        assert(math.abs(sampled - total * p) <= 4 * sd + 1,
+          s"$lang: sampled $sampled of $total at nominal rate $p")
+      }
+    }
+    // Byte-identical membership on re-run (the reproducibility contract).
+    val again = Sampling.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(4))).toMap
+    val first = Sampling.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(4))).toMap
+    assert(again == first)
+  }
+
+  test("source budget keeps >=1 doc per source and bounds overshoot") {
+    val budget = 800L
+    val perDocMax = Tables.t(spark, sf, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(max("n").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sampling.sourceBudgetSelect(spark, sf, budget).collect().foreach { r =>
+      val (source, kept, keptTokens) = (r.getString(0), r.getLong(2), r.getLong(3))
+      assert(kept >= 1, s"$source kept no docs")
+      // Exclusive-prefix convention: overshoot < the largest kept doc.
+      assert(keptTokens < budget + perDocMax(source),
+        s"$source kept $keptTokens tokens against budget $budget")
+    }
+  }
+
+  test("mixture emits floor(w) to ceil(w) copies per doc, exact for integer w") {
+    val out = Sampling.mixtureMaterialize(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { case (lang, (docs, emitted)) =>
+      val w = Sampling.MixWeightsX100.getOrElse(lang, Sampling.DefaultWeightX100)
+      val lo = (w / 100) * docs
+      val hi = lo + (if (w % 100 == 0) 0L else docs)
+      assert(emitted >= lo && emitted <= hi,
+        s"$lang: $emitted copies of $docs docs outside [$lo,$hi] for w=$w")
+      if (w % 100 == 0)
+        assert(emitted == lo, s"$lang: integer weight must emit exactly $lo")
+      else {
+        // The fractional part should land near frac(w)·docs (±4σ).
+        val p = (w % 100).toDouble / 100
+        val sd = math.sqrt(docs * p * (1 - p))
+        assert(math.abs((emitted - lo) - docs * p) <= 4 * sd + 1,
+          s"$lang: fractional upsample ${emitted - lo} of $docs at frac $p")
+      }
+    }
+  }
+}
