@@ -152,7 +152,10 @@ object Sampling {
       .filter(col("n_rep") > 0)
       .select(col("doc_id"), col("lang"), explode(sequence(lit(1L), col("n_rep"))).as("epoch"))
       .groupBy("lang")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
+      // n_docs counts epoch-1 copies — every emitted doc has exactly one —
+      // instead of countDistinct(doc_id), whose distinct expansion would
+      // cost a third exchange on (lang, doc_id) (PlanSpec-gated).
+      .agg(sum(when(col("epoch") === 1L, 1L).otherwise(0L)).as("n_docs"),
         count(lit(1)).as("n_emitted"),
         sum(col("doc_id") * col("epoch")).as("emit_checksum"))
       .orderBy("lang")
@@ -169,7 +172,9 @@ object Sampling {
          FROM a),
        e AS (SELECT doc_id, lang, unnest(generate_series(1, n_rep)) AS epoch
              FROM r WHERE n_rep > 0)
-       SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_emitted,
+       SELECT lang,
+              CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+              count(*) AS n_emitted,
               CAST(sum(doc_id * epoch) AS BIGINT) AS emit_checksum
        FROM e GROUP BY lang ORDER BY lang"""
   }

@@ -127,6 +127,38 @@ class PlanSpec extends SparkSpec {
     assert("\\+- BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
   }
 
+  test("x20: prefix-filter near-dup joins are equi-joins, never a corpus product") {
+    val p = plan("x20_neardup_prefix")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"prefix self-join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no corpus product allowed:\n$p")
+  }
+
+  test("x21/x23: sampling decisions are map-only (one aggregation exchange)") {
+    for (name <- Seq("x21_stratified_sample", "x23_mixture")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name: sampling must not join:\n$p")
+      // One partial+final agg pair with its hash exchange on lang; the
+      // trailing orderBy adds a range exchange for the 5-row output. No
+      // other shuffles of the corpus.
+      assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 2,
+        s"$name: expected only agg + output-sort exchanges:\n$p")
+      assert(p.contains("hashpartitioning(lang"),
+        s"$name: aggregation must shuffle on the stratum key:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$name: aggregation must be partial+final:\n$p")
+    }
+  }
+
+  test("x22: budget selection shuffles once on the stratum key, not globally") {
+    val p = plan("x22_source_budget")
+    assert(p.contains("hashpartitioning(source"),
+      s"window must partition by source:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no single-task global window allowed:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize
