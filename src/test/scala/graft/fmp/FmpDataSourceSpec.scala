@@ -210,6 +210,69 @@ class FmpDataSourceSpec extends SparkSpec {
     assert(df.count() == 1, "Spark's post-scan filter still applies")
   }
 
+  test("randomized pushdown equivalence vs post-scan evaluation (seeded)") {
+    // Fixture with repeated values, empties, and nulls across 3 columns.
+    val rnd = new scala.util.Random(4242)
+    val pool = Seq("a", "b", "ab", "ba", "x y", "")
+    def cell(): String = rnd.nextInt(8) match {
+      case 0 => null
+      case _ => pool(rnd.nextInt(pool.length))
+    }
+    val rows = (1 to 80).map { _ =>
+      val cells = Seq(cell(), cell(), cell()).map {
+        case null => "<COL><DATA/></COL>" // reader yields null for no text
+        case v => s"<COL><DATA>$v</DATA></COL>"
+      }.mkString
+      s"""<ROW MODID="0" RECORDID="1">$cells</ROW>"""
+    }.mkString("\n")
+    val xml =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<FMPXMLRESULT xmlns="$ns">
+         |  <DATABASE DATEFORMAT="d" LAYOUT="" NAME="Ceneton" RECORDS="80" TIMEFORMAT="h"/>
+         |  <METADATA>
+         |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="C1" TYPE="TEXT"/>
+         |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="C2" TYPE="TEXT"/>
+         |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="C3" TYPE="TEXT"/>
+         |  </METADATA>
+         |  <RESULTSET FOUND="80">
+         |$rows
+         |  </RESULTSET>
+         |</FMPXMLRESULT>""".stripMargin
+    val p = Files.createTempDirectory("fmpfuzz").resolve("export.xml")
+    Files.write(p, xml.getBytes(StandardCharsets.UTF_8))
+    val v2 = spark.read.format("fmp").load(p.toString)
+    val v1 = FmpReader.readWithSchema(spark, p.toString)._1
+    val cols = Seq("c1", "c2", "c3")
+    def c() = col(cols(rnd.nextInt(cols.length)))
+    def v() = pool(rnd.nextInt(pool.length))
+    // Random predicate over every supported shape, with And/Or/Not
+    // nesting — the Kleene three-valued cases (nulls under Not/Or) are
+    // exactly where a naive boolean evaluation diverges from SQL.
+    def pred(depth: Int): org.apache.spark.sql.Column = {
+      val leafShapes = 7
+      rnd.nextInt(if (depth >= 2) leafShapes else leafShapes + 3) match {
+        case 0 => c() === v()
+        case 1 => c() <=> v()
+        case 2 => c().isin(Seq.fill(rnd.nextInt(3) + 1)(v()): _*)
+        case 3 => c().isNull
+        case 4 => c().isNotNull
+        case 5 => c().startsWith(v())
+        case 6 => c().contains(v())
+        case 7 => pred(depth + 1) && pred(depth + 1)
+        case 8 => pred(depth + 1) || pred(depth + 1)
+        case 9 => !pred(depth + 1)
+      }
+    }
+    def key(r: org.apache.spark.sql.Row): String =
+      (0 until 3).map(i => Option(r.getString(i)).getOrElse(" ")).mkString("|")
+    (1 to 40).foreach { i =>
+      val q = pred(0)
+      val got = v2.filter(q).collect().map(key).sorted.toSeq
+      val want = v1.filter(q).collect().map(key).sorted.toSeq
+      assert(got == want, s"iteration $i: pushdown diverged for $q")
+    }
+  }
+
   test("bz2 + directory snapshot resolution work through format(\"fmp\")") {
     val dir = Files.createTempDirectory("fmpv2snap")
     def bz(name: String, n: Int): Unit = {
