@@ -50,7 +50,17 @@ object Sampling {
   val StratumRatesBp: Map[String, Long] =
     Map("en" -> 2500L, "de" -> 5000L, "fr" -> 5000L, "es" -> 5000L)
   val DefaultRateBp: Long = Bp // unknown strata pass through untouched
-  private val SampleSalt = 7919L
+  private[graft] val SampleSalt = 7919L
+
+  /** The x21 keep decision as a reusable Column over (doc_id, lang) — the
+    * single definition both the batch sample and the streaming ingest
+    * gate evaluate, so their memberships cannot drift. */
+  private[graft] def sampleKeep: Column = {
+    val rate = StratumRatesBp.foldLeft(lit(DefaultRateBp)) {
+      case (acc, (lang, bp)) => when(col("lang") === lang, bp).otherwise(acc)
+    }
+    hashBp(SampleSalt) < rate
+  }
 
   /** Stratified downsampling: keep a doc iff its hash falls under its
     * language's rate. Per-doc assignment is the inner projection; the
@@ -58,13 +68,10 @@ object Sampling {
     * checksum (sum of selected doc_ids) so the oracle compare pins the
     * exact selected SET, not just its size. Map-only + one agg. */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val rate = StratumRatesBp.foldLeft(lit(DefaultRateBp)) {
-      case (acc, (lang, bp)) => when(col("lang") === lang, bp).otherwise(acc)
-    }
     docs(s, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
-        (hashBp(SampleSalt) < rate).as("keep"))
+        sampleKeep.as("keep"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),

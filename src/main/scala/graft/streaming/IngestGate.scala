@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{HashConstants, Sampling}
+
+/** Ingest-time curation gate: the quality / PII / sampling decisions of
+  * the batch curation family (x01/x19/x21) as COLUMN EXPRESSIONS over any
+  * frame with (doc_id, text, lang) — which makes the same gate run
+  * unchanged under `readStream` (a stateless projection: no watermark, no
+  * state store, nothing to checkpoint beyond source offsets). That is the
+  * shape a 100 TB pipeline wants at the ingest edge: score and drop
+  * BEFORE the data lands in the lake, one pass, no shuffle, and the batch
+  * backfill provably computes the identical decision (batch ≡ stream
+  * gated in StreamingSpec, decision parity with the DuckDB oracle gated
+  * by the driver).
+  *
+  * All decisions reuse the curation family's exact formulas and integer
+  * hash (same salt as x21), so gate membership agrees with the batch
+  * sample — a doc admitted at ingest time is the same doc the batch
+  * pipeline would have kept. */
+object IngestGate {
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+  /** Quality floor: ~median of the synthetic corpus (see OPERATORS.md). */
+  val MinQuality = 0.53
+  private val Knuth = HashConstants.Knuth
+  private val HashPrime = HashConstants.HashPrime
+
+  private val toks = split(col("text"), " ")
+
+  /** x01's quality formula, verbatim. */
+  private def quality: Column = {
+    val stopRatio = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
+      size(toks)
+    val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+      nullif(length(col("text")), lit(0))
+    round(lit(0.5) * stopRatio + lit(0.5) * (lit(1.0) - digitRatio), 4)
+  }
+
+  /** x19's email pattern, verbatim. */
+  private def nEmails: Column =
+    size(expr("regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+', 0)"))
+
+  /** x21's sampling decision — THE SAME Column definition, not a copy, so
+    * gate membership and batch-sample membership cannot drift. */
+  private def sampled: Column = Sampling.sampleKeep
+
+  /** Score every doc — batch or streaming; stateless. */
+  def score(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("lang"), quality.as("quality"),
+      nEmails.as("n_emails"), sampled.as("sampled"))
+
+  /** Admit a doc iff it clears the quality floor, carries no email-shaped
+    * PII, and survives its language's sampling rate. */
+  def gate(df: DataFrame): DataFrame =
+    score(df).filter(col("quality") >= MinQuality &&
+      col("n_emails") === 0 && col("sampled"))
+
+  // Registered batch artifact: admitted docs with their scores.
+  private def x24(s: SparkSession, dir: String): DataFrame =
+    gate(Tables.t(s, dir, "documents")).drop("sampled").orderBy("doc_id")
+
+  private val x24Sql = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    val SampleSalt = Sampling.SampleSalt
+    val rateCase = Sampling.StratumRatesBp.toSeq.sortBy(_._1)
+      .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }
+      .mkString("CASE ", " ", s" ELSE ${Sampling.DefaultRateBp} END")
+    s"""WITH scored AS (SELECT doc_id, lang,
+           round(0.5 * (CAST(len(list_filter(string_split(text, ' '),
+                   t -> list_contains([$stop], t))) AS DOUBLE)
+                 / len(string_split(text, ' ')))
+               + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / NULLIF(length(text), 0)), 4) AS quality,
+           CAST(len(regexp_extract_all(text,
+             '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS INT) AS n_emails,
+           (((doc_id + $SampleSalt) % $HashPrime) * $Knuth % $HashPrime) % 10000
+             < ($rateCase) AS sampled
+         FROM documents)
+       SELECT doc_id, lang, quality, n_emails FROM scored
+       WHERE quality >= $MinQuality AND n_emails = 0 AND sampled
+       ORDER BY doc_id"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x24_ingest_gate", x24, Some(x24Sql)))
+}

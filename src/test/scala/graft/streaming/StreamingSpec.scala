@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.{SparkSpec, Tables}
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double, props: String)
+case class Doc(doc_id: Long, text: String, lang: String)
 
 /** B31–B34 streaming semantics: the same logical query must produce the
   * same result in batch and over a stream; watermark dedup drops
@@ -38,6 +39,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val batch = Windows.tumblingAgg(evs.toDF()).orderBy("hr", "event_type").collect().toSeq
     assert(streaming == batch)
+  }
+
+  test("x24 ingest gate: streaming admission equals the batch decision") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Docs spanning all gate axes: quality (stopword/digit density), PII
+    // (an email), and the per-lang sampling hash.
+    val docsIn = (1 to 120).map { i =>
+      val quality = if (i % 3 == 0) "the a of and to in words here" else "xx 99999 111111 zz"
+      val text = if (i % 17 == 0) s"$quality mail me at a@b.co" else quality
+      Doc(i.toLong, text, Seq("en", "de", "fr", "zz")(i % 4))
+    }
+    val input = MemoryStream[Doc]
+    // Append mode with NO watermark: the gate must plan as a stateless
+    // projection — a stateful operator here would refuse this mode.
+    val q = IngestGate.gate(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("gate_out").start()
+    input.addData(docsIn.take(50))
+    q.processAllAvailable()
+    input.addData(docsIn.drop(50))
+    q.processAllAvailable()
+    val streaming = spark.table("gate_out").orderBy("doc_id").collect().toSeq
+    q.stop()
+    val batch = IngestGate.gate(docsIn.toDF()).orderBy("doc_id").collect().toSeq
+    assert(streaming == batch, "gate decisions must be identical batch vs stream")
+    assert(streaming.nonEmpty && streaming.size < docsIn.size,
+      s"gate should admit a strict subset (${streaming.size} of ${docsIn.size})")
+    // The email-bearing docs never pass.
+    val admitted = streaming.map(_.getLong(0)).toSet
+    assert(docsIn.filter(_.text.contains("@")).forall(d => !admitted(d.doc_id)))
   }
 
   test("x12 stream-stream interval join equals the batch attribution join") {
