@@ -300,20 +300,29 @@ object Curation {
     * BROADCASTS; the train side streams through one semi-join-shaped
     * equi-join + per-doc count — no shuffle of the train corpus beyond
     * the final aggregation, which is map-side combinable. */
-  def decontamination(s: SparkSession, dir: String, shingleLen: Int = 3): DataFrame = {
-    def shingles(df: DataFrame) = df
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= shingleLen)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("t")) - shingleLen),
-          i => concat_ws(" ", slice(col("t"), i + 1, lit(shingleLen)))))).as("sh"))
-    val d = docs(s, dir)
-    val evalShingles = shingles(d.filter(col("doc_id") % 97 === 0))
-      .select(col("sh")).distinct()
-    shingles(d.filter(col("doc_id") % 97 =!= 0))
-      .join(broadcast(evalShingles), "sh")
+  /** Distinct word shingles of length `shingleLen` per doc; docs shorter
+    * than the shingle have none (and so can never be contaminated). */
+  private[pipeline] def shinglesOf(df: DataFrame, shingleLen: Int): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    .filter(size(col("t")) >= shingleLen)
+    .select(col("doc_id"), explode(array_distinct(
+      transform(sequence(lit(0), size(col("t")) - shingleLen),
+        i => concat_ws(" ", slice(col("t"), i + 1, lit(shingleLen)))))).as("sh"))
+
+  /** Per-train-doc count of shingles shared with the eval corpus — the
+    * generalized (train, eval) form behind x17 and the x25 pipeline. Eval
+    * shingles broadcast (eval slices are corpus-tiny at any scale). */
+  def contaminationCounts(train: DataFrame, evalDocs: DataFrame,
+      shingleLen: Int = 3): DataFrame =
+    shinglesOf(train, shingleLen)
+      .join(broadcast(shinglesOf(evalDocs, shingleLen).select(col("sh")).distinct()), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
+
+  def decontamination(s: SparkSession, dir: String, shingleLen: Int = 3): DataFrame = {
+    val d = docs(s, dir)
+    contaminationCounts(d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0), shingleLen)
       .orderBy("doc_id")
   }
 
@@ -384,6 +393,96 @@ object Curation {
        CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x25
+  /** The composed curation pipeline — the end-to-end recipe a training-
+    * data team actually runs, chaining the individually-proven operators:
+    *
+    *  1. ingest gate (x24: quality floor + PII rejection + stratified
+    *     sampling) — map-only;
+    *  2. exact dedup (B27 shape: keep min doc_id per sha256) — one
+    *     shuffle on the uniform content hash;
+    *  3. near-dup canonical selection — LOSSLESS prefix-filter pairs at
+    *     `nearDupThreshold` (x20) into min-label components (x16), keep
+    *     each component's minimum id;
+    *  4. decontamination against `evalDocs` (x17 shape: broadcast eval
+    *     shingles, drop any overlapping train doc).
+    *
+    * The admitted+deduped frame is localCheckpoint-ed: three downstream
+    * consumers (pair generation, canonical anti-join, contamination join)
+    * would otherwise re-run the gate+dedup subtree, and the checkpoint
+    * also unpins the propagation loop's lineage. Output is the surviving
+    * doc manifest. Survivor-set guarantees (CurationSpec): no duplicate
+    * text, no surviving pair with true Jaccard ≥ threshold, no email PII,
+    * no eval shingle overlap — and the whole pipeline is IDEMPOTENT:
+    * curate(curate(X)) = curate(X), because each stage removes every
+    * violation of its own invariant. */
+  def curate(docsIn: DataFrame, evalDocs: DataFrame,
+      nearDupThreshold: Double = 0.8, shingleLen: Int = 3): DataFrame = {
+    val admitted = graft.streaming.IngestGate.admit(docsIn)
+    val keepIds = admitted.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val deduped = admitted.join(keepIds, "doc_id").localCheckpoint(true)
+    val pairs = Dedup.jaccardPairsPrefixOn(deduped, nearDupThreshold)
+      .select(col("da"), col("db"))
+    val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("src", "dst")
+    val (labels, _) = propagateMinLabels(edges)
+    val nonCanonical = labels.filter(col("lbl") =!= col("node"))
+      .select(col("node").as("doc_id"))
+    val canonical = deduped.join(nonCanonical, Seq("doc_id"), "left_anti")
+    val contaminated = contaminationCounts(canonical, evalDocs, shingleLen)
+      .select("doc_id")
+    canonical.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  private def x25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    curate(d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
+  }
+
+  /** Full-chain oracle: gate fragments are IngestGate's own SQL (single
+    * source), dedup is b27's sha256-min shape, near-dup pairs are BRUTE
+    * FORCE (≥ threshold on full sets — exactly what the lossless prefix
+    * path must find), components are the recursive-CTE fixpoint, and
+    * decontamination mirrors x17. A hash match here certifies the whole
+    * composition end-to-end, not just the stages in isolation. */
+  private val x25Sql = {
+    import graft.streaming.IngestGate
+    s"""WITH RECURSIVE
+       base AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 97 <> 0),
+       ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       adm AS (SELECT * FROM base WHERE ${IngestGate.admitCondSql}),
+       keep AS (SELECT min(doc_id) AS doc_id FROM adm GROUP BY sha256(text)),
+       ded AS (SELECT a.* FROM adm a JOIN keep USING (doc_id)),
+       sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS keys FROM ded),
+       prs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sets a JOIN sets b
+               ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.keys, b.keys)) AS DOUBLE) /
+                     (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys)))
+                     >= 0.8),
+       edges AS (SELECT da AS src, db AS dst FROM prs UNION ALL SELECT db, da FROM prs),
+       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       noncanon AS (SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node),
+       canon AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT node FROM noncanon)),
+       tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 generate_series(0, len(t) - 3),
+                 i -> array_to_string(t[(i+1):(i+3)], ' ')))) AS sh
+               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM canon)
+               WHERE len(t) >= 3),
+       esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                 generate_series(0, len(t) - 3),
+                 i -> array_to_string(t[(i+1):(i+3)], ' ')))) AS sh
+               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ev)
+               WHERE len(t) >= 3),
+       contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh USING (sh))
+       SELECT doc_id, lang, source FROM canon
+       WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+       ORDER BY doc_id"""
+  }
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x13_tfidf_top", tfidfTop, Some(x13Sql)),
@@ -394,5 +493,6 @@ object Curation {
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),
-    QueryDef("x19_pii_scan", piiScan, Some(x19Sql)))
+    QueryDef("x19_pii_scan", piiScan, Some(x19Sql)),
+    QueryDef("x25_curate_pipeline", x25, Some(x25Sql)))
 }

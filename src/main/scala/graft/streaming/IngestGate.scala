@@ -58,31 +58,52 @@ object IngestGate {
     score(df).filter(col("quality") >= MinQuality &&
       col("n_emails") === 0 && col("sampled"))
 
+  /** The admission decision as one predicate over the ORIGINAL columns —
+    * for pipelines that need the admitted rows themselves (x25), not the
+    * score projection. Same expressions as [[gate]]. */
+  def admitCond: Column =
+    quality >= MinQuality && nEmails === 0 && sampled
+
+  /** The original frame filtered to admitted docs. */
+  def admit(df: DataFrame): DataFrame = df.filter(admitCond)
+
   // Registered batch artifact: admitted docs with their scores.
   private def x24(s: SparkSession, dir: String): DataFrame =
     gate(Tables.t(s, dir, "documents")).drop("sampled").orderBy("doc_id")
 
-  private val x24Sql = {
+  // DuckDB fragments over a docs-shaped relation (doc_id, text, lang) —
+  // single source for x24Sql AND the x25 pipeline oracle, so the two
+  // cannot drift.
+  private[graft] val qualitySql: String = {
     val stop = Stopwords.map(w => s"'$w'").mkString(", ")
-    val SampleSalt = Sampling.SampleSalt
+    s"""round(0.5 * (CAST(len(list_filter(string_split(text, ' '),
+           t -> list_contains([$stop], t))) AS DOUBLE)
+         / len(string_split(text, ' ')))
+       + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         / NULLIF(length(text), 0)), 4)"""
+  }
+  private[graft] val emailsSql: String =
+    """CAST(len(regexp_extract_all(text,
+       '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS INT)"""
+  private[graft] val sampledSql: String = {
     val rateCase = Sampling.StratumRatesBp.toSeq.sortBy(_._1)
       .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }
       .mkString("CASE ", " ", s" ELSE ${Sampling.DefaultRateBp} END")
+    s"""(((doc_id + ${Sampling.SampleSalt}) % $HashPrime) * $Knuth % $HashPrime) % 10000
+       < ($rateCase)"""
+  }
+  private[graft] val admitCondSql: String =
+    s"($qualitySql) >= $MinQuality AND ($emailsSql) = 0 AND ($sampledSql)"
+
+  private val x24Sql =
     s"""WITH scored AS (SELECT doc_id, lang,
-           round(0.5 * (CAST(len(list_filter(string_split(text, ' '),
-                   t -> list_contains([$stop], t))) AS DOUBLE)
-                 / len(string_split(text, ' ')))
-               + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                 / NULLIF(length(text), 0)), 4) AS quality,
-           CAST(len(regexp_extract_all(text,
-             '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS INT) AS n_emails,
-           (((doc_id + $SampleSalt) % $HashPrime) * $Knuth % $HashPrime) % 10000
-             < ($rateCase) AS sampled
+           $qualitySql AS quality,
+           $emailsSql AS n_emails,
+           $sampledSql AS sampled
          FROM documents)
        SELECT doc_id, lang, quality, n_emails FROM scored
        WHERE quality >= $MinQuality AND n_emails = 0 AND sampled
        ORDER BY doc_id"""
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x24_ingest_gate", x24, Some(x24Sql)))

@@ -147,6 +147,37 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == 0.0, s"all-distinct shingles must score zero: $out")
   }
 
+  test("x25 pipeline: survivor guarantees and idempotence") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val evalDocs = d.filter(col("doc_id") % 97 === 0)
+    val out = Curation.curate(train, evalDocs)
+    val survivors = out.collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty && survivors.size < train.count(),
+      s"pipeline must admit a strict subset, got ${survivors.size}")
+    val survived = train.filter(col("doc_id").isInCollection(survivors))
+    // 1. No duplicate texts.
+    assert(survived.select("text").distinct().count() == survivors.size)
+    // 2. No surviving pair with true Jaccard >= 0.8 (brute force).
+    val sets = survived.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("k"))
+    val nearDups = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        call_function("set_jaccard", col("a.k"), col("b.k")) >= 0.8)
+      .count()
+    assert(nearDups == 0, s"$nearDups near-dup pairs survived canonicalization")
+    // 3. No email PII.
+    assert(survived.filter(col("text").rlike(
+      "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+")).count() == 0)
+    // 4. No eval-shingle overlap.
+    assert(Curation.contaminationCounts(survived, evalDocs).count() == 0)
+    // 5. Idempotence: every stage removes all violations of its own
+    // invariant, so a second pass is the identity.
+    val twice = Curation.curate(survived, evalDocs).collect().map(_.getLong(0)).toSet
+    assert(twice == survivors, "curate(curate(X)) must equal curate(X)")
+  }
+
   test("tfidf ranks a document's most frequent distinctive term first") {
     val top = Curation.tfidfTop(spark, sf)
       .filter(col("rk") === 1).collect()
