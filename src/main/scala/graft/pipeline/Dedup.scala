@@ -280,6 +280,86 @@ object Dedup {
     * prunes hard AND is lossless. */
   val PrefixFilterMinThreshold = 0.5
 
+  // ---------------------------------------------------------------- x26
+  /** Incremental (cross-corpus) dedup: drop every `newDocs` doc that is
+    * an exact or near (Jaccard ≥ t) duplicate of ANY `refDocs` doc — the
+    * asymmetric join an append-only ingestion runs per batch (snapshot
+    * N+1 against the already-deduped corpus N), where re-running the
+    * full self-join would redo N² work for an N×ΔN question.
+    *
+    *  - exact tier: anti-join on sha256(text) — one shuffle of ΔN + N
+    *    uniform hashes;
+    *  - near tier: the x20 prefix filter, CROSS-corpus. The lossless
+    *    prefix argument needs ONE total key order shared by both sides,
+    *    so document frequencies are computed over the UNION corpus —
+    *    df from `newDocs` alone would order the two sides' prefixes
+    *    differently and break the guarantee. Join is prefix(new) ×
+    *    prefix(ref) on the key + the t·max≤min length filter; any
+    *    exact-verified hit (full sets, raw score) marks the new doc a
+    *    duplicate; survivors anti-join out.
+    *
+    * At scale the ref side's prefix postings are computed once per batch
+    * wave and are ~(1−t)·|corpus| keys — the dominant cost is the ΔN-side
+    * explode, not N. Returns the surviving new docs. */
+  def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(newDocs.sparkSession)
+    val key = array_distinct(split(col("text"), " "))
+    val exactSurvivors = newDocs.join(
+      refDocs.select(sha2(col("text"), 256).as("ref_h")),
+      sha2(col("text"), 256) === col("ref_h"), "left_anti")
+    // Union-corpus df → one shared total order for both prefix sides.
+    val union = exactSurvivors.select(col("doc_id"), col("text"))
+      .withColumn("side", lit("n"))
+      .union(refDocs.select(col("doc_id"), col("text")).withColumn("side", lit("r")))
+    val pre = prefixPostings(union.drop("side"), key, "tok", threshold)
+      .join(union.select(col("doc_id"), col("side")), "doc_id")
+    val tBp = toBasisPoints(threshold)
+    val cand = pre.filter(col("side") === "n").as("a")
+      .join(pre.filter(col("side") === "r").as("b"),
+        col("a.tok") === col("b.tok") &&
+          lit(tBp) * col("a.n") <= lit(BpScale) * col("b.n") &&
+          lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sets = union.select(col("doc_id"), array_sort(key).as("keys"))
+    val dupNew = cand
+      .join(sets.select(col("doc_id").as("da2"), col("keys").as("ka")),
+        col("da") === col("da2"))
+      .join(sets.select(col("doc_id").as("db2"), col("keys").as("kb")),
+        col("db") === col("db2"))
+      .filter(call_function("set_jaccard", col("ka"), col("kb")) >= threshold)
+      .select(col("da").as("doc_id")).distinct()
+    exactSurvivors.join(dupNew, Seq("doc_id"), "left_anti")
+  }
+
+  /** Registered x26: the %11==1 slice arrives as the new batch, the
+    * %11==0 slice is the reference corpus; t=0.8. Oracle is brute-force
+    * cross-corpus Jaccard + sha anti-join — certifying losslessness of
+    * the union-df prefix order end-to-end. */
+  private def x26(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    incrementalDedup(d.filter(col("doc_id") % 11 === 1),
+      d.filter(col("doc_id") % 11 === 0), 0.8)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  private val x26Sql =
+    """WITH nw AS (SELECT * FROM documents WHERE doc_id % 11 = 1),
+       rf AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+       ex AS (SELECT n.* FROM nw n WHERE sha256(n.text) NOT IN
+                (SELECT sha256(text) FROM rf)),
+       ns AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS keys FROM ex),
+       rs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS keys FROM rf),
+       dup AS (SELECT DISTINCT n.doc_id FROM ns n JOIN rs r ON
+                 CAST(len(list_intersect(n.keys, r.keys)) AS DOUBLE) /
+                 (len(n.keys) + len(r.keys) - len(list_intersect(n.keys, r.keys)))
+                 >= 0.8)
+       SELECT doc_id, lang, source FROM ex
+       WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+       ORDER BY doc_id"""
+
   /** Adaptive near-dup dispatch (word tokens): lossless prefix filter at
     * high thresholds, df-capped posting join at low ones. */
   def nearDupPairsOn(base: DataFrame, threshold: Double,
@@ -490,6 +570,7 @@ object Dedup {
     QueryDef("b28_jaccard_pairs", jaccardPairs, Some(b28Sql)),
     QueryDef("x11_ngram_jaccard", x11, Some(x11Sql)),
     QueryDef("x20_neardup_prefix", x20, Some(x20Sql)),
+    QueryDef("x26_incremental_dedup", x26, Some(x26Sql)),
     QueryDef("x05_minhash_sigs", minhashQuery, Some(x05Sql)),
     QueryDef("x06_simhash", simhashQuery, Some(x06Sql)))
 }

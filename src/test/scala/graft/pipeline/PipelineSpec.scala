@@ -227,6 +227,25 @@ class PipelineSpec extends SparkSpec {
     assert(kept == 6, s"expected prefix of 6 keys for n=25, t=0.8; got $kept")
   }
 
+  test("incremental dedup drops only new docs matching the reference corpus") {
+    import spark.implicits._
+    def uniq(tag: String) = (1 to 20).map(j => s"w${tag}_$j").mkString(" ")
+    val ref = Seq(
+      (1L, uniq("a")), (2L, uniq("b")), (3L, uniq("c"))).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, uniq("a")),                                   // exact dup of ref 1
+      (11L, uniq("b").replace("wb_20", "changed")),       // near-dup of ref 2 (J=19/21)
+      (12L, uniq("x")),                                   // genuinely new
+      (13L, uniq("x")),                                   // exact dup of 12 — but NEW-new
+      (14L, uniq("y"))).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(newDocs, ref, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    // Asymmetric: drops vs the reference only; new-vs-new duplicates
+    // (12, 13) both survive — that is the self-join's job, not this op's.
+    assert(out == Set(12L, 13L, 14L),
+      s"expected exact+near ref matches dropped, new-new kept: $out")
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactDedup _
     import spark.implicits._
