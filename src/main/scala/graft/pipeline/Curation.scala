@@ -393,6 +393,49 @@ object Curation {
        CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x27
+  /** Leakage-safe train/val/test split: x14's bucket hash applied to the
+    * near-dup CLUSTER's canonical id instead of the doc id. A per-doc
+    * hash puts ~10% of every near-dup cluster's members in val/test —
+    * i.e. paraphrases of training documents leak into evaluation; keying
+    * the hash on the component minimum sends whole clusters to one split.
+    * Composition of x16's components (docs without a pair are their own
+    * singleton cluster) with x14's integer bucket — deterministic on any
+    * engine, and the invariant "same cluster ⇒ same split" holds by
+    * construction (gated in CurationSpec anyway). */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") % 29 === 0)
+    val pairs = Dedup.jaccardPairs(s, dir).select(col("da"), col("db"))
+    val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("src", "dst")
+    val (labels, _) = propagateMinLabels(edges)
+    val bucket = pmod(pmod(col("cluster_id"), lit(HashPrime)) * lit(Knuth), lit(HashPrime)) % 100
+    base.select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
+  private val x27Sql =
+    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
+       edges AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+       lab AS (SELECT b.doc_id, coalesce(cc.cid, b.doc_id) AS cluster_id
+               FROM base b LEFT JOIN cc ON b.doc_id = cc.node)
+       SELECT doc_id, cluster_id,
+              CASE WHEN ((cluster_id % $HashPrime) * $Knuth % $HashPrime) % 100 < 90
+                     THEN 'train'
+                   WHEN ((cluster_id % $HashPrime) * $Knuth % $HashPrime) % 100 < 95
+                     THEN 'val' ELSE 'test' END AS split
+       FROM lab ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x25
   /** The composed curation pipeline — the end-to-end recipe a training-
     * data team actually runs, chaining the individually-proven operators:
@@ -494,5 +537,6 @@ object Curation {
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),
     QueryDef("x19_pii_scan", piiScan, Some(x19Sql)),
-    QueryDef("x25_curate_pipeline", x25, Some(x25Sql)))
+    QueryDef("x25_curate_pipeline", x25, Some(x25Sql)),
+    QueryDef("x27_leakage_safe_split", leakageSafeSplit, Some(x27Sql)))
 }

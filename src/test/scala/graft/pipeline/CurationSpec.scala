@@ -178,6 +178,20 @@ class CurationSpec extends SparkSpec {
     assert(twice == survivors, "curate(curate(X)) must equal curate(X)")
   }
 
+  test("leakage-safe split: whole clusters land in one split, all docs covered") {
+    val rows = Curation.leakageSafeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val sliceCount = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 29 === 0).count()
+    assert(rows.length == sliceCount, "every slice doc gets exactly one split row")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // The leakage invariant: one split per cluster.
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cid straddles splits: ${members.toSeq}")
+    }
+  }
+
   test("tfidf ranks a document's most frequent distinctive term first") {
     val top = Curation.tfidfTop(spark, sf)
       .filter(col("rk") === 1).collect()
