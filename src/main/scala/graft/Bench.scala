@@ -116,8 +116,14 @@ object Bench {
       System.err.println(s"[bench] bench_result.json write failed: ${e.getMessage}")
     }
     // Stop Spark BEFORE the final prints so no executor/shutdown log line
-    // can land after the compact headline on stdout.
-    spark.stop()
+    // can land after the compact headline on stdout — but GUARDED: a
+    // shutdown-race throw after a successful run must never cost the two
+    // JSON lines the driver contract depends on (the same invariant every
+    // other failure path in this file holds).
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed (ignored): ${e.getMessage}")
+    }
     // Raw stdout (build.sbt routes forked stdout past sbt's [info] logger
     // via StdoutOutput); compact headline is the program's LAST line.
     println(line)

@@ -43,6 +43,10 @@ object FmpCli {
   /** Records between progress lines for the `print` command. */
   private[fmp] val ProgressEvery = 5000L
 
+  /** Rows per driver batch for `to_json` — bounds driver memory while
+    * keeping the per-batch Spark job overhead negligible. */
+  private[fmp] val JsonBatchRows = 10000
+
   /** Driver-side adapter over the shared [[graft.fmp.v2.FmpProgress]]
     * plumbing so the single-pass `print` emits the identical progress and
     * summary lines as the executor-side V2 readers. */
@@ -82,10 +86,23 @@ object FmpCli {
       } finally it.close()
 
     case "to_json" :: file :: Nil => withSession { spark =>
-      // Single-pass driver parse (one decompression); parallelize
-      // preserves row order across partitions for toLocalIterator, and
-      // the output is driver-printed regardless.
-      Sinks.toJsonlLines(FmpReader.readWithSchema(spark, file)._1).foreach(println)
+      // ONE decompression AND bounded driver memory: the StAX iterator
+      // streams rows in fixed-size batches, each converted by the SAME
+      // Spark to_json the JSONL sink uses (Jackson escaping + explicit
+      // nulls — byte parity with the distributed sink), so a multi-GB
+      // export prints its first lines immediately and never materializes
+      // whole on the driver. Row order is the document's.
+      val it = new FmpReader.FmpRowIterator(FmpReader.open(FmpReader.resolvePath(file)))
+      try {
+        val struct = FmpReader.toStructType(it.schema)
+        it.map(arr => org.apache.spark.sql.Row.fromSeq(arr.toSeq))
+          .grouped(JsonBatchRows)
+          .foreach { batch =>
+            val df = spark.createDataFrame(
+              spark.sparkContext.parallelize(batch, 1), struct)
+            Sinks.toJsonlLines(df).foreach(println)
+          }
+      } finally it.close()
     }
 
     // The reference's create_db docstring promises "You can also set the

@@ -123,13 +123,15 @@ object Curation {
     * `shard_id = pid << 32 | local_shard`, so shard ids are globally
     * unique and decode back to their producing partition.
     *
-    * Plan shape: scan → sortWithinPartitions(doc_id) → project pid →
-    * window partitioned BY pid (one hash exchange on pid — parallelism
-    * preserved, each input partition's rows stay together and are packed
-    * by one task). No SinglePartition exchange anywhere (gated in
-    * CurationSpec). Packing guarantee is per partition, same as the
-    * global form's: each shard's token sum minus its last doc < budget,
-    * so ≤ budget+1 docs per shard when every doc has ≥ 1 token.
+    * Plan shape: scan → project pid → window partitioned BY pid (one
+    * hash exchange on pid — parallelism preserved, each input partition's
+    * rows stay together and are packed by one task; the window's own
+    * (pid, doc_id) sort after the exchange is the ONLY sort — a
+    * sortWithinPartitions before the exchange would be dead work the
+    * shuffle immediately destroys). No SinglePartition exchange anywhere
+    * (gated in CurationSpec). Packing guarantee is per partition, same as
+    * the global form's: each shard's token sum minus its last doc <
+    * budget, so ≤ budget+1 docs per shard when every doc has ≥ 1 token.
     *
     * Determinism: shard ids depend on the input split layout (file set +
     * maxPartitionBytes), which is deterministic for a fixed corpus and
@@ -141,7 +143,6 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs(s, dir)
       .select(col("doc_id"), nTok.as("n_tok"))
-      .sortWithinPartitions("doc_id")
       .withColumn("pid", spark_partition_id().cast("long"))
       .withColumn("local_shard",
         (coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
@@ -374,21 +375,31 @@ object Curation {
        FROM pg GROUP BY doc_id ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- x19
+  /** The x19 email pattern, single-sourced for the scan, the streaming
+    * ingest gate (x24), and their oracles. The Spark form carries the
+    * doubled backslash the SQL-expression parser unescapes; the DuckDB
+    * form the literal one. */
+  private[graft] val EmailPatternSpark = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+"
+  private[graft] val EmailPatternSql = """(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"""
+
+  /** `n_emails` as a reusable Column over `text` (x19's first output). */
+  private[graft] def emailCount: org.apache.spark.sql.Column =
+    size(expr(s"regexp_extract_all(text, '$EmailPatternSpark', 0)"))
+
   /** PII-pattern scan — training-data hygiene counts per document
     * (email-shaped, URL-shaped, long digit runs). Pure regexp projection,
     * map-only; patterns are RE2-safe so DuckDB reproduces them. */
   def piiScan(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      size(expr("regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+', 0)"))
-        .as("n_emails"),
+      emailCount.as("n_emails"),
       size(expr("regexp_extract_all(text, '(?i)https?://[^ ]+', 0)")).as("n_urls"),
       size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)")).as("n_digit_runs"))
       .orderBy("doc_id")
 
   private val x19Sql =
-    """SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS INT) AS n_emails,
+    s"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '$EmailPatternSql')) AS INT) AS n_emails,
        CAST(len(regexp_extract_all(text, '(?i)https?://[^ ]+')) AS INT) AS n_urls,
        CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
        FROM documents ORDER BY doc_id"""

@@ -309,14 +309,22 @@ object Dedup {
       refDocs.select(sha2(col("text"), 256).as("ref_h")),
       sha2(col("text"), 256) === col("ref_h"), "left_anti")
     // Union-corpus df → one shared total order for both prefix sides.
-    val union = exactSurvivors.select(col("doc_id"), col("text"))
-      .withColumn("side", lit("n"))
-      .union(refDocs.select(col("doc_id"), col("text")).withColumn("side", lit("r")))
-    val pre = prefixPostings(union.drop("side"), key, "tok", threshold)
-      .join(union.select(col("doc_id"), col("side")), "doc_id")
+    // The two inputs' doc_id spaces are INDEPENDENT (a batch and a corpus
+    // own their own ids), so the union is re-keyed with a disjoint
+    // synthetic uid — 2·id for new, 2·id+1 for ref. Keying by raw doc_id
+    // would pool a colliding pair's tokens in one prefix window (breaking
+    // the lossless certificate) and tag its postings as both sides,
+    // making a new doc its own "duplicate". Regression-tested with a
+    // colliding fixture in PipelineSpec.
+    // (shift arithmetic, not double division, keeps 64-bit ids exact;
+    // callers need ids < 2^62, which any real id space satisfies)
+    val union = exactSurvivors
+      .select(shiftleft(col("doc_id"), 1).as("doc_id"), col("text"))
+      .union(refDocs.select((shiftleft(col("doc_id"), 1) + 1).as("doc_id"), col("text")))
+    val pre = prefixPostings(union, key, "tok", threshold)
     val tBp = toBasisPoints(threshold)
-    val cand = pre.filter(col("side") === "n").as("a")
-      .join(pre.filter(col("side") === "r").as("b"),
+    val cand = pre.filter(col("doc_id") % 2 === 0).as("a")
+      .join(pre.filter(col("doc_id") % 2 === 1).as("b"),
         col("a.tok") === col("b.tok") &&
           lit(tBp) * col("a.n") <= lit(BpScale) * col("b.n") &&
           lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n"))
@@ -329,7 +337,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("db2"), col("keys").as("kb")),
         col("db") === col("db2"))
       .filter(call_function("set_jaccard", col("ka"), col("kb")) >= threshold)
-      .select(col("da").as("doc_id")).distinct()
+      .select(shiftright(col("da"), 1).as("doc_id")).distinct()
     exactSurvivors.join(dupNew, Seq("doc_id"), "left_anti")
   }
 

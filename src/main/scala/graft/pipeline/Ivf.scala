@@ -36,20 +36,28 @@ object Ivf {
     * maxIter times. */
   val FitSampleCap = 100000L
 
-  /** Corpus row counts memoized by the optimized plan's semantic hash:
-    * the sampling decision in [[build]] needs |corpus| on EVERY execution
+  /** Corpus row counts memoized by the CANONICALIZED optimized plan —
+    * exact plan equality, not a 32-bit semanticHash whose collision would
+    * silently hand a different corpus's count to the sampling decision
+    * (a 10⁹ count applied to a 10⁵ corpus fits KMeans on ~0 vectors).
+    * The sampling decision in [[build]] needs |corpus| on EVERY execution
     * (bench best-of-N, verify, repeated probes) but the underlying
-    * snapshot dirs are immutable, so one count per distinct input plan is
-    * enough for the session's lifetime. When the catalog/CBO already
-    * carries a rowCount statistic the answer is free — no job at all. */
-  private val countCache = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    * snapshot dirs are immutable — the same assumption Spark's own file-
+    * index caching makes; a rewritten path needs a new session (or plan).
+    * Bounded: cleared wholesale past 64 distinct corpora, a size no real
+    * session reaches. When the catalog/CBO already carries a rowCount
+    * statistic the answer is free — no job at all. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def corpusSize(df: DataFrame): Long = {
     val plan = df.queryExecution.optimizedPlan
     plan.stats.rowCount match {
       case Some(rc) => rc.toLong
-      case None => countCache.computeIfAbsent(
-        plan.semanticHash(), _ => java.lang.Long.valueOf(df.count())).longValue()
+      case None =>
+        if (countCache.size > 64) countCache.clear()
+        countCache.computeIfAbsent(plan.canonicalized.toString,
+          _ => java.lang.Long.valueOf(df.count())).longValue()
     }
   }
 

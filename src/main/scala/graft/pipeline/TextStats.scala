@@ -79,25 +79,44 @@ object TextStats {
        GROUP BY shingle ORDER BY n DESC, shingle LIMIT 20"""
 
   // ---------------------------------------------------------------- x01
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[graft] val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  // nullif guards the empty-text denominator; DuckDB's IEEE 0.0/0
+  // would yield NaN where Spark yields NULL — NULLIF aligns both on NULL
+  private def stopRatio: Column =
+    size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks)
+  private def digitRatio: Column =
+    length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+      nullif(length(col("text")), lit(0))
+
+  /** The x01 quality score as ONE reusable Column over `text` — the
+    * single definition x01 AND the streaming ingest gate (x24) evaluate,
+    * so the two cannot drift. */
+  private[graft] def qualityColumn: Column =
+    round(lit(0.5) * stopRatio + lit(0.5) * (lit(1.0) - digitRatio), 4)
+
+  /** The same formula as a DuckDB expression over a docs-shaped relation
+    * — shared by x01Sql and the x24/x25 oracles. */
+  private[graft] val qualitySqlExpr: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""round(0.5 * (CAST(len(list_filter(string_split(text, ' '),
+           t -> list_contains([$stop], t))) AS DOUBLE)
+         / len(string_split(text, ' ')))
+       + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         / NULLIF(length(text), 0)), 4)"""
+  }
 
   /** Quality scoring: token/char ratios of the kind used to filter LLM
     * training corpora (length, stopword density, digit density). */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val nTokens = size(toks)
-    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
-    val digitChars = length(regexp_replace(col("text"), "[^0-9]", ""))
-    val stopRatio = stopHits.cast("double") / nTokens
-    // nullif guards the empty-text denominator; DuckDB's IEEE 0.0/0
-    // would yield NaN where Spark yields NULL — NULLIF aligns both on NULL
-    val digitRatio = digitChars.cast("double") / nullif(length(col("text")), lit(0))
     docs(s, dir).select(
       col("doc_id"),
       nTokens.as("n_tokens"),
       round((length(col("text")) - (nTokens - 1)).cast("double") / nTokens, 4).as("avg_tok_len"),
       round(stopRatio, 4).as("stop_ratio"),
       round(digitRatio, 4).as("digit_ratio"),
-      round(lit(0.5) * stopRatio + lit(0.5) * (lit(1.0) - digitRatio), 4).as("quality"))
+      qualityColumn.as("quality"))
       .orderBy("doc_id")
   }
 
@@ -112,11 +131,7 @@ object TextStats {
              / len(string_split(text, ' ')), 4) AS stop_ratio,
        round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
              / NULLIF(length(text), 0), 4) AS digit_ratio,
-       round(0.5 * (CAST(len(list_filter(string_split(text, ' '),
-               t -> list_contains([$stop], t))) AS DOUBLE)
-             / len(string_split(text, ' ')))
-           + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-             / NULLIF(length(text), 0)), 4) AS quality
+       $qualitySqlExpr AS quality
        FROM documents ORDER BY doc_id"""
   }
 

@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{HashConstants, Sampling}
+import graft.pipeline.{Curation, HashConstants, Sampling, TextStats}
 
 /** Ingest-time curation gate: the quality / PII / sampling decisions of
   * the batch curation family (x01/x19/x21) as COLUMN EXPRESSIONS over any
@@ -22,26 +22,18 @@ import graft.pipeline.{HashConstants, Sampling}
   * sample — a doc admitted at ingest time is the same doc the batch
   * pipeline would have kept. */
 object IngestGate {
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
   /** Quality floor: ~median of the synthetic corpus (see OPERATORS.md). */
   val MinQuality = 0.53
   private val Knuth = HashConstants.Knuth
   private val HashPrime = HashConstants.HashPrime
 
-  private val toks = split(col("text"), " ")
+  /** x01's quality formula — THE SAME Column definition
+    * ([[TextStats.qualityColumn]]), not a copy. */
+  private def quality: Column = TextStats.qualityColumn
 
-  /** x01's quality formula, verbatim. */
-  private def quality: Column = {
-    val stopRatio = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
-      size(toks)
-    val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
-      nullif(length(col("text")), lit(0))
-    round(lit(0.5) * stopRatio + lit(0.5) * (lit(1.0) - digitRatio), 4)
-  }
-
-  /** x19's email pattern, verbatim. */
-  private def nEmails: Column =
-    size(expr("regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+', 0)"))
+  /** x19's email count — THE SAME Column definition
+    * ([[Curation.emailCount]]), not a copy. */
+  private def nEmails: Column = Curation.emailCount
 
   /** x21's sampling decision — THE SAME Column definition, not a copy, so
     * gate membership and batch-sample membership cannot drift. */
@@ -72,19 +64,11 @@ object IngestGate {
     gate(Tables.t(s, dir, "documents")).drop("sampled").orderBy("doc_id")
 
   // DuckDB fragments over a docs-shaped relation (doc_id, text, lang) —
-  // single source for x24Sql AND the x25 pipeline oracle, so the two
-  // cannot drift.
-  private[graft] val qualitySql: String = {
-    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
-    s"""round(0.5 * (CAST(len(list_filter(string_split(text, ' '),
-           t -> list_contains([$stop], t))) AS DOUBLE)
-         / len(string_split(text, ' ')))
-       + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         / NULLIF(length(text), 0)), 4)"""
-  }
+  // single-sourced from the home modules' own oracle fragments, shared
+  // with x24Sql AND the x25 pipeline oracle, so none of them can drift.
+  private[graft] val qualitySql: String = TextStats.qualitySqlExpr
   private[graft] val emailsSql: String =
-    """CAST(len(regexp_extract_all(text,
-       '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS INT)"""
+    s"CAST(len(regexp_extract_all(text, '${Curation.EmailPatternSql}')) AS INT)"
   private[graft] val sampledSql: String = {
     val rateCase = Sampling.StratumRatesBp.toSeq.sortBy(_._1)
       .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }

@@ -244,6 +244,17 @@ class PipelineSpec extends SparkSpec {
     // (12, 13) both survive — that is the self-join's job, not this op's.
     assert(out == Set(12L, 13L, 14L),
       s"expected exact+near ref matches dropped, new-new kept: $out")
+
+    // doc_id COLLISION between the two sides (independent id spaces):
+    // new doc 1 is unrelated to ref doc 1 and must survive — the union
+    // re-keying keeps the colliding pair's tokens in separate prefix
+    // windows and the sides disjoint; keying by raw doc_id made the doc
+    // its own "duplicate".
+    val collidingNew = Seq((1L, uniq("p")), (2L, uniq("b"))).toDF("doc_id", "text")
+    val out2 = Dedup.incrementalDedup(collidingNew, ref, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(1L),
+      s"colliding-id doc must survive, near-dup of ref 2 must not: $out2")
   }
 
   test("exact dedup groups identical texts") {
