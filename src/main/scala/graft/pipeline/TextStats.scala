@@ -106,6 +106,49 @@ object TextStats {
          / NULLIF(length(text), 0)), 4)"""
   }
 
+  // ---------------------------------------------------------------- x28
+  /** Unigram log-probability score — the perplexity-proxy quality filter
+    * (CCNet-style): train a unigram LM on the corpus itself (token
+    * frequency / total tokens), then score each document by the mean
+    * negative log-probability of its tokens (with repetition). Unusually
+    * probable docs are boilerplate, unusually improbable ones are noise;
+    * production pipelines threshold both tails.
+    *
+    * Scale: one explode feeds BOTH the per-(doc,tok) counts and the
+    * corpus LM (two partial+final aggs on (doc_id,tok) then tok — the
+    * same shuffle key chain as TF-IDF); the total-token count joins as a
+    * broadcast 1-row scalar, and scoring is one equi-join on tok (the LM
+    * side is vocabulary-sized, far smaller than the corpus) + one final
+    * per-doc agg. Everything map-side combinable, no corpus product.
+    * ln() parity Spark↔DuckDB holds at the emitted 4-decimal rounding
+    * (same precedent as x13's tfidf). */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val lm = tok.groupBy("tok").agg(sum("c").as("cf"))
+    val total = lm.agg(sum("cf").as("n_total"))
+    tok.join(lm, "tok").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"),
+        round((-sum(col("c") * log(col("cf").cast("double") / col("n_total"))) /
+          sum("c")), 4).as("avg_neg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val x28Sql =
+    """WITH tok AS (SELECT doc_id, tok, count(*) AS c
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    GROUP BY doc_id, tok),
+       lm AS (SELECT tok, sum(c) AS cf FROM tok GROUP BY tok),
+       tot AS (SELECT sum(cf) AS n_total FROM lm)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+              round(-sum(c * ln(CAST(cf AS DOUBLE) / (SELECT n_total FROM tot)))
+                    / sum(c), 4) AS avg_neg_logp
+       FROM tok JOIN lm USING (tok)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** Quality scoring: token/char ratios of the kind used to filter LLM
     * training corpora (length, stopword density, digit density). */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -257,5 +300,6 @@ object TextStats {
     QueryDef("x02_langid", langIdHeuristic, Some(x02Sql)),
     QueryDef("x03_fingerprint", fingerprint, Some(x03Sql)),
     QueryDef("x03b_rolling_hash", nativeFingerprint, Some(x03bSql)),
-    QueryDef("x04_token_counts", tokenCounts, Some(x04Sql)))
+    QueryDef("x04_token_counts", tokenCounts, Some(x04Sql)),
+    QueryDef("x28_unigram_logprob", unigramLogprob, Some(x28Sql)))
 }

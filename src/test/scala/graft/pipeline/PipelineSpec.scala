@@ -257,6 +257,20 @@ class PipelineSpec extends SparkSpec {
       s"colliding-id doc must survive, near-dup of ref 2 must not: $out2")
   }
 
+  test("unigram logprob ranks rare-token docs above boilerplate") {
+    import spark.implicits._
+    val corpus = ((1 to 50).map(i => (i.toLong, "common words appear here")) ++
+      Seq((100L, "rarex rarey rarez"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ulp").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextStats.unigramLogprob(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(100L) > out(1L),
+      s"rare tokens must score more surprising than boilerplate: $out")
+    // All boilerplate docs share one score (same tokens, same LM).
+    assert((1 to 50).map(i => out(i.toLong)).distinct.size == 1)
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactDedup _
     import spark.implicits._
