@@ -48,7 +48,13 @@ object Bench {
         val f = graft.tools.FmpFixture.write()
         try {
           run(graft.fmp.FmpReader.read(spark, f.toString)) // warm-up
-          (1 to 3).map { _ =>
+          // Explicit settle between warm-up and measurement: a pending
+          // collection from the warm-up read landing mid-measurement was
+          // the residual variance source (observed 14k vs 22k rec/s run
+          // to run); best-of-5 then rides over any one-off hiccup.
+          System.gc()
+          Thread.sleep(200)
+          (1 to 5).map { _ =>
             val t0 = System.nanoTime()
             run(graft.fmp.FmpReader.read(spark, f.toString))
             graft.tools.FmpFixture.BaselineRows / ((System.nanoTime() - t0) / 1e9)
