@@ -216,6 +216,28 @@ class PipelineSpec extends SparkSpec {
       s"df cap unexpectedly kept $viaCap of ${truth.size} — contrast test is stale")
   }
 
+  test("prefix filter losslessness holds over random corpora and thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    // Small vocabularies force heavy token sharing → dense true-pair sets
+    // that stress the prefix certificate; varied doc lengths stress the
+    // ⌈t·n⌉ integer arithmetic across many n.
+    for (trial <- 1 to 5) {
+      val vocab = (1 to 12 + rnd.nextInt(10)).map(i => s"v$i")
+      val corpus = (1 to 60).map { i =>
+        val n = 3 + rnd.nextInt(18)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val t = Seq(0.5, 0.6, 0.75, 0.8, 1.0)(rnd.nextInt(5))
+      val got = Dedup.jaccardPairsPrefixOn(corpus, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bruteForcePairs(corpus, t).keySet
+      assert(got == want,
+        s"trial $trial t=$t: prefix ${got.size} pairs vs brute ${want.size}; " +
+          s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("prefix length uses exact integer arithmetic (ceil(0.8*25) trap)") {
     import spark.implicits._
     // 25 distinct tokens at t=0.8: prefix must be 25 - ceil(20) + 1 = 6.
