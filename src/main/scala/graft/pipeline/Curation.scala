@@ -375,31 +375,22 @@ object Curation {
        FROM pg GROUP BY doc_id ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- x19
-  /** The x19 email pattern, single-sourced for the scan, the streaming
-    * ingest gate (x24), and their oracles. The Spark form carries the
-    * doubled backslash the SQL-expression parser unescapes; the DuckDB
-    * form the literal one. */
-  private[graft] val EmailPatternSpark = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+"
-  private[graft] val EmailPatternSql = """(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"""
-
-  /** `n_emails` as a reusable Column over `text` (x19's first output). */
-  private[graft] def emailCount: org.apache.spark.sql.Column =
-    size(expr(s"regexp_extract_all(text, '$EmailPatternSpark', 0)"))
-
   /** PII-pattern scan — training-data hygiene counts per document
     * (email-shaped, URL-shaped, long digit runs). Pure regexp projection,
-    * map-only; patterns are RE2-safe so DuckDB reproduces them. */
+    * map-only; patterns are RE2-safe so DuckDB reproduces them. The email
+    * pattern is single-sourced in the leaf [[PiiPatterns]] (shared with
+    * the x24 ingest gate without creating an init cycle). */
   def piiScan(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      emailCount.as("n_emails"),
+      PiiPatterns.emailCount.as("n_emails"),
       size(expr("regexp_extract_all(text, '(?i)https?://[^ ]+', 0)")).as("n_urls"),
       size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)")).as("n_digit_runs"))
       .orderBy("doc_id")
 
   private val x19Sql =
     s"""SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '$EmailPatternSql')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '${PiiPatterns.EmailSql}')) AS INT) AS n_emails,
        CAST(len(regexp_extract_all(text, '(?i)https?://[^ ]+')) AS INT) AS n_urls,
        CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
        FROM documents ORDER BY doc_id"""

@@ -323,8 +323,13 @@ object Dedup {
       .union(refDocs.select((shiftleft(col("doc_id"), 1) + 1).as("doc_id"), col("text")))
     val pre = prefixPostings(union, key, "tok", threshold)
     val tBp = toBasisPoints(threshold)
-    val cand = pre.filter(col("doc_id") % 2 === 0).as("a")
-      .join(pre.filter(col("doc_id") % 2 === 1).as("b"),
+    // pmod, not %: Java remainder gives (-5) % 2 = -1, so hash-derived
+    // NEGATIVE ids (xxhash64 keys are negative half the time) would fall
+    // on neither side and silently escape the near-dup tier. The 2a vs
+    // 2b+1 re-keying itself is sign-safe (parity distinguishes the sides
+    // and shiftright decodes exactly for any |id| < 2^62).
+    val cand = pre.filter(pmod(col("doc_id"), lit(2)) === 0).as("a")
+      .join(pre.filter(pmod(col("doc_id"), lit(2)) === 1).as("b"),
         col("a.tok") === col("b.tok") &&
           lit(tBp) * col("a.n") <= lit(BpScale) * col("b.n") &&
           lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n"))

@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curation, HashConstants, Sampling, TextStats}
+import graft.pipeline.{HashConstants, PiiPatterns, Sampling, TextStats}
 
 /** Ingest-time curation gate: the quality / PII / sampling decisions of
   * the batch curation family (x01/x19/x21) as COLUMN EXPRESSIONS over any
@@ -32,8 +32,11 @@ object IngestGate {
   private def quality: Column = TextStats.qualityColumn
 
   /** x19's email count — THE SAME Column definition
-    * ([[Curation.emailCount]]), not a copy. */
-  private def nEmails: Column = Curation.emailCount
+    * ([[PiiPatterns.emailCount]]), not a copy. PiiPatterns is a LEAF
+    * module: referencing Curation here would close an init cycle with
+    * Curation.x25Sql → [[admitCondSql]] and null-corrupt whichever
+    * object initializes second. */
+  private def nEmails: Column = PiiPatterns.emailCount
 
   /** x21's sampling decision — THE SAME Column definition, not a copy, so
     * gate membership and batch-sample membership cannot drift. */
@@ -68,7 +71,7 @@ object IngestGate {
   // with x24Sql AND the x25 pipeline oracle, so none of them can drift.
   private[graft] val qualitySql: String = TextStats.qualitySqlExpr
   private[graft] val emailsSql: String =
-    s"CAST(len(regexp_extract_all(text, '${Curation.EmailPatternSql}')) AS INT)"
+    s"CAST(len(regexp_extract_all(text, '${PiiPatterns.EmailSql}')) AS INT)"
   private[graft] val sampledSql: String = {
     val rateCase = Sampling.StratumRatesBp.toSeq.sortBy(_._1)
       .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }

@@ -25,4 +25,17 @@ class QueriesSmokeSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("interpolated oracle fragments resolved (object-init-cycle guard)") {
+    // x24/x25 interpolate SQL fragments across modules; a circular object
+    // initialization would bake the string "null" into the WHERE clause
+    // for the JVM's lifetime — assert the fragments actually landed.
+    for (name <- Seq("x24_ingest_gate", "x25_curate_pipeline")) {
+      val sql = SparkEntry.oracleSql(name)
+      assert(sql.contains("regexp_extract_all") && sql.contains("NULLIF"),
+        s"$name oracle lost its gate fragments")
+      assert(!sql.contains("null AND") && !sql.contains("(null)"),
+        s"$name oracle contains a null-corrupted fragment:\n$sql")
+    }
+  }
 }

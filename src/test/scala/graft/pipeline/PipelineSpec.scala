@@ -277,20 +277,36 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(out2 == Set(1L),
       s"colliding-id doc must survive, near-dup of ref 2 must not: $out2")
+
+    // NEGATIVE ids (hash-derived keys): Java % would put them on neither
+    // prefix side and let their near-dups through silently.
+    val negRef = Seq((-3L, uniq("a"))).toDF("doc_id", "text")
+    val negNew = Seq((-7L, uniq("a").replace("ua_10", "tweak")), (8L, uniq("z")))
+      .toDF("doc_id", "text")
+    val out3 = Dedup.incrementalDedup(negNew, negRef, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(out3 == Set(8L),
+      s"near-dup of a negative-id ref doc must be dropped: $out3")
   }
 
   test("unigram logprob ranks rare-token docs above boilerplate") {
     import spark.implicits._
     val corpus = ((1 to 50).map(i => (i.toLong, "common words appear here")) ++
       Seq((100L, "rarex rarey rarez"))).toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("ulp").toString
-    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = TextStats.unigramLogprob(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(out(100L) > out(1L),
-      s"rare tokens must score more surprising than boilerplate: $out")
-    // All boilerplate docs share one score (same tokens, same LM).
-    assert((1 to 50).map(i => out(i.toLong)).distinct.size == 1)
+    val dir = java.nio.file.Files.createTempDirectory("ulp")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextStats.unigramLogprob(spark, dir.toString).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(out(100L) > out(1L),
+        s"rare tokens must score more surprising than boilerplate: $out")
+      // All boilerplate docs share one score (same tokens, same LM).
+      assert((1 to 50).map(i => out(i.toLong)).distinct.size == 1)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("exact dedup groups identical texts") {
