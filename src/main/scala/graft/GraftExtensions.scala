@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CollapseSanitize, RollingHash, SanitizeName, SetJaccard, TokenHash, VecDot, VecNorm2}
+import graft.functions.{CollapseSanitize, RollingHash, SanitizeName, SetJaccard, SetOverlap, TokenHash, VecDot, VecNorm2}
 
 /** `SparkSessionExtensions` entry point: registers the engine's native
   * expressions at session build time, so deployments can opt in with
@@ -52,6 +52,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "Two empty arrays yield 1.0.",
         "", "", "", "", "", "", "scala_udf"),
       exprs => SetJaccard(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("set_overlap"),
+      new ExpressionInfo(
+        classOf[SetOverlap].getName, null, "set_overlap",
+        "_FUNC_(a, b) - Shared-element count |a∩b| of two ARRAY<STRING> sets. " +
+          "PRECONDITION: both arrays must be sorted ascending (array_sort " +
+          "order) and element-distinct; unsorted or duplicated input yields " +
+          "an undefined result.",
+        "", "", "", "", "", "", "scala_udf"),
+      exprs => SetOverlap(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => CollapseSanitize)
   }
 }

@@ -237,7 +237,56 @@ case class SetJaccard(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** |A∩B| as a BIGINT by the same two-pointer merge as [[SetJaccard]] —
+  * the primitive under OVERLAP/CONTAINMENT scoring (x29), where the
+  * score divides by ONE side's size (|A∩B|/|A|), not the union's, so
+  * the caller needs the raw shared count. Same preconditions: sorted
+  * ascending (array_sort order), element-distinct. */
+case class SetOverlap(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"set_overlap requires ARRAY<STRING> args, got ${left.dataType}, ${right.dataType}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "set_overlap"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetJaccard.shared(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SetJaccard.shared($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SetOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetJaccard {
+  /** |A∩B| by two-pointer merge (the shared kernel of [[SetJaccard]] and
+    * [[SetOverlap]]); preconditions as documented on [[jaccard]]. */
+  def shared(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var s = 0L
+    while (i < na && j < nb) {
+      val an = a.isNullAt(i)
+      val bn = b.isNullAt(j)
+      val cmp =
+        if (an && bn) 0
+        else if (an) 1
+        else if (bn) -1
+        else a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { s += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    s
+  }
+
   /** |A∩B| / |A∪B| by two-pointer merge; both arrays sorted ascending in
     * UTF8String binary order and element-distinct. Null elements are
     * ordered LAST (exactly where Spark's `array_sort` places them) and a
@@ -254,22 +303,8 @@ object SetJaccard {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 && nb == 0) return 1.0
-    var i = 0
-    var j = 0
-    var shared = 0
-    while (i < na && j < nb) {
-      val an = a.isNullAt(i)
-      val bn = b.isNullAt(j)
-      val cmp =
-        if (an && bn) 0
-        else if (an) 1
-        else if (bn) -1
-        else a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { shared += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
-    }
-    shared.toDouble / (na + nb - shared)
+    val s = shared(a, b)
+    s.toDouble / (na + nb - s)
   }
 }
 
@@ -305,6 +340,8 @@ object GraftFunctions {
       exprs => VecNorm2(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("set_jaccard",
       exprs => SetJaccard(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("set_overlap",
+      exprs => SetOverlap(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** B35's one showcase scalar UDF — kept for API-surface parity; the

@@ -346,6 +346,63 @@ object Dedup {
     exactSurvivors.join(dupNew, Seq("doc_id"), "left_anti")
   }
 
+  // ---------------------------------------------------------------- x29
+  /** Directional containment (overlap-coefficient) join: pairs (da, db)
+    * with |A∩B| / |A| ≥ t and da ≠ db — "doc A is t-contained in doc B".
+    * This is the predicate symmetric Jaccard structurally MISSES: a
+    * 20-token doc fully inside a 400-token doc has J ≈ 0.05 (and the
+    * Jaccard length filter prunes the pair outright) but containment 1.0
+    * — the quote / template / boilerplate-inclusion shape dedup actually
+    * wants at corpus scale.
+    *
+    * Candidates prefix ONLY the contained side (certificate: ≥ ⌈t·n_A⌉
+    * shared keys cannot all hide in A's suffix of length ⌈t·n_A⌉−1); the
+    * container side posts ALL its keys, because no length relation
+    * bounds a container. Skew note: prefixes carry each doc's globally
+    * RAREST keys (ascending df order), so the join only ever probes
+    * rare-token posting lists — the hot-key lists exist on the container
+    * side but no prefix joins against them. The verify divides the exact
+    * merge count (native [[graft.functions.SetOverlap]]) by |A| in PURE
+    * INTEGER form (10⁴·shared ≥ tBp·n_A), so the threshold has no float
+    * edge at all. Lossless for true containment ≥ t. */
+  def containmentPairsOn(base: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val key = array_distinct(split(col("text"), " "))
+    val tBp = toBasisPoints(threshold)
+    val pre = prefixPostings(base, key, "tok", threshold)
+    val post = base.select(col("doc_id"), explode(key).as("tok"))
+    val cand = pre.as("a").join(post.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sets = base.select(col("doc_id"), array_sort(key).as("keys"))
+    cand
+      .join(sets.select(col("doc_id").as("da2"), col("keys").as("ka")),
+        col("da") === col("da2"))
+      .join(sets.select(col("doc_id").as("db2"), col("keys").as("kb")),
+        col("db") === col("db2"))
+      .withColumn("shared", call_function("set_overlap", col("ka"), col("kb")))
+      .filter(lit(BpScale) * col("shared") >= lit(tBp) * size(col("ka")))
+      .select(col("da"), col("db"),
+        round(col("shared").cast("double") / size(col("ka")), 4).as("containment"))
+      .orderBy("da", "db")
+  }
+
+  /** Registered x29: directional 0.9-containment on the %17 slice; the
+    * oracle is brute-force all-ordered-pairs overlap, certifying the
+    * one-sided prefix losslessness. */
+  private def x29(s: SparkSession, dir: String): DataFrame =
+    containmentPairsOn(docs(s, dir).filter(col("doc_id") % 17 === 0), 0.9)
+
+  private val x29Sql =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+       sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS keys FROM base),
+       p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.keys, b.keys)) AS shared, len(a.keys) AS na
+             FROM sets a JOIN sets b ON a.doc_id <> b.doc_id)
+       SELECT da, db, round(CAST(shared AS DOUBLE) / na, 4) AS containment
+       FROM p WHERE 10000 * shared >= 9000 * na ORDER BY da, db"""
+
   /** Registered x26: the %11==1 slice arrives as the new batch, the
     * %11==0 slice is the reference corpus; t=0.8. Oracle is brute-force
     * cross-corpus Jaccard + sha anti-join — certifying losslessness of
@@ -584,6 +641,7 @@ object Dedup {
     QueryDef("x11_ngram_jaccard", x11, Some(x11Sql)),
     QueryDef("x20_neardup_prefix", x20, Some(x20Sql)),
     QueryDef("x26_incremental_dedup", x26, Some(x26Sql)),
+    QueryDef("x29_containment", x29, Some(x29Sql)),
     QueryDef("x05_minhash_sigs", minhashQuery, Some(x05Sql)),
     QueryDef("x06_simhash", simhashQuery, Some(x06Sql)))
 }

@@ -147,6 +147,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(edges(3).getDouble(0) == 1.0, "empty vs empty must be 1.0, not NaN")
   }
 
+  test("set_overlap equals the array_intersect size it replaces") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val docs = graft.Tables.t(spark, sf, "documents").limit(30)
+    val keys = array_sort(array_distinct(split(col("text"), " ")))
+    val sets = docs.select(col("doc_id"), keys.as("k"))
+    sets.as("a").crossJoin(sets.as("b"))
+      .select(
+        call_function("set_overlap", col("a.k"), col("b.k")).as("no"),
+        size(array_intersect(col("a.k"), col("b.k"))).cast("long").as("ho"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1), s"overlap mismatch: $r"))
+    import spark.implicits._
+    val edges = Seq(
+      (Seq("a", "b"), Seq("b", "c")), (Seq[String](), Seq("a")),
+      (Seq[String](), Seq[String]())).toDF("x", "y")
+      .select(call_function("set_overlap", col("x"), col("y"))).collect()
+    assert(edges.map(_.getLong(0)).toSeq == Seq(1L, 0L, 0L))
+  }
+
   test("extensions entry point registers every native function") {
     val s2 = spark.newSession()
     // Run the injectFunction path against a raw SparkSessionExtensions:

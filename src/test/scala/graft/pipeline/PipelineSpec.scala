@@ -238,6 +238,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("containment join finds the subset pair symmetric Jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 10).map(i => s"quote_$i").mkString(" ")
+    val big = ((1 to 10).map(i => s"quote_$i") ++ (1 to 90).map(i => s"body_$i")).mkString(" ")
+    val corpus = (Seq((1L, small), (2L, big)) ++
+      (10 to 40).map(i => (i.toLong, (1 to 15).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    // Jaccard(1, 2) = 10/100 = 0.1 — invisible to the near-dup join even
+    // at low thresholds once its length filter runs. Containment(1→2) = 1.0.
+    val cont = Dedup.containmentPairsOn(corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont == Map((1L, 2L) -> 1.0),
+      s"expected exactly the planted quote-inclusion pair: $cont")
+    // Randomized losslessness vs brute force (directional, raw-integer
+    // threshold arithmetic exercised across many (t, n)).
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 15).map(i => s"v$i")
+      val c2 = (1 to 40).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val t = Seq(0.7, 0.85, 1.0)(rnd.nextInt(3))
+      val got = Dedup.containmentPairsOn(c2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.functions.GraftFunctions.register(spark)
+      val sets = c2.select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("k"))
+      val want = sets.as("a").crossJoin(sets.as("b"))
+        .filter(col("a.doc_id") =!= col("b.doc_id") &&
+          lit(10000) * call_function("set_overlap", col("a.k"), col("b.k")) >=
+            lit(math.round(t * 10000)) * size(col("a.k")))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"trial $trial t=$t: ${got.size} vs brute ${want.size}")
+    }
+  }
+
   test("prefix length uses exact integer arithmetic (ceil(0.8*25) trap)") {
     import spark.implicits._
     // 25 distinct tokens at t=0.8: prefix must be 25 - ceil(20) + 1 = 6.
