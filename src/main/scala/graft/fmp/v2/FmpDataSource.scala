@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, IsNotNull, IsNull, Not, Or, StringContains, StringEndsWith, StringStartsWith}
@@ -74,9 +75,29 @@ class FmpTable(tableSchema: StructType, path: String) extends Table with Support
 class FmpScanBuilder(fullSchema: StructType, path: String, allSnapshots: Boolean,
     progressEvery: Long, repeatingAsArray: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  /** COUNT(*) with no filters and no grouping is answered from the
+    * header's `FOUND` attribute — the export's declared result-set size,
+    * which the document's `<ROW>` count equals by the format contract
+    * (the same value the reference trusts for its progress totals). The
+    * header parse early-exits at `<RESULTSET>`, so the count is
+    * O(header) instead of a full StAX walk of the document. PARTIAL
+    * pushdown (supportCompletePushDown stays false): each snapshot
+    * partition emits its own count row and Spark's final aggregate sums
+    * them, which keeps `allSnapshots` directories correct with zero
+    * extra logic. Any pushed filter or grouping declines the pushdown —
+    * row-level predicates change the count. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = pushed.isEmpty && aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -99,7 +120,8 @@ class FmpScanBuilder(fullSchema: StructType, path: String, allSnapshots: Boolean
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new FmpScan(fullSchema, required, path, allSnapshots, progressEvery,
+    if (countPushed) new FmpCountScan(path, allSnapshots)
+    else new FmpScan(fullSchema, required, path, allSnapshots, progressEvery,
       repeatingAsArray, pushed)
 }
 
@@ -172,13 +194,23 @@ class FmpScan(fullSchema: StructType, required: StructType, path: String,
     s"FmpScan $path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // Default directory semantics follow the reference (latest *.bz2
-    // snapshot). With `allSnapshots=true` every archive in the directory
-    // becomes its own partition — the document, not the byte range, is
-    // the parallelism unit for non-splittable bz2 XML, so a directory of
-    // N exports ingests N-wide. Per-file schemas resolve by clean column
-    // name in the reader (snapshot schema evolution by name).
+  override def planInputPartitions(): Array[InputPartition] =
+    FmpPartitions.plan(path, allSnapshots)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FmpPartitionReaderFactory(fullSchema.fieldNames, required, progressEvery,
+      repeatingAsArray, pushed)
+}
+
+object FmpPartitions {
+  /** Default directory semantics follow the reference (latest *.bz2
+    * snapshot). With `allSnapshots=true` every archive in the directory
+    * becomes its own partition — the document, not the byte range, is
+    * the parallelism unit for non-splittable bz2 XML, so a directory of
+    * N exports ingests N-wide. Per-file schemas resolve by clean column
+    * name in the reader (snapshot schema evolution by name). Shared by
+    * the row scan and the pushed-COUNT scan. */
+  def plan(path: String, allSnapshots: Boolean): Array[InputPartition] = {
     val p = java.nio.file.Paths.get(path)
     if (allSnapshots && java.nio.file.Files.isDirectory(p)) {
       import scala.jdk.CollectionConverters._
@@ -193,10 +225,42 @@ class FmpScan(fullSchema: StructType, required: StructType, path: String,
       Array(FmpInputPartition(FmpReader.resolvePath(path).toString))
     }
   }
+}
 
+/** Pushed-COUNT(*) scan: one row per snapshot partition carrying that
+  * file's header-declared `FOUND` count — rows are never parsed (the
+  * header read early-exits at `<RESULTSET>`). Spark's final aggregate
+  * sums the partition rows (partial pushdown). */
+class FmpCountScan(path: String, allSnapshots: Boolean) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FmpScan $path, PushedAggregation: [COUNT(*)] (header FOUND; rows not parsed)"
+  override def planInputPartitions(): Array[InputPartition] =
+    FmpPartitions.plan(path, allSnapshots)
   override def createReaderFactory(): PartitionReaderFactory =
-    new FmpPartitionReaderFactory(fullSchema.fieldNames, required, progressEvery,
-      repeatingAsArray, pushed)
+    new FmpCountReaderFactory
+}
+
+class FmpCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val path = partition.asInstanceOf[FmpInputPartition].resolvedPath
+      private var emitted = false
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (emitted) false
+        else {
+          row = new GenericInternalRow(
+            Array[Any](FmpReader.readSchemaOnly(path).foundCount))
+          emitted = true
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 case class FmpInputPartition(resolvedPath: String) extends InputPartition

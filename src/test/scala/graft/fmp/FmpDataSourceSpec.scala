@@ -273,6 +273,55 @@ class FmpDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("count(*) pushes to the header FOUND count; rows are never parsed") {
+    val df = spark.read.format("fmp").load(writeFixture(25))
+    assert(df.count() == 25)
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+      s"count must push to the header read: $plan")
+    // The proof rows are never parsed: a document whose RESULTSET body is
+    // garbage after the first row still counts (header FOUND=7), while a
+    // row scan on the same file throws.
+    val corrupt =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<FMPXMLRESULT xmlns="$ns">
+         |  <DATABASE DATEFORMAT="d" LAYOUT="" NAME="Ceneton" RECORDS="7" TIMEFORMAT="h"/>
+         |  <METADATA>
+         |    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Auteur" TYPE="TEXT"/>
+         |  </METADATA>
+         |  <RESULTSET FOUND="7">
+         |    <ROW MODID="0" RECORDID="1"><COL><DATA>ok</DATA></COL></ROW>
+         |    <BROKEN<<not xml
+         |  </RESULTSET>
+         |</FMPXMLRESULT>""".stripMargin
+    val p = Files.createTempDirectory("fmpcnt").resolve("corrupt.xml")
+    Files.write(p, corrupt.getBytes(StandardCharsets.UTF_8))
+    val cdf = spark.read.format("fmp").load(p.toString)
+    assert(cdf.count() == 7, "pushed count must come from the header alone")
+    intercept[Exception] { cdf.collect() } // the row scan DOES parse — and throws
+    // A filter declines the pushdown: the count must re-scan rows.
+    val filtered = spark.read.format("fmp").load(writeFixture(30))
+      .filter(col("jaar").isNotNull)
+    assert(filtered.count() == 20) // i % 3 == 0 rows are <DATA/>
+    val fplan = filtered.groupBy().count().queryExecution.executedPlan.toString
+    assert(!fplan.contains("PushedAggregation: [COUNT(*)]"),
+      s"filtered count must not trust the header: $fplan")
+  }
+
+  test("count(*) over allSnapshots sums per-file header counts") {
+    val dir = Files.createTempDirectory("fmpcntall")
+    def bz(name: String, n: Int): Unit = {
+      val out = new BZip2CompressorOutputStream(new FileOutputStream(dir.resolve(name).toFile))
+      out.write(doc(n).getBytes(StandardCharsets.UTF_8)); out.close()
+    }
+    bz("a.xml.bz2", 4)
+    bz("b.xml.bz2", 9)
+    val df = spark.read.format("fmp").option("allSnapshots", "true").load(dir.toString)
+    assert(df.count() == 13)
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+  }
+
   test("bz2 + directory snapshot resolution work through format(\"fmp\")") {
     val dir = Files.createTempDirectory("fmpv2snap")
     def bz(name: String, n: Int): Unit = {
