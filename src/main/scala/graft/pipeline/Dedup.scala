@@ -301,13 +301,24 @@ object Dedup {
     * At scale the ref side's prefix postings are computed once per batch
     * wave and are ~(1−t)·|corpus| keys — the dominant cost is the ΔN-side
     * explode, not N. Returns the surviving new docs. */
+  /** The exact tier of [[incrementalDedup]] on its own: drop new docs
+    * whose sha256 already exists in the reference corpus. A stream-static
+    * LEFT ANTI join when `newDocs` is streaming — the arriving batch
+    * dedups against the at-rest corpus with no state store (the static
+    * side re-reads per micro-batch, which at scale is a broadcast or a
+    * bucketed at-rest table); batch ≡ stream gated in StreamingSpec. The
+    * near tier stays batch-only: its prefix windows and df aggregation
+    * are not streamable shapes. */
+  def exactNewDocs(newDocs: DataFrame, refDocs: DataFrame): DataFrame =
+    newDocs.join(
+      refDocs.select(sha2(col("text"), 256).as("ref_h")),
+      sha2(col("text"), 256) === col("ref_h"), "left_anti")
+
   def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame,
       threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(newDocs.sparkSession)
     val key = array_distinct(split(col("text"), " "))
-    val exactSurvivors = newDocs.join(
-      refDocs.select(sha2(col("text"), 256).as("ref_h")),
-      sha2(col("text"), 256) === col("ref_h"), "left_anti")
+    val exactSurvivors = exactNewDocs(newDocs, refDocs)
     // Union-corpus df → one shared total order for both prefix sides.
     // The two inputs' doc_id spaces are INDEPENDENT (a batch and a corpus
     // own their own ids), so the union is re-keyed with a disjoint

@@ -71,6 +71,34 @@ class StreamingSpec extends SparkSpec {
     assert(docsIn.filter(_.text.contains("@")).forall(d => !admitted(d.doc_id)))
   }
 
+  test("streaming exact-tier incremental dedup equals the batch decision") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Static reference corpus; the new batch arrives as a stream — the
+    // per-batch ingestion shape at the edge (stream-static LEFT ANTI,
+    // no state store).
+    val ref = Seq(Doc(1L, "seen text one", "en"), Doc(2L, "seen text two", "en")).toDF()
+    val arrivals = Seq(
+      Doc(10L, "seen text one", "en"),   // exact dup of ref 1 → dropped
+      Doc(11L, "fresh text a", "en"),
+      Doc(12L, "seen text two", "en"),   // exact dup of ref 2 → dropped
+      Doc(13L, "fresh text b", "en"))
+    val input = MemoryStream[Doc]
+    val q = graft.pipeline.Dedup.exactNewDocs(input.toDF(), ref)
+      .writeStream.outputMode("append").format("memory").queryName("incdedup_out").start()
+    input.addData(arrivals.take(2))
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2))
+    q.processAllAvailable()
+    val streaming = spark.table("incdedup_out").orderBy("doc_id").collect().toSeq
+    q.stop()
+    val batch = graft.pipeline.Dedup.exactNewDocs(arrivals.toDF(), ref)
+      .orderBy("doc_id").collect().toSeq
+    assert(streaming == batch)
+    assert(streaming.map(_.getLong(0)) == Seq(11L, 13L),
+      s"only the fresh docs survive: $streaming")
+  }
+
   test("x12 stream-stream interval join equals the batch attribution join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
