@@ -69,11 +69,13 @@ class FmpTable(tableSchema: StructType, path: String) extends Table with Support
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FmpScanBuilder(tableSchema, path, options.getBoolean("allSnapshots", false),
       options.getLong("progressEvery", 0L),
-      options.getBoolean("repeatingAsArray", false))
+      options.getBoolean("repeatingAsArray", false),
+      options.getBoolean("trustHeaderCount", true))
 }
 
 class FmpScanBuilder(fullSchema: StructType, path: String, allSnapshots: Boolean,
-    progressEvery: Long, repeatingAsArray: Boolean)
+    progressEvery: Long, repeatingAsArray: Boolean,
+    trustHeaderCount: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
@@ -90,9 +92,16 @@ class FmpScanBuilder(fullSchema: StructType, path: String, allSnapshots: Boolean
     * partition emits its own count row and Spark's final aggregate sums
     * them, which keeps `allSnapshots` directories correct with zero
     * extra logic. Any pushed filter or grouping declines the pushdown —
-    * row-level predicates change the count. */
+    * row-level predicates change the count.
+    *
+    * TRUST TRADE-OFF: a file whose body is damaged AFTER the header
+    * still counts (the row scan would throw) — right for bookkeeping
+    * over healthy exports, wrong for integrity accounting. Callers
+    * auditing file health set `trustHeaderCount=false` to force the
+    * row-parsing count. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = pushed.isEmpty && aggregation.groupByExpressions.isEmpty &&
+    val ok = trustHeaderCount &&
+      pushed.isEmpty && aggregation.groupByExpressions.isEmpty &&
       aggregation.aggregateExpressions.length == 1 &&
       aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
     if (ok) countPushed = true

@@ -281,26 +281,6 @@ object Dedup {
   val PrefixFilterMinThreshold = 0.5
 
   // ---------------------------------------------------------------- x26
-  /** Incremental (cross-corpus) dedup: drop every `newDocs` doc that is
-    * an exact or near (Jaccard ≥ t) duplicate of ANY `refDocs` doc — the
-    * asymmetric join an append-only ingestion runs per batch (snapshot
-    * N+1 against the already-deduped corpus N), where re-running the
-    * full self-join would redo N² work for an N×ΔN question.
-    *
-    *  - exact tier: anti-join on sha256(text) — one shuffle of ΔN + N
-    *    uniform hashes;
-    *  - near tier: the x20 prefix filter, CROSS-corpus. The lossless
-    *    prefix argument needs ONE total key order shared by both sides,
-    *    so document frequencies are computed over the UNION corpus —
-    *    df from `newDocs` alone would order the two sides' prefixes
-    *    differently and break the guarantee. Join is prefix(new) ×
-    *    prefix(ref) on the key + the t·max≤min length filter; any
-    *    exact-verified hit (full sets, raw score) marks the new doc a
-    *    duplicate; survivors anti-join out.
-    *
-    * At scale the ref side's prefix postings are computed once per batch
-    * wave and are ~(1−t)·|corpus| keys — the dominant cost is the ΔN-side
-    * explode, not N. Returns the surviving new docs. */
   /** The exact tier of [[incrementalDedup]] on its own: drop new docs
     * whose sha256 already exists in the reference corpus. A stream-static
     * LEFT ANTI join when `newDocs` is streaming — the arriving batch
@@ -314,6 +294,26 @@ object Dedup {
       refDocs.select(sha2(col("text"), 256).as("ref_h")),
       sha2(col("text"), 256) === col("ref_h"), "left_anti")
 
+  /** Incremental (cross-corpus) dedup: drop every `newDocs` doc that is
+    * an exact or near (Jaccard ≥ t) duplicate of ANY `refDocs` doc — the
+    * asymmetric join an append-only ingestion runs per batch (snapshot
+    * N+1 against the already-deduped corpus N), where re-running the
+    * full self-join would redo N² work for an N×ΔN question.
+    *
+    *  - exact tier: [[exactNewDocs]] — one shuffle of ΔN + N uniform
+    *    hashes;
+    *  - near tier: the x20 prefix filter, CROSS-corpus. The lossless
+    *    prefix argument needs ONE total key order shared by both sides,
+    *    so document frequencies are computed over the UNION corpus —
+    *    df from `newDocs` alone would order the two sides' prefixes
+    *    differently and break the guarantee. Join is prefix(new) ×
+    *    prefix(ref) on the key + the t·max≤min length filter; any
+    *    exact-verified hit (full sets, raw score) marks the new doc a
+    *    duplicate; survivors anti-join out.
+    *
+    * At scale the ref side's prefix postings are computed once per batch
+    * wave and are ~(1−t)·|corpus| keys — the dominant cost is the ΔN-side
+    * explode, not N. Returns the surviving new docs. */
   def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame,
       threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(newDocs.sparkSession)

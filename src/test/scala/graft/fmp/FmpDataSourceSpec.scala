@@ -299,6 +299,11 @@ class FmpDataSourceSpec extends SparkSpec {
     val cdf = spark.read.format("fmp").load(p.toString)
     assert(cdf.count() == 7, "pushed count must come from the header alone")
     intercept[Exception] { cdf.collect() } // the row scan DOES parse — and throws
+    // Integrity-audit mode: trustHeaderCount=false forces the row-parsing
+    // count, which surfaces the corruption instead of trusting FOUND.
+    val audited = spark.read.format("fmp")
+      .option("trustHeaderCount", "false").load(p.toString)
+    intercept[Exception] { audited.count() }
     // A filter declines the pushdown: the count must re-scan rows.
     val filtered = spark.read.format("fmp").load(writeFixture(30))
       .filter(col("jaar").isNotNull)

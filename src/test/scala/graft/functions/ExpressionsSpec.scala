@@ -189,6 +189,8 @@ class ExpressionsSpec extends SparkSpec {
       .collect()(0).getDouble(0) == 9.0)
     assert(s2.sql("SELECT set_jaccard(array('a','b','c'), array('b','c','d'))")
       .collect()(0).getDouble(0) == 0.5)
+    assert(s2.sql("SELECT set_overlap(array('a','b','c'), array('b','c','d'))")
+      .collect()(0).getLong(0) == 2L)
     // null elements (sorted last by array_sort) must not NPE and match
     // each other as a set element
     assert(s2.sql("SELECT set_jaccard(array('a', NULL), array('a', NULL))")
