@@ -159,6 +159,16 @@ class PlanSpec extends SparkSpec {
       s"no single-task global window allowed:\n$p")
   }
 
+  test("x26/x29: cross-corpus and containment joins never plan a corpus product") {
+    for (name <- Seq("x26_incremental_dedup", "x29_containment")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a product:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+        s"$name candidate generation must be an equi-join:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize
