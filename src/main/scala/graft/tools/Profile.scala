@@ -94,6 +94,26 @@ object Profile {
             .filter(col("j") >= 0.15)))
         time("full x11")(noop(SparkEntry.queries("x11_ngram_jaccard")(spark, sfDir)))
         time("full x11 (2nd)")(noop(SparkEntry.queries("x11_ngram_jaccard")(spark, sfDir)))
+      case "x25parts" :: sfDir :: Nil =>
+        // Stage-cost attribution for the composed pipeline: gate, exact
+        // dedup, prefix pairs, component propagation, decontamination.
+        import graft.pipeline.{Curation, Dedup}
+        import graft.streaming.IngestGate
+        val d = graft.Tables.t(spark, sfDir, "documents")
+        val train = d.filter(col("doc_id") % 97 =!= 0)
+        val evalDocs = d.filter(col("doc_id") % 97 === 0)
+        noop(train)
+        time("gate only")(noop(IngestGate.admit(train)))
+        val admitted = IngestGate.admit(train)
+        val keep = admitted.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        time("gate+dedup")(noop(admitted.join(keep, "doc_id")))
+        val deduped = admitted.join(keep, "doc_id").localCheckpoint(true)
+        time("prefix pairs")(noop(Dedup.jaccardPairsPrefixOn(deduped, 0.8)))
+        time("decontaminate")(noop(Curation.contaminationCounts(deduped, evalDocs)))
+        time("full x25")(noop(SparkEntry.queries("x25_curate_pipeline")(spark, sfDir)))
+        time("full x25 (2nd)")(noop(SparkEntry.queries("x25_curate_pipeline")(spark, sfDir)))
+
       case "explain" :: sfDir :: q :: Nil =>
         println(SparkEntry.queries(q)(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted")))
