@@ -118,6 +118,43 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Whale-safe form of [[sourceBudgetSelect]] — IDENTICAL output (same
+    * oracle), bounded per-source window input. Phase 1 pre-prunes inside
+    * `subStrata` hash sub-strata: a doc kept by the GLOBAL largest-first
+    * rule has global exclusive prefix sum < budget, and its LOCAL prefix
+    * sum (a subset of its global predecessors) can only be smaller, so
+    * every globally-kept doc survives local pruning — lossless. Each
+    * sub-stratum passes at most budget+1 docs (every doc has ≥ 1 token),
+    * so phase 2's exact per-source window runs over ≤ subStrata·(budget+1)
+    * rows no matter how large the source is. Totals come from a plain
+    * map-side aggregation over the full corpus — no window. */
+  def sourceBudgetSelectScalable(s: SparkSession, dir: String,
+      budget: Long = 800L, subStrata: Int = 16): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val order = Seq(col("n_tok").desc, col("doc_id"))
+    val wLocal = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(subStrata)))
+      .orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val candidates = base
+      .withColumn("lp", coalesce(sum("n_tok").over(wLocal), lit(0L)))
+      .filter(col("lp") < budget)
+      .drop("lp")
+    val wGlobal = Window.partitionBy("source").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = candidates
+      .withColumn("kept", coalesce(sum("n_tok").over(wGlobal), lit(0L)) < budget)
+      .filter(col("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("kept_tokens"),
+        sum("doc_id").as("id_checksum"))
+    base.groupBy("source").agg(count(lit(1)).as("n_total"))
+      .join(kept, "source") // inner: every source keeps >= 1 doc
+      .select("source", "n_total", "n_kept", "kept_tokens", "id_checksum")
+      .orderBy("source")
+  }
+
   private def x22Sql(budget: Long) =
     s"""WITH t AS (SELECT doc_id, source,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
@@ -190,5 +227,7 @@ object Sampling {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x21_stratified_sample", stratifiedSample, Some(x21Sql)),
     QueryDef("x22_source_budget", (s, d) => sourceBudgetSelect(s, d), Some(x22Sql(800L))),
+    QueryDef("x22b_source_budget_scalable",
+      (s, d) => sourceBudgetSelectScalable(s, d), Some(x22Sql(800L))),
     QueryDef("x23_mixture", mixtureMaterialize, Some(x23Sql)))
 }

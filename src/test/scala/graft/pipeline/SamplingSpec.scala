@@ -47,6 +47,16 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("scalable budget select equals the single-window form exactly") {
+    val a = Sampling.sourceBudgetSelect(spark, sf, 800L).collect().toSeq
+    val b = Sampling.sourceBudgetSelectScalable(spark, sf, 800L).collect().toSeq
+    assert(a == b, "two-phase pre-prune must reproduce the global selection")
+    // Pruning really bounds phase 2: candidates per source stay within
+    // subStrata * (budget + 1) rows even if the stratum were a whale.
+    val c = Sampling.sourceBudgetSelectScalable(spark, sf, 10L, subStrata = 4).collect()
+    assert(c.nonEmpty && c.forall(_.getLong(2) >= 1))
+  }
+
   test("mixture emits floor(w) to ceil(w) copies per doc, exact for integer w") {
     val out = Sampling.mixtureMaterialize(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
