@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -438,6 +438,86 @@ object Curation {
                      THEN 'val' ELSE 'test' END AS split
        FROM lab ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x30
+  /** Cross-document line/boilerplate dedup (RefinedWeb/Gopher-style exact
+    * line-frequency strip) — the sub-document pass that removes repeated
+    * headers, nav bars, and license blocks BEFORE whole-doc dedup ever
+    * sees them. A line appearing in more than `maxDf` distinct documents
+    * is boilerplate; every occurrence is stripped and each doc is
+    * reassembled from its surviving lines in original order, with
+    * removed-mass stats per doc.
+    *
+    * `lines` is the line-extraction expression (an `array<string>` in doc
+    * order) — `split(text, '\n')` for real multi-line corpora (the planted
+    * CurationSpec fixture proves that path); the registered x30 uses
+    * fixed 3-token spans because the synthetic corpus is single-line.
+    *
+    * Scale shape: posexplode → distinct(doc, line) → df aggregation (both
+    * map-side combinable, keyed on the line text — uniform unless the
+    * corpus is one giant boilerplate, which is exactly what gets
+    * stripped) → LEFT ANTI join of occurrences against the hot-line set
+    * (size ≤ total_lines/maxDf by definition, so it shrinks as the
+    * threshold rises; at 100 TB AQE broadcasts it when it fits) →
+    * per-doc reassembly via one aggregation whose state is a single
+    * document's line list (same bound as x13's per-doc window). No
+    * global sort until the oracle-mandated final ORDER BY. Docs whose
+    * every line is boilerplate survive with `clean_text = ''` (left
+    * join + coalesce), so corpus row count is preserved — the stats row
+    * is the removal audit trail. */
+  def lineDedupOn(base: DataFrame, lines: Column, maxDf: Int,
+      sep: String): DataFrame = {
+    val exploded = base.select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+    val hot = exploded.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("line")
+    val kept = exploded.join(hot, Seq("line"), "left_anti")
+    val cleaned = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept0"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), sep).as("clean0"))
+    base.select(col("doc_id"), size(lines).cast("long").as("n_lines"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept0"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept0"), lit(0L))).as("n_removed"),
+        coalesce(col("clean0"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered x30: the synthetic corpus is single-line, so "lines" are
+    * non-overlapping 3-token spans (measured at sf0.01: 52 of 7,460
+    * distinct spans exceed df=3 — a small hot set, like real boilerplate;
+    * 2-token spans are nearly all hot and 4-token spans nearly none).
+    * The last span per doc may be shorter than 3 (slice clips). */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val spans = transform(
+      sequence(lit(0), floor((size(t) - 1).cast("long") / lit(3L)).cast("int")),
+      i => concat_ws(" ", slice(t, i * 3 + 1, lit(3))))
+    lineDedupOn(docs(s, dir), spans, maxDf = 3, sep = " ")
+  }
+
+  private val x30Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       spans AS (SELECT doc_id, i AS pos,
+                   array_to_string(t[(i*3+1):(i*3+3)], ' ') AS line
+                 FROM t, unnest(generate_series(0,
+                   CAST(floor((len(t) - 1) / 3) AS BIGINT))) u(i)),
+       hot AS (SELECT line FROM
+                 (SELECT line, count(DISTINCT doc_id) AS df FROM spans GROUP BY line)
+               WHERE df > 3),
+       kept AS (SELECT * FROM spans WHERE line NOT IN (SELECT line FROM hot)),
+       cl AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id),
+       nl AS (SELECT doc_id, CAST(floor((len(t) - 1) / 3) + 1 AS BIGINT) AS n_lines FROM t)
+       SELECT nl.doc_id, nl.n_lines,
+              coalesce(cl.n_kept, 0) AS n_kept,
+              nl.n_lines - coalesce(cl.n_kept, 0) AS n_removed,
+              coalesce(cl.clean_text, '') AS clean_text
+       FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x25
   /** The composed curation pipeline — the end-to-end recipe a training-
     * data team actually runs, chaining the individually-proven operators:
@@ -540,5 +620,6 @@ object Curation {
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),
     QueryDef("x19_pii_scan", piiScan, Some(x19Sql)),
     QueryDef("x25_curate_pipeline", x25, Some(x25Sql)),
+    QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
     QueryDef("x27_leakage_safe_split", leakageSafeSplit, Some(x27Sql)))
 }

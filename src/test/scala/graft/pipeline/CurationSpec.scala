@@ -192,6 +192,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("line dedup strips planted boilerplate lines, keeps unique content in order") {
+    import spark.implicits._
+    // Five docs share a header and footer line (df=5 > maxDf=3); bodies
+    // are unique. Doc 99 is ONLY boilerplate — it must survive as a row
+    // with empty clean_text, preserving corpus row count (the left-join +
+    // coalesce path). This exercises the production '\n' line splitter
+    // the registered x30 can't (the synthetic corpus is single-line).
+    val header = "COPYRIGHT 2026 ACME CORP"
+    val footer = "unsubscribe at example dot com"
+    val corpus = (1L to 5L).map(i =>
+      (i, s"$header\nbody line unique to doc $i\nsecond body $i\n$footer")) :+
+      (99L, s"$header\n$footer")
+    val df = corpus.toDF("doc_id", "text")
+    val out = Curation.lineDedupOn(df, split(col("text"), "\n"), maxDf = 3, sep = "\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keySet == (1L to 5L).toSet + 99L, "every doc keeps its stats row")
+    (1L to 5L).foreach { i =>
+      val (nLines, nKept, nRemoved, clean) = out(i)
+      assert((nLines, nKept, nRemoved) == ((4L, 2L, 2L)), s"doc $i: ${out(i)}")
+      assert(clean == s"body line unique to doc $i\nsecond body $i",
+        s"surviving lines must keep doc order: $clean")
+    }
+    assert(out(99L) == ((2L, 0L, 2L, "")), s"all-boilerplate doc: ${out(99L)}")
+    // Below-threshold repetition is NOT stripped: df=3 == maxDf stays.
+    val mild = ((1L to 3L).map(i => (i, s"shared thrice\nunique $i")) :+
+      (4L, "solo content")).toDF("doc_id", "text")
+    val kept = Curation.lineDedupOn(mild, split(col("text"), "\n"), maxDf = 3, sep = "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(kept(1L) == "shared thrice\nunique 1", s"df == maxDf must survive: $kept")
+  }
+
   test("tfidf ranks a document's most frequent distinctive term first") {
     val top = Curation.tfidfTop(spark, sf)
       .filter(col("rk") === 1).collect()
