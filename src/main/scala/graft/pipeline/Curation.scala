@@ -224,7 +224,7 @@ object Curation {
     * bug, not on any real input. All loop caches are released on EVERY
     * exit path (try/finally); the returned frame is localCheckpoint-ed so
     * its lineage does not pin the unpersisted loop state. */
-  private[pipeline] def propagateMinLabels(
+  private[graft] def propagateMinLabels(
       edgeList: DataFrame, maxRounds: Int = 100): (DataFrame, Int) = {
     // Every persisted frame registers in `live`; the finally block sweeps
     // whatever is still cached, so NO exit path — happy, non-convergence
@@ -242,13 +242,19 @@ object Curation {
       while (!converged && rounds < maxRounds) {
         // 1. neighbor min (left join: isolated self-loops keep their label).
         // Persisted within the round: it feeds both sides of the doubling
-        // self-join below.
+        // self-join below. The round-start label rides along as `old` so
+        // convergence detection below is a filter-count over the round's
+        // own checkpointed output — folding what used to be a separate
+        // next⋈labels join+shuffle action into the round's one action.
+        // (min("lbl") per node IS the round-start label: every joined edge
+        // row of a node carries the same lbl.)
         val nbrMin = cache(labels
           .join(edges, col("node") === col("src"), "left")
           .join(labels.select(col("node").as("dst2"), col("lbl").as("nbr_lbl")),
             col("dst") === col("dst2"), "left")
           .groupBy("node")
-          .agg(least(min("lbl"), coalesce(min("nbr_lbl"), min("lbl"))).as("lbl")))
+          .agg(least(min("lbl"), coalesce(min("nbr_lbl"), min("lbl"))).as("lbl"),
+            min("lbl").as("old")))
         // 2. pointer doubling: follow the label one hop through itself.
         // The result is eagerly localCheckpoint-ed, NOT persist-ed: the
         // doubling self-join references nbrMin twice, so without lineage
@@ -260,13 +266,14 @@ object Curation {
         val short = nbrMin.select(col("node").as("p"), col("lbl").as("plbl"))
         val next = nbrMin
           .join(short, col("lbl") === col("p"), "left")
-          .select(col("node"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"), col("old"))
           .localCheckpoint(true)
-        val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-          .filter(col("lbl") =!= col("old")).count()
+        // Cheap: a local scan of the checkpoint blocks just written.
+        val changed = next.filter(col("lbl") =!= col("old")).count()
         release(nbrMin)
         release(labels)
-        labels = next
+        labels = next.select("node", "lbl")
         converged = changed == 0
         rounds += 1
       }
