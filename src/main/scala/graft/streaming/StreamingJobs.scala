@@ -61,6 +61,36 @@ object StreamingJobs {
       }
       .start()
 
+  /** x26 streaming, near tier included: full incremental dedup (exact
+    * sha-match PLUS near-dup Jaccard ≥ `threshold` against the static
+    * corpus) per micro-batch via `foreachBatch`. The exact tier alone
+    * runs as one continuous stream-static anti-join
+    * ([[graft.pipeline.Dedup.exactNewDocs]]); the near tier's prefix
+    * windows and union-corpus df aggregation are not incrementalizable
+    * shapes for a single continuous query — but they don't need to be:
+    * inside `foreachBatch` each micro-batch is a BATCH frame, so the
+    * proven batch operator ([[graft.pipeline.Dedup.incrementalDedup]])
+    * runs verbatim against the at-rest corpus — the production pattern
+    * for an append-only ingestion edge (N×ΔN per batch, never N²).
+    * Survivors feed `sink` (write to the lake, append to the corpus, …).
+    *
+    * Semantics note, same as every foreachBatch job: delivery is
+    * at-least-once (a restart can replay the last uncommitted batch), so
+    * the sink should be idempotent; batch≡stream equivalence of the
+    * DECISION is gated in StreamingSpec. Docs within one micro-batch are
+    * deduped against the corpus, not against each other — identical to
+    * the batch operator's contract. */
+  def incrementalDedupStream(newDocs: DataFrame, refDocs: DataFrame,
+      threshold: Double, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.pipeline.Dedup.incrementalDedup(batch, refDocs, threshold), batchId)
+      }
+      .start()
+
   /** x12 streaming: stream-stream interval join. Both sides carry
     * watermarks and the join condition bounds purchase time to
     * [click, click + 2h], so Spark evicts click state once the watermark

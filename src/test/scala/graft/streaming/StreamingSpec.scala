@@ -99,6 +99,45 @@ class StreamingSpec extends SparkSpec {
       s"only the fresh docs survive: $streaming")
   }
 
+  test("streaming near-tier incremental dedup (foreachBatch) equals the batch decision") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Static corpus; arrivals exercise both tiers: an exact sha dup, a
+    // token PERMUTATION (sha differs, Jaccard 1.0 — only the near tier
+    // the continuous stream-static join cannot run catches it), a
+    // below-threshold near-miss (J = 5/7 < 0.8 — must survive, pinning
+    // the threshold), and a fresh doc.
+    val ref = Seq(
+      Doc(1L, "alpha beta gamma delta epsilon zeta", "en"),
+      Doc(2L, "one two three four five six", "en")).toDF()
+    val arrivals = Seq(
+      Doc(10L, "one two three four five six", "en"),          // exact dup → dropped
+      Doc(11L, "alpha beta gamma delta epsilon theta", "en"), // J=5/7 near-miss → survives
+      Doc(12L, "totally fresh document text here now", "en"),
+      Doc(13L, "beta alpha gamma epsilon delta zeta", "en"))  // permutation, J=1 → dropped
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val input = MemoryStream[Doc]
+    val dir = java.nio.file.Files.createTempDirectory("incdedup_near").toString
+    val q = StreamingJobs.incrementalDedupStream(input.toDF(), ref, 0.8, dir) {
+      (survivors, batchId) =>
+        out += batchId -> survivors.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    input.addData(arrivals.take(2))
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.sortBy(_._1).flatMap(_._2).toSeq
+    val batch = graft.pipeline.Dedup.incrementalDedup(arrivals.toDF(), ref, 0.8)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // Per-batch decisions concatenated == one batch over all arrivals
+    // (each doc is judged against the static corpus only, so batch
+    // boundaries cannot change any verdict).
+    assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
+    assert(streamed.sorted == Seq(11L, 12L),
+      s"exact dup 10 and permutation near-dup 13 must drop: $streamed")
+  }
+
   test("x12 stream-stream interval join equals the batch attribution join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
