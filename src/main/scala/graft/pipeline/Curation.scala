@@ -185,17 +185,31 @@ object Curation {
     * (count of changed rows — an aggregate, not a collect). The DuckDB
     * oracle reaches the same fixpoint with a recursive CTE (min over all
     * reachable labels), so the result is engine-exact. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardPairs(s, dir).select(col("da"), col("db"))
-    // Undirected edge list, both directions.
-    val edges = pairs.union(pairs.select(col("db"), col("da")))
-      .toDF("src", "dst")
-    val (finalLabels, _) = propagateMinLabels(edges)
+  /** Undirected (both-directions) edge list from a (da, db) pair frame —
+    * the shared first step of every cluster consumer. */
+  def undirectedEdges(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("da"), col("db"))
+    p.union(p.select(col("db"), col("da"))).toDF("src", "dst")
+  }
+
+  /** x16 from a PRECOMPUTED pair graph — the library form for a session
+    * running several cluster consumers: x16, x25 and x27 each rebuild
+    * their pair pipeline as standalone registered queries (the driver
+    * requires it), but a caller holding the (da, db) pairs — persisted
+    * once — pays for pair generation a single time and feeds all three
+    * (see `Profile sharededges` for the measured session saving).
+    * ≡ [[dedupClusters]] when given that query's own pairs
+    * (CurationSpec). */
+  def dedupClustersFromPairs(pairs: DataFrame): DataFrame = {
+    val (finalLabels, _) = propagateMinLabels(undirectedEdges(pairs))
     finalLabels
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
       .orderBy("doc_id")
   }
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersFromPairs(Dedup.jaccardPairs(s, dir))
 
   /** Min-label propagation to a fixpoint over a directed-both-ways edge
     * list (src, dst) — the loop behind [[dedupClusters]], exposed for
@@ -412,11 +426,11 @@ object Curation {
     * singleton cluster) with x14's integer bucket — deterministic on any
     * engine, and the invariant "same cluster ⇒ same split" holds by
     * construction (gated in CurationSpec anyway). */
-  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).filter(col("doc_id") % 29 === 0)
-    val pairs = Dedup.jaccardPairs(s, dir).select(col("da"), col("db"))
-    val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("src", "dst")
-    val (labels, _) = propagateMinLabels(edges)
+  /** [[leakageSafeSplit]] from a precomputed pair graph (same sharing
+    * rationale as [[dedupClustersFromPairs]] — `pairs` must cover `base`,
+    * e.g. the same frame fed to the cluster query). */
+  def leakageSafeSplitFromPairs(base: DataFrame, pairs: DataFrame): DataFrame = {
+    val (labels, _) = propagateMinLabels(undirectedEdges(pairs))
     val bucket = pmod(pmod(col("cluster_id"), lit(HashPrime)) * lit(Knuth), lit(HashPrime)) % 100
     base.select(col("doc_id"))
       .join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
@@ -427,6 +441,10 @@ object Curation {
       .select("doc_id", "cluster_id", "split")
       .orderBy("doc_id")
   }
+
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    leakageSafeSplitFromPairs(docs(s, dir).filter(col("doc_id") % 29 === 0),
+      Dedup.jaccardPairs(s, dir))
 
   private val x27Sql =
     s"""WITH RECURSIVE ${Dedup.b28PairCtes},
@@ -548,16 +566,33 @@ object Curation {
     * no eval shingle overlap — and the whole pipeline is IDEMPOTENT:
     * curate(curate(X)) = curate(X), because each stage removes every
     * violation of its own invariant. */
-  def curate(docsIn: DataFrame, evalDocs: DataFrame,
-      nearDupThreshold: Double = 0.8, shingleLen: Int = 3): DataFrame = {
+  /** Stages 1+2 of [[curate]] on their own: ingest gate + exact sha256
+    * dedup, localCheckpoint-ed (the checkpoint is what lets downstream
+    * consumers reuse the result without re-running the subtree). Exposed
+    * so a session can compute the near-dup pair graph of the curated
+    * corpus ONCE and feed it to both [[curate]] (via `precomputedPairs`)
+    * and the cluster/split consumers. */
+  def gateAndDedup(docsIn: DataFrame): DataFrame = {
     val admitted = graft.streaming.IngestGate.admit(docsIn)
     val keepIds = admitted.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val deduped = admitted.join(keepIds, "doc_id").localCheckpoint(true)
-    val pairs = Dedup.jaccardPairsPrefixOn(deduped, nearDupThreshold)
+    admitted.join(keepIds, "doc_id").localCheckpoint(true)
+  }
+
+  def curate(docsIn: DataFrame, evalDocs: DataFrame,
+      nearDupThreshold: Double = 0.8, shingleLen: Int = 3,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val deduped = gateAndDedup(docsIn)
+    // `precomputedPairs` must be the (da, db) near-dup pairs of THIS
+    // gated+deduped corpus at `nearDupThreshold` (i.e. computed over
+    // [[gateAndDedup]] of the same input — content equality is what
+    // matters, not frame identity). A session that also runs cluster
+    // resolution / leakage-safe splitting on the curated corpus shares
+    // one persisted pair graph across all of them.
+    val pairs = precomputedPairs
+      .getOrElse(Dedup.jaccardPairsPrefixOn(deduped, nearDupThreshold))
       .select(col("da"), col("db"))
-    val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("src", "dst")
-    val (labels, _) = propagateMinLabels(edges)
+    val (labels, _) = propagateMinLabels(undirectedEdges(pairs))
     val nonCanonical = labels.filter(col("lbl") =!= col("node"))
       .select(col("node").as("doc_id"))
     val canonical = deduped.join(nonCanonical, Seq("doc_id"), "left_anti")

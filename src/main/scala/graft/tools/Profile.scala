@@ -145,6 +145,23 @@ object Profile {
           time(s"run $i: full x25")(noop(SparkEntry.queries("x25_curate_pipeline")(spark, sfDir)))
         }
 
+      case "sharededges" :: sfDir :: Nil =>
+        // Session-level pair-graph sharing: x16 and x27 rebuild the SAME
+        // %29-slice pair pipeline as standalone registered queries (the
+        // driver requires each to stand alone); a library session holding
+        // the pairs persisted once feeds both. Measures the saving.
+        import graft.pipeline.{Curation, Dedup}
+        noop(graft.Tables.t(spark, sfDir, "documents"))
+        time("x16 standalone")(noop(SparkEntry.queries("x16_dedup_clusters")(spark, sfDir)))
+        time("x27 standalone")(noop(SparkEntry.queries("x27_leakage_safe_split")(spark, sfDir)))
+        val pairs = Dedup.jaccardPairs(spark, sfDir).select(col("da"), col("db")).persist()
+        time("shared: pairs once")(pairs.count(): Unit)
+        val base = graft.Tables.t(spark, sfDir, "documents")
+          .filter(col("doc_id") % 29 === 0)
+        time("shared: x16 from pairs")(noop(Curation.dedupClustersFromPairs(pairs)))
+        time("shared: x27 from pairs")(noop(Curation.leakageSafeSplitFromPairs(base, pairs)))
+        pairs.unpersist()
+
       case "explain" :: sfDir :: q :: Nil =>
         println(SparkEntry.queries(q)(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted")))

@@ -192,6 +192,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("precomputed pair graph: dedupClustersFromPairs / leakageSafeSplitFromPairs / curate(precomputedPairs) equal standalone") {
+    val pairs = Dedup.jaccardPairs(spark, sf).select(col("da"), col("db")).persist()
+    try {
+      val standalone16 = Curation.dedupClusters(spark, sf).collect().toSeq
+      val shared16 = Curation.dedupClustersFromPairs(pairs).collect().toSeq
+      assert(shared16 == standalone16, "x16 from shared pairs must be identical")
+      val base = Tables.t(spark, sf, "documents").filter(col("doc_id") % 29 === 0)
+      val standalone27 = Curation.leakageSafeSplit(spark, sf).collect().toSeq
+      val shared27 = Curation.leakageSafeSplitFromPairs(base, pairs).collect().toSeq
+      assert(shared27 == standalone27, "x27 from shared pairs must be identical")
+    } finally pairs.unpersist()
+    // curate: pairs computed once over gateAndDedup of the same input.
+    val d = Tables.t(spark, sf, "documents")
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val evalDocs = d.filter(col("doc_id") % 97 === 0)
+    val dedupedPairs = Dedup
+      .jaccardPairsPrefixOn(Curation.gateAndDedup(train), 0.8)
+      .select(col("da"), col("db")).persist()
+    try {
+      val standalone = Curation.curate(train, evalDocs).collect().toSeq
+      val shared = Curation.curate(train, evalDocs,
+        precomputedPairs = Some(dedupedPairs)).collect().toSeq
+      assert(shared == standalone, "curate with precomputed pairs must be identical")
+    } finally dedupedPairs.unpersist()
+  }
+
   test("line dedup strips planted boilerplate lines, keeps unique content in order") {
     import spark.implicits._
     // Five docs share a header and footer line (df=5 > maxDf=3); bodies
