@@ -348,6 +348,59 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- x17b
+  /** Positional decontamination: x17's overlap check, plus WHERE the
+    * contamination starts — the first overlapping shingle's token offset
+    * per contaminated doc (0-based), the audit column a real pipeline
+    * needs to show a human the hit (and to cut, rather than drop, a doc
+    * contaminated only in its tail). Same broadcast-eval join shape as
+    * x17; positions ride along via posexplode instead of the distinct
+    * explode, then two map-side-combinable aggs — (doc, shingle) keeps
+    * n_overlap counting DISTINCT shared shingles exactly like x17
+    * (occurrence counts would diverge from it on repeated shingles), and
+    * the second agg takes the doc-level min offset. No countDistinct:
+    * the two-stage agg avoids the distinct-expand exchange. */
+  def contaminationSpans(train: DataFrame, evalDocs: DataFrame,
+      shingleLen: Int = 3): DataFrame = {
+    val positioned = train
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= shingleLen)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - shingleLen),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(shingleLen)))))
+        .as(Seq("pos", "sh")))
+    positioned
+      .join(broadcast(shinglesOf(evalDocs, shingleLen).select(col("sh")).distinct()), "sh")
+      .groupBy("doc_id", "sh").agg(min("pos").as("mp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"), min("mp").cast("long").as("first_offset"))
+  }
+
+  def decontaminationSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    contaminationSpans(d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0))
+      .orderBy("doc_id")
+  }
+
+  private val x17bSql =
+    """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                   WHERE doc_id % 97 <> 0),
+       sh AS (SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+3)], ' ') AS sh
+              FROM tr, unnest(generate_series(0, len(t) - 3)) u(i)
+              WHERE len(t) >= 3),
+       ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                generate_series(0, len(t) - 3),
+                i -> array_to_string(t[(i+1):(i+3)], ' ')))) AS sh
+              FROM (SELECT string_split(text, ' ') AS t FROM documents
+                    WHERE doc_id % 97 = 0)
+              WHERE len(t) >= 3),
+       hit AS (SELECT doc_id, sh.sh, min(pos) AS mp
+               FROM sh JOIN ev USING (sh) GROUP BY doc_id, sh.sh)
+       SELECT doc_id, count(*) AS n_overlap,
+              CAST(min(mp) AS BIGINT) AS first_offset
+       FROM hit GROUP BY doc_id ORDER BY doc_id"""
+
   private val x17Sql =
     """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
              generate_series(0, len(t) - 3),
@@ -659,6 +712,7 @@ object Curation {
       (s, d) => shardPackPartitionedManifest(s, d), None),
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
+    QueryDef("x17b_decontamination_spans", decontaminationSpans, Some(x17bSql)),
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),
     QueryDef("x19_pii_scan", piiScan, Some(x19Sql)),
     QueryDef("x25_curate_pipeline", x25, Some(x25Sql)),

@@ -134,6 +134,28 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(97L) && !out.contains(194L), "eval docs are not scanned")
   }
 
+  test("contamination spans report the first overlapping shingle's token offset") {
+    import spark.implicits._
+    // Eval doc 97 contributes shingles of "the quick brown fox". Train
+    // doc 1 copies it starting at token offset 3 (after "aa bb cc");
+    // doc 2 copies it twice — first at offset 0 — min must win; doc 3 is
+    // clean. n_overlap counts DISTINCT shared shingles (x17 parity), so
+    // doc 2's repeated copy doesn't double-count.
+    val corpus = Seq(
+      (97L, "the quick brown fox"),
+      (1L, "aa bb cc the quick brown fox dd"),
+      (2L, "the quick brown fox zz the quick brown fox"),
+      (3L, "nothing shared with held out text")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.decontaminationSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "the quick brown fox" has 2 trigram shingles.
+    assert(out(1L) == ((2L, 3L)), s"doc 1 contaminated from offset 3: $out")
+    assert(out(2L) == ((2L, 0L)), s"doc 2: distinct shingles, min offset 0: $out")
+    assert(!out.contains(3L) && !out.contains(97L), s"clean/eval docs absent: $out")
+  }
+
   test("repetition ratio separates boilerplate from varied text") {
     import spark.implicits._
     val corpus = Seq(
