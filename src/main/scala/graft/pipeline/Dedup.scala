@@ -442,7 +442,18 @@ object Dedup {
        ORDER BY doc_id"""
 
   /** Adaptive near-dup dispatch (word tokens): lossless prefix filter at
-    * high thresholds, df-capped posting join at low ones. */
+    * high thresholds, df-capped posting join at low ones.
+    *
+    * Contract note — the two regimes round differently at the threshold
+    * edge: the prefix path (t ≥ [[PrefixFilterMinThreshold]]) filters on
+    * the RAW Jaccard (its lossless guarantee covers true-J ≥ t only),
+    * while the df-cap path filters on the 4-decimal DISPLAY rounding
+    * (mirror-oracle parity with b28/x11). A borderline pair — true
+    * J = 0.79996 at t = 0.8 — is excluded by the prefix regime but would
+    * be included by the rounded filter. See [[verifyExact]] for why each
+    * regime's choice is the correct one for its guarantee; callers
+    * needing one fixed edge semantics should call
+    * [[jaccardPairsPrefixOn]] or [[jaccardPairsOn]] directly. */
   def nearDupPairsOn(base: DataFrame, threshold: Double,
       dfCapC: Int = DfCapC): DataFrame =
     if (threshold >= PrefixFilterMinThreshold) jaccardPairsPrefixOn(base, threshold)

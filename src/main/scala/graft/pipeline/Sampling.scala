@@ -37,7 +37,16 @@ object Sampling {
     * integer hash of (doc_id + salt). The salt DECORRELATES independent
     * sampling decisions — x14's train/val/test split hashes bare doc_id,
     * and reusing its value here would make "sampled" correlate with
-    * "test split", quietly biasing held-out evaluation. */
+    * "test split", quietly biasing held-out evaluation.
+    *
+    * PRECONDITION: doc_id ≥ 0 and doc_id + salt does not overflow Long.
+    * The Spark side uses `pmod` but the mirrored oracle SQL uses DuckDB's
+    * sign-preserving `%`; the two agree only on non-negative inputs
+    * (Java/DuckDB remainder: (-5) % 2 = -1, pmod gives 1 — the same
+    * divergence x26 defends against for hash-derived ids, Dedup.scala).
+    * Holds for every real id space this library targets and for the
+    * synthetic corpus; callers sampling a HASHED id space (xxhash64 is
+    * negative half the time) must pmod their ids into [0, 2^62) first. */
   private def hashBp(salt: Long): Column =
     pmod(pmod(col("doc_id") + salt, lit(HashPrime)) * lit(Knuth), lit(HashPrime)) % Bp
 
