@@ -469,6 +469,52 @@ object Curation {
        CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x31
+  /** PII redaction — the companion to x19's scan: REPLACE email-shaped,
+    * URL-shaped and long-digit-run substrings with typed placeholders
+    * instead of dropping the document (production pipelines redact first,
+    * drop only what redaction can't fix — dropping every doc containing
+    * one email forfeits too much data). Map-only, same RE2-safe patterns
+    * as x19 (email single-sourced in [[PiiPatterns]]).
+    *
+    * Replacement ORDER is fixed and semantic: URL → email → digits. A URL
+    * often contains '@' userinfo or numeric path segments; redacting URLs
+    * first means those are absorbed into one `<URL>` token instead of
+    * leaving a half-redacted `https://<EMAIL>/<DIGITS>` husk. The counts
+    * are therefore counted on the text each pattern actually saw (email
+    * on URL-redacted text, digits on URL+email-redacted text) — they sum
+    * to the exact number of replacements performed, unlike x19's
+    * independent-scan counts. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val urlPat = "(?i)https?://[^ ]+"
+    val digitPat = "[0-9]{6,}"
+    val afterUrl = regexp_replace(col("text"), urlPat, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, PiiPatterns.EmailSql, "<EMAIL>")
+    docs(s, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(urlPat)).cast("int").as("n_urls"),
+      regexp_count(afterUrl, lit(PiiPatterns.EmailSql)).cast("int").as("n_emails"),
+      regexp_count(afterEmail, lit(digitPat)).cast("int").as("n_digit_runs"),
+      regexp_replace(afterEmail, digitPat, "<DIGITS>").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private val x31Sql =
+    s"""WITH r AS (SELECT doc_id, text,
+           regexp_replace(text, '(?i)https?://[^ ]+', '<URL>', 'g') AS after_url
+         FROM documents),
+       r2 AS (SELECT doc_id, text, after_url,
+           regexp_replace(after_url, '${PiiPatterns.EmailSql}', '<EMAIL>', 'g')
+             AS after_email
+         FROM r)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '(?i)https?://[^ ]+')) AS INT) AS n_urls,
+         CAST(len(regexp_extract_all(after_url, '${PiiPatterns.EmailSql}')) AS INT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(after_email, '[0-9]{6,}')) AS INT) AS n_digit_runs,
+         regexp_replace(after_email, '[0-9]{6,}', '<DIGITS>', 'g') AS clean_text
+       FROM r2 ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x27
   /** Leakage-safe train/val/test split: x14's bucket hash applied to the
     * near-dup CLUSTER's canonical id instead of the doc id. A per-doc
@@ -717,5 +763,6 @@ object Curation {
     QueryDef("x19_pii_scan", piiScan, Some(x19Sql)),
     QueryDef("x25_curate_pipeline", x25, Some(x25Sql)),
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
+    QueryDef("x31_pii_redact", piiRedact, Some(x31Sql)),
     QueryDef("x27_leakage_safe_split", leakageSafeSplit, Some(x27Sql)))
 }

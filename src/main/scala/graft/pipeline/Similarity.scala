@@ -257,8 +257,12 @@ object Similarity {
       .orderBy("va", "vb")
   }
 
-  private val x09Sql =
-    s"""WITH $bucketsCte,
+  /** Shared CTE chain ending in `pairs(va, vb, cosine)` — the x09 pair
+    * graph; single source for x09Sql AND x33Sql (the semantic-dedup
+    * oracle clusters over the same pairs), mirroring the
+    * b28PairCtes/x16Sql pattern. */
+  private val x09PairCtes =
+    s"""$bucketsCte,
        cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
                 FROM buckets a JOIN buckets b
                   ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -269,10 +273,12 @@ object Similarity {
                 sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
                 sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
                 sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-              FROM pz GROUP BY va, vb)
-       SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
-       FROM sc WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.3
-       ORDER BY va, vb"""
+              FROM pz GROUP BY va, vb),
+       pairs AS (SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+                 FROM sc WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.3)"""
+
+  private val x09Sql =
+    s"WITH $x09PairCtes SELECT va, vb, cosine FROM pairs ORDER BY va, vb"
 
   /** Exact all-pairs cosine above a threshold — TEST-ONLY oracle for
     * cross-validating the LSH path (every LSH-verified pair must appear
@@ -292,10 +298,55 @@ object Similarity {
   private def x09(s: SparkSession, dir: String): DataFrame =
     embeddingNearDupsLsh(s, dir)
 
+  // ---------------------------------------------------- semantic dedup (x33)
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    * cluster the embedding space by near-duplicate cosine pairs and keep
+    * ONE representative per semantic cluster — the embedding-level
+    * complement of lexical dedup (catches paraphrases and re-encodings
+    * that share no tokens). Composition of proven parts: the x09
+    * LSH-bucketed pair graph (no all-pairs product) into x16's
+    * pointer-doubling min-label components; the cluster minimum vec_id is
+    * the kept representative. Output labels EVERY vector with its
+    * semantic cluster and keep flag (singletons keep themselves), so a
+    * caller can either filter `keep` or audit cluster mass.
+    *
+    * Scale: pair generation is Σ_bucket n_b² (cluster structure, not n²);
+    * the component loop is log₂(diameter) rounds of equi-join +
+    * partial-agg min; the final labelling is one left join of the corpus
+    * against the (pairs-participants-only) label table. The oracle
+    * clusters over the SAME pair CTE chain as x09 plus the recursive-CTE
+    * fixpoint — single-sourced, so the pair graphs cannot drift. */
+  def semanticDedup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val pairs = embeddingNearDupsLsh(s, dir, threshold)
+      .select(col("va").as("da"), col("vb").as("db"))
+    val (labels, _) = Curation.propagateMinLabels(Curation.undirectedEdges(pairs))
+    Tables.t(s, dir, "embeddings").select(col("vec_id"))
+      .join(labels.select(col("node").as("vec_id"), col("lbl").as("cid")),
+        Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("vec_id")))
+      .select(col("vec_id"), col("cluster_id"),
+        (col("cluster_id") === col("vec_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val x33Sql =
+    s"""WITH RECURSIVE $x09PairCtes,
+       edges AS (SELECT va AS src, vb AS dst FROM pairs
+                 UNION ALL SELECT vb, va FROM pairs),
+       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node)
+       SELECT e.vec_id, coalesce(cc.cid, e.vec_id) AS cluster_id,
+              coalesce(cc.cid, e.vec_id) = e.vec_id AS keep
+       FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node
+       ORDER BY vec_id"""
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b29_cosine_topk", cosineTopK, Some(b29Sql)),
     QueryDef("b29b_ann_ivf", annIvfTopK, Some(b29bSql)),
     QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),
-    QueryDef("x09_embedding_neardup", x09, Some(x09Sql)))
+    QueryDef("x09_embedding_neardup", x09, Some(x09Sql)),
+    QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)))
 }

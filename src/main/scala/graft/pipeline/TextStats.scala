@@ -178,6 +178,51 @@ object TextStats {
        FROM documents ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- x32
+  /** Per-language quality-quantile filter (Gopher/FineWeb-style): keep
+    * each language's top half by the x01 quality score. Absolute score
+    * thresholds don't transfer across languages — a stopword-ratio floor
+    * tuned on English rejects most of everything else — so production
+    * filters threshold per stratum.
+    *
+    * The cut is PURE INTEGER: row_number (ordered by the 4-decimal
+    * quality both engines compute identically, doc_id tiebreak — a total
+    * order) against 2·rn ≤ count, so there is no float edge at the
+    * median and no percent_rank division. One hash exchange on lang for
+    * the window.
+    *
+    * Scale note: a per-stratum window has the same whale-stratum shape as
+    * x22; the x22b remedy (sub-stratum pre-prune, lossless for rank
+    * cuts bounded by a per-substratum budget) applies here too when one
+    * language is the corpus. For a quantile (fraction, not fixed budget)
+    * the 100 TB form is two-phase: approx per-lang threshold from a
+    * sample/sketch, broadcast, map-only filter — the exact window form
+    * is the oracle artifact. */
+  def qualityQuantileFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang"), qualityColumn.as("quality"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") * 2 <= col("cnt"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val x32Sql =
+    s"""WITH scored AS (SELECT doc_id, lang, $qualitySqlExpr AS quality
+                        FROM documents),
+       r AS (SELECT doc_id, lang, quality,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY quality DESC NULLS LAST, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS cnt
+             FROM scored)
+       SELECT doc_id, lang, quality FROM r
+       WHERE rn * 2 <= cnt ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x02
   /** Language-ID heuristic: stopword-set voting (n-gram-profile style, one
     * profile per candidate language, argmax with fixed tie order). */
@@ -301,5 +346,6 @@ object TextStats {
     QueryDef("x03_fingerprint", fingerprint, Some(x03Sql)),
     QueryDef("x03b_rolling_hash", nativeFingerprint, Some(x03bSql)),
     QueryDef("x04_token_counts", tokenCounts, Some(x04Sql)),
-    QueryDef("x28_unigram_logprob", unigramLogprob, Some(x28Sql)))
+    QueryDef("x28_unigram_logprob", unigramLogprob, Some(x28Sql)),
+    QueryDef("x32_quality_quantile", qualityQuantileFilter, Some(x32Sql)))
 }

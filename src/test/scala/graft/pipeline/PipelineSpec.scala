@@ -346,6 +346,85 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction replaces URL/email/digit spans, URL-first order absorbs nested PII") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "contact me@example.com or visit https://a.example.com/u?id=1234567 soon"),
+      (2L, "account 12345678 pin 999 short 12345"),
+      (3L, "nothing to redact here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("redact")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = Curation.piiRedact(spark, dir.toString).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+      // URL redacted FIRST: the id=1234567 inside it never becomes <DIGITS>,
+      // and the standalone email is the only email counted.
+      assert(out(1L) == ((1, 1, 0, "contact <EMAIL> or visit <URL> soon")), s"${out(1L)}")
+      // Only runs of 6+ digits are PII-shaped; 999 and 12345 survive.
+      assert(out(2L) == ((0, 0, 1, "account <DIGITS> pin 999 short 12345")), s"${out(2L)}")
+      assert(out(3L) == ((0, 0, 0, "nothing to redact here")), s"${out(3L)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("quality quantile filter keeps each language's top half, cut by integer rank") {
+    import spark.implicits._
+    // en: 4 docs with strictly decreasing quality (more stopwords = higher
+    // x01 score); de: 3 docs — floor(3/2) = 1 kept, the integer 2·rn ≤ cnt
+    // edge (no float median). Digits push quality down.
+    val corpus = Seq(
+      (1L, "the a of and to in", "en"),       // all stopwords — top
+      (2L, "the a of word word word", "en"),
+      (3L, "the word word 99 word11", "en"),
+      (4L, "111 222 333 words here", "en"),   // digit-heavy — bottom
+      (10L, "the a of", "de"),
+      (11L, "the word 77", "de"),
+      (12L, "000 111", "de")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("qq")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val kept = TextStats.qualityQuantileFilter(spark, dir.toString).collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 10L),
+        s"top half per language (2 of 4 en, 1 of 3 de): $kept")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("semantic dedup keeps one representative per embedding cluster") {
+    import spark.implicits._
+    // v0 ≈ v1 ≈ v2 (colinear — cosine 1), v7 orthogonal. The cluster
+    // keeps min id 0; 1 and 2 are marked drop; the singleton keeps itself.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.0f, 0.0f)),
+      (7L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("semdedup")
+    try {
+      emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.semanticDedup(spark, dir.toString, threshold = 0.9).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(out(0L) == ((0L, true)) && out(1L) == ((0L, false)) && out(2L) == ((0L, false)),
+        s"colinear trio collapses to representative 0: $out")
+      assert(out(7L) == ((7L, true)), s"singleton keeps itself: $out")
+      // Exactly one keeper per cluster — the SemDeDup invariant.
+      out.toSeq.groupBy(_._2._1).foreach { case (cid, members) =>
+        assert(members.count(_._2._2) == 1, s"cluster $cid keepers != 1: $members")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactDedup _
     import spark.implicits._
