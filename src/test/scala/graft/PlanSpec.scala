@@ -169,6 +169,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x31: PII redaction is map-only (no join, only the output-sort exchange)") {
+    val p = plan("x31_pii_redact")
+    assert(!p.contains("Join"), s"redaction must not join:\n$p")
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 1,
+      s"only the final orderBy may shuffle:\n$p")
+  }
+
+  test("x32: quantile cut shuffles once on the stratum key") {
+    val p = plan("x32_quality_quantile")
+    assert(!p.contains("Join"), s"the cut needs no join:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"window must shuffle on the language key:\n$p")
+    // One window exchange on lang + the final orderBy range exchange.
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 2,
+      s"expected only window + output-sort exchanges:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-stratum cut must never funnel to one task:\n$p")
+  }
+
+  test("x33: semantic-dedup pair generation is an equi-join, never a nested-loop product") {
+    val p = plan("x33_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$p")
+  }
+
+  test("x30: hot-line set is built by partial+final aggregation, no corpus product") {
+    val p = plan("x30_line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"df aggregation must be partial+final:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"reassembly must stay partitioned by doc:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize
