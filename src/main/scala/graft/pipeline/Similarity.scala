@@ -258,10 +258,10 @@ object Similarity {
   }
 
   /** Shared CTE chain ending in `pairs(va, vb, cosine)` — the x09 pair
-    * graph; single source for x09Sql AND x33Sql (the semantic-dedup
-    * oracle clusters over the same pairs), mirroring the
+    * graph at `threshold`; single source for x09Sql AND x33Sql (the
+    * semantic-dedup oracle clusters over the same pairs), mirroring the
     * b28PairCtes/x16Sql pattern. */
-  private val x09PairCtes =
+  private def x09PairCtes(threshold: Double) =
     s"""$bucketsCte,
        cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
                 FROM buckets a JOIN buckets b
@@ -275,10 +275,10 @@ object Similarity {
                 sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
               FROM pz GROUP BY va, vb),
        pairs AS (SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
-                 FROM sc WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.3)"""
+                 FROM sc WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= $threshold)"""
 
   private val x09Sql =
-    s"WITH $x09PairCtes SELECT va, vb, cosine FROM pairs ORDER BY va, vb"
+    s"WITH ${x09PairCtes(0.3)} SELECT va, vb, cosine FROM pairs ORDER BY va, vb"
 
   /** Exact all-pairs cosine above a threshold — TEST-ONLY oracle for
     * cross-validating the LSH path (every LSH-verified pair must appear
@@ -316,7 +316,18 @@ object Similarity {
     * against the (pairs-participants-only) label table. The oracle
     * clusters over the SAME pair CTE chain as x09 plus the recursive-CTE
     * fixpoint — single-sourced, so the pair graphs cannot drift. */
-  def semanticDedup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+  /** Registered threshold: real SemDeDup cuts at very high cosine
+    * (~0.95+ of text-embedding space); the synthetic corpus's
+    * near-random vectors have NO pairs there (0 at ≥0.7 even at sf0.1),
+    * while ≥0.3 is "related", not "duplicate" — a 15k-edge graph at
+    * sf0.1 whose propagation cost measures graph size, not dedup. 0.45
+    * keeps genuine sparse clusters present at every test scale (7 pairs
+    * at sf0.001, 14 at sf0.01) — the shape a duplicate graph actually
+    * has. */
+  val SemanticDedupThreshold = 0.45
+
+  def semanticDedup(s: SparkSession, dir: String,
+      threshold: Double = SemanticDedupThreshold): DataFrame = {
     val pairs = embeddingNearDupsLsh(s, dir, threshold)
       .select(col("va").as("da"), col("vb").as("db"))
     val (labels, _) = Curation.propagateMinLabels(Curation.undirectedEdges(pairs))
@@ -330,7 +341,7 @@ object Similarity {
   }
 
   private val x33Sql =
-    s"""WITH RECURSIVE $x09PairCtes,
+    s"""WITH RECURSIVE ${x09PairCtes(SemanticDedupThreshold)},
        edges AS (SELECT va AS src, vb AS dst FROM pairs
                  UNION ALL SELECT vb, va FROM pairs),
        reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
