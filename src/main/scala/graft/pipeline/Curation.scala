@@ -600,7 +600,11 @@ object Curation {
       count(lit(1)).as("n_kept0"),
       array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
         x => x.getField("line")), sep).as("clean0"))
-    base.select(col("doc_id"), size(lines).cast("long").as("n_lines"))
+    // size(null) is -1 under Spark's default sizeOfNull — a doc whose
+    // line expression is null (e.g. null text through split) must read
+    // (0, 0, 0, "") in the removal audit, not (-1, 0, -1, "").
+    val nLines = when(lines.isNull, lit(0L)).otherwise(size(lines).cast("long"))
+    base.select(col("doc_id"), nLines.as("n_lines"))
       .join(cleaned, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept0"), lit(0L)).as("n_kept"),
@@ -669,8 +673,8 @@ object Curation {
     * dedup, localCheckpoint-ed (the checkpoint is what lets downstream
     * consumers reuse the result without re-running the subtree). Exposed
     * so a session can compute the near-dup pair graph of the curated
-    * corpus ONCE and feed it to both [[curate]] (via `precomputedPairs`)
-    * and the cluster/split consumers. */
+    * corpus ONCE and feed it to both [[curateDeduped]] (via
+    * `precomputedPairs`) and the cluster/split consumers. */
   def gateAndDedup(docsIn: DataFrame): DataFrame = {
     val admitted = graft.streaming.IngestGate.admit(docsIn)
     val keepIds = admitted.groupBy(sha2(col("text"), 256).as("h"))
@@ -680,14 +684,24 @@ object Curation {
 
   def curate(docsIn: DataFrame, evalDocs: DataFrame,
       nearDupThreshold: Double = 0.8, shingleLen: Int = 3,
+      precomputedPairs: Option[DataFrame] = None): DataFrame =
+    curateDeduped(gateAndDedup(docsIn), evalDocs, nearDupThreshold,
+      shingleLen, precomputedPairs)
+
+  /** Stages 3+4 over an ALREADY gated+deduped frame (from
+    * [[gateAndDedup]]) — the entry point for the shared-pair-graph
+    * session flow, which would otherwise re-run the gate + sha dedup and
+    * materialize a second eager localCheckpoint of the identical frame:
+    * `val ded = gateAndDedup(docs); val pairs = …(ded); curateDeduped(
+    * ded, eval, precomputedPairs = Some(pairs))`. */
+  def curateDeduped(deduped: DataFrame, evalDocs: DataFrame,
+      nearDupThreshold: Double = 0.8, shingleLen: Int = 3,
       precomputedPairs: Option[DataFrame] = None): DataFrame = {
-    val deduped = gateAndDedup(docsIn)
     // `precomputedPairs` must be the (da, db) near-dup pairs of THIS
-    // gated+deduped corpus at `nearDupThreshold` (i.e. computed over
-    // [[gateAndDedup]] of the same input — content equality is what
-    // matters, not frame identity). A session that also runs cluster
-    // resolution / leakage-safe splitting on the curated corpus shares
-    // one persisted pair graph across all of them.
+    // gated+deduped corpus at `nearDupThreshold` (content equality is
+    // what matters, not frame identity). A session that also runs
+    // cluster resolution / leakage-safe splitting on the curated corpus
+    // shares one persisted pair graph across all of them.
     val pairs = precomputedPairs
       .getOrElse(Dedup.jaccardPairsPrefixOn(deduped, nearDupThreshold))
       .select(col("da"), col("db"))

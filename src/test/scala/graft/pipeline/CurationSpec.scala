@@ -225,18 +225,20 @@ class CurationSpec extends SparkSpec {
       val shared27 = Curation.leakageSafeSplitFromPairs(base, pairs).collect().toSeq
       assert(shared27 == standalone27, "x27 from shared pairs must be identical")
     } finally pairs.unpersist()
-    // curate: pairs computed once over gateAndDedup of the same input.
+    // curate: the documented session flow — gate+dedup ONCE, pairs over
+    // that frame, then curateDeduped (curate itself would re-run the
+    // gate and checkpoint a second identical frame).
     val d = Tables.t(spark, sf, "documents")
     val train = d.filter(col("doc_id") % 97 =!= 0)
     val evalDocs = d.filter(col("doc_id") % 97 === 0)
-    val dedupedPairs = Dedup
-      .jaccardPairsPrefixOn(Curation.gateAndDedup(train), 0.8)
+    val ded = Curation.gateAndDedup(train)
+    val dedupedPairs = Dedup.jaccardPairsPrefixOn(ded, 0.8)
       .select(col("da"), col("db")).persist()
     try {
       val standalone = Curation.curate(train, evalDocs).collect().toSeq
-      val shared = Curation.curate(train, evalDocs,
+      val shared = Curation.curateDeduped(ded, evalDocs,
         precomputedPairs = Some(dedupedPairs)).collect().toSeq
-      assert(shared == standalone, "curate with precomputed pairs must be identical")
+      assert(shared == standalone, "curateDeduped with precomputed pairs must be identical")
     } finally dedupedPairs.unpersist()
   }
 
@@ -265,11 +267,15 @@ class CurationSpec extends SparkSpec {
     }
     assert(out(99L) == ((2L, 0L, 2L, "")), s"all-boilerplate doc: ${out(99L)}")
     // Below-threshold repetition is NOT stripped: df=3 == maxDf stays.
+    // Doc 5's null text must audit as (0, 0, 0, ""), not size(null)=-1.
     val mild = ((1L to 3L).map(i => (i, s"shared thrice\nunique $i")) :+
-      (4L, "solo content")).toDF("doc_id", "text")
-    val kept = Curation.lineDedupOn(mild, split(col("text"), "\n"), maxDf = 3, sep = "\n")
-      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
-    assert(kept(1L) == "shared thrice\nunique 1", s"df == maxDf must survive: $kept")
+      (4L, "solo content") :+ (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out2 = Curation.lineDedupOn(mild, split(col("text"), "\n"), maxDf = 3, sep = "\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out2(1L)._4 == "shared thrice\nunique 1", s"df == maxDf must survive: $out2")
+    assert(out2(5L) == ((0L, 0L, 0L, "")), s"null text audits as zero mass: ${out2(5L)}")
   }
 
   test("tfidf ranks a document's most frequent distinctive term first") {
