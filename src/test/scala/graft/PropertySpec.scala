@@ -81,6 +81,36 @@ class PropertySpec extends SparkSpec {
       "the cap must drop pairs whose only shared key is the hot token")
   }
 
+  test("line dedup with an unreachable threshold reassembles every doc byte-identically") {
+    import spark.implicits._
+    // Identity property: when no line can exceed maxDf, the posexplode →
+    // anti-join → sort → array_join chain must reproduce the ORIGINAL
+    // text exactly for every doc — any reassembly-order or
+    // boundary-handling bug shows up as a byte diff. Random multi-line
+    // docs (varying line counts, duplicate lines within and across docs,
+    // empty lines).
+    val docs = (1 to 150).map { i =>
+      val nLines = 1 + rnd.nextInt(6)
+      val text = (1 to nLines).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => ""                                      // empty line
+          case 1 => "shared boilerplate line"               // cross-doc dup
+          case _ => (1 to 1 + rnd.nextInt(5)).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+        }
+      }.mkString("\n")
+      (i.toLong, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = pipeline.Curation
+      .lineDedupOn(df, split(col("text"), "\n"), maxDf = Int.MaxValue, sep = "\n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    docs.foreach { case (id, text) =>
+      val (nRemoved, clean) = out(id)
+      assert(nRemoved == 0L, s"doc $id: nothing may be removed at maxDf=MaxValue")
+      assert(clean == text, s"doc $id reassembly diff:\norig =$text\nclean=$clean")
+    }
+  }
+
   test("minhash candidate generation is a superset of high-jaccard pairs (planted)") {
     import spark.implicits._
     // 20 base docs + exact copies → every copy pair must be found
