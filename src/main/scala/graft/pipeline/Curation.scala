@@ -646,6 +646,83 @@ object Curation {
               coalesce(cl.clean_text, '') AS clean_text
        FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x34
+  /** Repeated-span masking — substring-granular dedup in the "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2022) shape,
+    * approximated at shingle granularity: a token is removed iff it is
+    * COVERED by some `shingleLen`-token shingle that appears in more than
+    * `maxDf` distinct documents. Unlike x30's fixed non-overlapping lines,
+    * the shingles SLIDE, so a duplicated passage is masked wherever it
+    * starts and partial overlaps at its edges are handled by coverage
+    * union, token by token.
+    *
+    * Shape: shingles with positions (x17b's machinery) → distinct-doc df
+    * → hot set → hit positions → coverage expansion (explode of a
+    * k-length sequence per hit — bounded ×k blowup) → distinct covered
+    * positions → anti-join the token stream on (doc, position) →
+    * per-doc ordered reassembly + masked-mass stats. Every aggregation
+    * is partial+final keyed on content or (doc, pos); the per-doc
+    * reassembly state is one doc's tokens (x13/x30 bound). Docs shorter
+    * than the shingle can never be masked. */
+  def spanDedupOn(base: DataFrame, shingleLen: Int, maxDf: Int): DataFrame = {
+    val toks = base.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("tpos", "tok")))
+    val sh = base
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= shingleLen)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - shingleLen),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(shingleLen)))))
+        .as(Seq("pos", "sh")))
+    val hot = sh.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val covered = sh.join(hot, "sh")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (shingleLen - 1))).as("tpos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+    val cleaned = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept0"),
+      array_join(transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        x => x.getField("tok")), " ").as("clean0"))
+    base.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept0"), lit(0L))).as("n_masked"),
+        coalesce(col("clean0"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered x34: 3-token shingles, df > 3 — the same hot tail the x30
+    * measurement justified, but sliding + token-granular. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedupOn(docs(s, dir), shingleLen = 3, maxDf = 3)
+
+  private val x34Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       toks AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+                FROM t, unnest(generate_series(1, len(t))) u(i)),
+       sh AS (SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+3)], ' ') AS sh
+              FROM t, unnest(generate_series(0, len(t) - 3)) u(i)
+              WHERE len(t) >= 3),
+       hot AS (SELECT sh FROM
+                 (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh)
+               WHERE df > 3),
+       covered AS (SELECT DISTINCT doc_id, pos + o AS tpos
+                   FROM sh JOIN hot USING (sh), unnest(generate_series(0, 2)) v(o)),
+       kept AS (SELECT k.doc_id, k.tpos, k.tok FROM toks k
+                LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.tpos = c.tpos
+                WHERE c.doc_id IS NULL),
+       cl AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+              FROM kept GROUP BY doc_id),
+       nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM t)
+       SELECT nt.doc_id, nt.n_tokens,
+              nt.n_tokens - coalesce(cl.n_kept, 0) AS n_masked,
+              coalesce(cl.clean_text, '') AS clean_text
+       FROM nt LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x25
   /** The composed curation pipeline — the end-to-end recipe a training-
     * data team actually runs, chaining the individually-proven operators:
@@ -778,5 +855,6 @@ object Curation {
     QueryDef("x25_curate_pipeline", x25, Some(x25Sql)),
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
     QueryDef("x31_pii_redact", piiRedact, Some(x31Sql)),
+    QueryDef("x34_span_dedup", spanDedup, Some(x34Sql)),
     QueryDef("x27_leakage_safe_split", leakageSafeSplit, Some(x27Sql)))
 }

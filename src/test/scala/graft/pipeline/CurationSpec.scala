@@ -278,6 +278,33 @@ class CurationSpec extends SparkSpec {
     assert(out2(5L) == ((0L, 0L, 0L, "")), s"null text audits as zero mass: ${out2(5L)}")
   }
 
+  test("span dedup masks a duplicated passage wherever it starts, token-granular") {
+    import spark.implicits._
+    // A 4-token passage planted in 5 docs at DIFFERENT offsets (x30's
+    // fixed spans would miss the shifted copies); its two sliding
+    // trigrams are hot (df=5 > 3) and their coverage union masks all 4
+    // passage tokens, nothing else. Doc 50 shares no passage; doc 51 is
+    // 2 tokens (< shingle) and can never be masked.
+    val passage = "alpha beta gamma delta"
+    val corpus = (1L to 5L).map(i =>
+      (i, (Seq.fill(i.toInt)("u" + i) :+ passage).mkString(" ") + s" tail$i")) :+
+      (50L, "entirely unrelated words live here") :+
+      (51L, "tiny doc")
+    val dir = java.nio.file.Files.createTempDirectory("span").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.spanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    (1L to 5L).foreach { i =>
+      val (nTok, nMasked, clean) = out(i)
+      assert(nMasked == 4L, s"doc $i: exactly the passage masked: ${out(i)}")
+      assert(clean == (Seq.fill(i.toInt)("u" + i) :+ s"tail$i").mkString(" "),
+        s"doc $i: unique prefix+tail survive in order: $clean")
+      assert(nTok == i + 5L, s"doc $i token count: ${out(i)}")
+    }
+    assert(out(50L) == ((5L, 0L, "entirely unrelated words live here")), s"${out(50L)}")
+    assert(out(51L) == ((2L, 0L, "tiny doc")), s"${out(51L)}")
+  }
+
   test("tfidf ranks a document's most frequent distinctive term first") {
     val top = Curation.tfidfTop(spark, sf)
       .filter(col("rk") === 1).collect()
