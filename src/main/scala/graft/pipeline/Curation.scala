@@ -588,18 +588,30 @@ object Curation {
     * every line is boilerplate survive with `clean_text = ''` (left
     * join + coalesce), so corpus row count is preserved — the stats row
     * is the removal audit trail. */
+  /** Keys (lines/shingles) occurring in MORE than `maxDf` distinct docs —
+    * the hot-set construction shared by x30 and x34 (distinct then count:
+    * two map-side-combinable aggs, no countDistinct expand). */
+  private def hotKeys(occ: DataFrame, keyName: String, maxDf: Int): DataFrame =
+    occ.select("doc_id", keyName).distinct()
+      .groupBy(keyName).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(keyName)
+
+  /** Per-doc ordered reassembly of surviving (doc_id, pos, piece) rows →
+    * (doc_id, n_kept0, clean0) — shared by x30 and x34; aggregation state
+    * is one document's pieces. */
+  private def reassemble(kept: DataFrame, posCol: String, pieceCol: String,
+      sep: String): DataFrame =
+    kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept0"),
+      array_join(transform(array_sort(collect_list(struct(col(posCol), col(pieceCol)))),
+        x => x.getField(pieceCol)), sep).as("clean0"))
+
   def lineDedupOn(base: DataFrame, lines: Column, maxDf: Int,
       sep: String): DataFrame = {
     val exploded = base.select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
-    val hot = exploded.select("doc_id", "line").distinct()
-      .groupBy("line").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select("line")
-    val kept = exploded.join(hot, Seq("line"), "left_anti")
-    val cleaned = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept0"),
-      array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-        x => x.getField("line")), sep).as("clean0"))
+    val kept = exploded.join(hotKeys(exploded, "line", maxDf), Seq("line"), "left_anti")
+    val cleaned = reassemble(kept, "pos", "line", sep)
     // size(null) is -1 under Spark's default sizeOfNull — a doc whose
     // line expression is null (e.g. null text through split) must read
     // (0, 0, 0, "") in the removal audit, not (-1, 0, -1, "").
@@ -639,7 +651,9 @@ object Curation {
        cl AS (SELECT doc_id, count(*) AS n_kept,
                 string_agg(line, ' ' ORDER BY pos) AS clean_text
               FROM kept GROUP BY doc_id),
-       nl AS (SELECT doc_id, CAST(floor((len(t) - 1) / 3) + 1 AS BIGINT) AS n_lines FROM t)
+       nl AS (SELECT doc_id,
+                CAST(coalesce(floor((len(t) - 1) / 3) + 1, 0) AS BIGINT) AS n_lines
+              FROM t)
        SELECT nl.doc_id, nl.n_lines,
               coalesce(cl.n_kept, 0) AS n_kept,
               nl.n_lines - coalesce(cl.n_kept, 0) AS n_removed,
@@ -674,19 +688,17 @@ object Curation {
         transform(sequence(lit(0), size(col("t")) - shingleLen),
           i => concat_ws(" ", slice(col("t"), i + 1, lit(shingleLen)))))
         .as(Seq("pos", "sh")))
-    val hot = sh.select("doc_id", "sh").distinct()
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("sh")
-    val covered = sh.join(hot, "sh")
+    val covered = sh.join(hotKeys(sh, "sh", maxDf), "sh")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (shingleLen - 1))).as("tpos"))
       .distinct()
     val kept = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
-    val cleaned = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept0"),
-      array_join(transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
-        x => x.getField("tok")), " ").as("clean0"))
-    base.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cleaned = reassemble(kept, "tpos", "tok", " ")
+    // Same size(null) = -1 guard as lineDedupOn: a null text must audit
+    // as (0, 0, "") — negative masked mass is corrupt, not conservative.
+    val nTokens = when(col("text").isNull, lit(0L))
+      .otherwise(size(split(col("text"), " ")).cast("long"))
+    base.select(col("doc_id"), nTokens.as("n_tokens"))
       .join(cleaned, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept0"), lit(0L))).as("n_masked"),
@@ -717,7 +729,7 @@ object Curation {
        cl AS (SELECT doc_id, count(*) AS n_kept,
                 string_agg(tok, ' ' ORDER BY tpos) AS clean_text
               FROM kept GROUP BY doc_id),
-       nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM t)
+       nt AS (SELECT doc_id, CAST(coalesce(len(t), 0) AS BIGINT) AS n_tokens FROM t)
        SELECT nt.doc_id, nt.n_tokens,
               nt.n_tokens - coalesce(cl.n_kept, 0) AS n_masked,
               coalesce(cl.clean_text, '') AS clean_text

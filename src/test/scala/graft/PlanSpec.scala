@@ -204,6 +204,16 @@ class PlanSpec extends SparkSpec {
       s"reassembly must stay partitioned by doc:\n$p")
   }
 
+  test("x34: span masking is partial+final aggregation, no corpus product, no single task") {
+    val p = plan("x34_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"shingle-df aggregation must be partial+final:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"reassembly must stay partitioned by doc:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

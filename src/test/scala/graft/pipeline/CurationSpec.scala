@@ -289,7 +289,8 @@ class CurationSpec extends SparkSpec {
     val corpus = (1L to 5L).map(i =>
       (i, (Seq.fill(i.toInt)("u" + i) :+ passage).mkString(" ") + s" tail$i")) :+
       (50L, "entirely unrelated words live here") :+
-      (51L, "tiny doc")
+      (51L, "tiny doc") :+
+      (52L, null.asInstanceOf[String])
     val dir = java.nio.file.Files.createTempDirectory("span").toString
     corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Curation.spanDedup(spark, dir).collect()
@@ -303,6 +304,7 @@ class CurationSpec extends SparkSpec {
     }
     assert(out(50L) == ((5L, 0L, "entirely unrelated words live here")), s"${out(50L)}")
     assert(out(51L) == ((2L, 0L, "tiny doc")), s"${out(51L)}")
+    assert(out(52L) == ((0L, 0L, "")), s"null text audits as zero mass: ${out(52L)}")
   }
 
   test("tfidf ranks a document's most frequent distinctive term first") {
