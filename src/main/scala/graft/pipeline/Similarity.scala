@@ -340,6 +340,61 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ------------------------------------------------ semantic decon (x35)
+  /** Semantic decontamination — x17's idea at the embedding level: score
+    * every training vector by its MAXIMUM cosine against the held-out
+    * eval slice and flag those above `threshold`. Catches paraphrased
+    * benchmark leakage that shares no shingle with the eval text (the
+    * case n-gram decontamination structurally misses); run alongside
+    * x17, not instead of it.
+    *
+    * Scale shape: the eval side is corpus-tiny at any scale (the x17
+    * argument) and BROADCASTS; the train corpus streams through ONE pass
+    * of a broadcast nested-loop join — here that plan is the correct
+    * one, not a smell: there is no equi-key for a max-over-all-pairs
+    * score, the driver-side build is |eval| vectors, and each train
+    * partition scans it locally with the codegen'd `vec_dot` kernel. The
+    * per-train-vector max is a partial+final aggregation on vec_id. At
+    * 100 TB this is exactly a map-side scan: no shuffle of the corpus
+    * until the (vec_id-keyed, already-tiny) agg. */
+  def semanticDecon(train: DataFrame, evalVecs: DataFrame,
+      threshold: Double): DataFrame = {
+    reg(train.sparkSession)
+    val t = train.select(col("vec_id"), col("embedding"),
+      sqrt(norm2(col("embedding"))).as("tn"))
+    val e = evalVecs.select(col("embedding").as("e_emb"),
+      sqrt(norm2(col("embedding"))).as("en"))
+    t.crossJoin(broadcast(e))
+      .groupBy("vec_id")
+      .agg(round(max(dot(col("embedding"), col("e_emb")) / (col("tn") * col("en"))), 4)
+        .as("max_eval_cosine"))
+      .withColumn("contaminated", col("max_eval_cosine") >= threshold)
+      .orderBy("vec_id")
+  }
+
+  /** Registered x35: the `vec_id % 19 = 0` slice is the eval set; flag
+    * train vectors above cosine 0.4 (the synthetic corpus's related-pair
+    * regime — real text-embedding decon cuts higher, same plan). */
+  private def x35(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.t(s, dir, "embeddings")
+    semanticDecon(emb.filter(col("vec_id") % 19 =!= 0),
+      emb.filter(col("vec_id") % 19 === 0), 0.4)
+  }
+
+  private val x35Sql =
+    """WITH tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 19 <> 0),
+       ev AS (SELECT vec_id AS eid, embedding AS e FROM embeddings WHERE vec_id % 19 = 0),
+       pz AS (SELECT t.vec_id, ev.eid, unnest(t.embedding) AS x, unnest(ev.e) AS y
+              FROM tr t CROSS JOIN ev),
+       sc AS (SELECT vec_id, eid,
+                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nt,
+                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ne
+              FROM pz GROUP BY vec_id, eid)
+       SELECT vec_id, round(max(dot / (sqrt(nt) * sqrt(ne))), 4) AS max_eval_cosine,
+              round(max(dot / (sqrt(nt) * sqrt(ne))), 4) >= 0.4 AS contaminated
+       FROM sc GROUP BY vec_id ORDER BY vec_id"""
+
   private val x33Sql =
     s"""WITH RECURSIVE ${x09PairCtes(SemanticDedupThreshold)},
        edges AS (SELECT va AS src, vb AS dst FROM pairs
