@@ -632,9 +632,14 @@ object Curation {
     * The last span per doc may be shorter than 3 (slice clips). */
   def lineDedup(s: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
-    val spans = transform(
-      sequence(lit(0), floor((size(t) - 1).cast("long") / lit(3L)).cast("int")),
-      i => concat_ws(" ", slice(t, i * 3 + 1, lit(3))))
+    // Null text must yield a NULL span array (size(null) = -1 would turn
+    // sequence(0, floor(-2/3)) into [0, -1] — two phantom "" spans that
+    // miscount n_lines AND pollute the hot-set df), so lineDedupOn's
+    // lines.isNull audit path actually triggers — same guard as x34's.
+    val spans = when(col("text").isNull, lit(null).cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(t) - 1).cast("long") / lit(3L)).cast("int")),
+        i => concat_ws(" ", slice(t, i * 3 + 1, lit(3)))))
     lineDedupOn(docs(s, dir), spans, maxDf = 3, sep = " ")
   }
 

@@ -414,5 +414,6 @@ object Similarity {
     QueryDef("b29b_ann_ivf", annIvfTopK, Some(b29bSql)),
     QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),
     QueryDef("x09_embedding_neardup", x09, Some(x09Sql)),
-    QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)))
+    QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)),
+    QueryDef("x35_semantic_decon", x35, Some(x35Sql)))
 }

@@ -194,6 +194,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$p")
   }
 
+  test("x35: eval side broadcasts; corpus shuffles only at the vec_id max-agg") {
+    val p = plan("x35_semantic_decon")
+    // max-over-all-eval-pairs has no equi-key, so the CORRECT plan is a
+    // broadcast nested-loop against the corpus-tiny eval side — the train
+    // corpus must stream through map-side, never shuffle into a product.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast (BNLJ is the right plan here):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a non-broadcast corpus product would not survive scale-up:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-vector max must combine map-side before the exchange:\n$p")
+  }
+
   test("x30: hot-line set is built by partial+final aggregation, no corpus product") {
     val p = plan("x30_line_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

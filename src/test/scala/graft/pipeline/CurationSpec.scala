@@ -278,6 +278,28 @@ class CurationSpec extends SparkSpec {
     assert(out2(5L) == ((0L, 0L, 0L, "")), s"null text audits as zero mass: ${out2(5L)}")
   }
 
+  test("registered x30 span form audits null text as zero mass, no phantom spans") {
+    import spark.implicits._
+    // The registered lineDedup builds spans via transform(sequence(...)):
+    // without its null guard, size(null) = -1 makes sequence(0, -1) yield
+    // [0, -1] — TWO phantom "" spans, so a null-text doc would report
+    // n_lines = 2 and the "" span would enter the hot-set df. Guarded,
+    // it must audit (0, 0, 0, "") like lineDedupOn's documented path.
+    val corpus = ((1L to 4L).map(i => (i, s"common span here unique$i tail words")) :+
+      (9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("x30null").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(9L) == ((0L, 0L, 0L, "")), s"null text audits as zero mass: ${out(9L)}")
+    // The hot 3-token span (df=4 > 3) is stripped from the non-null docs;
+    // each 6-token doc splits into 2 spans, keeps its unique second one.
+    (1L to 4L).foreach { i =>
+      assert(out(i) == ((2L, 1L, 1L, s"unique$i tail words")), s"doc $i: ${out(i)}")
+    }
+  }
+
   test("span dedup masks a duplicated passage wherever it starts, token-granular") {
     import spark.implicits._
     // A 4-token passage planted in 5 docs at DIFFERENT offsets (x30's

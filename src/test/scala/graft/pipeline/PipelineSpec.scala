@@ -425,6 +425,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semantic decon flags train vectors colinear with an eval vector") {
+    import spark.implicits._
+    // Eval set = {e0, e1}. t10 is a paraphrase of e0 (colinear — cosine 1
+    // despite sharing no "tokens"); t11 is orthogonal to both (clean);
+    // t12 is a scaled copy of e1 (cosine 1). Threshold 0.9.
+    val evalVecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Array(3.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 1.0f)),
+      (12L, Array(0.0f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecon(train, evalVecs, 0.9).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(10L) == ((1.0, true)), s"paraphrase of e0 must flag: $out")
+    assert(out(11L)._2 == false && out(11L)._1 < 0.9, s"orthogonal vector is clean: $out")
+    assert(out(12L) == ((1.0, true)), s"scaled copy of e1 must flag: $out")
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactDedup _
     import spark.implicits._
