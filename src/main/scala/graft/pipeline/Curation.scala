@@ -682,8 +682,20 @@ object Curation {
     * per-doc ordered reassembly + masked-mass stats. Every aggregation
     * is partial+final keyed on content or (doc, pos); the per-doc
     * reassembly state is one doc's tokens (x13/x30 bound). Docs shorter
-    * than the shingle can never be masked. */
-  def spanDedupOn(base: DataFrame, shingleLen: Int, maxDf: Int): DataFrame = {
+    * than the shingle can never be masked.
+    *
+    * `minRun` (x34b) is the Lee-et-al minimum-match-length semantics:
+    * only runs of at least `minRun` CONSECUTIVE covered tokens are
+    * masked. An isolated hot shingle covers exactly `shingleLen` tokens
+    * and two adjacent ones `shingleLen`+1, so `minRun` > `shingleLen`+1
+    * demands ≥3 overlapping hot shingles — a genuinely repeated passage —
+    * and stops common-phrase hits from shredding fluent text around them.
+    * Runs are found by gaps-and-islands (island id = tpos − row_number
+    * per doc): one window shuffle on doc_id, whose exchange the
+    * run-length count window reuses ((doc_id) ⊆ (doc_id, isl) satisfies
+    * the clustering requirement — no second shuffle). */
+  def spanDedupOn(base: DataFrame, shingleLen: Int, maxDf: Int,
+      minRun: Int = 1): DataFrame = {
     val toks = base.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("tpos", "tok")))
     val sh = base
@@ -697,7 +709,15 @@ object Curation {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (shingleLen - 1))).as("tpos"))
       .distinct()
-    val kept = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+    val masked =
+      if (minRun <= 1) covered
+      else covered
+        .withColumn("isl",
+          col("tpos") - row_number().over(Window.partitionBy("doc_id").orderBy("tpos")))
+        .withColumn("run_len", count(lit(1)).over(Window.partitionBy("doc_id", "isl")))
+        .filter(col("run_len") >= minRun)
+        .select("doc_id", "tpos")
+    val kept = toks.join(masked, Seq("doc_id", "tpos"), "left_anti")
     val cleaned = reassemble(kept, "tpos", "tok", " ")
     // Same size(null) = -1 guard as lineDedupOn: a null text must audit
     // as (0, 0, "") — negative masked mass is corrupt, not conservative.
@@ -716,6 +736,15 @@ object Curation {
   def spanDedup(s: SparkSession, dir: String): DataFrame =
     spanDedupOn(docs(s, dir), shingleLen = 3, maxDf = 3)
 
+  /** Registered x34b: x34 with `minRun` = 5. Measured at sf0.01, the
+    * covered-run distribution is 1307 isolated 3-runs + 135 4-runs
+    * (single / double hot-shingle hits — common phrases) against a
+    * genuine repeated-passage tail of 5..45-token runs; minRun = 5 keeps
+    * the former (≈4.5k tokens of fluent text x34 would shred) and masks
+    * only the latter. */
+  def spanDedupMinRun(s: SparkSession, dir: String): DataFrame =
+    spanDedupOn(docs(s, dir), shingleLen = 3, maxDf = 3, minRun = 5)
+
   private val x34Sql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        toks AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
@@ -730,6 +759,39 @@ object Curation {
                    FROM sh JOIN hot USING (sh), unnest(generate_series(0, 2)) v(o)),
        kept AS (SELECT k.doc_id, k.tpos, k.tok FROM toks k
                 LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.tpos = c.tpos
+                WHERE c.doc_id IS NULL),
+       cl AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+              FROM kept GROUP BY doc_id),
+       nt AS (SELECT doc_id, CAST(coalesce(len(t), 0) AS BIGINT) AS n_tokens FROM t)
+       SELECT nt.doc_id, nt.n_tokens,
+              nt.n_tokens - coalesce(cl.n_kept, 0) AS n_masked,
+              coalesce(cl.clean_text, '') AS clean_text
+       FROM nt LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
+
+  /** x34b oracle — x34's CTE chain with the gaps-and-islands run filter
+    * between `covered` and `kept` (same window trick as the Spark side). */
+  private val x34bSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       toks AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+                FROM t, unnest(generate_series(1, len(t))) u(i)),
+       sh AS (SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+3)], ' ') AS sh
+              FROM t, unnest(generate_series(0, len(t) - 3)) u(i)
+              WHERE len(t) >= 3),
+       hot AS (SELECT sh FROM
+                 (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh)
+               WHERE df > 3),
+       covered AS (SELECT DISTINCT doc_id, pos + o AS tpos
+                   FROM sh JOIN hot USING (sh), unnest(generate_series(0, 2)) v(o)),
+       runs AS (SELECT doc_id, tpos,
+                  tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS isl
+                FROM covered),
+       masked AS (SELECT doc_id, tpos FROM
+                    (SELECT doc_id, tpos,
+                       count(*) OVER (PARTITION BY doc_id, isl) AS run_len FROM runs)
+                  WHERE run_len >= 5),
+       kept AS (SELECT k.doc_id, k.tpos, k.tok FROM toks k
+                LEFT JOIN masked c ON k.doc_id = c.doc_id AND k.tpos = c.tpos
                 WHERE c.doc_id IS NULL),
        cl AS (SELECT doc_id, count(*) AS n_kept,
                 string_agg(tok, ' ' ORDER BY tpos) AS clean_text
@@ -873,5 +935,6 @@ object Curation {
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
     QueryDef("x31_pii_redact", piiRedact, Some(x31Sql)),
     QueryDef("x34_span_dedup", spanDedup, Some(x34Sql)),
+    QueryDef("x34b_span_dedup_minrun", spanDedupMinRun, Some(x34bSql)),
     QueryDef("x27_leakage_safe_split", leakageSafeSplit, Some(x27Sql)))
 }

@@ -227,6 +227,18 @@ class PlanSpec extends SparkSpec {
       s"reassembly must stay partitioned by doc:\n$p")
   }
 
+  test("x34b: run-length windows shuffle on doc_id only, no corpus product, no single task") {
+    val p = plan("x34b_span_dedup_minrun")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"shingle-df aggregation must be partial+final:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"gaps-and-islands windows must stay partitioned by doc:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"run-length windows must key on doc_id:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

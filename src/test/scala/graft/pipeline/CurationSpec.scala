@@ -329,6 +329,36 @@ class CurationSpec extends SparkSpec {
     assert(out(52L) == ((0L, 0L, "")), s"null text audits as zero mass: ${out(52L)}")
   }
 
+  test("minRun span masking keeps short accidental overlaps, masks the long passage") {
+    import spark.implicits._
+    // Five docs share BOTH a 7-token passage (covered run = 7) and an
+    // isolated common phrase "in the end" (its one hot trigram covers a
+    // 3-token run — x34 would shred it out of fluent text). minRun = 5
+    // must mask only the passage. Unique neighbor tokens per doc keep
+    // the boundary trigrams cold.
+    val passage = "alpha beta gamma delta epsilon zeta eta"
+    val corpus = (1L to 5L).map { i =>
+      (i, s"a$i in the end b$i $passage c$i")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("minrun").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.spanDedupMinRun(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    (1L to 5L).foreach { i =>
+      val (nTok, nMasked, clean) = out(i)
+      assert(nTok == 13L, s"doc $i: ${out(i)}")
+      assert(nMasked == 7L, s"doc $i: exactly the long passage masked: ${out(i)}")
+      assert(clean == s"a$i in the end b$i c$i",
+        s"doc $i: the common phrase must survive minRun: $clean")
+    }
+    // Sanity: plain x34 (minRun = 1) masks the phrase too — 10 tokens.
+    val strict = Curation.spanDedupOn(corpus, shingleLen = 3, maxDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (1L to 5L).foreach { i =>
+      assert(strict(i) == 10L, s"doc $i: x34 masks phrase + passage: ${strict(i)}")
+    }
+  }
+
   test("tfidf ranks a document's most frequent distinctive term first") {
     val top = Curation.tfidfTop(spark, sf)
       .filter(col("rk") === 1).collect()
