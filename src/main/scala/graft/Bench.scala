@@ -87,7 +87,20 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = Seq(timeOnce(name, fn), timeOnce(name, fn)).flatten
+      val first = Seq(timeOnce(name, fn), timeOnce(name, fn)).flatten
+      // Load-outlier guard: two rounds running the driver artifact carried
+      // a 4-5× phantom on some query (r4 x25/b22c, r5 x17/x34), each traced
+      // to transient machine load — min-of-2 is not enough when one of the
+      // two windows is loaded. If the two timings disagree by >3×, take a
+      // third and keep the min; the disagreement itself is logged so a
+      // REAL bimodal plan cost stays visible in stderr.
+      val extra =
+        if (first.size == 2 && first.max > first.min * 3) {
+          System.err.println(f"[bench] $name: timings ${first.min}%.3f/" +
+            f"${first.max}%.3f s differ >3x — taking a third run")
+          timeOnce(name, fn).toSeq
+        } else Nil
+      val runs = first ++ extra
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     // Times rounded to 1 ms so the whole line stays well under the
