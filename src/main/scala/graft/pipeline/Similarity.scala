@@ -395,6 +395,80 @@ object Similarity {
               round(max(dot / (sqrt(nt) * sqrt(ne))), 4) >= 0.4 AS contaminated
        FROM sc GROUP BY vec_id ORDER BY vec_id"""
 
+  // ------------------------------------- incremental semantic dedup (x36)
+  /** Incremental semantic dedup — x26's ingestion-edge shape at the
+    * embedding tier: drop each NEW (micro-batch) vector whose cosine
+    * against ANY vector of the at-rest corpus reaches `threshold`; the
+    * survivors are what gets appended. With this and the x26 lexical
+    * tiers, every dedup tier (exact, lexical-near, semantic) runs per
+    * micro-batch — see [[graft.streaming.StreamingJobs.incrementalSemanticDedupStream]].
+    *
+    * Deliberately EXACT, not LSH-bucketed: measured on this corpus at
+    * sf0.001/0.01/0.1, the x09 2-band×16-sign-bit buckets miss 75–96% of
+    * the true cross-corpus pairs at the dup threshold (0.4) — random-
+    * hyperplane band recall only approaches 1 near cosine ≈ 1, and this
+    * corpus has no such regime — so a bucketed candidate tier here would
+    * silently admit most duplicates. (At real SemDeDup cuts of ~0.95+
+    * the buckets become a sound pre-filter; swap them in then.)
+    *
+    * The exact plan is the x35 argument transposed: at an ingestion edge
+    * the BATCH side is corpus-tiny (a micro-batch vs the accumulated
+    * corpus) and BROADCASTS; the corpus streams through ONE map-side
+    * broadcast nested-loop pass of the codegen'd `vec_dot` kernel — no
+    * equi-key exists for "any pair ≥ t" — and the per-batch-vector
+    * verdict is a partial+final max aggregation on the already-tiny
+    * batch id. N×ΔN multiplies per batch, zero corpus shuffle, never N².
+    * Rounding to 4 decimals before the cut keeps the decision bit-exact
+    * across engines (round is monotone, so round∘max = max∘round and the
+    * any-pair predicate is unchanged). */
+  def incrementalSemanticDedup(batch: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    reg(batch.sparkSession)
+    val b = batch.select(col("vec_id"), col("embedding").as("b_emb"),
+      sqrt(norm2(col("embedding"))).as("bn"))
+    val c = corpus.select(col("embedding").as("c_emb"),
+      sqrt(norm2(col("embedding"))).as("cn"))
+    val dup = c.crossJoin(broadcast(b))
+      .groupBy("vec_id")
+      .agg(round(max(dot(col("b_emb"), col("c_emb")) / (col("bn") * col("cn"))), 4)
+        .as("max_corpus_cosine"))
+      .filter(col("max_corpus_cosine") >= threshold)
+      .select("vec_id")
+    batch.join(dup, Seq("vec_id"), "left_anti")
+  }
+
+  /** Registered x36: the `vec_id % 3 = 1` slice arrives as the new batch
+    * against the rest as corpus (measured: 30 dup batch vectors at
+    * sf0.001, 319 at sf0.1 — signal at every test scale; a production
+    * micro-batch is far smaller than a third of the corpus, making the
+    * broadcast side tinier still); threshold 0.4, the corpus's
+    * related-pair regime (x35's cut). Oracle is brute-force cross-corpus
+    * cosine — certifying the exact tier is LOSSLESS, which is the point
+    * of not bucketing. */
+  private def x36(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.t(s, dir, "embeddings")
+    incrementalSemanticDedup(emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 =!= 1), 0.4)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  private val x36Sql =
+    """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1),
+       c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 3 <> 1),
+       pz AS (SELECT b.vec_id, c.cid, unnest(b.embedding) AS x, unnest(c.ce) AS y
+              FROM b CROSS JOIN c),
+       sc AS (SELECT vec_id, cid,
+                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nb,
+                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nc
+              FROM pz GROUP BY vec_id, cid),
+       dup AS (SELECT DISTINCT vec_id FROM sc
+               WHERE round(dot / (sqrt(nb) * sqrt(nc)), 4) >= 0.4)
+       SELECT e.vec_id, e.label FROM embeddings e
+       WHERE e.vec_id % 3 = 1 AND e.vec_id NOT IN (SELECT vec_id FROM dup)
+       ORDER BY vec_id"""
+
   private val x33Sql =
     s"""WITH RECURSIVE ${x09PairCtes(SemanticDedupThreshold)},
        edges AS (SELECT va AS src, vb AS dst FROM pairs
@@ -415,5 +489,6 @@ object Similarity {
     QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),
     QueryDef("x09_embedding_neardup", x09, Some(x09Sql)),
     QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)),
-    QueryDef("x35_semantic_decon", x35, Some(x35Sql)))
+    QueryDef("x35_semantic_decon", x35, Some(x35Sql)),
+    QueryDef("x36_incremental_semantic_dedup", x36, Some(x36Sql)))
 }

@@ -91,6 +91,30 @@ object StreamingJobs {
       }
       .start()
 
+  /** x36 streaming: incremental SEMANTIC dedup per micro-batch via
+    * `foreachBatch` — the embedding tier of the ingestion edge, closing
+    * the set: exact (sha), lexical-near (prefix-filter Jaccard), and
+    * semantic (cosine vs the at-rest corpus) all run per batch. Same
+    * structure and same reasoning as [[incrementalDedupStream]]: the
+    * broadcast-batch max-cosine shape is not an incrementalizable
+    * continuous query, but inside foreachBatch the proven batch operator
+    * ([[graft.pipeline.Similarity.incrementalSemanticDedup]]) runs
+    * verbatim — ΔN broadcasts, the corpus streams map-side, N×ΔN per
+    * batch. At-least-once delivery; idempotent sink recommended;
+    * batch≡stream decision equivalence gated in StreamingSpec. Vectors
+    * within one micro-batch are judged against the corpus only, not
+    * against each other — identical to the batch operator's contract. */
+  def incrementalSemanticDedupStream(newVecs: DataFrame, corpusVecs: DataFrame,
+      threshold: Double, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.pipeline.Similarity.incrementalSemanticDedup(batch, corpusVecs, threshold), batchId)
+      }
+      .start()
+
   /** x12 streaming: stream-stream interval join. Both sides carry
     * watermarks and the join condition bounds purchase time to
     * [click, click + 2h], so Spark evicts click state once the watermark

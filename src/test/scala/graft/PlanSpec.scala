@@ -207,6 +207,16 @@ class PlanSpec extends SparkSpec {
       s"per-vector max must combine map-side before the exchange:\n$p")
   }
 
+  test("x36: batch side broadcasts; corpus streams map-side to the batch-id max-agg") {
+    val p = plan("x36_incremental_semantic_dedup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the micro-batch must broadcast (no equi-key for any-pair >= t):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a non-broadcast corpus product would not survive scale-up:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-batch-vector max must combine map-side before the exchange:\n$p")
+  }
+
   test("x30: hot-line set is built by partial+final aggregation, no corpus product") {
     val p = plan("x30_line_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -9,6 +9,7 @@ import graft.{SparkSpec, Tables}
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double, props: String)
 case class Doc(doc_id: Long, text: String, lang: String)
+case class Vec(vec_id: Long, embedding: Array[Float])
 
 /** B31–B34 streaming semantics: the same logical query must produce the
   * same result in batch and over a stream; watermark dedup drops
@@ -136,6 +137,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
     assert(streamed.sorted == Seq(11L, 12L),
       s"exact dup 10 and permutation near-dup 13 must drop: $streamed")
+  }
+
+  test("streaming incremental semantic dedup (foreachBatch) equals the batch decision") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Static corpus spans two directions; arrivals: a scaled copy of c1
+    // (cosine 1 → dropped), an orthogonal fresh vector (survives), a
+    // 45-degree near-miss (cosine ≈ 0.707 < 0.9 — survives, pinning the
+    // threshold), and a near-copy of c2 (cosine ≈ 0.9994 → dropped).
+    val corpus = Seq(
+      Vec(1L, Array(1.0f, 0.0f, 0.0f)),
+      Vec(2L, Array(0.0f, 1.0f, 0.0f))).toDF()
+    val arrivals = Seq(
+      Vec(10L, Array(3.0f, 0.0f, 0.0f)),
+      Vec(11L, Array(0.0f, 0.0f, 1.0f)),
+      Vec(12L, Array(1.0f, 1.0f, 0.0f)),
+      Vec(13L, Array(0.1f, 3.0f, 0.0f)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val input = MemoryStream[Vec]
+    val dir = java.nio.file.Files.createTempDirectory("incdedup_sem").toString
+    val q = StreamingJobs.incrementalSemanticDedupStream(input.toDF(), corpus, 0.9, dir) {
+      (survivors, batchId) =>
+        out += batchId -> survivors.orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    }
+    input.addData(arrivals.take(2))
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.sortBy(_._1).flatMap(_._2).toSeq
+    val batch = graft.pipeline.Similarity
+      .incrementalSemanticDedup(arrivals.toDF(), corpus, 0.9)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    // Per-batch decisions concatenated == one batch over all arrivals
+    // (each vector is judged against the static corpus only, so batch
+    // boundaries cannot change any verdict).
+    assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
+    assert(streamed.sorted == Seq(11L, 12L),
+      s"colinear 10 and near-copy 13 must drop; near-miss 12 survives: $streamed")
   }
 
   test("x12 stream-stream interval join equals the batch attribution join") {
