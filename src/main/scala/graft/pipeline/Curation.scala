@@ -211,6 +211,69 @@ object Curation {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClustersFromPairs(Dedup.jaccardPairs(s, dir))
 
+  // ---------------------------------------------------------------- x37
+  /** Cluster-aware survivor selection: x16's components with the survivor
+    * chosen by QUALITY, not minimum id — a real pipeline keeps each
+    * duplicate cluster's BEST document (the min-id keeper of x16/x33 is
+    * the right oracle artifact but the wrong corpus). Generic over the
+    * pair source: feed it the lexical pair graph (x16/B28), the x20
+    * prefix-filter pairs, or the x09 embedding pairs (the x33 shape) —
+    * any (da, db) frame — plus the docs frame carrying whatever `keepBy`
+    * needs.
+    *
+    * EVERY doc in `base` is labelled: non-participants are their own
+    * singleton cluster and keep themselves (left join + coalesce, the
+    * x33 convention). The winner per cluster is row_number() = 1 over
+    * (`keepBy` DESC NULLS LAST, doc_id ASC) — the id tiebreak makes the
+    * selection total, so the result is engine-exact.
+    *
+    * Scale: the propagation loop is x16's (log₂ diameter rounds); the
+    * selection adds ONE window shuffle keyed on cluster_id. Cluster
+    * sizes are near-dup clusters — small by construction after upstream
+    * df-capping — so no window partition is a whale; a pathological
+    * giant cluster would already have been the propagation loop's
+    * problem before it is this window's. */
+  def dedupClustersKeepBy(base: DataFrame, pairs: DataFrame,
+      keepBy: Column): DataFrame = {
+    val (labels, _) = propagateMinLabels(undirectedEdges(pairs))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(keepBy.desc_nulls_last, col("doc_id"))
+    base
+      .join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .drop("cid")
+  }
+
+  /** Registered x37: keep each B28-Jaccard cluster's highest-quality doc
+    * (x01 quality column, single-sourced), ties to the smaller id. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    dedupClustersKeepBy(
+      docs(s, dir).select(col("doc_id"),
+        TextStats.qualityColumn.as("quality")),
+      Dedup.jaccardPairs(s, dir), col("quality"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
+      .orderBy("doc_id")
+
+  private val x37Sql =
+    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
+       edges AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+       scored AS (SELECT doc_id, ${TextStats.qualitySqlExpr} AS quality
+                  FROM documents),
+       lab AS (SELECT s.doc_id, coalesce(cc.cid, s.doc_id) AS cluster_id,
+                      s.quality
+               FROM scored s LEFT JOIN cc ON s.doc_id = cc.node)
+       SELECT doc_id, cluster_id, quality,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC NULLS LAST, doc_id) = 1 AS keep
+       FROM lab ORDER BY doc_id"""
+
   /** Min-label propagation to a fixpoint over a directed-both-ways edge
     * list (src, dst) — the loop behind [[dedupClusters]], exposed for
     * direct testing (CurationSpec's planted diameter-20 path graph pins
@@ -927,6 +990,7 @@ object Curation {
     QueryDef("x15b_shard_pack_partitioned",
       (s, d) => shardPackPartitionedManifest(s, d), None),
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
+    QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
     QueryDef("x17b_decontamination_spans", decontaminationSpans, Some(x17bSql)),
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),

@@ -127,6 +127,14 @@ class PlanSpec extends SparkSpec {
     assert("\\+- BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
   }
 
+  test("x37: survivor selection windows on cluster_id, never a corpus product") {
+    val p = plan("x37_dedup_keep_best")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation / selection must never plan a product:\n$p")
+    assert(p.contains("hashpartitioning(cluster_id"),
+      s"the keep window must shuffle on cluster_id, not globally:\n$p")
+  }
+
   test("x20: prefix-filter near-dup joins are equi-joins, never a corpus product") {
     val p = plan("x20_neardup_prefix")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

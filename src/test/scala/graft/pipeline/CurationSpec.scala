@@ -278,6 +278,25 @@ class CurationSpec extends SparkSpec {
     assert(out2(5L) == ((0L, 0L, 0L, "")), s"null text audits as zero mass: ${out2(5L)}")
   }
 
+  test("x37 keeps the argmax-quality doc per cluster, ties to the smaller id") {
+    import spark.implicits._
+    // Cluster {1,2,3} via pairs (1,2),(2,3): min id is 1 but the quality
+    // argmax is the 0.9 TIE between 2 and 3 → keeper must be 2 (smaller
+    // id breaks the tie), proving selection is NOT x16's min-id rule.
+    // Doc 7 is a singleton: its own cluster, keeps itself.
+    val base = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val out = Curation.dedupClustersKeepBy(base, pairs, col("q")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, true)) && out(3L) == ((1L, false)),
+      s"cluster {1,2,3} must keep argmax-quality doc 2, not min-id 1: $out")
+    assert(out(7L) == ((7L, true)), s"singleton keeps itself: $out")
+    out.toSeq.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.count(_._2._2) == 1, s"cluster $cid keepers != 1: $members")
+    }
+  }
+
   test("registered x30 span form audits null text as zero mass, no phantom spans") {
     import spark.implicits._
     // The registered lineDedup builds spans via transform(sequence(...)):
