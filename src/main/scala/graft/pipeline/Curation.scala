@@ -693,18 +693,8 @@ object Curation {
     * distinct spans exceed df=3 — a small hot set, like real boilerplate;
     * 2-token spans are nearly all hot and 4-token spans nearly none).
     * The last span per doc may be shorter than 3 (slice clips). */
-  def lineDedup(s: SparkSession, dir: String): DataFrame = {
-    val t = split(col("text"), " ")
-    // Null text must yield a NULL span array (size(null) = -1 would turn
-    // sequence(0, floor(-2/3)) into [0, -1] — two phantom "" spans that
-    // miscount n_lines AND pollute the hot-set df), so lineDedupOn's
-    // lines.isNull audit path actually triggers — same guard as x34's.
-    val spans = when(col("text").isNull, lit(null).cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), floor((size(t) - 1).cast("long") / lit(3L)).cast("int")),
-        i => concat_ws(" ", slice(t, i * 3 + 1, lit(3)))))
-    lineDedupOn(docs(s, dir), spans, maxDf = 3, sep = " ")
-  }
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedupOn(docs(s, dir), threeTokenSpans, maxDf = 3, sep = " ")
 
   private val x30Sql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -727,6 +717,144 @@ object Curation {
               nl.n_lines - coalesce(cl.n_kept, 0) AS n_removed,
               coalesce(cl.clean_text, '') AS clean_text
        FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x39
+  /** WITHIN-document repeated-line strip — the transform counterpart of
+    * x18's repetition MEASUREMENT (Gopher's "duplicate line fraction"
+    * filter, applied as surgery instead of a doc-level drop): keep only
+    * the FIRST occurrence of each line inside a doc, preserving order.
+    * Orthogonal to x30, which strips lines hot ACROSS documents; a
+    * spammy page repeating its own catchphrase fifty times passes x30
+    * (df = 1) and is exactly what this pass cleans.
+    *
+    * Scale shape: map-only per doc in spirit — posexplode → min(pos) per
+    * (doc, line) (partial+final agg on the composite key; no cross-doc
+    * traffic at all, so no hot-set and no skew concern beyond one doc's
+    * own lines) → the shared per-doc ordered reassembly. Cheapest of
+    * the sub-document family: no second corpus-wide aggregate. */
+  def intraDocDedupOn(base: DataFrame, lines: Column, sep: String): DataFrame = {
+    val exploded = base.select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+    val firsts = exploded.groupBy("doc_id", "line").agg(min("pos").as("pos"))
+    val cleaned = reassemble(firsts, "pos", "line", sep)
+    val nLines = when(lines.isNull, lit(0L)).otherwise(size(lines).cast("long"))
+    base.select(col("doc_id"), nLines.as("n_lines"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept0"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept0"), lit(0L))).as("n_removed"),
+        coalesce(col("clean0"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** The registered sub-document unit for the single-line synthetic
+    * corpus: non-overlapping 3-token spans, shared by x30 and x39 so the
+    * two strips cannot disagree on segmentation. Null text must yield a
+    * NULL span array — size(null) = -1 would turn sequence(0, floor(-2/3))
+    * into [0, -1], two phantom "" spans that miscount n_lines and pollute
+    * x30's hot-set df — so the consumers' lines.isNull audit path
+    * actually triggers (CurationSpec pins it). */
+  private def threeTokenSpans: Column = {
+    val t = split(col("text"), " ")
+    when(col("text").isNull, lit(null).cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(t) - 1).cast("long") / lit(3L)).cast("int")),
+        i => concat_ws(" ", slice(t, i * 3 + 1, lit(3)))))
+  }
+
+  /** Registered x39: first-occurrence strip over the same 3-token spans
+    * as x30. */
+  def intraDocDedup(s: SparkSession, dir: String): DataFrame =
+    intraDocDedupOn(docs(s, dir), threeTokenSpans, sep = " ")
+
+  private val x39Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       spans AS (SELECT doc_id, i AS pos,
+                   array_to_string(t[(i*3+1):(i*3+3)], ' ') AS line
+                 FROM t, unnest(generate_series(0,
+                   CAST(floor((len(t) - 1) / 3) AS BIGINT))) u(i)),
+       firsts AS (SELECT doc_id, line, min(pos) AS pos
+                  FROM spans GROUP BY doc_id, line),
+       cl AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, ' ' ORDER BY pos) AS clean_text
+              FROM firsts GROUP BY doc_id),
+       nl AS (SELECT doc_id,
+                CAST(coalesce(floor((len(t) - 1) / 3) + 1, 0) AS BIGINT) AS n_lines
+              FROM t)
+       SELECT nl.doc_id, nl.n_lines,
+              coalesce(cl.n_kept, 0) AS n_kept,
+              nl.n_lines - coalesce(cl.n_kept, 0) AS n_removed,
+              coalesce(cl.clean_text, '') AS clean_text
+       FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x40
+  /** Content-defined chunking — split each document into variable-size
+    * chunks whose boundaries are decided by CONTENT (a token whose
+    * engine-exact polynomial hash lands in the boundary class opens a
+    * new chunk), not by fixed offsets. The CDC property a training-shard
+    * or dedup-at-chunk-granularity pipeline wants: inserting a sentence
+    * shifts ONE chunk's boundaries, not every later chunk's, so
+    * downstream chunk hashes stay stable under local edits (rsync/LBFS
+    * shape at token granularity).
+    *
+    * The boundary hash is the x03b polynomial ((a·31+ascii)%1e9+7 folded
+    * over the token's characters, % `BoundaryMod` == 0 → mean chunk ≈
+    * BoundaryMod tokens) — pure integer arithmetic, bit-exact in any
+    * engine, no dependence on Spark's hash functions.
+    *
+    * Scale shape: posexplode → per-token hash (map) → chunk id as a
+    * running sum of boundary flags over (doc_id, tpos) — ONE window
+    * shuffle on doc_id, state bounded by a single doc — → per-(doc,
+    * chunk) ordered reassembly agg. Same partition-local discipline as
+    * x30/x34's reassembly. */
+  val BoundaryMod = 8
+
+  def contentChunks(base: DataFrame): DataFrame = {
+    // The native codegen'd RollingHash expression IS the x03b polynomial
+    // (ExpressionsSpec pins it char-for-char against the DuckDB
+    // list_reduce) — reusing it avoids Spark/DuckDB disagreement over
+    // empty-string char splitting.
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val tokHash = call_function("rolling_hash", col("tok"))
+    val toks = base
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("tpos", "tok")))
+      .withColumn("is_b",
+        when(pmod(tokHash, lit(BoundaryMod)) === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy("doc_id").orderBy("tpos")
+    toks
+      .withColumn("chunk_id", sum(col("is_b")).over(w))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tok"), min("tpos").as("start_pos"),
+        array_join(transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Registered x40. A boundary token STARTS a new chunk (chunk id =
+    * INCLUSIVE running boundary count, so the boundary token carries the
+    * incremented id); chunk ids begin at 0 for a doc opening with
+    * non-boundary tokens, at 1 when the first token is itself a
+    * boundary — monotone either way. */
+  def contentChunksQuery(s: SparkSession, dir: String): DataFrame =
+    contentChunks(docs(s, dir))
+
+  private val x40Sql =
+    s"""WITH toks AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                     unnest(generate_series(1, len(t))) u(i)),
+       flagged AS (SELECT doc_id, tpos, tok,
+                CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                    (a, c) -> (a * 31 + c) % 1000000007) % $BoundaryMod = 0
+                  THEN 1 ELSE 0 END AS is_b
+              FROM toks),
+       ch AS (SELECT doc_id, tpos, tok,
+                CAST(sum(is_b) OVER (PARTITION BY doc_id ORDER BY tpos) AS BIGINT)
+                  AS chunk_id
+              FROM flagged)
+       SELECT doc_id, chunk_id, count(*) AS n_tok,
+              CAST(min(tpos) AS INTEGER) AS start_pos,
+              string_agg(tok, ' ' ORDER BY tpos) AS chunk_text
+       FROM ch GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"""
 
   // ---------------------------------------------------------------- x34
   /** Repeated-span masking — substring-granular dedup in the "Deduplicating
@@ -997,6 +1125,8 @@ object Curation {
     QueryDef("x19_pii_scan", piiScan, Some(x19Sql)),
     QueryDef("x25_curate_pipeline", x25, Some(x25Sql)),
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
+    QueryDef("x39_intradoc_dedup", intraDocDedup, Some(x39Sql)),
+    QueryDef("x40_content_chunks", contentChunksQuery, Some(x40Sql)),
     QueryDef("x31_pii_redact", piiRedact, Some(x31Sql)),
     QueryDef("x34_span_dedup", spanDedup, Some(x34Sql)),
     QueryDef("x34b_span_dedup_minrun", spanDedupMinRun, Some(x34bSql)),

@@ -149,6 +149,88 @@ object TextStats {
        FROM tok JOIN lm USING (tok)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x38
+  /** Interpolated bigram log-probability score — x28's perplexity proxy
+    * one order up (the CCNet/KenLM shape at the order this engine can
+    * train in-corpus): score each doc by the mean negative log of
+    * λ·P(w_i|w_{i−1}) + (1−λ)·P(w_i), bigram MLE interpolated with the
+    * unigram so the score stays finite for any bigram the corpus has
+    * seen only in other contexts (self-trained MLE alone can't produce
+    * an unseen bigram, but the interpolation is what makes the operator
+    * correct when the LM table comes from a DIFFERENT corpus — the
+    * production deployment). Fluent boilerplate scores low, shuffled or
+    * noisy text scores high — a sharper signal than x28 because word
+    * ORDER now matters.
+    *
+    * Scale shape (x28's chain plus one join): one bigram explode feeds
+    * the per-(doc,w1,w2) counts; the bigram LM and its left-context
+    * marginal are two partial+final aggs on content keys ((w1,w2) then
+    * w1); the unigram LM reuses x28's shape; scoring is equi-joins
+    * against vocabulary-sized sides + one per-doc agg. No corpus
+    * product; everything map-side combinable. Docs with < 2 tokens have
+    * no bigrams and score NULL (corpus row count preserved via left
+    * join — the planted spec pins this). */
+  val BigramLambda = 0.7
+  // Explicit complement: the expression 1 - 0.7 is 0.30000000000000004 in
+  // IEEE doubles, and while both engines would agree on that value, a
+  // literal 0.3 in only one of them would NOT be the same number. One
+  // constant, used verbatim on both sides.
+  val BigramLambdaC = 0.3
+
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    val big = base
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val bigLm = big.groupBy("w1", "w2").agg(sum("c").as("cb"))
+    val ctx = bigLm.groupBy("w1").agg(sum("cb").as("cw1"))
+    val uni = base.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+    val total = uni.agg(sum("cf").as("n_total"))
+    val scored = big
+      .join(bigLm, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cf")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        round(-sum(col("c") * log(
+          lit(BigramLambda) * (col("cb").cast("double") / col("cw1")) +
+            lit(BigramLambdaC) * (col("cf").cast("double") / col("n_total")))) /
+          sum("c"), 4).as("avg_neg_logp2"))
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_neg_logp2"))
+      .orderBy("doc_id")
+  }
+
+  private val x38Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, count(*) AS c
+               FROM t, unnest(generate_series(1, len(t) - 1)) u(i)
+               WHERE len(t) >= 2 GROUP BY doc_id, t[i], t[i+1]),
+       biglm AS (SELECT w1, w2, sum(c) AS cb FROM big GROUP BY w1, w2),
+       ctx AS (SELECT w1, sum(cb) AS cw1 FROM biglm GROUP BY w1),
+       uni AS (SELECT tok, count(*) AS cf
+               FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+               GROUP BY tok),
+       tot AS (SELECT sum(cf) AS n_total FROM uni),
+       sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                round(-sum(c * ln($BigramLambda * (CAST(cb AS DOUBLE) / cw1)
+                    + $BigramLambdaC * (CAST(cf AS DOUBLE) / (SELECT n_total FROM tot))))
+                  / sum(c), 4) AS avg_neg_logp2
+              FROM big JOIN biglm USING (w1, w2) JOIN ctx USING (w1)
+                   JOIN uni ON big.w2 = uni.tok
+              GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_neg_logp2
+       FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""
+
   /** Quality scoring: token/char ratios of the kind used to filter LLM
     * training corpora (length, stopword density, digit density). */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -347,5 +429,6 @@ object TextStats {
     QueryDef("x03b_rolling_hash", nativeFingerprint, Some(x03bSql)),
     QueryDef("x04_token_counts", tokenCounts, Some(x04Sql)),
     QueryDef("x28_unigram_logprob", unigramLogprob, Some(x28Sql)),
+    QueryDef("x38_bigram_logprob", bigramLogprob, Some(x38Sql)),
     QueryDef("x32_quality_quantile", qualityQuantileFilter, Some(x32Sql)))
 }

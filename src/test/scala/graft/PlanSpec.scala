@@ -245,6 +245,32 @@ class PlanSpec extends SparkSpec {
       s"reassembly must stay partitioned by doc:\n$p")
   }
 
+  test("x38: bigram LM joins are equi-joins on vocab keys; aggs partial+final") {
+    val p = plan("x38_bigram_logprob")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"bigram/context/unigram aggs must be map-side combinable:\n$p")
+    assert(p.contains("Broadcast"), s"1-row total must broadcast:\n$p")
+  }
+
+  test("x39: intra-doc strip is one composite-key agg + doc-local reassembly") {
+    val p = plan("x39_intradoc_dedup")
+    assert(!p.contains("Join") || !p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"reassembly must stay partitioned by doc:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"first-occurrence agg must be partial+final:\n$p")
+  }
+
+  test("x40: chunking windows on doc_id, no join, no single task") {
+    val p = plan("x40_content_chunks")
+    assert(!p.contains("Join"), s"chunking needs no join at all:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"running boundary count must key on doc_id:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no global window allowed:\n$p")
+  }
+
   test("x34b: run-length windows shuffle on doc_id only, no corpus product, no single task") {
     val p = plan("x34b_span_dedup_minrun")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -378,6 +378,60 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("intra-doc dedup keeps first occurrences in order, ignores cross-doc heat") {
+    import spark.implicits._
+    // Doc 1 repeats its own catchphrase three times (df = 1, so x30 would
+    // pass it untouched); only the first copy survives, in place. Doc 2
+    // shares that line too — CROSS-doc repetition must NOT trigger
+    // removal here (each doc keeps its own first occurrence). Doc 3 has
+    // no repeats; doc 4 is null text.
+    val corpus = Seq(
+      (1L, "buy cheap pills\nreal content here\nbuy cheap pills\nbuy cheap pills"),
+      (2L, "buy cheap pills\nother text entirely"),
+      (3L, "plain unique document"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Curation.intraDocDedupOn(corpus, split(col("text"), "\n"), sep = "\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((4L, 2L, 2L, "buy cheap pills\nreal content here")),
+      s"only the first copy of the repeated line survives, in order: ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, 0L, "buy cheap pills\nother text entirely")),
+      s"cross-doc repetition must not strip within-doc uniques: ${out(2L)}")
+    assert(out(3L) == ((1L, 1L, 0L, "plain unique document")), s"${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L, "")), s"null text audits as zero mass: ${out(4L)}")
+  }
+
+  test("content chunks are content-defined: a local edit shifts one chunk only") {
+    import spark.implicits._
+    // Deterministic boundary tokens via the x03b polynomial hash: find
+    // two words whose hash lands in the boundary class, build a doc
+    // around them, then INSERT a token early and check only the chunk
+    // containing the edit changes its text — later chunks are identical
+    // (the CDC property fixed-size chunking lacks).
+    def h(tok: String): Long =
+      tok.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val words = (1 to 200).map(i => s"w$i")
+    val boundary = words.filter(h(_) % Curation.BoundaryMod == 0)
+    assert(boundary.size >= 2, s"fixture needs 2 boundary words, got $boundary")
+    val (b1, b2) = (boundary(0), boundary(1))
+    val plain = words.filterNot(w => h(w) % Curation.BoundaryMod == 0)
+    // prefix | b1 mid | b2 tail  → 3 chunks
+    val doc0 = Seq(plain(0), plain(1), b1, plain(2), b2, plain(3), plain(4))
+    val doc1 = Seq(plain(0), plain(5), plain(1), b1, plain(2), b2, plain(3), plain(4))
+    val corpus = Seq((0L, doc0.mkString(" ")), (1L, doc1.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Curation.contentChunks(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    assert(chunks((0L, 0L)) == s"${plain(0)} ${plain(1)}", s"$chunks")
+    assert(chunks((0L, 1L)) == s"$b1 ${plain(2)}",
+      s"boundary token must START its chunk: $chunks")
+    assert(chunks((0L, 2L)) == s"$b2 ${plain(3)} ${plain(4)}", s"$chunks")
+    // The insertion lands in chunk 0; chunks 1 and 2 are byte-identical.
+    assert(chunks((1L, 0L)) == s"${plain(0)} ${plain(5)} ${plain(1)}",
+      s"edit stays local to its chunk: $chunks")
+    assert(chunks((1L, 1L)) == chunks((0L, 1L)) && chunks((1L, 2L)) == chunks((0L, 2L)),
+      s"chunks after the edit point must be stable: $chunks")
+  }
+
   test("tfidf ranks a document's most frequent distinctive term first") {
     val top = Curation.tfidfTop(spark, sf)
       .filter(col("rk") === 1).collect()

@@ -346,6 +346,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bigram logprob: word order matters; short docs score NULL, rows preserved") {
+    import spark.implicits._
+    // 50 copies of a fluent phrase train the bigram LM; doc 100 uses the
+    // SAME unigrams shuffled, so x28 cannot tell them apart but the
+    // bigram score must rank the shuffle as more surprising. Doc 200 has
+    // one token (no bigrams): NULL score, row preserved.
+    val corpus = ((1 to 50).map(i => (i.toLong, "the quick brown fox jumps")) ++
+      Seq((100L, "fox the jumps quick brown"), (200L, "solo"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("blp")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = TextStats.bigramLogprob(spark, dir.toString).collect()
+      val out = rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(out(100L).get > out(1L).get,
+        s"shuffled word order must score more surprising than fluent: $out")
+      assert(out(200L).isEmpty, s"a 1-token doc has no bigrams: $out")
+      assert(rows.length == 52, "every corpus row keeps a stats row")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("PII redaction replaces URL/email/digit spans, URL-first order absorbs nested PII") {
     import spark.implicits._
     val corpus = Seq(
