@@ -178,6 +178,64 @@ object Sampling {
               CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
        FROM c GROUP BY source ORDER BY source"""
 
+  // ---------------------------------------------------------------- x41
+  /** Per-source document cap, quality-ranked — the per-domain cap every
+    * web-corpus pipeline applies (no single domain may contribute more
+    * than `cap` documents, and the ones it does contribute should be its
+    * BEST): keep each source's top `cap` docs by (x01 quality DESC,
+    * doc_id). Complements x22, which bounds a source's TOKEN mass
+    * largest-first — this bounds its document count best-first. Output
+    * is the kept manifest with the per-source rank as the audit column.
+    *
+    * Scale: one window shuffle on the source key; the whale remedy for
+    * a mega-source is [[sourceCapByQualityScalable]] — count caps
+    * pre-prune even more simply than x22b's budget (global rank ≤ cap
+    * implies sub-stratum rank ≤ cap, so each of the `subStrata` hash
+    * sub-strata forwards at most `cap` rows and the exact window sees
+    * ≤ subStrata·cap rows per source regardless of source size). */
+  def sourceCapByQuality(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), TextStats.qualityColumn.as("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .orderBy("doc_id")
+  }
+
+  /** Whale-safe form — IDENTICAL output (same oracle): pre-prune to the
+    * top `cap` inside each doc_id-hash sub-stratum (lossless: a doc in
+    * the global top-cap has < cap better docs in its whole source, so
+    * certainly < cap in its own sub-stratum), then the exact window
+    * ranks ≤ subStrata·cap survivors per source. */
+  def sourceCapByQualityScalable(s: SparkSession, dir: String,
+      cap: Int = 10, subStrata: Int = 16): DataFrame = {
+    val order = Seq(col("quality").desc_nulls_last, col("doc_id"))
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), TextStats.qualityColumn.as("quality"))
+    val wLocal = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(subStrata)))
+      .orderBy(order: _*)
+    val wGlobal = Window.partitionBy("source").orderBy(order: _*)
+    base
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= cap)
+      .drop("lrk")
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .filter(col("rk") <= cap)
+      .orderBy("doc_id")
+  }
+
+  private def x41Sql(cap: Int) =
+    s"""WITH scored AS (SELECT doc_id, source,
+           ${TextStats.qualitySqlExpr} AS quality FROM documents),
+       ranked AS (SELECT doc_id, source, quality,
+           row_number() OVER (PARTITION BY source
+             ORDER BY quality DESC NULLS LAST, doc_id) AS rk
+         FROM scored)
+       SELECT doc_id, source, quality, rk FROM ranked
+       WHERE rk <= $cap ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x23
   /** Per-language mixture weights ×100 (integer): zh is upsampled 2.5×,
     * fr 1.5×, the rest pass through — the "data mixture" step that turns
@@ -238,5 +296,8 @@ object Sampling {
     QueryDef("x22_source_budget", (s, d) => sourceBudgetSelect(s, d), Some(x22Sql(800L))),
     QueryDef("x22b_source_budget_scalable",
       (s, d) => sourceBudgetSelectScalable(s, d), Some(x22Sql(800L))),
-    QueryDef("x23_mixture", mixtureMaterialize, Some(x23Sql)))
+    QueryDef("x23_mixture", mixtureMaterialize, Some(x23Sql)),
+    QueryDef("x41_source_cap", (s, d) => sourceCapByQuality(s, d), Some(x41Sql(10))),
+    QueryDef("x41b_source_cap_scalable",
+      (s, d) => sourceCapByQualityScalable(s, d), Some(x41Sql(10))))
 }

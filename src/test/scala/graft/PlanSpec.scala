@@ -159,6 +159,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x41: source cap windows on the source key, no join, no single task") {
+    val p = plan("x41_source_cap")
+    assert(!p.contains("Join"), s"the cap needs no join:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"rank window must shuffle on the source key:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-source cap must never funnel to one task:\n$p")
+  }
+
   test("x22: budget selection shuffles once on the stratum key, not globally") {
     val p = plan("x22_source_budget")
     assert(p.contains("hashpartitioning(source"),

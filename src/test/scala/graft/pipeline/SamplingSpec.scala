@@ -57,6 +57,32 @@ class SamplingSpec extends SparkSpec {
     assert(c.nonEmpty && c.forall(_.getLong(2) >= 1))
   }
 
+  test("source cap keeps each source's top docs by quality; scalable form identical") {
+    val out = Sampling.sourceCapByQuality(spark, sf, cap = 10).collect()
+    val bySource = out.groupBy(_.getString(1))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"$src exceeded the cap: ${rows.length}")
+      // Ranks are 1..n within each source, quality non-increasing by rank.
+      val ranked = rows.sortBy(_.getLong(3))
+      assert(ranked.map(_.getLong(3)).toSeq == (1L to rows.length).toSeq)
+      val qs = ranked.map(_.getDouble(2)).toSeq
+      assert(qs == qs.sorted(Ordering[Double].reverse),
+        s"$src quality must be non-increasing by rank: $qs")
+    }
+    // No kept doc may be outranked by a dropped one of the same source.
+    val minKept = out.groupBy(_.getString(1))
+      .map { case (s2, rows) => s2 -> rows.map(_.getDouble(2)).min }
+    val dropped = Sampling.sourceCapByQuality(spark, sf, cap = Int.MaxValue)
+      .collect().filter(_.getLong(3) > 10)
+    dropped.foreach { r =>
+      assert(r.getDouble(2) <= minKept(r.getString(1)),
+        s"dropped doc ${r.getLong(0)} outranks a kept one in ${r.getString(1)}")
+    }
+    val scalable = Sampling.sourceCapByQualityScalable(spark, sf, cap = 10).collect()
+    assert(out.toSeq == scalable.toSeq,
+      "two-phase pre-prune must reproduce the global selection exactly")
+  }
+
   test("mixture emits floor(w) to ceil(w) copies per doc, exact for integer w") {
     val out = Sampling.mixtureMaterialize(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
