@@ -111,6 +111,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("content chunking is lossless: chunks concatenate back to every doc byte-identically") {
+    // Chunking must PARTITION each document — no token lost, duplicated,
+    // or reordered — for any content whatsoever, here the whole real
+    // sf corpus. Concatenating chunk_text in chunk order must reproduce
+    // text exactly; a disagreement count is computed distributed.
+    val chunks = pipeline.Curation.contentChunks(Tables.t(spark, sf, "documents"))
+    val rebuilt = chunks
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        x => x.getField("chunk_text")), " ").as("rebuilt"))
+    val bad = Tables.t(spark, sf, "documents")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .filter(not(col("text") <=> col("rebuilt")))
+      .count()
+    assert(bad == 0, s"$bad docs did not reassemble byte-identically from chunks")
+  }
+
   test("minhash candidate generation is a superset of high-jaccard pairs (planted)") {
     import spark.implicits._
     // 20 base docs + exact copies → every copy pair must be found
