@@ -27,6 +27,17 @@ class DocsSpec extends AnyFunSuite {
       s"OPERATORS.md says $docOracle oracle-bearing; code has ${SparkEntry.oracleSql.size}")
   }
 
+  test("README verification counts match SparkEntry exactly") {
+    val readme = java.nio.file.Files.readString(java.nio.file.Paths.get("README.md"))
+    val re = """Every oracle-expressible query \((\d+) of (\d+)\)""".r
+    val m = re.findFirstMatchIn(readme).getOrElse(
+      fail("README.md must state 'Every oracle-expressible query (N of M)'"))
+    assert(m.group(1).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.group(1)} oracle-bearing; code has ${SparkEntry.oracleSql.size}")
+    assert(m.group(2).toInt == SparkEntry.queries.size,
+      s"README says ${m.group(2)} registered; code has ${SparkEntry.queries.size}")
+  }
+
   test("every oracle-bearing query name is registered (no orphan oracle SQL)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
