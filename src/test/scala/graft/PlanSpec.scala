@@ -280,6 +280,24 @@ class PlanSpec extends SparkSpec {
       s"no global window allowed:\n$p")
   }
 
+  test("x42: winnowing windows on doc_id, no join, no single task") {
+    val p = plan("x42_winnow_fingerprints")
+    assert(!p.contains("Join"), s"fingerprint selection needs no join:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"frame-min and count windows must key on doc_id:\n$p")
+    assert(!p.contains("SinglePartition"), s"no global window allowed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the distinct must be partial+final:\n$p")
+  }
+
+  test("x40b: chunk dedup aggregates on content keys, partial+final, no product") {
+    val p = plan("x40b_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"per-(chunk,doc) and per-chunk roll-ups must be map-side combinable:\n$p")
+  }
+
   test("x34b: run-length windows shuffle on doc_id only, no corpus product, no single task") {
     val p = plan("x34b_span_dedup_minrun")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -371,6 +371,65 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: shared long passage yields shared fingerprints; density ~2/(w+1)") {
+    import spark.implicits._
+    // Two docs share an 8-token passage at DIFFERENT offsets (>= w+k-1 =
+    // 6 tokens, so the winnowing guarantee applies: at least one shared
+    // fingerprint hash); a third doc shares nothing.
+    val passage = "omega psi chi phi upsilon tau sigma rho"
+    val corpus = Seq(
+      (1L, s"aa1 bb1 cc1 $passage dd1"),
+      (2L, s"xx2 $passage yy2 zz2 ww2 vv2"),
+      (3L, "totally different content with many plain words here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = TextStats.winnowFingerprints(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).map { case (d, rows) => d -> rows.map(_._3).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      s"docs sharing an 8-token passage must share a fingerprint: $byDoc")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty,
+      s"unrelated docs must not collide: $byDoc")
+    // Density: fingerprints per doc << shingles per doc (w=4 keeps ~2/5).
+    val nSh1 = 12 - 3 + 1 // doc 1 tokens=12, k=3
+    assert(byDoc(1L).size < nSh1, s"winnowing must select a strict subset: ${byDoc(1L)}")
+    // Selected positions must be valid shingle starts carrying the hash
+    // that wins their window — spot-check determinism by re-running.
+    val again = TextStats.winnowFingerprints(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fps.toSeq == again.toSeq, "fingerprints must be deterministic")
+  }
+
+  test("chunk dedup surfaces a passage repeated across docs at chunk granularity") {
+    import spark.implicits._
+    // A passage long enough to contain a boundary token repeats in three
+    // docs with different surroundings; CDC stability means the interior
+    // chunk is byte-identical in all three and the manifest reports it.
+    def h(tok: String): Long =
+      tok.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val words = (1 to 300).map(i => s"v$i")
+    val b = words.filter(h(_) % Curation.BoundaryMod == 0)
+    val p = words.filterNot(w => h(w) % Curation.BoundaryMod == 0)
+    assert(b.size >= 2, s"need boundary words: $b")
+    // passage = boundary + 2 plain + boundary' ... chunk "b0 p0 p1" is
+    // fully interior to the passage wherever it appears.
+    val passage = Seq(b(0), p(0), p(1), b(1), p(2))
+    val corpus = Seq(
+      (1L, (Seq(p(10)) ++ passage ++ Seq(p(11))).mkString(" ")),
+      (2L, (Seq(p(12), p(13)) ++ passage).mkString(" ")),
+      (3L, (passage ++ Seq(p(14))).mkString(" ")),
+      (4L, s"${p(20)} ${p(21)} ${p(22)}")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("chdedup").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.chunkDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val interior = s"${b(0)} ${p(0)} ${p(1)}"
+    assert(out.contains(interior),
+      s"the passage-interior chunk must be flagged as duplicated: $out")
+    assert(out(interior) == ((3L, 3L, 1L)),
+      s"3 copies in 3 docs, first doc 1: ${out(interior)}")
+  }
+
   test("PII redaction replaces URL/email/digit spans, URL-first order absorbs nested PII") {
     import spark.implicits._
     val corpus = Seq(
