@@ -340,6 +340,46 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ------------------------------------- semantic keep-best dedup (x43)
+  /** x33's clusters with x37's survivor rule — the production SemDeDup
+    * shape end-to-end: cluster in EMBEDDING space (paraphrases collapse
+    * regardless of wording), then keep each cluster's best document by
+    * the TEXT-side x01 quality column (vec_id ≡ doc_id on this corpus —
+    * the embedding of document i). The cross-modal composition is the
+    * point: the similarity signal and the survivor-ranking signal come
+    * from different representations, which is exactly what a real
+    * pipeline does (cosine decides "same", quality decides "which").
+    * All pieces are individually proven: x09 pairs, x16 propagation,
+    * x37 selection — this registers their composition under one oracle
+    * (x09 CTEs + recursive fixpoint + quality window, single-sourced). */
+  def semanticDedupKeepBest(s: SparkSession, dir: String,
+      threshold: Double = SemanticDedupThreshold): DataFrame = {
+    val pairs = embeddingNearDupsLsh(s, dir, threshold)
+      .select(col("va").as("da"), col("vb").as("db"))
+    val scored = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.qualityColumn.as("quality"))
+    Curation.dedupClustersKeepBy(scored, pairs, col("quality"))
+      .select(col("doc_id"), col("quality"), col("cluster_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val x43Sql =
+    s"""WITH RECURSIVE ${x09PairCtes(SemanticDedupThreshold)},
+       edges AS (SELECT va AS src, vb AS dst FROM pairs
+                 UNION ALL SELECT vb, va FROM pairs),
+       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+       scored AS (SELECT doc_id, ${TextStats.qualitySqlExpr} AS quality
+                  FROM documents),
+       lab AS (SELECT s.doc_id, s.quality, coalesce(cc.cid, s.doc_id) AS cluster_id
+               FROM scored s LEFT JOIN cc ON s.doc_id = cc.node)
+       SELECT doc_id, quality, cluster_id,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC NULLS LAST, doc_id) = 1 AS keep
+       FROM lab ORDER BY doc_id"""
+
   // ------------------------------------------------ semantic decon (x35)
   /** Semantic decontamination — x17's idea at the embedding level: score
     * every training vector by its MAXIMUM cosine against the held-out
@@ -490,5 +530,6 @@ object Similarity {
     QueryDef("x09_embedding_neardup", x09, Some(x09Sql)),
     QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)),
     QueryDef("x35_semantic_decon", x35, Some(x35Sql)),
-    QueryDef("x36_incremental_semantic_dedup", x36, Some(x36Sql)))
+    QueryDef("x36_incremental_semantic_dedup", x36, Some(x36Sql)),
+    QueryDef("x43_semantic_keep_best", (s, d) => semanticDedupKeepBest(s, d), Some(x43Sql)))
 }

@@ -234,6 +234,14 @@ class PlanSpec extends SparkSpec {
       s"per-batch-vector max must combine map-side before the exchange:\n$p")
   }
 
+  test("x43: semantic keep-best windows on cluster_id, pair generation stays equi-join") {
+    val p = plan("x43_semantic_keep_best")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$p")
+    assert(p.contains("hashpartitioning(cluster_id"),
+      s"the keep window must shuffle on cluster_id:\n$p")
+  }
+
   test("x30: hot-line set is built by partial+final aggregation, no corpus product") {
     val p = plan("x30_line_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -509,6 +509,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semantic keep-best: embedding cluster keeps the highest-quality DOC, not min id") {
+    import spark.implicits._
+    // Embedding cluster {0, 1, 2} (colinear); doc 1 has the best text
+    // quality (all stopwords), so it must be the keeper even though 0 is
+    // the min id. Doc 7 is an embedding singleton and keeps itself.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.0f, 0.0f)),
+      (7L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val docsDf = Seq(
+      (0L, "word word 99 11"),
+      (1L, "the a of and"),       // all stopwords — best quality
+      (2L, "word 123 456 789"),
+      (7L, "plain words here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("semkeep")
+    try {
+      emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      docsDf.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = Similarity.semanticDedupKeepBest(spark, dir.toString, threshold = 0.9)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+      assert(out(1L) == ((0L, true)), s"best-quality doc 1 must be the keeper: $out")
+      assert(out(0L)._2 == false && out(2L)._2 == false,
+        s"min-id doc 0 is NOT the keeper when 1 outranks it: $out")
+      assert(out(7L) == ((7L, true)), s"singleton keeps itself: $out")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("semantic decon flags train vectors colinear with an eval vector") {
     import spark.implicits._
     // Eval set = {e0, e1}. t10 is a paraphrase of e0 (colinear — cosine 1
