@@ -1089,7 +1089,8 @@ object Curation {
     * ded, eval, precomputedPairs = Some(pairs))`. */
   def curateDeduped(deduped: DataFrame, evalDocs: DataFrame,
       nearDupThreshold: Double = 0.8, shingleLen: Int = 3,
-      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+      precomputedPairs: Option[DataFrame] = None,
+      keepBy: Option[Column] = None): DataFrame = {
     // `precomputedPairs` must be the (da, db) near-dup pairs of THIS
     // gated+deduped corpus at `nearDupThreshold` (content equality is
     // what matters, not frame identity). A session that also runs
@@ -1098,10 +1099,24 @@ object Curation {
     val pairs = precomputedPairs
       .getOrElse(Dedup.jaccardPairsPrefixOn(deduped, nearDupThreshold))
       .select(col("da"), col("db"))
-    val (labels, _) = propagateMinLabels(undirectedEdges(pairs))
-    val nonCanonical = labels.filter(col("lbl") =!= col("node"))
-      .select(col("node").as("doc_id"))
-    val canonical = deduped.join(nonCanonical, Seq("doc_id"), "left_anti")
+    // Canonical selection: min-id per component by default (the oracle
+    // artifact); with `keepBy` the survivor is each component's argmax
+    // of that column (x37's selection — keep the BEST doc, production
+    // shape). Either way exactly one survivor per component, so every
+    // downstream invariant (no surviving pair ≥ t, idempotence) holds
+    // identically — CurationSpec proves it for both.
+    val canonical = keepBy match {
+      case None =>
+        val (labels, _) = propagateMinLabels(undirectedEdges(pairs))
+        val nonCanonical = labels.filter(col("lbl") =!= col("node"))
+          .select(col("node").as("doc_id"))
+        deduped.join(nonCanonical, Seq("doc_id"), "left_anti")
+      case Some(q) =>
+        val keepers = dedupClustersKeepBy(
+          deduped.select(col("doc_id"), q.as("kq")), pairs, col("kq"))
+          .filter(col("keep")).select("doc_id")
+        deduped.join(keepers, Seq("doc_id"))
+    }
     val contaminated = contaminationCounts(canonical, evalDocs, shingleLen)
       .select("doc_id")
     canonical.join(contaminated, Seq("doc_id"), "left_anti")

@@ -278,6 +278,30 @@ class CurationSpec extends SparkSpec {
     assert(out2(5L) == ((0L, 0L, 0L, "")), s"null text audits as zero mass: ${out2(5L)}")
   }
 
+  test("curateDeduped keepBy keeps the best near-dup per cluster; same survivor count") {
+    import spark.implicits._
+    // Docs 1/2 are near-dups (J = 19/21 ≈ 0.905 ≥ 0.8); doc 2 has the
+    // higher quality (extra stopwords, no digits). Default keeps min id
+    // 1; keepBy(quality) must keep 2 instead. Doc 9 is unrelated.
+    val base = Seq(
+      (1L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lmb mu nu xi omicron pi rho sigma tau 99")),
+      (2L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lmb mu nu xi omicron pi rho sigma tau the")),
+      (9L, "completely unrelated text lives here quietly")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val evalDocs = Seq((100L, "held out benchmark sentence nothing shared"))
+      .toDF("doc_id", "text")
+    val byId = Curation.curateDeduped(base, evalDocs)
+      .collect().map(_.getLong(0)).toSet
+    val byQ = Curation.curateDeduped(base, evalDocs,
+      keepBy = Some(TextStats.qualityColumn))
+      .collect().map(_.getLong(0)).toSet
+    assert(byId == Set(1L, 9L), s"default keeps min id: $byId")
+    assert(byQ == Set(2L, 9L), s"keepBy must keep the higher-quality near-dup: $byQ")
+    assert(byId.size == byQ.size, "one survivor per cluster either way")
+  }
+
   test("x37 keeps the argmax-quality doc per cluster, ties to the smaller id") {
     import spark.implicits._
     // Cluster {1,2,3} via pairs (1,2),(2,3): min id is 1 but the quality
