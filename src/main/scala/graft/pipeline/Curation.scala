@@ -411,6 +411,72 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x44
+  /** N-gram novelty score — the data-SELECTION signal contamination
+    * checking is not: for each candidate doc, what fraction of its
+    * distinct shingles is UNSEEN in a reference corpus ("what does this
+    * doc add"). High novelty = new material worth keeping; near-zero
+    * novelty = the corpus already has this content (even if no single
+    * doc is a near-dup of it — coverage is cluster-free). Used as the
+    * greedy criterion in coverage-based data pruning.
+    *
+    * Scale shape: candidate shingles (distinct per doc — x17's
+    * convention) LEFT equi-join the reference's distinct shingle set on
+    * the content key, then one per-doc partial+final count/sum. The ref
+    * side is corpus-scale so it is NOT broadcast — a key-shuffle join
+    * whose skew mirrors shingle df (bounded by the usual hot-shingle
+    * tail; hot shingles are exactly the ones a candidate is least novel
+    * for). Docs shorter than the shingle audit as (0, 0, NULL) via the
+    * final left join — corpus row count preserved. */
+  def noveltyScore(train: DataFrame, refDocs: DataFrame,
+      shingleLen: Int = 3): DataFrame = {
+    val refSh = shinglesOf(refDocs, shingleLen).select(col("sh")).distinct()
+      .withColumn("seen", lit(1))
+    val scored = shinglesOf(train, shingleLen)
+      .join(refSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+    train.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        col("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered x44: the `%5 == 0` slice is the at-rest reference; score
+    * the rest. */
+  def noveltyScoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    noveltyScore(d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+  }
+
+  private val x44Sql =
+    """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       rf AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       trsh AS (SELECT DISTINCT doc_id, sh FROM
+                  (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+                     i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+                   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM tr)
+                   WHERE len(t) >= 3)),
+       rfsh AS (SELECT DISTINCT sh FROM
+                  (SELECT unnest(list_transform(range(len(t) - 2),
+                     i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+                   FROM (SELECT string_split(text, ' ') AS t FROM rf)
+                   WHERE len(t) >= 3)),
+       sc AS (SELECT t.doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              FROM trsh t LEFT JOIN rfsh r ON t.sh = r.sh
+              GROUP BY t.doc_id)
+       SELECT tr.doc_id, coalesce(sc.n_shingles, 0) AS n_shingles,
+              coalesce(sc.n_novel, 0) AS n_novel,
+              round(CAST(sc.n_novel AS DOUBLE) / sc.n_shingles, 4) AS novelty
+       FROM tr LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""
+
   // --------------------------------------------------------------- x17b
   /** Positional decontamination: x17's overlap check, plus WHERE the
     * contamination starts — the first overlapping shingle's token offset
@@ -1181,6 +1247,7 @@ object Curation {
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
+    QueryDef("x44_novelty_score", noveltyScoreQuery, Some(x44Sql)),
     QueryDef("x17b_decontamination_spans", decontaminationSpans, Some(x17bSql)),
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),
     QueryDef("x19_pii_scan", piiScan, Some(x19Sql)),

@@ -262,6 +262,14 @@ class PlanSpec extends SparkSpec {
       s"reassembly must stay partitioned by doc:\n$p")
   }
 
+  test("x44: novelty join is a key-shuffle equi-join, per-doc agg partial+final") {
+    val p = plan("x44_novelty_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product — the ref shingle set joins on its content key:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-doc novelty count must be map-side combinable:\n$p")
+  }
+
   test("x38: bigram LM joins are equi-joins on vocab keys; aggs partial+final") {
     val p = plan("x38_bigram_logprob")
     assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")

@@ -111,6 +111,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intra-doc line strip is idempotent on random line corpora") {
+    import spark.implicits._
+    // Random docs assembled from a small line vocabulary (so repeats are
+    // common); stripping first-occurrences twice must equal once — the
+    // second pass finds nothing left to remove.
+    val vocab = Vector("alpha one", "beta two", "gamma three", "delta four", "eps five")
+    val docs = (1L to 60L).map { i =>
+      val n = 2 + rnd.nextInt(8)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = pipeline.Curation.intraDocDedupOn(docs, split(col("text"), "\n"), "\n")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = pipeline.Curation.intraDocDedupOn(once, split(col("text"), "\n"), "\n")
+    val changed = twice.filter(col("n_removed") =!= 0).count()
+    assert(changed == 0, s"$changed docs changed on the second pass")
+    val onceOut = once.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val twiceOut = twice.orderBy("doc_id").collect().map(_.getString(4)).toSeq
+    assert(onceOut == twiceOut, "clean_text must be a fixpoint")
+  }
+
   test("content chunking is lossless: chunks concatenate back to every doc byte-identically") {
     // Chunking must PARTITION each document — no token lost, duplicated,
     // or reordered — for any content whatsoever, here the whole real

@@ -402,6 +402,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("novelty score separates fresh material from already-covered content") {
+    import spark.implicits._
+    // Ref corpus covers one passage. Candidate 1 IS that passage (novelty
+    // 0); candidate 2 is half passage, half new (intermediate); candidate
+    // 3 is all new (novelty 1); candidate 4 is 2 tokens (no shingles —
+    // (0, 0, NULL) audit row).
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "quick brown fox entirely fresh words here"),
+      (3L, "completely novel material nothing shared at all"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = Curation.noveltyScore(cand, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((3L, 0L, Some(0.0))), s"fully covered doc: ${out(1L)}")
+    assert(out(3L)._2 == out(3L)._1 && out(3L)._3 == Some(1.0),
+      s"all-new doc scores 1.0: ${out(3L)}")
+    assert(out(2L)._3.get > 0.0 && out(2L)._3.get < 1.0,
+      s"half-covered doc scores strictly between: ${out(2L)}")
+    assert(out(4L) == ((0L, 0L, None)), s"sub-shingle doc audits (0,0,NULL): ${out(4L)}")
+  }
+
   test("intra-doc dedup keeps first occurrences in order, ignores cross-doc heat") {
     import spark.implicits._
     // Doc 1 repeats its own catchphrase three times (df = 1, so x30 would
