@@ -280,7 +280,9 @@ class PlanSpec extends SparkSpec {
 
   test("x39: intra-doc strip is one composite-key agg + doc-local reassembly") {
     val p = plan("x39_intradoc_dedup")
-    assert(!p.contains("Join") || !p.contains("CartesianProduct"), s"no product:\n$p")
+    // The only join is the doc_id-keyed stats left join — never a product.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product:\n$p")
     assert(!p.contains("SinglePartition"),
       s"reassembly must stay partitioned by doc:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
