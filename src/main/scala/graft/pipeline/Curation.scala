@@ -739,7 +739,28 @@ object Curation {
   def lineDedupOn(base: DataFrame, lines: Column, maxDf: Int,
       sep: String): DataFrame = {
     val exploded = base.select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
-    val kept = exploded.join(hotKeys(exploded, "line", maxDf), Seq("line"), "left_anti")
+    lineStripAgainst(base, hotKeys(exploded, "line", maxDf), lines, sep)
+  }
+
+  /** The boilerplate hot set of an at-rest corpus — lines in more than
+    * `maxDf` distinct docs — as a standalone frame, for [[lineStripAgainst]]
+    * and the streaming tier (compute once from the corpus, apply to every
+    * arriving batch). */
+  def hotLinesOf(corpus: DataFrame, lines: Column, maxDf: Int): DataFrame =
+    hotKeys(corpus.select(col("doc_id"), posexplode(lines).as(Seq("pos", "line"))),
+      "line", maxDf)
+
+  /** x30's strip with an EXTERNAL hot set: remove every occurrence of a
+    * line in `hotLines` from `base`, reassembling docs in order with the
+    * removal audit. This is the form an ingestion edge needs — boilerplate
+    * frequency must come from the accumulated corpus, not from the
+    * arriving micro-batch (a batch of 50 docs can neither see that a nav
+    * bar is corpus-wide nor avoid false hot lines from one spammy burst).
+    * [[lineDedupOn]] ≡ this applied to the corpus's own hot set. */
+  def lineStripAgainst(base: DataFrame, hotLines: DataFrame, lines: Column,
+      sep: String): DataFrame = {
+    val exploded = base.select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+    val kept = exploded.join(hotLines.select(col("line")), Seq("line"), "left_anti")
     val cleaned = reassemble(kept, "pos", "line", sep)
     // size(null) is -1 under Spark's default sizeOfNull — a doc whose
     // line expression is null (e.g. null text through split) must read
@@ -826,6 +847,46 @@ object Curation {
         sequence(lit(0), floor((size(t) - 1).cast("long") / lit(3L)).cast("int")),
         i => concat_ws(" ", slice(t, i * 3 + 1, lit(3)))))
   }
+
+  /** Registered x45: cross-corpus boilerplate strip — the hot set comes
+    * from the `%2 == 0` at-rest slice and is applied to the `%2 == 1`
+    * arriving slice (the ingestion-edge shape; per-micro-batch streaming
+    * form in [[graft.streaming.StreamingJobs.lineStripStream]]). Same
+    * 3-token spans and df > 3 threshold as x30. */
+  def crossStrip(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    lineStripAgainst(d.filter(col("doc_id") % 2 === 1),
+      hotLinesOf(d.filter(col("doc_id") % 2 === 0), threeTokenSpans, maxDf = 3),
+      threeTokenSpans, sep = " ")
+  }
+
+  private val x45Sql =
+    """WITH ref AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE doc_id % 2 = 0),
+       newt AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents WHERE doc_id % 2 = 1),
+       refsp AS (SELECT doc_id, array_to_string(t[(i*3+1):(i*3+3)], ' ') AS line
+                 FROM ref, unnest(generate_series(0,
+                   CAST(floor((len(t) - 1) / 3) AS BIGINT))) u(i)),
+       hot AS (SELECT line FROM
+                 (SELECT line, count(DISTINCT doc_id) AS df FROM refsp GROUP BY line)
+               WHERE df > 3),
+       spans AS (SELECT doc_id, i AS pos,
+                   array_to_string(t[(i*3+1):(i*3+3)], ' ') AS line
+                 FROM newt, unnest(generate_series(0,
+                   CAST(floor((len(t) - 1) / 3) AS BIGINT))) u(i)),
+       kept AS (SELECT * FROM spans WHERE line NOT IN (SELECT line FROM hot)),
+       cl AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id),
+       nl AS (SELECT doc_id,
+                CAST(coalesce(floor((len(t) - 1) / 3) + 1, 0) AS BIGINT) AS n_lines
+              FROM newt)
+       SELECT nl.doc_id, nl.n_lines,
+              coalesce(cl.n_kept, 0) AS n_kept,
+              nl.n_lines - coalesce(cl.n_kept, 0) AS n_removed,
+              coalesce(cl.clean_text, '') AS clean_text
+       FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
 
   /** Registered x39: first-occurrence strip over the same 3-token spans
     * as x30. */
@@ -1254,6 +1315,7 @@ object Curation {
     QueryDef("x25_curate_pipeline", x25, Some(x25Sql)),
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
     QueryDef("x39_intradoc_dedup", intraDocDedup, Some(x39Sql)),
+    QueryDef("x45_cross_strip", crossStrip, Some(x45Sql)),
     QueryDef("x40_content_chunks", contentChunksQuery, Some(x40Sql)),
     QueryDef("x40b_chunk_dedup", chunkDedup, Some(x40bSql)),
     QueryDef("x31_pii_redact", piiRedact, Some(x31Sql)),

@@ -449,9 +449,12 @@ object TextStats {
       .orderBy("doc_id", "fp_pos")
   }
 
-  private val x42Sql = {
-    val pb = 1L << PosBits
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Shared CTE chain ending in `win(doc_id, pos, mk, m)` — single source
+    * for the x42 and x42b oracles (the fingerprint join must run over
+    * exactly the fingerprints x42 reports). */
+  private val Pb = 1L << PosBits
+  private val winnowCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+3)], ' ') AS sh
               FROM t, unnest(generate_series(0, len(t) - 3)) u(i)
               WHERE len(t) >= 3),
@@ -459,17 +462,60 @@ object TextStats {
                    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
                        list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
                        (a, c) -> (a * 31 + c) % ${HashConstants.HashPrime})
-                     * ${HashConstants.Knuth}) % ${HashConstants.HashPrime}) * $pb
-                     + ($pb - 1 - pos) AS key
+                     * ${HashConstants.Knuth}) % ${HashConstants.HashPrime}) * $Pb
+                     + ($Pb - 1 - pos) AS key
                  FROM sh),
        win AS (SELECT doc_id, pos,
                  min(key) OVER (PARTITION BY doc_id ORDER BY pos
                    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mk,
                  count(*) OVER (PARTITION BY doc_id) AS m
-               FROM keyed)
-       SELECT DISTINCT doc_id, $pb - 1 - (mk % $pb) AS fp_pos, mk // $pb AS fp_hash
+               FROM keyed)"""
+
+  private val x42Sql =
+    s"""WITH $winnowCtes
+       SELECT DISTINCT doc_id, $Pb - 1 - (mk % $Pb) AS fp_pos, mk // $Pb AS fp_hash
        FROM win WHERE pos <= m - $WinnowW ORDER BY doc_id, fp_pos"""
+
+  // --------------------------------------------------------------- x42b
+  /** Fingerprint-join copy detection — what winnowing fingerprints are
+    * FOR (the MOSS workflow): candidate copy pairs are documents sharing
+    * at least `minShared` distinct fingerprint hashes. Because each
+    * fingerprint survives only ~2/(w+1) of shingles, this posting join
+    * runs over a fixed-rate sketch of the corpus, not the full shingle
+    * stream — the cheap first pass before an exact x29-style containment
+    * verify on the few candidates.
+    *
+    * Skew discipline is B28's: fingerprint hashes hot across more than
+    * `maxDf` docs are excluded from pair generation (a hash shared by
+    * half the corpus generates O(n²) pairs and identifies nothing), so
+    * the self-join only probes rare-fingerprint posting lists. */
+  def fingerprintPairs(s: SparkSession, dir: String,
+      minShared: Int = 3, maxDf: Int = 64): DataFrame = {
+    val fps = winnowFingerprints(s, dir)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val dfc = fps.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp_hash")
+    val post = fps.join(dfc, "fp_hash")
+    post.as("a").join(post.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("da", "db")
   }
+
+  private val x42bSql =
+    s"""WITH $winnowCtes,
+       fps AS (SELECT DISTINCT doc_id, mk // $Pb AS fp_hash
+               FROM win WHERE pos <= m - $WinnowW),
+       dfc AS (SELECT fp_hash FROM
+                 (SELECT fp_hash, count(*) AS df FROM fps GROUP BY fp_hash)
+               WHERE df <= 64),
+       post AS (SELECT f.doc_id, f.fp_hash FROM fps f JOIN dfc USING (fp_hash))
+       SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+       FROM post a JOIN post b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+       ORDER BY da, db"""
 
   // ---------------------------------------------------------------- x08
   /** Multimodal column plumbing, metadata side: treat the payload as an
@@ -505,6 +551,7 @@ object TextStats {
     QueryDef("x03_fingerprint", fingerprint, Some(x03Sql)),
     QueryDef("x03b_rolling_hash", nativeFingerprint, Some(x03bSql)),
     QueryDef("x42_winnow_fingerprints", (s, d) => winnowFingerprints(s, d), Some(x42Sql)),
+    QueryDef("x42b_fingerprint_pairs", (s, d) => fingerprintPairs(s, d), Some(x42bSql)),
     QueryDef("x04_token_counts", tokenCounts, Some(x04Sql)),
     QueryDef("x28_unigram_logprob", unigramLogprob, Some(x28Sql)),
     QueryDef("x38_bigram_logprob", bigramLogprob, Some(x38Sql)),

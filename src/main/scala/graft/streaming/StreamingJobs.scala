@@ -115,6 +115,25 @@ object StreamingJobs {
       }
       .start()
 
+  /** x45 streaming: cross-corpus boilerplate strip per micro-batch. The
+    * hot-line set comes from the AT-REST corpus (computed once by the
+    * caller — [[graft.pipeline.Curation.hotLinesOf]], ideally persisted)
+    * and each arriving batch is stripped against it via the proven batch
+    * operator inside foreachBatch. Frequency must come from the corpus,
+    * not the batch: a micro-batch can neither see that a nav bar is
+    * corpus-wide nor avoid false hot lines from one spammy burst.
+    * Batch ≡ stream gated in StreamingSpec. */
+  def lineStripStream(newDocs: DataFrame, hotLines: DataFrame,
+      lines: org.apache.spark.sql.Column, sep: String, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.pipeline.Curation.lineStripAgainst(batch, hotLines, lines, sep), batchId)
+      }
+      .start()
+
   /** x12 streaming: stream-stream interval join. Both sides carry
     * watermarks and the join condition bounds purchase time to
     * [click, click + 2h], so Spark evicts click state once the watermark

@@ -252,6 +252,16 @@ class PlanSpec extends SparkSpec {
       s"reassembly must stay partitioned by doc:\n$p")
   }
 
+  test("x45: cross-corpus strip joins the hot set, no product, no single task") {
+    val p = plan("x45_cross_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"ref-side df aggregation must be partial+final:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"reassembly must stay partitioned by doc:\n$p")
+  }
+
   test("x34: span masking is partial+final aggregation, no corpus product, no single task") {
     val p = plan("x34_span_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

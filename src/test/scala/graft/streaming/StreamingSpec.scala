@@ -178,6 +178,44 @@ class StreamingSpec extends SparkSpec {
       s"colinear 10 and near-copy 13 must drop; near-miss 12 survives: $streamed")
   }
 
+  test("streaming boilerplate strip (foreachBatch) equals the batch strip") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Hot set from a static 5-doc corpus sharing one header line; the
+    // arriving docs are stripped against THAT set — including a batch
+    // where the header appears only once (batch-local df could never
+    // call it hot, the corpus set must).
+    val corpus = (1L to 5L).map(i => Doc(i, s"SHARED HEADER LINE\nbody $i", "en")).toDF()
+    val hot = graft.pipeline.Curation
+      .hotLinesOf(corpus, split(col("text"), "\n"), maxDf = 3)
+      .persist()
+    val arrivals = Seq(
+      Doc(10L, "SHARED HEADER LINE\nfresh content ten", "en"),
+      Doc(11L, "nothing hot here\nat all", "en"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, String)])]
+    val input = MemoryStream[Doc]
+    val dir = java.nio.file.Files.createTempDirectory("linestrip").toString
+    val q = StreamingJobs.lineStripStream(input.toDF(), hot,
+      split(col("text"), "\n"), "\n", dir) { (stripped, batchId) =>
+        out += batchId -> stripped.orderBy("doc_id").collect()
+          .map(r => r.getLong(0) -> r.getString(4)).toSeq
+      }
+    input.addData(arrivals.take(1))
+    q.processAllAvailable()
+    input.addData(arrivals.drop(1))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.sortBy(_._1).flatMap(_._2).toMap
+    assert(streamed(10L) == "fresh content ten",
+      s"corpus-hot header must strip even at batch df = 1: $streamed")
+    assert(streamed(11L) == "nothing hot here\nat all", s"$streamed")
+    val batch = graft.pipeline.Curation
+      .lineStripAgainst(arrivals.toDF(), hot, split(col("text"), "\n"), "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    hot.unpersist()
+  }
+
   test("x12 stream-stream interval join equals the batch attribution join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
