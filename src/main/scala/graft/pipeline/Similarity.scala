@@ -463,7 +463,15 @@ object Similarity {
     * any-pair predicate is unchanged). */
   def incrementalSemanticDedup(batch: DataFrame, corpus: DataFrame,
       threshold: Double): DataFrame = {
+    // BOTH sessions: under foreachBatch the batch frame is bound to the
+    // stream's CLONED session while the at-rest corpus frame is bound to
+    // the main one — and the combined plan analyzes against the session
+    // of the frame the chain is BUILT from (the corpus side here), so
+    // registering only on batch.sparkSession leaves vec_dot/vec_norm2
+    // unresolved on a fresh session (RecoverySpec restart test caught
+    // this; suite-shared sessions had masked it).
     reg(batch.sparkSession)
+    reg(corpus.sparkSession)
     val b = batch.select(col("vec_id"), col("embedding").as("b_emb"),
       sqrt(norm2(col("embedding"))).as("bn"))
     val c = corpus.select(col("embedding").as("c_emb"),

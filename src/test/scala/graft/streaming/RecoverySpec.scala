@@ -15,6 +15,47 @@ class RecoverySpec extends SparkSpec {
   private def ev(id: Long, t: String, user: Long, v: Double) =
     Ev(id, Timestamp.valueOf(t), user, "click", v, "{}")
 
+  test("foreachBatch semantic dedup restarts from checkpoint without losing batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The ingestion-edge tier must pick up exactly where it stopped: a
+    // batch processed before the restart is not replayed (its offsets
+    // are committed), and a batch arriving after resumes the same
+    // decisions — concatenated survivors equal the one-shot batch run.
+    val corpus = Seq(
+      Vec(1L, Array(1.0f, 0.0f, 0.0f)),
+      Vec(2L, Array(0.0f, 1.0f, 0.0f))).toDF()
+    val arrivals = Seq(
+      Vec(10L, Array(3.0f, 0.0f, 0.0f)),  // dup of corpus 1 → dropped
+      Vec(11L, Array(0.0f, 0.0f, 1.0f)),  // fresh → survives
+      Vec(12L, Array(0.0f, 0.2f, 0.0f)),  // dup of corpus 2 → dropped
+      Vec(13L, Array(1.0f, 1.0f, 1.0f)))  // cosine ≈ 0.577 < 0.9 → survives
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val input = MemoryStream[Vec]
+    val ckpt = Files.createTempDirectory("ckpt_sem").toString
+    def start() = StreamingJobs.incrementalSemanticDedupStream(
+      input.toDF(), corpus, 0.9, ckpt) { (survivors, batchId) =>
+        out += batchId -> survivors.orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+      }
+    val q1 = start()
+    input.addData(arrivals.take(2))
+    q1.processAllAvailable()
+    q1.stop()
+    val afterFirst = out.toSeq
+    val q2 = start()
+    input.addData(arrivals.drop(2))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(out.toSeq.take(afterFirst.size) == afterFirst,
+      s"restart must not replay the committed batch: $out")
+    val streamed = out.sortBy(_._1).flatMap(_._2).toSeq
+    val batch = graft.pipeline.Similarity
+      .incrementalSemanticDedup(arrivals.toDF(), corpus, 0.9)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.sorted == batch.sorted && streamed.sorted == Seq(11L, 13L),
+      s"decisions across the restart must equal the one-shot batch: $streamed vs $batch")
+  }
+
   test("windowed agg restarts from checkpoint without loss or double-count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
