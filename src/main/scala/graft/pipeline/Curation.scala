@@ -965,8 +965,13 @@ object Curation {
     contentChunks(docs(s, dir))
 
   /** Shared CTE chain ending in `ch(doc_id, tpos, tok, chunk_id)` —
-    * single source for the x40 AND x40b oracles, so the chunking the
-    * dedup runs over cannot drift from the chunking the manifest shows. */
+    * single source for the x40 AND x40b/x40c oracles, so the chunking the
+    * dedup runs over cannot drift from the chunking the manifest shows.
+    *
+    * Parity caveat (same convention as x03b/x42): the Spark RollingHash
+    * folds UTF-16 code units while this SQL folds `ascii(c)` — identical
+    * on ASCII text only (the synthetic corpus is ASCII; ExpressionsSpec
+    * pins the non-ASCII divergence). */
   private val chunkCtes =
     s"""toks AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
                 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -193,7 +193,13 @@ object Sampling {
     * implies sub-stratum rank ≤ cap, so each of the `subStrata` hash
     * sub-strata forwards at most `cap` rows and the exact window sees
     * ≤ subStrata·cap rows per source regardless of source size). */
-  def sourceCapByQuality(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+  /** The registered x41/x41b cap — ONE constant feeding both the Scala
+    * default parameter and the interpolated oracle SQL, so editing it
+    * cannot desynchronize the query from its oracle. */
+  val DefaultSourceCap = 10
+
+  def sourceCapByQuality(s: SparkSession, dir: String,
+      cap: Int = DefaultSourceCap): DataFrame = {
     val w = Window.partitionBy("source")
       .orderBy(col("quality").desc_nulls_last, col("doc_id"))
     docs(s, dir)
@@ -209,7 +215,7 @@ object Sampling {
     * certainly < cap in its own sub-stratum), then the exact window
     * ranks ≤ subStrata·cap survivors per source. */
   def sourceCapByQualityScalable(s: SparkSession, dir: String,
-      cap: Int = 10, subStrata: Int = 16): DataFrame = {
+      cap: Int = DefaultSourceCap, subStrata: Int = 16): DataFrame = {
     val order = Seq(col("quality").desc_nulls_last, col("doc_id"))
     val base = docs(s, dir)
       .select(col("doc_id"), col("source"), TextStats.qualityColumn.as("quality"))
@@ -297,7 +303,8 @@ object Sampling {
     QueryDef("x22b_source_budget_scalable",
       (s, d) => sourceBudgetSelectScalable(s, d), Some(x22Sql(800L))),
     QueryDef("x23_mixture", mixtureMaterialize, Some(x23Sql)),
-    QueryDef("x41_source_cap", (s, d) => sourceCapByQuality(s, d), Some(x41Sql(10))),
+    QueryDef("x41_source_cap", (s, d) => sourceCapByQuality(s, d),
+      Some(x41Sql(DefaultSourceCap))),
     QueryDef("x41b_source_cap_scalable",
-      (s, d) => sourceCapByQualityScalable(s, d), Some(x41Sql(10))))
+      (s, d) => sourceCapByQualityScalable(s, d), Some(x41Sql(DefaultSourceCap))))
 }

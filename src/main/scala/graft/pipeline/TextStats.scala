@@ -176,6 +176,12 @@ object TextStats {
   // literal 0.3 in only one of them would NOT be the same number. One
   // constant, used verbatim on both sides.
   val BigramLambdaC = 0.3
+  // The two constants are an interpolation: editing one without the other
+  // silently breaks the λ·P2 + (1−λ)·P1 semantics while the mirrored
+  // oracle still matches. Fail object init instead. (Tolerance, not ==:
+  // 0.7 + 0.3 is 0.9999999999999999 in IEEE doubles.)
+  require(math.abs(BigramLambda + BigramLambdaC - 1.0) < 1e-12,
+    s"BigramLambda ($BigramLambda) + BigramLambdaC ($BigramLambdaC) must sum to 1.0")
 
   def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
@@ -432,9 +438,18 @@ object TextStats {
         transform(sequence(lit(0), size(col("t")) - shingleLen),
           i => concat_ws(" ", slice(col("t"), i + 1, lit(shingleLen)))))
         .as(Seq("pos", "sh")))
+      // Positions must fit the PosBits field or the packed key silently
+      // corrupts the min-selection; a doc beyond ~2M shingles fails
+      // LOUDLY (raise_error rides the key expression itself, so column
+      // pruning can never skip the check).
       .withColumn("key",
-        call_function("token_hash", col("sh")) * (1L << PosBits) +
-          (lit((1L << PosBits) - 1) - col("pos")))
+        when(col("pos") < (1L << PosBits),
+          call_function("token_hash", col("sh")) * (1L << PosBits) +
+            (lit((1L << PosBits) - 1) - col("pos")))
+          .otherwise(raise_error(concat(
+            lit(s"winnowing: doc_id="), col("doc_id"),
+            lit(s" has a shingle position >= 2^$PosBits; " +
+              "raise PosBits or pre-split the document")))))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     sh
       .withColumn("mk", min("key").over(byDoc.rowsBetween(0, WinnowW - 1)))
@@ -450,8 +465,14 @@ object TextStats {
   }
 
   /** Shared CTE chain ending in `win(doc_id, pos, mk, m)` — single source
-    * for the x42 and x42b oracles (the fingerprint join must run over
-    * exactly the fingerprints x42 reports). */
+    * for the x42 and x42b/x42c oracles (the fingerprint join must run
+    * over exactly the fingerprints x42 reports).
+    *
+    * Parity caveat (same convention as x03b/x40): the Spark side hashes
+    * UTF-16 code units (`charAt`) while this SQL folds `ascii(c)` per
+    * character — the two agree on ASCII text only (the synthetic corpus
+    * is ASCII; ExpressionsSpec pins the non-ASCII divergence). A
+    * multilingual deployment would hash bytes on both sides. */
   private val Pb = 1L << PosBits
   private val winnowCtes =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

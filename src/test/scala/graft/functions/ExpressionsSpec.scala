@@ -21,6 +21,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(1).isNullAt(0), "null in → null out")
   }
 
+  test("rolling_hash on non-ASCII text folds UTF-16 code units (oracle parity is ASCII-only)") {
+    // 'é' is U+00E9 = 233: the Spark fold is (0*31 + 233) % p = 233, then
+    // 233*31 + 'x'(120). DuckDB's mirrored oracles fold ascii(c), which
+    // returns the CODEPOINT for 'é' too — but for any char above U+FFFF
+    // (surrogate pairs) or combining sequences the two diverge, so the
+    // x03b/x40/x42 oracle-parity contract is pinned to ASCII corpora
+    // (see the chunkCtes/winnowCtes scaladocs). This test pins the Spark
+    // side's definition so a change to byte-level folding is caught.
+    assert(RollingHash.hash("é") == 233L)
+    assert(RollingHash.hash("éx") == 233L * 31 + 120)
+    // A surrogate-pair char (U+1F600) folds as TWO code units — the
+    // documented divergence from any codepoint-based fold.
+    val smiley = new String(Character.toChars(0x1F600))
+    assert(smiley.length == 2)
+    assert(RollingHash.hash(smiley) ==
+      (0xD83D.toLong * 31 + 0xDE00) % 1000000007L)
+  }
+
   test("rolling_hash runs inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // parquet-backed source so the projection isn't constant-folded away
