@@ -510,8 +510,14 @@ object TextStats {
     * `maxDf` docs are excluded from pair generation (a hash shared by
     * half the corpus generates O(n²) pairs and identifies nothing), so
     * the self-join only probes rare-fingerprint posting lists. */
+  /** x42b/x42c candidate-generation constants — single-sourced into the
+    * Scala defaults AND the interpolated oracle SQL (the DefaultSourceCap
+    * convention). */
+  val FpMinShared = 3
+  val FpMaxDf = 64
+
   def fingerprintPairs(s: SparkSession, dir: String,
-      minShared: Int = 3, maxDf: Int = 64): DataFrame = {
+      minShared: Int = FpMinShared, maxDf: Int = FpMaxDf): DataFrame = {
     val fps = winnowFingerprints(s, dir)
       .select(col("doc_id"), col("fp_hash")).distinct()
     val dfc = fps.groupBy("fp_hash").agg(count(lit(1)).as("df"))
@@ -525,17 +531,83 @@ object TextStats {
       .orderBy("da", "db")
   }
 
-  private val x42bSql =
-    s"""WITH $winnowCtes,
+  /** Shared CTE chain extending [[winnowCtes]] to `cpairs(da, db,
+    * n_shared)` — the x42b candidate pairs; single source for the x42b
+    * AND x42c oracles (the exact verify must run over exactly the
+    * candidates the fingerprint join reports). */
+  private val fingerprintPairCtes =
+    s"""$winnowCtes,
        fps AS (SELECT DISTINCT doc_id, mk // $Pb AS fp_hash
                FROM win WHERE pos <= m - $WinnowW),
        dfc AS (SELECT fp_hash FROM
                  (SELECT fp_hash, count(*) AS df FROM fps GROUP BY fp_hash)
-               WHERE df <= 64),
-       post AS (SELECT f.doc_id, f.fp_hash FROM fps f JOIN dfc USING (fp_hash))
-       SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
-       FROM post a JOIN post b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-       GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+               WHERE df <= $FpMaxDf),
+       post AS (SELECT f.doc_id, f.fp_hash FROM fps f JOIN dfc USING (fp_hash)),
+       cpairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+                  FROM post a JOIN post b
+                    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $FpMinShared)"""
+
+  private val x42bSql =
+    s"WITH $fingerprintPairCtes SELECT da, db, n_shared FROM cpairs ORDER BY da, db"
+
+  // --------------------------------------------------------------- x42c
+  /** Confirmed copy-pair manifest — the exact-verify pass that completes
+    * the MOSS workflow (fingerprint join, THEN verify): every x42b
+    * candidate is re-scored on the two docs' FULL distinct token sets
+    * with the native merge-pass kernels ([[graft.functions.SetOverlap]] /
+    * [[graft.functions.SetJaccard]] shape — B28's verify discipline), and
+    * only pairs whose overlap coefficient |A∩B| / min(|A|,|B|) clears
+    * `minContainment` survive. The coefficient is the right score for
+    * COPY detection (x29's argument): a passage lifted from a long doc
+    * into a short one has tiny Jaccard but containment ≈ the copied
+    * fraction of the smaller doc. Candidates with n_shared ≥ 3 whose
+    * shared mass is only scattered common phrases are REJECTED here —
+    * the planted partial-copy fixture in PipelineSpec pins that path.
+    *
+    * Scale shape: the sketch-rate posting join (x42b) prunes the corpus
+    * to candidate pairs first, so the exact verify — two hash joins on
+    * doc_id against the token-set table + one codegen'd merge pass per
+    * pair — touches only candidate docs. Same two-tier economics as
+    * B28/x20: cheap sketch recall, exact precision. Threshold applies to
+    * the 4-decimal rounding (mirror-oracle parity, b28's convention). */
+  val CopyMinContainment = 0.5
+
+  def confirmedCopyPairs(s: SparkSession, dir: String,
+      minShared: Int = FpMinShared, maxDf: Int = FpMaxDf,
+      minContainment: Double = CopyMinContainment): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sets = docs(s, dir).select(col("doc_id"),
+      array_sort(array_distinct(toks)).as("keys"))
+    fingerprintPairs(s, dir, minShared, maxDf)
+      .join(sets.select(col("doc_id").as("da2"), col("keys").as("ka")),
+        col("da") === col("da2"))
+      .join(sets.select(col("doc_id").as("db2"), col("keys").as("kb")),
+        col("db") === col("db2"))
+      .withColumn("shared", call_function("set_overlap", col("ka"), col("kb")))
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(size(col("ka")), size(col("kb"))), 4))
+      .filter(col("containment") >= minContainment)
+      .select(col("da"), col("db"), col("n_shared"), col("containment"),
+        round(col("shared").cast("double") /
+          (size(col("ka")) + size(col("kb")) - col("shared")), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  private val x42cSql =
+    s"""WITH $fingerprintPairCtes,
+       sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS keys
+                FROM documents),
+       v AS (SELECT da, db, n_shared,
+               len(list_intersect(sa.keys, sb.keys)) AS shared,
+               len(sa.keys) AS na, len(sb.keys) AS nb
+             FROM cpairs JOIN sets sa ON da = sa.doc_id
+                         JOIN sets sb ON db = sb.doc_id)
+       SELECT da, db, n_shared,
+              round(CAST(shared AS DOUBLE) / least(na, nb), 4) AS containment,
+              round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
+       FROM v
+       WHERE round(CAST(shared AS DOUBLE) / least(na, nb), 4) >= $CopyMinContainment
        ORDER BY da, db"""
 
   // ---------------------------------------------------------------- x08
@@ -573,6 +645,7 @@ object TextStats {
     QueryDef("x03b_rolling_hash", nativeFingerprint, Some(x03bSql)),
     QueryDef("x42_winnow_fingerprints", (s, d) => winnowFingerprints(s, d), Some(x42Sql)),
     QueryDef("x42b_fingerprint_pairs", (s, d) => fingerprintPairs(s, d), Some(x42bSql)),
+    QueryDef("x42c_confirmed_copies", (s, d) => confirmedCopyPairs(s, d), Some(x42cSql)),
     QueryDef("x04_token_counts", tokenCounts, Some(x04Sql)),
     QueryDef("x28_unigram_logprob", unigramLogprob, Some(x28Sql)),
     QueryDef("x38_bigram_logprob", bigramLogprob, Some(x38Sql)),

@@ -400,6 +400,40 @@ class PipelineSpec extends SparkSpec {
     assert(fps.toSeq == again.toSeq, "fingerprints must be deterministic")
   }
 
+  test("x42c: exact verify confirms true copies and REJECTS scattered-phrase candidates") {
+    import spark.implicits._
+    // Rejected pair: docs 1/2 share THREE distinct 6-token passages
+    // (each >= w+k-1, so each guarantees >= 1 shared fingerprint —
+    // n_shared >= 3 makes the pair an x42b candidate) scattered through
+    // otherwise-disjoint text: 18 shared tokens of 58 distinct =
+    // containment 0.31 < 0.5. Confirmed pair: doc 4 contains doc 3
+    // verbatim (containment 1.0).
+    val p1 = "alpha beta gamma delta epsilon zeta"
+    val p2 = "eta theta iota kappa lambda mu"
+    val p3 = "nu xi omicron pi rho sigma"
+    def uniq(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val docA = s"${uniq("aq", 10)} $p1 ${uniq("bq", 10)} $p2 ${uniq("cq", 10)} $p3 ${uniq("dq", 10)}"
+    val docB = s"${uniq("eq", 10)} $p1 ${uniq("fq", 10)} $p2 ${uniq("gq", 10)} $p3 ${uniq("hq", 10)}"
+    val base = (1 to 24).map(i => s"base$i").mkString(" ")
+    val corpus = Seq(
+      (1L, docA), (2L, docB),
+      (3L, base), (4L, s"$base extraa extrab")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("x42c").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cand = TextStats.fingerprintPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cand.get((1L, 2L)).exists(_ >= 3),
+      s"scattered-phrase pair must be an x42b candidate (the verify, not " +
+        s"candidate generation, must do the rejecting): $cand")
+    assert(cand.contains((3L, 4L)), s"true copy pair must be a candidate: $cand")
+    val confirmed = TextStats.confirmedCopyPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(!confirmed.contains((1L, 2L)),
+      s"candidate with containment < 0.5 must be rejected by the exact verify: $confirmed")
+    assert(confirmed.get((3L, 4L)).contains(1.0),
+      s"full containment copy must be confirmed at 1.0: $confirmed")
+  }
+
   test("chunk dedup surfaces a passage repeated across docs at chunk granularity") {
     import spark.implicits._
     // A passage long enough to contain a boundary token repeats in three
