@@ -935,7 +935,16 @@ object Curation {
     * x30/x34's reassembly. */
   val BoundaryMod = 8
 
-  def contentChunks(base: DataFrame): DataFrame = {
+  def contentChunks(base: DataFrame): DataFrame =
+    contentChunksUnordered(base).orderBy("doc_id", "chunk_id")
+
+  /** [[contentChunks]] without the presentation sort — the form the
+    * chunk-dedup consumers (x40b/x40c) aggregate over: their own
+    * cross-doc aggregation neither needs nor preserves the (doc, chunk)
+    * order, and inheriting the global orderBy would put a wasted
+    * range-exchange (carrying full chunk text as payload) in front of
+    * the dedup shuffle. */
+  def contentChunksUnordered(base: DataFrame): DataFrame = {
     // The native codegen'd RollingHash expression IS the x03b polynomial
     // (ExpressionsSpec pins it char-for-char against the DuckDB
     // list_reduce) — reusing it avoids Spark/DuckDB disagreement over
@@ -953,7 +962,6 @@ object Curation {
       .agg(count(lit(1)).as("n_tok"), min("tpos").as("start_pos"),
         array_join(transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
           x => x.getField("tok")), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Registered x40. A boundary token STARTS a new chunk (chunk id =
@@ -1013,7 +1021,7 @@ object Curation {
     * production deployment would key on `rolling_hash(chunk_text)` to
     * shrink the shuffle. */
   def chunkDedup(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = contentChunks(docs(s, dir))
+    val perDoc = contentChunksUnordered(docs(s, dir))
       .groupBy("chunk_text", "doc_id").agg(count(lit(1)).as("c"))
     perDoc.groupBy("chunk_text")
       .agg(sum("c").as("n_copies"), count(lit(1)).as("n_docs"),
@@ -1033,6 +1041,54 @@ object Curation {
               count(*) AS n_docs, min(doc_id) AS first_doc
        FROM perdoc GROUP BY chunk_text HAVING sum(c) > 1
        ORDER BY chunk_text"""
+
+  // --------------------------------------------------------------- x40c
+  /** x40b keyed on the chunk HASH instead of the chunk text — the
+    * production form x40b's own scaladoc names: the cross-doc dedup
+    * aggregation is the corpus-wide shuffle, and keying it on the 8-byte
+    * `rolling_hash(chunk_text)` instead of the ~chunk-sized string
+    * shrinks that exchange by the mean chunk length (~BoundaryMod tokens
+    * of text down to one long). The chunk assembly itself is unchanged —
+    * chunks are still built doc-locally by [[contentChunks]] — only the
+    * dedup keys change; PlanSpec gates that the cross-doc exchanges
+    * carry `chunk_hash`, never `chunk_text`.
+    *
+    * The polynomial hash is the oracle-parity choice (bit-exact in
+    * DuckDB, already certified by x03b), not a production digest: at
+    * corpus scale a 1e9+7-modulus key expects ~n²/2e9 false merges, so
+    * a deployment would swap in a 128-bit digest (two independent
+    * polynomial moduli, or sha2 truncated) — same plan, wider key.
+    * CurationSpec pins x40c ≡ x40b re-keyed. */
+  def chunkDedupByHash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val perDoc = contentChunksUnordered(docs(s, dir))
+      .select(col("doc_id"),
+        call_function("rolling_hash", col("chunk_text")).as("chunk_hash"))
+      .groupBy("chunk_hash", "doc_id").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("chunk_hash")
+      .agg(sum("c").as("n_copies"), count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy("chunk_hash")
+  }
+
+  private val x40cSql =
+    s"""WITH $chunkCtes,
+       chunks AS (SELECT doc_id, chunk_id,
+                    string_agg(tok, ' ' ORDER BY tpos) AS chunk_text
+                  FROM ch GROUP BY doc_id, chunk_id),
+       hashed AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(chunk_text, ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (a, c) -> (a * 31 + c) % ${HashConstants.HashPrime})
+                    AS chunk_hash
+                  FROM chunks),
+       perdoc AS (SELECT chunk_hash, doc_id, count(*) AS c
+                  FROM hashed GROUP BY chunk_hash, doc_id)
+       SELECT chunk_hash, CAST(sum(c) AS BIGINT) AS n_copies,
+              count(*) AS n_docs, min(doc_id) AS first_doc
+       FROM perdoc GROUP BY chunk_hash HAVING sum(c) > 1
+       ORDER BY chunk_hash"""
 
   // ---------------------------------------------------------------- x34
   /** Repeated-span masking — substring-granular dedup in the "Deduplicating
@@ -1323,6 +1379,7 @@ object Curation {
     QueryDef("x45_cross_strip", crossStrip, Some(x45Sql)),
     QueryDef("x40_content_chunks", contentChunksQuery, Some(x40Sql)),
     QueryDef("x40b_chunk_dedup", chunkDedup, Some(x40bSql)),
+    QueryDef("x40c_chunk_dedup_hash", chunkDedupByHash, Some(x40cSql)),
     QueryDef("x31_pii_redact", piiRedact, Some(x31Sql)),
     QueryDef("x34_span_dedup", spanDedup, Some(x34Sql)),
     QueryDef("x34b_span_dedup_minrun", spanDedupMinRun, Some(x34bSql)),

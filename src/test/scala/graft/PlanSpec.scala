@@ -326,6 +326,21 @@ class PlanSpec extends SparkSpec {
       s"per-(chunk,doc) and per-chunk roll-ups must be map-side combinable:\n$p")
   }
 
+  test("x40c: chunk-hash dedup shuffles carry the 8-byte hash, never chunk text") {
+    val p = plan("x40c_chunk_dedup_hash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product:\n$p")
+    assert(p.contains("hashpartitioning(chunk_hash"),
+      s"the cross-doc dedup exchange must key on the hash:\n$p")
+    assert(!p.contains("hashpartitioning(chunk_text"),
+      s"no exchange may key on the chunk text:\n$p")
+    // The only text-bearing exchange is the doc-local chunk assembly
+    // (window on doc_id); after hashing, chunk_text must not survive
+    // into any later exchange even as payload.
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"per-(hash,doc) and per-hash roll-ups must be map-side combinable:\n$p")
+  }
+
   test("x34b: run-length windows shuffle on doc_id only, no corpus product, no single task") {
     val p = plan("x34b_span_dedup_minrun")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -462,6 +462,14 @@ class PipelineSpec extends SparkSpec {
       s"the passage-interior chunk must be flagged as duplicated: $out")
     assert(out(interior) == ((3L, 3L, 1L)),
       s"3 copies in 3 docs, first doc 1: ${out(interior)}")
+    // x40c is x40b re-keyed on rolling_hash(chunk_text): same manifest
+    // under the hash of each duplicated chunk (no collisions here, so
+    // the mapping is a bijection).
+    val byHash = Curation.chunkDedupByHash(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byHash == out.map { case (t, v) =>
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L) -> v },
+      s"hash-keyed manifest must be x40b re-keyed: $byHash vs $out")
   }
 
   test("PII redaction replaces URL/email/digit spans, URL-first order absorbs nested PII") {
