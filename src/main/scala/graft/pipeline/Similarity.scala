@@ -147,9 +147,14 @@ object Similarity {
     * a single-file local read does not serialize the projection work — at
     * deployment scale the scan is already many-partition and the
     * repartition collapses into the existing distribution. */
-  private def bucketed(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings")
-      .repartition(col("vec_id"))
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    bucketedOf(Tables.t(s, dir, "embeddings"))
+
+  /** (vec_id, band, bucket) of an arbitrary (vec_id, embedding) frame —
+    * the library form behind [[bucketed]] and the x36b bucketed
+    * incremental tier (which buckets a BATCH frame, not the table). */
+  private[pipeline] def bucketedOf(emb: DataFrame): DataFrame = {
+    val e = emb.repartition(col("vec_id"))
     // One row per (vector, dimension); the PLANE axis stays columnar — the
     // plane index is static per expression, so each projection is a plain
     // conditional sum and all NPlanes of them ride ONE aggregation (no
@@ -448,8 +453,11 @@ object Similarity {
     * the true cross-corpus pairs at the dup threshold (0.4) — random-
     * hyperplane band recall only approaches 1 near cosine ≈ 1, and this
     * corpus has no such regime — so a bucketed candidate tier here would
-    * silently admit most duplicates. (At real SemDeDup cuts of ~0.95+
-    * the buckets become a sound pre-filter; swap them in then.)
+    * silently admit most duplicates. At real SemDeDup cuts of ~0.95+ the
+    * buckets ARE a sound pre-filter — that tier is
+    * [[incrementalSemanticDedupBucketed]] (x36b, oracle-certified), and
+    * [[incrementalSemanticDedupAuto]] dispatches between the two by
+    * threshold.
     *
     * The exact plan is the x35 argument transposed: at an ingestion edge
     * the BATCH side is corpus-tiny (a micro-batch vs the accumulated
@@ -501,6 +509,116 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ------------------------------ bucketed incremental dedup (x36b)
+  /** The 100 TB tier of [[incrementalSemanticDedup]]: candidate
+    * pre-filtering by the x09 LSH buckets, exact cosine verify on the
+    * candidates only. The at-rest corpus's (vec_id, band, bucket) rows
+    * are a per-vector, append-only projection — computed once at ingest
+    * and maintained incrementally — so each micro-batch costs bucket
+    * projection of ΔN vectors + one equi-join on (band, bucket) + exact
+    * verify on the collisions. The corpus is NEVER rescanned per batch —
+    * this is the swap-in x36's scaladoc promises, registered and
+    * oracle-certified as x36b.
+    *
+    * When is the pre-filter lossless? Identical re-encodings — the pairs
+    * that exist at production SemDeDup cuts on this corpus (measured:
+    * max non-identical cross-slice cosine is 0.49 at sf0.01, so the
+    * ≥ [[SemanticBucketMinThreshold]] regime is exactly replayed /
+    * re-encoded vectors) — land in identical buckets DETERMINISTICALLY:
+    * the bucket id is pure integer arithmetic over the quantized
+    * coordinates, so equal arrays give equal ids, recall 1 by
+    * construction. The x36b oracle is brute force at the same threshold,
+    * certifying end-to-end that the buckets lose nothing THERE. For a
+    * corpus with a diffuse high-cosine tail of NON-identical pairs,
+    * random-hyperplane recall is 1−(1−p^bits)^bands with p = 1−θ/π
+    * (≈ 0.33 at cosine 0.95 with 2×16) — scale `LshBands` (cost is
+    * linear in bands) or multi-probe before trusting the pre-filter
+    * below ≈ 0.99. */
+  def incrementalSemanticDedupBucketed(batch: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    // Both sessions, same reasoning as incrementalSemanticDedup.
+    reg(batch.sparkSession)
+    reg(corpus.sparkSession)
+    val cand = bucketedOf(batch.select(col("vec_id"), col("embedding"))).as("b")
+      .join(bucketedOf(corpus.select(col("vec_id"), col("embedding"))).as("c"),
+        col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+      .select(col("b.vec_id").as("bv"), col("c.vec_id").as("cv"))
+      .distinct()
+    val be = batch.select(col("vec_id").as("bv"), col("embedding").as("b_emb"),
+      sqrt(norm2(col("embedding"))).as("bn"))
+    val ce = corpus.select(col("vec_id").as("cv"), col("embedding").as("c_emb"),
+      sqrt(norm2(col("embedding"))).as("cn"))
+    val dup = cand.join(be, "bv").join(ce, "cv")
+      .select(col("bv"),
+        round(dot(col("b_emb"), col("c_emb")) / (col("bn") * col("cn")), 4).as("cos"))
+      .groupBy("bv")
+      .agg(max("cos").as("max_bucket_cosine"))
+      .filter(col("max_bucket_cosine") >= threshold)
+      .select(col("bv").as("vec_id"))
+    batch.join(dup, Seq("vec_id"), "left_anti")
+  }
+
+  /** Threshold at/above which the bucketed tier is the sound default and
+    * below which only the exact tier is honest on this corpus — the
+    * embedding-side analogue of [[Dedup.PrefixFilterMinThreshold]]'s
+    * dispatch: x09's 2×16 buckets miss 75–96% of true pairs at cosine
+    * 0.4 (the x36 measurement), while the ≥ 0.9 regime is re-encodings
+    * that bucket-collide deterministically. */
+  val SemanticBucketMinThreshold = 0.9
+
+  /** Threshold-dispatched incremental semantic dedup ([[Dedup.nearDupPairsOn]]'s
+    * convention): bucketed pre-filter at production cuts, exact
+    * broadcast scan below them. */
+  def incrementalSemanticDedupAuto(batch: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame =
+    if (threshold >= SemanticBucketMinThreshold)
+      incrementalSemanticDedupBucketed(batch, corpus, threshold)
+    else incrementalSemanticDedup(batch, corpus, threshold)
+
+  /** Registered x36b: a re-ingestion batch — the `%5 == 2` slice arrives
+    * as genuinely new vectors (measured max cosine vs the corpus: 0.49,
+    * all admitted) together with REPLAYED copies of the corpus's
+    * `%7 == 0` vectors under fresh ids (the at-least-once re-delivery
+    * every ingestion edge sees; all 57 dropped at cosine 1.0). Threshold
+    * 0.95, the SemDeDup production regime. The oracle is brute-force
+    * cross cosine — a bucket-recall miss would admit a replay and fail
+    * the hash compare. */
+  val X36bThreshold = 0.95
+  private val X36bReplayOffset = 10000000L
+
+  private def x36b(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.t(s, dir, "embeddings")
+    val fresh = emb.filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"), col("embedding"))
+    val replayed = emb.filter(col("vec_id") % 5 =!= 2 && col("vec_id") % 7 === 0)
+      .select((col("vec_id") + X36bReplayOffset).as("vec_id"), col("embedding"))
+    incrementalSemanticDedupBucketed(
+      fresh.union(replayed),
+      emb.filter(col("vec_id") % 5 =!= 2), X36bThreshold)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  private val x36bSql =
+    s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 2
+              UNION ALL
+              SELECT vec_id + $X36bReplayOffset, embedding FROM embeddings
+              WHERE vec_id % 5 <> 2 AND vec_id % 7 = 0),
+       c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+             WHERE vec_id % 5 <> 2),
+       pz AS (SELECT b.vec_id, c.cid, unnest(b.embedding) AS x, unnest(c.ce) AS y
+              FROM b CROSS JOIN c),
+       sc AS (SELECT vec_id, cid,
+                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nb,
+                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nc
+              FROM pz GROUP BY vec_id, cid),
+       dup AS (SELECT DISTINCT vec_id FROM sc
+               WHERE round(dot / (sqrt(nb) * sqrt(nc)), 4) >= $X36bThreshold)
+       SELECT vec_id FROM b
+       WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+       ORDER BY vec_id"""
+
   private val x36Sql =
     """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1),
        c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 3 <> 1),
@@ -539,5 +657,6 @@ object Similarity {
     QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)),
     QueryDef("x35_semantic_decon", x35, Some(x35Sql)),
     QueryDef("x36_incremental_semantic_dedup", x36, Some(x36Sql)),
+    QueryDef("x36b_incremental_semantic_bucketed", x36b, Some(x36bSql)),
     QueryDef("x43_semantic_keep_best", (s, d) => semanticDedupKeepBest(s, d), Some(x43Sql)))
 }

@@ -602,6 +602,50 @@ class PipelineSpec extends SparkSpec {
     assert(out(12L) == ((1.0, true)), s"scaled copy of e1 must flag: $out")
   }
 
+  test("x36b: bucketed tier drops replays/re-encodings, admits fresh vectors, agrees with exact tier") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.2f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.3f)),
+      (2L, Array(0.4f, 0.4f, 1.0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Array(1.0f, 0.2f, 0.0f)), // exact replay of 0: buckets collide bit-exactly
+      (101L, Array(0.0f, 2.0f, 0.6f)), // re-encoding (2x scale) of 1: cosine 1.0
+      (102L, Array(-1.0f, 0.5f, 0.0f))) // genuinely new
+      .toDF("vec_id", "embedding")
+    val out = Similarity.incrementalSemanticDedupBucketed(batch, corpus, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(102L),
+      s"replay and re-encoding must drop, the fresh vector must survive: $out")
+    val exact = Similarity.incrementalSemanticDedup(batch, corpus, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == out, s"bucketed tier must agree with the exact tier: $exact vs $out")
+    // Dispatch: production cut -> bucketed plan (no corpus-wide
+    // BroadcastNestedLoopJoin); below the sound regime -> the exact scan.
+    val autoHi = Similarity.incrementalSemanticDedupAuto(batch, corpus, 0.95)
+    assert(!autoHi.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "at >= 0.9 the dispatcher must take the bucketed equi-join tier")
+    val autoLo = Similarity.incrementalSemanticDedupAuto(batch, corpus, 0.4)
+    assert(autoLo.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "below 0.9 the dispatcher must take the exact broadcast scan")
+    // Cross-validation on the real corpus at the registered slices: the
+    // bucketed decision equals the exact decision at 0.95 (losslessness
+    // the x36b oracle certifies at sf0.01; pinned here at sf0.001 too).
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+    val fresh = emb.filter(col("vec_id") % 5 === 2).select(col("vec_id"), col("embedding"))
+    val replayed = emb.filter(col("vec_id") % 5 =!= 2 && col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    val b = fresh.union(replayed)
+    val c = emb.filter(col("vec_id") % 5 =!= 2)
+    val bucketIds = Similarity.incrementalSemanticDedupBucketed(b, c, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    val exactIds = Similarity.incrementalSemanticDedup(b, c, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(bucketIds == exactIds, "bucketed must be lossless at 0.95 on the corpus")
+    assert(bucketIds.nonEmpty && bucketIds.forall(_ < 10000000L),
+      s"every replay must be dropped, fresh vectors admitted: ${bucketIds.size}")
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactDedup _
     import spark.implicits._
