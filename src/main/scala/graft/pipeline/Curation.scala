@@ -1170,62 +1170,62 @@ object Curation {
   def spanDedupMinRun(s: SparkSession, dir: String): DataFrame =
     spanDedupOn(docs(s, dir), shingleLen = 3, maxDf = 3, minRun = 5)
 
-  private val x34Sql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       toks AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
-                FROM t, unnest(generate_series(1, len(t))) u(i)),
-       sh AS (SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+3)], ' ') AS sh
-              FROM t, unnest(generate_series(0, len(t) - 3)) u(i)
+  /** The x34/x34b strip as a reusable oracle CTE chain over `src`
+    * (a docs-shaped relation with doc_id, text): shingle length is the
+    * family's fixed 3; `maxDf`/`minRun` mirror [[spanDedupOn]]'s
+    * parameters (minRun ≤ 1 skips the gaps-and-islands run filter, the
+    * x34 form). Every CTE name is prefixed with `p` so the chain can be
+    * embedded beside other consumers in one WITH clause; it ends in
+    * `{p}out(doc_id, n_tokens, n_masked, clean_text)`. Single source for
+    * x34Sql, x34bSql AND the x46 pipeline oracle, so the composed strip
+    * cannot drift from the standalone ones. */
+  private def spanStripCtes(p: String, src: String, maxDf: Int, minRun: Int): String = {
+    val maskSrc = if (minRun <= 1) s"${p}covered" else s"${p}masked"
+    val runCtes =
+      if (minRun <= 1) ""
+      else s""",
+       ${p}runs AS (SELECT doc_id, tpos,
+                  tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS isl
+                FROM ${p}covered),
+       ${p}masked AS (SELECT doc_id, tpos FROM
+                    (SELECT doc_id, tpos,
+                       count(*) OVER (PARTITION BY doc_id, isl) AS run_len FROM ${p}runs)
+                  WHERE run_len >= $minRun)"""
+    s"""${p}t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       ${p}toks AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+                FROM ${p}t, unnest(generate_series(1, len(t))) u(i)),
+       ${p}sh AS (SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+3)], ' ') AS sh
+              FROM ${p}t, unnest(generate_series(0, len(t) - 3)) u(i)
               WHERE len(t) >= 3),
-       hot AS (SELECT sh FROM
-                 (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh)
-               WHERE df > 3),
-       covered AS (SELECT DISTINCT doc_id, pos + o AS tpos
-                   FROM sh JOIN hot USING (sh), unnest(generate_series(0, 2)) v(o)),
-       kept AS (SELECT k.doc_id, k.tpos, k.tok FROM toks k
-                LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.tpos = c.tpos
+       ${p}hot AS (SELECT sh FROM
+                 (SELECT sh, count(DISTINCT doc_id) AS df FROM ${p}sh GROUP BY sh)
+               WHERE df > $maxDf),
+       ${p}covered AS (SELECT DISTINCT doc_id, pos + o AS tpos
+                   FROM ${p}sh JOIN ${p}hot USING (sh),
+                        unnest(generate_series(0, 2)) v(o))$runCtes,
+       ${p}kept AS (SELECT k.doc_id, k.tpos, k.tok FROM ${p}toks k
+                LEFT JOIN $maskSrc c ON k.doc_id = c.doc_id AND k.tpos = c.tpos
                 WHERE c.doc_id IS NULL),
-       cl AS (SELECT doc_id, count(*) AS n_kept,
+       ${p}cl AS (SELECT doc_id, count(*) AS n_kept,
                 string_agg(tok, ' ' ORDER BY tpos) AS clean_text
-              FROM kept GROUP BY doc_id),
-       nt AS (SELECT doc_id, CAST(coalesce(len(t), 0) AS BIGINT) AS n_tokens FROM t)
-       SELECT nt.doc_id, nt.n_tokens,
-              nt.n_tokens - coalesce(cl.n_kept, 0) AS n_masked,
-              coalesce(cl.clean_text, '') AS clean_text
-       FROM nt LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
+              FROM ${p}kept GROUP BY doc_id),
+       ${p}nt AS (SELECT doc_id, CAST(coalesce(len(t), 0) AS BIGINT) AS n_tokens
+              FROM ${p}t),
+       ${p}out AS (SELECT ${p}nt.doc_id, ${p}nt.n_tokens,
+                ${p}nt.n_tokens - coalesce(${p}cl.n_kept, 0) AS n_masked,
+                coalesce(${p}cl.clean_text, '') AS clean_text
+              FROM ${p}nt LEFT JOIN ${p}cl USING (doc_id))"""
+  }
+
+  private val x34Sql =
+    s"""WITH ${spanStripCtes("", "documents", maxDf = 3, minRun = 1)}
+       SELECT doc_id, n_tokens, n_masked, clean_text FROM out ORDER BY doc_id"""
 
   /** x34b oracle — x34's CTE chain with the gaps-and-islands run filter
     * between `covered` and `kept` (same window trick as the Spark side). */
   private val x34bSql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       toks AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
-                FROM t, unnest(generate_series(1, len(t))) u(i)),
-       sh AS (SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+3)], ' ') AS sh
-              FROM t, unnest(generate_series(0, len(t) - 3)) u(i)
-              WHERE len(t) >= 3),
-       hot AS (SELECT sh FROM
-                 (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh)
-               WHERE df > 3),
-       covered AS (SELECT DISTINCT doc_id, pos + o AS tpos
-                   FROM sh JOIN hot USING (sh), unnest(generate_series(0, 2)) v(o)),
-       runs AS (SELECT doc_id, tpos,
-                  tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS isl
-                FROM covered),
-       masked AS (SELECT doc_id, tpos FROM
-                    (SELECT doc_id, tpos,
-                       count(*) OVER (PARTITION BY doc_id, isl) AS run_len FROM runs)
-                  WHERE run_len >= 5),
-       kept AS (SELECT k.doc_id, k.tpos, k.tok FROM toks k
-                LEFT JOIN masked c ON k.doc_id = c.doc_id AND k.tpos = c.tpos
-                WHERE c.doc_id IS NULL),
-       cl AS (SELECT doc_id, count(*) AS n_kept,
-                string_agg(tok, ' ' ORDER BY tpos) AS clean_text
-              FROM kept GROUP BY doc_id),
-       nt AS (SELECT doc_id, CAST(coalesce(len(t), 0) AS BIGINT) AS n_tokens FROM t)
-       SELECT nt.doc_id, nt.n_tokens,
-              nt.n_tokens - coalesce(cl.n_kept, 0) AS n_masked,
-              coalesce(cl.clean_text, '') AS clean_text
-       FROM nt LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
+    s"""WITH ${spanStripCtes("", "documents", maxDf = 3, minRun = 5)}
+       SELECT doc_id, n_tokens, n_masked, clean_text FROM out ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- x25
   /** The composed curation pipeline — the end-to-end recipe a training-
@@ -1359,6 +1359,207 @@ object Curation {
        ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- x46
+  /** Curation v2 — the full multi-tier chain a training-data team
+    * actually runs, composing the round-6 operators x25's chain does not
+    * exercise:
+    *
+    *  1. cleanliness gate ([[graft.streaming.IngestGate.cleanCond]]:
+    *     quality floor + PII; sampling is a mixture decision and stays
+    *     with x21/x25) — map-only;
+    *  2. exact dedup (B27: keep min doc_id per sha256) — one uniform
+    *     hash shuffle;
+    *  3. lexical near-dup with keep-BEST survivors (x20 lossless prefix
+    *     pairs at `nearDupThreshold` → x16 components → x37 selection by
+    *     the x01 quality column);
+    *  4. sub-document strip over the survivors (x34b minimum-run
+    *     masking: shingleLen 3, `stripMaxDf`, `stripMinRun`) — every doc
+    *     keeps an audit row (n_tokens, n_masked) and its clean text;
+    *  5. semantic dedup keep-best (x43 shape: x09 LSH-bucketed pairs at
+    *     `semThreshold` restricted to the still-alive ids → components →
+    *     keep-best by quality);
+    *  6. decontamination of the CLEAN text against `evalDocs` (x17
+    *     n-gram overlap) AND of the embeddings against `evalVecs` (x35
+    *     max-cosine ≥ `deconSemThreshold`) — the two tiers catch
+    *     disjoint leakage shapes.
+    *
+    * Stage parameters are measured, not defaulted: on the post-dedup
+    * corpus the x34b registration's df > 3 hot set is empty (dedup
+    * already removed the mass that made shingles hot corpus-wide), so
+    * the strip tier uses df > 1 — a shingle shared by ≥ 2 DISTINCT
+    * surviving docs is cross-doc repeated content; and the semantic tier
+    * uses x09's registered 0.3 cut (the corpus's related-pair regime —
+    * at x43's 0.45 the survivor subgraph is empty at every test scale).
+    *
+    * Docs without an embedding row pass the semantic tiers untouched
+    * (they can join no pair and no eval vector) — at sf0.1 the corpus
+    * has 5,000 docs and 2,000 vectors, which is also the production
+    * reality (embeddings lag ingestion).
+    *
+    * Two eager localCheckpoints bound re-execution: the gated+deduped
+    * frame feeds three consumers (pair generation, keep-best labelling,
+    * survivor join) and the stripped frame four (semantic pairs,
+    * keep-best, two decon tiers, final projection); each checkpoint also
+    * unpins its propagation loop's lineage. Output is the curated-corpus
+    * manifest — clean text, strip audit, quality — ordered, oracle-exact
+    * (the hash compare certifies the cleaned TEXT, not just the ids).
+    *
+    * The oracle composes the SAME single-sourced fragments the stage
+    * oracles use (cleanCondSql, brute-force Jaccard ≥ t as in x20/x25 —
+    * certifying the prefix filter's losslessness inside the composition
+    * — [[spanStripCtes]], [[Similarity.x09PairCtes]], x17/x35 shapes),
+    * so a hash match certifies the COMPOSITION end-to-end.
+    *
+    * Idempotence is qualified, unlike x25's: the strip tier REWRITES
+    * text and quality is a function of the text, so re-ingesting the
+    * curated output re-gates the rewritten docs (a doc whose masked run
+    * carried its stopword mass can fall below the floor). CurationSpec
+    * pins the exact fixpoint: a second pass differs ONLY by that
+    * re-gate set, masks nothing new, and a third pass is the identity. */
+  def curateV2(docsIn: DataFrame, evalDocs: DataFrame,
+      emb: DataFrame, evalVecs: DataFrame,
+      nearDupThreshold: Double = 0.8, semThreshold: Double = 0.3,
+      deconSemThreshold: Double = 0.3, shingleLen: Int = 3,
+      stripMaxDf: Int = 1, stripMinRun: Int = 5): DataFrame = {
+    val quality = TextStats.qualityColumn
+    // 1 + 2: cleanliness gate, then exact dedup.
+    val admitted = docsIn.filter(graft.streaming.IngestGate.cleanCond)
+    val keepIds = admitted.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val ded = admitted.join(keepIds, "doc_id")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        quality.as("quality"))
+      .localCheckpoint(true)
+    // 3: lexical near-dup, keep the best doc of each cluster.
+    val lexPairs = Dedup.jaccardPairsPrefixOn(ded, nearDupThreshold)
+      .select(col("da"), col("db"))
+    val lexKeep = dedupClustersKeepBy(
+      ded.select(col("doc_id"), col("quality")), lexPairs, col("quality"))
+      .filter(col("keep")).select("doc_id")
+    val lexSurv = ded.join(lexKeep, Seq("doc_id"))
+    // 4: x34b strip over the survivors.
+    val stripped = lexSurv
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+      .join(spanDedupOn(lexSurv, shingleLen, stripMaxDf, stripMinRun),
+        Seq("doc_id"))
+      .localCheckpoint(true)
+    // 5: semantic dedup keep-best among the still-alive ids.
+    val ids = stripped.select("doc_id")
+    val semPairs = Similarity.embeddingNearDupsLshOn(emb, semThreshold)
+      .join(ids.withColumnRenamed("doc_id", "va"), Seq("va"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "vb"), Seq("vb"), "left_semi")
+      .select(col("va").as("da"), col("vb").as("db"))
+    val semKeep = dedupClustersKeepBy(
+      stripped.select(col("doc_id"), col("quality")), semPairs, col("quality"))
+      .filter(col("keep")).select("doc_id")
+    val semSurv = stripped.join(semKeep, Seq("doc_id"))
+    // 6: n-gram decon on the CLEAN text + semantic decon on embeddings.
+    val contam = contaminationCounts(
+      semSurv.select(col("doc_id"), col("clean_text").as("text")),
+      evalDocs, shingleLen).select("doc_id")
+    val semContam = Similarity.semanticDecon(
+      semSurv.select(col("doc_id").as("vec_id")).join(emb, "vec_id"),
+      evalVecs, deconSemThreshold)
+      .filter(col("contaminated"))
+      .select(col("vec_id").as("doc_id"))
+    semSurv
+      .join(contam, Seq("doc_id"), "left_anti")
+      .join(semContam, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "quality", "n_tokens", "n_masked",
+        "clean_text")
+      .orderBy("doc_id")
+  }
+
+  /** Registered x46: the x25 slice convention — `%97 == 0` docs AND
+    * vectors are the held-out eval side, everything else is the corpus. */
+  private def x46(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val emb = Tables.t(s, dir, "embeddings")
+    curateV2(d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      emb, emb.filter(col("vec_id") % 97 === 0))
+  }
+
+  private val x46Sql = {
+    import graft.streaming.IngestGate
+    s"""WITH RECURSIVE
+       rawbase AS (SELECT doc_id, text, lang, source FROM documents
+                   WHERE doc_id % 97 <> 0),
+       ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       adm AS MATERIALIZED (SELECT * FROM rawbase WHERE ${IngestGate.cleanCondSql}),
+       keep AS (SELECT min(doc_id) AS doc_id FROM adm GROUP BY sha256(text)),
+       ded AS MATERIALIZED (SELECT a.*, ${TextStats.qualitySqlExpr} AS quality
+                            FROM adm a JOIN keep USING (doc_id)),
+       lsets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS keys
+                 FROM ded),
+       lprs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM lsets a JOIN lsets b
+                ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.keys, b.keys)) AS DOUBLE) /
+                      (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys)))
+                      >= 0.8),
+       ledges AS (SELECT da AS src, db AS dst FROM lprs
+                  UNION ALL SELECT db, da FROM lprs),
+       lreach AS (SELECT DISTINCT src AS node, src AS lbl FROM ledges
+                  UNION
+                  SELECT e.dst, r.lbl FROM lreach r JOIN ledges e ON r.node = e.src),
+       lcc AS (SELECT node, min(lbl) AS cid FROM lreach GROUP BY node),
+       llab AS (SELECT d.doc_id, d.quality, coalesce(lcc.cid, d.doc_id) AS cluster_id
+                FROM ded d LEFT JOIN lcc ON d.doc_id = lcc.node),
+       lsurv AS MATERIALIZED (SELECT doc_id FROM
+                   (SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY quality DESC NULLS LAST, doc_id) AS rn FROM llab)
+                 WHERE rn = 1),
+       sdocs AS MATERIALIZED (SELECT d.* FROM ded d JOIN lsurv USING (doc_id)),
+       ${spanStripCtes("s", "sdocs", maxDf = 1, minRun = 5)},
+       stripped AS MATERIALIZED (
+         SELECT d.doc_id, d.lang, d.source, d.quality,
+                o.n_tokens, o.n_masked, o.clean_text
+         FROM sdocs d JOIN sout o USING (doc_id)),
+       ${Similarity.x09PairCtes(0.3,
+      """AND a.vec_id IN (SELECT doc_id FROM stripped)
+         AND b.vec_id IN (SELECT doc_id FROM stripped)""")},
+       sedges AS (SELECT va AS src, vb AS dst FROM pairs
+                  UNION ALL SELECT vb, va FROM pairs),
+       sreach AS (SELECT DISTINCT src AS node, src AS lbl FROM sedges
+                  UNION
+                  SELECT e.dst, r.lbl FROM sreach r JOIN sedges e ON r.node = e.src),
+       semcc AS (SELECT node, min(lbl) AS cid FROM sreach GROUP BY node),
+       semlab AS (SELECT t.doc_id, t.quality, coalesce(semcc.cid, t.doc_id) AS cluster_id
+                  FROM stripped t LEFT JOIN semcc ON t.doc_id = semcc.node),
+       semsurv AS (SELECT doc_id FROM
+                     (SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY quality DESC NULLS LAST, doc_id) AS rn FROM semlab)
+                   WHERE rn = 1),
+       semdocs AS MATERIALIZED (SELECT t.* FROM stripped t JOIN semsurv USING (doc_id)),
+       tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 generate_series(0, len(t) - 3),
+                 i -> array_to_string(t[(i+1):(i+3)], ' ')))) AS sh
+               FROM (SELECT doc_id, string_split(clean_text, ' ') AS t FROM semdocs)
+               WHERE len(t) >= 3),
+       esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                 generate_series(0, len(t) - 3),
+                 i -> array_to_string(t[(i+1):(i+3)], ' ')))) AS sh
+               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ev)
+               WHERE len(t) >= 3),
+       contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh USING (sh)),
+       evv AS (SELECT vec_id AS eid, embedding AS e FROM embeddings
+               WHERE vec_id % 97 = 0),
+       dpz AS (SELECT t.doc_id, evv.eid, unnest(em.embedding) AS x, unnest(evv.e) AS y
+               FROM semdocs t JOIN embeddings em ON t.doc_id = em.vec_id
+               CROSS JOIN evv),
+       dsc AS (SELECT doc_id, eid,
+                 sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                 sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nt,
+                 sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ne
+               FROM dpz GROUP BY doc_id, eid),
+       semcontam AS (SELECT doc_id FROM dsc GROUP BY doc_id
+                     HAVING round(max(dot / (sqrt(nt) * sqrt(ne))), 4) >= 0.3)
+       SELECT doc_id, lang, source, quality, n_tokens, n_masked, clean_text
+       FROM semdocs
+       WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+         AND doc_id NOT IN (SELECT doc_id FROM semcontam)
+       ORDER BY doc_id"""
+  }
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x13_tfidf_top", tfidfTop, Some(x13Sql)),
@@ -1374,6 +1575,7 @@ object Curation {
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),
     QueryDef("x19_pii_scan", piiScan, Some(x19Sql)),
     QueryDef("x25_curate_pipeline", x25, Some(x25Sql)),
+    QueryDef("x46_curate_v2", x46, Some(x46Sql)),
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
     QueryDef("x39_intradoc_dedup", intraDocDedup, Some(x39Sql)),
     QueryDef("x45_cross_strip", crossStrip, Some(x45Sql)),

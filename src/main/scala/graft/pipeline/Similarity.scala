@@ -246,12 +246,24 @@ object Similarity {
       .distinct()
   }
 
-  def embeddingNearDupsLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    reg(s)
-    val cand = lshCandidates(s, dir)
+  def embeddingNearDupsLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
+    embeddingNearDupsLshOn(Tables.t(s, dir, "embeddings"), threshold)
+
+  /** [[embeddingNearDupsLsh]] over an arbitrary (vec_id, embedding)
+    * frame — the library form the x46 pipeline composes (its semantic
+    * tier clusters the pair graph restricted to the docs still alive at
+    * that stage). */
+  def embeddingNearDupsLshOn(emb: DataFrame, threshold: Double): DataFrame = {
+    reg(emb.sparkSession)
+    val b = bucketedOf(emb)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
     // Norms are per-vector: compute them once on the 1×n side, so each
     // candidate pair costs a single dot-product fold, not three.
-    val e = Tables.t(s, dir, "embeddings")
+    val e = emb
       .select(col("vec_id"), col("embedding"), sqrt(norm2(col("embedding"))).as("norm"))
     cand
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na")), "va")
@@ -263,14 +275,18 @@ object Similarity {
   }
 
   /** Shared CTE chain ending in `pairs(va, vb, cosine)` — the x09 pair
-    * graph at `threshold`; single source for x09Sql AND x33Sql (the
-    * semantic-dedup oracle clusters over the same pairs), mirroring the
-    * b28PairCtes/x16Sql pattern. */
-  private def x09PairCtes(threshold: Double) =
+    * graph at `threshold`; single source for x09Sql, x33Sql/x43Sql AND
+    * the x46 pipeline oracle, mirroring the b28PairCtes/x16Sql pattern.
+    * `candCond` (e.g. an endpoint-membership restriction) is injected
+    * into the candidate join — restricting candidates before the exact
+    * verify is equivalent to filtering verified pairs, since the verify
+    * is per-pair. */
+  private[pipeline] def x09PairCtes(threshold: Double, candCond: String = "") =
     s"""$bucketsCte,
        cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
                 FROM buckets a JOIN buckets b
-                  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+                WHERE 1 = 1 $candCond),
        pz AS (SELECT va, vb, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
               FROM cand JOIN embeddings ea ON va = ea.vec_id
                         JOIN embeddings eb ON vb = eb.vec_id),

@@ -59,6 +59,15 @@ object IngestGate {
   def admitCond: Column =
     quality >= MinQuality && nEmails === 0 && sampled
 
+  /** The CLEANLINESS tiers of the gate alone — quality floor + PII, no
+    * sampling. This is the gate the x46 curation pipeline runs: rate
+    * sampling is a mixture/budget decision (x21–x23 territory, certified
+    * with the full gate in x25), not a cleanliness one, and thinning the
+    * corpus before dedup would weaken every downstream cross-doc signal
+    * for no hygiene gain. Same single-sourced expressions as [[gate]]. */
+  def cleanCond: Column =
+    quality >= MinQuality && nEmails === 0
+
   /** The original frame filtered to admitted docs. */
   def admit(df: DataFrame): DataFrame = df.filter(admitCond)
 
@@ -81,6 +90,8 @@ object IngestGate {
   }
   private[graft] val admitCondSql: String =
     s"($qualitySql) >= $MinQuality AND ($emailsSql) = 0 AND ($sampledSql)"
+  private[graft] val cleanCondSql: String =
+    s"($qualitySql) >= $MinQuality AND ($emailsSql) = 0"
 
   private val x24Sql =
     s"""WITH scored AS (SELECT doc_id, lang,

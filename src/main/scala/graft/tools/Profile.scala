@@ -52,6 +52,53 @@ object Profile {
         val df = spark.read.parquet(s"$sfDir/region.parquet")
           .agg(expr("count(*)").as("n"), expr("min(r_regionkey)").as("m"))
         println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      case "x46parts" :: sfDir :: Nil =>
+        // Stage-level cost breakdown of the composed curation pipeline.
+        import graft.pipeline.{Curation, Dedup, Similarity, TextStats}
+        val d = graft.Tables.t(spark, sfDir, "documents")
+        val emb = graft.Tables.t(spark, sfDir, "embeddings")
+        val train = d.filter(col("doc_id") % 97 =!= 0)
+        noop(train)
+        val admitted = train.filter(graft.streaming.IngestGate.cleanCond)
+        val keepIds = admitted.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        var ded: DataFrame = null
+        time("gate+dedup checkpoint") {
+          ded = admitted.join(keepIds, "doc_id")
+            .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              TextStats.qualityColumn.as("quality"))
+            .localCheckpoint(true)
+        }
+        val lexPairs = Dedup.jaccardPairsPrefixOn(ded, 0.8).select(col("da"), col("db"))
+        time("lex pairs")(noop(lexPairs))
+        var lexKeep: DataFrame = null
+        time("lex propagation+keepBest") {
+          lexKeep = Curation.dedupClustersKeepBy(
+            ded.select(col("doc_id"), col("quality")), lexPairs, col("quality"))
+            .filter(col("keep")).select("doc_id")
+          noop(lexKeep)
+        }
+        val lexSurv = ded.join(lexKeep, Seq("doc_id"))
+        var stripped: DataFrame = null
+        time("strip checkpoint") {
+          stripped = lexSurv
+            .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+            .join(Curation.spanDedupOn(lexSurv, 3, 1, 5), Seq("doc_id"))
+            .localCheckpoint(true)
+        }
+        val ids = stripped.select("doc_id")
+        val semPairs = Similarity.embeddingNearDupsLshOn(emb, 0.3)
+          .join(ids.withColumnRenamed("doc_id", "va"), Seq("va"), "left_semi")
+          .join(ids.withColumnRenamed("doc_id", "vb"), Seq("vb"), "left_semi")
+          .select(col("va").as("da"), col("vb").as("db"))
+        time("sem pairs")(noop(semPairs))
+        time("sem propagation+keepBest") {
+          noop(Curation.dedupClustersKeepBy(
+            stripped.select(col("doc_id"), col("quality")), semPairs, col("quality"))
+            .filter(col("keep")).select("doc_id"))
+        }
+        time("full x46")(noop(SparkEntry.queries("x46_curate_v2")(spark, sfDir)))
+        time("full x46 (2nd)")(noop(SparkEntry.queries("x46_curate_v2")(spark, sfDir)))
       case "x09parts" :: sfDir :: Nil =>
         // Where does x09 spend: bucket pipeline, candidate join, or verify?
         import graft.pipeline.Similarity

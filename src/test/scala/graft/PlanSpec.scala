@@ -353,6 +353,31 @@ class PlanSpec extends SparkSpec {
       s"run-length windows must key on doc_id:\n$p")
   }
 
+  test("x46: composed pipeline plans no cartesian product and no single-partition funnel") {
+    // Building the frame runs the two propagation loops (they act during
+    // construction); the final frame's plan must still be shuffle-clean:
+    // the only nested-loop join allowed is the broadcast eval-side scan
+    // of the semantic decon tier (x35's correct plan — no equi-key
+    // exists for max-over-all-pairs), and nothing may funnel the corpus
+    // through one partition except the oracle-mandated final sort.
+    val p = plan("x46_curate_v2")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // SinglePartition is allowed ONLY for Catalyst's injected runtime
+    // bloom filters (a one-row bloom BUFFER aggregated then broadcast —
+    // not corpus rows); anything else funneling into one partition is a
+    // scale bug.
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("SinglePartition")).foreach { case (_, i) =>
+      val ctx = lines.slice(math.max(0, i - 12), i).mkString("\n")
+      assert(ctx.contains("bloom_filter_agg"),
+        s"single-partition exchange is not a runtime bloom filter:\n$ctx")
+    }
+    // Count plan NODES (the "(n) Op" detail headers) — the formatted
+    // explain prints each node once in the tree and once in the details.
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the semantic-decon broadcast scan may nest-loop ($bnlj):\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

@@ -200,6 +200,77 @@ class CurationSpec extends SparkSpec {
     assert(twice == survivors, "curate(curate(X)) must equal curate(X)")
   }
 
+  test("x46 curation v2: survivor guarantees across every tier, and idempotence") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val d = Tables.t(spark, dir, "documents")
+    val emb = Tables.t(spark, dir, "embeddings")
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val evalDocs = d.filter(col("doc_id") % 97 === 0)
+    val evalVecs = emb.filter(col("vec_id") % 97 === 0)
+    val outDf = Curation.curateV2(train, evalDocs, emb, evalVecs)
+    val out = outDf.collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < train.count(),
+      s"pipeline must admit a strict subset, got ${ids.size}")
+    // Every tier leaves a visible fingerprint: the strip tier must have
+    // masked real mass in the surviving manifest (vacuous stages are
+    // untested stages).
+    assert(out.exists(_.getLong(5) > 0), "no survivor carries masked mass")
+    val survived = train.filter(col("doc_id").isInCollection(ids))
+    // 1. Gate: no email PII, no sub-floor quality.
+    assert(survived.filter(col("text").rlike(
+      "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+")).count() == 0)
+    assert(survived.filter(
+      TextStats.qualityColumn < graft.streaming.IngestGate.MinQuality).count() == 0)
+    // 2. Exact dedup: no duplicate original texts.
+    assert(survived.select("text").distinct().count() == ids.size)
+    // 3. Lexical tier: no surviving pair with true Jaccard >= 0.8 —
+    // BRUTE FORCE (valid because the prefix filter is lossless).
+    val sets = survived.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("k"))
+    assert(sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        call_function("set_jaccard", col("a.k"), col("b.k")) >= 0.8)
+      .count() == 0, "lexical near-dup pair survived")
+    // 4. Semantic tier: no surviving pair in the SAME pair graph the
+    // pipeline clusters (the x09 buckets at 0.3; brute force would also
+    // count pairs the 2x16 buckets cannot see at this cosine regime —
+    // that recall boundary is x09's documented contract, not x46's).
+    val se = emb.join(outDf.select(col("doc_id").as("vec_id")), "vec_id")
+    assert(Similarity.embeddingNearDupsLshOn(se, 0.3).count() == 0,
+      "semantic near-dup pair survived")
+    // 5. Decon: the CLEAN text shares no 3-shingle with the eval docs...
+    val cleanDf = outDf.select(col("doc_id"), col("clean_text").as("text"))
+    assert(Curation.contaminationCounts(cleanDf, evalDocs).count() == 0,
+      "clean text still contaminated")
+    // 6. ...and no surviving embedding reaches an eval vector at 0.3.
+    assert(Similarity.semanticDecon(se, evalVecs, 0.3)
+      .filter(col("contaminated")).count() == 0, "semantic contamination survived")
+    // 7. Idempotence, stated EXACTLY: re-curating the curated corpus
+    // (clean text as the text) is the identity on every tier EXCEPT the
+    // gate's re-score of rewritten text — the strip tier changed some
+    // docs' tokens, and quality is a function of the tokens, so a doc
+    // whose masked run carried its stopword mass can fall below the
+    // floor on re-ingestion (x25's unqualified idempotence holds there
+    // because no x25 stage rewrites text). The second pass must diverge
+    // by exactly that re-gate set and nothing else: dedup/strip/decon
+    // find nothing new (asserted via the empty second-pass mask and the
+    // set equality — a cascade through pair graphs or hot sets would
+    // break it). A third pass is then the identity by construction:
+    // pass 2 re-gated these same texts and rewrote none of them.
+    val cleanCorpus = outDf.select(col("doc_id"),
+      col("clean_text").as("text"), col("lang"), col("source"))
+    val again = Curation.curateV2(cleanCorpus, evalDocs, emb, evalVecs).collect()
+    val regateDrops = cleanCorpus.filter(
+      TextStats.qualityColumn < graft.streaming.IngestGate.MinQuality)
+      .collect().map(_.getLong(0)).toSet
+    assert(again.map(_.getLong(0)).toSet == ids -- regateDrops,
+      s"second pass must differ from the first ONLY by the re-gate set $regateDrops")
+    assert(again.forall(_.getLong(5) == 0L),
+      "second pass must find nothing left to mask")
+  }
+
   test("leakage-safe split: whole clusters land in one split, all docs covered") {
     val rows = Curation.leakageSafeSplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
