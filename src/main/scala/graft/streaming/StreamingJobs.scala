@@ -115,6 +115,60 @@ object StreamingJobs {
       }
       .start()
 
+  /** The per-batch admission decision of [[ingestDedupStream]] as a
+    * plain batch operator — the arriving frame carries (doc_id, text,
+    * …, embedding), i.e. the ingestion-edge reality where the embedding
+    * is computed upstream of admission. Tiers, in order:
+    *
+    *  1. exact (sha256 anti-join vs `refDocs`) and lexical near-dup
+    *     (union-df prefix filter at `lexThreshold`) — the proven
+    *     [[graft.pipeline.Dedup.incrementalDedup]], which preserves the
+    *     batch's extra columns;
+    *  2. semantic — the survivors' embeddings against `corpusVecs`
+    *     through the threshold-dispatched
+    *     [[graft.pipeline.Similarity.incrementalSemanticDedupAuto]]
+    *     (bucketed candidates at production cuts ≥ 0.9, exact broadcast
+    *     scan below). Rows with a null embedding pass the tier untouched
+    *     (no cosine can reach any threshold) — embeddings lagging
+    *     ingestion must not silently drop documents.
+    *
+    * Returns the ORIGINAL batch rows that cleared every tier. Running
+    * the tiers inside ONE body means a single admission decision sees
+    * all three verdicts — one sink, one idempotency story, one
+    * checkpoint — instead of three independent stream jobs whose
+    * partial admissions a downstream join would have to reconcile. */
+  def ingestAdmit(batch: DataFrame, refDocs: DataFrame, corpusVecs: DataFrame,
+      lexThreshold: Double, semThreshold: Double): DataFrame = {
+    val lexOk = graft.pipeline.Dedup.incrementalDedup(batch, refDocs, lexThreshold)
+    val semOk = graft.pipeline.Similarity.incrementalSemanticDedupAuto(
+      lexOk.select(col("doc_id").as("vec_id"), col("embedding")),
+      corpusVecs, semThreshold)
+      .select(col("vec_id").as("doc_id"))
+    lexOk.join(semOk, Seq("doc_id"))
+  }
+
+  /** Unified ingestion edge: ALL dedup tiers — exact sha, lexical
+    * near-dup, semantic — in ONE foreachBatch body via [[ingestAdmit]],
+    * replacing the three separate stream jobs above for deployments that
+    * want one admission decision per batch. Batch ≡ stream holds by
+    * construction (foreachBatch hands the same batch frame the batch
+    * operator takes) and is gated end-to-end in StreamingSpec; restart
+    * recovery (including the cross-session function-registration class
+    * of bug x36's RecoverySpec caught) is gated in RecoverySpec.
+    * At-least-once delivery as with every foreachBatch job — keep the
+    * sink idempotent. */
+  def ingestDedupStream(newDocs: DataFrame, refDocs: DataFrame,
+      corpusVecs: DataFrame, lexThreshold: Double, semThreshold: Double,
+      checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(ingestAdmit(batch, refDocs, corpusVecs, lexThreshold, semThreshold), batchId)
+      }
+      .start()
+
   /** x45 streaming: cross-corpus boilerplate strip per micro-batch. The
     * hot-line set comes from the AT-REST corpus (computed once by the
     * caller — [[graft.pipeline.Curation.hotLinesOf]], ideally persisted)

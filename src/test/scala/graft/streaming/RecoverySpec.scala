@@ -56,6 +56,45 @@ class RecoverySpec extends SparkSpec {
       s"decisions across the restart must equal the one-shot batch: $streamed vs $batch")
   }
 
+  test("unified ingest stream restarts from checkpoint; all tiers decide identically after resume") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq(
+      Doc(1L, "alpha beta gamma delta epsilon", "en"),
+      Doc(2L, "one two three four five six", "en")).toDF()
+    val corpusVecs = Seq(
+      Vec(1L, Array(1.0f, 0.0f, 0.0f)),
+      Vec(2L, Array(0.0f, 1.0f, 0.0f))).toDF()
+    val arrivals = Seq(
+      DocVec(10L, "alpha beta gamma delta epsilon", "en", Array(0.5f, 0.5f, 0.5f)), // exact dup
+      DocVec(11L, "clean before the restart happens", "en", Array(0.0f, 0.0f, 1.0f)), // survives
+      DocVec(12L, "six five four three two one", "en", Array(0.3f, 0.0f, 0.9f)),    // lexical dup
+      DocVec(13L, "post restart semantic duplicate here", "en", Array(2.0f, 0.0f, 0.0f))) // sem dup
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val input = MemoryStream[DocVec]
+    val ckpt = Files.createTempDirectory("ckpt_ingest").toString
+    def start() = StreamingJobs.ingestDedupStream(
+      input.toDF(), refDocs, corpusVecs, 0.8, 0.9, ckpt) { (admitted, batchId) =>
+        out += batchId -> admitted.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      }
+    val q1 = start()
+    input.addData(arrivals.take(2))
+    q1.processAllAvailable()
+    q1.stop()
+    val afterFirst = out.toSeq
+    val q2 = start()
+    input.addData(arrivals.drop(2))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(out.toSeq.take(afterFirst.size) == afterFirst,
+      s"restart must not replay the committed batch: $out")
+    val streamed = out.sortBy(_._1).flatMap(_._2).toSeq
+    val batch = StreamingJobs.ingestAdmit(arrivals.toDF(), refDocs, corpusVecs, 0.8, 0.9)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.sorted == batch.sorted && streamed.sorted == Seq(11L),
+      s"decisions across the restart must equal the one-shot batch: $streamed vs $batch")
+  }
+
   test("windowed agg restarts from checkpoint without loss or double-count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -10,6 +10,7 @@ import graft.{SparkSpec, Tables}
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double, props: String)
 case class Doc(doc_id: Long, text: String, lang: String)
 case class Vec(vec_id: Long, embedding: Array[Float])
+case class DocVec(doc_id: Long, text: String, lang: String, embedding: Array[Float])
 
 /** B31–B34 streaming semantics: the same logical query must produce the
   * same result in batch and over a stream; watermark dedup drops
@@ -176,6 +177,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
     assert(streamed.sorted == Seq(11L, 12L),
       s"colinear 10 and near-copy 13 must drop; near-miss 12 survives: $streamed")
+  }
+
+  test("unified ingest stream: one admission decision sees exact, lexical and semantic verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq(
+      Doc(1L, "alpha beta gamma delta epsilon", "en"),
+      Doc(2L, "one two three four five six", "en"),
+      Doc(3L, "totally unrelated reference text here", "en")).toDF()
+    val corpusVecs = Seq(
+      Vec(1L, Array(1.0f, 0.0f, 0.0f)),
+      Vec(2L, Array(0.0f, 1.0f, 0.0f)),
+      Vec(3L, Array(0.0f, 0.0f, 1.0f))).toDF()
+    // One drop per tier, one clean admit, one null-embedding admit:
+    // 10 = exact sha dup; 11 = token permutation (set-Jaccard 1.0);
+    // 12 = fresh text but colinear with corpus vec 3 (semantic dup);
+    // 13 = clean on all tiers; 14 = embedding still pending (null) —
+    // must NOT be silently dropped by the semantic tier.
+    val arrivals = Seq(
+      DocVec(10L, "alpha beta gamma delta epsilon", "en", Array(0.7f, 0.7f, 0.0f)),
+      DocVec(11L, "six five four three two one", "en", Array(0.7f, -0.7f, 0.0f)),
+      DocVec(12L, "fresh wording nobody wrote before", "en", Array(0.0f, 0.0f, 2.0f)),
+      DocVec(13L, "another genuinely novel document text", "en", Array(1.0f, -1.0f, 0.5f)),
+      DocVec(14L, "embedding still pending for this one", "en", null))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val input = MemoryStream[DocVec]
+    val dir = java.nio.file.Files.createTempDirectory("ingest_all").toString
+    val q = StreamingJobs.ingestDedupStream(input.toDF(), refDocs, corpusVecs, 0.8, 0.9, dir) {
+      (admitted, batchId) =>
+        out += batchId -> admitted.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    input.addData(arrivals.take(3))
+    q.processAllAvailable()
+    input.addData(arrivals.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.sortBy(_._1).flatMap(_._2).toSeq
+    val batch = StreamingJobs.ingestAdmit(arrivals.toDF(), refDocs, corpusVecs, 0.8, 0.9)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
+    assert(streamed.sorted == Seq(13L, 14L),
+      s"each tier must drop its dup; clean + pending-embedding docs survive: $streamed")
   }
 
   test("streaming boilerplate strip (foreachBatch) equals the batch strip") {
