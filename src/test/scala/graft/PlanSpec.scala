@@ -326,6 +326,18 @@ class PlanSpec extends SparkSpec {
       s"per-(chunk,doc) and per-chunk roll-ups must be map-side combinable:\n$p")
   }
 
+  test("x42c: copy verify joins candidates to token sets by key — no product, no re-sketch") {
+    val p = plan("x42c_confirmed_copies")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the exact verify must stay candidate-pruned:\n$p")
+    // The verify's two doc_id-keyed joins ride on the candidate pairs —
+    // the full-corpus token sets must never self-join.
+    assert("""\(\d+\) SortMergeJoin""".r.findAllIn(p).size +
+      """\(\d+\) BroadcastHashJoin""".r.findAllIn(p).size +
+      """\(\d+\) ShuffledHashJoin""".r.findAllIn(p).size >= 3,
+      s"candidate join + two set joins expected:\n$p")
+  }
+
   test("x40c: chunk-hash dedup shuffles carry the 8-byte hash, never chunk text") {
     val p = plan("x40c_chunk_dedup_hash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
