@@ -11,6 +11,25 @@ import org.apache.spark.sql.SparkSession
   * different (smaller) plan than the query declares.
   */
 object Bench {
+  /** Per-query times parsed from a prior bench artifact (either a raw
+    * bench line or a driver BENCH_r*.json wrapper whose `tail` holds a
+    * possibly front-clipped, JSON-escaped suffix of it). Returns empty
+    * when the artifact's scale factor differs from `sfDir` — a local
+    * sf0.001 iteration must never compare against sf0.1 numbers. A
+    * clipped leading pair parses under a mangled name and simply never
+    * matches a real query. Pure function so BenchGuardSpec can pin it
+    * against the actual BENCH_r06.json that motivated the guard. */
+  private[graft] def parsePriorTimes(txt: String, sfDir: String): Map[String, Double] =
+    if (!txt.contains(sfDir)) Map.empty
+    else {
+      // Quotes inside the wrapper's "tail" string are JSON-escaped
+      // (\"name\":1.234) — the optional backslashes accept both forms.
+      val pair = """\\?"([a-z0-9_]+)\\?":(\d+\.\d+)""".r
+      pair.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap - "value"
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -111,17 +130,8 @@ object Bench {
               .toSeq.sortBy(n => "\\d+".r.findFirstIn(n).get.toInt)
           } finally files.close()
         tails.lastOption.map { f =>
-          val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
-          if (!txt.contains(sfDir)) Map.empty[String, Double]
-          else {
-            // Quotes inside the wrapper's "tail" string are JSON-escaped
-            // (\"name\":1.234) — the optional backslashes accept both the
-            // wrapper form and a raw bench line.
-            val pair = """\\?"([a-z0-9_]+)\\?":(\d+\.\d+)""".r
-            pair.findAllMatchIn(txt)
-              .map(m => m.group(1) -> m.group(2).toDouble)
-              .toMap - "value"
-          }
+          parsePriorTimes(
+            java.nio.file.Files.readString(java.nio.file.Paths.get(f)), sfDir)
         }.getOrElse(Map.empty)
       } catch { case _: Throwable => Map.empty }
 
