@@ -27,10 +27,11 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("interpolated oracle fragments resolved (object-init-cycle guard)") {
-    // x24/x25 interpolate SQL fragments across modules; a circular object
+    // x24/x25/x46 interpolate SQL fragments across modules (x46 pulls
+    // from IngestGate, TextStats AND Similarity); a circular object
     // initialization would bake the string "null" into the WHERE clause
     // for the JVM's lifetime — assert the fragments actually landed.
-    for (name <- Seq("x24_ingest_gate", "x25_curate_pipeline")) {
+    for (name <- Seq("x24_ingest_gate", "x25_curate_pipeline", "x46_curate_v2")) {
       val sql = SparkEntry.oracleSql(name)
       assert(sql.contains("regexp_extract_all") && sql.contains("NULLIF"),
         s"$name oracle lost its gate fragments")
