@@ -401,6 +401,94 @@ object Similarity {
                 ORDER BY quality DESC NULLS LAST, doc_id) = 1 AS keep
        FROM lab ORDER BY doc_id"""
 
+  // ---------------------------------- centroid-diverse dedup (x47)
+  /** x33's clusters with SemDeDup's PUBLISHED survivor rule (Abbas et
+    * al. 2023, §3): within each cluster of near-duplicates keep the
+    * member with the LOWEST cosine to the cluster centroid — the
+    * diversity-preserving choice (the kept set spans the cluster's
+    * outer hull instead of collapsing to its mode). Complements x43,
+    * which keeps by an EXTRINSIC text-quality signal; a real pipeline
+    * picks per corpus tier ("which is best" vs "which adds variety").
+    *
+    * Engine-exactness: centroids of float vectors are order-dependent
+    * FP sums, so the centroid is computed over the SAME ×1e6 integer
+    * quantization the LSH buckets use — per-(cluster, dim) integer sums
+    * are aggregation-order-free, and the member↔centroid cosine then
+    * derives from identical integers on both engines (IEEE division and
+    * sqrt are correctly rounded, so even the pre-rounding doubles
+    * match; the row_number orders by the raw value with a vec_id
+    * tiebreak). Overflow bound: Σ_j q·S ≤ dims·|cluster|·1e12 — safe to
+    * |cluster| ≈ 10⁵ at 64 dims; near-dup clusters are orders of
+    * magnitude smaller by construction.
+    *
+    * Scale shape: pair graph and propagation are x33's; the centroid
+    * adds one (cluster, dim)-keyed partial+final integer agg (narrow
+    * long rows), one equi-join back on the same key, and one window on
+    * cluster_id — no product, no corpus-wide collect. Singletons are
+    * their own centroid (cosine 1) and keep themselves. */
+  def semanticKeepDiverse(s: SparkSession, dir: String,
+      threshold: Double = SemanticDedupThreshold): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    reg(s)
+    val emb = Tables.t(s, dir, "embeddings")
+    val pairs = embeddingNearDupsLsh(s, dir, threshold)
+      .select(col("va").as("da"), col("vb").as("db"))
+    val (labels, _) = Curation.propagateMinLabels(Curation.undirectedEdges(pairs))
+    val lab = emb.select(col("vec_id"))
+      .join(labels.select(col("node").as("vec_id"), col("lbl").as("cid")),
+        Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("vec_id")))
+      .drop("cid")
+    val q = emb.select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => quant(x))).as(Seq("j", "q")))
+      .join(lab, "vec_id")
+    val cent = q.groupBy("cluster_id", "j").agg(sum("q").as("s"))
+    val scored = q.join(cent, Seq("cluster_id", "j"))
+      .groupBy("vec_id", "cluster_id")
+      .agg(sum(col("q") * col("s")).as("dot"), sum(col("q") * col("q")).as("nq"))
+    val cnorm = cent.groupBy("cluster_id").agg(sum(col("s") * col("s")).as("ss"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("cosc").asc, col("vec_id"))
+    scored.join(cnorm, "cluster_id")
+      .withColumn("cosc", col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("ss").cast("double"))))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("vec_id"), col("cluster_id"),
+        round(col("cosc"), 4).as("cos_centroid"), col("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val x47Sql =
+    s"""WITH RECURSIVE ${x09PairCtes(SemanticDedupThreshold)},
+       edges AS (SELECT va AS src, vb AS dst FROM pairs
+                 UNION ALL SELECT vb, va FROM pairs),
+       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+       lab AS (SELECT e.vec_id, coalesce(cc.cid, e.vec_id) AS cluster_id
+               FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node),
+       qv AS (SELECT vec_id, u.j - 1 AS j,
+                CAST(round(CAST(embedding[u.j] AS DOUBLE) * 1000000) AS BIGINT) AS q
+              FROM embeddings, unnest(generate_series(1, len(embedding))) u(j)),
+       qq AS (SELECT l.cluster_id, qv.vec_id, qv.j, qv.q
+              FROM qv JOIN lab l USING (vec_id)),
+       cent AS (SELECT cluster_id, j, CAST(sum(q) AS BIGINT) AS s
+                FROM qq GROUP BY cluster_id, j),
+       sc2 AS (SELECT qq.vec_id, qq.cluster_id,
+                 CAST(sum(qq.q * cent.s) AS BIGINT) AS dot,
+                 CAST(sum(qq.q * qq.q) AS BIGINT) AS nq
+               FROM qq JOIN cent ON qq.cluster_id = cent.cluster_id AND qq.j = cent.j
+               GROUP BY qq.vec_id, qq.cluster_id),
+       cn AS (SELECT cluster_id, CAST(sum(s * s) AS BIGINT) AS ss
+              FROM cent GROUP BY cluster_id),
+       cosd AS (SELECT vec_id, sc2.cluster_id,
+                  CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ss AS DOUBLE))) AS cosc
+                FROM sc2 JOIN cn ON sc2.cluster_id = cn.cluster_id)
+       SELECT vec_id, cluster_id, round(cosc, 4) AS cos_centroid,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY cosc ASC, vec_id) = 1 AS keep
+       FROM cosd ORDER BY vec_id"""
+
   // ------------------------------------------------ semantic decon (x35)
   /** Semantic decontamination — x17's idea at the embedding level: score
     * every training vector by its MAXIMUM cosine against the held-out
@@ -674,5 +762,6 @@ object Similarity {
     QueryDef("x35_semantic_decon", x35, Some(x35Sql)),
     QueryDef("x36_incremental_semantic_dedup", x36, Some(x36Sql)),
     QueryDef("x36b_incremental_semantic_bucketed", x36b, Some(x36bSql)),
-    QueryDef("x43_semantic_keep_best", (s, d) => semanticDedupKeepBest(s, d), Some(x43Sql)))
+    QueryDef("x43_semantic_keep_best", (s, d) => semanticDedupKeepBest(s, d), Some(x43Sql)),
+    QueryDef("x47_semantic_keep_diverse", (s, d) => semanticKeepDiverse(s, d), Some(x47Sql)))
 }

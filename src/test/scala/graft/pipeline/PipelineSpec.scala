@@ -583,6 +583,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x47: SemDeDup centroid rule keeps the cluster member FARTHEST from the centroid") {
+    import spark.implicits._
+    // Cluster {0, 1, 2}: 0 and 1 are colinear (the mode); 2 is rotated
+    // toward y but still above the 0.9 pair threshold with both. The
+    // centroid leans toward the mode, so 2 has the LOWEST centroid
+    // cosine and must be the keeper — the diversity choice, opposite of
+    // what a mode-seeking rule would pick. 7 is an orthogonal singleton.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.4f, 0.0f)),
+      (7L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("semdiv")
+    try {
+      emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.semanticKeepDiverse(spark, dir.toString, threshold = 0.9)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+        .toMap
+      assert(out(2L)._1 == 0L && out(2L)._3,
+        s"the off-axis member must be kept (diversity rule): $out")
+      assert(!out(0L)._3 && !out(1L)._3,
+        s"mode members must be dropped: $out")
+      assert(out(2L)._2 < out(0L)._2 && out(2L)._2 < out(1L)._2,
+        s"keeper must have the lowest centroid cosine: $out")
+      assert(out(7L) == ((7L, 1.0, true)), s"singleton is its own centroid: $out")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("semantic decon flags train vectors colinear with an eval vector") {
     import spark.implicits._
     // Eval set = {e0, e1}. t10 is a paraphrase of e0 (colinear — cosine 1
