@@ -1120,7 +1120,18 @@ object Curation {
     * run-length count window reuses ((doc_id) ⊆ (doc_id, isl) satisfies
     * the clustering requirement — no second shuffle). */
   def spanDedupOn(base: DataFrame, shingleLen: Int, maxDf: Int,
-      minRun: Int = 1): DataFrame = {
+      minRun: Int = 1): DataFrame =
+    spanMaskAgainst(base, null, shingleLen, maxDf, minRun)
+
+  /** The masking machinery of [[spanDedupOn]] with an EXTERNAL hot set
+    * (any frame with a `sh` column): mask every token covered by a
+    * shingle in `hotShingles`. With `hotShingles = null` the hot set is
+    * the corpus's own df > `maxDf` tail (the x34/x34b form); an external
+    * set turns the same pass into surgical decontamination (x48 — the
+    * hot set is the EVAL corpus's shingles) or cross-corpus span strip.
+    * Callers with a corpus-tiny set should pass it `broadcast(...)`-ed. */
+  def spanMaskAgainst(base: DataFrame, hotShingles: DataFrame,
+      shingleLen: Int, maxDf: Int = 0, minRun: Int = 1): DataFrame = {
     val toks = base.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("tpos", "tok")))
     val sh = base
@@ -1130,7 +1141,8 @@ object Curation {
         transform(sequence(lit(0), size(col("t")) - shingleLen),
           i => concat_ws(" ", slice(col("t"), i + 1, lit(shingleLen)))))
         .as(Seq("pos", "sh")))
-    val covered = sh.join(hotKeys(sh, "sh", maxDf), "sh")
+    val hot = Option(hotShingles).getOrElse(hotKeys(sh, "sh", maxDf))
+    val covered = sh.join(hot.select(col("sh")), "sh")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (shingleLen - 1))).as("tpos"))
       .distinct()
@@ -1179,7 +1191,17 @@ object Curation {
     * `{p}out(doc_id, n_tokens, n_masked, clean_text)`. Single source for
     * x34Sql, x34bSql AND the x46 pipeline oracle, so the composed strip
     * cannot drift from the standalone ones. */
-  private def spanStripCtes(p: String, src: String, maxDf: Int, minRun: Int): String = {
+  private def spanStripCtes(p: String, src: String, maxDf: Int, minRun: Int): String =
+    spanStripCtesWithHot(p, src,
+      s"""SELECT sh FROM
+                 (SELECT sh, count(DISTINCT doc_id) AS df FROM ${p}sh GROUP BY sh)
+               WHERE df > $maxDf""", minRun)
+
+  /** [[spanStripCtes]] with an arbitrary hot-set SELECT (one `sh`
+    * column) — the oracle twin of [[spanMaskAgainst]]'s external hot
+    * set; x48 passes the eval corpus's shingles. */
+  private def spanStripCtesWithHot(p: String, src: String, hotBody: String,
+      minRun: Int): String = {
     val maskSrc = if (minRun <= 1) s"${p}covered" else s"${p}masked"
     val runCtes =
       if (minRun <= 1) ""
@@ -1197,9 +1219,7 @@ object Curation {
        ${p}sh AS (SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+3)], ' ') AS sh
               FROM ${p}t, unnest(generate_series(0, len(t) - 3)) u(i)
               WHERE len(t) >= 3),
-       ${p}hot AS (SELECT sh FROM
-                 (SELECT sh, count(DISTINCT doc_id) AS df FROM ${p}sh GROUP BY sh)
-               WHERE df > $maxDf),
+       ${p}hot AS ($hotBody),
        ${p}covered AS (SELECT DISTINCT doc_id, pos + o AS tpos
                    FROM ${p}sh JOIN ${p}hot USING (sh),
                         unnest(generate_series(0, 2)) v(o))$runCtes,
@@ -1225,6 +1245,92 @@ object Curation {
     * between `covered` and `kept` (same window trick as the Spark side). */
   private val x34bSql =
     s"""WITH ${spanStripCtes("", "documents", maxDf = 3, minRun = 5)}
+       SELECT doc_id, n_tokens, n_masked, clean_text FROM out ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x48
+  /** Surgical span decontamination — x17's detection turned into the
+    * GPT-3 Appendix-C REMEDY: instead of dropping a contaminated doc
+    * wholesale, mask exactly the token spans covered by shingles the
+    * held-out eval corpus contains, and keep the rest (x17b's own
+    * scaladoc names this as the point of locating offsets: "cut, rather
+    * than drop, a doc contaminated only in its tail"). Dropping forfeits
+    * the whole document for one quoted benchmark line; surgery keeps
+    * the clean mass.
+    *
+    * Reuses [[spanMaskAgainst]] with the eval shingle set as the
+    * EXTERNAL hot set (minRun = 1: contamination is masked even as an
+    * isolated hit — unlike x34b's repeated-passage rule, one leaked eval
+    * shingle is already too much). The eval side is corpus-tiny and
+    * BROADCASTS (x17's argument); everything else is the x34 masking
+    * plan: coverage explode, (doc, pos) anti-join, doc-local reassembly
+    * — no corpus product.
+    *
+    * One-pass contract, stated honestly: masking removes every shingle
+    * the ORIGINAL text shared with the eval set, but reassembly stitches
+    * the cut edges together, and a stitched 3-gram can coincidentally
+    * equal an eval shingle. On this dense-vocabulary corpus that is not
+    * theoretical: one pass leaves 6 residue docs at sf0.01 (measured in
+    * CurationSpec). The remedy is [[deconStripFixpoint]] — iterate this
+    * same operator until a pass masks nothing; CurationSpec pins zero
+    * residue at the fixpoint. */
+  def deconStrip(train: DataFrame, evalDocs: DataFrame,
+      shingleLen: Int = 3): DataFrame =
+    spanMaskAgainst(train,
+      broadcast(shinglesOf(evalDocs, shingleLen).select(col("sh")).distinct()),
+      shingleLen)
+
+  /** [[deconStrip]] iterated to a FIXPOINT: re-strip the reassembled
+    * text until a pass masks nothing, so stitched-boundary shingles
+    * cannot leak eval content through. Convergence is guaranteed — each
+    * pass strictly reduces total token mass or terminates — and fast in
+    * practice (2 passes on this corpus); `maxPasses` only guards a
+    * structural bug, like propagateMinLabels' round cap. The audit
+    * columns are cumulative: n_tokens is the ORIGINAL token count and
+    * n_masked everything removed across passes. Per-pass frames are
+    * eagerly checkpointed (the loop's driver-side count is per pass;
+    * lineage would otherwise stack one full strip plan per round). */
+  def deconStripFixpoint(train: DataFrame, evalDocs: DataFrame,
+      shingleLen: Int = 3, maxPasses: Int = 10): DataFrame = {
+    val evSh = broadcast(shinglesOf(evalDocs, shingleLen).select(col("sh")).distinct())
+    val n0 = train.select(col("doc_id"),
+      when(col("text").isNull, 0L)
+        .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    var cur = train.select(col("doc_id"), col("text")).localCheckpoint(true)
+    var pass = 0
+    var done = false
+    while (!done && pass < maxPasses) {
+      val out = spanMaskAgainst(cur, evSh, shingleLen).localCheckpoint(true)
+      val masked = out.agg(coalesce(sum("n_masked"), lit(0L))).head().getLong(0)
+      cur = out.select(col("doc_id"), col("clean_text").as("text"))
+      done = masked == 0
+      pass += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"deconStripFixpoint: no fixpoint within $maxPasses passes")
+    val kept = when(col("text") === "", 0L)
+      .otherwise(size(split(col("text"), " ")).cast("long"))
+    n0.join(cur, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - kept).as("n_masked"), col("text").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered x48: x17's slice convention — strip the `%97 != 0`
+    * training corpus against the `%97 == 0` eval slice. */
+  def deconStripQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    deconStrip(d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
+  }
+
+  private val x48Sql =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+       evsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                 generate_series(0, len(t) - 3),
+                 i -> array_to_string(t[(i+1):(i+3)], ' ')))) AS sh
+               FROM (SELECT string_split(text, ' ') AS t FROM documents
+                     WHERE doc_id % 97 = 0)
+               WHERE len(t) >= 3),
+       ${spanStripCtesWithHot("", "tr", "SELECT sh FROM evsh", minRun = 1)}
        SELECT doc_id, n_tokens, n_masked, clean_text FROM out ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- x25
@@ -1576,6 +1682,7 @@ object Curation {
     QueryDef("x19_pii_scan", piiScan, Some(x19Sql)),
     QueryDef("x25_curate_pipeline", x25, Some(x25Sql)),
     QueryDef("x46_curate_v2", x46, Some(x46Sql)),
+    QueryDef("x48_decon_strip", deconStripQuery, Some(x48Sql)),
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
     QueryDef("x39_intradoc_dedup", intraDocDedup, Some(x39Sql)),
     QueryDef("x45_cross_strip", crossStrip, Some(x45Sql)),

@@ -200,6 +200,44 @@ class CurationSpec extends SparkSpec {
     assert(twice == survivors, "curate(curate(X)) must equal curate(X)")
   }
 
+  test("x48 surgical decontamination masks exactly the eval-covered spans") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val evalDocs = Seq((100L, "quick brown fox jumps over lazy dog")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "aa bb quick brown fox jumps over lazy dog cc dd"),
+      (2L, "completely clean text with nothing shared here")).toDF("doc_id", "text")
+    val out = Curation.deconStrip(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((11L, 7L, "aa bb cc dd")),
+      s"the quoted benchmark passage must be cut, the surrounding text kept: ${out(1L)}")
+    assert(out(2L) == ((7L, 0L, "completely clean text with nothing shared here")),
+      s"clean doc must pass untouched: ${out(2L)}")
+    // Real-corpus residue audit: one pass removes every ORIGINAL eval
+    // shingle but reassembly stitches cut edges, and on this
+    // dense-vocabulary corpus stitched 3-grams DO coincide with eval
+    // shingles (6 residue docs at sf0.01) — strictly fewer than the
+    // untreated contamination, and the FIXPOINT form drives it to zero.
+    val d = Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val tr = d.filter(col("doc_id") % 97 =!= 0)
+    val ev = d.filter(col("doc_id") % 97 === 0)
+    val stripped = Curation.deconStrip(tr, ev)
+    assert(stripped.agg(sum("n_masked")).head().getLong(0) > 0,
+      "the strip must remove real mass on the registered slices")
+    val before = Curation.contaminationCounts(tr, ev).count()
+    val residue = Curation.contaminationCounts(
+      stripped.select(col("doc_id"), col("clean_text").as("text")), ev).count()
+    assert(residue < before,
+      s"one pass must strictly reduce contamination: $residue vs $before")
+    val fixed = Curation.deconStripFixpoint(tr, ev)
+    val residueFixed = Curation.contaminationCounts(
+      fixed.select(col("doc_id"), col("clean_text").as("text")), ev).count()
+    assert(residueFixed == 0,
+      s"the fixpoint must leave zero contamination, got $residueFixed")
+    assert(fixed.count() == tr.count(), "every doc keeps its audit row")
+  }
+
   test("x46 curation v2: survivor guarantees across every tier, and idempotence") {
     graft.functions.GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.01"
