@@ -1,0 +1,300 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted data-selection operators — the steps that pick WHICH curated
+  * documents feed a training run, as opposed to the dedup/decon passes
+  * that decide which to drop:
+  *
+  *   - x49 Okapi BM25 retrieval: rank the corpus against a query-term set
+  *     (the sparse-retrieval primitive behind benchmark-targeted data
+  *     selection and "retrieve training data relevant to task X").
+  *   - x50 DSIR importance weights: hashed-n-gram importance resampling
+  *     (Xie et al., "Data Selection for Language Models via Importance
+  *     Resampling", NeurIPS 2023) — score every raw document by how much
+  *     more likely its features are under a target-domain bag-of-hashed-
+  *     n-grams model than under the raw-corpus model.
+  *   - x51 Gopher rule battery: the published per-document quality rules
+  *     of Rae et al. 2021 (MassiveText, appendix A) as one map-only pass
+  *     emitting per-rule verdicts.
+  *
+  * Scale shapes: all three are one-explode pipelines whose model/statistic
+  * sides collapse to vocabulary-, bucket-, or single-row-sized frames that
+  * broadcast; the corpus itself never joins corpus-to-corpus and never
+  * shuffles except for the per-(doc, key) partial+final aggregations.
+  * x51 is map-only (zero shuffles beyond the output sort).
+  *
+  * Reference scope note: the reference
+  * (/root/reference/src/ceneton_database_utils, 495-line FMP-XML ETL) has
+  * no retrieval/selection surface; these extend SURVEY.md §2B's
+  * training-data-pipeline mandate alongside x21–x23/x41 (sampling/caps).
+  */
+object Selection {
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  private val toks = split(col("text"), " ")
+
+  /** The x03b polynomial ascii fold as DuckDB SQL over expression `e` —
+    * identical to [[graft.functions.RollingHash]] on ASCII text (the
+    * x03b/x40/x42 parity convention; non-ASCII caveat documented there). */
+  private def rollFoldSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % 1000000007)"""
+
+  // ---------------------------------------------------------------- x49
+  /** BM25 parameters — the Robertson/Sparck-Jones defaults used by Lucene. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Query terms: two mid-probability content terms plus the one genuinely
+    * rare term in this corpus ("dup", df ≈ 5%), so idf — not just tf —
+    * visibly drives the ranking at every SF (measured 2026-08-13: top-50
+    * spans scores 5.76→4.30 at sf0.1 with 36 distinct rounded scores). */
+  val Bm25Query: Seq[String] = Seq("spark", "join", "dup")
+  val Bm25TopK = 50
+
+  /** Okapi BM25 top-k retrieval: score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)), idf(t) = ln(1 + (N − df + 0.5) /
+    * (df + 0.5)) — the probabilistic-relevance form that never goes
+    * negative. Both engines rank on the ROUNDED score with doc_id as the
+    * tiebreak, so the top-k cut is total and engine-exact (the same
+    * determinism discipline as x13/b19).
+    *
+    * Scale: the corpus-wide explode immediately filters to the query
+    * terms, so the per-(doc, term) aggregation shuffles only matching
+    * postings (|q| terms × matching docs, not the corpus); df and the
+    * (N, avgdl) statistics are |q|-row / 1-row frames that broadcast; dl
+    * joins on doc_id at posting grain. The final top-k is a
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k·p
+    * rows), never a full sort — the b19 discipline, gated in PlanSpec. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Of(docs(s, dir), Bm25Query, Bm25TopK)
+
+  /** Library form over any (doc_id, text) frame — the registered x49 plus
+    * the planted-fixture surface SelectionSpec hand-checks. */
+  private[graft] def bm25Of(corpus: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
+    val d = corpus.select(col("doc_id"), size(toks).cast("double").as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = corpus
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), Seq("tok"))
+      .join(d, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        round(sum(
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            col("tf") * (Bm25K1 + 1.0) /
+            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))), 4)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  private val x49Sql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
+                   FROM documents),
+       stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       tf AS (SELECT doc_id, tok, count(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+              WHERE tok IN ($terms) GROUP BY doc_id, tok),
+       df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+       SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+               tf * ($Bm25K1 + 1.0) /
+               (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))), 4) AS bm25
+       FROM tf JOIN df USING (tok) JOIN d USING (doc_id) CROSS JOIN stats
+       GROUP BY doc_id
+       ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK"""
+  }
+
+  // ---------------------------------------------------------------- x50
+  /** Number of hashed-feature buckets. 256 deliberately collides this
+    * corpus's ~31-word vocabulary + bigrams — feature hashing WITH
+    * collisions is the published DSIR design (it regularizes the density
+    * ratio); production would use 10k–100k buckets, a constant swap. */
+  val DsirBuckets = 256
+  /** The target-domain predicate: documents whose distribution we want
+    * more of. `lang = 'en'` mirrors the paper's formal-text target and is
+    * measurably distinct here (per-token probabilities differ ~25%
+    * relative across langs; measured mean log-weight at sf0.001:
+    * en +0.37 vs −0.9..−1.0 for the other four langs). */
+  private val dsirTarget: Column = col("lang") === "en"
+
+  /** DSIR importance weight: features are hashed unigrams + bigrams
+    * (rolling_hash(feat) mod B — the engine's oracle-exact x03b fold);
+    * both the raw corpus and the target slice reduce to B-bucket
+    * histograms with add-one smoothing, and each document scores
+    * log w(d) = Σ_f c_f(d) · (ln p̂_target(b_f) − ln p̂_raw(b_f)).
+    * Positive ⇒ the doc looks more target-like than the corpus average;
+    * the paper then samples ∝ w (our deterministic x21/x22 machinery —
+    * thresholding logw — is the resampling step, kept separate so the
+    * weight itself stays oracle-checkable).
+    *
+    * Scale: ONE explode feeds the per-(doc, bucket) counts (partial+final
+    * agg on a composite content key); both histograms are ≤ B rows —
+    * broadcast joins, never a corpus shuffle; totals ride a broadcast
+    * 1-row frame. The target model in production comes from a separate
+    * (small) corpus — same plan, the histogram side stays tiny. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    dsirWeightsOf(docs(s, dir), dsirTarget)
+  }
+
+  /** Library form: importance-weight `corpus` (doc_id, text, + whatever
+    * `target` reads) against the slice `target` selects. Registers the
+    * native functions on the corpus frame's OWN session (the x36
+    * cloned-session lesson: under foreachBatch the micro-batch frame is
+    * bound to a cloned session). */
+  private[graft] def dsirWeightsOf(corpus: DataFrame, target: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val base = corpus.select(col("doc_id"), target.as("is_target"), toks.as("t"))
+    val feats = base.select(col("doc_id"), col("is_target"),
+      explode(concat(col("t"),
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .otherwise(array().cast("array<string>")))).as("feat"))
+    val fb = feats
+      .select(col("doc_id"), col("is_target"),
+        (call_function("rolling_hash", col("feat")) % DsirBuckets).as("bucket"))
+      .groupBy("doc_id", "is_target", "bucket").agg(count(lit(1)).as("c"))
+    val raw = fb.groupBy("bucket").agg(sum("c").as("cr"))
+    val tgt = fb.filter(col("is_target")).groupBy("bucket").agg(sum("c").as("ct"))
+    val tot = raw.agg(sum("cr").as("tot_r"))
+      .crossJoin(tgt.agg(coalesce(sum("ct"), lit(0L)).as("tot_t")))
+    fb.join(broadcast(raw), Seq("bucket"))
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"),
+        round(sum(col("c") * (
+          log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tot_t") + DsirBuckets)) -
+            log((col("cr") + 1.0) / (col("tot_r") + DsirBuckets)))), 4).as("log_weight"))
+      .orderBy("doc_id")
+  }
+
+  private val x50Sql =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+       feat AS (
+         SELECT doc_id, lang, unnest(t) AS feat FROM t
+         UNION ALL
+         SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS feat
+         FROM t, unnest(generate_series(1, len(t) - 1)) u(i) WHERE len(t) >= 2),
+       fb AS (SELECT doc_id, lang, (${rollFoldSql("feat")}) % $DsirBuckets AS bucket,
+                count(*) AS c
+              FROM feat
+              GROUP BY doc_id, lang, (${rollFoldSql("feat")}) % $DsirBuckets),
+       raw AS (SELECT bucket, sum(c) AS cr FROM fb GROUP BY bucket),
+       tgt AS (SELECT bucket, sum(c) AS ct FROM fb WHERE lang = 'en' GROUP BY bucket),
+       tot AS (SELECT (SELECT sum(cr) FROM raw) AS tot_r,
+                      (SELECT coalesce(sum(ct), 0) FROM tgt) AS tot_t)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         round(sum(c * (ln((coalesce(ct, 0) + 1.0) / (tot_t + $DsirBuckets.0))
+                    -   ln((cr + 1.0) / (tot_r + $DsirBuckets.0)))), 4) AS log_weight
+       FROM fb LEFT JOIN tgt USING (bucket) JOIN raw USING (bucket) CROSS JOIN tot
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x51
+  /** Gopher rule thresholds (Rae et al. 2021, appendix A1.1), except the
+    * stopword lexicon which is the engine's [[TextStats.Stopwords]] —
+    * measured 2026-08-13: the paper's own 8-word list {the, be, to, of,
+    * and, that, have, with} shares only "the" with this corpus's 31-word
+    * vocabulary, so ≥2-distinct would vacuously fail every doc; the
+    * engine list keeps the rule live (fails ~37%). Conversely the
+    * mean-word-length, symbol-ratio and alpha-word rules are
+    * corpus-VACUOUS here (synthetic all-alpha single-line text passes
+    * all three by construction) — kept at published thresholds and each
+    * proven to fire on planted fixtures in SelectionSpec. */
+  val GopherMinTok = 50
+  val GopherMaxTok = 100000
+  val GopherMinMwl = 3.0
+  val GopherMaxMwl = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaRatio = 0.8
+  val GopherMinStopwords = 2
+
+  /** The Gopher per-document quality-rule battery: word count, mean word
+    * length, symbol-to-word ratio ('#' chars + '...' occurrences per
+    * word), alphabetic-word ratio, distinct-stopword count — each rule a
+    * 0/1 verdict plus the conjunction, so downstream can both filter on
+    * `pass_all` and diagnose WHICH rule rejected (the reasons column
+    * pattern). Map-only: one projection pass, no shuffle before the
+    * output sort; at 100 TB this runs at scan speed. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(docs(s, dir))
+
+  /** Library form over any (doc_id, text) frame. */
+  private[graft] def gopherRulesOf(corpus: DataFrame): DataFrame = {
+    val nTok = size(toks)
+    val mwl = round((length(col("text")) - (nTok - 1)).cast("double") / nTok, 4)
+    val symbolRatio = round(
+      (length(col("text")) - length(regexp_replace(col("text"), "#", "")) +
+        (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
+        .cast("double") / nTok, 4)
+    val alphaRatio = round(
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nTok, 4)
+    val nStop = size(array_distinct(
+      filter(toks, t => t.isin(TextStats.Stopwords: _*)))).cast("int")
+    val passLen = (col("n_tok") >= GopherMinTok && col("n_tok") <= GopherMaxTok)
+    val passMwl = (col("mean_word_len") >= GopherMinMwl && col("mean_word_len") <= GopherMaxMwl)
+    val passSymbol = col("symbol_ratio") <= GopherMaxSymbolRatio
+    val passAlpha = col("alpha_word_ratio") >= GopherMinAlphaRatio
+    val passStop = col("n_stopwords") >= GopherMinStopwords
+    corpus
+      .select(col("doc_id"), nTok.cast("int").as("n_tok"), mwl.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
+        nStop.as("n_stopwords"))
+      .select(col("*"),
+        passLen.cast("int").as("pass_len"),
+        passMwl.cast("int").as("pass_mwl"),
+        passSymbol.cast("int").as("pass_symbol"),
+        passAlpha.cast("int").as("pass_alpha"),
+        passStop.cast("int").as("pass_stop"),
+        (passLen && passMwl && passSymbol && passAlpha && passStop)
+          .cast("int").as("pass_all"))
+      .orderBy("doc_id")
+  }
+
+  private val x51Sql = {
+    val stop = TextStats.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH s AS (
+         SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS INT) AS n_tok,
+           round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+             / len(string_split(text,' ')), 4) AS mean_word_len,
+           round(CAST(length(text) - length(replace(text, '#', ''))
+             + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+             / len(string_split(text,' ')), 4) AS symbol_ratio,
+           round(CAST(len(list_filter(string_split(text,' '),
+               t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+             / len(string_split(text,' ')), 4) AS alpha_word_ratio,
+           CAST(len(list_distinct(list_filter(string_split(text,' '),
+             t -> list_contains([$stop], t)))) AS INT) AS n_stopwords
+         FROM documents)
+       SELECT doc_id, n_tok, mean_word_len, symbol_ratio, alpha_word_ratio, n_stopwords,
+         CAST(n_tok BETWEEN $GopherMinTok AND $GopherMaxTok AS INT) AS pass_len,
+         CAST(mean_word_len BETWEEN $GopherMinMwl AND $GopherMaxMwl AS INT) AS pass_mwl,
+         CAST(symbol_ratio <= $GopherMaxSymbolRatio AS INT) AS pass_symbol,
+         CAST(alpha_word_ratio >= $GopherMinAlphaRatio AS INT) AS pass_alpha,
+         CAST(n_stopwords >= $GopherMinStopwords AS INT) AS pass_stop,
+         CAST(n_tok BETWEEN $GopherMinTok AND $GopherMaxTok
+           AND mean_word_len BETWEEN $GopherMinMwl AND $GopherMaxMwl
+           AND symbol_ratio <= $GopherMaxSymbolRatio
+           AND alpha_word_ratio >= $GopherMinAlphaRatio
+           AND n_stopwords >= $GopherMinStopwords AS INT) AS pass_all
+       FROM s ORDER BY doc_id"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x49_bm25_topk", bm25TopK, Some(x49Sql)),
+    QueryDef("x50_dsir_weights", dsirWeights, Some(x50Sql)),
+    QueryDef("x51_gopher_rules", gopherRules, Some(x51Sql)))
+}

@@ -390,6 +390,38 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"only the semantic-decon broadcast scan may nest-loop ($bnlj):\n$p")
   }
 
+  test("x49: BM25 top-k heaps per partition; stats sides broadcast; no product") {
+    val p = plan("x49_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must not globally sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    // The only nested-loop join allowed is the broadcast 1-row (N, avgdl)
+    // statistics frame.
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the 1-row stats frame may nest-loop ($bnlj):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the |q|-row df side must broadcast:\n$p")
+  }
+
+  test("x50: DSIR histograms broadcast; feature agg is partial+final; no product") {
+    val p = plan("x50_dsir_weights")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the B-bucket histogram sides must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-(doc,bucket) aggregation must be partial+final:\n$p")
+    // Two 1-row total frames (tot_r × tot_t, then × the corpus) may
+    // nest-loop; nothing else.
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 2, s"only the 1-row totals may nest-loop ($bnlj):\n$p")
+  }
+
+  test("x51: the Gopher rule battery is map-only (no join, no hash exchange)") {
+    val p = plan("x51_gopher_rules")
+    assert(!p.contains("Join"), s"rule evaluation must not join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Invariants of the targeted-selection family (x49–x51) beyond the
+  * oracle hash compare: a hand-computed BM25 fixture, DSIR sign/shape
+  * properties, and planted documents proving the corpus-vacuous Gopher
+  * rules actually fire. */
+class SelectionSpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- x49
+  test("x49: hand-computed BM25 on a planted corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark join spark"),
+      (2L, "join fast"),
+      (3L, "other words here four")).toDF("doc_id", "text")
+    // N=3, dl=(3,2,4), avgdl=3; df(spark)=1, df(join)=2;
+    // idf_spark=ln(1+2.5/1.5), idf_join=ln(1.6); k1=1.2, b=0.75.
+    val rows = Selection.bm25Of(corpus, Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 2, 1.8186), (2L, 1, 0.5442)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("x49: top-k is rank-consistent on the real corpus") {
+    val rows = Selection.bm25TopK(spark, sf).collect()
+    assert(rows.length == Selection.Bm25TopK)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores must be non-increasing")
+    assert(rows.map(_.getInt(1)).forall(n => n >= 1 && n <= Selection.Bm25Query.size))
+  }
+
+  // ---------------------------------------------------------------- x50
+  test("x50: planted target/non-target corpora separate by sign") {
+    import spark.implicits._
+    // Counts must dominate the add-one smoothing mass (B=256 pseudo-
+    // counts on each side) for the density ratio to surface — 50 copies
+    // per class does; a 5-doc corpus provably cannot (ln((2+1)/266) <
+    // ln((3+1)/277) even for a feature twice as common in-target).
+    val copies = 50
+    val corpus = (
+      (0 until 2 * copies).map(i => (i.toLong, "alpha beta gamma", true)) ++
+        (0 until copies).map(i => (200L + i, "delta epsilon zeta", false)) ++
+        (0 until copies).map(i => (300L + i, "alpha beta gamma", false)) :+
+        ((400L, "solo", false))).toDF("doc_id", "text", "tgt")
+    val w = Selection.dsirWeightsOf(corpus, col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Doc 300 is token-identical to the target slice: more probable under
+    // the target model than the raw average. Doc 200 shares nothing with
+    // the target: its buckets exist only via smoothing.
+    assert(w(300L)._2 > 0, s"target-like doc must weight positive: ${w(300L)}")
+    assert(w(200L)._2 < 0, s"off-target doc must weight negative: ${w(200L)}")
+    assert(w(300L)._2 > w(200L)._2)
+    // Feature count: n unigrams + (n-1) bigrams; single-token doc has 1.
+    assert(w(0L)._1 == 5, s"3 unigrams + 2 bigrams: ${w(0L)}")
+    assert(w(400L)._1 == 1, s"single-token doc has one feature: ${w(400L)}")
+  }
+
+  test("x50: English documents weight above every other language") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
+    val means = Selection.dsirWeights(spark, sf)
+      .join(docs, "doc_id")
+      .groupBy("lang").agg(avg("log_weight").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val en = means("en")
+    means.filter(_._1 != "en").foreach { case (lang, m) =>
+      assert(en > m, s"en mean $en must exceed $lang mean $m")
+    }
+  }
+
+  // ---------------------------------------------------------------- x51
+  test("x51: planted documents fire each corpus-vacuous rule") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a # b # c # d"), // 3 '#' / 7 words = 0.43 sym; mwl 1.0
+      (2L, "greatgrandiloquent perspicaciousness incomprehensibilities magnanimousnesses"),
+      (3L, "1 2 3 4 5 word"), // 1 alpha word of 6
+      (4L, "please wait... loading... done... now... ok... yes..."),
+      (5L, Seq.fill(13)("the cat and dog").mkString(" "))) // 52 words, 2 stopwords
+      .toDF("doc_id", "text")
+    val r = Selection.gopherRulesOf(corpus)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("pass_symbol") == 0, "hash symbols must fail")
+    assert(r(1L).getAs[Int]("pass_mwl") == 0, "mean word length 1.0 must fail")
+    assert(r(2L).getAs[Int]("pass_mwl") == 0, "mean word length > 10 must fail")
+    assert(r(3L).getAs[Int]("pass_alpha") == 0, "numeric tokens must fail")
+    assert(r(4L).getAs[Int]("pass_symbol") == 0, "ellipses must fail")
+    assert(r(4L).getAs[Int]("pass_alpha") == 1, "word... still counts as alphabetic")
+    assert(r(5L).getAs[Int]("pass_all") == 1, s"the passing doc must pass: ${r(5L)}")
+  }
+
+  test("x51: rule mix on the real corpus matches the measured regime") {
+    val agg = Selection.gopherRules(spark, sf)
+      .agg(sum("pass_len"), sum("pass_mwl"), sum("pass_symbol"),
+        sum("pass_alpha"), sum("pass_stop"), sum("pass_all"), count(lit(1)))
+      .collect()(0)
+    val (len, mwl, sym, alpha, stop, all, n) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+        agg.getLong(4), agg.getLong(5), agg.getLong(6))
+    // Live rules split the corpus; vacuous rules pass everything (the
+    // scaladoc's disclosure, pinned so a data refresh that changes the
+    // regime fails loudly here rather than silently devaluing the query).
+    assert(len > 0 && len < n, s"length rule must split the corpus: $len/$n")
+    assert(stop > 0 && stop < n, s"stopword rule must split the corpus: $stop/$n")
+    assert(all > 0 && all < n, s"conjunction must be non-trivial: $all/$n")
+    assert(mwl == n && sym == n && alpha == n,
+      s"mwl/symbol/alpha are corpus-vacuous by construction: $mwl/$sym/$alpha vs $n")
+  }
+}
