@@ -31,7 +31,7 @@ object Sampling {
   private val Knuth = HashConstants.Knuth
   private val HashPrime = HashConstants.HashPrime
   /** Selection decisions are made in basis points (1/10000ths). */
-  private val Bp = 10000L
+  private[pipeline] val Bp = 10000L
 
   /** Deterministic uniform-ish selector in [0, 10000): a Knuth-spread
     * integer hash of (doc_id + salt). The salt DECORRELATES independent
@@ -47,10 +47,10 @@ object Sampling {
     * Holds for every real id space this library targets and for the
     * synthetic corpus; callers sampling a HASHED id space (xxhash64 is
     * negative half the time) must pmod their ids into [0, 2^62) first. */
-  private def hashBp(salt: Long): Column =
+  private[pipeline] def hashBp(salt: Long): Column =
     pmod(pmod(col("doc_id") + salt, lit(HashPrime)) * lit(Knuth), lit(HashPrime)) % Bp
 
-  private def hashBpSql(salt: Long): String =
+  private[pipeline] def hashBpSql(salt: Long): String =
     s"(((doc_id + $salt) % $HashPrime) * $Knuth % $HashPrime) % $Bp"
 
   // ---------------------------------------------------------------- x21

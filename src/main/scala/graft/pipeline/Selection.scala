@@ -181,26 +181,81 @@ object Selection {
       .orderBy("doc_id")
   }
 
-  private val x50Sql =
+  /** The x50 weight chain as a shared WITH-prefix ending in `w(doc_id,
+    * n_feats, log_weight)` — x50's oracle and x50b's resampling oracle
+    * score from this single fragment, so the two cannot drift. `fb` is
+    * referenced three times and marked MATERIALIZED (DuckDB inlines
+    * otherwise — the x46 lesson: the explode would run per reference). */
+  private val dsirCtes =
     s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
        feat AS (
          SELECT doc_id, lang, unnest(t) AS feat FROM t
          UNION ALL
          SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS feat
          FROM t, unnest(generate_series(1, len(t) - 1)) u(i) WHERE len(t) >= 2),
-       fb AS (SELECT doc_id, lang, (${rollFoldSql("feat")}) % $DsirBuckets AS bucket,
+       fb AS MATERIALIZED (
+         SELECT doc_id, lang, (${rollFoldSql("feat")}) % $DsirBuckets AS bucket,
                 count(*) AS c
-              FROM feat
-              GROUP BY doc_id, lang, (${rollFoldSql("feat")}) % $DsirBuckets),
+         FROM feat
+         GROUP BY doc_id, lang, (${rollFoldSql("feat")}) % $DsirBuckets),
        raw AS (SELECT bucket, sum(c) AS cr FROM fb GROUP BY bucket),
        tgt AS (SELECT bucket, sum(c) AS ct FROM fb WHERE lang = 'en' GROUP BY bucket),
        tot AS (SELECT (SELECT sum(cr) FROM raw) AS tot_r,
-                      (SELECT coalesce(sum(ct), 0) FROM tgt) AS tot_t)
-       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-         round(sum(c * (ln((coalesce(ct, 0) + 1.0) / (tot_t + $DsirBuckets.0))
-                    -   ln((cr + 1.0) / (tot_r + $DsirBuckets.0)))), 4) AS log_weight
-       FROM fb LEFT JOIN tgt USING (bucket) JOIN raw USING (bucket) CROSS JOIN tot
-       GROUP BY doc_id ORDER BY doc_id"""
+                      (SELECT coalesce(sum(ct), 0) FROM tgt) AS tot_t),
+       w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+               round(sum(c * (ln((coalesce(ct, 0) + 1.0) / (tot_t + $DsirBuckets.0))
+                          -   ln((cr + 1.0) / (tot_r + $DsirBuckets.0)))), 4) AS log_weight
+             FROM fb LEFT JOIN tgt USING (bucket) JOIN raw USING (bucket) CROSS JOIN tot
+             GROUP BY doc_id)"""
+
+  private val x50Sql =
+    s"$dsirCtes SELECT doc_id, n_feats, log_weight FROM w ORDER BY doc_id"
+
+  // ---------------------------------------------------------------- x50b
+  /** How many documents the resampling step keeps. */
+  val DsirSampleK = 100
+  /** Gumbel-noise salt — a fresh prime, decorrelated from x14's bare
+    * doc_id split, x21's 7919 and x23's 104729 (the [[Sampling.hashBp]]
+    * decorrelation discipline: reusing a salt would correlate "sampled
+    * into training" with an unrelated earlier decision). */
+  val DsirSalt = 15485863L
+
+  /** DSIR's resampling step — the second half of the published algorithm:
+    * sample k documents without replacement with probability ∝ exp(log w)
+    * via the Gumbel-top-k trick (key = log w + G, G ~ Gumbel(0,1); the
+    * top-k keys are exactly a weighted sample without replacement). The
+    * Gumbel variate is DETERMINISTIC: G = −ln(−ln(u)) with u = (h + 0.5)
+    * / 10000 from the engine's integer hash of (doc_id + salt) — so
+    * membership is engine/cluster/run-independent (the x21/x22
+    * reproducibility contract), yet distributed Gumbel(0,1) over the id
+    * space. Both engines rank on the ROUNDED key with doc_id tiebreak
+    * (the x49 determinism discipline).
+    *
+    * Scale: x50's chain plus one map-only key projection and a
+    * TakeOrderedAndProject — no new shuffle class. */
+  def dsirResample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    dsirResampleOf(docs(s, dir), dsirTarget, DsirSampleK)
+  }
+
+  /** Library form over any (doc_id, text, + target inputs) frame. */
+  private[graft] def dsirResampleOf(corpus: DataFrame, target: Column, k: Int): DataFrame = {
+    val u = (Sampling.hashBp(DsirSalt).cast("double") + 0.5) / Sampling.Bp.toDouble
+    dsirWeightsOf(corpus, target)
+      .select(col("doc_id"), col("log_weight"),
+        round(col("log_weight") + -log(-log(u)), 4).as("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(k)
+      .orderBy(col("sel_key").desc, col("doc_id"))
+  }
+
+  private val x50bSql =
+    s"""$dsirCtes
+       SELECT doc_id, log_weight,
+         round(log_weight + -ln(-ln((CAST(${Sampling.hashBpSql(DsirSalt)} AS DOUBLE) + 0.5)
+           / ${Sampling.Bp}.0)), 4) AS sel_key
+       FROM w
+       ORDER BY sel_key DESC, doc_id LIMIT $DsirSampleK"""
 
   // ---------------------------------------------------------------- x51
   /** Gopher rule thresholds (Rae et al. 2021, appendix A1.1), except the
@@ -296,5 +351,6 @@ object Selection {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x49_bm25_topk", bm25TopK, Some(x49Sql)),
     QueryDef("x50_dsir_weights", dsirWeights, Some(x50Sql)),
+    QueryDef("x50b_dsir_resample", dsirResample, Some(x50bSql)),
     QueryDef("x51_gopher_rules", gopherRules, Some(x51Sql)))
 }

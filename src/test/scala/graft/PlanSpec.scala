@@ -415,6 +415,13 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 2, s"only the 1-row totals may nest-loop ($bnlj):\n$p")
   }
 
+  test("x50b: resampling adds only a projection and a top-k heap to x50") {
+    val p = plan("x50b_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the Gumbel-top-k cut must not globally sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+  }
+
   test("x51: the Gopher rule battery is map-only (no join, no hash exchange)") {
     val p = plan("x51_gopher_rules")
     assert(!p.contains("Join"), s"rule evaluation must not join:\n$p")

@@ -72,6 +72,25 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------------- x50b
+  test("x50b: Gumbel-top-k sample is weight-biased and reproducible") {
+    val all = Selection.dsirWeights(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sel = Selection.dsirResample(spark, sf).collect()
+    assert(sel.length == Selection.DsirSampleK)
+    // E[log w | selected] > E[log w]: the Gumbel noise is independent of
+    // the weight, so a weighted sample must skew toward heavy docs —
+    // deterministic here (fixed hash), not a flaky statistical bound.
+    val selMean = sel.map(r => all(r.getLong(0))).sum / sel.length
+    val allMean = all.values.sum / all.size
+    assert(selMean > allMean,
+      s"selected mean log-weight $selMean must exceed corpus mean $allMean")
+    // Byte-identical membership on re-run (the x21 reproducibility
+    // contract carried into the resampling step).
+    val again = Selection.dsirResample(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(again == sel.map(_.getLong(0)).toSeq)
+  }
+
   // ---------------------------------------------------------------- x51
   test("x51: planted documents fire each corpus-vacuous rule") {
     import spark.implicits._
