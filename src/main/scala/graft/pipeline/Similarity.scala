@@ -753,8 +753,68 @@ object Similarity {
        ORDER BY vec_id"""
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- x52
+  /** Scalar-quantization width: int8 symmetric, the FAISS `SQ8` scheme. */
+  val Sq8Max = 127.0
+
+  /** Int8 scalar-quantized ANN (x52): quantize every vector to int8 codes
+    * q[d] = round(x[d] · 127 / max|x|) with ONE corpus-wide symmetric
+    * scale, then rank by the cosine of the CODES — the uniform scale
+    * cancels in the cosine, so the integer dot/norm sums are exact and
+    * engine-identical (the ×1e6 discipline of x09/x47 at int8 width).
+    *
+    * Why this exists at 100 TB: float32 embeddings at this scale are
+    * memory-bound (64-dim × 4 B × 10¹¹ vectors ≈ 26 TB resident); int8
+    * codes are 4× smaller and the dot product runs on 8-bit integer
+    * lanes. The codes are a pure per-row projection — at rest they'd be
+    * materialized ONCE as a `binary`/`array<tinyint>` sibling column
+    * (computed at ingest, the x36b append-only discipline), and the
+    * query-time plan is identical to b29's: query codes broadcast, corpus
+    * streams map-side, TakeOrderedAndProject cut. Registered form
+    * quantizes inline (the corpus is test-sized) with the scale as a
+    * broadcast 1-row frame; IvfSpec gates recall@10 = 1.0 vs exact b29
+    * and max |cos₈ − cos| ≤ 0.005 on this corpus. */
+  def annSq8TopK(s: SparkSession, dir: String): DataFrame = {
+    reg(s)
+    val e = Tables.t(s, dir, "embeddings")
+    val sc = e.select(explode(col("embedding")).as("x"))
+      .agg((lit(Sq8Max) / max(abs(dbl(col("x"))))).as("scale"))
+    def q8(c: Column): Column =
+      transform(c, x => round(dbl(x) * col("scale"), 0).cast("long"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    val eq = e.crossJoin(broadcast(sc))
+      .select(col("vec_id"), q8(col("embedding")).as("qe"))
+    val qv = eq.filter(col("vec_id") === 0).select(col("qe").as("q_qe"))
+    eq.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(dbl(idot(col("qe"), col("q_qe"))) /
+          (sqrt(dbl(idot(col("qe"), col("qe")))) *
+            sqrt(dbl(idot(col("q_qe"), col("q_qe"))))), 4).as("cos_sq8"))
+      .orderBy(col("cos_sq8").desc, col("vec_id"))
+      .limit(10)
+      .orderBy(col("cos_sq8").desc, col("vec_id"))
+  }
+
+  private val x52Sql =
+    s"""WITH sc AS (SELECT $Sq8Max / max(abs(CAST(x AS DOUBLE))) AS scale
+                    FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+       z0 AS (SELECT vec_id, unnest(embedding) AS a0,
+                unnest((SELECT embedding FROM embeddings WHERE vec_id = 0)) AS b0
+              FROM embeddings WHERE vec_id <> 0),
+       z AS (SELECT vec_id,
+               CAST(round(CAST(a0 AS DOUBLE) * scale) AS BIGINT) AS a,
+               CAST(round(CAST(b0 AS DOUBLE) * scale) AS BIGINT) AS b
+             FROM z0, sc),
+       d AS (SELECT vec_id, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb
+             FROM z GROUP BY vec_id)
+       SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sq8
+       FROM d ORDER BY cos_sq8 DESC, vec_id LIMIT 10"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b29_cosine_topk", cosineTopK, Some(b29Sql)),
+    QueryDef("x52_ann_sq8", annSq8TopK, Some(x52Sql)),
     QueryDef("b29b_ann_ivf", annIvfTopK, Some(b29bSql)),
     QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),
     QueryDef("x09_embedding_neardup", x09, Some(x09Sql)),

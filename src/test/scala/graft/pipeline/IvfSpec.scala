@@ -22,6 +22,23 @@ class IvfSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("x52: int8 quantized top-10 recalls the exact top-10 within tolerance") {
+    val exact = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sq8 = Similarity.annSq8TopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(sq8.length == 10)
+    // Recall@10: int8 at 64 dims loses ~1e-3 of cosine — the exact and
+    // quantized top-10 SETS must agree on this corpus (rank swaps between
+    // near-tied neighbors are the expected, acceptable degradation).
+    val hits = sq8.count { case (id, _) => exact.contains(id) }
+    assert(hits == 10, s"recall@10 was $hits/10: ${sq8.toSeq} vs $exact")
+    // Quantization error bound: |cos8 - cos| small for every shared id.
+    sq8.filter { case (id, _) => exact.contains(id) }.foreach { case (id, c8) =>
+      assert(math.abs(c8 - exact(id)) <= 0.005, s"vec $id: $c8 vs ${exact(id)}")
+    }
+  }
+
   test("with nprobe = nlist the IVF top-1 equals brute-force top-1") {
     val emb = Tables.t(spark, sf, "embeddings")
     val (model, indexed) = Ivf.build(emb)
