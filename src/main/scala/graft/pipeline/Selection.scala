@@ -115,6 +115,89 @@ object Selection {
        ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK"""
   }
 
+  // --------------------------------------------------------------- x49b
+  /** The benchmark-suite batch: several named queries retrieved in ONE
+    * pass (per-task training-data selection runs hundreds of these). */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "join",
+    2 -> "dup",
+    3 -> "window", 3 -> "scan", 3 -> "fast")
+  val Bm25BatchK = 10
+
+  /** Batch BM25: a (query_id, term) table joined against the corpus in
+    * one pass, per-query top-k via a rank window — the grouped-top-k
+    * shape that scales to hundreds of concurrent queries where x49's
+    * global TakeOrdered serves one. Terms are deduplicated BEFORE the
+    * corpus explode filter (a term shared by two queries is counted
+    * once), df/dl/stats fragments are x49's, and the rank window
+    * partitions by query_id on the rounded score with doc_id tiebreak —
+    * total, engine-exact, and per-query parallel.
+    *
+    * Scale: postings = matching (doc, term) rows across the UNION of
+    * query vocabularies — one corpus explode serves every query (the
+    * batch amortization that makes per-benchmark selection affordable);
+    * the query table and df are broadcast-sized; the only corpus-keyed
+    * shuffle is the per-(query, doc) aggregation, partitioned by
+    * query_id × doc — no whale unless one query matches everything, the
+    * stopword caveat x49 documents. */
+  def bm25Batch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Bm25Queries.toDF("query_id", "tok")
+    val corpus = docs(s, dir)
+    val d = corpus.select(col("doc_id"), size(toks).cast("double").as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val terms = Bm25Queries.map(_._2).distinct
+    val tf = corpus
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(queries), Seq("tok"))
+      .join(broadcast(df_), Seq("tok"))
+      .join(d, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        round(sum(
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            col("tf") * (Bm25K1 + 1.0) /
+            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))), 4)
+          .as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= Bm25BatchK)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val x49bSql = {
+    val vals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH queries AS (SELECT * FROM (VALUES $vals) v(query_id, tok)),
+       d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
+             FROM documents),
+       stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       tf AS (SELECT doc_id, tok, count(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+              WHERE tok IN (SELECT DISTINCT tok FROM queries) GROUP BY doc_id, tok),
+       df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       scored AS (
+         SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_terms,
+           round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 tf * ($Bm25K1 + 1.0) /
+                 (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN queries USING (tok) JOIN df USING (tok)
+              JOIN d USING (doc_id) CROSS JOIN stats
+         GROUP BY query_id, doc_id)
+       SELECT query_id, doc_id, n_terms, bm25, rnk FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY bm25 DESC, doc_id) AS INT) AS rnk
+         FROM scored) t
+       WHERE rnk <= $Bm25BatchK
+       ORDER BY query_id, rnk"""
+  }
+
   // ---------------------------------------------------------------- x50
   /** Number of hashed-feature buckets. 256 deliberately collides this
     * corpus's ~31-word vocabulary + bigrams — feature hashing WITH
@@ -350,6 +433,7 @@ object Selection {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x49_bm25_topk", bm25TopK, Some(x49Sql)),
+    QueryDef("x49b_bm25_batch", bm25Batch, Some(x49bSql)),
     QueryDef("x50_dsir_weights", dsirWeights, Some(x50Sql)),
     QueryDef("x50b_dsir_resample", dsirResample, Some(x50bSql)),
     QueryDef("x51_gopher_rules", gopherRules, Some(x51Sql)))

@@ -424,6 +424,17 @@ class PlanSpec extends SparkSpec {
       s"the corpus must stream map-side, never shuffle:\n$p")
   }
 
+  test("x49b: batch retrieval ranks per query in parallel windows; no product") {
+    val p = plan("x49b_bm25_batch")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query table and df sides must broadcast:\n$p")
+    assert(p.contains("hashpartitioning(query_id"),
+      s"the rank window must partition by query_id (per-query parallel):\n$p")
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the 1-row stats frame may nest-loop ($bnlj):\n$p")
+  }
+
   test("x50b: resampling adds only a projection and a top-k heap to x50") {
     val p = plan("x50b_dsir_resample")
     assert(p.contains("TakeOrderedAndProject"),

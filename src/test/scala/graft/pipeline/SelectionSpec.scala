@@ -34,6 +34,21 @@ class SelectionSpec extends SparkSpec {
     assert(rows.map(_.getInt(1)).forall(n => n >= 1 && n <= Selection.Bm25Query.size))
   }
 
+  // --------------------------------------------------------------- x49b
+  test("x49b: each batch query's top-k equals the single-query form") {
+    val batch = Selection.bm25Batch(spark, sf).collect()
+      .groupBy(_.getInt(0))
+    assert(batch.keySet == Set(1, 2, 3))
+    Selection.Bm25Queries.groupBy(_._1).foreach { case (qid, pairs) =>
+      val single = Selection.bm25Of(
+        graft.Tables.t(spark, sf, "documents"), pairs.map(_._2), Selection.Bm25BatchK)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val fromBatch = batch(qid).sortBy(_.getInt(4))
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      assert(fromBatch == single, s"query $qid: $fromBatch vs $single")
+    }
+  }
+
   // ---------------------------------------------------------------- x50
   test("x50: planted target/non-target corpora separate by sign") {
     import spark.implicits._
