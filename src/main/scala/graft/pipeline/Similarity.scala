@@ -812,9 +812,62 @@ object Similarity {
        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sq8
        FROM d ORDER BY cos_sq8 DESC, vec_id LIMIT 10"""
 
+  // --------------------------------------------------------------- x52b
+  /** IVF + SQ8 composed (x52b): the production big-index shape — coarse
+    * pruning by the query's IVF list (b29b's label restriction) over int8
+    * codes (x52's quantization), ranked by quantized cosine. At 100 TB
+    * this is the FAISS IVF-SQ layout verbatim: the at-rest table is
+    * bucketed by list id holding int8 codes (4× smaller resident set),
+    * a query prunes to nprobe lists via partition pruning and scans
+    * integer lanes. Both prunings compose because each is a pure
+    * restriction: IVF cuts WHICH rows are scanned, SQ8 cuts the BYTES
+    * per row — IvfSpec cross-validates the composed top-5 against b29b's
+    * exact-in-list top-5. */
+  def annIvfSq8TopK(s: SparkSession, dir: String): DataFrame = {
+    reg(s)
+    val e = Tables.t(s, dir, "embeddings")
+    val sc = e.select(explode(col("embedding")).as("x"))
+      .agg((lit(Sq8Max) / max(abs(dbl(col("x"))))).as("scale"))
+    def q8(c: Column): Column =
+      transform(c, x => round(dbl(x) * col("scale"), 0).cast("long"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    val eq = e.crossJoin(broadcast(sc))
+      .select(col("vec_id"), col("label"), q8(col("embedding")).as("qe"))
+    val qv = eq.filter(col("vec_id") === 0)
+      .select(col("qe").as("q_qe"), col("label").as("q_label"))
+    eq.filter(col("vec_id") =!= 0)
+      .join(broadcast(qv), col("label") === col("q_label"))
+      .select(col("vec_id"), col("label"),
+        round(dbl(idot(col("qe"), col("q_qe"))) /
+          (sqrt(dbl(idot(col("qe"), col("qe")))) *
+            sqrt(dbl(idot(col("q_qe"), col("q_qe"))))), 4).as("cos_sq8"))
+      .orderBy(col("cos_sq8").desc, col("vec_id"))
+      .limit(5)
+      .orderBy(col("cos_sq8").desc, col("vec_id"))
+  }
+
+  private val x52bSql =
+    s"""WITH sc AS (SELECT $Sq8Max / max(abs(CAST(x AS DOUBLE))) AS scale
+                    FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+       q AS (SELECT label AS ql FROM embeddings WHERE vec_id = 0),
+       z0 AS (SELECT vec_id, label, unnest(embedding) AS a0,
+                unnest((SELECT embedding FROM embeddings WHERE vec_id = 0)) AS b0
+              FROM embeddings
+              WHERE vec_id <> 0 AND label = (SELECT ql FROM q)),
+       z AS (SELECT vec_id, label,
+               CAST(round(CAST(a0 AS DOUBLE) * scale) AS BIGINT) AS a,
+               CAST(round(CAST(b0 AS DOUBLE) * scale) AS BIGINT) AS b
+             FROM z0, sc),
+       d AS (SELECT vec_id, label, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb
+             FROM z GROUP BY vec_id, label)
+       SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sq8
+       FROM d ORDER BY cos_sq8 DESC, vec_id LIMIT 5"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b29_cosine_topk", cosineTopK, Some(b29Sql)),
     QueryDef("x52_ann_sq8", annSq8TopK, Some(x52Sql)),
+    QueryDef("x52b_ann_ivf_sq8", annIvfSq8TopK, Some(x52bSql)),
     QueryDef("b29b_ann_ivf", annIvfTopK, Some(b29bSql)),
     QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),
     QueryDef("x09_embedding_neardup", x09, Some(x09Sql)),

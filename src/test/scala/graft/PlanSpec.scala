@@ -435,6 +435,15 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"only the 1-row stats frame may nest-loop ($bnlj):\n$p")
   }
 
+  test("x52b: composed IVF+SQ8 keeps the broadcast + heap shape") {
+    val p = plan("x52b_ann_ivf_sq8")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")
+    assert(p.contains("Broadcast"), s"query codes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must stream map-side, never shuffle:\n$p")
+  }
+
   test("x50b: resampling adds only a projection and a top-k heap to x50") {
     val p = plan("x50b_dsir_resample")
     assert(p.contains("TakeOrderedAndProject"),

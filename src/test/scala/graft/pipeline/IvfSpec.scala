@@ -39,6 +39,21 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("x52b: IVF+SQ8 composed top-5 matches the exact-in-list top-5") {
+    val exact = Similarity.annIvfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val sq8 = Similarity.annIvfSq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(sq8.length == 5)
+    // Same list restriction, so quantization is the ONLY difference:
+    // the id sets must agree and cosines within the int8 error band.
+    assert(sq8.map(_._1).toSet == exact.keySet,
+      s"${sq8.toSeq} vs $exact")
+    sq8.foreach { case (id, c8) =>
+      assert(math.abs(c8 - exact(id)) <= 0.005, s"vec $id: $c8 vs ${exact(id)}")
+    }
+  }
+
   test("with nprobe = nlist the IVF top-1 equals brute-force top-1") {
     val emb = Tables.t(spark, sf, "embeddings")
     val (model, indexed) = Ivf.build(emb)
