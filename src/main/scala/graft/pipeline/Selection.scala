@@ -269,8 +269,8 @@ object Selection {
     * score from this single fragment, so the two cannot drift. `fb` is
     * referenced three times and marked MATERIALIZED (DuckDB inlines
     * otherwise — the x46 lesson: the explode would run per reference). */
-  private val dsirCtes =
-    s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+  private def dsirCtes(rel: String = "documents", prefix: String = "") =
+    s"""WITH $prefix t AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM $rel),
        feat AS (
          SELECT doc_id, lang, unnest(t) AS feat FROM t
          UNION ALL
@@ -292,7 +292,7 @@ object Selection {
              GROUP BY doc_id)"""
 
   private val x50Sql =
-    s"$dsirCtes SELECT doc_id, n_feats, log_weight FROM w ORDER BY doc_id"
+    s"${dsirCtes()} SELECT doc_id, n_feats, log_weight FROM w ORDER BY doc_id"
 
   // ---------------------------------------------------------------- x50b
   /** How many documents the resampling step keeps. */
@@ -333,7 +333,7 @@ object Selection {
   }
 
   private val x50bSql =
-    s"""$dsirCtes
+    s"""${dsirCtes()}
        SELECT doc_id, log_weight,
          round(log_weight + -ln(-ln((CAST(${Sampling.hashBpSql(DsirSalt)} AS DOUBLE) + 0.5)
            / ${Sampling.Bp}.0)), 4) AS sel_key
@@ -369,18 +369,54 @@ object Selection {
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesOf(docs(s, dir))
 
+  // The rule signals as reusable Columns over `text` — the SINGLE
+  // definitions x51's per-rule verdicts AND x53's gate evaluate. The
+  // pass verdicts compare the ROUNDED signals (what x51 emits), so the
+  // gate and the diagnostic column can never disagree.
+  private def gNTok: Column = size(toks)
+  private def gMwl: Column =
+    round((length(col("text")) - (gNTok - 1)).cast("double") / gNTok, 4)
+  private def gSymbolRatio: Column = round(
+    (length(col("text")) - length(regexp_replace(col("text"), "#", "")) +
+      (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
+      .cast("double") / gNTok, 4)
+  private def gAlphaRatio: Column = round(
+    size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / gNTok, 4)
+  private def gNStop: Column = size(array_distinct(
+    filter(toks, t => t.isin(TextStats.Stopwords: _*)))).cast("int")
+
+  /** The full-battery pass verdict as one Column — x53's gate. */
+  private[graft] def gopherPassColumn: Column =
+    gNTok >= GopherMinTok && gNTok <= GopherMaxTok &&
+      gMwl >= GopherMinMwl && gMwl <= GopherMaxMwl &&
+      gSymbolRatio <= GopherMaxSymbolRatio &&
+      gAlphaRatio >= GopherMinAlphaRatio &&
+      gNStop >= GopherMinStopwords
+
+  /** The same verdict as a DuckDB WHERE fragment over a docs-shaped
+    * relation (constants single-sourced with the Column form). */
+  private[graft] def gopherPassSql: String = {
+    val stop = TextStats.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""(len(string_split(text,' ')) BETWEEN $GopherMinTok AND $GopherMaxTok
+       AND round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+         / len(string_split(text,' ')), 4) BETWEEN $GopherMinMwl AND $GopherMaxMwl
+       AND round(CAST(length(text) - length(replace(text, '#', ''))
+         + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+         / len(string_split(text,' ')), 4) <= $GopherMaxSymbolRatio
+       AND round(CAST(len(list_filter(string_split(text,' '),
+           t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+         / len(string_split(text,' ')), 4) >= $GopherMinAlphaRatio
+       AND len(list_distinct(list_filter(string_split(text,' '),
+         t -> list_contains([$stop], t)))) >= $GopherMinStopwords)"""
+  }
+
   /** Library form over any (doc_id, text) frame. */
   private[graft] def gopherRulesOf(corpus: DataFrame): DataFrame = {
-    val nTok = size(toks)
-    val mwl = round((length(col("text")) - (nTok - 1)).cast("double") / nTok, 4)
-    val symbolRatio = round(
-      (length(col("text")) - length(regexp_replace(col("text"), "#", "")) +
-        (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
-        .cast("double") / nTok, 4)
-    val alphaRatio = round(
-      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nTok, 4)
-    val nStop = size(array_distinct(
-      filter(toks, t => t.isin(TextStats.Stopwords: _*)))).cast("int")
+    val nTok = gNTok
+    val mwl = gMwl
+    val symbolRatio = gSymbolRatio
+    val alphaRatio = gAlphaRatio
+    val nStop = gNStop
     val passLen = (col("n_tok") >= GopherMinTok && col("n_tok") <= GopherMaxTok)
     val passMwl = (col("mean_word_len") >= GopherMinMwl && col("mean_word_len") <= GopherMaxMwl)
     val passSymbol = col("symbol_ratio") <= GopherMaxSymbolRatio
@@ -431,10 +467,40 @@ object Selection {
        FROM s ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- x53
+  /** Composed selection pipeline: Gopher gate → DSIR weights → Gumbel
+    * top-k — the "filtered importance resampling" flow production
+    * selection runs (rule-filter first, THEN model the survivors). The
+    * composition is semantic, not just sequenced: the DSIR histograms
+    * are trained on the GATED corpus, so both the raw and target models
+    * differ from x50's and so do the weights — SelectionSpec pins that
+    * the selected set genuinely differs from x50b's whole-corpus sample,
+    * and that every selected doc passes the gate. All fragments are
+    * single-sourced: the gate is [[gopherPassColumn]]/[[gopherPassSql]]
+    * (x51's constants), the chain is [[dsirCtes]] re-rooted at the gated
+    * relation, the sampling key is x50b's.
+    *
+    * Scale: the gate is a map-only predicate fused into the scan
+    * (filter pushdown — no materialization of the gated corpus), and
+    * everything downstream is x50/x50b's broadcast-histogram shape. */
+  def selectionPipeline(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    dsirResampleOf(docs(s, dir).filter(gopherPassColumn), dsirTarget, DsirSampleK)
+  }
+
+  private val x53Sql =
+    s"""${dsirCtes("gated", s"gated AS (SELECT * FROM documents WHERE $gopherPassSql),")}
+       SELECT doc_id, log_weight,
+         round(log_weight + -ln(-ln((CAST(${Sampling.hashBpSql(DsirSalt)} AS DOUBLE) + 0.5)
+           / ${Sampling.Bp}.0)), 4) AS sel_key
+       FROM w
+       ORDER BY sel_key DESC, doc_id LIMIT $DsirSampleK"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x49_bm25_topk", bm25TopK, Some(x49Sql)),
     QueryDef("x49b_bm25_batch", bm25Batch, Some(x49bSql)),
     QueryDef("x50_dsir_weights", dsirWeights, Some(x50Sql)),
     QueryDef("x50b_dsir_resample", dsirResample, Some(x50bSql)),
-    QueryDef("x51_gopher_rules", gopherRules, Some(x51Sql)))
+    QueryDef("x51_gopher_rules", gopherRules, Some(x51Sql)),
+    QueryDef("x53_selection_pipeline", selectionPipeline, Some(x53Sql)))
 }

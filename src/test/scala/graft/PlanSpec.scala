@@ -451,6 +451,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
   }
 
+  test("x53: the gate fuses into the scan-side pipeline (no gated materialization)") {
+    val p = plan("x53_selection_pipeline")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")
+    // The Gopher predicate must appear as a Filter feeding the explode,
+    // not as a separate shuffle-bounded stage.
+    assert(p.contains("Filter"), s"gate predicate must be a plain filter:\n$p")
+  }
+
   test("x51: the Gopher rule battery is map-only (no join, no hash exchange)") {
     val p = plan("x51_gopher_rules")
     assert(!p.contains("Join"), s"rule evaluation must not join:\n$p")

@@ -106,6 +106,20 @@ class SelectionSpec extends SparkSpec {
     assert(again == sel.map(_.getLong(0)).toSeq)
   }
 
+  // ---------------------------------------------------------------- x53
+  test("x53: every selected doc passes the gate; gating reshapes the sample") {
+    val passed = Selection.gopherRules(spark, sf)
+      .filter(col("pass_all") === 1).collect().map(_.getLong(0)).toSet
+    val sel = Selection.selectionPipeline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(sel.size == Selection.DsirSampleK)
+    assert(sel.subsetOf(passed), s"selected docs outside the gate: ${sel -- passed}")
+    // The histograms are trained on the GATED corpus, so the weights —
+    // and the sample — must genuinely differ from x50b's whole-corpus
+    // run (same salt, same k: any difference is the composition acting).
+    val whole = Selection.dsirResample(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(sel != whole, "gated-model sample must differ from the whole-corpus sample")
+  }
+
   // ---------------------------------------------------------------- x51
   test("x51: planted documents fire each corpus-vacuous rule") {
     import spark.implicits._
