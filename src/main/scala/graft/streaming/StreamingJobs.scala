@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming forms of the windowed event operators (B31–B34).
@@ -138,8 +138,13 @@ object StreamingJobs {
     * checkpoint — instead of three independent stream jobs whose
     * partial admissions a downstream join would have to reconcile. */
   def ingestAdmit(batch: DataFrame, refDocs: DataFrame, corpusVecs: DataFrame,
-      lexThreshold: Double, semThreshold: Double): DataFrame = {
-    val lexOk = graft.pipeline.Dedup.incrementalDedup(batch, refDocs, lexThreshold)
+      lexThreshold: Double, semThreshold: Double,
+      qualityGate: Option[Column] = None): DataFrame = {
+    // Cheapest tier first: a per-row quality predicate (e.g. the x51
+    // Gopher battery via Selection.gopherPassColumn) rejects before any
+    // dedup join runs — the production admission ordering.
+    val gated = qualityGate.map(batch.filter).getOrElse(batch)
+    val lexOk = graft.pipeline.Dedup.incrementalDedup(gated, refDocs, lexThreshold)
     val semOk = graft.pipeline.Similarity.incrementalSemanticDedupAuto(
       lexOk.select(col("doc_id").as("vec_id"), col("embedding")),
       corpusVecs, semThreshold)
@@ -159,13 +164,14 @@ object StreamingJobs {
     * sink idempotent. */
   def ingestDedupStream(newDocs: DataFrame, refDocs: DataFrame,
       corpusVecs: DataFrame, lexThreshold: Double, semThreshold: Double,
-      checkpointDir: String)(
+      checkpointDir: String, qualityGate: Option[Column] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(ingestAdmit(batch, refDocs, corpusVecs, lexThreshold, semThreshold), batchId)
+        sink(ingestAdmit(batch, refDocs, corpusVecs, lexThreshold, semThreshold,
+          qualityGate), batchId)
       }
       .start()
 

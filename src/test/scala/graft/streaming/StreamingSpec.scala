@@ -221,6 +221,37 @@ class StreamingSpec extends SparkSpec {
       s"each tier must drop its dup; clean + pending-embedding docs survive: $streamed")
   }
 
+  test("unified ingest with a Gopher quality gate: reject-before-dedup tier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq(Doc(1L, "alpha beta gamma delta epsilon", "en")).toDF()
+    val corpusVecs = Seq(Vec(1L, Array(1.0f, 0.0f, 0.0f))).toDF()
+    // 20 = passes the battery (52 words, 2 distinct stopwords, clean
+    // ratios); 21 = novel on every dedup tier but too short for the
+    // gate — the gate must reject it BEFORE dedup ever sees it.
+    val passing = (Seq.fill(12)("the quick brown fox and") :+ "dog").mkString(" ")
+    val arrivals = Seq(
+      DocVec(20L, passing, "en", null),
+      DocVec(21L, "novel but far too short", "en", null))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val input = MemoryStream[DocVec]
+    val dir = java.nio.file.Files.createTempDirectory("ingest_gated").toString
+    val gate = Some(graft.pipeline.Selection.gopherPassColumn)
+    val q = StreamingJobs.ingestDedupStream(
+      input.toDF(), refDocs, corpusVecs, 0.8, 0.9, dir, gate) { (admitted, _) =>
+      out += admitted.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    input.addData(arrivals)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.flatten.toSeq
+    val batch = StreamingJobs.ingestAdmit(
+      arrivals.toDF(), refDocs, corpusVecs, 0.8, 0.9, gate)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
+    assert(streamed == Seq(20L), s"the gate must reject doc 21: $streamed")
+  }
+
   test("streaming boilerplate strip (foreachBatch) equals the batch strip") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
