@@ -1667,6 +1667,57 @@ object Curation {
   }
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- x54
+  /** Training context-window length and stride, in whitespace tokens.
+    * Stride < length gives the overlap that keeps context continuous
+    * across window boundaries (the GPT-2-style preprocessing default of
+    * 50% overlap, scaled to this corpus's 10–100-token docs). */
+  val WinLen = 40
+  val WinStride = 20
+
+  def contextWindowsQuery(s: SparkSession, dir: String): DataFrame =
+    contextWindowsOf(docs(s, dir), WinLen, WinStride)
+
+  /** Fixed-stride context windowing (x54): slice each document into
+    * training windows of `winLen` tokens starting every `stride` tokens
+    * — the LM-preprocessing step that turns variable-length documents
+    * into model-sized sequences, complementary to x40 (CONTENT-defined
+    * boundaries for dedup stability) and x15 (cross-doc shard packing):
+    * here the boundary is the MODEL's context length, fixed by training,
+    * not by content. Every window is emitted, including the short tail
+    * (dropping tails silently biases against document endings — the
+    * manifest carries `n_win_tok` so a trainer can filter explicitly);
+    * with stride = winLen the windows partition the doc exactly
+    * (reassembly proven in CurationSpec).
+    *
+    * Scale: map-only — one bounded generator explode (⌈n/stride⌉ rows
+    * per doc, ≤ 2× blowup at 50% overlap) and a per-row slice; no
+    * shuffle before the output sort, runs at scan speed like x51. */
+  private[graft] def contextWindowsOf(corpus: DataFrame, winLen: Int, stride: Int): DataFrame = {
+    require(winLen >= 1 && stride >= 1 && stride <= winLen,
+      s"need 1 <= stride <= winLen, got stride=$stride winLen=$winLen")
+    corpus
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(stride))).as("off"))
+      .select(col("doc_id"),
+        floor(col("off") / stride).cast("int").as("win_id"),
+        col("off").cast("int").as("win_start"),
+        least(lit(winLen), size(col("t")) - col("off")).cast("int").as("n_win_tok"),
+        concat_ws(" ", slice(col("t"), col("off") + 1, lit(winLen))).as("win_text"))
+      .orderBy("doc_id", "win_id")
+  }
+
+  private val x54Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       w AS (SELECT doc_id, off, len(t) AS n_tok,
+               array_to_string(t[(off + 1):(off + $WinLen)], ' ') AS win_text
+             FROM t, unnest(generate_series(0, len(t) - 1, $WinStride)) u(off))
+       SELECT doc_id, CAST(off // $WinStride AS INT) AS win_id,
+         CAST(off AS INT) AS win_start,
+         CAST(least($WinLen, n_tok - off) AS INT) AS n_win_tok, win_text
+       FROM w ORDER BY doc_id, win_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x13_tfidf_top", tfidfTop, Some(x13Sql)),
     QueryDef("x14_hash_split", hashSplit, Some(x14Sql)),
@@ -1687,6 +1738,7 @@ object Curation {
     QueryDef("x39_intradoc_dedup", intraDocDedup, Some(x39Sql)),
     QueryDef("x45_cross_strip", crossStrip, Some(x45Sql)),
     QueryDef("x40_content_chunks", contentChunksQuery, Some(x40Sql)),
+    QueryDef("x54_context_windows", contextWindowsQuery, Some(x54Sql)),
     QueryDef("x40b_chunk_dedup", chunkDedup, Some(x40bSql)),
     QueryDef("x40c_chunk_dedup_hash", chunkDedupByHash, Some(x40cSql)),
     QueryDef("x31_pii_redact", piiRedact, Some(x31Sql)),

@@ -460,6 +460,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Filter"), s"gate predicate must be a plain filter:\n$p")
   }
 
+  test("x54: context windowing is map-only (generator explode, no join, no hash exchange)") {
+    val p = plan("x54_context_windows")
+    assert(!p.contains("Join"), s"windowing must not join:\n$p")
+    assert(p.contains("Generate"), s"the offset explode is a generator:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
+  }
+
   test("x51: the Gopher rule battery is map-only (no join, no hash exchange)") {
     val p = plan("x51_gopher_rules")
     assert(!p.contains("Join"), s"rule evaluation must not join:\n$p")

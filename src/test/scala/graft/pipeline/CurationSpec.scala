@@ -589,6 +589,30 @@ class CurationSpec extends SparkSpec {
       s"chunks after the edit point must be stable: $chunks")
   }
 
+  test("x54: planted doc windows exactly; non-overlap stride reassembles every doc") {
+    import spark.implicits._
+    // 7 tokens, winLen=4, stride=2 → offsets 0/2/4/6 with a short tail.
+    val planted = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val rows = Curation.contextWindowsOf(planted, 4, 2).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSeq
+    assert(rows == Seq(
+      (0, 0, 4, "a b c d"), (1, 2, 4, "c d e f"),
+      (2, 4, 3, "e f g"), (3, 6, 1, "g")), s"$rows")
+    // stride = winLen partitions each doc: concatenating a doc's windows
+    // in win_id order must rebuild its text byte-for-byte, corpus-wide.
+    val docs = graft.Tables.t(spark, sf, "documents").select("doc_id", "text")
+    // collect_list order is not guaranteed — sort the (win_id, text)
+    // structs before concatenating.
+    val rebuilt = Curation.contextWindowsOf(docs, Curation.WinLen, Curation.WinLen)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("win_id"), col("win_text")))),
+          s => s.getField("win_text"))).as("rebuilt"))
+    val mismatches = docs.join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("rebuilt")).count()
+    assert(mismatches == 0, s"$mismatches docs fail lossless reassembly")
+  }
+
   test("tfidf ranks a document's most frequent distinctive term first") {
     val top = Curation.tfidfTop(spark, sf)
       .filter(col("rk") === 1).collect()
