@@ -231,6 +231,26 @@ object Selection {
     dsirWeightsOf(docs(s, dir), dsirTarget)
   }
 
+  /** The paper's actual deployment shape: the target distribution comes
+    * from a SEPARATE (small, curated) corpus — e.g. weight a web crawl
+    * against Wikipedia — rather than a slice predicate. Union the two
+    * with a flag and reuse the sliced form verbatim: the raw model is
+    * then trained on crawl ∪ target, which is the published estimator
+    * (the target corpus is part of the data universe; at crawl ≫ target
+    * size the difference from crawl-only is negligible and the union
+    * keeps every target feature present in the raw histogram, so no
+    * bucket is target-only). Target doc_ids are remapped below any real
+    * id so they can't collide with crawl ids; only crawl docs are
+    * returned. PRECONDITION: crawl doc_id ≥ 0 (the same id-space
+    * discipline as [[Sampling.hashBp]]). */
+  private[graft] def dsirWeightsAgainst(crawl: DataFrame, targetCorpus: DataFrame): DataFrame = {
+    val union = crawl.select(col("doc_id"), col("text"), lit(false).as("is_tgt"))
+      .unionByName(targetCorpus.select(
+        (lit(Long.MinValue) + monotonically_increasing_id()).as("doc_id"),
+        col("text"), lit(true).as("is_tgt")))
+    dsirWeightsOf(union, col("is_tgt")).filter(col("doc_id") >= 0)
+  }
+
   /** Library form: importance-weight `corpus` (doc_id, text, + whatever
     * `target` reads) against the slice `target` selects. Registers the
     * native functions on the corpus frame's OWN session (the x36

@@ -162,4 +162,36 @@ class PropertySpec extends SparkSpec {
       assert(found.contains((id, id + 100)), s"exact copy pair ($id, ${id + 100}) missed")
     }
   }
+
+  test("context windows: count/coverage/slice invariants over random docs and configs") {
+    import spark.implicits._
+    val docs = (1 to 120).map { i =>
+      val n = 1 + rnd.nextInt(80)
+      (i.toLong, (0 until n).map(j => s"w${rnd.nextInt(50)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((winLen, stride) <- Seq((40, 20), (16, 16), (7, 3))) {
+      val rows = pipeline.Curation.contextWindowsOf(df, winLen, stride).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      val perDoc = rows.groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ")
+        val wins = perDoc(id).sortBy(_._2)
+        // ⌈n/stride⌉ windows, ids dense from 0, starts on the stride grid.
+        assert(wins.length == (toks.length + stride - 1) / stride,
+          s"doc $id ($winLen,$stride): ${wins.length} windows for ${toks.length} tokens")
+        wins.zipWithIndex.foreach { case ((_, wid, start, nTok, wtext), i) =>
+          assert(wid == i && start == i * stride)
+          // Window text is exactly the token slice; tail length labelled.
+          val expect = toks.slice(start, start + winLen)
+          assert(nTok == expect.length && wtext == expect.mkString(" "),
+            s"doc $id window $wid: '$wtext' vs '${expect.mkString(" ")}'")
+        }
+        // Every token covered at least once (stride <= winLen).
+        val covered = wins.flatMap { case (_, _, start, nTok, _) =>
+          start until (start + nTok) }.toSet
+        assert(covered == toks.indices.toSet, s"doc $id coverage gap")
+      }
+    }
+  }
 }

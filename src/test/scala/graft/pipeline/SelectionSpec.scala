@@ -75,6 +75,24 @@ class SelectionSpec extends SparkSpec {
     assert(w(400L)._1 == 1, s"single-token doc has one feature: ${w(400L)}")
   }
 
+  test("x50: two-corpus form equals the sliced form on the same data universe") {
+    val docs = Tables.t(spark, sf, "documents")
+    val crawl = docs.filter(col("lang") =!= "en").select("doc_id", "text")
+    val tgt = docs.filter(col("lang") === "en").select("doc_id", "text")
+    // Weights depend only on the feature histograms, not on ids, and
+    // crawl ∪ target here IS the whole corpus — so the separate-corpus
+    // form must reproduce the sliced form's weights for every crawl doc.
+    val against = Selection.dsirWeightsAgainst(crawl, tgt)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sliced = Selection.dsirWeights(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val crawlIds = crawl.collect().map(_.getLong(0)).toSet
+    assert(against.keySet == crawlIds, "only crawl docs may be returned")
+    crawlIds.foreach { id =>
+      assert(against(id) == sliced(id), s"doc $id: ${against(id)} vs ${sliced(id)}")
+    }
+  }
+
   test("x50: English documents weight above every other language") {
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
     val means = Selection.dsirWeights(spark, sf)
