@@ -72,30 +72,41 @@ object Selection {
   def bm25TopK(s: SparkSession, dir: String): DataFrame =
     bm25Of(docs(s, dir), Bm25Query, Bm25TopK)
 
+  /** The BM25 sum over a group of scored postings (columns tf/df/dl/
+    * n_docs/avgdl in scope) — the ONE scoring definition x49 and x49b
+    * aggregate, so the two registered forms cannot drift. */
+  private def bm25ScoreAgg: Column =
+    round(sum(
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        col("tf") * (Bm25K1 + 1.0) /
+        (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))), 4)
+
+  /** Scored postings for `terms`: one corpus explode filtered to the
+    * terms, aggregated to (doc_id, tok, tf, dl) — `dl` rides the explode
+    * (first() per group) instead of joining a corpus-sized length frame
+    * back onto the postings — joined with the broadcast |terms|-row df
+    * side and the broadcast 1-row (N, avgdl) statistics. */
+  private def bm25Postings(corpus: DataFrame, terms: Seq[String]): DataFrame = {
+    val stats = corpus
+      .select(size(toks).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = corpus
+      .select(col("doc_id"), size(toks).cast("double").as("dl"), explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), Seq("tok")).crossJoin(broadcast(stats))
+  }
+
   /** Library form over any (doc_id, text) frame — the registered x49 plus
     * the planted-fixture surface SelectionSpec hand-checks. */
-  private[graft] def bm25Of(corpus: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
-    val d = corpus.select(col("doc_id"), size(toks).cast("double").as("dl"))
-    val stats = d.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val tf = corpus
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df_), Seq("tok"))
-      .join(d, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+  private[graft] def bm25Of(corpus: DataFrame, terms: Seq[String], topK: Int): DataFrame =
+    bm25Postings(corpus, terms)
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_terms"),
-        round(sum(
-          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            col("tf") * (Bm25K1 + 1.0) /
-            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))), 4)
-          .as("bm25"))
+      .agg(count(lit(1)).cast("int").as("n_terms"), bm25ScoreAgg.as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
       .orderBy(col("bm25").desc, col("doc_id"))
-  }
 
   private val x49Sql = {
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
@@ -143,27 +154,10 @@ object Selection {
   def bm25Batch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val queries = Bm25Queries.toDF("query_id", "tok")
-    val corpus = docs(s, dir)
-    val d = corpus.select(col("doc_id"), size(toks).cast("double").as("dl"))
-    val stats = d.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val terms = Bm25Queries.map(_._2).distinct
-    val tf = corpus
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val scored = tf
+    val scored = bm25Postings(docs(s, dir), Bm25Queries.map(_._2).distinct)
       .join(broadcast(queries), Seq("tok"))
-      .join(broadcast(df_), Seq("tok"))
-      .join(d, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).cast("int").as("n_terms"),
-        round(sum(
-          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            col("tf") * (Bm25K1 + 1.0) /
-            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))), 4)
-          .as("bm25"))
+      .agg(count(lit(1)).cast("int").as("n_terms"), bm25ScoreAgg.as("bm25"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))
     scored
@@ -352,13 +346,17 @@ object Selection {
       .orderBy(col("sel_key").desc, col("doc_id"))
   }
 
-  private val x50bSql =
-    s"""${dsirCtes()}
-       SELECT doc_id, log_weight,
+  /** The Gumbel-top-k SELECT over the `w` weight CTE — shared verbatim by
+    * x50b and x53 (whose only difference is the relation `w` is built
+    * from). */
+  private def dsirSampleSql: String =
+    s"""SELECT doc_id, log_weight,
          round(log_weight + -ln(-ln((CAST(${Sampling.hashBpSql(DsirSalt)} AS DOUBLE) + 0.5)
            / ${Sampling.Bp}.0)), 4) AS sel_key
        FROM w
        ORDER BY sel_key DESC, doc_id LIMIT $DsirSampleK"""
+
+  private val x50bSql = s"${dsirCtes()} $dsirSampleSql"
 
   // ---------------------------------------------------------------- x51
   /** Gopher rule thresholds (Rae et al. 2021, appendix A1.1), except the
@@ -432,20 +430,15 @@ object Selection {
 
   /** Library form over any (doc_id, text) frame. */
   private[graft] def gopherRulesOf(corpus: DataFrame): DataFrame = {
-    val nTok = gNTok
-    val mwl = gMwl
-    val symbolRatio = gSymbolRatio
-    val alphaRatio = gAlphaRatio
-    val nStop = gNStop
     val passLen = (col("n_tok") >= GopherMinTok && col("n_tok") <= GopherMaxTok)
     val passMwl = (col("mean_word_len") >= GopherMinMwl && col("mean_word_len") <= GopherMaxMwl)
     val passSymbol = col("symbol_ratio") <= GopherMaxSymbolRatio
     val passAlpha = col("alpha_word_ratio") >= GopherMinAlphaRatio
     val passStop = col("n_stopwords") >= GopherMinStopwords
     corpus
-      .select(col("doc_id"), nTok.cast("int").as("n_tok"), mwl.as("mean_word_len"),
-        symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
-        nStop.as("n_stopwords"))
+      .select(col("doc_id"), gNTok.cast("int").as("n_tok"), gMwl.as("mean_word_len"),
+        gSymbolRatio.as("symbol_ratio"), gAlphaRatio.as("alpha_word_ratio"),
+        gNStop.as("n_stopwords"))
       .select(col("*"),
         passLen.cast("int").as("pass_len"),
         passMwl.cast("int").as("pass_mwl"),
@@ -510,11 +503,7 @@ object Selection {
 
   private val x53Sql =
     s"""${dsirCtes("gated", s"gated AS (SELECT * FROM documents WHERE $gopherPassSql),")}
-       SELECT doc_id, log_weight,
-         round(log_weight + -ln(-ln((CAST(${Sampling.hashBpSql(DsirSalt)} AS DOUBLE) + 0.5)
-           / ${Sampling.Bp}.0)), 4) AS sel_key
-       FROM w
-       ORDER BY sel_key DESC, doc_id LIMIT $DsirSampleK"""
+       $dsirSampleSql"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x49_bm25_topk", bm25TopK, Some(x49Sql)),

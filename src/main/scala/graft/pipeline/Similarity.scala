@@ -774,24 +774,29 @@ object Similarity {
     * quantizes inline (the corpus is test-sized) with the scale as a
     * broadcast 1-row frame; IvfSpec gates recall@10 = 1.0 vs exact b29
     * and max |cos₈ − cos| ≤ 0.005 on this corpus. */
+  /** The corpus-wide symmetric scale (broadcast 1-row frame), the per-
+    * vector code projection (`scale` column in scope), the integer code
+    * dot product, and the code-cosine — shared by x52 and x52b. */
+  private def sq8Scale(e: DataFrame): DataFrame =
+    e.select(explode(col("embedding")).as("x"))
+      .agg((lit(Sq8Max) / max(abs(dbl(col("x"))))).as("scale"))
+  private def sq8Codes(c: Column): Column =
+    transform(c, x => round(dbl(x) * col("scale"), 0).cast("long"))
+  private def sq8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+  private def sq8Cosine(a: Column, b: Column): Column =
+    round(dbl(sq8Dot(a, b)) /
+      (sqrt(dbl(sq8Dot(a, a))) * sqrt(dbl(sq8Dot(b, b)))), 4)
+
   def annSq8TopK(s: SparkSession, dir: String): DataFrame = {
     reg(s)
     val e = Tables.t(s, dir, "embeddings")
-    val sc = e.select(explode(col("embedding")).as("x"))
-      .agg((lit(Sq8Max) / max(abs(dbl(col("x"))))).as("scale"))
-    def q8(c: Column): Column =
-      transform(c, x => round(dbl(x) * col("scale"), 0).cast("long"))
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
-    val eq = e.crossJoin(broadcast(sc))
-      .select(col("vec_id"), q8(col("embedding")).as("qe"))
+    val eq = e.crossJoin(broadcast(sq8Scale(e)))
+      .select(col("vec_id"), sq8Codes(col("embedding")).as("qe"))
     val qv = eq.filter(col("vec_id") === 0).select(col("qe").as("q_qe"))
     eq.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
-      .select(col("vec_id"),
-        round(dbl(idot(col("qe"), col("q_qe"))) /
-          (sqrt(dbl(idot(col("qe"), col("qe")))) *
-            sqrt(dbl(idot(col("q_qe"), col("q_qe"))))), 4).as("cos_sq8"))
+      .select(col("vec_id"), sq8Cosine(col("qe"), col("q_qe")).as("cos_sq8"))
       .orderBy(col("cos_sq8").desc, col("vec_id"))
       .limit(10)
       .orderBy(col("cos_sq8").desc, col("vec_id"))
@@ -826,22 +831,14 @@ object Similarity {
   def annIvfSq8TopK(s: SparkSession, dir: String): DataFrame = {
     reg(s)
     val e = Tables.t(s, dir, "embeddings")
-    val sc = e.select(explode(col("embedding")).as("x"))
-      .agg((lit(Sq8Max) / max(abs(dbl(col("x"))))).as("scale"))
-    def q8(c: Column): Column =
-      transform(c, x => round(dbl(x) * col("scale"), 0).cast("long"))
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
-    val eq = e.crossJoin(broadcast(sc))
-      .select(col("vec_id"), col("label"), q8(col("embedding")).as("qe"))
+    val eq = e.crossJoin(broadcast(sq8Scale(e)))
+      .select(col("vec_id"), col("label"), sq8Codes(col("embedding")).as("qe"))
     val qv = eq.filter(col("vec_id") === 0)
       .select(col("qe").as("q_qe"), col("label").as("q_label"))
     eq.filter(col("vec_id") =!= 0)
       .join(broadcast(qv), col("label") === col("q_label"))
       .select(col("vec_id"), col("label"),
-        round(dbl(idot(col("qe"), col("q_qe"))) /
-          (sqrt(dbl(idot(col("qe"), col("qe")))) *
-            sqrt(dbl(idot(col("q_qe"), col("q_qe"))))), 4).as("cos_sq8"))
+        sq8Cosine(col("qe"), col("q_qe")).as("cos_sq8"))
       .orderBy(col("cos_sq8").desc, col("vec_id"))
       .limit(5)
       .orderBy(col("cos_sq8").desc, col("vec_id"))
