@@ -297,8 +297,78 @@ object Sampling {
   }
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- x55
+  /** Token budget to apportion across languages. */
+  val ApportionBudget = 100000L
+
+  /** Largest-remainder (Hamilton) budget apportionment: split an exact
+    * integer token budget across languages proportional to their corpus
+    * token mass — quota_i = ⌊B·avail_i/total⌋ plus one extra token of
+    * budget for the R = B − Σ⌊·⌋ largest remainders (ties by lang, so
+    * the allocation is total and engine-exact). Closes the gap x21–x23
+    * leave open: rates and weights produce EXPECTED sizes; a training
+    * run that must consume exactly B tokens (reproducible data cards,
+    * fixed eval carve-outs) needs integer allocations that sum to B
+    * exactly, which naive per-stratum rounding does not give.
+    *
+    * Everything is BIGINT arithmetic (B·avail_i is ≤ 10⁵·total — far
+    * under Long overflow for any realistic token count; the product form
+    * avoids float division entirely), so both engines derive identical
+    * allocations with no rounding conventions involved.
+    *
+    * Scale: one partial+final agg on lang (stratum-sized output), one
+    * window over the ≤ |strata| rows — the heavy lifting is the corpus
+    * agg; the apportionment itself is stratum-level. Downstream, x22's
+    * per-source budget machinery consumes the per-stratum numbers. */
+  def budgetApportion(s: SparkSession, dir: String): DataFrame = {
+    val avail = docs(s, dir)
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+    val tot = avail.agg(sum("avail_tokens").as("total_tokens"))
+    // `div`, not `/`: Spark's / on longs is DOUBLE division (and floor()
+    // of it would silently lose exactness past 2^53).
+    val quotas = avail.crossJoin(broadcast(tot))
+      .withColumn("floor_quota",
+        expr(s"($ApportionBudget * avail_tokens) div total_tokens"))
+      .withColumn("remainder", (lit(ApportionBudget) * col("avail_tokens")) % col("total_tokens"))
+    val w = Window.orderBy(col("remainder").desc, col("lang"))
+    quotas
+      .withColumn("rem_rank", row_number().over(w).cast("long"))
+      .withColumn("leftover",
+        lit(ApportionBudget) - sum(col("floor_quota")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("alloc_tokens",
+        col("floor_quota") + when(col("rem_rank") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("lang"), col("avail_tokens"), col("floor_quota"),
+        col("remainder"), col("alloc_tokens"))
+      .orderBy("lang")
+  }
+
+  private val x55Sql =
+    s"""WITH avail AS (SELECT lang,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+         FROM documents GROUP BY lang),
+       tot AS (SELECT sum(avail_tokens) AS total_tokens FROM avail),
+       q AS (SELECT lang, avail_tokens,
+               -- CAST: the BIGINT product widens to HUGEINT, which pandas
+               -- reads as float64 and desyncs the dtype compare.
+               CAST(($ApportionBudget * avail_tokens) // total_tokens AS BIGINT)
+                 AS floor_quota,
+               CAST(($ApportionBudget * avail_tokens) % total_tokens AS BIGINT)
+                 AS remainder
+             FROM avail CROSS JOIN tot),
+       r AS (SELECT *,
+               CAST(row_number() OVER (ORDER BY remainder DESC, lang) AS BIGINT) AS rem_rank,
+               $ApportionBudget - sum(floor_quota) OVER () AS leftover
+             FROM q)
+       SELECT lang, avail_tokens, floor_quota, remainder,
+         CAST(floor_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc_tokens
+       FROM r ORDER BY lang"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x21_stratified_sample", stratifiedSample, Some(x21Sql)),
+    QueryDef("x55_budget_apportion", budgetApportion, Some(x55Sql)),
     QueryDef("x22_source_budget", (s, d) => sourceBudgetSelect(s, d), Some(x22Sql(800L))),
     QueryDef("x22b_source_budget_scalable",
       (s, d) => sourceBudgetSelectScalable(s, d), Some(x22Sql(800L))),

@@ -32,6 +32,23 @@ class SamplingSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("x55: allocations sum to the budget exactly and stay within 1 of the true share") {
+    val rows = Sampling.budgetApportion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    val total = rows.map(_._2).sum
+    // The Hamilton guarantee: Σ alloc == B exactly (naive rounding does
+    // not give this), and every stratum is within 1 token of its exact
+    // proportional share (quota monotonicity of largest-remainder).
+    assert(rows.map(_._3).sum == Sampling.ApportionBudget,
+      s"allocations must sum to the budget: $rows")
+    rows.foreach { case (lang, avail, alloc) =>
+      val exact = Sampling.ApportionBudget.toDouble * avail / total
+      assert(math.abs(alloc - exact) <= 1.0, s"$lang: alloc $alloc vs exact $exact")
+    }
+    assert(rows.toSeq == Sampling.budgetApportion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq)
+  }
+
   test("source budget keeps >=1 doc per source and bounds overshoot") {
     val budget = 800L
     val perDocMax = Tables.t(spark, sf, "documents")
