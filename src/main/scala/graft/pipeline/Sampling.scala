@@ -344,7 +344,11 @@ object Sampling {
       .orderBy("lang")
   }
 
-  private val x55Sql =
+  /** The apportionment chain as a shared WITH-prefix ending in
+    * `alloc(lang, avail_tokens, floor_quota, remainder, alloc_tokens)` —
+    * x55's oracle and x55b's carve-out oracle consume this single
+    * fragment, so the two cannot drift. */
+  private val apportionCtes =
     s"""WITH avail AS (SELECT lang,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
          FROM documents GROUP BY lang),
@@ -360,15 +364,75 @@ object Sampling {
        r AS (SELECT *,
                CAST(row_number() OVER (ORDER BY remainder DESC, lang) AS BIGINT) AS rem_rank,
                $ApportionBudget - sum(floor_quota) OVER () AS leftover
-             FROM q)
-       SELECT lang, avail_tokens, floor_quota, remainder,
-         CAST(floor_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT)
-           AS alloc_tokens
-       FROM r ORDER BY lang"""
+             FROM q),
+       alloc AS (SELECT lang, avail_tokens, floor_quota, remainder,
+           CAST(floor_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens
+         FROM r)"""
+
+  private val x55Sql =
+    s"""$apportionCtes
+       SELECT lang, avail_tokens, floor_quota, remainder, alloc_tokens
+       FROM alloc ORDER BY lang"""
+
+  // --------------------------------------------------------------- x55b
+  /** Carve-out selection salt — fresh prime, decorrelated from every
+    * other sampling decision (the hashBp discipline). */
+  val CarveSalt = 32452843L
+
+  /** Budget carve-out materialization: consume x55's exact per-language
+    * allocations with x22's exclusive-prefix selection, docs ordered by
+    * a decorrelated hash (an eval slice must not be quality- or
+    * length-biased, so the order is deterministic-uniform, not
+    * largest-first) — the composed "compute the budget, then cut the
+    * slice" flow, under ONE oracle. Same overshoot contract as x22:
+    * kept_tokens − alloc < the last kept doc's tokens; ≥ 1 doc per
+    * stratum. The id_checksum pins exact membership cross-engine.
+    *
+    * Scale: x55's corpus agg + one lang-keyed window over the corpus —
+    * the same shuffle classes as x22; the alloc side is stratum-sized
+    * and broadcasts. */
+  def budgetCarveout(s: SparkSession, dir: String): DataFrame = {
+    val alloc = budgetApportion(s, dir).select(col("lang"), col("alloc_tokens"))
+    val t = docs(s, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      hashBp(CarveSalt).as("hsel"))
+    val w = Window.partitionBy("lang").orderBy(col("hsel"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(alloc), Seq("lang"))
+      .withColumn("kept", coalesce(sum(col("n_tok")).over(w), lit(0L)) < col("alloc_tokens"))
+      .groupBy("lang")
+      .agg(first(col("alloc_tokens")).as("alloc_tokens"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("lang")
+  }
+
+  private val x55bSql =
+    s"""$apportionCtes,
+       t AS (SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ${hashBpSql(CarveSalt)} AS hsel
+             FROM documents),
+       c AS (SELECT t.lang, t.doc_id, t.n_tok, alloc_tokens,
+               coalesce(sum(n_tok) OVER (PARTITION BY t.lang
+                 ORDER BY hsel, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 < alloc_tokens AS kept
+             FROM t JOIN alloc USING (lang))
+       SELECT lang, CAST(max(alloc_tokens) AS BIGINT) AS alloc_tokens,
+              count(*) AS n_total,
+              CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+              CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+       FROM c GROUP BY lang ORDER BY lang"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x21_stratified_sample", stratifiedSample, Some(x21Sql)),
     QueryDef("x55_budget_apportion", budgetApportion, Some(x55Sql)),
+    QueryDef("x55b_budget_carveout", budgetCarveout, Some(x55bSql)),
     QueryDef("x22_source_budget", (s, d) => sourceBudgetSelect(s, d), Some(x22Sql(800L))),
     QueryDef("x22b_source_budget_scalable",
       (s, d) => sourceBudgetSelectScalable(s, d), Some(x22Sql(800L))),

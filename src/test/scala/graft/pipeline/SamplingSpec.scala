@@ -49,6 +49,21 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq)
   }
 
+  test("x55b: carve-out respects each allocation within one doc's overshoot") {
+    val perLangMax = Tables.t(spark, sf, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(max("n").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sampling.budgetCarveout(spark, sf).collect().foreach { r =>
+      val (lang, alloc, kept, keptTokens) =
+        (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(kept >= 1, s"$lang kept no docs")
+      // Exclusive-prefix convention: overshoot < the largest kept doc.
+      assert(keptTokens < alloc + perLangMax(lang),
+        s"$lang kept $keptTokens tokens against allocation $alloc")
+    }
+  }
+
   test("source budget keeps >=1 doc per source and bounds overshoot") {
     val budget = 800L
     val perDocMax = Tables.t(spark, sf, "documents")
