@@ -1292,8 +1292,13 @@ object Curation {
   def deconStripFixpoint(train: DataFrame, evalDocs: DataFrame,
       shingleLen: Int = 3, maxPasses: Int = 10): DataFrame = {
     val evSh = broadcast(shinglesOf(evalDocs, shingleLen).select(col("sh")).distinct())
+    // Empty-string original text counts 0 tokens — the SAME convention
+    // the final `kept` expression uses (split("", " ") is [""], size 1);
+    // counting the sides differently would audit an originally-empty doc
+    // as n_masked=1 though nothing was masked, diverging from the
+    // single-pass deconStrip's (1-token, 0-masked) reading of it.
     val n0 = train.select(col("doc_id"),
-      when(col("text").isNull, 0L)
+      when(col("text").isNull || col("text") === "", 0L)
         .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
     var cur = train.select(col("doc_id"), col("text")).localCheckpoint(true)
     var pass = 0

@@ -387,7 +387,9 @@ object Sampling {
     * largest-first) — the composed "compute the budget, then cut the
     * slice" flow, under ONE oracle. Same overshoot contract as x22:
     * kept_tokens − alloc < the last kept doc's tokens; ≥ 1 doc per
-    * stratum. The id_checksum pins exact membership cross-engine.
+    * stratum (ENFORCED: the rank-1 doc is force-kept even when a
+    * stratum's largest-remainder allocation floors to 0 tokens). The
+    * id_checksum pins exact membership cross-engine.
     *
     * Scale: x55's corpus agg + one lang-keyed window over the corpus —
     * the same shuffle classes as x22; the alloc side is stratum-sized
@@ -397,10 +399,18 @@ object Sampling {
     val t = docs(s, dir).select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("n_tok"),
       hashBp(CarveSalt).as("hsel"))
-    val w = Window.partitionBy("lang").orderBy(col("hsel"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val ord = Window.partitionBy("lang").orderBy(col("hsel"), col("doc_id"))
+    val w = ord.rowsBetween(Window.unboundedPreceding, -1)
     t.join(broadcast(alloc), Seq("lang"))
-      .withColumn("kept", coalesce(sum(col("n_tok")).over(w), lit(0L)) < col("alloc_tokens"))
+      // `OR rank 1`: a stratum whose largest-remainder share floors to 0
+      // tokens (share < 1/B with no remainder seat) would otherwise keep
+      // ZERO docs — the exclusive prefix 0 < 0 fails for the first doc —
+      // breaking the documented ">= 1 doc per stratum" contract. The
+      // rank-1 doc is force-kept, matching x22's stated behavior; both
+      // windows share the ONE lang-keyed exchange.
+      .withColumn("kept",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)) < col("alloc_tokens") ||
+          row_number().over(ord) === 1)
       .groupBy("lang")
       .agg(first(col("alloc_tokens")).as("alloc_tokens"),
         count(lit(1)).as("n_total"),
@@ -417,10 +427,12 @@ object Sampling {
                ${hashBpSql(CarveSalt)} AS hsel
              FROM documents),
        c AS (SELECT t.lang, t.doc_id, t.n_tok, alloc_tokens,
-               coalesce(sum(n_tok) OVER (PARTITION BY t.lang
+               (coalesce(sum(n_tok) OVER (PARTITION BY t.lang
                  ORDER BY hsel, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 < alloc_tokens AS kept
+                 < alloc_tokens
+                OR row_number() OVER (PARTITION BY t.lang
+                 ORDER BY hsel, doc_id) = 1) AS kept
              FROM t JOIN alloc USING (lang))
        SELECT lang, CAST(max(alloc_tokens) AS BIGINT) AS alloc_tokens,
               count(*) AS n_total,

@@ -378,12 +378,14 @@ object Selection {
   val GopherMinStopwords = 2
 
   /** The Gopher per-document quality-rule battery: word count, mean word
-    * length, symbol-to-word ratio ('#' chars + '...' occurrences per
-    * word), alphabetic-word ratio, distinct-stopword count — each rule a
-    * 0/1 verdict plus the conjunction, so downstream can both filter on
-    * `pass_all` and diagnose WHICH rule rejected (the reasons column
-    * pattern). Map-only: one projection pass, no shuffle before the
-    * output sort; at 100 TB this runs at scan speed. */
+    * length, symbol-to-word ratios — '#' chars per word and '...'
+    * occurrences per word, EACH against the 0.1 threshold separately, as
+    * Rae et al. A1.1 states it ("either") — alphabetic-word ratio,
+    * distinct-stopword count — each rule a 0/1 verdict plus the
+    * conjunction, so downstream can both filter on `pass_all` and
+    * diagnose WHICH rule rejected (the reasons column pattern).
+    * Map-only: one projection pass, no shuffle before the output sort;
+    * at 100 TB this runs at scan speed. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesOf(docs(s, dir))
 
@@ -394,9 +396,11 @@ object Selection {
   private def gNTok: Column = size(toks)
   private def gMwl: Column =
     round((length(col("text")) - (gNTok - 1)).cast("double") / gNTok, 4)
-  private def gSymbolRatio: Column = round(
-    (length(col("text")) - length(regexp_replace(col("text"), "#", "")) +
-      (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
+  private def gHashRatio: Column = round(
+    (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+      .cast("double") / gNTok, 4)
+  private def gEllipsisRatio: Column = round(
+    ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
       .cast("double") / gNTok, 4)
   private def gAlphaRatio: Column = round(
     size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / gNTok, 4)
@@ -407,7 +411,8 @@ object Selection {
   private[graft] def gopherPassColumn: Column =
     gNTok >= GopherMinTok && gNTok <= GopherMaxTok &&
       gMwl >= GopherMinMwl && gMwl <= GopherMaxMwl &&
-      gSymbolRatio <= GopherMaxSymbolRatio &&
+      gHashRatio <= GopherMaxSymbolRatio &&
+      gEllipsisRatio <= GopherMaxSymbolRatio &&
       gAlphaRatio >= GopherMinAlphaRatio &&
       gNStop >= GopherMinStopwords
 
@@ -418,8 +423,9 @@ object Selection {
     s"""(len(string_split(text,' ')) BETWEEN $GopherMinTok AND $GopherMaxTok
        AND round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
          / len(string_split(text,' ')), 4) BETWEEN $GopherMinMwl AND $GopherMaxMwl
-       AND round(CAST(length(text) - length(replace(text, '#', ''))
-         + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+       AND round(CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+         / len(string_split(text,' ')), 4) <= $GopherMaxSymbolRatio
+       AND round(CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
          / len(string_split(text,' ')), 4) <= $GopherMaxSymbolRatio
        AND round(CAST(len(list_filter(string_split(text,' '),
            t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
@@ -432,20 +438,22 @@ object Selection {
   private[graft] def gopherRulesOf(corpus: DataFrame): DataFrame = {
     val passLen = (col("n_tok") >= GopherMinTok && col("n_tok") <= GopherMaxTok)
     val passMwl = (col("mean_word_len") >= GopherMinMwl && col("mean_word_len") <= GopherMaxMwl)
-    val passSymbol = col("symbol_ratio") <= GopherMaxSymbolRatio
+    val passHash = col("hash_ratio") <= GopherMaxSymbolRatio
+    val passEllipsis = col("ellipsis_ratio") <= GopherMaxSymbolRatio
     val passAlpha = col("alpha_word_ratio") >= GopherMinAlphaRatio
     val passStop = col("n_stopwords") >= GopherMinStopwords
     corpus
       .select(col("doc_id"), gNTok.cast("int").as("n_tok"), gMwl.as("mean_word_len"),
-        gSymbolRatio.as("symbol_ratio"), gAlphaRatio.as("alpha_word_ratio"),
-        gNStop.as("n_stopwords"))
+        gHashRatio.as("hash_ratio"), gEllipsisRatio.as("ellipsis_ratio"),
+        gAlphaRatio.as("alpha_word_ratio"), gNStop.as("n_stopwords"))
       .select(col("*"),
         passLen.cast("int").as("pass_len"),
         passMwl.cast("int").as("pass_mwl"),
-        passSymbol.cast("int").as("pass_symbol"),
+        passHash.cast("int").as("pass_hash"),
+        passEllipsis.cast("int").as("pass_ellipsis"),
         passAlpha.cast("int").as("pass_alpha"),
         passStop.cast("int").as("pass_stop"),
-        (passLen && passMwl && passSymbol && passAlpha && passStop)
+        (passLen && passMwl && passHash && passEllipsis && passAlpha && passStop)
           .cast("int").as("pass_all"))
       .orderBy("doc_id")
   }
@@ -457,24 +465,28 @@ object Selection {
            CAST(len(string_split(text,' ')) AS INT) AS n_tok,
            round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
              / len(string_split(text,' ')), 4) AS mean_word_len,
-           round(CAST(length(text) - length(replace(text, '#', ''))
-             + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
-             / len(string_split(text,' ')), 4) AS symbol_ratio,
+           round(CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+             / len(string_split(text,' ')), 4) AS hash_ratio,
+           round(CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+             / len(string_split(text,' ')), 4) AS ellipsis_ratio,
            round(CAST(len(list_filter(string_split(text,' '),
                t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
              / len(string_split(text,' ')), 4) AS alpha_word_ratio,
            CAST(len(list_distinct(list_filter(string_split(text,' '),
              t -> list_contains([$stop], t)))) AS INT) AS n_stopwords
          FROM documents)
-       SELECT doc_id, n_tok, mean_word_len, symbol_ratio, alpha_word_ratio, n_stopwords,
+       SELECT doc_id, n_tok, mean_word_len, hash_ratio, ellipsis_ratio,
+         alpha_word_ratio, n_stopwords,
          CAST(n_tok BETWEEN $GopherMinTok AND $GopherMaxTok AS INT) AS pass_len,
          CAST(mean_word_len BETWEEN $GopherMinMwl AND $GopherMaxMwl AS INT) AS pass_mwl,
-         CAST(symbol_ratio <= $GopherMaxSymbolRatio AS INT) AS pass_symbol,
+         CAST(hash_ratio <= $GopherMaxSymbolRatio AS INT) AS pass_hash,
+         CAST(ellipsis_ratio <= $GopherMaxSymbolRatio AS INT) AS pass_ellipsis,
          CAST(alpha_word_ratio >= $GopherMinAlphaRatio AS INT) AS pass_alpha,
          CAST(n_stopwords >= $GopherMinStopwords AS INT) AS pass_stop,
          CAST(n_tok BETWEEN $GopherMinTok AND $GopherMaxTok
            AND mean_word_len BETWEEN $GopherMinMwl AND $GopherMaxMwl
-           AND symbol_ratio <= $GopherMaxSymbolRatio
+           AND hash_ratio <= $GopherMaxSymbolRatio
+           AND ellipsis_ratio <= $GopherMaxSymbolRatio
            AND alpha_word_ratio >= $GopherMinAlphaRatio
            AND n_stopwords >= $GopherMinStopwords AS INT) AS pass_all
        FROM s ORDER BY doc_id"""

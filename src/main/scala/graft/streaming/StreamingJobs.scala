@@ -149,7 +149,12 @@ object StreamingJobs {
       lexOk.select(col("doc_id").as("vec_id"), col("embedding")),
       corpusVecs, semThreshold)
       .select(col("vec_id").as("doc_id"))
-    lexOk.join(semOk, Seq("doc_id"))
+    // left_semi, not inner: semOk is a survivor-ID SET. Under
+    // at-least-once delivery an intra-batch duplicate doc_id holds k
+    // rows in BOTH frames; an inner join would emit k*k rows —
+    // amplifying duplicates downstream — where semi preserves the
+    // batch's own multiplicity for the idempotent sink to absorb.
+    lexOk.join(semOk, Seq("doc_id"), "left_semi")
   }
 
   /** Unified ingestion edge: ALL dedup tiers — exact sha, lexical

@@ -236,6 +236,16 @@ class CurationSpec extends SparkSpec {
     assert(residueFixed == 0,
       s"the fixpoint must leave zero contamination, got $residueFixed")
     assert(fixed.count() == tr.count(), "every doc keeps its audit row")
+    // Originally-empty text must audit as (0 tokens, 0 masked) — both
+    // sides of the audit use the same empty-string convention; counting
+    // split("", " ") = [""] as 1 token on the original side only would
+    // report n_masked=1 though nothing was masked.
+    val withEmpty = Seq((900001L, ""), (900002L, "untouched words here"))
+      .toDF("doc_id", "text")
+    val audited = Curation.deconStripFixpoint(withEmpty, ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audited(900001L) == ((0L, 0L)),
+      s"empty doc must audit 0 tokens / 0 masked: ${audited(900001L)}")
   }
 
   test("x46 curation v2: survivor guarantees across every tier, and idempotence") {

@@ -64,6 +64,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("x55b: a stratum whose allocation floors to 0 still keeps its rank-1 doc") {
+    // Planted regime the real corpus never hits: lang "zz" holds 2 of
+    // 1,000,000 tokens — its Hamilton share is 0.2 tokens, floors to 0,
+    // and the single remainder seat (R = 1) goes to "aa"'s 0.8
+    // remainder. Without the force-keep, "zz" would keep zero docs,
+    // violating the ">= 1 doc per stratum" contract.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("carve0").toString
+    try {
+      Seq(
+        (1L, "aa", Seq.fill(999998)("w").mkString(" ")),
+        (2L, "zz", "w w"))
+        .toDF("doc_id", "lang", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = Sampling.budgetCarveout(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+      val (zzAlloc, zzKept, zzTokens) = rows("zz")
+      assert(zzAlloc == 0L, s"the planted regime must floor zz's allocation to 0: $rows")
+      assert(zzKept == 1L, "zz must force-keep its rank-1 doc")
+      assert(zzTokens == 2L)
+      assert(rows("aa")._1 == Sampling.ApportionBudget, s"aa takes the whole budget: $rows")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("source budget keeps >=1 doc per source and bounds overshoot") {
     val budget = 800L
     val perDocMax = Tables.t(spark, sf, "documents")

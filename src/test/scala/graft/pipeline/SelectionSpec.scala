@@ -150,18 +150,21 @@ class SelectionSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val r = Selection.gopherRulesOf(corpus)
       .collect().map(x => x.getLong(0) -> x).toMap
-    assert(r(1L).getAs[Int]("pass_symbol") == 0, "hash symbols must fail")
+    assert(r(1L).getAs[Int]("pass_hash") == 0, "hash symbols must fail")
+    assert(r(1L).getAs[Int]("pass_ellipsis") == 1, "no ellipses in the hash doc")
     assert(r(1L).getAs[Int]("pass_mwl") == 0, "mean word length 1.0 must fail")
     assert(r(2L).getAs[Int]("pass_mwl") == 0, "mean word length > 10 must fail")
     assert(r(3L).getAs[Int]("pass_alpha") == 0, "numeric tokens must fail")
-    assert(r(4L).getAs[Int]("pass_symbol") == 0, "ellipses must fail")
+    assert(r(4L).getAs[Int]("pass_ellipsis") == 0, "ellipses must fail")
+    assert(r(4L).getAs[Int]("pass_hash") == 1, "no hash symbols in the ellipsis doc")
     assert(r(4L).getAs[Int]("pass_alpha") == 1, "word... still counts as alphabetic")
     assert(r(5L).getAs[Int]("pass_all") == 1, s"the passing doc must pass: ${r(5L)}")
   }
 
   test("x51: rule mix on the real corpus matches the measured regime") {
     val agg = Selection.gopherRules(spark, sf)
-      .agg(sum("pass_len"), sum("pass_mwl"), sum("pass_symbol"),
+      .agg(sum("pass_len"), sum("pass_mwl"),
+        sum("pass_hash") + sum("pass_ellipsis") - count(lit(1)),
         sum("pass_alpha"), sum("pass_stop"), sum("pass_all"), count(lit(1)))
       .collect()(0)
     val (len, mwl, sym, alpha, stop, all, n) =

@@ -221,6 +221,25 @@ class StreamingSpec extends SparkSpec {
       s"each tier must drop its dup; clean + pending-embedding docs survive: $streamed")
   }
 
+  test("unified ingest: intra-batch duplicate delivery is not amplified") {
+    import spark.implicits._
+    // At-least-once delivery can hand one batch the SAME doc_id twice.
+    // Both the lexical and semantic frames then hold 2 rows for it; the
+    // admission rejoin must preserve that multiplicity (left_semi on the
+    // survivor-id SET), not square it to 4 for the idempotent sink.
+    val refDocs = Seq(Doc(1L, "alpha beta gamma delta epsilon", "en")).toDF()
+    val corpusVecs = Seq(Vec(1L, Array(1.0f, 0.0f, 0.0f))).toDF()
+    val arrivals = Seq(
+      DocVec(30L, "novel admitted text content here", "en", Array(0.0f, 1.0f, 0.0f)),
+      DocVec(30L, "novel admitted text content here", "en", Array(0.0f, 1.0f, 0.0f)))
+    val admitted = StreamingJobs.ingestAdmit(
+      arrivals.toDF(), refDocs, corpusVecs, 0.8, 0.9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted.size <= 2,
+      s"duplicate delivery must not be multiplied by the rejoin: $admitted")
+    assert(admitted.nonEmpty && admitted.forall(_ == 30L), s"doc 30 must survive: $admitted")
+  }
+
   test("unified ingest with a Gopher quality gate: reject-before-dedup tier") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
