@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation strategy for the composed pipelines.
+  *
+  * The multi-consumer frames in curate/curateV2 and every round of
+  * [[Curation.propagateMinLabels]] need an EAGER materialization that
+  * also truncates lineage (persist alone keeps the full plan tree, which
+  * doubles per propagation round and blows up plan compilation — the
+  * measured reason the loop checkpoints at all). Two strategies satisfy
+  * that contract with different fault-tolerance:
+  *
+  *  - `local` (default): `localCheckpoint(eager = true)` — blocks live
+  *    on executor local storage. Fastest (no distributed-FS write), the
+  *    right choice on local[n] and in tests, but an executor loss
+  *    DESTROYS blocks and, lineage having been truncated, the job dies
+  *    instead of recomputing.
+  *  - `reliable`: `checkpoint(eager = true)` to the session's Spark
+  *    checkpoint directory — on a real cluster an HDFS/object-store
+  *    path. Survives executor churn: lost partitions reload from the
+  *    checkpoint files. The write costs one round-trip through the
+  *    reliable store per checkpoint; at 100 TB that is the price of a
+  *    restartable multi-hour job, and it is paid on the CHECKPOINTED
+  *    frames only (post-gate, post-dedup — orders of magnitude smaller
+  *    than the input corpus).
+  *
+  * Mode is read per call from the session conf, so one session can run
+  * tests in `local` and flip to `reliable` for a production submit with
+  * `--conf spark.graft.checkpoint.mode=reliable` plus either
+  * `spark.graft.checkpoint.dir` or an sc.setCheckpointDir call; no
+  * operator signature changes. SCALE.md "Fault tolerance of the composed
+  * pipelines" carries the operational guidance.
+  */
+object Checkpoints {
+  val ModeKey = "spark.graft.checkpoint.mode"
+  val DirKey = "spark.graft.checkpoint.dir"
+
+  /** Eagerly materialize `df` with truncated lineage, by the session's
+    * configured strategy. */
+  def stable(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.get(ModeKey, "local") match {
+      case "local" => df.localCheckpoint(eager = true)
+      case "reliable" =>
+        val sc = s.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = s.conf.getOption(DirKey).getOrElse(throw new IllegalArgumentException(
+            s"$ModeKey=reliable needs a checkpoint directory: set $DirKey " +
+              "or call sparkContext.setCheckpointDir first"))
+          sc.setCheckpointDir(dir)
+        }
+        df.checkpoint(eager = true)
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey must be 'local' or 'reliable', got '$other'")
+    }
+  }
+}

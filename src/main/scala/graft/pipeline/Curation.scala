@@ -345,7 +345,7 @@ object Curation {
           .join(short, col("lbl") === col("p"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"), col("old"))
-          .localCheckpoint(true)
+          .transform(Checkpoints.stable)
         // Cheap: a local scan of the checkpoint blocks just written.
         val changed = next.filter(col("lbl") =!= col("old")).count()
         release(nbrMin)
@@ -1300,11 +1300,11 @@ object Curation {
     val n0 = train.select(col("doc_id"),
       when(col("text").isNull || col("text") === "", 0L)
         .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-    var cur = train.select(col("doc_id"), col("text")).localCheckpoint(true)
+    var cur = train.select(col("doc_id"), col("text")).transform(Checkpoints.stable)
     var pass = 0
     var done = false
     while (!done && pass < maxPasses) {
-      val out = spanMaskAgainst(cur, evSh, shingleLen).localCheckpoint(true)
+      val out = spanMaskAgainst(cur, evSh, shingleLen).transform(Checkpoints.stable)
       val masked = out.agg(coalesce(sum("n_masked"), lit(0L))).head().getLong(0)
       cur = out.select(col("doc_id"), col("clean_text").as("text"))
       done = masked == 0
@@ -1371,7 +1371,7 @@ object Curation {
     val admitted = graft.streaming.IngestGate.admit(docsIn)
     val keepIds = admitted.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    admitted.join(keepIds, "doc_id").localCheckpoint(true)
+    admitted.join(keepIds, "doc_id").transform(Checkpoints.stable)
   }
 
   def curate(docsIn: DataFrame, evalDocs: DataFrame,
@@ -1540,7 +1540,7 @@ object Curation {
     val ded = admitted.join(keepIds, "doc_id")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         quality.as("quality"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.stable)
     // 3: lexical near-dup, keep the best doc of each cluster.
     val lexPairs = Dedup.jaccardPairsPrefixOn(ded, nearDupThreshold)
       .select(col("da"), col("db"))
@@ -1553,7 +1553,7 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
       .join(spanDedupOn(lexSurv, shingleLen, stripMaxDf, stripMinRun),
         Seq("doc_id"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.stable)
     // 5: semantic dedup keep-best among the still-alive ids.
     val ids = stripped.select("doc_id")
     val semPairs = Similarity.embeddingNearDupsLshOn(emb, semThreshold)

@@ -191,6 +191,78 @@ object Profile {
           time(s"run $i: full x25")(noop(SparkEntry.queries("x25_curate_pipeline")(spark, sfDir)))
         }
 
+      case "x46bench" :: sfDir :: Nil =>
+        // Reproduce x46 under BENCH conditions: run every other
+        // registered query once (bench order, noop sink) so the JVM
+        // carries the same code-cache/GC state the driver's bench run
+        // has when it reaches x46, then stage-attribute the chain twice.
+        // Each stage is timed on its own — no enclosing timer, so no
+        // label ever reports the sum of its nested stages as one stage.
+        import graft.pipeline.{Curation, Dedup, Similarity, TextStats}
+        time("gauntlet (all queries once)") {
+          SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+            if (n != "x46_curate_v2") noop(fn(spark, sfDir))
+          }
+        }
+        val d46 = graft.Tables.t(spark, sfDir, "documents")
+        val emb46 = graft.Tables.t(spark, sfDir, "embeddings")
+        val train46 = d46.filter(col("doc_id") % 97 =!= 0)
+        val eval46 = d46.filter(col("doc_id") % 97 === 0)
+        val evalVecs46 = emb46.filter(col("vec_id") % 97 === 0)
+        (1 to 2).foreach { i =>
+          var ded: DataFrame = null
+          time(s"run $i: 1+2 gate+dedup checkpoint") {
+            ded = train46.filter(graft.streaming.IngestGate.cleanCond)
+              .join(train46.filter(graft.streaming.IngestGate.cleanCond)
+                  .groupBy(sha2(col("text"), 256).as("h"))
+                  .agg(min("doc_id").as("doc_id")).select("doc_id"),
+                "doc_id")
+              .select(col("doc_id"), col("text"), col("lang"), col("source"),
+                TextStats.qualityColumn.as("quality"))
+              .localCheckpoint(true)
+          }
+          val lexPairs = Dedup.jaccardPairsPrefixOn(ded, 0.8).select(col("da"), col("db"))
+          time(s"run $i: 3a lex pairs")(noop(lexPairs))
+          var lexKeep: DataFrame = null
+          time(s"run $i: 3b lex propagation+keepBest") {
+            lexKeep = Curation.dedupClustersKeepBy(
+              ded.select(col("doc_id"), col("quality")), lexPairs, col("quality"))
+              .filter(col("keep")).select("doc_id")
+            noop(lexKeep)
+          }
+          val lexSurv = ded.join(lexKeep, Seq("doc_id"))
+          var stripped: DataFrame = null
+          time(s"run $i: 4 strip checkpoint") {
+            stripped = lexSurv
+              .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+              .join(Curation.spanDedupOn(lexSurv, 3, 1, 5), Seq("doc_id"))
+              .localCheckpoint(true)
+          }
+          val ids = stripped.select("doc_id")
+          val semPairs = Similarity.embeddingNearDupsLshOn(emb46, 0.3)
+            .join(ids.withColumnRenamed("doc_id", "va"), Seq("va"), "left_semi")
+            .join(ids.withColumnRenamed("doc_id", "vb"), Seq("vb"), "left_semi")
+            .select(col("va").as("da"), col("vb").as("db"))
+          time(s"run $i: 5a sem pairs")(noop(semPairs))
+          time(s"run $i: 5b sem propagation+keepBest") {
+            noop(Curation.dedupClustersKeepBy(
+              stripped.select(col("doc_id"), col("quality")), semPairs, col("quality"))
+              .filter(col("keep")).select("doc_id"))
+          }
+          time(s"run $i: 6 decon tiers") {
+            val semKeep = Curation.dedupClustersKeepBy(
+              stripped.select(col("doc_id"), col("quality")), semPairs, col("quality"))
+              .filter(col("keep")).select("doc_id")
+            val semSurv = stripped.join(semKeep, Seq("doc_id"))
+            noop(Curation.contaminationCounts(
+              semSurv.select(col("doc_id"), col("clean_text").as("text")), eval46, 3))
+            noop(Similarity.semanticDecon(
+              semSurv.select(col("doc_id").as("vec_id")).join(emb46, "vec_id"),
+              evalVecs46, 0.3).filter(col("contaminated")))
+          }
+          time(s"run $i: full x46")(noop(SparkEntry.queries("x46_curate_v2")(spark, sfDir)))
+        }
+
       case "sharededges" :: sfDir :: Nil =>
         // Session-level pair-graph sharing: x16 and x27 rebuild the SAME
         // %29-slice pair pipeline as standalone registered queries (the

@@ -248,6 +248,40 @@ class CurationSpec extends SparkSpec {
       s"empty doc must audit 0 tokens / 0 masked: ${audited(900001L)}")
   }
 
+  test("reliable checkpoint mode: curateV2 output is identical and files land in the dir") {
+    // The composed pipelines default to localCheckpoint (fast, executor-
+    // local) — but executor loss kills a local-checkpointed job because
+    // lineage is truncated. The reliable mode re-roots every stable()
+    // site on the Spark checkpoint directory so a cluster run survives
+    // churn; this pins (a) byte-identical output and (b) that checkpoint
+    // files actually land in the configured dir (the mode really ran).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val d = Tables.t(spark, sf, "documents")
+    val emb = Tables.t(spark, sf, "embeddings")
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val evalDocs = d.filter(col("doc_id") % 97 === 0)
+    val evalVecs = emb.filter(col("vec_id") % 97 === 0)
+    val local = Curation.curateV2(train, evalDocs, emb, evalVecs).collect().toSeq
+    try {
+      spark.conf.set(Checkpoints.ModeKey, "reliable")
+      spark.conf.set(Checkpoints.DirKey, dir)
+      val reliable = Curation.curateV2(train, evalDocs, emb, evalVecs).collect().toSeq
+      assert(reliable == local, "reliable-checkpoint run must reproduce the local-mode output")
+      val landed = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(landed > 0, s"no checkpoint files under $dir — the reliable path did not engage")
+      // Unknown mode must fail loudly, not silently fall back to local.
+      spark.conf.set(Checkpoints.ModeKey, "bogus")
+      intercept[IllegalArgumentException] {
+        Curation.gateAndDedup(train)
+      }
+    } finally {
+      spark.conf.set(Checkpoints.ModeKey, "local")
+      spark.conf.unset(Checkpoints.DirKey)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("x46 curation v2: survivor guarantees across every tier, and idempotence") {
     graft.functions.GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.01"
