@@ -10,8 +10,12 @@ import org.apache.spark.sql.types._
   * payloads plus typed metadata, with decode/feature-extraction as
   * per-partition batch transforms.
   *
-  * The container has no media codecs, so [[decodeStub]] is a clearly-marked
-  * deterministic fake — but everything Spark-side is real and tested: the
+  * The container has no EXTERNAL media codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic fake for the generic tier — but the image
+  * path is REAL: [[decodeImages]]/x08b round-trips PNG through the JDK's
+  * own `javax.imageio` (encode executor-side from document bytes, decode
+  * back, cross-check dimensions against stored metadata). Everything
+  * Spark-side is real and tested either way: the
   * schema contract, the `mapPartitions` batching (one decoder instance per
   * partition, streamed row iterator, no per-row setup cost), and the
   * repartitioning knob that bounds how many payload bytes sit in one task
@@ -121,6 +125,118 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------------------------------------------------------- x08b
+  /** REAL image decode via JDK ImageIO (round-8 ask #6): the container
+    * ships no external codecs, but `javax.imageio` reads PNG from bytes
+    * with zero new dependencies — so the decode tier of the multimodal
+    * plumbing can be exercised for real, not stubbed. PNG is lossless,
+    * so a decoded pixel equals the written pixel and every derived
+    * feature below is deterministic cross-platform. */
+
+  /** Encode a small grayscale PNG (w×h, pixels cycled from `seed`) —
+    * the planted-fixture generator, run EXECUTOR-side inside the same
+    * mapPartitions batch shape a real encoder would use. */
+  private[pipeline] def pngFixture(w: Int, h: Int, seed: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+        img.setRGB(x, y, (b << 16) | (b << 8) | b)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode an image payload with ImageIO: (width, height, mean red
+    * channel). None for unreadable/empty payloads — a corrupt file in a
+    * 100 TB crawl must score as undecodable, never kill the task. */
+  private[pipeline] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight,
+          sum.toDouble / (img.getWidth.toLong * img.getHeight)))
+      }
+    } catch { case _: Exception => None }
+
+  /** A media table with REAL PNG payloads derived deterministically from
+    * `documents` (dimensions from n_chars, pixels from the text bytes) —
+    * the encode half of the round trip, per-partition batched. */
+  def imagesFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id"), col("text"), col("n_chars").cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val n = if (r.isNullAt(2)) 0 else r.getInt(2)
+          val w = n % 16 + 1
+          val h = n % 12 + 1
+          val seed =
+            if (r.isNullAt(1)) Array.empty[Byte]
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Row(r.getLong(0), pngFixture(w, h, seed), "image/png",
+            w: java.lang.Integer, h: java.lang.Integer)
+        }
+      }(enc)
+  }
+
+  /** Decoded-image feature row: real width/height/mean plus the
+    * meta-consistency verdict (decoded dims == stored metadata). */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("decoded", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("meta_match", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** Real decode tier over a media table: one ImageIO reader per task,
+    * iterator-in/iterator-out, undecodable rows scored not dropped. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    media.select("media_id", "payload", "meta_width", "meta_height")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          val mw = if (r.isNullAt(2)) -1 else r.getInt(2)
+          val mh = if (r.isNullAt(3)) -1 else r.getInt(3)
+          decodeImage(payload) match {
+            case Some((w, h, mean)) =>
+              Row(r.getLong(0), payload.length, 1, w, h,
+                if (w == mw && h == mh) 1 else 0,
+                math.rint(mean * 10000) / 10000)
+            case None =>
+              Row(r.getLong(0), payload.length, 0, 0, 0, 0, 0.0)
+          }
+        }
+      }(enc)
+  }
+
+  /** Registered x08b: PNG-encode the documents table, decode it back
+    * with ImageIO, emit per-image features + the metadata cross-check.
+    * Rows-only (DuckDB cannot decode PNG) — MultimodalSpec pins exact
+    * fixture values and the spec/meta consistency instead. */
+  def imageDecodeQuery(s: SparkSession, dir: String): DataFrame =
+    decodeImages(imagesFromDocuments(graft.Tables.t(s, dir, "documents")))
+      .orderBy("media_id")
+
   /** Build a multimodal table from `documents` (text bytes standing in for
     * media payloads — the container ships no codecs or media fixtures). */
   def fromDocuments(docs: DataFrame): DataFrame =
@@ -134,5 +250,6 @@ object Multimodal {
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x08_multimodal_meta", TextStats.multimodalMeta,
-      Some(TextStats.x08OracleSql)))
+      Some(TextStats.x08OracleSql)),
+    QueryDef("x08b_image_decode", imageDecodeQuery, None))
 }

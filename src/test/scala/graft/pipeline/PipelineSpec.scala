@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.functions._
 
-import graft.{SparkSpec, Tables}
+import graft.{SparkEntry, SparkSpec, Tables}
 
 /** Dedup / similarity / multimodal operator semantics on controlled
   * inputs (the oracle hash-compare covers the registered query shapes). */
@@ -79,6 +79,27 @@ class PipelineSpec extends SparkSpec {
     assert(f1.size == 500)
     val first = f1.head
     assert(first.getInt(1) > 0, "payload bytes")
+  }
+
+  test("x08b: ImageIO round-trips planted PNGs exactly; corrupt payloads score undecodable") {
+    // Known fixture: a 3×2 gray-ramp image — decoded dims and mean MUST
+    // be exact (PNG is lossless; the mean of bytes 10,20,30,40,50,60
+    // cycled over 6 pixels is 35.0).
+    val seed = Array[Byte](10, 20, 30, 40, 50, 60)
+    val png = Multimodal.pngFixture(3, 2, seed)
+    assert(png.length > 8 &&
+      (png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
+      "fixture must be a real PNG stream")
+    assert(Multimodal.decodeImage(png).contains((3, 2, 35.0)))
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    // Registered query: encode documents → decode back. Every payload
+    // must decode, match its stored metadata, and be run-deterministic.
+    val out = SparkEntry.queries("x08b_image_decode")(spark, sf).collect().toSeq
+    assert(out.size == 500)
+    assert(out.forall(r => r.getInt(2) == 1), "every generated PNG must decode")
+    assert(out.forall(r => r.getInt(5) == 1), "decoded dims must equal stored metadata")
+    assert(out == SparkEntry.queries("x08b_image_decode")(spark, sf).collect().toSeq)
   }
 
   test("multimodal resize recomputes metadata and bounds payloads") {
