@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Subword (BPE-style) tokenization as pure integer/array expressions —
+  * tokenizer-faithful token counting for the budget/packing family.
+  *
+  * Every budget operator so far (x15/x22/x41/x54/x55) counts WHITESPACE
+  * tokens, but real training-data budgets are stated in model (BPE)
+  * tokens, and whitespace counts systematically misprice code and
+  * non-Latin text. x56 closes that unit gap with the WordPiece
+  * algorithm — greedy longest-match against a fixed subword vocabulary
+  * (Schuster & Nakajima 2012; the BERT tokenizer's inference rule, which
+  * is also how a trained BPE merge table is APPLIED at inference when
+  * expressed as its resulting vocabulary) — over a vocabulary of the
+  * published highest-frequency English n-grams (Norvig 2013, "English
+  * Letter Frequency Counts: Mayzner Revisited" — Google Books corpus),
+  * with the implicit single-character fallback that makes tokenization
+  * total. Fixed public vocabulary + deterministic greedy rule = both
+  * engines derive identical counts with no model file involved.
+  *
+  * Implementation is expression-only (no UDF): per word, a fold over
+  * character positions whose accumulator packs (next-position, count)
+  * into one BIGINT — `acc = pos·2²⁰ + count` — advancing by the longest
+  * vocabulary hit at each position (4 → 3 → 2 → single char). Spark runs
+  * it as nested higher-order functions (`transform` over words,
+  * `aggregate` over positions) — one map-only projection, NO explode, no
+  * shuffle before the output sort; at 100 TB this runs at scan speed and
+  * composes with any budget operator as a drop-in token expression.
+  *
+  * The DuckDB oracle deliberately avoids `list_reduce` ENTIRELY: DuckDB
+  * 1.0.0 miscompiles this fold both nested inside `list_transform` (an
+  * inner lambda combining the guard-CASE with `substr`+`list_contains`
+  * on the outer lambda variable returns element 0's result for later
+  * elements) and — worse — FLAT under vectorized execution (the same
+  * word folds to different counts depending on its batch neighbors:
+  * 'customer' → 6 standalone, 5 mid-batch; measured against an
+  * independent Python reference during round 8). The oracle instead
+  * runs a RECURSIVE CTE over the corpus's DISTINCT words — (word, pos,
+  * count) advancing by the longest hit per step, no lambdas anywhere —
+  * which matches the reference on every word, then joins counts back to
+  * word occurrences. Words are assumed < 2²⁰ chars (the pack
+  * precondition; the corpus max is 3 orders of magnitude under it).
+  */
+object Bpe {
+  /** Pack base for (pos, count) — positions/counts < 2^20. */
+  private val M = 1L << 20
+
+  /** Subword vocabulary by length — the Mayzner–Norvig most-frequent
+    * English 4/3/2-grams (word-internal ones for length 4). Single
+    * characters are the implicit fallback, so tokenization is total. */
+  val Vocab4: Seq[String] = Seq("tion", "atio", "that", "ther", "with")
+  val Vocab3: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "tio", "ent", "ati", "for", "her", "ter",
+    "hat", "tha", "ere", "ate", "his", "con", "res", "ver", "all", "ons")
+  val Vocab2: Seq[String] = Seq(
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea")
+  require((Vocab4 ++ Vocab3 ++ Vocab2).distinct.size ==
+    Vocab4.size + Vocab3.size + Vocab2.size, "subword vocabulary must be duplicate-free")
+  require(Vocab4.forall(_.length == 4) && Vocab3.forall(_.length == 3) &&
+    Vocab2.forall(_.length == 2), "vocabulary buckets must hold their stated lengths")
+
+  /** Greedy longest-match subword count of ONE word (≥ 1 char): the
+    * (pos, count) fold. `pos = shiftright(acc, 20)`, `count = acc % 2²⁰`;
+    * positions not equal to `pos` are interior to an already-matched
+    * token and pass the accumulator through. */
+  private def wordTokCount(w: Column): Column = {
+    val n = length(w)
+    // matchLen at position x: longest vocabulary hit starting there.
+    def matchLenAt(x: Column): Column = {
+      def hitAt(len: Int, vocab: Seq[String]): Column =
+        (x + lit(len - 1) <= n) &&
+          array_contains(typedLit(vocab), w.substr(x.cast("int"), lit(len)))
+      when(hitAt(4, Vocab4), 4L)
+        .when(hitAt(3, Vocab3), 3L)
+        .when(hitAt(2, Vocab2), 2L)
+        .otherwise(1L)
+    }
+    aggregate(
+      sequence(lit(1L), n.cast("long")),
+      lit(M), // pos = 1, count = 0
+      (acc, x) => when(x =!= shiftright(acc, 20), acc)
+        .otherwise(shiftleft(shiftright(acc, 20) + matchLenAt(x), 20) + acc % M + 1L)
+    ) % M
+  }
+
+  /** Per-document subword token count over `text` — the drop-in token
+    * expression for any budget operator. Null-safe; empty words (from
+    * runs of spaces or empty text) count zero. */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      transform(
+        filter(split(coalesce(text, lit("")), " "), w => length(w) > 0),
+        w => wordTokCount(w)),
+      lit(0L), (a, b) => a + b)
+
+  // ---------------------------------------------------------------- x56
+  /** Registered x56: per-document whitespace vs subword counts plus the
+    * tokens-per-whitespace-word ratio — the unit-conversion table every
+    * whitespace-budget operator needs to be read in model tokens. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tok"),
+        subwordCount(col("text")).as("n_subword_tok"))
+      .withColumn("tok_ratio",
+        round(col("n_subword_tok").cast("double") / col("n_ws_tok"), 4))
+      .orderBy("doc_id")
+
+  private def sqlList(v: Seq[String]): String = v.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** CTE chain ending in `bpe(doc_id, n_subword_tok)` — shared by the
+    * x56 and x56b oracles; must follow a `WITH RECURSIVE` keyword. The
+    * recursion tokenizes each DISTINCT word once — (pos, cnt) advance by
+    * the longest vocabulary hit; a word's final row is the one whose pos
+    * passed its length, so max(cnt) is its token count — and the left
+    * join spreads counts back over occurrences (empty words → 0). */
+  private[pipeline] val bpeCountCtes =
+    s"""w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+             FROM documents),
+       words AS (SELECT DISTINCT w FROM w WHERE len(w) > 0),
+       rec AS (
+         SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt FROM words
+         UNION ALL
+         SELECT w, pos + step, cnt + 1 FROM (
+           SELECT w, pos, cnt,
+             CASE WHEN pos + 3 <= len(w) AND list_contains(${sqlList(Vocab4)}, substr(w, CAST(pos AS INT), 4)) THEN 4
+                  WHEN pos + 2 <= len(w) AND list_contains(${sqlList(Vocab3)}, substr(w, CAST(pos AS INT), 3)) THEN 3
+                  WHEN pos + 1 <= len(w) AND list_contains(${sqlList(Vocab2)}, substr(w, CAST(pos AS INT), 2)) THEN 2
+                  ELSE 1 END AS step
+           FROM rec WHERE pos <= len(w))
+       ),
+       wtok AS (SELECT w, max(cnt) AS n FROM rec GROUP BY w),
+       bpe AS (SELECT doc_id, CAST(sum(coalesce(n, 0)) AS BIGINT) AS n_subword_tok
+               FROM w LEFT JOIN wtok USING (w) GROUP BY doc_id)"""
+
+  private val x56Sql =
+    s"""WITH RECURSIVE $bpeCountCtes
+       SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tok,
+              n_subword_tok,
+              round(CAST(n_subword_tok AS DOUBLE)
+                / len(string_split(text, ' ')), 4) AS tok_ratio
+       FROM bpe JOIN documents USING (doc_id) ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- x56b
+  /** Registered x56b: x55's exact Hamilton apportionment re-keyed on
+    * SUBWORD token mass — the budget family stated in the unit real
+    * training budgets use. Same machinery ([[Sampling.budgetApportionOf]]
+    * and the shared math CTEs), different availability column; the
+    * allocations genuinely differ from x55's because subword mass is not
+    * proportional to whitespace mass across languages (BpeSpec pins
+    * that). Scale shape is x55's: one map-side subword projection into a
+    * partial+final agg on lang, then stratum-level window math. */
+  def budgetApportionBpe(s: SparkSession, dir: String): DataFrame =
+    Sampling.budgetApportionOf(
+      Tables.t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(subwordCount(col("text"))).as("avail_tokens")))
+
+  private val x56bSql =
+    s"""WITH RECURSIVE $bpeCountCtes,
+       avail AS (SELECT lang, CAST(sum(n_subword_tok) AS BIGINT) AS avail_tokens
+                 FROM bpe JOIN documents USING (doc_id) GROUP BY lang),
+       ${Sampling.apportionMathCtes}
+       SELECT lang, avail_tokens, floor_quota, remainder, alloc_tokens
+       FROM alloc ORDER BY lang"""
+
+  // ----------------------------------------------------------------
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x56_bpe_token_count", tokenCounts, Some(x56Sql)),
+    QueryDef("x56b_budget_apportion_bpe", budgetApportionBpe, Some(x56bSql)))
+}

@@ -320,10 +320,15 @@ object Sampling {
     * window over the ≤ |strata| rows — the heavy lifting is the corpus
     * agg; the apportionment itself is stratum-level. Downstream, x22's
     * per-source budget machinery consumes the per-stratum numbers. */
-  def budgetApportion(s: SparkSession, dir: String): DataFrame = {
-    val avail = docs(s, dir)
+  def budgetApportion(s: SparkSession, dir: String): DataFrame =
+    budgetApportionOf(docs(s, dir)
       .groupBy("lang")
-      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens")))
+
+  /** The Hamilton machinery over ANY (lang, avail_tokens) frame — the
+    * single implementation x55 (whitespace tokens) and x56b (subword
+    * tokens, [[Bpe]]) both consume, so the two cannot drift. */
+  private[pipeline] def budgetApportionOf(avail: DataFrame): DataFrame = {
     val tot = avail.agg(sum("avail_tokens").as("total_tokens"))
     // `div`, not `/`: Spark's / on longs is DOUBLE division (and floor()
     // of it would silently lose exactness past 2^53).
@@ -348,11 +353,11 @@ object Sampling {
     * `alloc(lang, avail_tokens, floor_quota, remainder, alloc_tokens)` —
     * x55's oracle and x55b's carve-out oracle consume this single
     * fragment, so the two cannot drift. */
-  private val apportionCtes =
-    s"""WITH avail AS (SELECT lang,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
-         FROM documents GROUP BY lang),
-       tot AS (SELECT sum(avail_tokens) AS total_tokens FROM avail),
+  /** The apportionment math as a WITH-body suffix over an `avail(lang,
+    * avail_tokens)` CTE the caller supplies — x55/x55b prepend the
+    * whitespace-token availability, x56b ([[Bpe]]) the subword one. */
+  private[pipeline] val apportionMathCtes =
+    s"""tot AS (SELECT sum(avail_tokens) AS total_tokens FROM avail),
        q AS (SELECT lang, avail_tokens,
                -- CAST: the BIGINT product widens to HUGEINT, which pandas
                -- reads as float64 and desyncs the dtype compare.
@@ -369,6 +374,12 @@ object Sampling {
            CAST(floor_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT)
              AS alloc_tokens
          FROM r)"""
+
+  private val apportionCtes =
+    s"""WITH avail AS (SELECT lang,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+         FROM documents GROUP BY lang),
+       $apportionMathCtes"""
 
   private val x55Sql =
     s"""$apportionCtes

@@ -475,6 +475,21 @@ class PlanSpec extends SparkSpec {
       s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
   }
 
+  test("x56: subword counting is map-only (no join, no explode, no hash exchange)") {
+    val p = plan("x56_bpe_token_count")
+    assert(!p.contains("Join"), s"the nested-HOF form must not join:\n$p")
+    assert(!p.contains("Generate"),
+      s"per-word folds run inside one projection, not via explode:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
+  }
+
+  test("x56b: subword apportionment aggregates partial+final on lang") {
+    val p = plan("x56b_budget_apportion_bpe")
+    assert(p.contains("partial"), s"lang agg must map-side combine:\n$p")
+    assert(!p.contains("Generate"), s"no explode in the corpus pass:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Greedy longest-match subword tokenization (x56/x56b) on planted
+  * words with hand-derived tokenizations, plus the regime and
+  * budget-divergence pins. */
+class BpeSpec extends SparkSpec {
+
+  private def counts(words: String*): Map[String, Long] = {
+    import spark.implicits._
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      .select(col("text"), Bpe.subwordCount(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("x56: planted words tokenize exactly by the greedy longest-match rule") {
+    val c = counts("the", "there", "tionthe", "join", "customer", "xyzq", "",
+      "that", "a", "the cat thing")
+    assert(c("the") == 1L)
+    assert(c("there") == 2L, "ther|e — the 4-gram wins the munch over the|re")
+    assert(c("tionthe") == 2L, "tion|the")
+    assert(c("join") == 3L, "j|o|in (oi is not in the vocabulary)")
+    assert(c("customer") == 6L, "c|u|st|o|m|er")
+    assert(c("xyzq") == 4L, "no hits — single-char fallback")
+    assert(c("") == 0L, "empty text holds zero tokens")
+    assert(c("that") == 1L)
+    assert(c("a") == 1L)
+    assert(c("the cat thing") == 1L + 2L + 2L, "the | c,at | th,ing")
+  }
+
+  test("x56: count bounds and determinism on the real corpus") {
+    val out = Bpe.tokenCounts(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (ws, sub) = (r.getLong(1), r.getLong(2))
+      assert(sub >= ws, s"every non-empty word is >= 1 subword: $r")
+      assert(sub <= ws * 24, s"a word cannot exceed its char count in tokens: $r")
+    }
+    // The vocabulary must genuinely compress this corpus (not all
+    // single-char fallback): mean subwords-per-word well under mean
+    // word length.
+    val totals = Bpe.tokenCounts(spark, sf)
+      .agg(sum("n_subword_tok"), sum("n_ws_tok")).collect()(0)
+    val perWord = totals.getLong(0).toDouble / totals.getLong(1)
+    assert(perWord > 1.5 && perWord < 5.0,
+      s"subwords per word $perWord out of the measured regime (~3.4)")
+    assert(Bpe.tokenCounts(spark, sf).collect().toSeq == out.toSeq)
+  }
+
+  test("x56b: subword apportionment sums to the budget and diverges from x55") {
+    val bpe = Bpe.budgetApportionBpe(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(bpe.values.sum == Sampling.ApportionBudget,
+      "Hamilton guarantee must hold in the subword unit too")
+    val ws = Sampling.budgetApportion(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(bpe.keySet == ws.keySet)
+    // The unit change must MOVE allocations: subword mass is not
+    // proportional to whitespace mass across languages. If this ever
+    // fails the corpus regime changed and x56b is vacuous — re-measure.
+    assert(bpe != ws, s"subword allocations must differ from whitespace ones: $bpe vs $ws")
+  }
+}
