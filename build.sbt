@@ -32,4 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench/verify gauntlet JIT-compiles ~260 distinct whole-stage-
+  // codegen'd query plans in one JVM; at the JDK-17 default code cache
+  // (240 MB) the later, largest queries run partially de-optimized —
+  // measured round 8: x46 costs 26 s after a 1x gauntlet but 40-54 s
+  // after a 2x gauntlet in the SAME JVM, and an explicit System.gc()
+  // does not restore it (heap is not the debt; compiled code is).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -263,6 +263,30 @@ object Profile {
           time(s"run $i: full x46")(noop(SparkEntry.queries("x46_curate_v2")(spark, sfDir)))
         }
 
+      case "x46debt" :: sfDir :: Nil =>
+        // Hypothesis probe for the r7/r8 x46 gap: Profile x46bench
+        // (gauntlet ONCE, then x46) reads ~26 s while graft.Bench
+        // (every query TWICE + FMP first) reads ~51 s for the same
+        // plan. If the delta is allocator/GC/block-manager debt from
+        // the doubled gauntlet, an explicit collection should restore
+        // the 26 s figure within the same JVM; if it is plan cost, it
+        // won't move.
+        time("gauntlet pass 1") {
+          SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+            if (n != "x46_curate_v2") noop(fn(spark, sfDir))
+          }
+        }
+        time("gauntlet pass 2") {
+          SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+            if (n != "x46_curate_v2") noop(fn(spark, sfDir))
+          }
+        }
+        time("x46 after 2x gauntlet, run 1")(noop(SparkEntry.queries("x46_curate_v2")(spark, sfDir)))
+        time("x46 after 2x gauntlet, run 2")(noop(SparkEntry.queries("x46_curate_v2")(spark, sfDir)))
+        System.gc(); Thread.sleep(2000); System.gc()
+        time("x46 after explicit gc, run 1")(noop(SparkEntry.queries("x46_curate_v2")(spark, sfDir)))
+        time("x46 after explicit gc, run 2")(noop(SparkEntry.queries("x46_curate_v2")(spark, sfDir)))
+
       case "sharededges" :: sfDir :: Nil =>
         // Session-level pair-graph sharing: x16 and x27 rebuild the SAME
         // %29-slice pair pipeline as standalone registered queries (the
