@@ -308,6 +308,59 @@ object SetJaccard {
   }
 }
 
+/** The x56 subword (BPE-style) token count as a native codegen'd
+  * expression: greedy longest-match over [[graft.pipeline.Bpe]]'s fixed
+  * vocabulary, whole document in one call (spaces are word boundaries —
+  * skipped without counting; no vocabulary entry contains a space, so a
+  * match can never cross one). Equivalent to the nested-HOF
+  * (pos,count)-fold it replaces (property-tested against it in BpeSpec),
+  * but runs inside whole-stage codegen with hash-set lookups instead of
+  * per-position array scans — the x56 production path. */
+case class SubwordCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"subword_count requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SubwordCount.count(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SubwordCount.count($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordCount =
+    copy(child = newChild)
+}
+
+object SubwordCount {
+  private val v4 = new java.util.HashSet[String](java.util.Arrays.asList(
+    graft.pipeline.Bpe.Vocab4: _*))
+  private val v3 = new java.util.HashSet[String](java.util.Arrays.asList(
+    graft.pipeline.Bpe.Vocab3: _*))
+  private val v2 = new java.util.HashSet[String](java.util.Arrays.asList(
+    graft.pipeline.Bpe.Vocab2: _*))
+
+  def count(s: String): Long = {
+    val n = s.length
+    var pos = 0
+    var c = 0L
+    while (pos < n) {
+      if (s.charAt(pos) == ' ') pos += 1 // word boundary, not a token
+      else {
+        val step =
+          if (pos + 4 <= n && v4.contains(s.substring(pos, pos + 4))) 4
+          else if (pos + 3 <= n && v3.contains(s.substring(pos, pos + 3))) 3
+          else if (pos + 2 <= n && v2.contains(s.substring(pos, pos + 2))) 2
+          else 1
+        pos += step
+        c += 1
+      }
+    }
+    c
+  }
+}
+
 /** Algebraic simplification for [[SanitizeName]]: the sanitizer is
   * idempotent (property-tested in SanitizeSpec), so nested applications
   * collapse to one — the engine's own little optimizer rule, injected via
@@ -342,6 +395,8 @@ object GraftFunctions {
       exprs => SetJaccard(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("set_overlap",
       exprs => SetOverlap(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("subword_count",
+      exprs => SubwordCount(exprs.head), "scala_udf")
   }
 
   /** B35's one showcase scalar UDF — kept for API-surface parity; the

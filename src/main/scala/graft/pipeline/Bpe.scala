@@ -24,11 +24,17 @@ import org.apache.spark.sql.functions._
   * Implementation is expression-only (no UDF): per word, a fold over
   * character positions whose accumulator packs (next-position, count)
   * into one BIGINT — `acc = pos·2²⁰ + count` — advancing by the longest
-  * vocabulary hit at each position (4 → 3 → 2 → single char). Spark runs
-  * it as nested higher-order functions (`transform` over words,
-  * `aggregate` over positions) — one map-only projection, NO explode, no
-  * shuffle before the output sort; at 100 TB this runs at scan speed and
-  * composes with any budget operator as a drop-in token expression.
+  * vocabulary hit at each position (4 → 3 → 2 → single char). Two forms:
+  * the nested-higher-order-function fold ([[subwordCountRef]] —
+  * `transform` over words, `aggregate` over positions; pure expressions,
+  * no registration, but HOF lambdas run interpreted per position) and
+  * the PRODUCTION native codegen'd expression
+  * ([[graft.functions.SubwordCount]], hash-set lookups inside
+  * whole-stage codegen — measured ~4× the HOF form at sf0.1;
+  * property-tested equal in BpeSpec). Either way: one map-only
+  * projection, NO explode, no shuffle before the output sort; at 100 TB
+  * this runs at scan speed and composes with any budget operator as a
+  * drop-in token expression.
   *
   * The DuckDB oracle deliberately avoids `list_reduce` ENTIRELY: DuckDB
   * 1.0.0 miscompiles this fold both nested inside `list_transform` (an
@@ -89,21 +95,31 @@ object Bpe {
     ) % M
   }
 
-  /** Per-document subword token count over `text` — the drop-in token
-    * expression for any budget operator. Null-safe; empty words (from
-    * runs of spaces or empty text) count zero. */
-  def subwordCount(text: Column): Column =
+  /** Per-document subword token count over `text` as nested HOFs — the
+    * pure-expression REFERENCE form (needs no function registration;
+    * BpeSpec property-tests the native expression against it). Null-safe;
+    * empty words (from runs of spaces or empty text) count zero. */
+  def subwordCountRef(text: Column): Column =
     aggregate(
       transform(
         filter(split(coalesce(text, lit("")), " "), w => length(w) > 0),
         w => wordTokCount(w)),
       lit(0L), (a, b) => a + b)
 
+  /** Per-document subword token count — the PRODUCTION path: the native
+    * codegen'd [[graft.functions.SubwordCount]] expression (hash-set
+    * lookups inside whole-stage codegen; the HOF fold above runs
+    * interpreted per position). Caller's session must have
+    * `GraftFunctions.register`-ed (every registered query here does). */
+  def subwordCount(text: Column): Column =
+    call_function("subword_count", coalesce(text, lit("")))
+
   // ---------------------------------------------------------------- x56
   /** Registered x56: per-document whitespace vs subword counts plus the
     * tokens-per-whitespace-word ratio — the unit-conversion table every
     * whitespace-budget operator needs to be read in model tokens. */
-  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+  def tokenCounts(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.t(s, dir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_ws_tok"),
@@ -111,6 +127,7 @@ object Bpe {
       .withColumn("tok_ratio",
         round(col("n_subword_tok").cast("double") / col("n_ws_tok"), 4))
       .orderBy("doc_id")
+  }
 
   private def sqlList(v: Seq[String]): String = v.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -157,11 +174,13 @@ object Bpe {
     * proportional to whitespace mass across languages (BpeSpec pins
     * that). Scale shape is x55's: one map-side subword projection into a
     * partial+final agg on lang, then stratum-level window math. */
-  def budgetApportionBpe(s: SparkSession, dir: String): DataFrame =
+  def budgetApportionBpe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Sampling.budgetApportionOf(
       Tables.t(s, dir, "documents")
         .groupBy("lang")
         .agg(sum(subwordCount(col("text"))).as("avail_tokens")))
+  }
 
   private val x56bSql =
     s"""WITH RECURSIVE $bpeCountCtes,

@@ -10,6 +10,7 @@ import graft.{SparkSpec, Tables}
 class BpeSpec extends SparkSpec {
 
   private def counts(words: String*): Map[String, Long] = {
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
       .select(col("text"), Bpe.subwordCount(col("text")).as("n"))
@@ -29,6 +30,24 @@ class BpeSpec extends SparkSpec {
     assert(c("that") == 1L)
     assert(c("a") == 1L)
     assert(c("the cat thing") == 1L + 2L + 2L, "the | c,at | th,ing")
+  }
+
+  test("x56: native codegen'd expression equals the nested-HOF reference everywhere") {
+    graft.functions.GraftFunctions.register(spark)
+    // Full corpus + the planted edge cases: every doc must agree between
+    // the interpreted HOF fold and the native hash-set scan.
+    val corpus = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    import spark.implicits._
+    val edge = Seq((9001L, ""), (9002L, "  double  spaces  "), (9003L, "tionthe there"),
+      (9004L, null.asInstanceOf[String]), (9005L, "x"))
+      .toDF("doc_id", "text")
+    val both = corpus.union(edge)
+      .select(col("doc_id"),
+        Bpe.subwordCount(col("text")).as("native"),
+        Bpe.subwordCountRef(col("text")).as("ref"))
+      .filter(col("native") =!= col("ref"))
+      .collect()
+    assert(both.isEmpty, s"native/HOF divergence: ${both.mkString(", ")}")
   }
 
   test("x56: count bounds and determinism on the real corpus") {
