@@ -137,7 +137,7 @@ object Bpe {
     * the longest vocabulary hit; a word's final row is the one whose pos
     * passed its length, so max(cnt) is its token count — and the left
     * join spreads counts back over occurrences (empty words → 0). */
-  private[pipeline] val bpeCountCtes =
+  private[graft] val bpeCountCtes =
     s"""w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
              FROM documents),
        words AS (SELECT DISTINCT w FROM w WHERE len(w) > 0),

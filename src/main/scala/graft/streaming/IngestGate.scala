@@ -103,6 +103,45 @@ object IngestGate {
        WHERE quality >= $MinQuality AND n_emails = 0 AND sampled
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x57
+  /** Registered x57: [[Stateful.budgetAdmissions]]'s BATCH form — the
+    * SAME flatMapGroupsWithState function the streaming edge runs, here
+    * seeing each source's full arrival history (seq = doc_id) in one
+    * iterator — aggregated to per-source admission totals. The DuckDB
+    * oracle states the semantics declaratively: exclusive-prefix window
+    * over x56's subword counts in doc_id order. An oracle hash match
+    * therefore certifies the stateful function's admission logic, and
+    * StreamingSpec separately proves chunked-stream ≡ batch. */
+  private def x57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arrivals = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("doc_id").as("seq"), col("text"))
+      .as[DocArrival]
+    Stateful.budgetAdmissions(arrivals).toDF()
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_tok")).otherwise(0L)).as("admitted_tokens"),
+        sum(when(col("admitted"), col("doc_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("source")
+  }
+
+  private val x57Sql =
+    s"""WITH RECURSIVE ${graft.pipeline.Bpe.bpeCountCtes},
+       t AS (SELECT doc_id, source, n_subword_tok AS n_tok
+             FROM bpe JOIN documents USING (doc_id)),
+       c AS (SELECT doc_id, source, n_tok,
+               coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 < ${Stateful.AdmitBudget} AS admitted
+             FROM t)
+       SELECT source, count(*) AS n_total,
+              CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+              CAST(sum(CASE WHEN admitted THEN n_tok ELSE 0 END) AS BIGINT) AS admitted_tokens,
+              CAST(sum(CASE WHEN admitted THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+       FROM c GROUP BY source ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("x24_ingest_gate", x24, Some(x24Sql)))
+    QueryDef("x24_ingest_gate", x24, Some(x24Sql)),
+    QueryDef("x57_budget_admit", x57, Some(x57Sql)))
 }

@@ -22,6 +22,14 @@ case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
 case class UserSession(user_id: Long, n_events: Long, total_value: Double,
     last_event_ms: Long)
 
+/** A document arriving at the ingestion edge: `seq` is the admission
+  * order (monotone per source — an ingest offset/sequence number). */
+case class DocArrival(doc_id: Long, source: String, seq: Long, text: String)
+
+/** Per-document admission verdict from [[Stateful.budgetAdmissions]]. */
+case class AdmitDecision(doc_id: Long, source: String, seq: Long,
+    n_tok: Long, admitted: Boolean)
+
 /** Custom stateful streaming (SURVEY.md §2B B34 surface:
   * `KeyValueGroupedDataset.flatMapGroupsWithState`): arbitrary per-key
   * state that Spark's built-in windows can't express — here a running
@@ -168,5 +176,56 @@ object Stateful {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[UserState, UserUpdate](
         OutputMode.Append(), timeout)(updateUser(ageOutIdle))
+  }
+
+  /** Default admission budget (SUBWORD tokens per source — the x56 unit;
+    * ~40% of a source's mass at sf0.001/0.01, ~4% at sf0.1, so the
+    * decision is non-trivial at every test scale). */
+  val AdmitBudget = 2000L
+
+  /** Token-budget admission at the ingestion edge: per-source running
+    * token total in keyed state; a document is admitted iff the total
+    * BEFORE it is under the budget (x22's exclusive-prefix rule, so the
+    * budget is overshot by at most one document), with tokens counted in
+    * x56's SUBWORD unit ([[graft.functions.SubwordCount]] — the same
+    * code the native expression runs, called directly here since a typed
+    * state function is already JVM-side). The total accumulates EVERY
+    * processed document (monotone, matching the window-oracle exactly);
+    * once a source exhausts its budget every later arrival is rejected.
+    *
+    * One function, both modes: on a batch Dataset
+    * `flatMapGroupsWithState` sees each source's full history in one
+    * iterator (sorted here by `seq`) — that batch form is the registered
+    * x57 and is DuckDB-oracle-checked; under `readStream` the same
+    * function keeps the running total in the state store across
+    * micro-batches, and StreamingSpec proves chunked-stream ≡ one-batch
+    * when arrivals respect `seq` order. At-least-once replay of an
+    * already-counted document double-counts it — the usual foreachBatch
+    * idempotency caveat, documented rather than hidden.
+    *
+    * Scale: state is ONE long per source; rows shard by source. A whole
+    * source's micro-batch slice lands in one task — the whale knob is
+    * the micro-batch size, and the batch backfill form for huge sources
+    * is x22b's two-phase pre-prune, not this. */
+  def budgetAdmissions(docs: Dataset[DocArrival],
+      budget: Long = AdmitBudget): Dataset[AdmitDecision] = {
+    implicit val outEnc = Encoders.product[AdmitDecision]
+    implicit val stateEnc = Encoders.scalaLong
+    docs
+      .groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState[Long, AdmitDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[DocArrival], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.seq).map { d =>
+            val n = graft.functions.SubwordCount.count(
+              Option(d.text).getOrElse(""))
+            val admit = used < budget
+            used += n
+            AdmitDecision(d.doc_id, source, d.seq, n, admit)
+          }
+          state.update(used)
+          out.iterator
+      }
   }
 }

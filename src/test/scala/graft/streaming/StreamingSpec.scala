@@ -221,6 +221,36 @@ class StreamingSpec extends SparkSpec {
       s"each tier must drop its dup; clean + pending-embedding docs survive: $streamed")
   }
 
+  test("x57 budget admission: chunked stream equals batch; state persists across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ~450 subword tokens per doc ("word" → w|or|d = 3, ×150), budget
+    // 2000 → each source admits 5 docs (exclusive-prefix overshoot) and
+    // rejects the rest; the budget line falls in the SECOND chunk for
+    // both sources, so stream ≡ batch proves the state carried over.
+    val text = Seq.fill(150)("word").mkString(" ")
+    val arrivals = (1L to 20L).map(i => DocArrival(i, s"s${i % 2}", i, text))
+    val input = MemoryStream[DocArrival]
+    val q = Stateful.budgetAdmissions(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("admit_out").start()
+    input.addData(arrivals.take(8))
+    q.processAllAvailable()
+    input.addData(arrivals.drop(8))
+    q.processAllAvailable()
+    val streamed = spark.table("admit_out").as[AdmitDecision]
+      .collect().sortBy(_.doc_id).toSeq
+    q.stop()
+    val batch = Stateful.budgetAdmissions(arrivals.toDS())
+      .collect().sortBy(_.doc_id).toSeq
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    val admitted = batch.filter(_.admitted).map(_.doc_id)
+    assert(batch.forall(_.n_tok == 450L))
+    // 5 admitted per source: prefixes 0,450,900,1350,1800 < 2000, 2250 ≥.
+    assert(admitted.size == 10 && admitted.sorted == (1L to 10L),
+      s"first five arrivals of each source admitted: $admitted")
+    assert(batch.count(!_.admitted) == 10, "later arrivals must be rejected")
+  }
+
   test("unified ingest: intra-batch duplicate delivery is not amplified") {
     import spark.implicits._
     // At-least-once delivery can hand one batch the SAME doc_id twice.
