@@ -171,6 +171,39 @@ object Curation {
               min(doc_id) AS first_doc, max(doc_id) AS last_doc
        FROM c GROUP BY shard_id ORDER BY shard_id"""
 
+  // --------------------------------------------------------------- x15c
+  /** x15's shard packing re-keyed on SUBWORD tokens ([[Bpe]] / x56's
+    * unit — what trainer shard manifests are actually sized in; the
+    * whitespace unit under-fills shards ~3.4× on this corpus). Identical
+    * exclusive-prefix // budget discipline and output shape; the only
+    * change is the token expression, so the ≤ budget+1-doc overshoot
+    * argument carries over verbatim. The scalable form is x15b's
+    * partition-keyed window with the same swapped column. */
+  def shardPackBpe(s: SparkSession, dir: String, budget: Int = 20000): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), Bpe.subwordCount(col("text")).as("n_tok"))
+      .withColumn("shard_id",
+        (coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  private def x15cSql(budget: Int) =
+    s"""WITH RECURSIVE ${Bpe.bpeCountCtes},
+       t AS (SELECT doc_id, n_subword_tok AS n_tok FROM bpe),
+       c AS (SELECT doc_id, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             // $budget AS shard_id
+           FROM t)
+       SELECT shard_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+              min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM c GROUP BY shard_id ORDER BY shard_id"""
+
   // ---------------------------------------------------------------- x16
   /** Near-dup cluster resolution: connected components over the B28
     * Jaccard pair graph, labelling every member with the cluster's
@@ -1729,6 +1762,7 @@ object Curation {
     QueryDef("x15_shard_pack", (s, d) => shardPack(s, d), Some(x15Sql(20000))),
     QueryDef("x15b_shard_pack_partitioned",
       (s, d) => shardPackPartitionedManifest(s, d), None),
+    QueryDef("x15c_shard_pack_bpe", (s, d) => shardPackBpe(s, d), Some(x15cSql(20000))),
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),

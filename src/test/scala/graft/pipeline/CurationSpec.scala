@@ -20,6 +20,25 @@ class CurationSpec extends SparkSpec {
     assert(a.getOrElse("val", 0L) + a.getOrElse("test", 0L) > 0, s"no holdout: $a")
   }
 
+  test("x15c: subword-unit shard packing holds the same overshoot bound in the new unit") {
+    graft.functions.GraftFunctions.register(spark)
+    val budget = 2000
+    val shards = Curation.shardPackBpe(spark, sf, budget).collect()
+    assert(shards.length > 1, "sf0.001 spans multiple 2000-subword shards")
+    val maxDocTok = Tables.t(spark, sf, "documents")
+      .select(max(Bpe.subwordCount(col("text")))).head().getLong(0)
+    shards.foreach { r =>
+      assert(r.getLong(2) <= budget + maxDocTok,
+        s"shard ${r.getLong(0)} holds ${r.getLong(2)} subword tokens " +
+          s"(budget $budget + max doc $maxDocTok)")
+    }
+    // The unit matters: the same budget in whitespace tokens packs ~3.4×
+    // fewer shards — pinning that the two registrations genuinely differ.
+    val ws = Curation.shardPack(spark, sf, budget).collect()
+    assert(shards.length > ws.length,
+      s"subword unit must pack more shards at equal budget: ${shards.length} vs ${ws.length}")
+  }
+
   test("shard packing respects the token budget up to one document overhang") {
     val budget = 500
     val shards = Curation.shardPack(spark, sf, budget).collect()
