@@ -163,6 +163,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("subword count: JVM scan obeys its algebraic laws on random strings") {
+    // The native SubwordCount is the production token meter (x56/x56b,
+    // x57 admission, x15c packing); these laws are what chunked
+    // processing at scale leans on.
+    import graft.functions.SubwordCount.count
+    val vocabWords = graft.pipeline.Bpe.Vocab4 ++ graft.pipeline.Bpe.Vocab3 ++
+      graft.pipeline.Bpe.Vocab2
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    def randWord(): String =
+      if (rnd.nextBoolean()) vocabWords(rnd.nextInt(vocabWords.size)) * (1 + rnd.nextInt(3))
+      else (1 to 1 + rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(26))).mkString
+    (1 to 500).foreach { _ =>
+      val a = (1 to 1 + rnd.nextInt(8)).map(_ => randWord()).mkString(" ")
+      val b = (1 to 1 + rnd.nextInt(8)).map(_ => randWord()).mkString(" ")
+      // Space-concatenation merge law: a boundary splits exactly there,
+      // so per-chunk counts add — the property that lets a 100 TB corpus
+      // be counted chunk-parallel and summed.
+      assert(count(a + " " + b) == count(a) + count(b), s"merge law broke on <$a> + <$b>")
+      // Bounds: >= one token per word, <= one per character.
+      val words = a.split(" ").count(_.nonEmpty)
+      assert(count(a) >= words && count(a) <= a.replace(" ", "").length, s"bounds broke on <$a>")
+    }
+    assert(count("") == 0L && count("   ") == 0L)
+    // Greedy is NOT additive across arbitrary (non-space) concatenation —
+    // pin one witness so nobody "simplifies" the merge law to it:
+    // "ca"+"ts" = "cats": c|at|s (3) vs c|a (2) + t|s (2).
+    assert(count("cats") == 3L && count("ca") + count("ts") == 4L)
+  }
+
   test("context windows: count/coverage/slice invariants over random docs and configs") {
     import spark.implicits._
     val docs = (1 to 120).map { i =>
