@@ -341,17 +341,36 @@ object SubwordCount {
   private val v2 = new java.util.HashSet[String](java.util.Arrays.asList(
     graft.pipeline.Bpe.Vocab2: _*))
 
+  /** Counts over CODE POINTS, not UTF-16 code units: Spark's
+    * `length`/`substr` (the HOF reference) and DuckDB's `len`/`substr`
+    * (the oracle) are both code-point based, so a surrogate pair (emoji,
+    * astral CJK) must be ONE fallback token here too — iterating
+    * `charAt` would count it as two and silently desync all three
+    * implementations the moment the corpus gains non-BMP text. The
+    * vocabulary is pure ASCII, so a window containing any non-ASCII
+    * code point can never match and the fast path skips the String
+    * allocation entirely. */
   def count(s: String): Long = {
-    val n = s.length
+    val cps = s.codePoints().toArray
+    val n = cps.length
     var pos = 0
     var c = 0L
+    def hit(len: Int, vocab: java.util.HashSet[String]): Boolean = {
+      if (pos + len > n) return false
+      var i = 0
+      while (i < len) { // ASCII-only vocab: any non-ASCII cp kills the match
+        if (cps(pos + i) > 127) return false
+        i += 1
+      }
+      vocab.contains(new String(cps, pos, len))
+    }
     while (pos < n) {
-      if (s.charAt(pos) == ' ') pos += 1 // word boundary, not a token
+      if (cps(pos) == ' ') pos += 1 // word boundary, not a token
       else {
         val step =
-          if (pos + 4 <= n && v4.contains(s.substring(pos, pos + 4))) 4
-          else if (pos + 3 <= n && v3.contains(s.substring(pos, pos + 3))) 3
-          else if (pos + 2 <= n && v2.contains(s.substring(pos, pos + 2))) 2
+          if (hit(4, v4)) 4
+          else if (hit(3, v3)) 3
+          else if (hit(2, v2)) 2
           else 1
         pos += step
         c += 1

@@ -121,8 +121,12 @@ object Bpe {
   def tokenCounts(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.t(s, dir, "documents")
+      // coalesce BOTH token columns: size(split(null)) is -1 in Spark
+      // (the repo's documented size(null) trap) while the oracle's
+      // len(string_split(NULL)) is NULL — null text must read as the
+      // empty doc (1 whitespace token [''], 0 subwords) on both sides.
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_ws_tok"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_ws_tok"),
         subwordCount(col("text")).as("n_subword_tok"))
       .withColumn("tok_ratio",
         round(col("n_subword_tok").cast("double") / col("n_ws_tok"), 4))
@@ -159,10 +163,10 @@ object Bpe {
   private val x56Sql =
     s"""WITH RECURSIVE $bpeCountCtes
        SELECT doc_id,
-              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tok,
+              CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_ws_tok,
               n_subword_tok,
               round(CAST(n_subword_tok AS DOUBLE)
-                / len(string_split(text, ' ')), 4) AS tok_ratio
+                / len(string_split(coalesce(text, ''), ' ')), 4) AS tok_ratio
        FROM bpe JOIN documents USING (doc_id) ORDER BY doc_id"""
 
   // --------------------------------------------------------------- x56b

@@ -36,19 +36,41 @@ object Checkpoints {
   val ModeKey = "spark.graft.checkpoint.mode"
   val DirKey = "spark.graft.checkpoint.dir"
 
+  // The DirKey value last applied via setCheckpointDir. Needed because
+  // sc.getCheckpointDir returns the resolved URI with an appended UUID
+  // subdirectory, so it can never be string-compared against DirKey to
+  // detect a reconfiguration (e.g. a new bucket after a namespace move)
+  // — without this, a changed DirKey would be silently ignored and
+  // checkpoints would keep landing in the old location.
+  @volatile private var appliedDir: Option[String] = None
+
   /** Eagerly materialize `df` with truncated lineage, by the session's
-    * configured strategy. */
+    * configured strategy.
+    *
+    * Reliable-mode file lifecycle: Spark deletes a reliable checkpoint's
+    * files only when `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is true (a STATIC conf — set it at SparkContext creation) AND the
+    * RDD is garbage-collected; otherwise files persist after the job, by
+    * design (that persistence is the recovery story). A long-lived
+    * cluster deployment must either enable that cleaner flag or
+    * lifecycle the checkpoint directory (bucket TTL / scheduled sweep) —
+    * one rdd-* subdirectory accrues per checkpointed frame per run.
+    * SCALE.md "Fault tolerance of the composed pipelines" carries this. */
   def stable(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.get(ModeKey, "local") match {
       case "local" => df.localCheckpoint(eager = true)
       case "reliable" =>
         val sc = s.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          val dir = s.conf.getOption(DirKey).getOrElse(throw new IllegalArgumentException(
-            s"$ModeKey=reliable needs a checkpoint directory: set $DirKey " +
-              "or call sparkContext.setCheckpointDir first"))
-          sc.setCheckpointDir(dir)
+        val want = s.conf.getOption(DirKey)
+        want match {
+          case Some(d) if !appliedDir.contains(d) =>
+            sc.setCheckpointDir(d); appliedDir = Some(d)
+          case None if sc.getCheckpointDir.isEmpty =>
+            throw new IllegalArgumentException(
+              s"$ModeKey=reliable needs a checkpoint directory: set $DirKey " +
+                "or call sparkContext.setCheckpointDir first")
+          case _ => // DirKey unchanged, or unset with an sc dir already in place
         }
         df.checkpoint(eager = true)
       case other => throw new IllegalArgumentException(

@@ -102,10 +102,16 @@ object Curation {
     * Scale note: the global ordered prefix sum exists for the oracle
     * comparison; the production form is [[shardPackPartitioned]] (x15b) —
     * the identical expression per input partition, no global sort. */
-  def shardPack(s: SparkSession, dir: String, budget: Int = 20000): DataFrame = {
-    val nTok = size(split(col("text"), " "))
+  def shardPack(s: SparkSession, dir: String, budget: Int = 20000): DataFrame =
+    shardPackOf(docs(s, dir), size(split(col("text"), " ")).cast("long"), budget)
+
+  /** The exclusive-prefix // budget packing over ANY docs frame and ANY
+    * token expression — the single implementation x15 (whitespace) and
+    * x15c (subword, [[Bpe]]) both consume, so the packing discipline
+    * cannot drift between units. */
+  private def shardPackOf(base: DataFrame, nTok: Column, budget: Int): DataFrame = {
     val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    docs(s, dir)
+    base
       .select(col("doc_id"), nTok.as("n_tok"))
       .withColumn("shard_id",
         (coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
@@ -181,15 +187,7 @@ object Curation {
     * partition-keyed window with the same swapped column. */
   def shardPackBpe(s: SparkSession, dir: String, budget: Int = 20000): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    docs(s, dir)
-      .select(col("doc_id"), Bpe.subwordCount(col("text")).as("n_tok"))
-      .withColumn("shard_id",
-        (coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
-      .groupBy("shard_id")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tokens"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("shard_id")
+    shardPackOf(docs(s, dir), Bpe.subwordCount(col("text")), budget)
   }
 
   private def x15cSql(budget: Int) =
@@ -366,13 +364,16 @@ object Curation {
           .agg(least(min("lbl"), coalesce(min("nbr_lbl"), min("lbl"))).as("lbl"),
             min("lbl").as("old")))
         // 2. pointer doubling: follow the label one hop through itself.
-        // The result is eagerly localCheckpoint-ed, NOT persist-ed: the
-        // doubling self-join references nbrMin twice, so without lineage
-        // truncation the logical plan would double every round and blow
-        // up plan compilation exponentially (persist caches data but
-        // keeps the full plan tree). Checkpointed round outputs are
-        // released by Spark's ContextCleaner once the next round drops
-        // the reference.
+        // The result is eagerly checkpointed (Checkpoints.stable), NOT
+        // persist-ed: the doubling self-join references nbrMin twice, so
+        // without lineage truncation the logical plan would double every
+        // round and blow up plan compilation exponentially (persist
+        // caches data but keeps the full plan tree). In the default
+        // local mode the round outputs' blocks are released by Spark's
+        // ContextCleaner once the next round drops the reference; in
+        // reliable mode the round's checkpoint FILES outlive the job
+        // unless the cluster enables cleanCheckpoints or lifecycles the
+        // directory — see Checkpoints.stable's scaladoc.
         val short = nbrMin.select(col("node").as("p"), col("lbl").as("plbl"))
         val next = nbrMin
           .join(short, col("lbl") === col("p"), "left")

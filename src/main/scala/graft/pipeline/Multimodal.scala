@@ -155,9 +155,12 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Decode an image payload with ImageIO: (width, height, mean red
-    * channel). None for unreadable/empty payloads — a corrupt file in a
-    * 100 TB crawl must score as undecodable, never kill the task. */
+  /** Decode an image payload with ImageIO: (width, height, mean pixel
+    * intensity = unweighted RGB mean — exact on any input, equal to the
+    * gray level on grayscale images; NOT Rec.601 luma, whose float
+    * weights would make the planted-fixture compares approximate). None
+    * for unreadable/empty payloads — a corrupt file in a 100 TB crawl
+    * must score as undecodable, never kill the task. */
   private[pipeline] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
     if (payload == null || payload.isEmpty) None
     else try {
@@ -168,11 +171,15 @@ object Multimodal {
         var y = 0
         while (y < img.getHeight) {
           var x = 0
-          while (x < img.getWidth) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
           y += 1
         }
         Some((img.getWidth, img.getHeight,
-          sum.toDouble / (img.getWidth.toLong * img.getHeight)))
+          sum.toDouble / (3L * img.getWidth * img.getHeight)))
       }
     } catch { case _: Exception => None }
 
@@ -196,8 +203,8 @@ object Multimodal {
       }(enc)
   }
 
-  /** Decoded-image feature row: real width/height/mean plus the
-    * meta-consistency verdict (decoded dims == stored metadata). */
+  /** Decoded-image feature row: real width/height/mean intensity plus
+    * the meta-consistency verdict (decoded dims == stored metadata). */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
@@ -205,7 +212,7 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("meta_match", IntegerType, nullable = false),
-    StructField("mean_luma", DoubleType, nullable = false)))
+    StructField("mean_intensity", DoubleType, nullable = false)))
 
   /** Real decode tier over a media table: one ImageIO reader per task,
     * iterator-in/iterator-out, undecodable rows scored not dropped. */

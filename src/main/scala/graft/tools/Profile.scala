@@ -244,16 +244,19 @@ object Profile {
             .join(ids.withColumnRenamed("doc_id", "vb"), Seq("vb"), "left_semi")
             .select(col("va").as("da"), col("vb").as("db"))
           time(s"run $i: 5a sem pairs")(noop(semPairs))
+          var semKeep: DataFrame = null
           time(s"run $i: 5b sem propagation+keepBest") {
-            noop(Curation.dedupClustersKeepBy(
-              stripped.select(col("doc_id"), col("quality")), semPairs, col("quality"))
-              .filter(col("keep")).select("doc_id"))
-          }
-          time(s"run $i: 6 decon tiers") {
-            val semKeep = Curation.dedupClustersKeepBy(
+            semKeep = Curation.dedupClustersKeepBy(
               stripped.select(col("doc_id"), col("quality")), semPairs, col("quality"))
               .filter(col("keep")).select("doc_id")
-            val semSurv = stripped.join(semKeep, Seq("doc_id"))
+            noop(semKeep)
+          }
+          // The decon tier must not re-run 5b's propagation (the keepBy
+          // loop executes eagerly inside any plan that references it):
+          // materialize the survivor frame OUTSIDE the timer so stage 6
+          // times decon work only.
+          val semSurv = stripped.join(semKeep, Seq("doc_id")).localCheckpoint(true)
+          time(s"run $i: 6 decon tiers") {
             noop(Curation.contaminationCounts(
               semSurv.select(col("doc_id"), col("clean_text").as("text")), eval46, 3))
             noop(Similarity.semanticDecon(

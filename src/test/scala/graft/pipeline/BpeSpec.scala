@@ -39,7 +39,10 @@ class BpeSpec extends SparkSpec {
     val corpus = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
     import spark.implicits._
     val edge = Seq((9001L, ""), (9002L, "  double  spaces  "), (9003L, "tionthe there"),
-      (9004L, null.asInstanceOf[String]), (9005L, "x"))
+      (9004L, null.asInstanceOf[String]), (9005L, "x"),
+      // Non-BMP: the native scan must count CODE POINTS like Spark's
+      // length/substr do — a surrogate pair is ONE fallback token.
+      (9006L, "the 😀😀 cat 𝕏"))
       .toDF("doc_id", "text")
     val both = corpus.union(edge)
       .select(col("doc_id"),

@@ -289,6 +289,18 @@ class CurationSpec extends SparkSpec {
       val landed = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(landed > 0, s"no checkpoint files under $dir — the reliable path did not engage")
+      // Reconfiguring the directory mid-session must take effect — the
+      // sc checkpoint dir cannot be string-compared against the conf
+      // (Spark appends a UUID subdir), so Checkpoints tracks what it
+      // applied; without that a changed DirKey would be silently ignored.
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+      try {
+        spark.conf.set(Checkpoints.DirKey, dir2)
+        Curation.gateAndDedup(train)
+        val landed2 = java.nio.file.Files.walk(java.nio.file.Paths.get(dir2))
+          .filter(java.nio.file.Files.isRegularFile(_)).count()
+        assert(landed2 > 0, s"reconfigured $dir2 must receive the new checkpoints")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
       // Unknown mode must fail loudly, not silently fall back to local.
       spark.conf.set(Checkpoints.ModeKey, "bogus")
       intercept[IllegalArgumentException] {
