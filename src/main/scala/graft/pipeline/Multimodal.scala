@@ -244,6 +244,117 @@ object Multimodal {
     decodeImages(imagesFromDocuments(graft.Tables.t(s, dir, "documents")))
       .orderBy("media_id")
 
+  // ---------------------------------------------------------------- x08c
+  /** REAL audio decode via the JDK's own WAV codec (`javax.sound.sampled`
+    * — pure Java, headless-safe, zero new dependencies): the audio
+    * counterpart of x08b. Fixtures are integer-deterministic square
+    * waves (no floating-point in generation), so every decoded feature —
+    * frame count, format fields, RMS — is exact and reproducible. */
+
+  /** Encode a mono 16-bit PCM WAV: a square wave of `period` frames
+    * (amp, then −amp, alternating each half period). Executor-side, same
+    * batch shape as [[pngFixture]]. */
+  private[pipeline] def wavFixture(nFrames: Int, period: Int,
+      sampleRate: Int = 8000, amp: Short = 8192): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v: Int = if ((i / math.max(1, period / 2)) % 2 == 0) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte // little-endian s16
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload: (sampleRate, channels, frames, meanSquare) —
+    * meanSquare is the exact integer mean of squared s16 samples (RMS² —
+    * kept integral so the feature is bit-reproducible; callers can sqrt).
+    * None for unreadable payloads, same contract as [[decodeImage]]. */
+  private[pipeline] def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        val data = ais.readAllBytes()
+        val frameSz = f.getFrameSize
+        val frames = if (frameSz > 0) data.length.toLong / frameSz else 0L
+        // Mean square over s16 samples (16-bit PCM only — the fixture
+        // format; other encodings report 0 rather than guessing).
+        var sumSq = 0L
+        var n = 0L
+        if (f.getSampleSizeInBits == 16 && !f.isBigEndian) {
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+            sumSq += s.toLong * s; n += 1; i += 2
+          }
+        }
+        Some((f.getSampleRate.toInt, f.getChannels, frames,
+          if (n == 0) 0L else sumSq / n))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** A media table with REAL WAV payloads derived deterministically from
+    * `documents` (duration and period from n_chars/doc_id). */
+  def audioFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id"), col("n_chars").cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val n = if (r.isNullAt(1)) 0 else r.getInt(1)
+          val nFrames = 800 + n % 800
+          val period = 16 + (r.getLong(0) % 48).toInt
+          // meta_width carries frames/100, meta_height the period — the
+          // audio analogue of the image dims cross-check.
+          Row(r.getLong(0), wavFixture(nFrames, period), "audio/wav",
+            (nFrames / 100): java.lang.Integer, period: java.lang.Integer)
+        }
+      }(enc)
+  }
+
+  /** Decoded-audio feature row. */
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("decoded", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("mean_square", LongType, nullable = false)))
+
+  /** Real audio decode tier: one WAV parser per task, undecodable rows
+    * scored not dropped — mirrors [[decodeImages]]. */
+  def decodeAudios(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedAudioSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        decodeAudio(payload) match {
+          case Some((rate, ch, frames, meanSq)) =>
+            Row(r.getLong(0), payload.length, 1, rate, ch, frames, meanSq)
+          case None => Row(r.getLong(0), payload.length, 0, 0, 0, 0L, 0L)
+        }
+      }
+    }(enc)
+  }
+
+  /** Registered x08c: WAV-encode the documents table, decode it back
+    * through javax.sound.sampled, emit per-clip features. Rows-only
+    * (DuckDB cannot parse WAV); PipelineSpec pins exact fixture values
+    * and full-corpus decode + determinism. */
+  def audioDecodeQuery(s: SparkSession, dir: String): DataFrame =
+    decodeAudios(audioFromDocuments(graft.Tables.t(s, dir, "documents")))
+      .orderBy("media_id")
+
   /** Build a multimodal table from `documents` (text bytes standing in for
     * media payloads — the container ships no codecs or media fixtures). */
   def fromDocuments(docs: DataFrame): DataFrame =
@@ -258,5 +369,6 @@ object Multimodal {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x08_multimodal_meta", TextStats.multimodalMeta,
       Some(TextStats.x08OracleSql)),
-    QueryDef("x08b_image_decode", imageDecodeQuery, None))
+    QueryDef("x08b_image_decode", imageDecodeQuery, None),
+    QueryDef("x08c_audio_decode", audioDecodeQuery, None))
 }

@@ -102,6 +102,26 @@ class PipelineSpec extends SparkSpec {
     assert(out == SparkEntry.queries("x08b_image_decode")(spark, sf).collect().toSeq)
   }
 
+  test("x08c: WAV round-trips planted clips exactly; corrupt payloads score undecodable") {
+    // 100-frame square wave at amp 8192: every sample is ±8192, so the
+    // integer mean square is exactly 8192² = 67108864 — a full-amplitude
+    // invariant no lossy step may disturb (WAV is PCM-lossless).
+    val wav = Multimodal.wavFixture(nFrames = 100, period = 10)
+    assert(new String(wav.take(4)) == "RIFF", "fixture must be a real WAV stream")
+    assert(Multimodal.decodeAudio(wav).contains((8000, 1, 100L, 67108864L)))
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(Array.empty[Byte]).isEmpty)
+    val out = SparkEntry.queries("x08c_audio_decode")(spark, sf).collect().toSeq
+    assert(out.size == 500)
+    assert(out.forall(r => r.getInt(2) == 1), "every generated WAV must decode")
+    assert(out.forall(r => r.getInt(3) == 8000 && r.getInt(4) == 1), "format fields round-trip")
+    assert(out.forall(r => { val f = r.getLong(5); f >= 800 && f < 1600 }),
+      "frame counts must match the generation rule")
+    assert(out.forall(_.getLong(6) == 67108864L),
+      "square wave at amp 8192 has exact mean square everywhere")
+    assert(out == SparkEntry.queries("x08c_audio_decode")(spark, sf).collect().toSeq)
+  }
+
   test("multimodal resize recomputes metadata and bounds payloads") {
     val media = Multimodal.fromDocuments(Tables.t(spark, sf, "documents"))
     val resized = Multimodal.resize(media, 8, 8).orderBy("media_id").collect()
