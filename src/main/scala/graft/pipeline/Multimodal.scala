@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   *
   * The container has no EXTERNAL media codecs, so [[decodeStub]] is a
   * clearly-marked deterministic fake for the generic tier — but the image
-  * path is REAL: [[decodeImages]]/x08b round-trips PNG through the JDK's
-  * own `javax.imageio` (encode executor-side from document bytes, decode
-  * back, cross-check dimensions against stored metadata). Everything
+  * and audio paths are REAL: [[decodeImages]]/x08b round-trips PNG
+  * through the JDK's own `javax.imageio` and [[decodeAudios]]/x08c
+  * round-trips WAV through `javax.sound.sampled` (encode executor-side
+  * from document-derived data, decode back, cross-check against stored
+  * metadata). Everything
   * Spark-side is real and tested either way: the
   * schema contract, the `mapPartitions` batching (one decoder instance per
   * partition, streamed row iterator, no per-row setup cost), and the
@@ -321,7 +323,10 @@ object Multimodal {
       }(enc)
   }
 
-  /** Decoded-audio feature row. */
+  /** Decoded-audio feature row (meta_match = decoded frame count
+    * agrees with the stored frames/100 metadata — the audio analogue of
+    * x08b's dimension cross-check; the period is not recoverable from
+    * decode features, so only the frame field participates). */
   val decodedAudioSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
@@ -329,19 +334,22 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("n_channels", IntegerType, nullable = false),
     StructField("n_frames", LongType, nullable = false),
+    StructField("meta_match", IntegerType, nullable = false),
     StructField("mean_square", LongType, nullable = false)))
 
   /** Real audio decode tier: one WAV parser per task, undecodable rows
     * scored not dropped — mirrors [[decodeImages]]. */
   def decodeAudios(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedAudioSchema)
-    media.select("media_id", "payload").mapPartitions { rows =>
+    media.select("media_id", "payload", "meta_width").mapPartitions { rows =>
       rows.map { r =>
         val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val metaFrames100 = if (r.isNullAt(2)) -1 else r.getInt(2)
         decodeAudio(payload) match {
           case Some((rate, ch, frames, meanSq)) =>
-            Row(r.getLong(0), payload.length, 1, rate, ch, frames, meanSq)
-          case None => Row(r.getLong(0), payload.length, 0, 0, 0, 0L, 0L)
+            Row(r.getLong(0), payload.length, 1, rate, ch, frames,
+              if ((frames / 100).toInt == metaFrames100) 1 else 0, meanSq)
+          case None => Row(r.getLong(0), payload.length, 0, 0, 0, 0L, 0, 0L)
         }
       }
     }(enc)

@@ -117,7 +117,9 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(r => r.getInt(3) == 8000 && r.getInt(4) == 1), "format fields round-trip")
     assert(out.forall(r => { val f = r.getLong(5); f >= 800 && f < 1600 }),
       "frame counts must match the generation rule")
-    assert(out.forall(_.getLong(6) == 67108864L),
+    assert(out.forall(r => r.getInt(6) == 1),
+      "decoded frame counts must agree with the stored metadata")
+    assert(out.forall(_.getLong(7) == 67108864L),
       "square wave at amp 8192 has exact mean square everywhere")
     assert(out == SparkEntry.queries("x08c_audio_decode")(spark, sf).collect().toSeq)
   }
