@@ -64,13 +64,22 @@ object Checkpoints {
         val sc = s.sparkContext
         val want = s.conf.getOption(DirKey)
         want match {
-          case Some(d) if !appliedDir.contains(d) =>
+          // Apply DirKey when (a) the context has NO dir — covers first
+          // use AND a context restart with the same conf (appliedDir is
+          // JVM-global, the dir is per-context, so the tracker alone
+          // would wrongly skip the re-apply) — or (b) DirKey changed
+          // from what WE last applied (reconfiguration). A dir set
+          // manually via sc.setCheckpointDir that this object never
+          // applied always wins over a present DirKey, matching the
+          // error message's "or call setCheckpointDir first" contract.
+          case Some(d) if sc.getCheckpointDir.isEmpty ||
+              (appliedDir.isDefined && !appliedDir.contains(d)) =>
             sc.setCheckpointDir(d); appliedDir = Some(d)
           case None if sc.getCheckpointDir.isEmpty =>
             throw new IllegalArgumentException(
               s"$ModeKey=reliable needs a checkpoint directory: set $DirKey " +
                 "or call sparkContext.setCheckpointDir first")
-          case _ => // DirKey unchanged, or unset with an sc dir already in place
+          case _ => // DirKey unchanged, or a manually-set sc dir in charge
         }
         df.checkpoint(eager = true)
       case other => throw new IllegalArgumentException(

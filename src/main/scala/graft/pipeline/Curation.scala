@@ -103,7 +103,12 @@ object Curation {
     * comparison; the production form is [[shardPackPartitioned]] (x15b) —
     * the identical expression per input partition, no global sort. */
   def shardPack(s: SparkSession, dir: String, budget: Int = 20000): DataFrame =
-    shardPackOf(docs(s, dir), size(split(col("text"), " ")).cast("long"), budget)
+    // coalesce: size(split(null)) is -1 in Spark vs NULL (skipped) in the
+    // window-sum oracle — null text must count as the empty doc on both
+    // sides, and x15c's subwordCount consumer of shardPackOf already
+    // coalesces, so the two units stay consistent on the same doc.
+    shardPackOf(docs(s, dir),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long"), budget)
 
   /** The exclusive-prefix // budget packing over ANY docs frame and ANY
     * token expression — the single implementation x15 (whitespace) and
@@ -144,7 +149,7 @@ object Curation {
     * config but NOT engine-portable — hence rows-only registration
     * (x15b) beside the oracle-matched global form (x15). */
   def shardPackPartitioned(s: SparkSession, dir: String, budget: Int = 20000): DataFrame = {
-    val nTok = size(split(col("text"), " ")).cast("long")
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
     val w = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs(s, dir)
@@ -167,7 +172,7 @@ object Curation {
 
   private def x15Sql(budget: Int) =
     s"""WITH t AS (SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok FROM documents),
        c AS (SELECT doc_id, n_tok,
            CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)

@@ -253,9 +253,14 @@ object Profile {
           }
           // The decon tier must not re-run 5b's propagation (the keepBy
           // loop executes eagerly inside any plan that references it):
-          // materialize the survivor frame OUTSIDE the timer so stage 6
-          // times decon work only.
-          val semSurv = stripped.join(semKeep, Seq("doc_id")).localCheckpoint(true)
+          // materialize the survivor frame under its OWN label so stage
+          // 6 times decon work only and the checkpoint's cost still
+          // appears in the attribution instead of vanishing between
+          // timers.
+          var semSurv: DataFrame = null
+          time(s"run $i: 5c survivor checkpoint") {
+            semSurv = stripped.join(semKeep, Seq("doc_id")).localCheckpoint(true)
+          }
           time(s"run $i: 6 decon tiers") {
             noop(Curation.contaminationCounts(
               semSurv.select(col("doc_id"), col("clean_text").as("text")), eval46, 3))
