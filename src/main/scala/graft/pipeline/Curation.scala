@@ -1762,6 +1762,68 @@ object Curation {
          CAST(least($WinLen, n_tok - off) AS INT) AS n_win_tok, win_text
        FROM w ORDER BY doc_id, win_id"""
 
+  // --------------------------------------------------------------- x54b
+  /** Context-window capacity in SUBWORD tokens ([[Bpe]] / x56's unit):
+    * ~1–7 windows per doc on this corpus's 35–420-subword documents. */
+  val TokenWinLen = 64
+
+  def tokenWindowsQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    tokenWindowsOf(docs(s, dir), TokenWinLen)
+  }
+
+  /** x54's windowing re-stated in the unit the model actually consumes:
+    * word-aligned windows of `winTok` SUBWORD tokens. Each word is
+    * assigned to the token-range [k·W, (k+1)·W) its FIRST subword falls
+    * in (`win_id = exclusive-prefix // W`) — deterministic, exactly
+    * partitioning every word into one window, with per-window token mass
+    * ≤ W + (first word's tokens − 1) (the straddling word belongs to the
+    * range it starts in). A word longer than W spans several ranges and
+    * the fully-interior ones emit no row, so win_ids are increasing but
+    * not necessarily consecutive — the manifest is (doc, win_id, word
+    * span, token mass), what a trainer needs to cut model-length
+    * sequences without re-tokenizing.
+    *
+    * Scale: posexplode (bounded, one row per word) → native
+    * subword_count per word → ONE doc_id-keyed window for the prefix →
+    * partial+final agg on (doc, win) — the x30/x34 reassembly shape,
+    * partition-parallel by document. */
+  private[graft] def tokenWindowsOf(corpus: DataFrame, winTok: Int): DataFrame = {
+    require(winTok >= 1, s"window capacity must be positive, got $winTok")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    corpus
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .withColumn("wtok", call_function("subword_count", col("w")))
+      .withColumn("win_id",
+        (coalesce(sum("wtok").over(byDoc), lit(0L)) / winTok).cast("long"))
+      .groupBy("doc_id", "win_id")
+      .agg(count(lit(1)).as("n_words"), sum("wtok").as("win_tokens"),
+        min("pos").cast("int").as("first_pos"), max("pos").cast("int").as("last_pos"))
+      .orderBy("doc_id", "win_id")
+  }
+
+  private val x54bSql =
+    s"""WITH RECURSIVE ${Bpe.bpeCountCtes},
+       p AS (SELECT doc_id,
+               unnest(string_split(coalesce(text, ''), ' ')) AS w,
+               generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos1
+             FROM documents),
+       pn AS (SELECT doc_id, CAST(pos1 - 1 AS INT) AS pos, n
+              FROM p JOIN wtok USING (w) WHERE len(w) > 0),
+       c AS (SELECT doc_id, pos, n,
+               CAST(coalesce(sum(n) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 // $TokenWinLen AS win_id
+             FROM pn)
+       SELECT doc_id, win_id, count(*) AS n_words,
+         CAST(sum(n) AS BIGINT) AS win_tokens,
+         CAST(min(pos) AS INT) AS first_pos, CAST(max(pos) AS INT) AS last_pos
+       FROM c GROUP BY doc_id, win_id ORDER BY doc_id, win_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x13_tfidf_top", tfidfTop, Some(x13Sql)),
     QueryDef("x14_hash_split", hashSplit, Some(x14Sql)),
@@ -1784,6 +1846,7 @@ object Curation {
     QueryDef("x45_cross_strip", crossStrip, Some(x45Sql)),
     QueryDef("x40_content_chunks", contentChunksQuery, Some(x40Sql)),
     QueryDef("x54_context_windows", contextWindowsQuery, Some(x54Sql)),
+    QueryDef("x54b_token_windows", tokenWindowsQuery, Some(x54bSql)),
     QueryDef("x40b_chunk_dedup", chunkDedup, Some(x40bSql)),
     QueryDef("x40c_chunk_dedup_hash", chunkDedupByHash, Some(x40cSql)),
     QueryDef("x31_pii_redact", piiRedact, Some(x31Sql)),

@@ -20,6 +20,36 @@ class CurationSpec extends SparkSpec {
     assert(a.getOrElse("val", 0L) + a.getOrElse("test", 0L) > 0, s"no holdout: $a")
   }
 
+  test("x54b: token windows partition every word exactly; capacity bound holds") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // Planted: wtoks [the=1, customer=6, xyzq=4, that=1] with W=4 —
+    // prefixes 0,1,7,11 → win ids 0,0,1,2: the straddling 'customer'
+    // belongs to the range its FIRST subword falls in.
+    val planted = Seq((1L, "the customer xyzq that")).toDF("doc_id", "text")
+    val pw = Curation.tokenWindowsOf(planted, 4).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(pw == Map(0L -> ((2L, 7L, 0, 1)), 1L -> ((1L, 4L, 2, 2)), 2L -> ((1L, 1L, 3, 3))),
+      s"hand-derived windows must match: $pw")
+    // Corpus invariants: every nonempty word in exactly one window;
+    // per-window mass ≤ W + (max word tokens − 1); spans ordered.
+    val out = Curation.tokenWindowsOf(Tables.t(spark, sf, "documents"),
+      Curation.TokenWinLen).collect()
+    val totalWords = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).filter(length(col("w")) > 0).count()
+    assert(out.map(_.getLong(2)).sum == totalWords,
+      "windows must partition the corpus's words exactly")
+    val maxWordTok = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).filter(length(col("w")) > 0)
+      .select(max(graft.pipeline.Bpe.subwordCount(col("w")))).head().getLong(0)
+    out.foreach { r =>
+      assert(r.getLong(3) <= Curation.TokenWinLen + maxWordTok - 1,
+        s"window over capacity: $r (max word $maxWordTok)")
+      assert(r.getInt(4) <= r.getInt(5), s"span must be ordered: $r")
+    }
+    assert(out.exists(_.getLong(1) >= 2L), "the regime must produce multi-window docs")
+  }
+
   test("x15c: subword-unit shard packing holds the same overshoot bound in the new unit") {
     graft.functions.GraftFunctions.register(spark)
     val budget = 2000
