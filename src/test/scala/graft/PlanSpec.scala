@@ -490,6 +490,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"no explode in the corpus pass:\n$p")
   }
 
+  test("x54b: token windowing shuffles once on doc_id and aggregates partial+final") {
+    val p = plan("x54b_token_windows")
+    assert(!p.contains("CartesianProduct"), s"no product in the window chain:\n$p")
+    assert(p.contains("partial"), s"(doc, win) agg must map-side combine:\n$p")
+    assert(!p.contains("SinglePartition") || p.contains("bloom"),
+      s"the prefix window is doc-keyed, never global:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize
