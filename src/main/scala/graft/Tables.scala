@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Parquet table loaders for the driver test data (TESTDATA.md).
   *
@@ -29,13 +29,22 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // Read the raw int64 nanos and truncate to a microsecond
-      // timestamp — the same value DuckDB produces when casting its
-      // TIMESTAMP_NS to TIMESTAMP, so oracle comparisons stay exact
-      // (SURVEY.md §7.4.2; the test data is µs-precision anyway).
+      // Normalize events.ts to a session-TZ microsecond TIMESTAMP
+      // whatever the parquet writer produced — the driver has shipped
+      // both TIMESTAMP(NANOS) (surfaced as int64 nanos under the legacy
+      // conf; truncate to µs) and TIMESTAMP(MICROS) (surfaced as
+      // TIMESTAMP_NTZ; cast is the identity instant under the UTC
+      // session both engines pin). Either way downstream sees the same
+      // µs TIMESTAMP DuckDB reads natively, so oracle comparisons stay
+      // exact (SURVEY.md §7.4.2).
       ensureNanosConf(spark)
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
