@@ -498,6 +498,24 @@ class PlanSpec extends SparkSpec {
       s"the prefix window is doc-keyed, never global:\n$p")
   }
 
+  test("x58: repetition battery aggregates partial+final per doc; no product, no window") {
+    val p = plan("x58_repetition_battery")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"signal derivation must never product the corpus:\n$p")
+    assert(p.contains("partial"), s"(doc, key) aggs must map-side combine:\n$p")
+    // The (count, len, gram)-max top-gram selection is an aggregation,
+    // not a per-doc sort window — a corpus-wide Window would serialize.
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"top-gram pick must be max(struct), not a window:\n$p")
+  }
+
+  test("x58b: dup-gram coverage joins on the aggregation's own keys; no product") {
+    val p = plan("x58b_dup_ngram_coverage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"coverage must come from equi-joins on (doc_id, gram)/(doc_id, pos):\n$p")
+    assert(p.contains("partial"), s"coverage aggs must map-side combine:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

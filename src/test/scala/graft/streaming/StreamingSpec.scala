@@ -339,6 +339,36 @@ class StreamingSpec extends SparkSpec {
     hot.unpersist()
   }
 
+  test("x58c repetition gate (foreachBatch) equals the batch gate — per-doc, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Per-doc signals depend on nothing outside the document, so the
+    // micro-batch operator IS the batch operator — gated here so a
+    // future corpus-relative signal cannot silently break the edge.
+    val docsIn = Seq(
+      Doc(1L, "a b c a b c a b c", "en"),            // fails dup/top rules
+      Doc(2L, "one two three four five six seven eight", "en"))
+    val out = scala.collection.mutable.Map.empty[Long, Boolean]
+    val input = MemoryStream[Doc]
+    val dir = java.nio.file.Files.createTempDirectory("repgate").toString
+    val q = input.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", dir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.pipeline.Repetition.gateOf(batch).collect()
+          .foreach(r => out += r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass_all"))
+        ()
+      }
+      .start()
+    input.addData(docsIn.take(1)); q.processAllAvailable()
+    input.addData(docsIn.drop(1)); q.processAllAvailable()
+    q.stop()
+    val batchRes = graft.pipeline.Repetition.gateOf(docsIn.toDF())
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass_all")).toMap
+    assert(out.toMap == batchRes, s"stream=$out batch=$batchRes")
+    assert(!out(1L), "periodic doc must fail the battery")
+  }
+
   test("x12 stream-stream interval join equals the batch attribution join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
