@@ -54,6 +54,49 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("x59: PQ-ADC candidates recall the exact top-10 and the re-rank is exact") {
+    val exact = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pq = Ivf.searchPqQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(pq.length == 10)
+    // Candidate recall: 16-centroid-per-subspace codes on re-rolled
+    // synthetic data — require a majority, not identity (measured 7-9/10
+    // across scales; the norm-corrected ADC ranking is what buys this,
+    // raw-dot ranking measured 4/10).
+    val recall = pq.count { case (id, _) => exact.contains(id) }
+    assert(recall >= 5, s"recall@10 was $recall/10: ${pq.toSeq} vs ${exact.keySet}")
+    // Every surfaced hit's cosine is EXACT (the re-rank recomputes it
+    // from the raw vectors), so ranks among surfaced ids are true ranks.
+    pq.foreach { case (id, c) =>
+      exact.get(id).foreach(e => assert(c == e, s"vec $id: $c vs $e")) }
+    assert(pq.map(-_._2).toSeq == pq.map(-_._2).toSeq.sorted, s"descending: ${pq.toSeq}")
+  }
+
+  test("x59b: IVFADC top-5 equals the exact-in-list top-5 (quantization fully recovered)") {
+    // Same coarse model and probe set as x10's exact search, so the ADC
+    // candidate stage is the only difference; re-rank must recover the
+    // exact in-list answer end-to-end.
+    val inList = Ivf.searchQuery(spark, sf).collect().map(_.getLong(0)).take(5).toSeq
+    val ivfadc = Ivf.searchIvfPqQuery(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(ivfadc == inList, s"ivfadc=$ivfadc exact-in-list=$inList")
+  }
+
+  test("x59: PQ codes are in range and deterministic across runs") {
+    val (cb, enc) = Ivf.buildPq(Tables.t(spark, sf, "embeddings")
+      .withColumn("emb_d", col("embedding").cast("array<double>")))
+    assert(cb.length == Ivf.PqM && cb.forall(_.length == Ivf.PqK) &&
+      cb.forall(_.forall(_.length == Ivf.PqSubDim)))
+    val bounds = enc.select(
+      (0 until Ivf.PqM).map(m => max(col(s"code_$m")).as(s"mx$m")) ++
+        (0 until Ivf.PqM).map(m => min(col(s"code_$m")).as(s"mn$m")): _*).head()
+    (0 until Ivf.PqM).foreach { m =>
+      assert(bounds.getAs[Int](s"mx$m") < Ivf.PqK && bounds.getAs[Int](s"mn$m") >= 0) }
+    val a = Ivf.searchPqQuery(spark, sf).collect().toSeq
+    val b = Ivf.searchPqQuery(spark, sf).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("with nprobe = nlist the IVF top-1 equals brute-force top-1") {
     val emb = Tables.t(spark, sf, "embeddings")
     val (model, indexed) = Ivf.build(emb)
