@@ -54,6 +54,30 @@ object Ivf {
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Trained quantizer models memoized per corpus SNAPSHOT — an ANN
+    * index is an at-rest artifact built once and queried many times, so
+    * refitting k-means on every search call would charge the build to
+    * every query. Key = canonicalized input plan + content-addressed
+    * file list (path/length/mtime — the [[countCache]] discipline), so a
+    * raw-embedding fit and a residual fit over the same files get
+    * distinct entries, and any file change invalidates. In-memory frames
+    * (no files) are never cached. Bounded like countCache. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def snapshotKey(df: DataFrame): Option[String] =
+    if (df.inputFiles.isEmpty) None
+    else Some(df.queryExecution.optimizedPlan.canonicalized.toString +
+      "\u0000" + fileKeys(df).mkString("\u0000"))
+
+  private def memoModel[T <: AnyRef](df: DataFrame, tag: String)(fit: => T): T =
+    snapshotKey(df) match {
+      case None => fit
+      case Some(k) =>
+        if (modelCache.size > 16) modelCache.clear()
+        modelCache.computeIfAbsent(s"$tag|$k", _ => fit).asInstanceOf[T]
+    }
+
   /** Per-file cache-key entries carrying path + length + mtime, read
     * from the plan's own (already-listed, memoized) file index — so a
     * file overwritten IN PLACE (same path, same plan) changes the key
@@ -103,8 +127,10 @@ object Ivf {
       if (n <= FitSampleCap) vecs
       else vecs.sample(withReplacement = false,
         math.min(1.0, 1.1 * FitSampleCap.toDouble / n), Seed)
-    val model = new KMeans().setK(nlist).setSeed(Seed).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("list_id").fit(fitInput)
+    val model = memoModel(embeddings, s"ivf$nlist") {
+      new KMeans().setK(nlist).setSeed(Seed).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("list_id").fit(fitInput)
+    }
     (model, model.transform(vecs).drop("features"))
   }
 
@@ -159,18 +185,24 @@ object Ivf {
       if (n <= FitSampleCap) input
       else input.sample(withReplacement = false,
         math.min(1.0, 1.1 * FitSampleCap.toDouble / n), Seed)
-    val models = (0 until PqM).map { ms =>
-      val sub = fitBase.select(array_to_vector(
-        slice(col("emb_d"), ms * PqSubDim + 1, PqSubDim)).as("features"))
-      // Seed offset per subspace: identical seeds on correlated slices
-      // would start every subquantizer from the same relative init.
-      new KMeans().setK(PqK).setSeed(Seed + ms).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("code").fit(sub)
+    val models = memoModel(input, "pq") {
+      (0 until PqM).map { ms =>
+        val sub = fitBase.select(array_to_vector(
+          slice(col("emb_d"), ms * PqSubDim + 1, PqSubDim)).as("features"))
+        // Seed offset per subspace: identical seeds on correlated slices
+        // would start every subquantizer from the same relative init.
+        new KMeans().setK(PqK).setSeed(Seed + ms).setMaxIter(10)
+          .setFeaturesCol("features").setPredictionCol("code").fit(sub)
+      }.toIndexedSeq
     }
     val encoded = models.zipWithIndex.foldLeft(input) { case (df, (mod, ms)) =>
-      mod.setPredictionCol(s"code_$ms").transform(
-        df.withColumn("features", array_to_vector(
-          slice(col("emb_d"), ms * PqSubDim + 1, PqSubDim))))
+      // copy() before re-pointing the prediction column: the cached
+      // model is shared across calls (and test threads) — mutating it
+      // in place would race.
+      mod.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setPredictionCol(s"code_$ms").transform(
+          df.withColumn("features", array_to_vector(
+            slice(col("emb_d"), ms * PqSubDim + 1, PqSubDim))))
         .drop("features")
     }
     (models.map(_.clusterCenters.map(_.toArray)).toArray, encoded)

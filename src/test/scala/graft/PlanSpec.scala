@@ -498,6 +498,14 @@ class PlanSpec extends SparkSpec {
       s"the prefix window is doc-keyed, never global:\n$p")
   }
 
+  test("x59: PQ-ADC search scans codes map-side with a top-k heap; corpus never shuffles") {
+    val p = plan("x59_ann_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"), s"candidate top-k must heap, not sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"ADC is table lookups on the scan side; the corpus must never shuffle:\n$p")
+  }
+
   test("x58: repetition battery aggregates partial+final per doc; no product, no window") {
     val p = plan("x58_repetition_battery")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
