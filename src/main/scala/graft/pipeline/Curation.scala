@@ -730,6 +730,88 @@ object Curation {
                      THEN 'val' ELSE 'test' END AS split
        FROM lab ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x60
+  /** Integer-exact PageRank over the near-dup graph — graph centrality
+    * as a QUALITY PRIOR (web pipelines use link centrality to rank
+    * crawl frontiers; inside a dedup graph, a doc many near-dups point
+    * at is the version of record, an alternative canonical-pick signal
+    * to x37's extrinsic quality and x47's centroid diversity).
+    *
+    * Engine-exactness (the x47 discipline, applied to an ITERATIVE
+    * algorithm): rank mass is a per-node BIGINT in millionths. Each
+    * iteration every node emits floor(r·85 / (deg·100)) to each
+    * neighbour — integer division, so each contribution is exact — and
+    * collects 150000 + Σ contributions; integer sums are
+    * aggregation-order-free, so five unrolled iterations produce
+    * bit-identical masses on any engine (DuckDB mirrors with a
+    * recursive CTE carrying an iteration counter). Brin–Page original
+    * (unnormalized, per-node teleport (1−d)·10⁶, d = 0.85); floor leaks
+    * a sub-ppm of mass per hop — deterministic, documented. Dangling
+    * nodes keep the teleport mass only.
+    *
+    * Scale shape: ONE eager checkpoint of the (src, dst) edge list (the
+    * pair subtree would otherwise re-execute once per unrolled
+    * iteration), then per iteration one equi-join of edges to the rank
+    * frame on src (both shuffle-keyed on src; deg broadcasts at any
+    * realistic density) and one dst-keyed partial+final sum. K is fixed
+    * and small, so the single composed plan stays a linear pipeline —
+    * no driver-side loop actions beyond the one checkpoint. */
+  def pagerankFromPairs(nodes: DataFrame, pairs: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val edges = Checkpoints.stable(
+      pairs.toDF("da", "db")
+        .select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.toDF("da", "db")
+          .select(col("db").as("src"), col("da").as("dst"))))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = nodes.select(col("doc_id").as("node"))
+    var r = n.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(r.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("(r * 85) div (deg * 100)").as("c"))
+        .groupBy("node").agg(sum("c").as("cin"))
+      r = n.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(150000L) + coalesce(col("cin"), lit(0L))).as("r"))
+    }
+    r.join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("r").as("rank_mass"),
+        coalesce(col("deg"), lit(0L)).as("n_out"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered x60: PageRank over the b28 jaccard pair graph (the x16/
+    * x27 universe — nodes are the `%29` base slice, singletons included). */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankFromPairs(docs(s, dir).filter(col("doc_id") % 29 === 0),
+      Dedup.jaccardPairs(s, dir).select(col("da"), col("db")))
+
+  private val x60Sql =
+    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
+       edges AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       pnodes AS (SELECT doc_id AS node FROM base),
+       edges2 AS (SELECT src, dst, 0 AS self FROM edges
+                  UNION ALL SELECT node, node, 1 FROM pnodes),
+       pr AS (
+         SELECT node, CAST(1000000 AS BIGINT) AS r, 0 AS k FROM pnodes
+         UNION ALL
+         SELECT t.node, CAST(150000 + sum(t.c) AS BIGINT) AS r, t.k + 1 AS k
+         FROM (SELECT e.dst AS node,
+                 CASE WHEN e.self = 1 THEN CAST(0 AS BIGINT)
+                      ELSE (pr.r * 85) // (d.deg * 100) END AS c,
+                 pr.k AS k
+               FROM pr JOIN edges2 e ON pr.node = e.src
+                 LEFT JOIN deg d ON pr.node = d.src
+               WHERE pr.k < 5) t
+         GROUP BY t.node, t.k
+       )
+       SELECT pr.node AS doc_id, pr.r AS rank_mass,
+         CAST(coalesce(d.deg, 0) AS BIGINT) AS n_out
+       FROM pr LEFT JOIN deg d ON pr.node = d.src
+       WHERE pr.k = 5 ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x30
   /** Cross-document line/boilerplate dedup (RefinedWeb/Gopher-style exact
     * line-frequency strip) — the sub-document pass that removes repeated
@@ -1852,5 +1934,6 @@ object Curation {
     QueryDef("x31_pii_redact", piiRedact, Some(x31Sql)),
     QueryDef("x34_span_dedup", spanDedup, Some(x34Sql)),
     QueryDef("x34b_span_dedup_minrun", spanDedupMinRun, Some(x34bSql)),
-    QueryDef("x27_leakage_safe_split", leakageSafeSplit, Some(x27Sql)))
+    QueryDef("x27_leakage_safe_split", leakageSafeSplit, Some(x27Sql)),
+    QueryDef("x60_graph_pagerank", graphPagerank, Some(x60Sql)))
 }

@@ -729,4 +729,29 @@ class CurationSpec extends SparkSpec {
     val perDoc = top.groupBy(_.getLong(0)).map(_._2.length)
     assert(perDoc.forall(_ == 1))
   }
+
+  test("x60: integer PageRank on a planted star graph — hand-computed masses") {
+    import spark.implicits._
+    // Star: hub 1 — leaves 2,3,4; node 5 isolated. Five iterations of
+    // r' = 150000 + Σ floor(r·85 / (deg·100)), computed by hand.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("da", "db")
+    val out = Curation.pagerankFromPairs(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (2326644L, 3L), s"hub: ${out(1L)}")
+    for (leaf <- Seq(2L, 3L, 4L))
+      assert(out(leaf) == (557783L, 1L), s"leaf $leaf: ${out(leaf)}")
+    assert(out(5L) == (150000L, 0L), s"isolated keeps teleport mass only: ${out(5L)}")
+    // Centrality orders hub above leaves above isolated.
+    assert(out(1L)._1 > out(2L)._1 && out(2L)._1 > out(5L)._1)
+  }
+
+  test("x60: registered query is deterministic and covers the %29 node slice") {
+    val a = Curation.graphPagerank(spark, sf).collect().toSeq
+    val b = Curation.graphPagerank(spark, sf).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val expected = graft.Tables.t(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 29 === 0).count()
+    assert(a.size == expected, s"${a.size} vs $expected nodes")
+  }
 }
