@@ -757,7 +757,11 @@ object Curation {
     * and small, so the single composed plan stays a linear pipeline —
     * no driver-side loop actions beyond the one checkpoint. */
   def pagerankFromPairs(nodes: DataFrame, pairs: DataFrame,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5): DataFrame =
+    pagerankFrame(nodes, pairs, iters).orderBy("doc_id")
+
+  private def pagerankFrame(nodes: DataFrame, pairs: DataFrame,
+      iters: Int): DataFrame = {
     val edges = Checkpoints.stable(
       pairs.toDF("da", "db")
         .select(col("da").as("src"), col("db").as("dst"))
@@ -777,7 +781,6 @@ object Curation {
     r.join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node").as("doc_id"), col("r").as("rank_mass"),
         coalesce(col("deg"), lit(0L)).as("n_out"))
-      .orderBy("doc_id")
   }
 
   /** Registered x60: PageRank over the b28 jaccard pair graph (the x16/
@@ -785,6 +788,62 @@ object Curation {
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     pagerankFromPairs(docs(s, dir).filter(col("doc_id") % 29 === 0),
       Dedup.jaccardPairs(s, dir).select(col("da"), col("db")))
+
+  /** x60b: the composition the centrality exists FOR — within each
+    * near-dup cluster (x16's components) keep the member with the
+    * HIGHEST rank mass, i.e. the version the duplicate graph converges
+    * on. Same pair source feeds both the rank and the clusters, so the
+    * two views cannot disagree about the graph. Adds one cluster-keyed
+    * window to the x60 + CC plans (the x37 shape); singletons keep
+    * themselves. */
+  def pagerankKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(s, dir).select(col("da"), col("db"))
+    val nodes = docs(s, dir).filter(col("doc_id") % 29 === 0)
+    val pr = pagerankFrame(nodes, pairs, iters = 5)
+    val (labels, _) = propagateMinLabels(undirectedEdges(pairs))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("rank_mass").desc, col("doc_id"))
+    pr.join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("rank_mass"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val x60bSql =
+    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
+       edges AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       pnodes AS (SELECT doc_id AS node FROM base),
+       edges2 AS (SELECT src, dst, 0 AS self FROM edges
+                  UNION ALL SELECT node, node, 1 FROM pnodes),
+       pr AS (
+         SELECT node, CAST(1000000 AS BIGINT) AS r, 0 AS k FROM pnodes
+         UNION ALL
+         SELECT t.node, CAST(150000 + sum(t.c) AS BIGINT) AS r, t.k + 1 AS k
+         FROM (SELECT e.dst AS node,
+                 CASE WHEN e.self = 1 THEN CAST(0 AS BIGINT)
+                      ELSE (pr.r * 85) // (d.deg * 100) END AS c,
+                 pr.k AS k
+               FROM pr JOIN edges2 e ON pr.node = e.src
+                 LEFT JOIN deg d ON pr.node = d.src
+               WHERE pr.k < 5) t
+         GROUP BY t.node, t.k
+       ),
+       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+       prf AS (SELECT node AS doc_id, r AS rank_mass FROM pr WHERE k = 5),
+       lab AS (SELECT p.doc_id, coalesce(cc.cid, p.doc_id) AS cluster_id,
+                 p.rank_mass
+               FROM prf p LEFT JOIN cc ON p.doc_id = cc.node)
+       SELECT doc_id, cluster_id, rank_mass,
+         row_number() OVER (PARTITION BY cluster_id
+           ORDER BY rank_mass DESC, doc_id) = 1 AS keep
+       FROM lab ORDER BY doc_id"""
 
   private val x60Sql =
     s"""WITH RECURSIVE ${Dedup.b28PairCtes},
@@ -1935,5 +1994,6 @@ object Curation {
     QueryDef("x34_span_dedup", spanDedup, Some(x34Sql)),
     QueryDef("x34b_span_dedup_minrun", spanDedupMinRun, Some(x34bSql)),
     QueryDef("x27_leakage_safe_split", leakageSafeSplit, Some(x27Sql)),
-    QueryDef("x60_graph_pagerank", graphPagerank, Some(x60Sql)))
+    QueryDef("x60_graph_pagerank", graphPagerank, Some(x60Sql)),
+    QueryDef("x60b_pagerank_keep_best", pagerankKeepBest, Some(x60bSql)))
 }

@@ -746,6 +746,18 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._1 > out(2L)._1 && out(2L)._1 > out(5L)._1)
   }
 
+  test("x60b: exactly one keep per cluster and it is the rank-mass argmax") {
+    val rows = Curation.pagerankKeepBest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      val keeps = rs.filter(_.getBoolean(3))
+      assert(keeps.length == 1, s"cluster $cid keeps ${keeps.length}")
+      val best = rs.maxBy(r => (r.getLong(2), -r.getLong(0)))
+      assert(keeps.head.getLong(0) == best.getLong(0),
+        s"cluster $cid kept ${keeps.head.getLong(0)} but argmax is ${best.getLong(0)}")
+    }
+  }
+
   test("x60: registered query is deterministic and covers the %29 node slice") {
     val a = Curation.graphPagerank(spark, sf).collect().toSeq
     val b = Curation.graphPagerank(spark, sf).collect().toSeq
