@@ -871,6 +871,95 @@ object Curation {
        FROM pr LEFT JOIN deg d ON pr.node = d.src
        WHERE pr.k = 5 ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x61
+  /** Per-node triangle count + local clustering coefficient over the
+    * near-dup graph — the "is this duplicate cluster a clique or a
+    * chain?" diagnostic (a chain of borderline pairs transitively glues
+    * unrelated docs — low coefficient; a true duplicate set is near-
+    * clique — high). Schank–Wagner FORWARD algorithm: orient every
+    * undirected edge from the endpoint with the smaller (degree, id)
+    * toward the larger, so each triangle is enumerated EXACTLY once and
+    * the wedge join fans out by the graph's arboricity, not by the max
+    * degree — the published trick that makes distributed triangle
+    * counting survive power-law graphs (a celebrity node's edges all
+    * orient AWAY from it, so it never anchors a quadratic wedge set).
+    *
+    * All integers until the final rounded coefficient; the orientation
+    * key is engine-exact ((deg, id) lexicographic). Scale shape: two
+    * equi-joins on oriented-edge keys (wedge: src-keyed; closure:
+    * (v, w)-keyed), one explode of each triangle to its three corners,
+    * one node-keyed partial+final count — no product anywhere. */
+  def triangleStats(s: SparkSession, dir: String): DataFrame =
+    triangleStatsFromPairs(
+      docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
+      Dedup.jaccardPairs(s, dir).select(col("da"), col("db")))
+
+  /** Generic form over any (doc_id) node frame and (a, b) pair frame. */
+  def triangleStatsFromPairs(nodeIds: DataFrame, pairs: DataFrame): DataFrame = {
+    val und = Checkpoints.stable(pairs.toDF("a", "b"))
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val nodes = nodeIds.select(col("doc_id").as("n"))
+    // Orient a—b from the (deg, id)-smaller endpoint to the larger.
+    val withDegs = und
+      .join(deg.select(col("n").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("degb")), "b")
+    val oriented = withDegs.select(
+      when(col("dega") < col("degb") ||
+        (col("dega") === col("degb") && col("a") < col("b")), struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // Wedges (u → v1, u → v2), v1 < v2, closed by an oriented edge
+    // between v1 and v2 in either direction.
+    val e1 = oriented.select(col("u"), col("v").as("v1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"))
+    val wedges = e1.join(e2, "u").filter(col("v1") < col("v2"))
+    val closure = oriented.select(
+      least(col("u"), col("v")).as("v1"), greatest(col("u"), col("v")).as("v2"))
+    val tris = wedges.join(closure, Seq("v1", "v2"))
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    nodes.join(deg, Seq("n"), "left")
+      .join(tris, Seq("n"), "left")
+      .select(col("n").as("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("tri"), lit(0L)).as("triangles"),
+        round(when(coalesce(col("deg"), lit(0L)) < 2, 0.0)
+          .otherwise(coalesce(col("tri"), lit(0L)).cast("double") * 2 /
+            (col("deg") * (col("deg") - 1))), 4).as("clustering_coeff"))
+      .orderBy("doc_id")
+  }
+
+  private val x61Sql =
+    s"""WITH ${Dedup.b28PairCtes},
+       und AS (SELECT da AS a, db AS b FROM pairs),
+       deg AS (SELECT n, count(*) AS deg FROM
+                 (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+               GROUP BY n),
+       pnodes AS (SELECT doc_id AS n FROM base),
+       orient AS (SELECT CASE WHEN dga.deg < dgb.deg
+                           OR (dga.deg = dgb.deg AND a < b) THEN a ELSE b END AS u,
+                     CASE WHEN dga.deg < dgb.deg
+                           OR (dga.deg = dgb.deg AND a < b) THEN b ELSE a END AS v
+                  FROM und JOIN deg dga ON und.a = dga.n
+                           JOIN deg dgb ON und.b = dgb.n),
+       wedges AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+                  FROM orient e1 JOIN orient e2 ON e1.u = e2.u
+                  WHERE e1.v < e2.v),
+       closure AS (SELECT least(u, v) AS v1, greatest(u, v) AS v2 FROM orient),
+       tri AS (SELECT n, count(*) AS tri FROM
+                 (SELECT unnest([w.u, w.v1, w.v2]) AS n
+                  FROM wedges w JOIN closure c ON w.v1 = c.v1 AND w.v2 = c.v2)
+               GROUP BY n)
+       SELECT p.n AS doc_id,
+         CAST(coalesce(deg.deg, 0) AS BIGINT) AS degree,
+         CAST(coalesce(tri.tri, 0) AS BIGINT) AS triangles,
+         round(CASE WHEN coalesce(deg.deg, 0) < 2 THEN 0.0
+                    ELSE CAST(coalesce(tri.tri, 0) AS DOUBLE) * 2 /
+                         (deg.deg * (deg.deg - 1)) END, 4) AS clustering_coeff
+       FROM pnodes p LEFT JOIN deg ON p.n = deg.n LEFT JOIN tri ON p.n = tri.n
+       ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x30
   /** Cross-document line/boilerplate dedup (RefinedWeb/Gopher-style exact
     * line-frequency strip) — the sub-document pass that removes repeated
@@ -1995,5 +2084,6 @@ object Curation {
     QueryDef("x34b_span_dedup_minrun", spanDedupMinRun, Some(x34bSql)),
     QueryDef("x27_leakage_safe_split", leakageSafeSplit, Some(x27Sql)),
     QueryDef("x60_graph_pagerank", graphPagerank, Some(x60Sql)),
-    QueryDef("x60b_pagerank_keep_best", pagerankKeepBest, Some(x60bSql)))
+    QueryDef("x60b_pagerank_keep_best", pagerankKeepBest, Some(x60bSql)),
+    QueryDef("x61_triangle_stats", triangleStats, Some(x61Sql)))
 }

@@ -758,6 +758,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x61: triangle counts and clustering coefficients on a planted diamond") {
+    import spark.implicits._
+    // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4). Node 5 isolated.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val out = Curation.triangleStatsFromPairs(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (2L, 1L, 1.0))
+    assert(out(2L) == (3L, 2L, 0.6667))
+    assert(out(3L) == (3L, 2L, 0.6667))
+    assert(out(4L) == (2L, 1L, 1.0))
+    assert(out(5L) == (0L, 0L, 0.0))
+  }
+
   test("x60: registered query is deterministic and covers the %29 node slice") {
     val a = Curation.graphPagerank(spark, sf).collect().toSeq
     val b = Curation.graphPagerank(spark, sf).collect().toSeq
