@@ -960,6 +960,77 @@ object Curation {
        FROM pnodes p LEFT JOIN deg ON p.n = deg.n LEFT JOIN tri ON p.n = tri.n
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x62
+  /** k-core membership over the near-dup graph (k = 3, 10 fixed peels):
+    * the dup-cluster KERNEL diagnostic — the k-core is the maximal
+    * subgraph of minimum degree k, so core members are docs entangled
+    * with ≥ k other near-dups even after the periphery is stripped,
+    * while chain-glued borderline attachments peel away. Complements
+    * x61: the coefficient scores one node's neighbourhood, the core is
+    * the global fixpoint of peeling.
+    *
+    * FIXED-ITERATION contract (what makes it oracle-exact): both
+    * engines run exactly 10 peels — `alive₊₁ = edges whose BOTH
+    * endpoints keep degree ≥ k within aliveₜ`. Peeling is monotone, so
+    * once converged further peels are no-ops, and if 10 rounds do NOT
+    * converge both engines still agree (they computed the same prefix).
+    * All-integer; DuckDB mirrors with a recursive CTE whose peel step
+    * is two window counts over the edge working set.
+    *
+    * Scale shape: per peel one src-keyed and one dst-keyed partial+final
+    * degree count + two equi-joins back on the same keys; the edge
+    * frame is eagerly checkpointed per round (lineage would otherwise
+    * stack 10 join plans). Edge mass only shrinks. */
+  def kcoreMembership(s: SparkSession, dir: String, k: Int = 3,
+      peels: Int = 10): DataFrame =
+    kcoreFromPairs(
+      docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
+      Dedup.jaccardPairs(s, dir).select(col("da"), col("db")), k, peels)
+
+  /** Generic form over any (doc_id) node frame and 2-column pair frame. */
+  def kcoreFromPairs(nodes: DataFrame, pairsIn: DataFrame, k: Int,
+      peels: Int): DataFrame = {
+    val pairs = pairsIn.toDF("da", "db")
+    var e = Checkpoints.stable(
+      pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    for (_ <- 1 to peels) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("n"))
+      e = Checkpoints.stable(
+        e.join(keep.select(col("n").as("src")), "src")
+          .join(keep.select(col("n").as("dst")), "dst")
+          .select(col("src"), col("dst")))
+    }
+    val core = e.groupBy("src").agg(count(lit(1)).as("core_deg"))
+    nodes.join(core.select(col("src").as("doc_id"), col("core_deg")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("core_deg"), lit(0L)) > 0).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy("doc_id")
+  }
+
+  private val x62Sql =
+    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
+       edges AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+       ec AS (
+         SELECT src, dst, 0 AS it FROM edges
+         UNION ALL
+         SELECT src, dst, it + 1
+         FROM (SELECT src, dst, it,
+                 count(*) OVER (PARTITION BY src, it) AS dsrc,
+                 count(*) OVER (PARTITION BY dst, it) AS ddst
+               FROM ec)
+         WHERE dsrc >= 3 AND ddst >= 3 AND it < 10
+       ),
+       core AS (SELECT src AS n, count(*) AS core_deg FROM ec
+                WHERE it = 10 GROUP BY src)
+       SELECT b.doc_id, coalesce(core.core_deg, 0) > 0 AS in_core,
+         CAST(coalesce(core.core_deg, 0) AS BIGINT) AS core_deg
+       FROM base b LEFT JOIN core ON b.doc_id = core.n ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x30
   /** Cross-document line/boilerplate dedup (RefinedWeb/Gopher-style exact
     * line-frequency strip) — the sub-document pass that removes repeated
@@ -2085,5 +2156,6 @@ object Curation {
     QueryDef("x27_leakage_safe_split", leakageSafeSplit, Some(x27Sql)),
     QueryDef("x60_graph_pagerank", graphPagerank, Some(x60Sql)),
     QueryDef("x60b_pagerank_keep_best", pagerankKeepBest, Some(x60bSql)),
-    QueryDef("x61_triangle_stats", triangleStats, Some(x61Sql)))
+    QueryDef("x61_triangle_stats", triangleStats, Some(x61Sql)),
+    QueryDef("x62_kcore_membership", (s, d) => kcoreMembership(s, d), Some(x62Sql)))
 }

@@ -772,6 +772,22 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == (0L, 0L, 0.0))
   }
 
+  test("x62: 3-core peeling keeps the K4 kernel and sheds the tail chain") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus tail 4-5-6: the tail peels in one round
+    // (degree < 3 at both tail nodes), the clique survives at degree 3.
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 20L)).toDF("doc_id")
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("da", "db")
+    val out = Curation.kcoreFromPairs(nodes, pairs, k = 3, peels = 10).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    for (n <- Seq(1L, 2L, 3L, 4L))
+      assert(out(n) == (true, 3L), s"clique node $n: ${out(n)}")
+    for (n <- Seq(5L, 6L, 20L))
+      assert(out(n) == (false, 0L), s"peeled/isolated node $n: ${out(n)}")
+  }
+
   test("x60: registered query is deterministic and covers the %29 node slice") {
     val a = Curation.graphPagerank(spark, sf).collect().toSeq
     val b = Curation.graphPagerank(spark, sf).collect().toSeq
