@@ -27,6 +27,17 @@ object Tables {
     if (!spark.conf.getOption(k).contains("true")) spark.conf.set(k, "true")
   }
 
+  /** The micros-NTZ → TIMESTAMP cast below reads the stored wall-clock
+    * in the SESSION time zone — correct only under the UTC session every
+    * main and oracle in this repo pins. Like [[ensureNanosConf]], guard
+    * the externally-built-session path (check-then-set, at most once):
+    * a driver session left at a machine-local zone would silently shift
+    * every event instant by the zone offset. */
+  def ensureUtcConf(spark: SparkSession): Unit = {
+    val k = "spark.sql.session.timeZone"
+    if (!spark.conf.getOption(k).contains("UTC")) spark.conf.set(k, "UTC")
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // Normalize events.ts to a session-TZ microsecond TIMESTAMP
@@ -43,6 +54,7 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case _ =>
+          ensureUtcConf(spark)
           raw.withColumn("ts", col("ts").cast("timestamp"))
       }
     } else {

@@ -758,15 +758,15 @@ object Curation {
     * no driver-side loop actions beyond the one checkpoint. */
   def pagerankFromPairs(nodes: DataFrame, pairs: DataFrame,
       iters: Int = 5): DataFrame =
-    pagerankFrame(nodes, pairs, iters).orderBy("doc_id")
+    pagerankFrame(nodes,
+      Checkpoints.stable(undirectedEdges(pairs.toDF("da", "db"))), iters)
+      .orderBy("doc_id")
 
-  private def pagerankFrame(nodes: DataFrame, pairs: DataFrame,
+  /** `edges` must be the symmetric (src, dst) list — [[undirectedEdges]]
+    * output, pre-checkpointed by the caller so several consumers (rank +
+    * label propagation) share ONE materialization of the pair subtree. */
+  private def pagerankFrame(nodes: DataFrame, edges: DataFrame,
       iters: Int): DataFrame = {
-    val edges = Checkpoints.stable(
-      pairs.toDF("da", "db")
-        .select(col("da").as("src"), col("db").as("dst"))
-        .union(pairs.toDF("da", "db")
-          .select(col("db").as("src"), col("da").as("dst"))))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = nodes.select(col("doc_id").as("node"))
     var r = n.withColumn("r", lit(1000000L))
@@ -799,8 +799,12 @@ object Curation {
   def pagerankKeepBest(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.jaccardPairs(s, dir).select(col("da"), col("db"))
     val nodes = docs(s, dir).filter(col("doc_id") % 29 === 0)
-    val pr = pagerankFrame(nodes, pairs, iters = 5)
-    val (labels, _) = propagateMinLabels(undirectedEdges(pairs))
+    // ONE checkpointed edge materialization feeds both the rank and the
+    // label propagation — the pair pipeline is the dominant cost and
+    // must not run twice.
+    val edges = Checkpoints.stable(undirectedEdges(pairs))
+    val pr = pagerankFrame(nodes, edges, iters = 5)
+    val (labels, _) = propagateMinLabels(edges)
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("rank_mass").desc, col("doc_id"))
     pr.join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
@@ -990,10 +994,7 @@ object Curation {
   /** Generic form over any (doc_id) node frame and 2-column pair frame. */
   def kcoreFromPairs(nodes: DataFrame, pairsIn: DataFrame, k: Int,
       peels: Int): DataFrame = {
-    val pairs = pairsIn.toDF("da", "db")
-    var e = Checkpoints.stable(
-      pairs.select(col("da").as("src"), col("db").as("dst"))
-        .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    var e = Checkpoints.stable(undirectedEdges(pairsIn.toDF("da", "db")))
     for (_ <- 1 to peels) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("n"))

@@ -67,7 +67,13 @@ object Ivf {
 
   private def snapshotKey(df: DataFrame): Option[String] =
     if (df.inputFiles.isEmpty) None
-    else Some(df.queryExecution.optimizedPlan.canonicalized.toString +
+    // Session identity leads the key: a fitted model carries
+    // session-bound state (training summary), so it must never be
+    // served to a DIFFERENT session that happens to read the same
+    // files; dead-session entries age out via the wholesale clear that
+    // bounds the cache.
+    else Some(System.identityHashCode(df.sparkSession).toString +
+      "\u0000" + df.queryExecution.optimizedPlan.canonicalized.toString +
       "\u0000" + fileKeys(df).mkString("\u0000"))
 
   private def memoModel[T <: AnyRef](df: DataFrame, tag: String)(fit: => T): T =
@@ -230,8 +236,16 @@ object Ivf {
   /** Exact re-rank of the ADC top-`cand` candidates: the standard PQ
     * refinement — the heap-pruned candidate set is tiny, so the exact
     * cosine touches ~cand rows, not the corpus. */
-  private def rerank(cands: DataFrame, q: DataFrame, k: Int): DataFrame =
-    cands.crossJoin(broadcast(q))
+  /** `cands` carries only (vec_id, adc_dot) — the heap stage must stay
+    * code-only so the corpus scan never decodes raw vectors (the whole
+    * point of the 32× scan-bytes claim); the ~`cand` surviving ids
+    * BROADCAST back against the embeddings table to fetch exactly the
+    * vectors the exact re-rank touches. */
+  private def rerank(cands: DataFrame, emb: DataFrame, q: DataFrame,
+      k: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cands), "vec_id")
+      .crossJoin(broadcast(q))
       .select(col("vec_id"), round(col("adc_dot"), 4).as("adc_dot"),
         round(Similarity.cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -262,11 +276,11 @@ object Ivf {
       .head().getSeq[Double](0).toArray
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     val cands = encoded.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         (adcScore(adcTable(codebooks, qv)) / col("xnorm")).as("adc_dot"))
       .orderBy(col("adc_dot").desc, col("vec_id"))
       .limit(100)
-    rerank(cands, q, 10)
+    rerank(cands, emb, q, 10)
   }
 
   /** x59b: IVFADC (Jégou et al. §IV) — coarse k-means lists + PQ over
@@ -299,12 +313,12 @@ object Ivf {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     val cands = encoded
       .filter(col("vec_id") =!= 0 && col("list_id").isin(lists: _*))
-      .select(col("vec_id"), col("embedding"), col("list_id"),
+      .select(col("vec_id"),
         ((element_at(typedLit(qDotC.toSeq), col("list_id") + 1) +
           adcScore(adcTable(codebooks, qv))) / col("xnorm")).as("adc_dot"))
       .orderBy(col("adc_dot").desc, col("vec_id"))
       .limit(100)
-    rerank(cands, q, 5)
+    rerank(cands, emb, q, 5)
   }
 
   val defs: Seq[QueryDef] = Seq(

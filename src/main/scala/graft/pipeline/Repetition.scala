@@ -41,10 +41,15 @@ import org.apache.spark.sql.functions._
 object Repetition {
   private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
 
-  private def base(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+  /** The ONE tokenization/projection every x58 frame derives from — a
+    * single definition so battery, coverage and gate can never drift. */
+  private def baseOf(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
       length(col("text")).cast("long").as("n_char"),
       split(col("text"), " ").as("t"))
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    baseOf(docs(s, dir))
 
   /** Overlapping n-grams with their 0-based start position. */
   private def grams(b: DataFrame, n: Int): DataFrame =
@@ -104,9 +109,7 @@ object Repetition {
     * reusable form (x30's *Of pattern); per-doc and stateless across
     * docs, so a streaming foreachBatch body can run it verbatim. */
   def batteryOf(docsDf: DataFrame): DataFrame =
-    batteryFrame(docsDf.select(col("doc_id"),
-      length(col("text")).cast("long").as("n_char"),
-      split(col("text"), " ").as("t")))
+    batteryFrame(baseOf(docsDf))
 
   private def batteryFrame(s: SparkSession, dir: String): DataFrame =
     batteryFrame(base(s, dir))
@@ -131,9 +134,7 @@ object Repetition {
   // -------------------------------------------------------------- x58b
   /** [[batteryOf]]'s counterpart for the dup-n-gram coverage signals. */
   def coverageOf(docsDf: DataFrame): DataFrame =
-    coverageFrame(docsDf.select(col("doc_id"),
-      length(col("text")).cast("long").as("n_char"),
-      split(col("text"), " ").as("t")))
+    coverageFrame(baseOf(docsDf))
 
   private def coverageFrame(s: SparkSession, dir: String): DataFrame =
     coverageFrame(base(s, dir))
