@@ -1032,6 +1032,79 @@ object Curation {
          CAST(coalesce(core.core_deg, 0) AS BIGINT) AS core_deg
        FROM base b LEFT JOIN core ON b.doc_id = core.n ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x63
+  /** Harmonic centrality within radius 3 — THE published crawl-quality
+    * prior: CommonCrawl's host ranking is harmonic centrality, and
+    * CC-Net/RefinedWeb-class pipelines consume it as a source-quality
+    * signal. Here over the near-dup graph: Σ 1/d(u,v) for v within 3
+    * hops, so a doc deep inside a well-connected duplicate neighbourhood
+    * scores high while chain-ends score low — per-NODE evidence mass,
+    * where PageRank (x60) measures flow.
+    *
+    * Integer-exact: each reached node contributes 10⁶ div d (integer
+    * division — 10⁶, 5·10⁵, 333333), summed as order-free BIGINTs, so
+    * both engines agree bit-for-bit. Distances are true BFS minima:
+    * Spark layers frontier h−1 → candidates h with a min-dedup per
+    * round; the DuckDB recursive CTE enumerates paths ≤ 3 (set-deduped)
+    * and takes min(d) per pair — both are d(u,v) within the radius.
+    *
+    * Scale shape: R−1 rounds of one frontier⋈edges equi-join + one
+    * (node, other)-keyed min agg, each round checkpointed. The pair
+    * table within radius R is bounded by neighbourhood growth — on a
+    * near-dup graph that is the duplicate cluster size, not the corpus;
+    * the radius cap is exactly what makes harmonic centrality computable
+    * at 100 TB where the unbounded form is all-pairs. */
+  def harmonicFromPairs(nodes: DataFrame, pairsIn: DataFrame,
+      radius: Int = 3): DataFrame = {
+    val edges = Checkpoints.stable(undirectedEdges(pairsIn.toDF("da", "db")))
+    var dist = Checkpoints.stable(
+      edges.select(col("src").as("node"), col("dst").as("other"), lit(1).as("d")))
+    for (h <- 2 to radius) {
+      val next = dist.filter(col("d") === h - 1)
+        .select(col("node"), col("other").as("mid"))
+        .join(edges.select(col("src").as("mid"), col("dst").as("nxt")), "mid")
+        .filter(col("node") =!= col("nxt"))
+        .select(col("node"), col("nxt").as("other"), lit(h).as("d"))
+      dist = Checkpoints.stable(
+        dist.union(next).groupBy("node", "other").agg(min("d").as("d")))
+    }
+    val hc = dist.groupBy("node").agg(
+      count(lit(1)).as("n_reach"),
+      sum(expr("1000000 div d")).as("harmonic_mass"))
+    nodes.select(col("doc_id"))
+      .join(hc.select(col("node").as("doc_id"), col("n_reach"), col("harmonic_mass")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+        coalesce(col("harmonic_mass"), lit(0L)).as("harmonic_mass"))
+      .orderBy("doc_id")
+  }
+
+  def harmonicCentrality(s: SparkSession, dir: String): DataFrame =
+    harmonicFromPairs(
+      docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
+      Dedup.jaccardPairs(s, dir).select(col("da"), col("db")))
+
+  private val x63Sql =
+    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
+       edges AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+       bfs AS (
+         SELECT src AS node, dst AS other, 1 AS d FROM edges
+         UNION
+         SELECT b.node, e.dst, b.d + 1
+         FROM bfs b JOIN edges e ON b.other = e.src
+         WHERE b.d < 3 AND b.node <> e.dst
+       ),
+       md AS (SELECT node, other, min(d) AS d FROM bfs GROUP BY node, other),
+       hc AS (SELECT node, count(*) AS n_reach,
+                CAST(sum(1000000 // d) AS BIGINT) AS harmonic_mass
+              FROM md GROUP BY node)
+       SELECT b.doc_id,
+         CAST(coalesce(hc.n_reach, 0) AS BIGINT) AS n_reach,
+         coalesce(hc.harmonic_mass, 0) AS harmonic_mass
+       FROM base b LEFT JOIN hc ON b.doc_id = hc.node ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x30
   /** Cross-document line/boilerplate dedup (RefinedWeb/Gopher-style exact
     * line-frequency strip) — the sub-document pass that removes repeated
@@ -2158,5 +2231,6 @@ object Curation {
     QueryDef("x60_graph_pagerank", graphPagerank, Some(x60Sql)),
     QueryDef("x60b_pagerank_keep_best", pagerankKeepBest, Some(x60bSql)),
     QueryDef("x61_triangle_stats", triangleStats, Some(x61Sql)),
-    QueryDef("x62_kcore_membership", (s, d) => kcoreMembership(s, d), Some(x62Sql)))
+    QueryDef("x62_kcore_membership", (s, d) => kcoreMembership(s, d), Some(x62Sql)),
+    QueryDef("x63_harmonic_centrality", harmonicCentrality, Some(x63Sql)))
 }

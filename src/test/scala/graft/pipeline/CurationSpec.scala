@@ -788,6 +788,22 @@ class CurationSpec extends SparkSpec {
       assert(out(n) == (false, 0L), s"peeled/isolated node $n: ${out(n)}")
   }
 
+  test("x63: radius-3 harmonic centrality on a planted path — hand-computed masses") {
+    import spark.implicits._
+    // Path 1-2-3-4-5 (node 9 isolated): center sees 2 at d=1 + 2 at
+    // d=2; an end sees d=1,2,3 (the far end at d=4 is outside radius).
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("da", "db")
+    val out = Curation.harmonicFromPairs(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (3L, 1833333L), s"end: ${out(1L)}")   // 1e6 + 5e5 + 333333
+    assert(out(5L) == (3L, 1833333L))
+    assert(out(2L) == (4L, 2833333L), s"inner: ${out(2L)}") // 2*1e6 + 5e5 + 333333
+    assert(out(4L) == (4L, 2833333L))
+    assert(out(3L) == (4L, 3000000L), s"center: ${out(3L)}") // 2*1e6 + 2*5e5
+    assert(out(9L) == (0L, 0L))
+  }
+
   test("x60: registered query is deterministic and covers the %29 node slice") {
     val a = Curation.graphPagerank(spark, sf).collect().toSeq
     val b = Curation.graphPagerank(spark, sf).collect().toSeq
