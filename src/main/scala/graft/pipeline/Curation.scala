@@ -898,9 +898,20 @@ object Curation {
       docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
       Dedup.jaccardPairs(s, dir).select(col("da"), col("db")))
 
-  /** Generic form over any (doc_id) node frame and (a, b) pair frame. */
+  /** Generic form over any (doc_id) node frame and (a, b) pair frame.
+    * The pair frame is canonicalized DEFENSIVELY (least/greatest +
+    * distinct, self-loops dropped) before use: degree counting and
+    * wedge enumeration both assume each undirected edge appears exactly
+    * once in exactly one orientation, and a caller handing both
+    * orientations (or duplicate pairs) would silently double-count
+    * degrees and triangles. For the canonical jaccardPairs caller the
+    * distinct dedups an already-unique set — one cheap shuffle of
+    * 16-byte pairs folded into the edge checkpoint it needed anyway. */
   def triangleStatsFromPairs(nodeIds: DataFrame, pairs: DataFrame): DataFrame = {
-    val und = Checkpoints.stable(pairs.toDF("a", "b"))
+    val und = Checkpoints.stable(pairs.toDF("a", "b")
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct())
     val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val nodes = nodeIds.select(col("doc_id").as("n"))

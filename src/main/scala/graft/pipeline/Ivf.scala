@@ -65,6 +65,20 @@ object Ivf {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  /** Guaranteed-unique per-session token: identityHashCode can collide,
+    * and after a session is GC'd a NEW session can be allocated the same
+    * hash — a stale model bound to the dead session would then be served
+    * for identical files+plan. A UUID held under a weak key cannot be
+    * reused (the entry dies with the session; a UUID is never minted
+    * twice), and the weak keys let dead sessions age out without being
+    * pinned by the token map itself. */
+  private val sessionTokens =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionToken(s: SparkSession): String =
+    sessionTokens.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   private def snapshotKey(df: DataFrame): Option[String] =
     if (df.inputFiles.isEmpty) None
     // Session identity leads the key: a fitted model carries
@@ -72,7 +86,7 @@ object Ivf {
     // served to a DIFFERENT session that happens to read the same
     // files; dead-session entries age out via the wholesale clear that
     // bounds the cache.
-    else Some(System.identityHashCode(df.sparkSession).toString +
+    else Some(sessionToken(df.sparkSession) +
       "\u0000" + df.queryExecution.optimizedPlan.canonicalized.toString +
       "\u0000" + fileKeys(df).mkString("\u0000"))
 
@@ -262,6 +276,16 @@ object Ivf {
     df.withColumn("xnorm", sqrt(aggregate(col("emb_d"), lit(0.0),
       (acc, x) => acc + x * x)))
 
+  /** Norm-corrected ADC score with a zero-norm guard: 0/0 is NaN, and
+    * NaN sorts ABOVE every double in descending order, so a degenerate
+    * all-zero embedding would otherwise seize top candidate slots and
+    * surface NaN cosines through the re-rank. Zero-norm rows rank last
+    * instead (−∞ can never enter the top-k while any finite score
+    * exists). */
+  private def overNorm(dot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(col("xnorm") > 0, dot / col("xnorm"))
+      .otherwise(lit(Double.NegativeInfinity))
+
   /** x59: PQ-ADC top-10 for the vec_id=0 query — full-corpus ADC scan
     * (8 byte codes + one stored norm + M table lookups per row, map-only
     * with a top-k heap), then exact re-rank of the top 100. Deterministic
@@ -277,7 +301,7 @@ object Ivf {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     val cands = encoded.filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        (adcScore(adcTable(codebooks, qv)) / col("xnorm")).as("adc_dot"))
+        overNorm(adcScore(adcTable(codebooks, qv))).as("adc_dot"))
       .orderBy(col("adc_dot").desc, col("vec_id"))
       .limit(100)
     rerank(cands, emb, q, 10)
@@ -314,8 +338,8 @@ object Ivf {
     val cands = encoded
       .filter(col("vec_id") =!= 0 && col("list_id").isin(lists: _*))
       .select(col("vec_id"),
-        ((element_at(typedLit(qDotC.toSeq), col("list_id") + 1) +
-          adcScore(adcTable(codebooks, qv))) / col("xnorm")).as("adc_dot"))
+        overNorm(element_at(typedLit(qDotC.toSeq), col("list_id") + 1) +
+          adcScore(adcTable(codebooks, qv))).as("adc_dot"))
       .orderBy(col("adc_dot").desc, col("vec_id"))
       .limit(100)
     rerank(cands, emb, q, 5)

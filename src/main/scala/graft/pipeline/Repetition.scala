@@ -168,16 +168,24 @@ object Repetition {
     gateFrom(batteryOf(docsDf), coverageOf(docsDf)).orderBy("doc_id")
 
   private def gateFrom(battery: DataFrame, coverage: DataFrame): DataFrame = {
+    // LEFT join + coalesce-to-0 coverage: a doc whose text tokenizes to
+    // nothing (null/empty — posexplode emits no rows, so it never reaches
+    // the coverage frame's token-mass root) must still get a verdict; an
+    // inner join would silently shrink the gate's one-verdict-per-doc
+    // contract while the battery still emits the doc. Zero coverage
+    // trivially passes every dup-gram threshold, which is the right
+    // verdict for a doc with no n-grams to duplicate.
     val passes =
       Seq(col("dup_line_frac") <= 0.30, col("dup_line_char_frac") <= 0.20,
           col("top_2gram_frac") <= 0.20, col("top_3gram_frac") <= 0.18,
           col("top_4gram_frac") <= 0.16) ++
-        DupGramThresholds.map { case (n, th) => col(s"dup_${n}gram_frac") <= th }
+        DupGramThresholds.map { case (n, th) =>
+          coalesce(col(s"dup_${n}gram_frac"), lit(0.0)) <= th }
     val names =
       Seq("pass_dup_line", "pass_dup_line_char", "pass_top_2gram",
           "pass_top_3gram", "pass_top_4gram") ++
         DupGramThresholds.map { case (n, _) => s"pass_dup_${n}gram" }
-    battery.join(coverage, "doc_id")
+    battery.join(coverage, Seq("doc_id"), "left")
       .select(col("doc_id") +:
         (passes.zip(names).map { case (p, nm) => p.as(nm) } :+
           passes.reduce(_ && _).as("pass_all")): _*)
@@ -268,12 +276,13 @@ object Repetition {
         "b.top_3gram_frac <= 0.18 AS pass_top_3gram",
         "b.top_4gram_frac <= 0.16 AS pass_top_4gram") ++
         DupGramThresholds.map { case (n, th) =>
-          s"c.dup_${n}gram_frac <= $th AS pass_dup_${n}gram" }
+          s"coalesce(c.dup_${n}gram_frac, 0) <= $th AS pass_dup_${n}gram" }
     val conj =
       (Seq("b.dup_line_frac <= 0.30", "b.dup_line_char_frac <= 0.20",
         "b.top_2gram_frac <= 0.20", "b.top_3gram_frac <= 0.18",
         "b.top_4gram_frac <= 0.16") ++
-        DupGramThresholds.map { case (n, th) => s"c.dup_${n}gram_frac <= $th" })
+        DupGramThresholds.map { case (n, th) =>
+          s"coalesce(c.dup_${n}gram_frac, 0) <= $th" })
         .mkString(" AND ")
     s"""WITH $ttCte, $lineCtes, ${topCtes(2)}, ${topCtes(3)}, ${topCtes(4)},
        $tlCtes, ${(5 to 10).map(covCtes).mkString(", ")},
@@ -281,7 +290,7 @@ object Repetition {
        coverage AS ($coverageSelect)
        SELECT b.doc_id, ${passes.mkString(",\n         ")},
          ($conj) AS pass_all
-       FROM battery b JOIN coverage c USING (doc_id) ORDER BY doc_id"""
+       FROM battery b LEFT JOIN coverage c USING (doc_id) ORDER BY doc_id"""
   }
 
   val defs: Seq[QueryDef] = Seq(

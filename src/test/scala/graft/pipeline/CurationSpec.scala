@@ -772,6 +772,20 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == (0L, 0L, 0.0))
   }
 
+  test("x61: defensive canonicalization — dup pairs, both orientations, self-loops") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val clean = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    // Same graph delivered dirty: duplicated pairs, reversed orientations
+    // and a self-loop must not inflate degrees or triangle counts.
+    val dirty = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 2L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 3L), (5L, 5L)).toDF("a", "b")
+    val want = Curation.triangleStatsFromPairs(nodes, clean).collect().toSet
+    val got = Curation.triangleStatsFromPairs(nodes, dirty).collect().toSet
+    assert(got == want)
+  }
+
   test("x62: 3-core peeling keeps the K4 kernel and sheds the tail chain") {
     import spark.implicits._
     // K4 on {1,2,3,4} plus tail 4-5-6: the tail peels in one round

@@ -91,6 +91,18 @@ class RepetitionSpec extends SparkSpec {
     for (id <- Seq(3L, 4L)) assert(row(g, id).getAs[Boolean]("pass_all"), s"doc $id")
   }
 
+  test("x58c gateOf: a null-text doc still gets a verdict (left-join contract)") {
+    // posexplode over null tokens emits no rows, so the doc never reaches
+    // the coverage frame — the gate must still emit one passing verdict
+    // per doc instead of silently dropping it (r10 ADVICE).
+    val in = Seq((1L, "a b c a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val g = Repetition.gateOf(in).collect().map(r => r.getLong(0) -> r).toMap
+    assert(g.keySet == Set(1L, 2L))
+    assert(g(2L).getAs[Boolean]("pass_all"))
+    for (n <- 5 to 10) assert(g(2L).getAs[Boolean](s"pass_dup_${n}gram"))
+  }
+
   test("x58 runs on the real corpus with one row per document") {
     val n = graft.Tables.t(spark, sf, "documents").count()
     assert(Repetition.repetitionBattery(spark, sf).count() == n)
