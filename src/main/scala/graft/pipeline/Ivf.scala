@@ -185,76 +185,145 @@ object Ivf {
   }
 
   // --------------------------------------------------- PQ / IVFADC (x59)
-  /** Product-quantization parameters (Jégou et al. 2011, "Product
+  /** Product-quantization parameters (Jegou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the 64-dim embedding
     * splits into [[PqM]] subvectors of [[PqSubDim]] dims, each encoded as
     * its nearest of [[PqK]] per-subspace centroids — 8 bytes per vector
-    * instead of 256, a 32× scan-bytes reduction at 100 TB. */
+    * instead of 256, a 32x scan-bytes reduction at 100 TB.
+    *
+    * Codebook training, DISCLOSED DEVIATION from the paper: Lloyd's
+    * k-means is replaced by deterministic quantile seeding — subvectors
+    * are quantized to integer millionths (the x52/x60 discipline), ranked
+    * by (L2 norm, vec_id), and the [[PqK]] evenly spaced ranks become the
+    * codebook. Every arithmetic step from raw floats to the final ranking
+    * is integer-exact and total-ordered, so the WHOLE pipeline (codebook
+    * derivation included) is reproducible by any SQL engine bit-for-bit —
+    * x59/x59b carry full DuckDB oracles instead of rows-only checks,
+    * which no seed-dependent k-means fit can offer. The ADC structure the
+    * paper actually contributes — 1-byte codes per subspace, a per-query
+    * lookup table, norm-corrected inner-product ranking, exact re-rank of
+    * the pruned candidates — is unchanged. Quantile seeds cluster less
+    * tightly than converged Lloyd centroids, costing some ADC sharpness;
+    * the recall gates in IvfSpec (majority recall@10 for x59, exact
+    * in-list top-5 recovery for x59b) bound that loss on this corpus.
+    *
+    * Scale shape: codebook derivation is one window sort over the
+    * TRAINING frame — at 100 TB that frame is the bounded
+    * [[FitSampleCap]] sample and the codebook an at-rest build artifact
+    * (the registered query derives it from the full test corpus only
+    * because the oracle must re-derive it from the same rows). Encoding
+    * is a pure per-row projection; the search scan reads 8 bytes of
+    * codes + one stored integer norm per row, map-only with a top-k
+    * heap; the exact re-rank touches ~100 rows. */
   val PqM = 8
   val PqK = 16
   val PqSubDim = 8
+  /** Millionths quantization scale (the x52/x60 integer discipline). */
+  val PqScale = 1000000L
 
-  /** Fit the per-subspace codebooks (on the same bounded sample as the
-    * coarse quantizer) and encode every vector as code_0..code_{M-1}.
-    * `input` must carry an `emb_d: array<double>` column — the caller
-    * decides whether that is the raw embedding (plain PQ) or the coarse
-    * residual (IVFADC). Returns (codebooks[m][k][subdim], encoded). */
-  def buildPq(input: DataFrame): (Array[Array[Array[Double]]], DataFrame) = {
-    val n = corpusSize(input)
-    val fitBase =
-      if (n <= FitSampleCap) input
-      else input.sample(withReplacement = false,
-        math.min(1.0, 1.1 * FitSampleCap.toDouble / n), Seed)
-    val models = memoModel(input, "pq") {
-      (0 until PqM).map { ms =>
-        val sub = fitBase.select(array_to_vector(
-          slice(col("emb_d"), ms * PqSubDim + 1, PqSubDim)).as("features"))
-        // Seed offset per subspace: identical seeds on correlated slices
-        // would start every subquantizer from the same relative init.
-        new KMeans().setK(PqK).setSeed(Seed + ms).setMaxIter(10)
-          .setFeaturesCol("features").setPredictionCol("code").fit(sub)
-      }.toIndexedSeq
-    }
-    val encoded = models.zipWithIndex.foldLeft(input) { case (df, (mod, ms)) =>
-      // copy() before re-pointing the prediction column: the cached
-      // model is shared across calls (and test threads) — mutating it
-      // in place would race.
-      mod.copy(org.apache.spark.ml.param.ParamMap.empty)
-        .setPredictionCol(s"code_$ms").transform(
-          df.withColumn("features", array_to_vector(
-            slice(col("emb_d"), ms * PqSubDim + 1, PqSubDim))))
-        .drop("features")
-    }
-    (models.map(_.clusterCenters.map(_.toArray)).toArray, encoded)
+  /** Embedding floats to integer millionths: round(x * 1e6) as BIGINT.
+    * Spark's HALF_UP round matches DuckDB's round-half-away-from-zero on
+    * both signs, so the quantization is engine-exact. */
+  def intMillionths(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c, x => round(x.cast("double") * lit(1000000.0), 0).cast("long"))
+
+  /** The quantile-pinned codebook for ONE subspace: rank subvectors by
+    * (integer L2 norm, vec_id) — a total order both engines reproduce —
+    * and take ranks floor(k*N/K)+1, k = 0..K-1. The window is global,
+    * which is exactly as expensive as sorting the training frame — the
+    * bounded-sample story above. */
+  private def pinnedCodebook(sub: DataFrame): Array[Array[Long]] = {
+    import org.apache.spark.sql.expressions.Window
+    val n = sub.count()
+    val ranks = (0 until PqK).map(k => k.toLong * n / PqK + 1L).distinct
+    sub.select(col("vec_id"), col("s"),
+        aggregate(col("s"), lit(0L), (a, v) => a + v * v).as("nm"))
+      .withColumn("r", row_number().over(Window.orderBy(col("nm"), col("vec_id"))))
+      .filter(col("r").isin(ranks: _*))
+      .orderBy("r").select("s")
+      .collect().map(_.getSeq[Long](0).toArray)
   }
 
-  /** The ADC lookup table for one query: flat(m·K + c) = ⟨q_m, c_{m,c}⟩,
-    * so the approximate inner product of q with an encoded vector is a
-    * sum of M table lookups — no float math against the corpus at all. */
-  private def adcTable(codebooks: Array[Array[Array[Double]]],
-      qv: Array[Double]): Array[Double] =
+  /** Derive the [[PqM]] pinned codebooks over `vecCol` (an integer-
+    * millionths array column) and encode every row as code_0..code_{M-1}.
+    * The caller decides whether `vecCol` is the raw quantized embedding
+    * (plain PQ) or the coarse residual (IVFADC). Codebooks are memoized
+    * per corpus snapshot like the k-means models ([[modelCache]]). */
+  def buildPq(input: DataFrame, vecCol: String = "xi"): (Array[Array[Array[Long]]], DataFrame) = {
+    val codebooks = memoModel(input, s"pqpin-$vecCol") {
+      (0 until PqM).map { ms =>
+        pinnedCodebook(input.select(col("vec_id"),
+          slice(col(vecCol), ms * PqSubDim + 1, PqSubDim).as("s")))
+      }.toArray
+    }
+    val encoded = (0 until PqM).foldLeft(input) { (df, ms) =>
+      df.withColumn(s"code_$ms",
+        codeExpr(codebooks(ms), slice(col(vecCol), ms * PqSubDim + 1, PqSubDim)))
+    }
+    (codebooks, encoded)
+  }
+
+  /** Nearest-codebook-entry expression: integer squared distances to all
+    * K centroids, argmin with first-match (= smallest code) tie-break —
+    * mirrored by the oracle's row_number() OVER (ORDER BY dist, k). */
+  private def codeExpr(cb: Array[Array[Long]], sub: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dists = cb.map { cen =>
+      (0 until PqSubDim).map { d =>
+        val t = element_at(sub, d + 1) - lit(cen(d)); t * t
+      }.reduce(_ + _)
+    }
+    val arr = array(dists.toIndexedSeq: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** The ADC lookup table for one query: flat(m*K + c) = <q_m, c_{m,c}>
+    * in millionths-squared integer units, so the approximate inner
+    * product of q with an encoded vector is a sum of M integer table
+    * lookups — no float math against the corpus at all. */
+  private def adcTable(codebooks: Array[Array[Array[Long]]],
+      qv: Array[Long]): Array[Long] =
     Array.tabulate(PqM * PqK) { i =>
       val ms = i / PqK
       val cen = codebooks(ms)(i % PqK)
-      var d = 0.0
+      var d = 0L
       var j = 0
-      while (j < PqSubDim) { d += cen(j) * qv(ms * PqSubDim + j); j += 1 }
+      while (j < cen.length) { d += cen(j) * qv(ms * PqSubDim + j); j += 1 }
       d
     }
 
-  private def adcScore(flat: Array[Double]): org.apache.spark.sql.Column =
+  private def adcScore(flat: Array[Long]): org.apache.spark.sql.Column =
     (0 until PqM).map(ms =>
       element_at(typedLit(flat.toSeq), lit(ms * PqK + 1) + col(s"code_$ms")))
       .reduce(_ + _)
 
+  /** Stored integer norm-squared of the RAW (millionths) vector — one
+    * BIGINT per row beside the codes, FAISS's cosine-over-IP
+    * discipline: ADC approximates the INNER PRODUCT, but the search
+    * ranks by COSINE, so without the norm a long vector pointing
+    * vaguely queryward outranks a short true neighbour. */
+  private def withNx2(df: DataFrame): DataFrame =
+    df.withColumn("nx2", aggregate(col("xi"), lit(0L), (a, v) => a + v * v))
+
+  /** Norm-corrected ADC score with a zero-norm guard: 0/0 is NaN, and
+    * NaN sorts ABOVE every double in descending order, so a degenerate
+    * all-zero embedding would otherwise seize top candidate slots and
+    * surface NaN cosines through the re-rank. Zero-norm rows rank last
+    * instead. The divide chain (integer dot as double, / sqrt(integer
+    * norm), / 1e6 unit correction) is IEEE-deterministic from
+    * engine-identical integers. */
+  private def overNorm(dot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(col("nx2") > 0,
+      dot.cast("double") / sqrt(col("nx2").cast("double")) / lit(1000000.0))
+      .otherwise(lit(Double.NegativeInfinity))
+
   /** Exact re-rank of the ADC top-`cand` candidates: the standard PQ
     * refinement — the heap-pruned candidate set is tiny, so the exact
-    * cosine touches ~cand rows, not the corpus. */
-  /** `cands` carries only (vec_id, adc_dot) — the heap stage must stay
-    * code-only so the corpus scan never decodes raw vectors (the whole
-    * point of the 32× scan-bytes claim); the ~`cand` surviving ids
-    * BROADCAST back against the embeddings table to fetch exactly the
-    * vectors the exact re-rank touches. */
+    * cosine touches ~cand rows, not the corpus. `cands` carries only
+    * (vec_id, adc_dot) — the heap stage must stay code-only so the
+    * corpus scan never decodes raw vectors (the whole point of the 32x
+    * scan-bytes claim); the ~`cand` surviving ids BROADCAST back against
+    * the embeddings table to fetch exactly the vectors the exact re-rank
+    * touches. */
   private def rerank(cands: DataFrame, emb: DataFrame, q: DataFrame,
       k: Int): DataFrame =
     emb.select(col("vec_id"), col("embedding"))
@@ -266,40 +335,19 @@ object Ivf {
       .limit(k)
       .orderBy(col("cosine").desc, col("vec_id"))
 
-  /** The exact vector norm, stored beside the codes at encode time (one
-    * float per vector — FAISS's cosine-over-IP discipline): ADC
-    * approximates the INNER PRODUCT, but the search ranks by COSINE, so
-    * without the norm a long vector pointing vaguely queryward outranks
-    * a short true neighbour and recall collapses (measured: 4/10 at
-    * sf0.001 ranking by raw ADC dot vs 9/10 with the stored norm). */
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("xnorm", sqrt(aggregate(col("emb_d"), lit(0.0),
-      (acc, x) => acc + x * x)))
-
-  /** Norm-corrected ADC score with a zero-norm guard: 0/0 is NaN, and
-    * NaN sorts ABOVE every double in descending order, so a degenerate
-    * all-zero embedding would otherwise seize top candidate slots and
-    * surface NaN cosines through the re-rank. Zero-norm rows rank last
-    * instead (−∞ can never enter the top-k while any finite score
-    * exists). */
-  private def overNorm(dot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(col("xnorm") > 0, dot / col("xnorm"))
-      .otherwise(lit(Double.NegativeInfinity))
-
   /** x59: PQ-ADC top-10 for the vec_id=0 query — full-corpus ADC scan
-    * (8 byte codes + one stored norm + M table lookups per row, map-only
-    * with a top-k heap), then exact re-rank of the top 100. Deterministic
-    * given the seed; k-means codebooks are not portable → rows-only. */
+    * (8 byte codes + one stored integer norm + M table lookups per row,
+    * map-only with a top-k heap), then exact re-rank of the top 100.
+    * Fully engine-exact (pinned integer codebooks) -> full oracle. */
   def searchPqQuery(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = Tables.t(s, dir, "embeddings")
-    val (codebooks, encoded) =
-      buildPq(withNorm(emb.withColumn("emb_d", col("embedding").cast("array<double>"))))
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
+    val base = emb.select(col("vec_id"), intMillionths(col("embedding")).as("xi"))
+    val (codebooks, encoded) = buildPq(base)
+    val qv = base.filter(col("vec_id") === 0)
+      .select("xi").head().getSeq[Long](0).toArray
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    val cands = encoded.filter(col("vec_id") =!= 0)
+    val cands = withNx2(encoded).filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
         overNorm(adcScore(adcTable(codebooks, qv))).as("adc_dot"))
       .orderBy(col("adc_dot").desc, col("vec_id"))
@@ -307,46 +355,173 @@ object Ivf {
     rerank(cands, emb, q, 10)
   }
 
-  /** x59b: IVFADC (Jégou et al. §IV) — coarse k-means lists + PQ over
-    * the RESIDUAL (x − c_list). A probe reads only `nprobe` lists
-    * (partition-pruned at rest) and scores each row as
-    * ⟨q, c_list⟩ + Σ_m table[code_m] — the residual codebook is shared
-    * across lists, so the query pays ONE table plus one 8-entry
-    * coarse-dot lookup. Exact re-rank of the pruned candidates. */
+  /** x59b: IVFADC (Jegou et al. SIV) — coarse lists + PQ over the
+    * RESIDUAL (x - c_list). The coarse quantizer here is the `label`
+    * partition (the established IVF-list surface of b29b/x52b — at rest
+    * the table is bucketed by it) with integer-floor mean centroids, so
+    * the coarse stage is engine-exact too. A probe reads only the 2
+    * lists whose centroids are nearest the query (partition-pruned at
+    * rest) and scores each row as <q, c_list> + sum_m table[code_m] —
+    * the residual codebook is shared across lists, so the query pays ONE
+    * table plus a per-list coarse-dot lookup. Exact re-rank of the
+    * pruned candidates. */
   def searchIvfPqQuery(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val dim = PqM * PqSubDim
     val emb = Tables.t(s, dir, "embeddings")
-    val (coarse, indexed) = build(emb)
-    val centers = coarse.clusterCenters.map(_.toArray)
-    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
-    val residual = withNorm(indexed
-      .withColumn("emb_d", col("embedding").cast("array<double>")))
-      .withColumn("emb_d", zip_with(col("emb_d"),
-        element_at(centersLit, col("list_id") + 1), (x, c) => x - c))
-    val (codebooks, encoded) = buildPq(residual)
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
-    val lists = probeLists(coarse, qv, nprobe = 2)
-    val qDotC = centers.map { c =>
-      var d = 0.0
-      var j = 0
-      while (j < qv.length) { d += c(j) * qv(j); j += 1 }
-      d
+    val base = emb.select(col("vec_id"), col("label"),
+      intMillionths(col("embedding")).as("xi"))
+    // Integer-floor per-label centroids: floor(sum/count) over BIGINT
+    // millionths — sum/count is exact in double below 2^53, and both
+    // engines floor the identical quotient.
+    val cenFrame = base.groupBy("label").agg(
+      array((0 until dim).map(d =>
+        floor(sum(element_at(col("xi"), d + 1)).cast("double") / count(lit(1)))
+          .cast("long")): _*).as("c"))
+    val centroids: Array[(Int, Array[Long])] = cenFrame.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    val qv = base.filter(col("vec_id") === 0)
+      .select("xi").head().getSeq[Long](0).toArray
+    // Probe the 2 nearest label centroids (integer L2, ties -> smaller
+    // label — mirrored by the oracle's ORDER BY d2, label LIMIT 2).
+    val ranked = centroids.map { case (l, c) =>
+      var d2 = 0L; var j = 0
+      while (j < dim) { val t = qv(j) - c(j); d2 += t * t; j += 1 }
+      (d2, l)
+    }.sorted.toSeq
+    val lists = ranked.take(2).map(_._2)
+    val qdcByLabel: Array[Long] = {
+      val arr = Array.fill(centroids.map(_._1).max + 1)(0L)
+      centroids.foreach { case (l, c) =>
+        var d = 0L; var j = 0
+        while (j < dim) { d += qv(j) * c(j); j += 1 }
+        arr(l) = d
+      }
+      arr
     }
+    val residual = base.join(broadcast(cenFrame), "label")
+      .withColumn("xi_res", zip_with(col("xi"), col("c"), (x, cc) => x - cc))
+      .select(col("vec_id"), col("label"), col("xi"), col("xi_res"))
+    val (codebooks, encoded) = buildPq(residual, "xi_res")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    val cands = encoded
-      .filter(col("vec_id") =!= 0 && col("list_id").isin(lists: _*))
+    val cands = withNx2(encoded)
+      .filter(col("vec_id") =!= 0 && col("label").isin(lists: _*))
       .select(col("vec_id"),
-        overNorm(element_at(typedLit(qDotC.toSeq), col("list_id") + 1) +
+        overNorm(element_at(typedLit(qdcByLabel.toSeq), col("label") + 1) +
           adcScore(adcTable(codebooks, qv))).as("adc_dot"))
       .orderBy(col("adc_dot").desc, col("vec_id"))
       .limit(100)
     rerank(cands, emb, q, 5)
   }
 
+  // ------------------------------------------------------ x59 oracles
+  private def sqS(a: String, b: String, n: Int, offA: Int = 0, offB: Int = 0): String =
+    (1 to n).map(i =>
+      s"($a[${offA + i}]-$b[${offB + i}])*($a[${offA + i}]-$b[${offB + i}])")
+      .mkString(" + ")
+  private def dotS(a: String, b: String, n: Int, offA: Int = 0, offB: Int = 0): String =
+    (1 to n).map(i => s"$a[${offA + i}]*$b[${offB + i}]").mkString(" + ")
+
+  /** The per-subspace CTE chain mirroring [[pinnedCodebook]] +
+    * [[codeExpr]] + the ADC contribution over source `src` (vec_id, v:
+    * BIGINT list): rank by (norm, vec_id); seeds at floor(k*N/K)+1;
+    * assign by (dist, k) row_number; contribute <c, q_sub>. */
+  private def pqSubCtes(m: Int, src: String): String = {
+    val off = m * PqSubDim
+    s"""sub$m AS (SELECT vec_id, v[${off + 1}:${off + PqSubDim}] AS s FROM $src),
+       rk$m AS (SELECT vec_id, s,
+                  row_number() OVER (ORDER BY ${dotS("s", "s", PqSubDim)}, vec_id) AS r
+                FROM sub$m),
+       sd$m AS (SELECT g.k AS k, rk.s AS c
+                FROM (SELECT unnest(generate_series(0, ${PqK - 1})) AS k) g
+                CROSS JOIN (SELECT count(*) AS n FROM $src) nn
+                JOIN rk$m rk ON rk.r = (g.k * nn.n) // $PqK + 1),
+       as$m AS (SELECT vec_id, c FROM
+                  (SELECT a.vec_id, s.c, s.k,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${sqS("a.s", "s.c", PqSubDim)}, s.k) AS rn
+                   FROM sub$m a CROSS JOIN sd$m s)
+                WHERE rn = 1),
+       ct$m AS (SELECT a.vec_id, CAST(${dotS("a.c", "q.qx", PqSubDim, 0, off)} AS BIGINT) AS t
+                FROM as$m a CROSS JOIN q)"""
+  }
+
+  private def adcJoinCtes: String = {
+    val adcSum = (0 until PqM).map(m => s"ct$m.t").mkString(" + ")
+    val joins = (1 until PqM).map(m => s"JOIN ct$m USING (vec_id)").mkString(" ")
+    s"adc AS (SELECT ct0.vec_id, $adcSum AS adc FROM ct0 $joins)"
+  }
+
+  private val rerankSql =
+    """z AS (SELECT c.vec_id, c.ad, unnest(e.embedding) AS x,
+             unnest((SELECT embedding FROM embeddings WHERE vec_id = 0)) AS y
+           FROM cand c JOIN embeddings e USING (vec_id)),
+       sr AS (SELECT vec_id, any_value(ad) AS ad,
+                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+              FROM z GROUP BY vec_id)"""
+
+  private val xtCte =
+    """xt AS (SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       FROM embeddings)"""
+
+  private val x59Sql = {
+    val dim = PqM * PqSubDim
+    val subs = (0 until PqM).map(pqSubCtes(_, "xt")).mkString(",\n       ")
+    s"""WITH $xtCte,
+       q AS (SELECT v AS qx FROM xt WHERE vec_id = 0),
+       $subs,
+       $adcJoinCtes,
+       nx AS (SELECT vec_id, ${dotS("v", "v", dim)} AS nx2 FROM xt),
+       cand AS (SELECT vec_id,
+           CASE WHEN nx.nx2 = 0 THEN CAST('-infinity' AS DOUBLE)
+                ELSE CAST(adc.adc AS DOUBLE) / sqrt(CAST(nx.nx2 AS DOUBLE)) / 1000000.0 END AS ad
+         FROM adc JOIN nx USING (vec_id)
+         WHERE vec_id <> 0
+         ORDER BY ad DESC, vec_id LIMIT 100),
+       $rerankSql
+       SELECT vec_id, round(ad, 4) AS adc_dot,
+         round(dot / (sqrt(na) * sqrt(nq)), 4) AS cosine
+       FROM sr ORDER BY cosine DESC, vec_id LIMIT 10"""
+  }
+
+  private val x59bSql = {
+    val dim = PqM * PqSubDim
+    val cenTerms = (1 to dim).map(i =>
+      s"CAST(floor(CAST(sum(v[$i]) AS DOUBLE) / count(*)) AS BIGINT)").mkString(", ")
+    val resTerms = (1 to dim).map(i => s"x.v[$i] - cen.c[$i]").mkString(", ")
+    val subs = (0 until PqM).map(pqSubCtes(_, "rt")).mkString(",\n       ")
+    s"""WITH $xtCte,
+       q AS (SELECT v AS qx FROM xt WHERE vec_id = 0),
+       cen AS (SELECT label, [$cenTerms] AS c FROM xt GROUP BY label),
+       pd AS (SELECT cen.label AS label, ${sqS("q.qx", "cen.c", dim)} AS d2,
+                CAST(${dotS("q.qx", "cen.c", dim)} AS BIGINT) AS qdc
+              FROM cen CROSS JOIN q),
+       pl AS (SELECT label, qdc FROM pd ORDER BY d2, label LIMIT 2),
+       rt AS (SELECT x.vec_id, x.label, [$resTerms] AS v
+              FROM xt x JOIN cen ON x.label = cen.label),
+       $subs,
+       $adcJoinCtes,
+       nx AS (SELECT vec_id, ${dotS("v", "v", dim)} AS nx2 FROM xt),
+       cand AS (SELECT x.vec_id,
+           CASE WHEN nx.nx2 = 0 THEN CAST('-infinity' AS DOUBLE)
+                ELSE CAST(pl.qdc + adc.adc AS DOUBLE) / sqrt(CAST(nx.nx2 AS DOUBLE)) / 1000000.0 END AS ad
+         FROM xt x JOIN pl ON x.label = pl.label
+           JOIN adc ON adc.vec_id = x.vec_id
+           JOIN nx ON nx.vec_id = x.vec_id
+         WHERE x.vec_id <> 0
+         ORDER BY ad DESC, x.vec_id LIMIT 100),
+       $rerankSql
+       SELECT vec_id, round(ad, 4) AS adc_dot,
+         round(dot / (sqrt(na) * sqrt(nq)), 4) AS cosine
+       FROM sr ORDER BY cosine DESC, vec_id LIMIT 5"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x10_ann_ivf_kmeans", searchQuery, None),
-    QueryDef("x59_ann_pq_adc", searchPqQuery, None),
-    QueryDef("x59b_ann_ivfadc", searchIvfPqQuery, None))
+    QueryDef("x59_ann_pq_adc", searchPqQuery, Some(x59Sql)),
+    QueryDef("x59b_ann_ivfadc", searchIvfPqQuery, Some(x59bSql)))
 }

@@ -74,17 +74,39 @@ class IvfSpec extends SparkSpec {
   }
 
   test("x59b: IVFADC top-5 equals the exact-in-list top-5 (quantization fully recovered)") {
-    // Same coarse model and probe set as x10's exact search, so the ADC
-    // candidate stage is the only difference; re-rank must recover the
-    // exact in-list answer end-to-end.
-    val inList = Ivf.searchQuery(spark, sf).collect().map(_.getLong(0)).take(5).toSeq
+    // Coarse lists are the label partitions (integer-floor mean
+    // centroids). Recompute the probe set independently and the exact
+    // cosine top-5 restricted to those lists — the ADC candidate stage
+    // is then the only difference, so re-rank must recover the exact
+    // in-list answer end-to-end.
+    val emb = Tables.t(spark, sf, "embeddings")
+    val dim = Ivf.PqM * Ivf.PqSubDim
+    val base = emb.select(col("vec_id"), col("label"),
+      Ivf.intMillionths(col("embedding")).as("xi"))
+    val cen = base.groupBy("label").agg(
+      array((0 until dim).map(d =>
+        floor(sum(element_at(col("xi"), d + 1)).cast("double") / count(lit(1)))
+          .cast("long")): _*).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+    val qv = base.filter(col("vec_id") === 0).select("xi").head().getSeq[Long](0).toArray
+    val probes = cen.map { case (l, c) =>
+      var d2 = 0L; var j = 0
+      while (j < dim) { val t = qv(j) - c(j); d2 += t * t; j += 1 }
+      (d2, l)
+    }.sorted.take(2).map(_._2).toSeq
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val inList = emb.filter(col("vec_id") =!= 0 && col("label").isin(probes: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(Similarity.cosine(col("embedding"), col("q_emb")), 4).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
     val ivfadc = Ivf.searchIvfPqQuery(spark, sf).collect().map(_.getLong(0)).toSeq
     assert(ivfadc == inList, s"ivfadc=$ivfadc exact-in-list=$inList")
   }
 
   test("x59: PQ codes are in range and deterministic across runs") {
     val (cb, enc) = Ivf.buildPq(Tables.t(spark, sf, "embeddings")
-      .withColumn("emb_d", col("embedding").cast("array<double>")))
+      .select(col("vec_id"), Ivf.intMillionths(col("embedding")).as("xi")))
     assert(cb.length == Ivf.PqM && cb.forall(_.length == Ivf.PqK) &&
       cb.forall(_.forall(_.length == Ivf.PqSubDim)))
     val bounds = enc.select(
