@@ -1230,6 +1230,60 @@ object Curation {
               coalesce(cl.clean_text, '') AS clean_text
        FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- x30b
+  /** Deterministic multi-line view of the single-line corpus — the
+    * planted-boilerplate shape a real newline corpus carries: a
+    * per-source header line ("src: ..."), the body split into lines at
+    * the literal token " a " (left-to-right non-overlapping literal
+    * replace — identical semantics in Spark's `replace` and DuckDB's),
+    * and a per-lang footer ("lang: ..."). With ~20 sources and ~5 langs
+    * every header/footer line is shared by >3 docs, so the hot set is
+    * REAL cross-document boilerplate, and repetitive bodies yield real
+    * within-document duplicate lines. Shared by x30b and x58d so the
+    * engine queries and their oracles can never disagree on the
+    * derivation. */
+  def multiLineDocs(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      concat(lit("src: "), col("source"), lit("\n"),
+        replace(col("text"), lit(" a "), lit("\n")), lit("\n"),
+        lit("lang: "), col("lang")).as("text"))
+
+  /** The oracle-side derivation of [[multiLineDocs]], verbatim. */
+  private[pipeline] val mdCte =
+    """md AS (SELECT doc_id,
+         'src: ' || source || chr(10) || replace(text, ' a ', chr(10)) ||
+           chr(10) || 'lang: ' || lang AS text
+       FROM documents)"""
+
+  /** x30b: [[lineDedupOn]] over REAL newline lines — the registered
+    * newline-faithful variant (x30's scaladoc discloses that the
+    * synthetic corpus is single-line; this closes that gap with a
+    * derived multi-line corpus both engines build identically). Strips
+    * the planted header/footer boilerplate plus any body line hot
+    * across >3 docs; reassembles with newline separators. */
+  def lineDedupNewline(s: SparkSession, dir: String): DataFrame =
+    lineDedupOn(multiLineDocs(docs(s, dir)), split(col("text"), "\n"),
+      maxDf = 3, sep = "\n")
+
+  private val x30bSql =
+    s"""WITH $mdCte,
+       t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM md),
+       spans AS (SELECT doc_id, i AS pos, lines[i+1] AS line
+                 FROM t, unnest(generate_series(0, len(lines) - 1)) u(i)),
+       hot AS (SELECT line FROM
+                 (SELECT line, count(DISTINCT doc_id) AS df FROM spans GROUP BY line)
+               WHERE df > 3),
+       kept AS (SELECT * FROM spans WHERE line NOT IN (SELECT line FROM hot)),
+       cl AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id),
+       nl AS (SELECT doc_id, CAST(coalesce(len(lines), 0) AS BIGINT) AS n_lines FROM t)
+       SELECT nl.doc_id, nl.n_lines,
+              coalesce(cl.n_kept, 0) AS n_kept,
+              nl.n_lines - coalesce(cl.n_kept, 0) AS n_removed,
+              coalesce(cl.clean_text, '') AS clean_text
+       FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x39
   /** WITHIN-document repeated-line strip — the transform counterpart of
     * x18's repetition MEASUREMENT (Gopher's "duplicate line fraction"
@@ -2228,6 +2282,7 @@ object Curation {
     QueryDef("x46_curate_v2", x46, Some(x46Sql)),
     QueryDef("x48_decon_strip", deconStripQuery, Some(x48Sql)),
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
+    QueryDef("x30b_line_dedup_newline", lineDedupNewline, Some(x30bSql)),
     QueryDef("x39_intradoc_dedup", intraDocDedup, Some(x39Sql)),
     QueryDef("x45_cross_strip", crossStrip, Some(x45Sql)),
     QueryDef("x40_content_chunks", contentChunksQuery, Some(x40Sql)),

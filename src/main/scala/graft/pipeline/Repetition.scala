@@ -194,6 +194,49 @@ object Repetition {
   private val DupGramThresholds =
     Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
 
+  // -------------------------------------------------------------- x58d
+  /** The two Gopher LINE signals over an arbitrary line expression —
+    * [[batteryOf]]'s counterpart freed from the 3-token-span
+    * segmentation. Scale shape identical to [[lineStats]]: one explode,
+    * two (doc, line)- then doc-keyed map-side-combinable aggregations. */
+  def lineSignalsOf(docsDf: DataFrame, lines: org.apache.spark.sql.Column): DataFrame =
+    docsDf.select(col("doc_id"), explode(lines).as("line"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+      .withColumn("lc", length(col("line")).cast("long"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_lines"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("dup_lines"),
+        sum(col("c") * col("lc")).as("line_chars"),
+        sum(when(col("c") > 1, (col("c") - 1) * col("lc")).otherwise(0L)).as("dup_line_chars"))
+      .select(col("doc_id"), col("n_lines"),
+        frac(col("dup_lines"), col("n_lines")).as("dup_line_frac"),
+        frac(col("dup_line_chars"), col("line_chars")).as("dup_line_char_frac"))
+
+  /** x58d: duplicate-line fraction and duplicate-line CHARACTER fraction
+    * over REAL newline lines (Rae et al. Table A1 as published), on the
+    * derived multi-line corpus ([[Curation.multiLineDocs]]) — closes the
+    * single-line deviation disclosed in this file's header: "lines" here
+    * are genuine newline-delimited lines, including the planted
+    * header/footer boilerplate and split bodies. */
+  def dupLinesNewline(s: SparkSession, dir: String): DataFrame =
+    lineSignalsOf(Curation.multiLineDocs(docs(s, dir)), split(col("text"), "\n"))
+      .orderBy("doc_id")
+
+  private val x58dSql =
+    s"""WITH ${Curation.mdCte},
+       nlines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM md),
+       lg AS (SELECT doc_id, line, count(*) AS c, len(line) AS lc
+              FROM nlines GROUP BY doc_id, line),
+       ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+                sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dup_lines,
+                sum(c * lc) AS line_chars,
+                sum(CASE WHEN c > 1 THEN (c - 1) * lc ELSE 0 END) AS dup_line_chars
+              FROM lg GROUP BY doc_id)
+       SELECT doc_id, n_lines,
+         ${fracSql("dup_lines", "n_lines")} AS dup_line_frac,
+         ${fracSql("dup_line_chars", "line_chars")} AS dup_line_char_frac
+       FROM ls ORDER BY doc_id"""
+
   // ------------------------------------------------------------ oracles
   private val ttCte =
     """tt AS (SELECT doc_id, length(text) AS n_char, string_split(text, ' ') AS t
@@ -296,5 +339,6 @@ object Repetition {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x58_repetition_battery", repetitionBattery, Some(x58Sql)),
     QueryDef("x58b_dup_ngram_coverage", dupNgramCoverage, Some(x58bSql)),
-    QueryDef("x58c_repetition_gate", repetitionGate, Some(x58cSql)))
+    QueryDef("x58c_repetition_gate", repetitionGate, Some(x58cSql)),
+    QueryDef("x58d_dup_lines_newline", dupLinesNewline, Some(x58dSql)))
 }

@@ -535,6 +535,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x30b: newline variant strips the planted header/footer boilerplate") {
+    // Every derived doc carries a per-source header and per-lang footer;
+    // with ~20 sources / ~5 langs over hundreds of docs both lines are
+    // hot (df > 3), so every doc must lose at least those two lines, and
+    // no surviving clean_text may still carry them.
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val out = Curation.lineDedupNewline(spark, sf)
+    assert(out.count() == docs.count())
+    assert(out.agg(min("n_removed")).head().getLong(0) >= 2L)
+    assert(out.filter(col("clean_text").contains("src: ") ||
+      col("clean_text").contains("lang: ")).count() == 0L)
+    // Reassembly keeps real newlines between surviving lines.
+    assert(out.filter(col("n_kept") > 1 && !col("clean_text").contains("\n"))
+      .count() == 0L)
+  }
+
   test("registered x30 span form audits null text as zero mass, no phantom spans") {
     import spark.implicits._
     // The registered lineDedup builds spans via transform(sequence(...)):

@@ -103,6 +103,30 @@ class RepetitionSpec extends SparkSpec {
     for (n <- 5 to 10) assert(g(2L).getAs[Boolean](s"pass_dup_${n}gram"))
   }
 
+  test("x58d lineSignalsOf: hand-computed dup-line signals on planted real newlines") {
+    // lines: [nav, body one, nav, footer] -> n=4, dup=1 (one repeat of
+    // nav), chars: 3*2 + 8 + 6 = 20, dup chars = 3.
+    val in = Seq(
+      (1L, "nav\nbody one\nnav\nfooter"),
+      (2L, "only line")).toDF("doc_id", "text")
+    val out = Repetition.lineSignalsOf(in, org.apache.spark.sql.functions.split($"text", "\n"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") == 4L)
+    assert(out(1L).getAs[Double]("dup_line_frac") == 0.25)
+    assert(out(1L).getAs[Double]("dup_line_char_frac") == 0.15)
+    assert(out(2L).getAs[Long]("n_lines") == 1L)
+    assert(out(2L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(out(2L).getAs[Double]("dup_line_char_frac") == 0.0)
+  }
+
+  test("x58d: newline variant emits one row per derived multi-line document") {
+    val n = graft.Tables.t(spark, sf, "documents").count()
+    val d = Repetition.dupLinesNewline(spark, sf)
+    assert(d.count() == n)
+    // The derived corpus has >= 3 lines per doc (header, body, footer).
+    assert(d.agg(org.apache.spark.sql.functions.min("n_lines")).head().getLong(0) >= 3L)
+  }
+
   test("x58 runs on the real corpus with one row per document") {
     val n = graft.Tables.t(spark, sf, "documents").count()
     assert(Repetition.repetitionBattery(spark, sf).count() == n)
