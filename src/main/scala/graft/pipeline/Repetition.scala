@@ -163,9 +163,12 @@ object Repetition {
     gateFrom(batteryFrame(s, dir), coverageFrame(s, dir)).orderBy("doc_id")
 
   /** The gate over ANY (doc_id, text) frame — per-doc and stateless, so
-    * it slots into a foreachBatch admission body unchanged. */
+    * it slots into a foreachBatch admission body unchanged. Un-ordered:
+    * this is the hot admission-path form (StreamingJobs.ingestAdmit),
+    * where a global sort would serialize every micro-batch for nothing;
+    * the registered x58c keeps its own oracle-mandated ORDER BY. */
   def gateOf(docsDf: DataFrame): DataFrame =
-    gateFrom(batteryOf(docsDf), coverageOf(docsDf)).orderBy("doc_id")
+    gateFrom(batteryOf(docsDf), coverageOf(docsDf))
 
   private def gateFrom(battery: DataFrame, coverage: DataFrame): DataFrame = {
     // LEFT join + coalesce-to-0 coverage: a doc whose text tokenizes to

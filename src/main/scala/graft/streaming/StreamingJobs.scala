@@ -139,11 +139,29 @@ object StreamingJobs {
     * partial admissions a downstream join would have to reconcile. */
   def ingestAdmit(batch: DataFrame, refDocs: DataFrame, corpusVecs: DataFrame,
       lexThreshold: Double, semThreshold: Double,
-      qualityGate: Option[Column] = None): DataFrame = {
+      qualityGate: Option[Column] = None,
+      repetitionGate: Boolean = false): DataFrame = {
     // Cheapest tier first: a per-row quality predicate (e.g. the x51
     // Gopher battery via Selection.gopherPassColumn) rejects before any
     // dedup join runs — the production admission ordering.
-    val gated = qualityGate.map(batch.filter).getOrElse(batch)
+    val gated0 = qualityGate.map(batch.filter).getOrElse(batch)
+    // Optional x58c tier: the full published Gopher repetition battery
+    // (x58/x58b signals at the Table-A1 thresholds) as an admission
+    // rule. Per-doc and stateless across docs, so batch ≡ stream holds
+    // by construction — but NOT per-row: the signals are aggregations
+    // over a doc's own n-grams, so an at-least-once duplicate delivery
+    // (k copies of one doc in a batch) would double every count and
+    // flip verdicts. The gate therefore computes on DISTINCT
+    // (doc_id, text) and rejoins left_semi, which also preserves the
+    // batch's own row multiplicity for the idempotent sink (the same
+    // discipline as the semantic-tier rejoin below).
+    val gated =
+      if (!repetitionGate) gated0
+      else gated0.join(
+        graft.pipeline.Repetition.gateOf(
+          gated0.select(col("doc_id"), col("text")).distinct())
+          .filter(col("pass_all")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
     val lexOk = graft.pipeline.Dedup.incrementalDedup(gated, refDocs, lexThreshold)
     val semOk = graft.pipeline.Similarity.incrementalSemanticDedupAuto(
       lexOk.select(col("doc_id").as("vec_id"), col("embedding")),
@@ -169,14 +187,15 @@ object StreamingJobs {
     * sink idempotent. */
   def ingestDedupStream(newDocs: DataFrame, refDocs: DataFrame,
       corpusVecs: DataFrame, lexThreshold: Double, semThreshold: Double,
-      checkpointDir: String, qualityGate: Option[Column] = None)(
+      checkpointDir: String, qualityGate: Option[Column] = None,
+      repetitionGate: Boolean = false)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(ingestAdmit(batch, refDocs, corpusVecs, lexThreshold, semThreshold,
-          qualityGate), batchId)
+          qualityGate, repetitionGate), batchId)
       }
       .start()
 

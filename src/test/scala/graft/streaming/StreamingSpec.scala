@@ -339,6 +339,46 @@ class StreamingSpec extends SparkSpec {
     hot.unpersist()
   }
 
+  test("unified ingest with the x58c repetition tier: reject repetitive docs; dup delivery safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq(Doc(1L, "alpha beta gamma delta epsilon", "en")).toDF()
+    val corpusVecs = Seq(Vec(1L, Array(1.0f, 0.0f, 0.0f))).toDF()
+    // 40 = long doc of 60 DISTINCT words: every repetition signal ~0,
+    // passes the battery, novel on every dedup tier. 41 = periodic spam
+    // ("spam ham eggs" x 20): novel on the dedup tiers (nothing like it
+    // in refDocs) but saturated dup-line/top-gram signals — the
+    // repetition tier must reject it BEFORE dedup. 40 is delivered
+    // TWICE in one batch: the battery computes on distinct docs, so the
+    // duplicate must neither flip the verdict nor amplify output.
+    val passingText = (0 until 60).map(i => s"word$i").mkString(" ")
+    val arrivals = Seq(
+      DocVec(40L, passingText, "en", null),
+      DocVec(40L, passingText, "en", null),
+      DocVec(41L, Seq.fill(20)("spam ham eggs").mkString(" "), "en", null))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val input = MemoryStream[DocVec]
+    val dir = java.nio.file.Files.createTempDirectory("ingest_rep").toString
+    val q = StreamingJobs.ingestDedupStream(
+      input.toDF(), refDocs, corpusVecs, 0.8, 0.9, dir,
+      qualityGate = None, repetitionGate = true) { (admitted, _) =>
+      out += admitted.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    input.addData(arrivals)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.flatten.toSeq
+    val batch = StreamingJobs.ingestAdmit(
+      arrivals.toDF(), refDocs, corpusVecs, 0.8, 0.9,
+      qualityGate = None, repetitionGate = true)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
+    assert(streamed.nonEmpty && streamed.forall(_ == 40L),
+      s"doc 40 admitted, repetitive doc 41 rejected: $streamed")
+    assert(streamed.size <= 2,
+      s"duplicate delivery must not be amplified: $streamed")
+  }
+
   test("x58c repetition gate (foreachBatch) equals the batch gate — per-doc, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
