@@ -30,6 +30,21 @@ object Bench {
         .toMap - "value"
     }
 
+  /** Cross-round drift threshold, extracted pure so BenchGuardSpec can
+    * pin it: queries above the 2 s stage floor use the TIGHTER 2.0×
+    * threshold (r7's x30 doubled on byte-identical source and slid
+    * exactly under 2.5×); smaller queries keep the looser bound so GC
+    * jitter doesn't buy extra runs every round. */
+  private[graft] def driftX(prior: Double): Double =
+    if (prior > 2.0) 2.0 else 2.5
+
+  /** True when a query's best timing this round exceeds the drift
+    * threshold over its prior-round time. Sub-0.2 s priors are never
+    * flagged — below the stage floor, scheduler noise alone produces
+    * multiples. */
+  private[graft] def drifted(minRun: Double, prior: Double): Boolean =
+    prior > 0.2 && minRun > prior * driftX(prior)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -158,12 +173,11 @@ object Bench {
         // the stage floor, a genuine 2× move is already worth a third
         // timing, while sub-2 s queries keep the looser bound so GC
         // jitter doesn't buy extra runs every round.
-        val driftX = if (p > 2.0) 2.0 else 2.5
-        if (p > 0.2 && runs.nonEmpty && runs.min > p * driftX) {
-          System.err.println(f"[bench] $name: min ${runs.min}%.3f s is >$driftX%.1fx " +
+        if (runs.nonEmpty && drifted(runs.min, p)) {
+          System.err.println(f"[bench] $name: min ${runs.min}%.3f s is >${driftX(p)}%.1fx " +
             f"last round's $p%.3f s — taking an extra run to rule out load")
           runs = runs ++ timeOnce(name, fn).toSeq
-          if (runs.min > p * driftX) System.err.println(
+          if (drifted(runs.min, p)) System.err.println(
             f"[bench] $name: drift persists (${runs.min}%.3f s) — likely real")
         }
       }

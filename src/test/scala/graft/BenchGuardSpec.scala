@@ -36,6 +36,38 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(m == Map("b05_select_rename_cast" -> 0.452, "x25_curate_pipeline" -> 8.27))
   }
 
+  test("the r10 artifact seeds the graph/repetition/PQ families for the r11 guard") {
+    // The r10 additions (x58 battery, PQ-ADC, graph centrality) must be
+    // drift-guarded from their FIRST follow-up round — a clipped tail
+    // that dropped them would silently disable the guard exactly where
+    // the code is newest.
+    val p = java.nio.file.Paths.get("BENCH_r10.json")
+    assume(java.nio.file.Files.exists(p), "driver artifact present in repo root")
+    val m = Bench.parsePriorTimes(java.nio.file.Files.readString(p), "/root/testdata/sf0.1")
+    val want = Map(
+      "x58_repetition_battery" -> 1.490, "x58b_dup_ngram_coverage" -> 2.793,
+      "x58c_repetition_gate" -> 3.677, "x59_ann_pq_adc" -> 0.394,
+      "x59b_ann_ivfadc" -> 0.405, "x60_graph_pagerank" -> 1.997,
+      "x60b_pagerank_keep_best" -> 3.201, "x61_triangle_stats" -> 0.895,
+      "x62_kcore_membership" -> 1.771, "x63_harmonic_centrality" -> 1.039)
+    want.foreach { case (q, t) =>
+      assert(m.get(q).contains(t), s"$q: expected $t, got ${m.get(q)}")
+    }
+  }
+
+  test("drift decision: flags a genuine 2x move above the stage floor, ignores noise") {
+    // Failing case the guard exists for: x58c at its r10 prior (3.677 s,
+    // above the 2 s floor -> tight 2.0x) must flag an 8 s reading...
+    assert(Bench.drifted(8.0, 3.677))
+    // ...but not a 5 s one (under 2x), and sub-floor priors never flag.
+    assert(!Bench.drifted(5.0, 3.677))
+    assert(!Bench.drifted(1.0, 0.15), "sub-0.2 s priors are scheduler noise")
+    // The 2.5x loose band for small-but-real queries: 0.25 s prior flags
+    // only past 0.625 s.
+    assert(!Bench.drifted(0.62, 0.25))
+    assert(Bench.drifted(0.63, 0.25))
+  }
+
   test("the actual BENCH_r06.json artifact yields prior times for the guard") {
     val p = java.nio.file.Paths.get("BENCH_r06.json")
     assume(java.nio.file.Files.exists(p), "driver artifact present in repo root")

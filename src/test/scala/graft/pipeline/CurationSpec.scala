@@ -297,6 +297,37 @@ class CurationSpec extends SparkSpec {
       s"empty doc must audit 0 tokens / 0 masked: ${audited(900001L)}")
   }
 
+  test("reliable checkpoint mode: the loop-heavy graph family reproduces its local-mode output") {
+    // k-core (10 fixed peels, one stable() per peel) and radius-3
+    // harmonic (BFS frontier checkpoints) are the heaviest multi-
+    // checkpoint loops in the repo; curateV2's reliable-mode gate alone
+    // does not prove the toggle holds for them. Pins output identity
+    // under `reliable` and that files actually landed.
+    import spark.implicits._
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 20L)).toDF("doc_id")
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("da", "db")
+    val localK = Curation.kcoreFromPairs(nodes, pairs, k = 3, peels = 10).collect().toSeq
+    val localH = Curation.harmonicFromPairs(nodes, pairs).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_graph").toString
+    try {
+      spark.conf.set(Checkpoints.ModeKey, "reliable")
+      spark.conf.set(Checkpoints.DirKey, dir)
+      val relK = Curation.kcoreFromPairs(nodes, pairs, k = 3, peels = 10).collect().toSeq
+      val relH = Curation.harmonicFromPairs(nodes, pairs).collect().toSeq
+      assert(relK == localK, "reliable-mode k-core must reproduce local-mode output")
+      assert(relH == localH, "reliable-mode harmonic must reproduce local-mode output")
+      val landed = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(landed > 0, s"no checkpoint files under $dir — the reliable path did not engage")
+    } finally {
+      spark.conf.set(Checkpoints.ModeKey, "local")
+      spark.conf.unset(Checkpoints.DirKey)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("reliable checkpoint mode: curateV2 output is identical and files land in the dir") {
     // The composed pipelines default to localCheckpoint (fast, executor-
     // local) — but executor loss kills a local-checkpointed job because
