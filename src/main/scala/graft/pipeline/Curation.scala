@@ -245,7 +245,7 @@ object Curation {
   }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    dedupClustersFromPairs(Dedup.jaccardPairs(s, dir))
+    dedupClustersFromPairs(Dedup.jaccardPairs(s, dir, ordered = false))
 
   // ---------------------------------------------------------------- x37
   /** Cluster-aware survivor selection: x16's components with the survivor
@@ -288,7 +288,7 @@ object Curation {
     dedupClustersKeepBy(
       docs(s, dir).select(col("doc_id"),
         TextStats.qualityColumn.as("quality")),
-      Dedup.jaccardPairs(s, dir), col("quality"))
+      Dedup.jaccardPairs(s, dir, ordered = false), col("quality"))
       .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
       .orderBy("doc_id")
 
@@ -711,7 +711,7 @@ object Curation {
 
   def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
     leakageSafeSplitFromPairs(docs(s, dir).filter(col("doc_id") % 29 === 0),
-      Dedup.jaccardPairs(s, dir))
+      Dedup.jaccardPairs(s, dir, ordered = false))
 
   private val x27Sql =
     s"""WITH RECURSIVE ${Dedup.b28PairCtes},
@@ -787,7 +787,7 @@ object Curation {
     * x27 universe — nodes are the `%29` base slice, singletons included). */
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     pagerankFromPairs(docs(s, dir).filter(col("doc_id") % 29 === 0),
-      Dedup.jaccardPairs(s, dir).select(col("da"), col("db")))
+      Dedup.jaccardPairs(s, dir, ordered = false).select(col("da"), col("db")))
 
   /** x60b: the composition the centrality exists FOR — within each
     * near-dup cluster (x16's components) keep the member with the
@@ -797,7 +797,7 @@ object Curation {
     * window to the x60 + CC plans (the x37 shape); singletons keep
     * themselves. */
   def pagerankKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardPairs(s, dir).select(col("da"), col("db"))
+    val pairs = Dedup.jaccardPairs(s, dir, ordered = false).select(col("da"), col("db"))
     val nodes = docs(s, dir).filter(col("doc_id") % 29 === 0)
     // ONE checkpointed edge materialization feeds both the rank and the
     // label propagation — the pair pipeline is the dominant cost and
@@ -896,7 +896,7 @@ object Curation {
   def triangleStats(s: SparkSession, dir: String): DataFrame =
     triangleStatsFromPairs(
       docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
-      Dedup.jaccardPairs(s, dir).select(col("da"), col("db")))
+      Dedup.jaccardPairs(s, dir, ordered = false).select(col("da"), col("db")))
 
   /** Generic form over any (doc_id) node frame and (a, b) pair frame.
     * The pair frame is canonicalized DEFENSIVELY (least/greatest +
@@ -1000,7 +1000,7 @@ object Curation {
       peels: Int = 10): DataFrame =
     kcoreFromPairs(
       docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
-      Dedup.jaccardPairs(s, dir).select(col("da"), col("db")), k, peels)
+      Dedup.jaccardPairs(s, dir, ordered = false).select(col("da"), col("db")), k, peels)
 
   /** Generic form over any (doc_id) node frame and 2-column pair frame. */
   def kcoreFromPairs(nodes: DataFrame, pairsIn: DataFrame, k: Int,
@@ -1094,7 +1094,7 @@ object Curation {
   def harmonicCentrality(s: SparkSession, dir: String): DataFrame =
     harmonicFromPairs(
       docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
-      Dedup.jaccardPairs(s, dir).select(col("da"), col("db")))
+      Dedup.jaccardPairs(s, dir, ordered = false).select(col("da"), col("db")))
 
   private val x63Sql =
     s"""WITH RECURSIVE ${Dedup.b28PairCtes},
@@ -1386,6 +1386,34 @@ object Curation {
        nl AS (SELECT doc_id,
                 CAST(coalesce(floor((len(t) - 1) / 3) + 1, 0) AS BIGINT) AS n_lines
               FROM t)
+       SELECT nl.doc_id, nl.n_lines,
+              coalesce(cl.n_kept, 0) AS n_kept,
+              nl.n_lines - coalesce(cl.n_kept, 0) AS n_removed,
+              coalesce(cl.clean_text, '') AS clean_text
+       FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- x39b
+  /** x39b: the WITHIN-document repeated-line strip over REAL newline
+    * lines, on the derived multi-line corpus ([[multiLineDocs]]) —
+    * completing the newline trio (x30b cross-doc strip, x58d dup-line
+    * signals, x39b intra-doc strip) so every line-based operator has a
+    * registered form running on genuine newline segmentation. A doc
+    * whose body repeats a line keeps only the first occurrence, in
+    * order, separated by real newlines. */
+  def intraDocDedupNewline(s: SparkSession, dir: String): DataFrame =
+    intraDocDedupOn(multiLineDocs(docs(s, dir)), split(col("text"), "\n"), "\n")
+
+  private val x39bSql =
+    s"""WITH $mdCte,
+       t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM md),
+       spans AS (SELECT doc_id, i AS pos, lines[i+1] AS line
+                 FROM t, unnest(generate_series(0, len(lines) - 1)) u(i)),
+       firsts AS (SELECT doc_id, line, min(pos) AS pos
+                  FROM spans GROUP BY doc_id, line),
+       cl AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM firsts GROUP BY doc_id),
+       nl AS (SELECT doc_id, CAST(coalesce(len(lines), 0) AS BIGINT) AS n_lines FROM t)
        SELECT nl.doc_id, nl.n_lines,
               coalesce(cl.n_kept, 0) AS n_kept,
               nl.n_lines - coalesce(cl.n_kept, 0) AS n_removed,
@@ -1875,7 +1903,7 @@ object Curation {
     // cluster resolution / leakage-safe splitting on the curated corpus
     // shares one persisted pair graph across all of them.
     val pairs = precomputedPairs
-      .getOrElse(Dedup.jaccardPairsPrefixOn(deduped, nearDupThreshold))
+      .getOrElse(Dedup.jaccardPairsPrefixOn(deduped, nearDupThreshold, ordered = false))
       .select(col("da"), col("db"))
     // Canonical selection: min-id per component by default (the oracle
     // artifact); with `keepBy` the survivor is each component's argmax
@@ -2021,7 +2049,7 @@ object Curation {
         quality.as("quality"))
       .transform(Checkpoints.stable)
     // 3: lexical near-dup, keep the best doc of each cluster.
-    val lexPairs = Dedup.jaccardPairsPrefixOn(ded, nearDupThreshold)
+    val lexPairs = Dedup.jaccardPairsPrefixOn(ded, nearDupThreshold, ordered = false)
       .select(col("da"), col("db"))
     val lexKeep = dedupClustersKeepBy(
       ded.select(col("doc_id"), col("quality")), lexPairs, col("quality"))
@@ -2284,6 +2312,7 @@ object Curation {
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
     QueryDef("x30b_line_dedup_newline", lineDedupNewline, Some(x30bSql)),
     QueryDef("x39_intradoc_dedup", intraDocDedup, Some(x39Sql)),
+    QueryDef("x39b_intradoc_dedup_newline", intraDocDedupNewline, Some(x39bSql)),
     QueryDef("x45_cross_strip", crossStrip, Some(x45Sql)),
     QueryDef("x40_content_chunks", contentChunksQuery, Some(x40Sql)),
     QueryDef("x54_context_windows", contextWindowsQuery, Some(x54Sql)),

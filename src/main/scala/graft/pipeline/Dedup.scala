@@ -86,10 +86,10 @@ object Dedup {
     * every consumer); the merge expression is the same exact math at a
     * fraction of the cost. */
   private def jaccardFromCandidates(base: DataFrame, key: Column, keyName: String,
-      threshold: Double, dfCapC: Int): DataFrame =
+      threshold: Double, dfCapC: Int, ordered: Boolean = true): DataFrame =
     verifyExact(base, key,
       selfJoinCandidates(cappedPostings(base, key, keyName, dfCapC), keyName),
-      threshold, filterOnRounded = true)
+      threshold, filterOnRounded = true, ordered)
 
   /** Distinct (da < db) pairs sharing at least one posting key — the
     * candidate self-join shared by the df-cap and prefix-filter paths.
@@ -113,21 +113,28 @@ object Dedup {
     * pair that display-rounds to 0.8000 is NOT guaranteed a candidate, so
     * filtering on the rounded value there would make results depend on
     * which near-misses the filter happened to surface). */
+  /** `ordered` controls the trailing global (da, db) sort: oracle-facing
+    * registered outputs need the deterministic order; pipeline and graph
+    * consumers (propagation, k-core, triangles) immediately re-shuffle
+    * by node, so for them the sort is a pure waste that grows with the
+    * pair count — on a near-dup-saturated corpus, a measurable slice of
+    * the composed pipelines' cost. */
   private def verifyExact(base: DataFrame, key: Column, cand: DataFrame,
-      threshold: Double, filterOnRounded: Boolean): DataFrame = {
+      threshold: Double, filterOnRounded: Boolean,
+      ordered: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(base.sparkSession)
     val sets = base.select(col("doc_id"), array_sort(key).as("keys"))
     val raw = call_function("set_jaccard", col("ka"), col("kb"))
     val thresholded =
       if (filterOnRounded) round(raw, 4) >= threshold else raw >= threshold
-    cand
+    val out = cand
       .join(sets.select(col("doc_id").as("da2"), col("keys").as("ka")),
         col("da") === col("da2"))
       .join(sets.select(col("doc_id").as("db2"), col("keys").as("kb")),
         col("db") === col("db2"))
       .filter(thresholded)
       .select(col("da"), col("db"), round(raw, 4).as("jaccard"))
-      .orderBy("da", "db")
+    if (ordered) out.orderBy("da", "db") else out
   }
 
   /** Exact token-set Jaccard over candidate pairs that share ≥1 surviving
@@ -135,15 +142,17 @@ object Dedup {
     * product, no unbounded hot keys). The sampled `doc_id % 29 = 0` slice
     * keeps the oracle comparison small; the operator itself is
     * scale-correct for the full corpus. */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    jaccardPairsOn(docs(s, dir).filter(col("doc_id") % 29 === 0), 0.2)
+  def jaccardPairs(s: SparkSession, dir: String,
+      ordered: Boolean = true): DataFrame =
+    jaccardPairsOn(docs(s, dir).filter(col("doc_id") % 29 === 0), 0.2,
+      ordered = ordered)
 
   /** Full-corpus form over an arbitrary (doc_id, text) frame — used by the
     * registered query and by the planted-stopword scale test. */
   def jaccardPairsOn(base: DataFrame, threshold: Double,
-      dfCapC: Int = DfCapC): DataFrame =
+      dfCapC: Int = DfCapC, ordered: Boolean = true): DataFrame =
     jaccardFromCandidates(base, array_distinct(split(col("text"), " ")), "tok",
-      threshold, dfCapC)
+      threshold, dfCapC, ordered)
 
   /** Shared oracle CTE chain producing the b28 `pairs(da, db, jaccard)`
     * relation — single source of truth for b28Sql AND x16Sql (the
@@ -268,10 +277,10 @@ object Dedup {
     * display-rounded to 4 decimals. */
   def jaccardPairsPrefixOn(base: DataFrame, threshold: Double,
       key: Column = array_distinct(split(col("text"), " ")),
-      keyName: String = "tok"): DataFrame =
+      keyName: String = "tok", ordered: Boolean = true): DataFrame =
     verifyExact(base, key,
       prefixCandidates(prefixPostings(base, key, keyName, threshold), keyName, threshold),
-      threshold, filterOnRounded = false)
+      threshold, filterOnRounded = false, ordered)
 
   /** Threshold above which the prefix filter replaces the df cap for
     * candidate generation. Below it prefixes approach the full sets
@@ -659,7 +668,7 @@ object Dedup {
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b27_dedup_exact", exactDedup, Some(b27Sql)),
-    QueryDef("b28_jaccard_pairs", jaccardPairs, Some(b28Sql)),
+    QueryDef("b28_jaccard_pairs", (s, d) => jaccardPairs(s, d), Some(b28Sql)),
     QueryDef("x11_ngram_jaccard", x11, Some(x11Sql)),
     QueryDef("x20_neardup_prefix", x20, Some(x20Sql)),
     QueryDef("x26_incremental_dedup", x26, Some(x26Sql)),

@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * rules:
   *
   *   - duplicate line fraction and duplicate line CHARACTER fraction
-  *     (the corpus is single-line, so "lines" are the same non-overlapping
-  *     3-token spans x30/x39 segment on — disclosed deviation; the
-  *     paragraph variants are N/A on this corpus for the same reason);
+  *     (here over the same non-overlapping 3-token spans x30/x39 segment
+  *     on, because the raw corpus is single-line; the NEWLINE-faithful
+  *     published form is registered as x58d over the derived multi-line
+  *     corpus — see [[lineSignalsOf]] — so the deviation is confined to
+  *     this battery's convenience form. Paragraph variants remain N/A:
+  *     the corpus has no paragraph structure to derive);
   *   - top n-gram character fraction for n ∈ {2,3,4} — characters claimed
   *     by the most frequent n-gram (count × chars of the gram, over doc
   *     chars; overlapping occurrences each count, per the published
