@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions (operator decision table tier (b),
@@ -380,6 +380,142 @@ object SubwordCount {
   }
 }
 
+/** All [[graft.pipeline.Ivf.PqM]] product-quantization code assignments
+  * in ONE native pass: for each subspace, the argmin over K codebook
+  * entries of the integer squared distance, first-match (= smallest
+  * code) on ties — exactly the semantics of the composed
+  * `array_position(array_min(...))` column tree it replaces. That tree
+  * was ~1,000 Catalyst nodes PER code column × M columns, whose
+  * analysis/codegen fixed cost dominated the whole x59 query (~2.3 s on
+  * a 2,000-row corpus); here the same arithmetic is three `while` loops
+  * over a reference-held `long[]` codebook. The codebook child must be
+  * a foldable literal — it is folded ONCE into [[cbArr]] and shipped to
+  * generated code via `addReferenceObj`, so the per-row work is exactly
+  * m·k·subDim integer multiply-adds. A vector whose length differs from
+  * the codebook's m·subDim geometry yields NULL (the ragged-input
+  * discipline of [[VecDot]]). */
+case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) if right.foldable =>
+        if (right.eval().asInstanceOf[ArrayData].numElements() % (m * k) == 0)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"pq_encode codebook length must be a multiple of m*k = ${m * k}")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode requires (ARRAY<BIGINT>, foldable ARRAY<BIGINT>), got " +
+          s"${left.dataType}, ${right.dataType}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private lazy val cbArr: Array[Long] =
+    right.eval().asInstanceOf[ArrayData].toLongArray()
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PqEncode.encode(cbArr, m, k, a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, _) => s"""
+      ${ev.value} = graft.functions.PqEncode.encode($cbRef, $m, $k, $a);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncode {
+  /** Codes for all m subspaces; null for a vector whose length is not
+    * m·subDim (the codebook defines subDim = cb.length/(m·k)). Strict
+    * `<` keeps the FIRST (smallest) code on distance ties — mirrored by
+    * the oracle's `row_number() OVER (ORDER BY dist, k)`. */
+  def encode(cb: Array[Long], m: Int, k: Int, x: ArrayData): ArrayData = {
+    val subDim = cb.length / (m * k)
+    if (x.numElements() != m * subDim) return null
+    val codes = new Array[Int](m)
+    var ms = 0
+    while (ms < m) {
+      var best = 0
+      var bestD = Long.MaxValue
+      var kk = 0
+      while (kk < k) {
+        var d = 0L
+        var j = 0
+        val off = (ms * k + kk) * subDim
+        while (j < subDim) {
+          val t = x.getLong(ms * subDim + j) - cb(off + j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = kk }
+        kk += 1
+      }
+      codes(ms) = best
+      ms += 1
+    }
+    ArrayData.toArrayData(codes)
+  }
+}
+
+/** The ADC (asymmetric distance computation) lookup-sum for one encoded
+  * row: `Σ_ms table[ms·k + codes[ms]]` over a per-query foldable table —
+  * [[PqEncode]]'s companion on the search side, replacing M chained
+  * `element_at(literal_array, …)` lookups with one loop over a
+  * reference-held `long[]`. Null codes (or a codes array whose length
+  * does not divide the table) yield NULL. */
+case class AdcScore(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(LongType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"adc_score requires (ARRAY<INT>, foldable ARRAY<BIGINT>), got " +
+          s"${left.dataType}, ${right.dataType}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_score"
+
+  private lazy val tableArr: Array[Long] =
+    right.eval().asInstanceOf[ArrayData].toLongArray()
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    AdcScore.score(tableArr, a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("adcTable", tableArr, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, _) => s"""
+      Long adcRes = graft.functions.AdcScore.score($tRef, $a);
+      if (adcRes == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = adcRes.longValue(); }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcScore {
+  /** Boxed so codegen can branch on the null contract without a
+    * sentinel value colliding with a legitimate sum. */
+  def score(table: Array[Long], codes: ArrayData): java.lang.Long = {
+    val m = codes.numElements()
+    if (m == 0 || table.length % m != 0) return null
+    val k = table.length / m
+    var acc = 0L
+    var ms = 0
+    while (ms < m) {
+      val c = codes.getInt(ms)
+      if (c < 0 || c >= k) return null
+      acc += table(ms * k + c)
+      ms += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
 /** Algebraic simplification for [[SanitizeName]]: the sanitizer is
   * idempotent (property-tested in SanitizeSpec), so nested applications
   * collapse to one — the engine's own little optimizer rule, injected via
@@ -416,6 +552,15 @@ object GraftFunctions {
       exprs => SetOverlap(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("subword_count",
       exprs => SubwordCount(exprs.head), "scala_udf")
+    // m and k are REQUIRED int literals — folded at registration into
+    // the expression's geometry (they shape the generated loops, not
+    // per-row data).
+    registry.createOrReplaceTempFunction("pq_encode",
+      exprs => PqEncode(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("adc_score",
+      exprs => AdcScore(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** B35's one showcase scalar UDF — kept for API-surface parity; the

@@ -248,25 +248,43 @@ object Ivf {
     * millionths array column) and encode every row as code_0..code_{M-1}.
     * The caller decides whether `vecCol` is the raw quantized embedding
     * (plain PQ) or the coarse residual (IVFADC). Codebooks are memoized
-    * per corpus snapshot like the k-means models ([[modelCache]]). */
+    * per corpus snapshot like the k-means models ([[modelCache]]).
+    *
+    * The encoding itself is the native [[graft.functions.PqEncode]]
+    * expression — all M argmin assignments in one codegen'd pass. The
+    * composed column form it replaces ([[codeExpr]], kept as the spec's
+    * reference implementation) built ~1,000 Catalyst nodes PER code
+    * column, whose analysis + codegen fixed cost (~4 s per x59 run)
+    * dwarfed the actual scan. Per-code columns are thin
+    * `element_at` projections over the single `codes` array. */
   def buildPq(input: DataFrame, vecCol: String = "xi"): (Array[Array[Array[Long]]], DataFrame) = {
+    graft.functions.GraftFunctions.register(input.sparkSession)
     val codebooks = memoModel(input, s"pqpin-$vecCol") {
       (0 until PqM).map { ms =>
         pinnedCodebook(input.select(col("vec_id"),
           slice(col(vecCol), ms * PqSubDim + 1, PqSubDim).as("s")))
       }.toArray
     }
-    val encoded = (0 until PqM).foldLeft(input) { (df, ms) =>
-      df.withColumn(s"code_$ms",
-        codeExpr(codebooks(ms), slice(col(vecCol), ms * PqSubDim + 1, PqSubDim)))
+    // Flat layout (ms, k, j)-major — the index contract of
+    // PqEncode.encode and adcTable. Every subspace has the same entry
+    // count (the rank set depends only on n), so kEff is uniform.
+    val kEff = codebooks(0).length
+    val flat = codebooks.flatten.flatten.toSeq
+    val withCodes = input.withColumn("codes",
+      call_function("pq_encode", col(vecCol), typedLit(flat), lit(PqM), lit(kEff)))
+    val encoded = (0 until PqM).foldLeft(withCodes) { (df, ms) =>
+      df.withColumn(s"code_$ms", element_at(col("codes"), ms + 1))
     }
     (codebooks, encoded)
   }
 
   /** Nearest-codebook-entry expression: integer squared distances to all
     * K centroids, argmin with first-match (= smallest code) tie-break —
-    * mirrored by the oracle's row_number() OVER (ORDER BY dist, k). */
-  private def codeExpr(cb: Array[Array[Long]], sub: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    * mirrored by the oracle's row_number() OVER (ORDER BY dist, k).
+    * Reference implementation for [[graft.functions.PqEncode]] — kept
+    * (private[pipeline]) so IvfSpec can prove the native expression
+    * equivalent on real corpora; production paths use the native form. */
+  private[pipeline] def codeExpr(cb: Array[Array[Long]], sub: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val dists = cb.map { cen =>
       (0 until PqSubDim).map { d =>
         val t = element_at(sub, d + 1) - lit(cen(d)); t * t
@@ -291,10 +309,11 @@ object Ivf {
       d
     }
 
+  /** Native lookup-sum over the single `codes` column
+    * ([[graft.functions.AdcScore]]): Σ_ms table[ms·K + code_ms] in one
+    * loop instead of M chained element_at lookups. */
   private def adcScore(flat: Array[Long]): org.apache.spark.sql.Column =
-    (0 until PqM).map(ms =>
-      element_at(typedLit(flat.toSeq), lit(ms * PqK + 1) + col(s"code_$ms")))
-      .reduce(_ + _)
+    call_function("adc_score", col("codes"), typedLit(flat.toSeq))
 
   /** Stored integer norm-squared of the RAW (millionths) vector — one
     * BIGINT per row beside the codes, FAISS's cosine-over-IP

@@ -119,6 +119,41 @@ class IvfSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("native pq_encode/adc_score match the composed reference expressions") {
+    // The production path assigns all M codes in one native PqEncode
+    // pass; codeExpr is the composed argmin column tree it replaced.
+    // Equality on the real corpus (every row, every subspace) proves the
+    // rewrite is a pure performance change, not a semantic one.
+    val base = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), Ivf.intMillionths(col("embedding")).as("xi"))
+    val (cb, enc) = Ivf.buildPq(base)
+    val reference = (0 until Ivf.PqM).foldLeft(base) { (df, ms) =>
+      df.withColumn(s"ref_$ms",
+        Ivf.codeExpr(cb(ms), slice(col("xi"), ms * Ivf.PqSubDim + 1, Ivf.PqSubDim)))
+    }
+    val joined = enc.join(reference.drop("xi"), "vec_id")
+    val mismatches = joined.filter(
+      (0 until Ivf.PqM).map(ms => col(s"code_$ms") =!= col(s"ref_$ms"))
+        .reduce(_ || _)).count()
+    assert(mismatches == 0)
+    // adc_score ≡ the element_at lookup chain over the same table.
+    val flat = cb.flatten.flatten
+    val qv = base.filter(col("vec_id") === 0).select("xi").head().getSeq[Long](0).toArray
+    val table = (0 until Ivf.PqM * Ivf.PqK).map { i =>
+      val ms = i / Ivf.PqK
+      val cen = cb(ms)(i % Ivf.PqK)
+      cen.indices.map(j => cen(j) * qv(ms * Ivf.PqSubDim + j)).sum
+    }.toArray
+    graft.functions.GraftFunctions.register(spark)
+    val adcCmp = enc.select(
+      call_function("adc_score", col("codes"), typedLit(table.toSeq)).as("nat"),
+      (0 until Ivf.PqM).map(ms =>
+        element_at(typedLit(table.toSeq), lit(ms * Ivf.PqK + 1) + col(s"code_$ms")))
+        .reduce(_ + _).as("ref"))
+    assert(adcCmp.filter(col("nat") =!= col("ref")).count() == 0)
+    assert(flat.length == Ivf.PqM * Ivf.PqK * Ivf.PqSubDim)
+  }
+
   test("with nprobe = nlist the IVF top-1 equals brute-force top-1") {
     val emb = Tables.t(spark, sf, "embeddings")
     val (model, indexed) = Ivf.build(emb)
