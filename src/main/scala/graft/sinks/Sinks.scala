@@ -12,9 +12,25 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Minimal JDBC dialect for HiveQL-family servers (`jdbc:hive2://` —
+  * HiveServer2 or a Spark Thrift Server): the ONE load-bearing
+  * difference from Spark's default dialect is identifier quoting.
+  * The default quotes column names with double quotes, which this SQL
+  * family parses as STRING LITERALS — a `spark.read.jdbc` of a 3-column
+  * table comes back as three constant strings per row (the column
+  * names), silently. Backticks are the identifier quote here. Registered
+  * once when [[Sinks]] loads; `JdbcDialects.get` routes by URL prefix so
+  * Derby/Postgres/etc. are untouched. */
+object HiveQlDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+  override def canHandle(url: String): Boolean = url.startsWith("jdbc:hive2")
+  override def quoteIdentifier(colName: String): String =
+    s"`${colName.replace("`", "``")}`"
+}
+
 /** Output sinks with reference parity (SURVEY.md §2A A5/A7/A9-A12).
   */
 object Sinks {
+  org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(HiveQlDialect)
 
   // ---------------------------------------------------------------- A7
   /** Null-preserving JSONL sink (`to_json`, _cli.py:71-83). Spark's JSON
@@ -84,12 +100,83 @@ object Sinks {
 
   private def existingTables(url: String): Set[String] = {
     val conn = DriverManager.getConnection(url)
+    try existingTablesOn(conn) finally conn.close()
+  }
+
+  private def existingTablesOn(conn: java.sql.Connection): Set[String] = {
+    val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    val names = scala.collection.mutable.Set.empty[String]
+    while (rs.next()) names += rs.getString("TABLE_NAME").toLowerCase
+    names.toSet
+  }
+
+  /** Whether the target driver supports `addBatch`/`executeBatch` — the
+    * capability Spark's own JDBC writer requires unconditionally. Derby,
+    * Postgres, MySQL etc. report true; the Hive/Spark-Thrift JDBC driver
+    * reports false (and its `addBatch` throws), which routes the load
+    * through [[saveMultiRow]] instead. A driver whose metadata call
+    * itself throws is treated as batch-incapable — the multi-row path is
+    * valid (if less optimized) SQL on every dialect we can reach. */
+  private def supportsBatchOn(conn: java.sql.Connection): Boolean =
+    try conn.getMetaData.supportsBatchUpdates
+    catch { case _: Exception => false }
+
+  /** Bulk load for batch-incapable dialects: CREATE TABLE from the
+    * DataFrame schema (Spark SQL DDL types via `DataType.sql`, unless
+    * the caller supplied `createTableColumnTypes`), then multi-row
+    * `INSERT INTO t (cols) VALUES (…), (…), …` prepared statements of
+    * `batchSize` rows per round-trip — the same batched-write contract
+    * as the reference's executemany (batch 500), expressed as SQL the
+    * dialect can run. TIMESTAMP/DATE placeholders are wrapped in
+    * explicit CASTs because parameter substitution on these drivers is
+    * client-side string interpolation, and ANSI engines (Spark SQL
+    * itself included) refuse the implicit string→timestamp store
+    * assignment. One connection per partition — the caller's
+    * `singleTransactionParity` coalesce decides the parallelism, same
+    * as the batch path. */
+  private def saveMultiRow(df: DataFrame, url: String, tableName: String,
+      createTableColumnTypes: Option[String], batchSize: Int): Unit = {
+    val schema = df.schema
+    val colDefs = createTableColumnTypes.getOrElse(
+      schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", "))
+    val conn = DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-      val names = scala.collection.mutable.Set.empty[String]
-      while (rs.next()) names += rs.getString("TABLE_NAME").toLowerCase
-      names.toSet
+      val st = conn.createStatement()
+      try st.execute(s"CREATE TABLE $tableName ($colDefs)") finally st.close()
     } finally conn.close()
+    val names = schema.fieldNames.mkString(", ")
+    val rowPh = schema.fields.map(_.dataType match {
+      case TimestampType => "CAST(? AS TIMESTAMP)"
+      case DateType => "CAST(? AS DATE)"
+      case _ => "?"
+    }).mkString("(", ", ", ")")
+    val nFields = schema.fields.length
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val c = DriverManager.getConnection(url)
+        try {
+          rows.grouped(batchSize).foreach { chunk =>
+            val sql = s"INSERT INTO $tableName ($names) VALUES " +
+              Seq.fill(chunk.size)(rowPh).mkString(", ")
+            val ps = c.prepareStatement(sql)
+            try {
+              var i = 1
+              chunk.foreach { r =>
+                var j = 0
+                while (j < nFields) {
+                  val v = r.get(j)
+                  if (v == null) ps.setNull(i, java.sql.Types.NULL)
+                  else ps.setObject(i, v)
+                  i += 1
+                  j += 1
+                }
+              }
+              ps.executeUpdate()
+            } finally ps.close()
+          }
+        } finally c.close()
+      }
+    }
   }
 
   /** JDBC bulk-load sink with reference parity (A12, _cli.py:108-181):
@@ -118,24 +205,34 @@ object Sinks {
       createdAt: Instant = Instant.now()): Unit = {
     val spark = df.sparkSession
     val metaTable = s"${tableName}_metadata"
-    val existing = existingTables(url)
+    val conn0 = DriverManager.getConnection(url)
+    val (existing, batchCapable) =
+      try (existingTablesOn(conn0), supportsBatchOn(conn0)) finally conn0.close()
     if (existing.contains(tableName.toLowerCase))
       throw new IllegalStateException(s"Table '$tableName' already exists in the database")
     if (existing.contains(metaTable.toLowerCase))
       throw new IllegalStateException(s"Metadata table '$metaTable' already exists in the database")
 
-    val props = new Properties()
     val out = if (singleTransactionParity) df.coalesce(1) else df
-    val writer = out.write.mode(SaveMode.ErrorIfExists).option("batchsize", batchSize.toString)
-    createTableColumnTypes.fold(writer)(t => writer.option("createTableColumnTypes", t))
-      .jdbc(url, tableName, props)
-
     import spark.implicits._
     val meta = provenanceRows(sourceSchemaName, recordCount, extraMetadata, createdAt)
       .toDF("key", "value", "created_at")
-    meta.coalesce(1).write.mode(SaveMode.ErrorIfExists)
-      .option("createTableColumnTypes", metadataTableTypes)
-      .jdbc(url, metaTable, props)
+
+    if (batchCapable) {
+      val props = new Properties()
+      val writer = out.write.mode(SaveMode.ErrorIfExists).option("batchsize", batchSize.toString)
+      createTableColumnTypes.fold(writer)(t => writer.option("createTableColumnTypes", t))
+        .jdbc(url, tableName, props)
+      meta.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+        .option("createTableColumnTypes", metadataTableTypes)
+        .jdbc(url, metaTable, props)
+    } else {
+      // Batch-incapable dialect (Hive/Spark-Thrift): Spark's writer
+      // cannot run here (unconditional addBatch, dialect-foreign DDL
+      // quoting) — same contract, multi-row INSERT path.
+      saveMultiRow(out, url, tableName, createTableColumnTypes, batchSize)
+      saveMultiRow(meta.coalesce(1), url, metaTable, Some(metadataTableTypes), batchSize)
+    }
   }
 
   /** Partitioned parquet sink — the at-rest layout SCALE.md prescribes:
