@@ -517,11 +517,97 @@ object Selection {
     s"""${dsirCtes("gated", s"gated AS (SELECT * FROM documents WHERE $gopherPassSql),")}
        $dsirSampleSql"""
 
+  // ---------------------------------------------------------------- x64
+  /** Hashed-feature buckets of the x64 classifier. Deliberately a
+    * different size from [[DsirBuckets]] (512 vs 256) so the two
+    * feature spaces cannot be confused; hash collisions are part of the
+    * fastText design (Joulin et al. 2016), not a defect. */
+  val ClfBuckets = 512
+  /** Keep threshold in weight milli-units per token: keep ⇔
+    * sumw > threshold · n, evaluated in INTEGER arithmetic so the
+    * boundary decision is engine-exact (never a float comparison). */
+  val ClfThresholdMilli = 50L
+
+  /** Pinned integer weight (milli-units, range [-1000, 1000]) of hash
+    * bucket `b` — derived from the bucket id by the engine's Knuth
+    * spread, so any SQL engine re-derives the whole weight table from
+    * the formula (the oracle does exactly that; the Spark side inlines
+    * the 512 values as a literal array, which is also the deployment
+    * reality — classifier weights ship as an artifact). */
+  private[pipeline] def clfWeight(b: Long): Long =
+    (((b + 1L) * HashConstants.Knuth) % HashConstants.HashPrime) % 2001L - 1000L
+
+  /** x64 — model-based quality filtering in the fastText shape (Joulin
+    * et al. 2016, "Bag of Tricks for Efficient Text Classification"; the
+    * filter class used by GPT-3/LLaMA-style "quality classifier" stages):
+    * a linear model over hashed bag-of-words features, applied as pure
+    * INFERENCE — score = w · φ(doc) / n_tokens, keep = score > τ.
+    *
+    * DISCLOSED DEVIATION: the weights are pinned (hash-derived, formula
+    * above), not trained — the container has no labeled corpus and a
+    * trained float model would be engine-irreproducible anyway. The
+    * OPERATOR is the deployment-side artifact: hashing, lookup,
+    * accumulation, thresholding — all integer-exact, full DuckDB oracle.
+    * Swapping real trained weights in is a constant-table change.
+    *
+    * Scale: the ideal 100 TB shape — map-only (the weight table is a
+    * 4 KB literal riding the closure; no join, no shuffle, no explode);
+    * the per-row work is one codegen'd [[graft.functions.TokenHash]] +
+    * array lookup per token inside a single HOF fold. The output sort is
+    * oracle-facing only. */
+  private[graft] def classifierQualityOf(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val weights = (0L until ClfBuckets.toLong).map(clfWeight)
+    val sumw = aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(typedLit(weights),
+        (call_function("token_hash", t) % ClfBuckets).cast("int") + 1))
+    // 6-decimal logit via INTEGER half-away-from-zero rounding of the
+    // exact rational sumw/(1000·n): round(x,6) on the double is NOT
+    // engine-exact at decimal-half boundaries (Spark rounds the decimal
+    // string, DuckDB the binary value — measured divergence at
+    // 1041/16000). |micro| = floor((|sumw|·2000 + n) / (2n)) is exact in
+    // both engines: operands < 2^53 and a rational with denominator
+    // 2n ≤ 2·10^5 is never within a double ulp of an integer unless it
+    // IS one, so floor(double-division) = true floor.
+    val n = col("n_tokens")
+    val mag = floor((abs(col("sumw")) * lit(2000L) + n) / (n * lit(2L))).cast("long")
+    corpus
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"), sumw.as("sumw"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((signum(col("sumw")).cast("long") * mag).cast("double") / lit(1000000.0))
+          .as("logit"),
+        (col("sumw") > lit(ClfThresholdMilli) * col("n_tokens")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def classifierQuality(s: SparkSession, dir: String): DataFrame =
+    classifierQualityOf(docs(s, dir))
+
+  private val x64Sql = {
+    import HashConstants.{HashPrime, Knuth}
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       tok AS (SELECT doc_id, unnest(t) AS tok FROM t),
+       hb AS (SELECT doc_id,
+                (((${rollFoldSql("tok")}) * $Knuth) % $HashPrime) % $ClfBuckets AS b
+              FROM tok),
+       sw AS (SELECT doc_id,
+                sum((((b + 1) * $Knuth) % $HashPrime) % 2001 - 1000) AS sumw
+              FROM hb GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         CAST(sign(sumw) AS BIGINT)
+           * CAST(floor((abs(sumw) * 2000 + len(t.t)) / (2 * len(t.t))) AS BIGINT)
+           / 1000000.0 AS logit,
+         sumw > $ClfThresholdMilli * len(t.t) AS keep
+       FROM t JOIN sw USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x49_bm25_topk", bm25TopK, Some(x49Sql)),
     QueryDef("x49b_bm25_batch", bm25Batch, Some(x49bSql)),
     QueryDef("x50_dsir_weights", dsirWeights, Some(x50Sql)),
     QueryDef("x50b_dsir_resample", dsirResample, Some(x50bSql)),
     QueryDef("x51_gopher_rules", gopherRules, Some(x51Sql)),
-    QueryDef("x53_selection_pipeline", selectionPipeline, Some(x53Sql)))
+    QueryDef("x53_selection_pipeline", selectionPipeline, Some(x53Sql)),
+    QueryDef("x64_classifier_quality", classifierQuality, Some(x64Sql)))
 }

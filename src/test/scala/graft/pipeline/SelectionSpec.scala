@@ -179,4 +179,35 @@ class SelectionSpec extends SparkSpec {
     assert(mwl == n && sym == n && alpha == n,
       s"mwl/symbol/alpha are corpus-vacuous by construction: $mwl/$sym/$alpha vs $n")
   }
+
+  // ---------------------------------------------------------------- x64
+  test("x64: hand-computed hashed-linear classifier score on a planted corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "alpha alpha alpha alpha"))
+      .toDF("doc_id", "text")
+    def w(tok: String): Long =
+      Selection.clfWeight(graft.functions.TokenHash.hash(tok) % Selection.ClfBuckets)
+    val out = Selection.classifierQualityOf(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val s1 = w("alpha") + w("beta")
+    val s2 = 4 * w("alpha")
+    // The query's integer half-away-from-zero rounding of sumw/(1000·n)
+    // to 6 decimals, re-derived independently here.
+    def logit(sumw: Long, n: Long): Double =
+      math.signum(sumw) * ((math.abs(sumw) * 2000L + n) / (2L * n)) / 1000000.0
+    assert(out(1L)._1 == 2 && out(2L)._1 == 4)
+    assert(out(1L)._2 == logit(s1, 2))
+    assert(out(2L)._2 == logit(s2, 4))
+    assert(out(1L)._3 == (s1 > 2 * Selection.ClfThresholdMilli))
+    // doc 2 repeats one token: its per-token logit is exactly w("alpha")/1000
+    assert(out(2L)._3 == (w("alpha") > Selection.ClfThresholdMilli))
+  }
+
+  test("x64: the pinned classifier splits the real corpus non-trivially") {
+    val agg = Selection.classifierQuality(spark, sf)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)), count(lit(1))).collect()(0)
+    val (kept, n) = (agg.getLong(0), agg.getLong(1))
+    assert(kept > 0 && kept < n, s"classifier must split the corpus: $kept/$n")
+  }
 }
