@@ -534,7 +534,7 @@ object Selection {
     * the formula (the oracle does exactly that; the Spark side inlines
     * the 512 values as a literal array, which is also the deployment
     * reality — classifier weights ship as an artifact). */
-  private[pipeline] def clfWeight(b: Long): Long =
+  private[graft] def clfWeight(b: Long): Long =
     (((b + 1L) * HashConstants.Knuth) % HashConstants.HashPrime) % 2001L - 1000L
 
   /** x64 — model-based quality filtering in the fastText shape (Joulin
@@ -555,12 +555,28 @@ object Selection {
     * the per-row work is one codegen'd [[graft.functions.TokenHash]] +
     * array lookup per token inside a single HOF fold. The output sort is
     * oracle-facing only. */
-  private[graft] def classifierQualityOf(corpus: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+  /** Single-sourced classifier accumulation over the `text` column:
+    * Σ_tok weight[token_hash(tok) mod B]. Requires
+    * [[graft.functions.GraftFunctions.register]] on the session that
+    * ANALYZES the expression (x64 and the ingest edge both do). */
+  private def clfSumw: Column = {
     val weights = (0L until ClfBuckets.toLong).map(clfWeight)
-    val sumw = aggregate(toks, lit(0L), (acc, t) =>
+    aggregate(toks, lit(0L), (acc, t) =>
       acc + element_at(typedLit(weights),
         (call_function("token_hash", t) % ClfBuckets).cast("int") + 1))
+  }
+
+  /** The x64 keep decision as a stateless per-row predicate over a
+    * docs-shaped frame — the form [[graft.streaming.StreamingJobs
+    * .ingestAdmit]]'s `qualityGate` hook takes, so the classifier tier
+    * runs at the ingestion edge with batch ≡ stream by construction
+    * (same Column, same integer threshold; no state, no shuffle). */
+  def classifierKeepColumn: Column =
+    clfSumw > lit(ClfThresholdMilli) * size(toks).cast("long")
+
+  private[graft] def classifierQualityOf(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val sumw = clfSumw
     // 6-decimal logit via INTEGER half-away-from-zero rounding of the
     // exact rational sumw/(1000·n): round(x,6) on the double is NOT
     // engine-exact at decimal-half boundaries (Spark rounds the decimal

@@ -142,8 +142,14 @@ object StreamingJobs {
       qualityGate: Option[Column] = None,
       repetitionGate: Boolean = false): DataFrame = {
     // Cheapest tier first: a per-row quality predicate (e.g. the x51
-    // Gopher battery via Selection.gopherPassColumn) rejects before any
-    // dedup join runs — the production admission ordering.
+    // Gopher battery via Selection.gopherPassColumn, or the x64
+    // classifier via Selection.classifierKeepColumn) rejects before any
+    // dedup join runs — the production admission ordering. Gates built
+    // from the engine's registered functions (token_hash etc.) must
+    // analyze against THIS batch's session — under foreachBatch that is
+    // a cloned session the caller never saw (the x36 lesson), so
+    // register here, not at the call site.
+    graft.functions.GraftFunctions.register(batch.sparkSession)
     val gated0 = qualityGate.map(batch.filter).getOrElse(batch)
     // Optional x58c tier: the full published Gopher repetition battery
     // (x58/x58b signals at the Table-A1 thresholds) as an admission

@@ -379,6 +379,45 @@ class StreamingSpec extends SparkSpec {
       s"duplicate delivery must not be amplified: $streamed")
   }
 
+  test("unified ingest with the x64 classifier tier as the quality gate: batch ≡ stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq(Doc(1L, "alpha beta gamma delta epsilon", "en")).toDF()
+    val corpusVecs = Seq(Vec(1L, Array(1.0f, 0.0f, 0.0f))).toDF()
+    // Derive one token the pinned classifier scores above the keep
+    // threshold and one below it (a doc of one repeated token has
+    // per-token logit exactly w(tok)/1000, so keep ⇔ w(tok) > τ) —
+    // found from the model itself, not hardcoded, so a constant change
+    // cannot silently vacuate the test.
+    def w(tok: String): Long = graft.pipeline.Selection.clfWeight(
+      graft.functions.TokenHash.hash(tok) % graft.pipeline.Selection.ClfBuckets)
+    val tau = graft.pipeline.Selection.ClfThresholdMilli
+    val good = (0 until 1000).map(i => s"tok$i").find(w(_) > tau).get
+    val bad = (0 until 1000).map(i => s"tok$i").find(w(_) <= tau).get
+    val arrivals = Seq(
+      DocVec(50L, Seq.fill(8)(good).mkString(" "), "en", null),
+      DocVec(51L, Seq.fill(8)(bad).mkString(" "), "en", null))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val input = MemoryStream[DocVec]
+    val dir = java.nio.file.Files.createTempDirectory("ingest_clf").toString
+    val q = StreamingJobs.ingestDedupStream(
+      input.toDF(), refDocs, corpusVecs, 0.8, 0.9, dir,
+      qualityGate = Some(graft.pipeline.Selection.classifierKeepColumn)) { (admitted, _) =>
+      out += admitted.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    input.addData(arrivals)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.flatten.toSeq
+    val batch = StreamingJobs.ingestAdmit(
+      arrivals.toDF(), refDocs, corpusVecs, 0.8, 0.9,
+      qualityGate = Some(graft.pipeline.Selection.classifierKeepColumn))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
+    assert(streamed == Seq(50L),
+      s"classifier must admit the above-threshold doc only: $streamed")
+  }
+
   test("x58c repetition gate (foreachBatch) equals the batch gate — per-doc, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
