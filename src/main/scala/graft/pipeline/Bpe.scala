@@ -194,8 +194,62 @@ object Bpe {
        SELECT lang, avail_tokens, floor_quota, remainder, alloc_tokens
        FROM alloc ORDER BY lang"""
 
+  // ---------------------------------------------------------------- x65
+  /** Merge candidates emitted by x65 — the top-K adjacent pairs. */
+  val BpePairTopK = 20
+
+  /** x65 — the TRAINING side of BPE (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"): corpus-scale
+    * adjacent-pair statistics, whose argmax IS the next merge rule. x56
+    * runs the trained tokenizer; this computes what a trainer learns
+    * from, at the scale where it actually hurts (pair counting is the
+    * per-iteration cost of BPE training, and naive trainers re-scan the
+    * corpus per merge).
+    *
+    * DISCLOSED SIMPLIFICATIONS vs the paper's loop: first iteration only
+    * (symbols are raw characters; the registered query emits the top-K
+    * candidates rather than applying merges — the iteration is
+    * vocabulary-sized bookkeeping once these counts exist) and no
+    * end-of-word marker (the corpus is space-tokenized; a marker is a
+    * constant concat both engines would share).
+    *
+    * Scale shape — the reason trainers survive 100 TB: the corpus
+    * collapses to the DISTINCT-WORD frequency table first (one
+    * content-keyed partial+final agg — the combiner absorbs every
+    * repeated word per partition), and pair explosion runs over the
+    * VOCABULARY weighted by freq, never over the corpus. Pair mass is
+    * Σ_vocab (len−1), independent of corpus row count; the top-K is a
+    * TakeOrderedAndProject on the (cnt DESC, pair) total order both
+    * engines share. */
+  def pairCounts(s: SparkSession, dir: String): DataFrame =
+    pairCountsOf(Tables.t(s, dir, "documents"), BpePairTopK)
+
+  private[graft] def pairCountsOf(corpus: DataFrame, k: Int): DataFrame = {
+    val wf = corpus
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    wf.select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+      .orderBy(col("cnt").desc, col("pair"))
+  }
+
+  private val x65Sql =
+    s"""WITH w AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+               FROM documents),
+       wf AS (SELECT w, count(*) AS freq FROM w WHERE len(w) >= 2 GROUP BY w),
+       p AS (SELECT w[i:i+1] AS pair, freq
+             FROM wf, unnest(generate_series(1, len(w) - 1)) u(i)),
+       c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair)
+       SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT $BpePairTopK"""
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x56_bpe_token_count", tokenCounts, Some(x56Sql)),
-    QueryDef("x56b_budget_apportion_bpe", budgetApportionBpe, Some(x56bSql)))
+    QueryDef("x56b_budget_apportion_bpe", budgetApportionBpe, Some(x56bSql)),
+    QueryDef("x65_bpe_pair_counts", pairCounts, Some(x65Sql)))
 }

@@ -85,4 +85,25 @@ class BpeSpec extends SparkSpec {
     // fails the corpus regime changed and x56b is vacuous — re-measure.
     assert(bpe != ws, s"subword allocations must differ from whitespace ones: $bpe vs $ws")
   }
+
+  // ---------------------------------------------------------------- x65
+  test("x65: hand-computed pair counts on a planted corpus") {
+    import spark.implicits._
+    // words: "aaa" appears twice (freq 2), "bb" once, "a" is single-char
+    // (contributes no pair); "aaa" holds TWO overlapping 'aa' positions.
+    val corpus = Seq((1L, "aaa bb a"), (2L, "aaa")).toDF("doc_id", "text")
+    val out = Bpe.pairCountsOf(corpus, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq("aa" -> 4L, "bb" -> 1L), s"got $out")
+  }
+
+  test("x65: top-K pair list is deterministic and strictly ordered on the real corpus") {
+    val a = Bpe.pairCounts(spark, sf).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = Bpe.pairCounts(spark, sf).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b && a.size == Bpe.BpePairTopK)
+    // (cnt DESC, pair ASC) is a total order: no adjacent inversion.
+    a.sliding(2).foreach { case Seq((p1, c1), (p2, c2)) =>
+      assert(c1 > c2 || (c1 == c2 && p1 < p2), s"order violated at $p1/$p2")
+    }
+  }
 }
