@@ -524,6 +524,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"coverage aggs must map-side combine:\n$p")
   }
 
+  test("x64: classifier inference is map-only (no join, no explode, no hash exchange)") {
+    val p = plan("x64_classifier_quality")
+    assert(!p.contains("Join"), s"the weight table rides the closure, never joins:\n$p")
+    assert(!p.contains("Generate"),
+      s"the token fold runs inside one projection, not via explode:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
+  }
+
+  test("x65: BPE pair counting aggregates the vocabulary, never the corpus") {
+    val p = plan("x65_bpe_pair_counts")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"pair statistics are two content-keyed aggs, no join:\n$p")
+    assert(p.contains("partial"), s"word/pair aggs must map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K merge candidates must heap, not globally sort:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize
