@@ -2292,7 +2292,65 @@ object Curation {
          CAST(min(pos) AS INT) AS first_pos, CAST(max(pos) AS INT) AS last_pos
        FROM c GROUP BY doc_id, win_id ORDER BY doc_id, win_id"""
 
+  // ---------------------------------------------------------------- x66
+  /** Snapshot diff — the primitive under every incremental ingestion
+    * run: given the current and previous corpus snapshots, classify
+    * each doc_id as added / removed / changed / unchanged by comparing
+    * content hashes. Re-crawl pipelines diff snapshots exactly this way
+    * to bound reprocessing to the delta (only `added`+`changed` flow
+    * into the dedup/curation tiers — x26's `newDocs` input IS this
+    * operator's added/changed slice).
+    *
+    * Scale: sha256 is computed MAP-SIDE in each scan, so the full-outer
+    * join shuffles (id, 32-byte hash) pairs, never document text — the
+    * x40c shuffle-bytes discipline. One doc_id-keyed exchange per side;
+    * at rest both snapshots bucketed by doc_id make it exchange-free. */
+  def snapshotDiff(cur: DataFrame, prev: DataFrame): DataFrame =
+    cur.select(col("doc_id"), sha2(col("text"), 256).as("h_new"))
+      .join(prev.select(col("doc_id"), sha2(col("text"), 256).as("h_old")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("h_old"), col("h_new"))
+      .orderBy("doc_id")
+
+  /** Registered x66 over a derived previous snapshot both engines build
+    * identically from the one corpus file: docs with id ≡ 3 (mod 31)
+    * are new in the current snapshot (absent from prev), id ≡ 11 were
+    * deleted since prev (absent from cur), and id ≡ 7 had their text
+    * edited (prev carries a ' legacy' suffix). Every status class is
+    * populated at every SF. */
+  private def snapshotDiffQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cur = d.filter(col("doc_id") % 31 =!= 11)
+    val prev = d.filter(col("doc_id") % 31 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 31 === 7, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")).as("text"))
+    snapshotDiff(cur, prev)
+  }
+
+  private val x66Sql =
+    """WITH cur AS (SELECT doc_id, sha256(text) AS h_new FROM documents
+                  WHERE doc_id % 31 <> 11),
+       prev AS (SELECT doc_id,
+                  sha256(CASE WHEN doc_id % 31 = 7 THEN text || ' legacy'
+                              ELSE text END) AS h_old
+                FROM documents WHERE doc_id % 31 <> 3)
+       SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+         CASE WHEN h_old IS NULL THEN 'added'
+              WHEN h_new IS NULL THEN 'removed'
+              WHEN h_old <> h_new THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         h_old, h_new
+       FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+       ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x66_snapshot_diff", snapshotDiffQuery, Some(x66Sql)),
     QueryDef("x13_tfidf_top", tfidfTop, Some(x13Sql)),
     QueryDef("x14_hash_split", hashSplit, Some(x14Sql)),
     QueryDef("x15_shard_pack", (s, d) => shardPack(s, d), Some(x15Sql(20000))),

@@ -873,4 +873,32 @@ class CurationSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("doc_id") % 29 === 0).count()
     assert(a.size == expected, s"${a.size} vs $expected nodes")
   }
+
+  // ---------------------------------------------------------------- x66
+  test("x66: snapshot diff classifies added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
+    val m = Curation.snapshotDiff(cur, prev).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // hash columns carry the evidence: removed has no h_new, added no h_old
+    val rows = Curation.snapshotDiff(cur, prev).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(rows(3L)._2.isEmpty && rows(3L)._1.nonEmpty)
+    assert(rows(4L)._1.isEmpty && rows(4L)._2.nonEmpty)
+  }
+
+  test("x66: the registered derived-snapshot query populates every status class") {
+    val counts = graft.SparkEntry.queries("x66_snapshot_diff")(spark, sf)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("added", "removed", "changed", "unchanged"),
+      s"all four classes must be present: $counts")
+    // The mod-31 construction pins the class sizes to the id residues.
+    val n = graft.Tables.t(spark, sf, "documents")
+    def cnt(r: Int) = n.filter(org.apache.spark.sql.functions.col("doc_id") % 31 === r).count()
+    assert(counts("added") == cnt(3) && counts("removed") == cnt(11) &&
+      counts("changed") == cnt(7))
+  }
 }
