@@ -450,6 +450,123 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x67
+  /** Bloom mask geometry: 2^18 bits = 4096 longs (32 KB — an L1-sized
+    * artifact even when the eval suite grows 100×), probed by
+    * [[BloomK]] affine-spread positions per shingle (the minhash
+    * permutation family over the x03b rolling hash). All-integer, so
+    * mask CONSTRUCTION and probes are engine-exact — this Bloom gate
+    * carries a full oracle, unlike library blooms with opaque hashing. */
+  val BloomBits = 1 << 18
+  val BloomK = 3
+
+  private def bloomPos(h: Column, i: Int): Column =
+    pmod(h * lit(2 * i + 1) + lit(i.toLong * i * 31 + 7),
+      lit(HashConstants.HashPrime)) % BloomBits
+
+  /** x67 — Bloom-gate decontamination, the 100 TB PRODUCTION tier of
+    * x17 (the GPT-3 appendix-C discipline: eval n-grams → a Bloom
+    * filter; the corpus is gated by filter probes, never joined). x17's
+    * equi-join ships every train shingle through an exchange; here the
+    * eval side collapses to a 32 KB bitmask built once (a driver-side
+    * index artifact, the PQ-codebook discipline) and the corpus pass is
+    * MAP-ONLY — each doc probes its distinct shingles against the
+    * broadcast mask inside one projection. No shuffle touches the
+    * corpus; the gate's cost is the scan itself.
+    *
+    * Bloom semantics, stated precisely: flagged ⊇ truly-contaminated
+    * (no false negatives — every eval shingle's positions are set), and
+    * false positives are docs whose shingles collide on all [[BloomK]]
+    * positions (rate (set_bits/m)^k; CurationSpec measures it and pins
+    * the superset guarantee against x17). Gram length follows the x17
+    * registration (3; GPT-3 used 13-grams — a constant, disclosed). */
+  def bloomDecon(train: DataFrame, evalDocs: DataFrame,
+      shingleLen: Int = 3): DataFrame = {
+    val s = train.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    // Build: distinct eval shingles → k positions each → bitmask.
+    // The collect is the index build, not query flow: ≤ |eval grams|·k
+    // integers, driver-bounded the same way IVF centroids / PQ
+    // codebooks are.
+    val posRows = shinglesOf(evalDocs, shingleLen).select(col("sh")).distinct()
+      .select(call_function("rolling_hash", col("sh")).as("h"))
+      .select(explode(array((0 until BloomK).map(i =>
+        bloomPos(col("h"), i)): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val mask = new Array[Long](BloomBits / 64)
+    posRows.foreach(p => mask((p / 64).toInt) |= 1L << (p % 64).toInt)
+    val maskLit = typedLit(mask.toSeq)
+    // Probe: distinct shingles per doc inside ONE projection; a shingle
+    // hits iff all k mask bits are set.
+    // & 1, not % 2: an arithmetic shift of a word with bit 63 set yields
+    // a NEGATIVE long whose % 2 is -1; the AND isolates the bit on any
+    // sign.
+    def bitSet(pos: Column): Column =
+      call_function("shiftright", element_at(maskLit, (pos / 64).cast("int") + 1),
+        (pos % 64).cast("int")).bitwiseAND(lit(1L)) === 1
+    def hit(sh: Column): Column = {
+      val h = call_function("rolling_hash", sh)
+      (0 until BloomK).map(i => bitSet(bloomPos(h, i))).reduce(_ && _)
+    }
+    val t = split(col("text"), " ")
+    val grams = when(size(t) >= shingleLen,
+      array_distinct(transform(sequence(lit(0), size(t) - shingleLen),
+        i => concat_ws(" ", slice(t, i + 1, lit(shingleLen))))))
+      .otherwise(array().cast("array<string>"))
+    train
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_shingles"),
+        size(filter(col("g"), sh => hit(sh))).cast("long").as("n_hits"))
+      .withColumn("flagged", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Registered x67: the x17 slice convention (`%97 == 0` eval). */
+  private def bloomDeconQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    bloomDecon(d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
+  }
+
+  private val x67Sql = {
+    val m = BloomBits
+    def rollFold(e: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (a, c) -> (a * 31 + c) % $HashPrime)"""
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+       ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       evsh AS (SELECT DISTINCT sh FROM
+                  (SELECT unnest(list_transform(range(len(t) - 2),
+                     i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+                   FROM (SELECT string_split(text, ' ') AS t FROM ev)
+                   WHERE len(t) >= 3)),
+       pos AS (SELECT DISTINCT
+                 ((${rollFold("sh")} * (2*i + 1) + i*i*31 + 7) % $HashPrime) % $m AS p
+               FROM evsh, unnest(generate_series(0, ${BloomK - 1})) u(i)),
+       trsh AS (SELECT DISTINCT doc_id, sh FROM
+                  (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+                     i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+                   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM tr)
+                   WHERE len(t) >= 3)),
+       gp AS (SELECT doc_id, sh,
+                ((${rollFold("sh")} * (2*i + 1) + i*i*31 + 7) % $HashPrime) % $m AS p
+              FROM trsh, unnest(generate_series(0, ${BloomK - 1})) u(i)),
+       hits AS (SELECT doc_id, sh FROM gp JOIN pos USING (p)
+                GROUP BY doc_id, sh HAVING count(*) = $BloomK),
+       agg AS (SELECT t.doc_id,
+                 count(*) AS n_shingles,
+                 CAST(sum(CASE WHEN h.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits
+               FROM trsh t LEFT JOIN hits h ON t.doc_id = h.doc_id AND t.sh = h.sh
+               GROUP BY t.doc_id)
+       SELECT tr.doc_id,
+         coalesce(agg.n_shingles, 0) AS n_shingles,
+         coalesce(agg.n_hits, 0) AS n_hits,
+         coalesce(agg.n_hits, 0) > 0 AS flagged
+       FROM tr LEFT JOIN agg USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
   // ---------------------------------------------------------------- x44
   /** N-gram novelty score — the data-SELECTION signal contamination
     * checking is not: for each candidate doc, what fraction of its
@@ -2351,6 +2468,7 @@ object Curation {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x66_snapshot_diff", snapshotDiffQuery, Some(x66Sql)),
+    QueryDef("x67_bloom_decon", bloomDeconQuery, Some(x67Sql)),
     QueryDef("x13_tfidf_top", tfidfTop, Some(x13Sql)),
     QueryDef("x14_hash_split", hashSplit, Some(x14Sql)),
     QueryDef("x15_shard_pack", (s, d) => shardPack(s, d), Some(x15Sql(20000))),

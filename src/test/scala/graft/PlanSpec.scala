@@ -542,6 +542,13 @@ class PlanSpec extends SparkSpec {
       s"top-K merge candidates must heap, not globally sort:\n$p")
   }
 
+  test("x67: Bloom-gate probes are map-only — the corpus never joins or shuffles") {
+    val p = plan("x67_bloom_decon")
+    assert(!p.contains("Join"), s"the mask is a literal, not a join side:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"probe pass must not hash-shuffle; only the output sort may exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

@@ -874,6 +874,39 @@ class CurationSpec extends SparkSpec {
     assert(a.size == expected, s"${a.size} vs $expected nodes")
   }
 
+  // ---------------------------------------------------------------- x67
+  test("x67: Bloom gate never misses a truly contaminated doc; FP rate bounded") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.t(spark, sf, "documents")
+    val exact = Curation.contaminationCounts(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Curation.bloomDecon(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val flagged = bloom.collect { case (id, true) => id }.toSet
+    // The Bloom guarantee: flagged ⊇ exactly-contaminated, no exception.
+    assert(exact.subsetOf(flagged),
+      s"false negatives are impossible by construction: ${exact -- flagged}")
+    // False positives are all-k-bit collisions; with |eval grams|·k bits
+    // of 2^18 set the per-gram rate is ~(bits/m)^k. Pin a generous doc-
+    // level bound so a hashing regression (e.g. degenerate spread) fails
+    // loudly rather than silently flooding the gate.
+    val fp = (flagged -- exact).size
+    assert(fp <= math.max(1, bloom.size / 20),
+      s"$fp false positives of ${bloom.size} docs — Bloom spread degenerated")
+  }
+
+  test("x67: docs shorter than the shingle audit as zero-shingle, unflagged rows") {
+    import spark.implicits._
+    val train = Seq((1L, "one two"), (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val ev = Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Curation.bloomDecon(train, ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((0L, 0L, false)), s"short doc must audit unflagged: $out")
+    assert(out(2L)._3, "the planted eval shingle must flag doc 2")
+  }
+
   // ---------------------------------------------------------------- x66
   test("x66: snapshot diff classifies added/removed/changed/unchanged exactly") {
     import spark.implicits._
