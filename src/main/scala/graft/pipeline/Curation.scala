@@ -567,6 +567,26 @@ object Curation {
        ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------------------- x67b
+  /** The two-tier sieve the Bloom gate exists for: x67's map-only probe
+    * pre-filters the corpus, the exact x17 join runs ONLY on flagged
+    * docs — false positives drop out at confirmation, so the sieve's
+    * output is BIT-IDENTICAL to running the exact join on everything.
+    * Registered with x17's own oracle: the hash match IS the
+    * losslessness proof (flagged ⊇ contaminated means no doc the exact
+    * tier would report can be missing; the confirm join removes the
+    * rest). At 100 TB the exact tier's exchange now carries only the
+    * flagged slice — FP-rate-bounded — instead of the corpus. */
+  private def bloomSieveQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val evalDocs = d.filter(col("doc_id") % 97 === 0)
+    val flagged = bloomDecon(train, evalDocs)
+      .filter(col("flagged")).select("doc_id")
+    contaminationCounts(train.join(flagged, Seq("doc_id"), "left_semi"), evalDocs)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- x44
   /** N-gram novelty score — the data-SELECTION signal contamination
     * checking is not: for each candidate doc, what fraction of its
@@ -2469,6 +2489,7 @@ object Curation {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x66_snapshot_diff", snapshotDiffQuery, Some(x66Sql)),
     QueryDef("x67_bloom_decon", bloomDeconQuery, Some(x67Sql)),
+    QueryDef("x67b_bloom_sieve", bloomSieveQuery, Some(x17Sql)),
     QueryDef("x13_tfidf_top", tfidfTop, Some(x13Sql)),
     QueryDef("x14_hash_split", hashSplit, Some(x14Sql)),
     QueryDef("x15_shard_pack", (s, d) => shardPack(s, d), Some(x15Sql(20000))),

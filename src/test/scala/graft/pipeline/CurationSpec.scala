@@ -897,6 +897,15 @@ class CurationSpec extends SparkSpec {
       s"$fp false positives of ${bloom.size} docs — Bloom spread degenerated")
   }
 
+  test("x67b: the Bloom → exact sieve equals the exact join bit-for-bit") {
+    val sieve = graft.SparkEntry.queries("x67b_bloom_sieve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = graft.SparkEntry.queries("x17_decontamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sieve == exact, "confirmation must cancel every Bloom false positive")
+    assert(sieve.nonEmpty)
+  }
+
   test("x67: docs shorter than the shingle audit as zero-shingle, unflagged rows") {
     import spark.implicits._
     val train = Seq((1L, "one two"), (2L, "alpha beta gamma")).toDF("doc_id", "text")
