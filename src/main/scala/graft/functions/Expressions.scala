@@ -408,6 +408,12 @@ case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
           s"${left.dataType}, ${right.dataType}")
     }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // Always nullable: a ragged vector yields NULL even when the child is
+  // non-nullable — without this override, nullSafeCodeGen's
+  // non-nullable branch would emit an assignment to an undeclared
+  // isNull variable (the contract AdcScore declares for the same
+  // reason).
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"
 
   private lazy val cbArr: Array[Long] =

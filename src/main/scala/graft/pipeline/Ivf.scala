@@ -90,7 +90,7 @@ object Ivf {
       "\u0000" + df.queryExecution.optimizedPlan.canonicalized.toString +
       "\u0000" + fileKeys(df).mkString("\u0000"))
 
-  private def memoModel[T <: AnyRef](df: DataFrame, tag: String)(fit: => T): T =
+  private[pipeline] def memoModel[T <: AnyRef](df: DataFrame, tag: String)(fit: => T): T =
     snapshotKey(df) match {
       case None => fit
       case Some(k) =>

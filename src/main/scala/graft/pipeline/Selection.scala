@@ -555,13 +555,20 @@ object Selection {
     * the per-row work is one codegen'd [[graft.functions.TokenHash]] +
     * array lookup per token inside a single HOF fold. The output sort is
     * oracle-facing only. */
+  /** NULL text reads as the empty doc on BOTH engines (the x56
+    * coalesce discipline): Spark's split(NULL) would keep the row with
+    * NULL score while DuckDB's unnest(string_split(NULL)) emits no
+    * token rows and an inner join would DROP the doc — divergent row
+    * counts the moment the corpus gains a null. */
+  private val clfToks = split(coalesce(col("text"), lit("")), " ")
+
   /** Single-sourced classifier accumulation over the `text` column:
     * Σ_tok weight[token_hash(tok) mod B]. Requires
     * [[graft.functions.GraftFunctions.register]] on the session that
     * ANALYZES the expression (x64 and the ingest edge both do). */
   private def clfSumw: Column = {
     val weights = (0L until ClfBuckets.toLong).map(clfWeight)
-    aggregate(toks, lit(0L), (acc, t) =>
+    aggregate(clfToks, lit(0L), (acc, t) =>
       acc + element_at(typedLit(weights),
         (call_function("token_hash", t) % ClfBuckets).cast("int") + 1))
   }
@@ -572,7 +579,7 @@ object Selection {
     * runs at the ingestion edge with batch ≡ stream by construction
     * (same Column, same integer threshold; no state, no shuffle). */
   def classifierKeepColumn: Column =
-    clfSumw > lit(ClfThresholdMilli) * size(toks).cast("long")
+    clfSumw > lit(ClfThresholdMilli) * size(clfToks).cast("long")
 
   private[graft] def classifierQualityOf(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
@@ -588,7 +595,7 @@ object Selection {
     val n = col("n_tokens")
     val mag = floor((abs(col("sumw")) * lit(2000L) + n) / (n * lit(2L))).cast("long")
     corpus
-      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"), sumw.as("sumw"))
+      .select(col("doc_id"), size(clfToks).cast("long").as("n_tokens"), sumw.as("sumw"))
       .select(col("doc_id"), col("n_tokens"),
         ((signum(col("sumw")).cast("long") * mag).cast("double") / lit(1000000.0))
           .as("logit"),
@@ -601,7 +608,8 @@ object Selection {
 
   private val x64Sql = {
     import HashConstants.{HashPrime, Knuth}
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+              FROM documents),
        tok AS (SELECT doc_id, unnest(t) AS tok FROM t),
        hb AS (SELECT doc_id,
                 (((${rollFoldSql("tok")}) * $Knuth) % $HashPrime) % $ClfBuckets AS b

@@ -98,11 +98,6 @@ object Sinks {
 
   private val metadataTableTypes = "key VARCHAR(255), value VARCHAR(1000), created_at TIMESTAMP"
 
-  private def existingTables(url: String): Set[String] = {
-    val conn = DriverManager.getConnection(url)
-    try existingTablesOn(conn) finally conn.close()
-  }
-
   private def existingTablesOn(conn: java.sql.Connection): Set[String] = {
     val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
     val names = scala.collection.mutable.Set.empty[String]
@@ -133,18 +128,35 @@ object Sinks {
     * itself included) refuse the implicit string→timestamp store
     * assignment. One connection per partition — the caller's
     * `singleTransactionParity` coalesce decides the parallelism, same
-    * as the batch path. */
+    * as the batch path.
+    *
+    * Identifiers are quoted through the URL's registered `JdbcDialect`
+    * (backticks on hive2 via [[HiveQlDialect]]) so reserved-word or
+    * spaced column names survive, exactly as the batch writer's DDL
+    * does.
+    *
+    * Retry semantics, stated honestly: each partition wraps its inserts
+    * in a transaction WHEN the dialect supports one (rollback on task
+    * failure → a Spark retry starts clean). On dialects with neither
+    * batches nor transactions (Hive/Spark-Thrift), a task that dies
+    * mid-partition and is retried re-inserts its earlier chunks —
+    * at-least-once, the same exposure Spark's own JdbcUtils has on
+    * non-transactional targets. For those, load into a staging table
+    * and atomically rename (the SCALE.md §JDBC discipline), or make
+    * the sink idempotent on a key. */
   private def saveMultiRow(df: DataFrame, url: String, tableName: String,
       createTableColumnTypes: Option[String], batchSize: Int): Unit = {
     val schema = df.schema
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    def q(name: String): String = dialect.quoteIdentifier(name)
     val colDefs = createTableColumnTypes.getOrElse(
-      schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", "))
+      schema.fields.map(f => s"${q(f.name)} ${f.dataType.sql}").mkString(", "))
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
       try st.execute(s"CREATE TABLE $tableName ($colDefs)") finally st.close()
     } finally conn.close()
-    val names = schema.fieldNames.mkString(", ")
+    val names = schema.fieldNames.map(q).mkString(", ")
     val rowPh = schema.fields.map(_.dataType match {
       case TimestampType => "CAST(? AS TIMESTAMP)"
       case DateType => "CAST(? AS DATE)"
@@ -154,6 +166,10 @@ object Sinks {
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val c = DriverManager.getConnection(url)
+        val txCapable =
+          try c.getMetaData.supportsTransactions catch { case _: Exception => false }
+        if (txCapable) c.setAutoCommit(false)
+        var committed = false
         try {
           rows.grouped(batchSize).foreach { chunk =>
             val sql = s"INSERT INTO $tableName ($names) VALUES " +
@@ -174,7 +190,13 @@ object Sinks {
               ps.executeUpdate()
             } finally ps.close()
           }
-        } finally c.close()
+          if (txCapable) { c.commit(); committed = true }
+        } finally {
+          if (txCapable && !committed) {
+            try c.rollback() catch { case _: Exception => () }
+          }
+          c.close()
+        }
       }
     }
   }

@@ -36,6 +36,10 @@ class SinksThriftSpec extends SparkSpec {
     // shared test session was created.
     System.setProperty("hive.server2.thrift.port", port.toString)
     spark.sparkContext.hadoopConfiguration.set("hive.server2.thrift.port", port.toString)
+    // The server's execution-Hive metastore uses Derby's attribute-form
+    // in-memory URL, which breaks JVM-wide if a NAMED memory database
+    // booted first — see SparkSpec.primeDerbyMemory (run by every
+    // suite's constructor), which makes suite order irrelevant here.
     val srv = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
       .startWithContext(spark.sqlContext)
     try {
