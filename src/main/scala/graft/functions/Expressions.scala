@@ -522,6 +522,126 @@ object AdcScore {
   }
 }
 
+/** Bloom-probe hit count for one document in a single native pass: for
+  * each precomputed shingle hash, test whether ALL `k` affine-spread bit
+  * positions (`((h·(2i+1) + i²·31+7) mod prime) mod bits`) are set in
+  * the foldable bitmask, and count the hits. Replaces a
+  * `size(filter(hs, …))` interpreted-HOF chain whose per-element lambda
+  * dispatch made the map-only Bloom gate slower than the exact join it
+  * exists to avoid. The mask child must be foldable — folded once into
+  * [[maskArr]] and shipped via `addReferenceObj`. Null elements in the
+  * hash array never hit (a null shingle hash matches nothing). */
+case class BloomHits(left: Expression, right: Expression, k: Int, prime: Long)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"bloom_hits requires (ARRAY<BIGINT>, foldable ARRAY<BIGINT>), got " +
+          s"${left.dataType}, ${right.dataType}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_hits"
+
+  private lazy val maskArr: Array[Long] =
+    right.eval().asInstanceOf[ArrayData].toLongArray()
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BloomHits.count(maskArr, k, prime, a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bloomMask", maskArr, "long[]")
+    defineCodeGen(ctx, ev, (a, _) =>
+      s"graft.functions.BloomHits.count($mRef, $k, ${prime}L, $a)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomHits =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Distinct word-shingle rolling hashes of a document in ONE native
+  * pass: split on single spaces (Java split limit -1 — exactly Spark's
+  * `split(text, " ")`), form every n-token shingle joined by one space,
+  * de-duplicate by STRING (first occurrence), and emit each distinct
+  * shingle's [[RollingHash]]. Replaces the interpreted
+  * `array_distinct(transform(sequence…, concat_ws(slice…)))` +
+  * `transform(rolling_hash)` HOF chain, whose per-element lambda
+  * dispatch and substring allocation dominated the x67 Bloom probe
+  * (measured 3.7 s vs ~0.9 s for the codegen'd explode path it was
+  * meant to beat). De-duplication is by string, not by hash, so a
+  * rolling-hash collision between distinct shingles still emits both —
+  * the oracle's DISTINCT-string semantics. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires (STRING, n >= 1), got ${child.dataType}, n=$n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.hashes(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashes.hashes($c.toString(), $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def hashes(s: String, n: Int): ArrayData = {
+    val toks = s.split(" ", -1)
+    if (toks.length < n) return ArrayData.toArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = RollingHash.hash(it.next()); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+}
+
+object BloomHits {
+  def count(mask: Array[Long], k: Int, prime: Long, hs: ArrayData): Long = {
+    val bits = mask.length.toLong * 64L
+    val n = hs.numElements()
+    var c = 0L
+    var j = 0
+    while (j < n) {
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var all = true
+        var i = 0
+        while (all && i < k) {
+          val raw = (h * (2L * i + 1L) + i.toLong * i * 31L + 7L) % prime
+          val pos = (if (raw < 0) raw + prime else raw) % bits
+          all = (mask((pos / 64L).toInt) >>> (pos % 64L).toInt & 1L) == 1L
+          i += 1
+        }
+        if (all) c += 1L
+      }
+      j += 1
+    }
+    c
+  }
+}
+
 /** Algebraic simplification for [[SanitizeName]]: the sanitizer is
   * idempotent (property-tested in SanitizeSpec), so nested applications
   * collapse to one — the engine's own little optimizer rule, injected via
@@ -567,6 +687,17 @@ object GraftFunctions {
       "scala_udf")
     registry.createOrReplaceTempFunction("adc_score",
       exprs => AdcScore(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("bloom_hits",
+      exprs => BloomHits(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval() match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+        }),
+      "scala_udf")
   }
 
   /** B35's one showcase scalar UDF — kept for API-surface parity; the

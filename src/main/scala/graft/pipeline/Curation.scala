@@ -501,31 +501,21 @@ object Curation {
       m
     }
     val maskLit = typedLit(mask.toSeq)
-    // Probe: distinct shingles per doc inside ONE projection; a shingle
-    // hits iff all k mask bits are set. The rolling hash runs ONCE per
-    // shingle (the transform below) — the k probe branches then reuse
-    // the precomputed value; an interpreted HOF lambda gets no
-    // subexpression elimination, so hashing inside each branch would
-    // triple the fold cost on exactly the hot path.
-    // & 1, not % 2: an arithmetic shift of a word with bit 63 set yields
-    // a NEGATIVE long whose % 2 is -1; the AND isolates the bit on any
-    // sign.
-    def bitSet(pos: Column): Column =
-      call_function("shiftright", element_at(maskLit, (pos / 64).cast("int") + 1),
-        (pos % 64).cast("int")).bitwiseAND(lit(1L)) === 1
-    def hitFromHash(h: Column): Column =
-      (0 until BloomK).map(i => bitSet(bloomPos(h, i))).reduce(_ && _)
-    val t = split(col("text"), " ")
-    val grams = when(size(t) >= shingleLen,
-      array_distinct(transform(sequence(lit(0), size(t) - shingleLen),
-        i => concat_ws(" ", slice(t, i + 1, lit(shingleLen))))))
-      .otherwise(array().cast("array<string>"))
+    // Probe: TWO native expressions inside one codegen'd projection —
+    // [[graft.functions.ShingleHashes]] (distinct shingle rolling
+    // hashes, no per-element lambdas, no substring Columns) feeding
+    // [[graft.functions.BloomHits]] (all-k-bits-set count over the
+    // reference-held mask). The first cut used interpreted HOF chains
+    // for both and measured SLOWER than the exact join this gate exists
+    // to avoid (3.7 s vs 0.9 s at sf0.1); native, it is scan-bound.
+    // NULL text reads as the empty doc (no shingles, unflagged).
     train
-      .select(col("doc_id"), grams.as("g"))
-      .select(col("doc_id"), size(col("g")).cast("long").as("n_shingles"),
-        transform(col("g"), sh => call_function("rolling_hash", sh)).as("hs"))
-      .select(col("doc_id"), col("n_shingles"),
-        size(filter(col("hs"), h => hitFromHash(h))).cast("long").as("n_hits"))
+      .select(col("doc_id"),
+        call_function("shingle_hashes",
+          coalesce(col("text"), lit("")), lit(shingleLen)).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        call_function("bloom_hits", col("hs"), maskLit,
+          lit(BloomK), lit(HashConstants.HashPrime)).as("n_hits"))
       .withColumn("flagged", col("n_hits") > 0)
       .orderBy("doc_id")
   }

@@ -105,6 +105,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("shingle_hashes equals the HOF shingle chain it replaced, on the real corpus") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val n = 3
+    val t = split(coalesce(col("text"), lit("")), " ")
+    val refGrams = when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val both = graft.Tables.t(spark, sf, "documents")
+      .select(
+        call_function("shingle_hashes", coalesce(col("text"), lit("")), lit(n)).as("native"),
+        transform(refGrams, sh => call_function("rolling_hash", sh)).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // edge cases: short doc, empty doc, repeated shingle
+    import spark.implicits._
+    val edges = Seq("", "one two", "a b c a b c a b c", "x y z").toDF("text")
+    val e = edges.select(
+      call_function("shingle_hashes", col("text"), lit(n)).as("native"),
+      transform(when(size(split(col("text"), " ")) >= n,
+        array_distinct(transform(sequence(lit(0), size(split(col("text"), " ")) - n),
+          i => concat_ws(" ", slice(split(col("text"), " "), i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>")),
+        sh => call_function("rolling_hash", sh)).as("hof"))
+      .collect()
+    e.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch: $r"))
+  }
+
   test("vec_dot/vec_norm2 equal the zip_with/aggregate folds they replaced") {
     import org.apache.spark.sql.functions._
     GraftFunctions.register(spark)
