@@ -35,6 +35,62 @@ object Dedup {
        count(*) AS n_dups
        FROM documents GROUP BY sha256(text) ORDER BY content_hash"""
 
+  // ---------------------------------------------------------------- x69
+  /** The normalization B27 hashes through for x69 — the CCNet
+    * pre-hash discipline (Wenzek et al. 2020: lowercase, strip
+    * punctuation/accents, collapse whitespace before paragraph
+    * hashing): lowercase → drop every char outside [a-z0-9 ] →
+    * collapse space runs → trim. ASCII-only corpus makes the accent
+    * step vacuous here (disclosed); both regexes are literal character
+    * classes, identical in Spark and DuckDB. */
+  private[graft] def normalizedText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9 ]", ""),
+      " +", " "))
+
+  /** x69 — normalized exact dedup: B27's hash-groupBy keyed on the
+    * NORMALIZED text, the way CCNet-class pipelines actually hash (raw
+    * exact dedup misses the near-universal trivial variants: case,
+    * punctuation, double spaces). Emits, per doc, its normalized
+    * group's keep decision plus the group size under BOTH keys, so the
+    * delta (`n_norm_dups > n_raw_dups`) is the measurable value of
+    * normalizing before hashing.
+    *
+    * Scale: identical to B27 — the normalization is map-side expression
+    * work fused into the scan; both group sizes ride ONE shuffle each
+    * on a uniform 256-bit key (the raw-group size joins back on the
+    * raw hash, the norm side on the norm hash; no skew, no text
+    * shuffled — the x40c discipline applies if the hash column is
+    * materialized first). */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      sha2(col("text"), 256).as("raw_hash"),
+      sha2(normalizedText(col("text")), 256).as("norm_hash"))
+    val rawGroups = d.groupBy("raw_hash").agg(count(lit(1)).as("n_raw_dups"))
+    val normGroups = d.groupBy("norm_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_norm_dups"))
+    d.join(rawGroups, "raw_hash")
+      .join(normGroups, "norm_hash")
+      .select(col("doc_id"), col("norm_hash"),
+        (col("doc_id") === col("keep_id")).as("keep"),
+        col("n_raw_dups"), col("n_norm_dups"))
+      .orderBy("doc_id")
+  }
+
+  private val x69Sql =
+    """WITH d AS (SELECT doc_id, sha256(text) AS raw_hash,
+           sha256(trim(regexp_replace(regexp_replace(
+             lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS norm_hash
+         FROM documents),
+       rawg AS (SELECT raw_hash, count(*) AS n_raw_dups FROM d GROUP BY raw_hash),
+       normg AS (SELECT norm_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_norm_dups FROM d GROUP BY norm_hash)
+       SELECT doc_id, norm_hash, doc_id = keep_id AS keep,
+         n_raw_dups, n_norm_dups
+       FROM d JOIN rawg USING (raw_hash) JOIN normg USING (norm_hash)
+       ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- B28
   /** Document-frequency cap constant: a token/gram is dropped from
     * CANDIDATE GENERATION when `df² > DfCapC × ndocs`, i.e. df ≤ √(C·n).
@@ -667,6 +723,7 @@ object Dedup {
 
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x69_normalized_dedup", normalizedDedup, Some(x69Sql)),
     QueryDef("b27_dedup_exact", exactDedup, Some(b27Sql)),
     QueryDef("b28_jaccard_pairs", (s, d) => jaccardPairs(s, d), Some(b28Sql)),
     QueryDef("x11_ngram_jaccard", x11, Some(x11Sql)),

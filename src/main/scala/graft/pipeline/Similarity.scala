@@ -861,7 +861,65 @@ object Similarity {
        SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sq8
        FROM d ORDER BY cos_sq8 DESC, vec_id LIMIT 5"""
 
+  // ---------------------------------------------------------------- x68
+  /** Batch size and per-query cut of the x68 batched retrieval. */
+  val AnnBatchQueries = 8
+  val AnnBatchK = 5
+
+  /** x68 — batched ANN retrieval: B29's exact cosine search for a SET of
+    * queries in ONE corpus pass (embedding-dedup and retrieval services
+    * run hundreds of queries per scan, not one; this is x49b's
+    * batch-vs-single relationship applied to the dense side). The query
+    * block (ids < [[AnnBatchQueries]]) broadcasts; every corpus row
+    * scores all queries in the same scan; per-query top-k is a rank
+    * window over (q_id) on the ROUNDED score with vec_id tiebreak — the
+    * x49b determinism discipline.
+    *
+    * Scale: corpus scanned once regardless of |Q| (the win vs |Q|
+    * single-query passes); the window's per-query partitions carry the
+    * whole corpus, so at 100 TB the x41b sub-stratum pre-prune applies
+    * verbatim (rank within (q_id, id-hash stratum) ≤ k first — lossless
+    * — then the exact window over ≤ strata·k rows), or the scan-side
+    * per-partition heap of TakeOrdered generalized per query. The
+    * registered form keeps the single window the oracle can mirror. */
+  def annBatchTopK(s: SparkSession, dir: String): DataFrame = {
+    reg(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < AnnBatchQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.filter(col("vec_id") >= AnnBatchQueries)
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnBatchK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val x68Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                 WHERE vec_id < $AnnBatchQueries),
+       z AS (SELECT q.q_id, e.vec_id,
+               unnest(e.embedding) AS x, unnest(q.qe) AS y
+             FROM embeddings e CROSS JOIN q WHERE e.vec_id >= $AnnBatchQueries),
+       s AS (SELECT q_id, vec_id,
+               sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+               sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+               sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+             FROM z GROUP BY q_id, vec_id),
+       r AS (SELECT q_id, vec_id,
+               round(dot / (sqrt(na) * sqrt(nq)), 4) AS cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 4) DESC, vec_id) AS rank
+             FROM s)
+       SELECT q_id, rank, vec_id, cosine FROM r
+       WHERE rank <= $AnnBatchK ORDER BY q_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x68_ann_batch", annBatchTopK, Some(x68Sql)),
     QueryDef("b29_cosine_topk", cosineTopK, Some(b29Sql)),
     QueryDef("x52_ann_sq8", annSq8TopK, Some(x52Sql)),
     QueryDef("x52b_ann_ivf_sq8", annIvfSq8TopK, Some(x52bSql)),

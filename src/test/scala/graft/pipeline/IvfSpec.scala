@@ -154,6 +154,26 @@ class IvfSpec extends SparkSpec {
     assert(flat.length == Ivf.PqM * Ivf.PqK * Ivf.PqSubDim)
   }
 
+  test("x68: each batched query's top-k equals its single-query brute force") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val batch = Similarity.annBatchTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(r =>
+        (r.getLong(2), r.getDouble(3))).toSeq }
+    assert(batch.keySet == (0L until Similarity.AnnBatchQueries.toLong).toSet)
+    // independent single-query reference for two of the eight queries
+    Seq(0L, 3L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_emb"))
+      val single = emb.filter(col("vec_id") >= Similarity.AnnBatchQueries)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("q_emb")), 4).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(Similarity.AnnBatchK)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"q$qid: ${batch(qid)} vs $single")
+    }
+  }
+
   test("with nprobe = nlist the IVF top-1 equals brute-force top-1") {
     val emb = Tables.t(spark, sf, "embeddings")
     val (model, indexed) = Ivf.build(emb)

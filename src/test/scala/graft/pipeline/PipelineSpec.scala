@@ -729,4 +729,46 @@ class PipelineSpec extends SparkSpec {
     val res = Dedup.exactDedup(spark, sf).agg(sum("n_dups")).collect()(0).getLong(0)
     assert(res == 500, "every doc accounted for exactly once")
   }
+
+  // ---------------------------------------------------------------- x69
+  test("x69: normalization collapses case/punct/space variants raw dedup misses") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "hello world"),   // raw dup of 2
+      (4L, "unrelated text")).toDF("doc_id", "text")
+    // plumb through the registered query's internals via a local frame
+    val out = {
+      val d = corpus.select(col("doc_id"),
+        sha2(col("text"), 256).as("raw_hash"),
+        sha2(Dedup.normalizedText(col("text")), 256).as("norm_hash"))
+      val rawG = d.groupBy("raw_hash").agg(count(lit(1)).as("n_raw"))
+      val normG = d.groupBy("norm_hash")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_norm"))
+      d.join(rawG, "raw_hash").join(normG, "norm_hash")
+        .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("keep"),
+          col("n_raw"), col("n_norm"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
+    }
+    // 1/2/3 share one normalized class of 3; raw groups are 1 and 2
+    assert(out(1L) == ((true, 1L, 3L)), s"got $out")
+    assert(out(2L) == ((false, 2L, 3L)))
+    assert(out(3L) == ((false, 2L, 3L)))
+    assert(out(4L) == ((true, 1L, 1L)))
+  }
+
+  test("x69: on the real corpus every doc appears once and keeps are one-per-group") {
+    val out = Dedup.normalizedDedup(spark, sf)
+    assert(out.count() == 500)
+    val perGroup = out.groupBy("norm_hash")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"),
+        count(lit(1)).as("n"), first("n_norm_dups").as("sz"))
+      .collect()
+    perGroup.foreach { r =>
+      assert(r.getLong(1) == 1L, s"exactly one keep per group: $r")
+      assert(r.getLong(2) == r.getLong(3), s"group size column consistent: $r")
+    }
+  }
 }
