@@ -162,8 +162,18 @@ object Repetition {
     * 0.11, 0.10}. Verdicts compare the ROUNDED signals the battery
     * queries emit (x51's discipline — the gate and the diagnostic columns
     * can never disagree), one boolean per rule plus the conjunction. */
-  def repetitionGate(s: SparkSession, dir: String): DataFrame =
-    gateFrom(batteryFrame(s, dir), coverageFrame(s, dir)).orderBy("doc_id")
+  def repetitionGate(s: SparkSession, dir: String): DataFrame = {
+    // The battery + coverage composition fans the tokenized base out to
+    // ~10 signal subtrees (3 top-gram, 6 dup-coverage, line stats), each
+    // of which would otherwise re-scan and re-tokenize the corpus; one
+    // eager checkpoint bounds that to a single tokenization (the
+    // curateV2 multi-consumer discipline). gateOf — the streaming
+    // admission form — stays checkpoint-free: a micro-batch is small
+    // and the extra materialization per batch would cost more than the
+    // recompute.
+    val b = base(s, dir).transform(Checkpoints.stable)
+    gateFrom(batteryFrame(b), coverageFrame(b)).orderBy("doc_id")
+  }
 
   /** The gate over ANY (doc_id, text) frame — per-doc and stateless, so
     * it slots into a foreachBatch admission body unchanged. Un-ordered:
