@@ -730,6 +730,24 @@ class PipelineSpec extends SparkSpec {
     assert(res == 500, "every doc accounted for exactly once")
   }
 
+  // ---------------------------------------------------------------- x70
+  test("x70: report totals agree with the home operators they summarize") {
+    val rep = TextStats.corpusReport(spark, sf).collect()
+    val totals = rep.map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5))
+    assert(totals._1 == 500, "every doc counted exactly once across sources")
+    val gopherPass = Selection.gopherRules(spark, sf)
+      .agg(sum("pass_all")).collect()(0).getLong(0)
+    assert(totals._3 == gopherPass, s"gopher column must match x51: ${totals._3} vs $gopherPass")
+    val dupMass = Dedup.exactDedup(spark, sf)
+      .filter(col("n_dups") > 1).agg(sum("n_dups")).collect()(0)
+    val expectedDup = if (dupMass.isNullAt(0)) 0L else dupMass.getLong(0)
+    assert(totals._5 == expectedDup,
+      s"dup-group membership must match B27's group sizes: ${totals._5} vs $expectedDup")
+    // signals must be non-trivial on the real corpus
+    assert(totals._2 > 0 && totals._2 < 500, s"quality floor splits: ${totals._2}")
+  }
+
   // ---------------------------------------------------------------- x69
   test("x69: normalization collapses case/punct/space variants raw dedup misses") {
     import spark.implicits._
