@@ -549,6 +549,30 @@ class PlanSpec extends SparkSpec {
       s"probe pass must not hash-shuffle; only the output sort may exchange:\n$p")
   }
 
+  test("x68: batched ANN broadcasts the query block; the corpus never shuffles for scoring") {
+    val p = plan("x68_ann_batch")
+    assert(p.contains("Broadcast"), s"the query block must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"scoring joins must not shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the query fan-out is a broadcast nested loop, not a product:\n$p")
+  }
+
+  test("x69: normalized dedup hashes map-side and aggregates partial+final") {
+    val p = plan("x69_normalized_dedup")
+    assert(p.contains("partial"), s"both hash-group aggs must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"group sizes join back on hash equi-keys:\n$p")
+  }
+
+  test("x70: the corpus report is one scan of per-doc signals into a source-keyed agg") {
+    val p = plan("x70_corpus_report")
+    assert(p.contains("partial"), s"the source agg must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the dup-size side joins on the hash equi-key:\n$p")
+    assert(!p.contains("Window"), s"counts, not windows:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize
