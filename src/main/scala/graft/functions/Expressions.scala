@@ -536,7 +536,11 @@ case class BloomHits(left: Expression, right: Expression, k: Int, prime: Long)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // An empty mask would make the probe's `pos % bits` divide by
+        // zero per row; fail analysis instead.
+        if (right.eval().asInstanceOf[ArrayData].numElements() > 0)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("bloom_hits mask must be non-empty")
       case _ => TypeCheckResult.TypeCheckFailure(
         s"bloom_hits requires (ARRAY<BIGINT>, foldable ARRAY<BIGINT>), got " +
           s"${left.dataType}, ${right.dataType}")
@@ -678,26 +682,44 @@ object GraftFunctions {
       exprs => SetOverlap(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("subword_count",
       exprs => SubwordCount(exprs.head), "scala_udf")
-    // m and k are REQUIRED int literals — folded at registration into
-    // the expression's geometry (they shape the generated loops, not
-    // per-row data).
+    // Geometry arguments (m/k/n/prime) are REQUIRED foldable integer
+    // literals — folded at registration into the expression (they shape
+    // the generated loops, not per-row data). intArg gives a clean
+    // AnalysisException-style message for a column or wrong-typed
+    // argument instead of a raw ClassCastException from a bare cast.
     registry.createOrReplaceTempFunction("pq_encode",
       exprs => PqEncode(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
+        intArg(exprs(2), "pq_encode", "m").toInt,
+        intArg(exprs(3), "pq_encode", "k").toInt),
       "scala_udf")
     registry.createOrReplaceTempFunction("adc_score",
       exprs => AdcScore(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("shingle_hashes",
-      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      exprs => ShingleHashes(exprs(0),
+        intArg(exprs(1), "shingle_hashes", "n").toInt),
       "scala_udf")
     registry.createOrReplaceTempFunction("bloom_hits",
       exprs => BloomHits(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval() match {
-          case l: java.lang.Long => l.longValue()
-          case i: java.lang.Integer => i.longValue()
-        }),
+        intArg(exprs(2), "bloom_hits", "k").toInt,
+        intArg(exprs(3), "bloom_hits", "prime")),
       "scala_udf")
+  }
+
+  /** Evaluate a foldable INT/BIGINT literal argument; anything else —
+    * a column reference, a string, a null — fails with a message naming
+    * the function and parameter rather than a ClassCastException. */
+  private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, param: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument '$param' must be an integer literal, got non-foldable $e")
+    e.eval() match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$param' must be an integer literal, got $other")
+    }
   }
 
   /** B35's one showcase scalar UDF — kept for API-surface parity; the

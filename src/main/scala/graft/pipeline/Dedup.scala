@@ -62,10 +62,23 @@ object Dedup {
     * raw hash, the norm side on the norm hash; no skew, no text
     * shuffled — the x40c discipline applies if the hash column is
     * materialized first). */
-  def normalizedDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"),
-      sha2(col("text"), 256).as("raw_hash"),
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame =
+    normalizedDedupOf(docs(s, dir))
+
+  /** Library form over any (doc_id, text) frame — shared by the
+    * registered query and the planted-fixture spec so the test can
+    * never drift from the shipped operator. NULL text hashes as the
+    * empty doc on BOTH keys (a NULL raw hash would silently drop the
+    * doc at the group join — a defect the oracle compare could never
+    * catch because DuckDB's `JOIN USING` drops the same NULL row). The
+    * hashed projection is eagerly checkpointed: three consumers (two
+    * group aggregations + the join probe) would otherwise each re-scan
+    * the corpus and re-evaluate both SHA-256s. */
+  private[graft] def normalizedDedupOf(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.select(col("doc_id"),
+      sha2(coalesce(col("text"), lit("")), 256).as("raw_hash"),
       sha2(normalizedText(col("text")), 256).as("norm_hash"))
+      .transform(Checkpoints.stable)
     val rawGroups = d.groupBy("raw_hash").agg(count(lit(1)).as("n_raw_dups"))
     val normGroups = d.groupBy("norm_hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_norm_dups"))
@@ -78,7 +91,7 @@ object Dedup {
   }
 
   private val x69Sql =
-    """WITH d AS (SELECT doc_id, sha256(text) AS raw_hash,
+    """WITH d AS (SELECT doc_id, sha256(coalesce(text, '')) AS raw_hash,
            sha256(trim(regexp_replace(regexp_replace(
              lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'),
              ' +', ' ', 'g'))) AS norm_hash

@@ -635,77 +635,7 @@ object TextStats {
        FROM documents ORDER BY doc_id"""
 
   // ----------------------------------------------------------------
-  // ---------------------------------------------------------------- x70
-  /** x70 — the per-source corpus health report an operating pipeline
-    * monitors every ingestion cycle: document and token mass, quality-
-    * floor pass count, Gopher-battery pass count, PII incidence, and
-    * exact-duplicate mass, per `source`. Every signal is the SAME
-    * single-sourced definition its home operator registers
-    * ([[qualityColumn]]/x24's floor, [[Selection.gopherPassColumn]],
-    * [[PiiPatterns.emailCount]], B27's sha-group size), so the report
-    * can never drift from the gates it summarizes. All aggregates are
-    * integer counts/sums — no float mean whose cross-engine summation
-    * order could flip a rounded digit — so the report is engine-exact.
-    *
-    * Scale: one scan computes every per-doc signal map-side; the
-    * source-keyed aggregation is partial+final over a handful of
-    * strata; the dup-size side is B27's uniform hash shuffle joined
-    * back at doc grain. At 100 TB this is two exchanges, both on
-    * uniform or low-cardinality keys — the cheapest kind of
-    * observability there is. */
-  def corpusReport(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.t(s, dir, "documents")
-    val dup = d.groupBy(sha2(col("text"), 256).as("h"))
-      .agg(count(lit(1)).as("grp"))
-    val scored = d.select(col("doc_id"), col("source"),
-        sha2(col("text"), 256).as("h"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
-        (qualityColumn >= graft.streaming.IngestGate.MinQuality).as("q_pass"),
-        Selection.gopherPassColumn.as("g_pass"),
-        (PiiPatterns.emailCount > 0).as("has_pii"))
-      .join(dup, "h")
-    scored.groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
-      sum("n_tok").as("n_tokens"),
-      sum(when(col("q_pass"), 1L).otherwise(0L)).as("n_pass_quality"),
-      sum(when(col("g_pass"), 1L).otherwise(0L)).as("n_pass_gopher"),
-      sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_with_pii"),
-      sum(when(col("grp") > 1, 1L).otherwise(0L)).as("n_in_dup_groups"))
-      .orderBy("source")
-  }
-
-  // Init-order note: this val evaluates during TextStats object init.
-  // IngestGate.MinQuality is declared BEFORE IngestGate's own
-  // TextStats-triggering val (qualitySql), so it is safe to read even
-  // when IngestGate's init is what initialized TextStats;
-  // Selection.gopherPassSql is a def over constants declared before
-  // Selection's TextStats-triggering val (x51Sql). The email predicate
-  // comes from the LEAF PiiPatterns regex directly — reading
-  // IngestGate.emailsSql here would hit a genuine init cycle (it is
-  // declared AFTER qualitySql).
-  private val x70Sql = {
-    val minQ = graft.streaming.IngestGate.MinQuality
-    s"""WITH dup AS (SELECT sha256(text) AS h, count(*) AS grp
-                   FROM documents GROUP BY sha256(text)),
-       scored AS (SELECT source,
-           sha256(text) AS h,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-           ($qualitySqlExpr) >= $minQ AS q_pass,
-           (${Selection.gopherPassSql}) AS g_pass,
-           len(regexp_extract_all(text, '${PiiPatterns.EmailSql}')) > 0 AS has_pii
-         FROM documents)
-       SELECT source, count(*) AS n_docs,
-         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
-         CAST(sum(CASE WHEN g_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gopher,
-         CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii,
-         CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_groups
-       FROM scored JOIN dup USING (h)
-       GROUP BY source ORDER BY source"""
-  }
-
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("x70_corpus_report", corpusReport, Some(x70Sql)),
     QueryDef("b30_lang_stats", langStats, Some(b30Sql)),
     QueryDef("b30b_term_freq", termFreq, Some(b30bSql)),
     QueryDef("b37_shingle_freq", shingleFreq, Some(b37Sql)),

@@ -119,16 +119,13 @@ class ExpressionsSpec extends SparkSpec {
         call_function("shingle_hashes", coalesce(col("text"), lit("")), lit(n)).as("native"),
         transform(refGrams, sh => call_function("rolling_hash", sh)).as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
-    // edge cases: short doc, empty doc, repeated shingle
+    // edge cases: short doc, empty doc, repeated shingle — the SAME
+    // unresolved reference columns as above, resolved against this frame
     import spark.implicits._
     val edges = Seq("", "one two", "a b c a b c a b c", "x y z").toDF("text")
     val e = edges.select(
-      call_function("shingle_hashes", col("text"), lit(n)).as("native"),
-      transform(when(size(split(col("text"), " ")) >= n,
-        array_distinct(transform(sequence(lit(0), size(split(col("text"), " ")) - n),
-          i => concat_ws(" ", slice(split(col("text"), " "), i + 1, lit(n))))))
-        .otherwise(array().cast("array<string>")),
-        sh => call_function("rolling_hash", sh)).as("hof"))
+      call_function("shingle_hashes", coalesce(col("text"), lit("")), lit(n)).as("native"),
+      transform(refGrams, sh => call_function("rolling_hash", sh)).as("hof"))
       .collect()
     e.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch: $r"))
   }

@@ -732,7 +732,7 @@ class PipelineSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- x70
   test("x70: report totals agree with the home operators they summarize") {
-    val rep = TextStats.corpusReport(spark, sf).collect()
+    val rep = Report.corpusReport(spark, sf).collect()
     val totals = rep.map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
       .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5))
     assert(totals._1 == 500, "every doc counted exactly once across sources")
@@ -754,27 +754,22 @@ class PipelineSpec extends SparkSpec {
     val corpus = Seq(
       (1L, "Hello,  World!"),
       (2L, "hello world"),
-      (3L, "hello world"),   // raw dup of 2
-      (4L, "unrelated text")).toDF("doc_id", "text")
-    // plumb through the registered query's internals via a local frame
-    val out = {
-      val d = corpus.select(col("doc_id"),
-        sha2(col("text"), 256).as("raw_hash"),
-        sha2(Dedup.normalizedText(col("text")), 256).as("norm_hash"))
-      val rawG = d.groupBy("raw_hash").agg(count(lit(1)).as("n_raw"))
-      val normG = d.groupBy("norm_hash")
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_norm"))
-      d.join(rawG, "raw_hash").join(normG, "norm_hash")
-        .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("keep"),
-          col("n_raw"), col("n_norm"))
-        .collect().map(r => r.getLong(0) ->
-          (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
-    }
+      (3L, "hello world"),      // raw dup of 2
+      (4L, "unrelated text"),
+      (5L, null.asInstanceOf[String]), // NULL text must not vanish
+      (6L, "")).toDF("doc_id", "text")
+    val out = Dedup.normalizedDedupOf(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getLong(3), r.getLong(4))).toMap
     // 1/2/3 share one normalized class of 3; raw groups are 1 and 2
     assert(out(1L) == ((true, 1L, 3L)), s"got $out")
     assert(out(2L) == ((false, 2L, 3L)))
     assert(out(3L) == ((false, 2L, 3L)))
     assert(out(4L) == ((true, 1L, 1L)))
+    // NULL and empty text hash as the same empty doc on both keys
+    assert(out(5L) == ((true, 2L, 2L)), s"NULL-text doc must keep its row: $out")
+    assert(out(6L) == ((false, 2L, 2L)))
+    assert(out.size == 6, "one row per input doc")
   }
 
   test("x69: on the real corpus every doc appears once and keeps are one-per-group") {
