@@ -247,9 +247,87 @@ object Bpe {
        c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair)
        SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT $BpePairTopK"""
 
+  // ---------------------------------------------------------------- x71
+  /** x71 — per-language tokenizer compression & parity report (the
+    * tokenizer-fairness table of Petrov et al. 2023, "Language Model
+    * Tokenizers Introduce Unfairness Between Languages", restated over
+    * non-parallel corpora): for each language, document/char/word/subword
+    * mass plus three derived rates — subword tokens per whitespace word,
+    * characters per subword token, and the TOKEN PREMIUM relative to
+    * English (this language's tokens-per-char over English's; > 1 means
+    * the tokenizer spends more budget per character of this language).
+    * The premium is what a mixture designer needs before trusting
+    * token-denominated budgets (x55/x56b) across languages: a lang with
+    * premium 1.3 consumes 30% more of a token budget per char of content.
+    *
+    * Scale shape: one map-only projection (codegen'd subword_count +
+    * length + word count — no explode, no per-word shuffle) into a
+    * partial+final agg keyed on lang (vocabulary-sized output), then a
+    * single global-agg scalar for the English baseline joined back by
+    * literal cross join (1 row — Spark plans a BroadcastNestedLoopJoin
+    * over a broadcast of one row). All integer sums are exact BIGINTs;
+    * the three doubles are single divisions of those integers, so both
+    * engines derive bit-identical rates. NULL guards: a lang of only
+    * empty docs divides by nullif-0 words/tokens → NULL on both engines;
+    * a corpus with no 'en' rows yields NULL premiums rather than an
+    * empty report. */
+  def tokenizerFairness(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val perDoc = Tables.t(s, dir, "documents").select(
+      col("lang"),
+      length(coalesce(col("text"), lit(""))).cast("long").as("chars"),
+      size(filter(split(coalesce(col("text"), lit("")), " "),
+        w => length(w) > 0)).cast("long").as("words"),
+      subwordCount(col("text")).as("subtok"))
+    val agg = perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("chars").as("n_chars"),
+      sum("words").as("n_words"),
+      sum("subtok").as("n_subword_tok"))
+    // English tokens-per-char baseline as a 1-row global agg (NULL when
+    // absent or charless — max over an empty/NULL set, never a 0-row frame).
+    val en = agg.select(max(when(col("lang") === "en",
+      col("n_subword_tok").cast("double") / nullif(col("n_chars"), lit(0L))))
+      .as("en_tok_per_char"))
+    agg.crossJoin(broadcast(en))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_subword_tok"),
+        round(col("n_subword_tok").cast("double")
+          / nullif(col("n_words"), lit(0L)), 4).as("tok_per_word"),
+        round(col("n_chars").cast("double")
+          / nullif(col("n_subword_tok"), lit(0L)), 4).as("chars_per_tok"),
+        round((col("n_subword_tok").cast("double")
+          / nullif(col("n_chars"), lit(0L))) / col("en_tok_per_char"), 4)
+          .as("premium_vs_en"))
+      .orderBy("lang")
+  }
+
+  private val x71Sql =
+    s"""WITH RECURSIVE $bpeCountCtes,
+       wd AS (SELECT doc_id, count(*) FILTER (WHERE len(w) > 0) AS words
+              FROM w GROUP BY doc_id),
+       a AS (SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(coalesce(text, ''))) AS BIGINT) AS n_chars,
+               CAST(sum(wd.words) AS BIGINT) AS n_words,
+               CAST(sum(bpe.n_subword_tok) AS BIGINT) AS n_subword_tok
+             FROM documents JOIN wd USING (doc_id) JOIN bpe USING (doc_id)
+             GROUP BY lang),
+       e AS (SELECT max(CASE WHEN lang = 'en'
+               THEN CAST(n_subword_tok AS DOUBLE) / nullif(n_chars, 0) END)
+               AS en_tok_per_char FROM a)
+       SELECT lang, n_docs, n_chars, n_words, n_subword_tok,
+              round(CAST(n_subword_tok AS DOUBLE) / nullif(n_words, 0), 4)
+                AS tok_per_word,
+              round(CAST(n_chars AS DOUBLE) / nullif(n_subword_tok, 0), 4)
+                AS chars_per_tok,
+              round((CAST(n_subword_tok AS DOUBLE) / nullif(n_chars, 0))
+                / e.en_tok_per_char, 4) AS premium_vs_en
+       FROM a, e ORDER BY lang"""
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x56_bpe_token_count", tokenCounts, Some(x56Sql)),
     QueryDef("x56b_budget_apportion_bpe", budgetApportionBpe, Some(x56bSql)),
-    QueryDef("x65_bpe_pair_counts", pairCounts, Some(x65Sql)))
+    QueryDef("x65_bpe_pair_counts", pairCounts, Some(x65Sql)),
+    QueryDef("x71_tokenizer_fairness", tokenizerFairness, Some(x71Sql)))
 }

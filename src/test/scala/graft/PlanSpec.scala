@@ -573,6 +573,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"counts, not windows:\n$p")
   }
 
+  test("x71: fairness report is a map-only projection into a lang agg plus a 1-row broadcast") {
+    val p = plan("x71_tokenizer_fairness")
+    assert(!p.contains("Generate"),
+      s"subword counting runs inside one projection, not via explode:\n$p")
+    assert(p.contains("partial"), s"the lang agg must map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row English baseline must broadcast, never shuffle the report:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to SMJ:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

@@ -106,4 +106,45 @@ class BpeSpec extends SparkSpec {
       assert(c1 > c2 || (c1 == c2 && p1 < p2), s"order violated at $p1/$p2")
     }
   }
+
+  // ---------------------------------------------------------------- x71
+  test("x71: English premium is exactly 1.0 and mass columns cross-check x56") {
+    val rows = Bpe.tokenizerFairness(spark, sf).collect()
+    val byLang = rows.map(r => r.getString(0) -> r).toMap
+    assert(byLang.contains("en"), "corpus regime: English must be present")
+    assert(byLang("en").getDouble(7) == 1.0,
+      "en's tokens-per-char over its own baseline must round to exactly 1.0")
+    // Integer masses must agree with x56's per-doc table summed per lang
+    // (same expression, independent aggregation path).
+    val x56 = Bpe.tokenCounts(spark, sf)
+      .join(Tables.t(spark, sf, "documents").select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(sum("n_subword_tok").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) == x56(r.getString(0)),
+        s"${r.getString(0)}: n_subword_tok diverges from the x56 sum")
+    }
+    // Derived rates are consistent with their own integer masses.
+    rows.foreach { r =>
+      val (chars, words, tok) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.abs(r.getDouble(5) - tok.toDouble / words) < 5e-5)
+      assert(math.abs(r.getDouble(6) - chars.toDouble / tok) < 5e-5)
+    }
+  }
+
+  test("x71: empty-only and en-free corpora degrade to NULL rates, not errors") {
+    import spark.implicits._
+    // A lang of only-empty docs: 0 words, 0 subwords -> NULL tok_per_word /
+    // chars_per_tok; no 'en' rows at all -> NULL premium everywhere.
+    val planted = Seq((1L, null.asInstanceOf[String], "zz", "s", 0L),
+      (2L, "", "zz", "s", 0L), (3L, "the cat", "fr", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("x71nulls").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Bpe.tokenizerFairness(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("zz").isNullAt(5) && out("zz").isNullAt(6) && out("zz").isNullAt(7))
+    assert(out("fr").getLong(4) == 3L, "the|c,at")
+    assert(out("fr").isNullAt(7), "no English baseline -> NULL premium")
+  }
 }
