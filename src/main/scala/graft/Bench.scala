@@ -150,7 +150,18 @@ object Bench {
         }.getOrElse(Map.empty)
       } catch { case _: Throwable => Map.empty }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Targeted ground-truthing: SPARK_GRAFT_ONLY=x42b,x42c restricts the
+    // gauntlet to the named queries (min-of-N semantics unchanged) so a
+    // drift flagged by the driver can be re-measured quietly without
+    // paying the full 150 s suite. Unset (the driver contract) runs all.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) =>
+        names.exists(p => n == p || n.startsWith(p + "_")) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = Seq(timeOnce(name, fn), timeOnce(name, fn)).flatten
       // Load-outlier guard: two rounds running the driver artifact carried
       // a 4-5× phantom on some query (r4 x25/b22c, r5 x17/x34), each traced

@@ -399,10 +399,20 @@ case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) if right.foldable =>
-        if (right.eval().asInstanceOf[ArrayData].numElements() % (m * k) == 0)
-          TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
-          s"pq_encode codebook length must be a multiple of m*k = ${m * k}")
+        if (m < 1 || k < 1)
+          TypeCheckResult.TypeCheckFailure(
+            s"pq_encode requires m >= 1 and k >= 1, got m=$m, k=$k")
+        else right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            "pq_encode codebook must not be NULL")
+          case cb: ArrayData if cb.numElements() == 0 =>
+            TypeCheckResult.TypeCheckFailure(
+              "pq_encode codebook must be non-empty (subDim would be 0)")
+          case cb: ArrayData if cb.numElements() % (m * k) == 0 =>
+            TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"pq_encode codebook length must be a multiple of m*k = ${m * k}")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"pq_encode requires (ARRAY<BIGINT>, foldable ARRAY<BIGINT>), got " +
           s"${left.dataType}, ${right.dataType}")
@@ -476,7 +486,9 @@ case class AdcScore(left: Expression, right: Expression) extends BinaryExpressio
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(IntegerType, _), ArrayType(LongType, _)) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure("adc_score table must not be NULL")
+        else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         s"adc_score requires (ARRAY<INT>, foldable ARRAY<BIGINT>), got " +
           s"${left.dataType}, ${right.dataType}")
@@ -493,10 +505,14 @@ case class AdcScore(left: Expression, right: Expression) extends BinaryExpressio
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tRef = ctx.addReferenceObj("adcTable", tableArr, "long[]")
+    // Fresh per-call-site name: with a non-nullable child, nullSafeExec
+    // emits this snippet without enclosing braces, so a fixed local name
+    // would collide when two adc_score calls share a codegen scope.
+    val res = ctx.freshName("adcRes")
     nullSafeCodeGen(ctx, ev, (a, _) => s"""
-      Long adcRes = graft.functions.AdcScore.score($tRef, $a);
-      if (adcRes == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = adcRes.longValue(); }""")
+      Long $res = graft.functions.AdcScore.score($tRef, $a);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $res.longValue(); }""")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcScore =
@@ -537,10 +553,16 @@ case class BloomHits(left: Expression, right: Expression, k: Int, prime: Long)
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) if right.foldable =>
         // An empty mask would make the probe's `pos % bits` divide by
-        // zero per row; fail analysis instead.
-        if (right.eval().asInstanceOf[ArrayData].numElements() > 0)
-          TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure("bloom_hits mask must be non-empty")
+        // zero per row; fail analysis instead. A null-evaluating foldable
+        // mask (CAST(NULL AS ARRAY<BIGINT>)) is equally unusable.
+        right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            "bloom_hits mask must not be NULL")
+          case mk: ArrayData if mk.numElements() > 0 =>
+            TypeCheckResult.TypeCheckSuccess
+          case _ =>
+            TypeCheckResult.TypeCheckFailure("bloom_hits mask must be non-empty")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"bloom_hits requires (ARRAY<BIGINT>, foldable ARRAY<BIGINT>), got " +
           s"${left.dataType}, ${right.dataType}")

@@ -566,20 +566,35 @@ object TextStats {
     * the planted partial-copy fixture in PipelineSpec pins that path.
     *
     * Scale shape: the sketch-rate posting join (x42b) prunes the corpus
-    * to candidate pairs first, so the exact verify — two hash joins on
-    * doc_id against the token-set table + one codegen'd merge pass per
-    * pair — touches only candidate docs. Same two-tier economics as
-    * B28/x20: cheap sketch recall, exact precision. Threshold applies to
-    * the 4-decimal rounding (mirror-oracle parity, b28's convention). */
+    * to candidate pairs first, and the token-set frame is built ONLY for
+    * candidate endpoints (a left-semi join against `union(da, db)`, a
+    * pure restriction — every cpairs endpoint is in `sets`, so the
+    * result is unchanged and the oracle needs no edit). Without the
+    * restriction the per-doc distinct-token ARRAYS of the whole corpus
+    * rode through both doc_id-keyed join exchanges even though only
+    * candidate endpoints are ever probed — at 100 TB candidates ≪
+    * corpus, so that array mass dominated the query (the r11 plan
+    * audit's finding). The candidate frame is eagerly materialized once
+    * ([[Checkpoints.stable]]) because it is consumed twice (endpoint
+    * list + verify join); re-running the sketch join for the endpoint
+    * list would spend what the restriction saves. The exact verify is
+    * then two hash joins on doc_id + one codegen'd merge pass per pair,
+    * all over candidate-only rows. Same two-tier economics as B28/x20:
+    * cheap sketch recall, exact precision. Threshold applies to the
+    * 4-decimal rounding (mirror-oracle parity, b28's convention). */
   val CopyMinContainment = 0.5
 
   def confirmedCopyPairs(s: SparkSession, dir: String,
       minShared: Int = FpMinShared, maxDf: Int = FpMaxDf,
       minContainment: Double = CopyMinContainment): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val cands = Checkpoints.stable(fingerprintPairs(s, dir, minShared, maxDf))
+    val endpoints = cands.select(col("da").as("doc_id"))
+      .union(cands.select(col("db").as("doc_id"))).distinct()
     val sets = docs(s, dir).select(col("doc_id"),
       array_sort(array_distinct(toks)).as("keys"))
-    fingerprintPairs(s, dir, minShared, maxDf)
+      .join(endpoints, Seq("doc_id"), "left_semi")
+    cands
       .join(sets.select(col("doc_id").as("da2"), col("keys").as("ka")),
         col("da") === col("da2"))
       .join(sets.select(col("doc_id").as("db2"), col("keys").as("kb")),

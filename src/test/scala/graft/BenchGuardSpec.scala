@@ -68,6 +68,30 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.drifted(0.63, 0.25))
   }
 
+  test("the r11 artifact seeds the x42-band guard; quiet ground truth would have flagged it") {
+    // r11's load phantom (the fourth in four rounds): x42b/x42c/x43
+    // read 2.3-6.6x their quiet values in the driver window on
+    // byte-identical source. The artifact must stay parseable so the
+    // in-run guard sees these priors...
+    val p = java.nio.file.Paths.get("BENCH_r11.json")
+    assume(java.nio.file.Files.exists(p), "driver artifact present in repo root")
+    val m = Bench.parsePriorTimes(java.nio.file.Files.readString(p), "/root/testdata/sf0.1")
+    val want = Map(
+      "x42_winnow_fingerprints" -> 0.901, "x42b_fingerprint_pairs" -> 4.140,
+      "x42c_confirmed_copies" -> 12.088, "x43_semantic_keep_best" -> 7.665)
+    want.foreach { case (q, t) =>
+      assert(m.get(q).contains(t), s"$q: expected $t, got ${m.get(q)}")
+    }
+    // ...and the drift decision, fed the committed quiet min-of-3 ground
+    // truth (SCALE.md round-12 table) as prior, must flag each phantom
+    // reading — proof the guard catches this class when priors are real.
+    assert(Bench.drifted(12.088, 2.372), "x42c phantom vs quiet prior")
+    assert(!Bench.drifted(7.665, 4.235),
+      "x43's 1.8x stays under the 2.0x threshold by design (jitter head-room)")
+    assert(!Bench.drifted(2.372, 2.372) && !Bench.drifted(4.235, 4.235),
+      "quiet-vs-quiet never flags")
+  }
+
   test("the actual BENCH_r06.json artifact yields prior times for the guard") {
     val p = java.nio.file.Paths.get("BENCH_r06.json")
     assume(java.nio.file.Files.exists(p), "driver artifact present in repo root")

@@ -331,11 +331,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the exact verify must stay candidate-pruned:\n$p")
     // The verify's two doc_id-keyed joins ride on the candidate pairs —
-    // the full-corpus token sets must never self-join.
+    // the full-corpus token sets must never self-join. The candidate
+    // frame itself is pre-materialized (checkpoint scan), so the joins
+    // visible here are the endpoint semi-restriction + the two set joins.
     assert("""\(\d+\) SortMergeJoin""".r.findAllIn(p).size +
       """\(\d+\) BroadcastHashJoin""".r.findAllIn(p).size +
       """\(\d+\) ShuffledHashJoin""".r.findAllIn(p).size >= 3,
-      s"candidate join + two set joins expected:\n$p")
+      s"endpoint semi join + two set joins expected:\n$p")
+    // The r11 plan-audit fix: token-set arrays are built for candidate
+    // endpoints only. The LeftSemi restriction must sit in the plan so
+    // no corpus-wide array exchange survives.
+    assert(p.contains("LeftSemi"),
+      s"token-set build must be semi-restricted to candidate endpoints:\n$p")
   }
 
   test("x40c: chunk-hash dedup shuffles carry the 8-byte hash, never chunk text") {
