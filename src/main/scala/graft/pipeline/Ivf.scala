@@ -184,6 +184,69 @@ object Ivf {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  // ------------------------------------------------ pinned IVF (x10b)
+  /** x10b: the x10 IVF search with the coarse quantizer's k-means fit
+    * replaced by quantile pinning — the exact discipline that converted
+    * x59/x59b from rows-only to full oracles, applied to the COARSE
+    * stage: quantize embeddings to integer millionths, rank the full
+    * vectors by (integer L2 norm, vec_id) — a total order every SQL
+    * engine reproduces — and take the [[DefaultNlist]] evenly spaced
+    * ranks as coarse centroids. Assignment is nearest-centroid by
+    * integer squared L2 with first-match (smallest list id) tie-break —
+    * ONE native [[graft.functions.PqEncode]] call with m=1, k=nlist,
+    * subDim=dim (the whole vector is the single "subspace"), so the
+    * tag-every-row pass is the same codegen'd loop the PQ family uses.
+    * Probe + search semantics are x10's verbatim: the 2 nearest lists
+    * by centroid distance (ties -> smaller list), exact cosine top-10
+    * over the pruned lists.
+    *
+    * x10 (ML KMeans, Lloyd-converged) stays registered beside this as
+    * the library's showcase of a genuine ML-fit quantizer — its
+    * seed-dependent assignments are inherently rows-only; x10b trades
+    * Lloyd convergence (quantile seeds cluster less tightly, the
+    * disclosed x59 deviation) for bit-for-bit cross-engine
+    * reproducibility and a full DuckDB oracle. IvfSpec bounds the
+    * recall cost of that trade on this corpus.
+    *
+    * Scale shape: identical to x10's — centroid derivation is one
+    * window sort over the (bounded-sample at 100 TB) training frame,
+    * the centroid table is a driver/broadcast index artifact (nlist x
+    * dim longs, memoized per corpus snapshot), assignment is map-only,
+    * and a probe reads ~nprobe/nlist of the corpus (partition-pruned
+    * when the table is written partitioned by list_id). */
+  def searchPinnedIvfQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dim = PqM * PqSubDim
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"), col("embedding"),
+      intMillionths(col("embedding")).as("xi"))
+    val centroids = memoModel(emb, s"coarsepin$DefaultNlist") {
+      pinnedCodebook(base.select(col("vec_id"), col("xi").as("s")), DefaultNlist)
+    }
+    val kEff = centroids.length
+    val flat = centroids.flatten.toSeq
+    val indexed = base.withColumn("list_id",
+      element_at(call_function("pq_encode",
+        col("xi"), typedLit(flat), lit(1), lit(kEff)), 1).cast("long"))
+    val qv = base.filter(col("vec_id") === 0)
+      .select("xi").head().getSeq[Long](0).toArray
+    // 2 nearest coarse centroids, integer L2, ties -> smaller list id
+    // (mirrored by the oracle's ORDER BY d2, k LIMIT 2).
+    val lists = centroids.zipWithIndex.map { case (c, i) =>
+      var d2 = 0L; var j = 0
+      while (j < dim) { val t = qv(j) - c(j); d2 += t * t; j += 1 }
+      (d2, i.toLong)
+    }.sorted.take(2).map(_._2).toSeq
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    indexed.filter(col("vec_id") =!= 0 && col("list_id").isin(lists: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("list_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   // --------------------------------------------------- PQ / IVFADC (x59)
   /** Product-quantization parameters (Jegou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the 64-dim embedding
@@ -232,10 +295,10 @@ object Ivf {
     * and take ranks floor(k*N/K)+1, k = 0..K-1. The window is global,
     * which is exactly as expensive as sorting the training frame — the
     * bounded-sample story above. */
-  private def pinnedCodebook(sub: DataFrame): Array[Array[Long]] = {
+  private def pinnedCodebook(sub: DataFrame, k: Int = PqK): Array[Array[Long]] = {
     import org.apache.spark.sql.expressions.Window
     val n = sub.count()
-    val ranks = (0 until PqK).map(k => k.toLong * n / PqK + 1L).distinct
+    val ranks = (0 until k).map(kk => kk.toLong * n / k + 1L).distinct
     sub.select(col("vec_id"), col("s"),
         aggregate(col("s"), lit(0L), (a, v) => a + v * v).as("nm"))
       .withColumn("r", row_number().over(Window.orderBy(col("nm"), col("vec_id"))))
@@ -539,8 +602,49 @@ object Ivf {
        FROM sr ORDER BY cosine DESC, vec_id LIMIT 5"""
   }
 
+  /** Mirrors [[searchPinnedIvfQuery]]: quantile-pinned coarse centroids
+    * (rank by integer norm, evenly spaced ranks), nearest-centroid
+    * assignment with (d2, k) tie-break, 2-list probe, exact cosine
+    * top-10 over the pruned lists — every stage integer-exact or
+    * 4-decimal-rounded, so the whole IVF search hash-matches. */
+  private val x10bSql = {
+    val dim = PqM * PqSubDim
+    s"""WITH $xtCte,
+       q AS (SELECT v AS qx FROM xt WHERE vec_id = 0),
+       rk AS (SELECT vec_id, v,
+                row_number() OVER (ORDER BY ${dotS("v", "v", dim)}, vec_id) AS r
+              FROM xt),
+       sd AS (SELECT g.k AS k, rk.v AS c
+              FROM (SELECT unnest(generate_series(0, ${DefaultNlist - 1})) AS k) g
+              CROSS JOIN (SELECT count(*) AS n FROM xt) nn
+              JOIN rk ON rk.r = (g.k * nn.n) // $DefaultNlist + 1),
+       asg AS (SELECT vec_id, list_id FROM
+                 (SELECT a.vec_id, s.k AS list_id,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY ${sqS("a.v", "s.c", dim)}, s.k) AS rn
+                  FROM xt a CROSS JOIN sd s)
+               WHERE rn = 1),
+       pl AS (SELECT k AS list_id FROM
+                (SELECT s.k, ${sqS("q.qx", "s.c", dim)} AS d2
+                 FROM sd s CROSS JOIN q)
+              ORDER BY d2, k LIMIT 2),
+       cand AS (SELECT a.vec_id, a.list_id
+                FROM asg a JOIN pl USING (list_id) WHERE a.vec_id <> 0),
+       z AS (SELECT c.vec_id, c.list_id, unnest(e.embedding) AS x,
+               unnest((SELECT embedding FROM embeddings WHERE vec_id = 0)) AS y
+             FROM cand c JOIN embeddings e USING (vec_id)),
+       sr AS (SELECT vec_id, any_value(list_id) AS list_id,
+                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+              FROM z GROUP BY vec_id)
+       SELECT vec_id, list_id, round(dot / (sqrt(na) * sqrt(nq)), 4) AS cosine
+       FROM sr ORDER BY cosine DESC, vec_id LIMIT 10"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x10_ann_ivf_kmeans", searchQuery, None),
+    QueryDef("x10b_ann_ivf_pinned", searchPinnedIvfQuery, Some(x10bSql)),
     QueryDef("x59_ann_pq_adc", searchPqQuery, Some(x59Sql)),
     QueryDef("x59b_ann_ivfadc", searchIvfPqQuery, Some(x59bSql)))
 }

