@@ -170,6 +170,76 @@ object Curation {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("shard_id")
 
+  /** Stratum count for the oracle-expressible scalable packer (x15d).
+    * Production guidance: set ≈ the cluster's target write parallelism —
+    * each stratum's prefix sum is one task's sequential pack, so 32
+    * strata = 32-way parallel packing. Fixed here because the oracle
+    * must interpolate the same constant. */
+  val ShardStrata = 32L
+  /** Distinct salt (prime) decorrelating the shard stratum from every
+    * sampling decision ([[Sampling.hashBp]]'s salt discipline — sharing
+    * x14/x21/x23's salts would correlate "shard" with "split"/"sampled"). */
+  private[pipeline] val ShardSalt = 15485863L
+
+  /** The scalable packer, ORACLE-EXPRESSIBLE form (x15d): x15b's
+    * per-stratum exclusive-prefix-sum // budget discipline with the
+    * stratum re-keyed from `spark_partition_id` to a deterministic
+    * doc_id hash (the [[Sampling.hashBp]] Knuth-spread integer hash mod
+    * [[ShardStrata]]) — the one change the r11 verdict asked for: the
+    * input-split dependence disappears, every engine reproduces the
+    * stratum, and the manifest hash-matches DuckDB, while the
+    * no-global-window property is untouched (ONE hash exchange on
+    * stratum; each stratum packs independently in parallel).
+    *
+    * Packing guarantee, per stratum (CurationSpec): within a shard,
+    * every doc except the last started under the budget, so
+    * shard_tokens − n_tok(last doc) < budget — the last doc may
+    * overshoot by its own size, and a doc larger than the budget gets
+    * its own shard. shard_id = stratum·2³² + local_shard decodes back
+    * to its stratum exactly like x15b's pid-embedded ids. */
+  def shardPackStrata(s: SparkSession, dir: String, budget: Int = 20000): DataFrame = {
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val stratum = pmod(pmod(col("doc_id") + ShardSalt, lit(HashConstants.HashPrime))
+      * lit(HashConstants.Knuth), lit(HashConstants.HashPrime)) % ShardStrata
+    val w = Window.partitionBy("stratum").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), nTok.as("n_tok"), stratum.as("stratum"))
+      .withColumn("local_shard",
+        (coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
+      .withColumn("shard_id", col("stratum") * lit(1L << 32) + col("local_shard"))
+  }
+
+  /** Per-shard manifest over [[shardPackStrata]] — the registered x15d
+    * artifact, full oracle (contrast x15b's rows-only pid-embedded ids). */
+  def shardPackStrataManifest(s: SparkSession, dir: String, budget: Int = 20000): DataFrame =
+    shardPackStrata(s, dir, budget)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      // shiftright: pure integer decode (Spark's `/` on longs is DOUBLE
+      // division — exact below 2^53 but shiftright says what it means).
+      .withColumn("stratum", shiftright(col("shard_id"), 32))
+      .select("shard_id", "stratum", "n_docs", "shard_tokens", "first_doc", "last_doc")
+      .orderBy("shard_id")
+
+  private def x15dSql(budget: Int) =
+    s"""WITH t AS (SELECT doc_id,
+           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok,
+           (((doc_id + $ShardSalt) % ${HashConstants.HashPrime}) * ${HashConstants.Knuth}
+             % ${HashConstants.HashPrime}) % $ShardStrata AS stratum
+         FROM documents),
+       c AS (SELECT doc_id, n_tok, stratum,
+           stratum * ${1L << 32} +
+             (CAST(coalesce(sum(n_tok) OVER (PARTITION BY stratum ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              // $budget) AS shard_id
+           FROM t)
+       SELECT shard_id, shard_id // ${1L << 32} AS stratum,
+              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+              min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM c GROUP BY shard_id ORDER BY shard_id"""
+
   private def x15Sql(budget: Int) =
     s"""WITH t AS (SELECT doc_id,
            CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok FROM documents),
@@ -2501,6 +2571,8 @@ object Curation {
     QueryDef("x15b_shard_pack_partitioned",
       (s, d) => shardPackPartitionedManifest(s, d), None),
     QueryDef("x15c_shard_pack_bpe", (s, d) => shardPackBpe(s, d), Some(x15cSql(20000))),
+    QueryDef("x15d_shard_pack_strata",
+      (s, d) => shardPackStrataManifest(s, d), Some(x15dSql(20000))),
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),

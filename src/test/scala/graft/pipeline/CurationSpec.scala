@@ -129,6 +129,53 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_._2).sum == globalTokens, "partitioned form must cover the same tokens")
   }
 
+  test("x15d: hash-stratum packing holds the per-stratum budget bound; ids decode; full coverage") {
+    val budget = 500
+    val perDoc = Curation.shardPackStrata(spark, sf, budget)
+    // Same scale gate as x15b: one hash exchange on the stratum, never a
+    // single-partition funnel.
+    val plan = perDoc.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"stratum packer must not plan a single-partition exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(stratum"),
+      s"window must shuffle on the stratum key:\n$plan")
+    val rows = perDoc.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == graft.Tables.t(spark, sf, "documents").count(),
+      "every document is assigned to exactly one shard")
+    rows.foreach { case (doc, _, stratum, local, shard) =>
+      assert(stratum >= 0 && stratum < Curation.ShardStrata, s"stratum range: doc $doc")
+      assert(shard == (stratum << 32 | local), s"shard id must embed stratum: doc $doc")
+    }
+    // The ≤ budget+1 overshoot bound, PER STRATUM: within every shard,
+    // the token sum excluding the shard's last doc is < budget (the last
+    // doc may overshoot by its own size; a doc larger than the budget
+    // gets its own shard), hence ≤ budget+1 docs when every doc has ≥ 1
+    // token.
+    rows.groupBy(_._5).foreach { case (shard, docsInShard) =>
+      val sorted = docsInShard.sortBy(_._1)
+      val sumButLast = sorted.init.map(_._2).sum
+      assert(sumButLast < budget,
+        s"shard $shard holds $sumButLast tokens before its last doc (budget $budget)")
+      assert(sorted.length <= budget + 1, s"shard $shard exceeds budget+1 docs")
+    }
+    // Within a stratum, packing follows doc_id order.
+    rows.groupBy(_._3).foreach { case (stratum, docsInStratum) =>
+      val locals = docsInStratum.sortBy(_._1).map(_._4)
+      assert(locals.zip(locals.tail).forall { case (a, b) => a <= b },
+        s"stratum $stratum packs out of doc_id order")
+    }
+    // Same corpus mass as the global oracle form, and the manifest
+    // aggregates exactly these per-doc rows.
+    val globalTokens = Curation.shardPack(spark, sf, budget).collect().map(_.getLong(2)).sum
+    assert(rows.map(_._2).sum == globalTokens, "stratum form must cover the same tokens")
+    val manifest = Curation.shardPackStrataManifest(spark, sf, budget).collect()
+    assert(manifest.map(_.getLong(2)).sum == rows.length,
+      "manifest doc counts must total the corpus")
+    manifest.foreach(r => assert(r.getLong(1) == (r.getLong(0) >> 32),
+      "manifest stratum must decode from shard_id"))
+  }
+
   test("dedup clusters are transitive (A~B, B~C, A!~C still one cluster)") {
     import spark.implicits._
     // 29 divides every doc_id so the % 29 slice keeps all docs. A chain:
