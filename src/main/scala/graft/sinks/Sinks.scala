@@ -58,16 +58,18 @@ object Sinks {
   /** Header-mapping CSV (`dump_headers`, _cli.py:38-53): two columns,
     * original_name,clean_name, one row per field in schema order. Built
     * from the DataFrame schema + `comment` metadata — no job runs. */
+  /** The original (pre-sanitization) column name carried in StructField
+    * metadata: `fmp_original_name` survives a comment-mapping overwrite
+    * of `comment` (MappingFile.applyCommentMapping), so it is preferred;
+    * `comment` is the fallback the mapping path writes. */
+  private def originalName(f: StructField): Option[String] =
+    if (f.metadata.contains("fmp_original_name"))
+      Some(f.metadata.getString("fmp_original_name"))
+    else if (f.metadata.contains("comment")) Some(f.metadata.getString("comment"))
+    else None
+
   def headersDf(spark: SparkSession, df: DataFrame): DataFrame = {
-    val rows = df.schema.fields.map { f =>
-      // `fmp_original_name` survives a comment-mapping overwrite of
-      // `comment` (MappingFile.applyCommentMapping); prefer it.
-      val orig =
-        if (f.metadata.contains("fmp_original_name")) f.metadata.getString("fmp_original_name")
-        else if (f.metadata.contains("comment")) f.metadata.getString("comment")
-        else f.name
-      Row(orig, f.name)
-    }
+    val rows = df.schema.fields.map(f => Row(originalName(f).getOrElse(f.name), f.name))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1),
       StructType(Seq(
@@ -149,8 +151,23 @@ object Sinks {
     val schema = df.schema
     val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
     def q(name: String): String = dialect.quoteIdentifier(name)
+    // Column COMMENT parity (sql.py:29-37: the reference attaches the
+    // original FMP header to every column as a database comment).
+    // HiveQL-family targets support `col TYPE COMMENT '…'` in CREATE
+    // TABLE, so the metadata the FMP reader carries finally reaches the
+    // database itself, not just the exported CSV. Escaping is the Spark/
+    // Hive lexer's backslash convention (NOT ANSI quote-doubling, which
+    // this parser family reads as two adjacent literals). Other
+    // batch-incapable dialects get the bare definition — column-comment
+    // DDL has no portable ANSI form.
+    def commentSql(f: StructField): String =
+      if (!HiveQlDialect.canHandle(url)) ""
+      else originalName(f).fold("") { n =>
+        s" COMMENT '${n.replace("\\", "\\\\").replace("'", "\\'")}'"
+      }
     val colDefs = createTableColumnTypes.getOrElse(
-      schema.fields.map(f => s"${q(f.name)} ${f.dataType.sql}").mkString(", "))
+      schema.fields.map(f => s"${q(f.name)} ${f.dataType.sql}${commentSql(f)}")
+        .mkString(", "))
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()

@@ -52,9 +52,14 @@ class SinksThriftSpec extends SparkSpec {
       assert(up, s"thrift server did not open port $port")
       val url = s"jdbc:hive2://localhost:$port/default"
 
+      // Original FMP headers ride in metadata exactly as FmpReader/
+      // Sanitize leave them — the apostrophe pins the backslash-escape
+      // path in the COMMENT DDL (ANSI quote-doubling would fail here).
       val schema = StructType(Seq(
-        StructField("auteur", StringType, nullable = true),
-        StructField("jaar", LongType, nullable = true),
+        StructField("auteur", StringType, nullable = true,
+          new MetadataBuilder().putString("fmp_original_name", "Auteur d'origine").build()),
+        StructField("jaar", LongType, nullable = true,
+          new MetadataBuilder().putString("comment", "Jaar (opvoering)").build()),
         StructField("seen_at", TimestampType, nullable = true)))
       val ts = java.sql.Timestamp.from(Instant.parse("2026-08-14T01:02:03Z"))
       val df = spark.createDataFrame(
@@ -95,6 +100,20 @@ class SinksThriftSpec extends SparkSpec {
         assert(kv("record_count") == "3")
         assert(kv("created_at") == created.toString)
         assert(kv("source_sha256") == "abc123")
+
+        // A8/A9 parity closure (sql.py:29-37): the original FMP header
+        // must reach the DATABASE as a column comment, not only the
+        // exported headers CSV. DESCRIBE through the same catalog the
+        // thrift server serves reads it back; the comment-less column
+        // stays comment-less.
+        val described = spark.sql("DESCRIBE ceneton_hive").collect()
+          .map(r => r.getString(0) -> r.getString(2)).toMap
+        assert(described("auteur") == "Auteur d'origine",
+          s"fmp_original_name must surface as the column comment: $described")
+        assert(described("jaar") == "Jaar (opvoering)",
+          s"comment metadata is the fallback: $described")
+        assert(described.get("seen_at").forall(c => c == null || c.isEmpty),
+          s"no metadata -> no comment: $described")
 
         // A11 parity: the existence check must hold on this dialect's
         // DatabaseMetaData too.
