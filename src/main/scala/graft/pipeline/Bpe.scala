@@ -247,6 +247,138 @@ object Bpe {
        c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair)
        SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT $BpePairTopK"""
 
+  // --------------------------------------------------------------- x65b
+  /** Fixed iteration count of the registered merge loop (the x60/x62
+    * fixed-iteration discipline — the oracle interpolates the same K). */
+  val BpeMergeIters = 5
+
+  /** Symbol delimiter for the merge loop's string-encoded symbol
+    * sequences: U+001F (unit separator). PRECONDITION: corpus text is
+    * free of U+001F (true of the synthetic corpus and essentially all
+    * real text — it is a C0 control char). */
+  private val Sep = "\u001f"
+
+  /** x65b — the BPE TRAINING LOOP (Sennrich et al. 2016 §3): K=[[
+    * BpeMergeIters]] iterations of count-adjacent-pairs → take the
+    * argmax as the next merge rule → apply it everywhere → recount.
+    * x65 computes one iteration's statistics; this runs the actual
+    * loop and emits the MERGE TABLE — the artifact a trainer ships
+    * (it, lhs, rhs, merged, cnt), the table whose resulting vocabulary
+    * x56 applies at inference.
+    *
+    * Symbol sequences are encoded as fully-delimited strings —
+    * `␟c␟␟a␟␟t␟` for the symbols [c, a, t] — so applying a merge
+    * (a, b)→ab is ONE literal string replace of `␟a␟␟b␟` with
+    * `␟ab␟`: because every symbol is individually wrapped, a pair
+    * pattern can never match across symbol boundaries (a-as-suffix /
+    * b-as-prefix of longer symbols), and both engines' left-to-right
+    * non-overlapping replace IS the paper's greedy scan (`aaa` under
+    * (a,a) → [aa, a], pinned in BpeSpec). No list-fold anywhere — the
+    * documented DuckDB `list_reduce` miscompilation stays avoided.
+    *
+    * Scale shape — why BPE training survives 100 TB: the corpus
+    * collapses ONCE to the distinct-word frequency table (checkpointed
+    * — the only corpus-scale pass), and every iteration is (a) a
+    * vocabulary-sized pair explode + partial+final agg, (b) ONE driver
+    * collect of the single argmax row (bounded trainer bookkeeping, K
+    * rows total), (c) a map-only string replace over the vocabulary.
+    * Per-iteration cost is independent of corpus row count. Ties on
+    * the pair count break by (lhs, rhs) — a total order both engines
+    * share (NOT the concatenated string, which cannot distinguish
+    * ("ab","c") from ("a","bc")). Fewer than K possible merges ends
+    * the loop early on both sides. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(s, Tables.t(s, dir, "documents"), BpeMergeIters)
+
+  private[graft] def bpeMergesOf(s: SparkSession, corpus: DataFrame,
+      iters: Int): DataFrame = {
+    val wf = corpus
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("s"),
+        col("freq"))
+    var state = Checkpoints.stable(wf)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
+      val withSyms = state.select(col("freq"),
+        split(col("s").substr(lit(2), length(col("s")) - 2), Sep + Sep).as("syms"))
+      val best = withSyms
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("pa"),
+            element_at(col("syms"), i + 1).as("pb")))).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (pa, pb, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((it.toLong, pa, pb, pa + pb, cnt))
+        state = state.withColumn("s", call_function("replace", col("s"),
+          lit(Sep + pa + Sep + Sep + pb + Sep), lit(Sep + pa + pb + Sep)))
+        it += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("it", "lhs", "rhs", "merged", "cnt").orderBy("it")
+  }
+
+  private val x65bSql = {
+    val sep = "chr(31)"
+    val sep2 = s"$sep || $sep"
+    s"""WITH RECURSIVE
+       wx AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+              FROM documents),
+       wf AS (SELECT w, count(*) AS freq FROM wx WHERE len(w) >= 2 GROUP BY w),
+       init AS (SELECT regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g') AS s,
+                       freq FROM wf),
+       mg AS (
+         SELECT s, freq, 0 AS k FROM init
+         UNION ALL
+         SELECT CASE WHEN best IS NULL THEN s
+                     ELSE replace(s, $sep || best.pa || $sep2 || best.pb || $sep,
+                                     $sep || best.pa || best.pb || $sep) END AS s,
+                freq, k + 1 AS k
+         FROM (
+           SELECT s, freq, k, any_value(best) AS best FROM (
+             SELECT s, freq, k,
+               min(CASE WHEN pb IS NOT NULL
+                        THEN {'nc': -cnt, 'pa': pa, 'pb': pb} END) OVER () AS best
+             FROM (
+               SELECT s, freq, k, pa, pb,
+                 sum(CASE WHEN pb IS NOT NULL THEN freq END)
+                   OVER (PARTITION BY pa, pb) AS cnt
+               FROM (
+                 SELECT s, freq, k, syms[i] AS pa, syms[i + 1] AS pb
+                 FROM (SELECT s, freq, k,
+                         string_split(s[2:len(s) - 1], $sep2) AS syms
+                       FROM mg WHERE k < $BpeMergeIters),
+                   unnest(generate_series(1, greatest(len(syms) - 1, 1))) u(i)
+               )
+             )
+           ) GROUP BY s, freq, k
+         )
+       ),
+       px AS (SELECT k, syms[i] AS pa, syms[i + 1] AS pb, freq
+              FROM (SELECT k, freq,
+                      string_split(s[2:len(s) - 1], $sep2) AS syms
+                    FROM mg WHERE k < $BpeMergeIters),
+                unnest(generate_series(1, len(syms) - 1)) u(i)),
+       pc AS (SELECT k, pa, pb, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM px GROUP BY k, pa, pb)
+       SELECT CAST(k + 1 AS BIGINT) AS it, pa AS lhs, pb AS rhs,
+              pa || pb AS merged, cnt
+       FROM (SELECT *, row_number()
+               OVER (PARTITION BY k ORDER BY cnt DESC, pa, pb) AS rn FROM pc)
+       WHERE rn = 1 ORDER BY it"""
+  }
+
   // ---------------------------------------------------------------- x71
   /** x71 — per-language tokenizer compression & parity report (the
     * tokenizer-fairness table of Petrov et al. 2023, "Language Model
@@ -329,5 +461,6 @@ object Bpe {
     QueryDef("x56_bpe_token_count", tokenCounts, Some(x56Sql)),
     QueryDef("x56b_budget_apportion_bpe", budgetApportionBpe, Some(x56bSql)),
     QueryDef("x65_bpe_pair_counts", pairCounts, Some(x65Sql)),
+    QueryDef("x65b_bpe_merges", bpeMerges, Some(x65bSql)),
     QueryDef("x71_tokenizer_fairness", tokenizerFairness, Some(x71Sql)))
 }

@@ -108,6 +108,45 @@ class BpeSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- x71
+  test("x65b: hand-computed 2-merge fixture (pair argmax, recount, tie-break)") {
+    import spark.implicits._
+    // Corpus: "aa ab aa" -> vocab aa(freq 2), ab(freq 1).
+    //   iter 1 pairs: (a,a)=2, (a,b)=1 -> merge (a,a)->aa, cnt 2
+    //   iter 2 (after rewrite aa->[aa], ab->[a,b]): (a,b)=1 -> merge ab
+    //   iter 3: no pairs left -> loop ends early (2 rows, not K=5)
+    val corpus = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val out = Bpe.bpeMergesOf(spark, corpus, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, "a", "a", "aa", 2L), (2L, "a", "b", "ab", 1L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("x65b: greedy left-to-right merge application (aaa -> [aa, a], then aaa)") {
+    import spark.implicits._
+    // "aaa": iter 1 counts (a,a) at TWO positions (overlapping occurrences
+    // both count, Sennrich's get_stats) -> merge (a,a) cnt 2; the rewrite
+    // must be greedy LTR non-overlapping: [aa, a], NOT [a, aa]. iter 2
+    // then merges (aa, a) cnt 1 — which only exists under LTR pairing.
+    val corpus = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val out = Bpe.bpeMergesOf(spark, corpus, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, "a", "a", "aa", 2L), (2L, "aa", "a", "aaa", 1L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("x65b: iteration 1's argmax equals x65's top pair on the real corpus") {
+    // The loop's first merge IS x65's statistic — the two registered
+    // queries must agree on what the next merge rule would be (x65 orders
+    // by concatenated pair string, x65b by (lhs, rhs); they can only
+    // diverge on a cnt tie between pairs whose concatenations collide,
+    // absent here).
+    val top = Bpe.pairCounts(spark, sf).collect().head
+    val firstMerge = Bpe.bpeMerges(spark, sf).collect().head
+    assert(firstMerge.getString(3) == top.getString(0),
+      s"x65b first merge ${firstMerge.getString(3)} vs x65 top pair ${top.getString(0)}")
+    assert(firstMerge.getLong(4) == top.getLong(1), "counts must agree")
+  }
+
   test("x71: English premium is exactly 1.0 and mass columns cross-check x56") {
     val rows = Bpe.tokenizerFairness(spark, sf).collect()
     val byLang = rows.map(r => r.getString(0) -> r).toMap
