@@ -626,6 +626,115 @@ object Selection {
        ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------------------- x64b
+  /** Weight scale of the fitted classifier: micro-units — each bucket
+    * weight is a per-million token-frequency difference between
+    * classes, so per-token scores live in [-1e6, 1e6]. */
+  val ClfFitScale = 1000000L
+
+  /** Closed-form-FITTED weights for the x64 architecture (the r11
+    * verdict's ask): weight(b) = per-million frequency of bucket b
+    * among tokens of GOOD docs minus its per-million frequency among
+    * tokens of BAD docs — the class-centroid difference over hashed
+    * bag-of-words features, the classic closed-form linear fit (a
+    * Rocchio/naive-Bayes-style classifier; no iterative training). The
+    * label is one the engine already computes: x51's Gopher `pass_all`
+    * ([[gopherPassColumn]], single-sourced — NULL text fails the gate
+    * on both engines). All arithmetic is non-negative BIGINT with floor
+    * division, so any SQL engine re-derives the identical table and the
+    * query keeps a full oracle.
+    *
+    * Scale shape: the fit is ONE corpus pass (token explode → 512-row
+    * (bucket, class) partial+final agg) whose 512-long result is a
+    * bounded driver collect, memoized per corpus snapshot exactly like
+    * the IVF/PQ codebooks ([[Ivf.memoModel]]) — an index-build
+    * artifact, built once and shipped to inference as a literal. An
+    * absent class (all-good or all-bad corpus) zeroes its term rather
+    * than dividing by zero. */
+  private[graft] def clfFitWeights(corpus: DataFrame): Array[Long] =
+    Ivf.memoModel(corpus, "clffit") {
+      val cnt = corpus
+        .select(when(gopherPassColumn, 1L).otherwise(0L).as("good"),
+          explode(clfToks).as("tok"))
+        .select(col("good"),
+          (call_function("token_hash", col("tok")) % ClfBuckets).as("b"))
+        .groupBy("b")
+        .agg(sum(col("good")).as("cg"), sum(lit(1L) - col("good")).as("cb"))
+        .collect()
+      val tg = cnt.map(_.getLong(1)).sum
+      val tb = cnt.map(_.getLong(2)).sum
+      val w = Array.fill(ClfBuckets)(0L)
+      cnt.foreach { r =>
+        val b = r.getLong(0).toInt
+        val g = if (tg > 0) r.getLong(1) * ClfFitScale / tg else 0L
+        val bd = if (tb > 0) r.getLong(2) * ClfFitScale / tb else 0L
+        w(b) = g - bd
+      }
+      w
+    }
+
+  /** x64b — x64's inference architecture with the placeholder weights
+    * replaced by [[clfFitWeights]]: score = Σ_tok w[hash(tok) mod B],
+    * logit = sumw/(1e6·n) (6-decimal integer half-up rounding — the
+    * x64 exactness argument verbatim, numerator scaled by 2 instead of
+    * 2000 because the weights are micro- not milli-units), keep ⇔
+    * sumw > 0 (positive = the doc's token mass is more good-like than
+    * bad-like — the natural threshold of a frequency-difference model).
+    * DISCLOSED: fit and inference run over the same corpus (the query
+    * shows the full train+deploy cycle; a deployment fits on a labeled
+    * sample and ships the table — which is exactly the memoized driver
+    * array). SelectionSpec shows the fitted gate separates planted and
+    * real good/bad docs far better than chance; the oracle re-derives
+    * the weights in SQL and stays hash-exact. */
+  private[graft] def classifierFitQualityOf(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val weights = clfFitWeights(corpus).toSeq
+    val sumw = aggregate(clfToks, lit(0L), (acc, t) =>
+      acc + element_at(typedLit(weights),
+        (call_function("token_hash", t) % ClfBuckets).cast("int") + 1))
+    val n = col("n_tokens")
+    val mag = floor((abs(col("sumw")) * lit(2L) + n) / (n * lit(2L))).cast("long")
+    corpus
+      .select(col("doc_id"), size(clfToks).cast("long").as("n_tokens"), sumw.as("sumw"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((signum(col("sumw")).cast("long") * mag).cast("double") / lit(1000000.0))
+          .as("logit"),
+        (col("sumw") > lit(0L)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def classifierFitQuality(s: SparkSession, dir: String): DataFrame =
+    classifierFitQualityOf(docs(s, dir))
+
+  private val x64bSql = {
+    import HashConstants.{HashPrime, Knuth}
+    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
+              CASE WHEN $gopherPassSql THEN 1 ELSE 0 END AS good
+            FROM documents),
+       tok AS (SELECT doc_id, good, unnest(t) AS tok FROM t),
+       hb AS (SELECT doc_id, good,
+                (((${rollFoldSql("tok")}) * $Knuth) % $HashPrime) % $ClfBuckets AS b
+              FROM tok),
+       cnt AS (SELECT b, CAST(sum(good) AS BIGINT) AS cg,
+                 CAST(sum(1 - good) AS BIGINT) AS cb
+               FROM hb GROUP BY b),
+       tot AS (SELECT CAST(sum(cg) AS BIGINT) AS tg,
+                 CAST(sum(cb) AS BIGINT) AS tb FROM cnt),
+       w AS (SELECT b,
+               (CASE WHEN tg > 0 THEN (cg * $ClfFitScale) // tg ELSE 0 END)
+             - (CASE WHEN tb > 0 THEN (cb * $ClfFitScale) // tb ELSE 0 END) AS w
+             FROM cnt, tot),
+       sw AS (SELECT hb.doc_id, CAST(sum(w.w) AS BIGINT) AS sumw
+              FROM hb JOIN w USING (b) GROUP BY hb.doc_id)
+       SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         CAST(sign(sumw) AS BIGINT)
+           * CAST(floor((abs(sumw) * 2 + len(t.t)) / (2 * len(t.t))) AS BIGINT)
+           / 1000000.0 AS logit,
+         sumw > 0 AS keep
+       FROM t JOIN sw USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x49_bm25_topk", bm25TopK, Some(x49Sql)),
     QueryDef("x49b_bm25_batch", bm25Batch, Some(x49bSql)),
@@ -633,5 +742,6 @@ object Selection {
     QueryDef("x50b_dsir_resample", dsirResample, Some(x50bSql)),
     QueryDef("x51_gopher_rules", gopherRules, Some(x51Sql)),
     QueryDef("x53_selection_pipeline", selectionPipeline, Some(x53Sql)),
-    QueryDef("x64_classifier_quality", classifierQuality, Some(x64Sql)))
+    QueryDef("x64_classifier_quality", classifierQuality, Some(x64Sql)),
+    QueryDef("x64b_classifier_fitted", classifierFitQuality, Some(x64bSql)))
 }
