@@ -292,11 +292,21 @@ object Bpe {
 
   private[graft] def bpeMergesOf(s: SparkSession, corpus: DataFrame,
       iters: Int): DataFrame = {
+    val (merges, _) = bpeTrain(s, corpus, iters)
+    import s.implicits._
+    merges.toDF("it", "lhs", "rhs", "merged", "cnt").orderBy("it")
+  }
+
+  /** The training loop's core: returns the merge rows AND the final
+    * per-word state frame (w, s, freq) — x65b registers the merges,
+    * x65c tokenizes with the final state. */
+  private[graft] def bpeTrain(s: SparkSession, corpus: DataFrame, iters: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val wf = corpus
       .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("s"),
+      .select(col("w"), regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("s"),
         col("freq"))
     var state = Checkpoints.stable(wf)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
@@ -325,15 +335,16 @@ object Bpe {
         it += 1
       }
     }
-    import s.implicits._
-    merges.toSeq.toDF("it", "lhs", "rhs", "merged", "cnt").orderBy("it")
+    (merges.toSeq, state)
   }
 
-  private val x65bSql = {
+  /** The trainer's state chain ending in `mg(s, freq, k)` — shared by
+    * the x65b and x65c oracles (the applied tokenizer must use exactly
+    * the merges the trainer reports); must follow `WITH RECURSIVE`. */
+  private val bpeMergeCtes = {
     val sep = "chr(31)"
     val sep2 = s"$sep || $sep"
-    s"""WITH RECURSIVE
-       wx AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+    s"""wx AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
               FROM documents),
        wf AS (SELECT w, count(*) AS freq FROM wx WHERE len(w) >= 2 GROUP BY w),
        init AS (SELECT regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g') AS s,
@@ -364,7 +375,13 @@ object Bpe {
              )
            ) GROUP BY s, freq, k
          )
-       ),
+       )"""
+  }
+
+  private val x65bSql = {
+    val sep = "chr(31)"
+    val sep2 = s"$sep || $sep"
+    s"""WITH RECURSIVE $bpeMergeCtes,
        px AS (SELECT k, syms[i] AS pa, syms[i + 1] AS pb, freq
               FROM (SELECT k, freq,
                       string_split(s[2:len(s) - 1], $sep2) AS syms
@@ -377,6 +394,67 @@ object Bpe {
        FROM (SELECT *, row_number()
                OVER (PARTITION BY k ORDER BY cnt DESC, pa, pb) AS rn FROM pc)
        WHERE rn = 1 ORDER BY it"""
+  }
+
+  // --------------------------------------------------------------- x65c
+  /** x65c — APPLY the x65b-trained merge table as a tokenizer,
+    * closing the train→deploy loop (x65 = one iteration's statistics,
+    * x65b = the training loop, x65c = inference with what it learned):
+    * per document, the character-symbol mass, the post-merge BPE token
+    * count, and tokens-per-char — the compression the K merges actually
+    * bought on this corpus. Tokenization state is the trainer's own
+    * final state (the [[bpeTrain]] frame / the oracle's `mg` at k=K),
+    * so the applied vocabulary can never drift from the reported
+    * merges. Token counts are pure string arithmetic on the delimited
+    * encoding — n_sym = (len(s) − len(strip(s)))/2, each symbol
+    * contributing exactly two U+001F wrappers — integer-exact on both
+    * engines. Words under 2 chars never trained: 1-char words are 1
+    * token, empty words 0 (the x56 null/empty discipline).
+    *
+    * Scale shape: training as x65b (vocab-sized iterations); inference
+    * is one token explode + a content-keyed equi-join of the corpus
+    * word stream against the vocab-sized token-count table (broadcast
+    * when it fits, hash otherwise — AQE's call) + a per-doc
+    * partial+final agg. The same join class x56's oracle and x44 use;
+    * no product anywhere. */
+  def bpeApplyCounts(s: SparkSession, dir: String): DataFrame = {
+    val (_, fin) = bpeTrain(s, Tables.t(s, dir, "documents"), BpeMergeIters)
+    val wtok = fin.select(col("w"),
+      ((length(col("s")) -
+        length(call_function("replace", col("s"), lit(Sep), lit("")))) / 2)
+        .cast("long").as("n_sym"))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .join(wtok, Seq("w"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sym"),
+          when(length(col("w")) >= 1, 1L).otherwise(0L)).as("n"),
+        length(col("w")).cast("long").as("nc"))
+      .groupBy("doc_id")
+      .agg(sum("nc").as("n_char_sym"), sum("n").as("n_bpe_tok"))
+      .withColumn("tok_per_char",
+        round(col("n_bpe_tok").cast("double") / nullif(col("n_char_sym"), lit(0L)), 4))
+      .orderBy("doc_id")
+  }
+
+  private val x65cSql = {
+    val sep = "chr(31)"
+    s"""WITH RECURSIVE $bpeMergeCtes,
+       wtok AS (SELECT replace(s, $sep, '') AS w,
+                  (len(s) - len(replace(s, $sep, ''))) // 2 AS n_sym
+                FROM mg WHERE k = $BpeMergeIters),
+       wd AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+              FROM documents),
+       j AS (SELECT doc_id,
+               CAST(coalesce(n_sym,
+                 CASE WHEN len(w) >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+               CAST(len(w) AS BIGINT) AS nc
+             FROM wd LEFT JOIN wtok USING (w))
+       SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_char_sym,
+              CAST(sum(n) AS BIGINT) AS n_bpe_tok,
+              round(CAST(sum(n) AS DOUBLE) / nullif(sum(nc), 0), 4) AS tok_per_char
+       FROM j GROUP BY doc_id ORDER BY doc_id"""
   }
 
   // ---------------------------------------------------------------- x71
@@ -462,5 +540,6 @@ object Bpe {
     QueryDef("x56b_budget_apportion_bpe", budgetApportionBpe, Some(x56bSql)),
     QueryDef("x65_bpe_pair_counts", pairCounts, Some(x65Sql)),
     QueryDef("x65b_bpe_merges", bpeMerges, Some(x65bSql)),
+    QueryDef("x65c_bpe_apply", bpeApplyCounts, Some(x65cSql)),
     QueryDef("x71_tokenizer_fairness", tokenizerFairness, Some(x71Sql)))
 }

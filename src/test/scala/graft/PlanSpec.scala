@@ -540,6 +540,30 @@ class PlanSpec extends SparkSpec {
       s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
   }
 
+  test("x64b: fitted-classifier inference is map-only like x64 (fit is pre-collected)") {
+    // clfFitWeights runs its one corpus pass at plan-construction time
+    // (memoized bounded collect — the codebook discipline); the
+    // REGISTERED plan is pure inference and must stay x64-shaped.
+    val p = plan("x64b_classifier_fitted")
+    assert(!p.contains("Join"), s"the fitted table rides the closure, never joins:\n$p")
+    assert(!p.contains("Generate"),
+      s"the token fold runs inside one projection, not via explode:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
+  }
+
+  test("x10b: pinned IVF probe reads pruned lists via one broadcast of the 1-row query") {
+    val p = plan("x10b_ann_ivf_pinned")
+    assert(!p.contains("CartesianProduct"), s"no true product:\n$p")
+    // The only nested-loop is the deliberate 1-row query-vector
+    // broadcast (the b29 search discipline); assignment is the native
+    // pq_encode projection, so no other join may appear.
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size == 1,
+      s"exactly the 1-row query broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join anywhere in the probe:\n$p")
+  }
+
   test("x65: BPE pair counting aggregates the vocabulary, never the corpus") {
     val p = plan("x65_bpe_pair_counts")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),

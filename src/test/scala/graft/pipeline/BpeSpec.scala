@@ -147,6 +147,33 @@ class BpeSpec extends SparkSpec {
     assert(firstMerge.getLong(4) == top.getLong(1), "counts must agree")
   }
 
+  test("x65c: applying the trained merges tokenizes the hand-computed fixture") {
+    import spark.implicits._
+    // "aa ab aa" trains merges (a,a)->aa then (a,b)->ab (the x65b
+    // fixture); applying them tokenizes both words to ONE token each:
+    // doc = 6 char-symbols, 3 BPE tokens, 0.5 tok/char.
+    val corpus = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("x65c").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Bpe.bpeApplyCounts(spark, dir).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getDouble(3)) == ((6L, 3L, 0.5)),
+      s"got ${r(0)}")
+  }
+
+  test("x65c: real-corpus invariants — merges compress, never expand or drop docs") {
+    val out = Bpe.bpeApplyCounts(spark, sf).collect()
+    assert(out.length == graft.Tables.t(spark, sf, "documents").count())
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"BPE tokens cannot exceed char symbols: $r")
+    }
+    // The 5 trained merges must actually fire somewhere: corpus-wide
+    // token mass strictly below character mass.
+    assert(out.map(_.getLong(2)).sum < out.map(_.getLong(1)).sum,
+      "trained merges must compress the corpus")
+  }
+
   test("x71: English premium is exactly 1.0 and mass columns cross-check x56") {
     val rows = Bpe.tokenizerFairness(spark, sf).collect()
     val byLang = rows.map(r => r.getString(0) -> r).toMap
