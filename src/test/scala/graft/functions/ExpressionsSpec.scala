@@ -210,6 +210,66 @@ class ExpressionsSpec extends SparkSpec {
     assert(edges.map(_.getLong(0)).toSeq == Seq(1L, 0L, 0L))
   }
 
+  test("pq_encode/adc_score/bloom_hits reject degenerate foldable args at ANALYSIS") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(Seq(1L, 2L)).toDF("v")
+    def analysisFails(sel: String, fragment: String): Unit = {
+      val e = intercept[Exception] {
+        df.selectExpr(sel).queryExecution.analyzed
+      }
+      assert(e.getMessage != null && e.getMessage.toLowerCase.contains(fragment),
+        s"$sel: expected a clean type-check error mentioning '$fragment', " +
+          s"got ${e.getClass.getName}: ${e.getMessage}")
+    }
+    // r11 ADVICE regressions: each of these previously threw
+    // ArithmeticException or NPE from inside checkInputDataTypes instead
+    // of a TypeCheckFailure.
+    analysisFails("pq_encode(v, array(1L, 2L), 0, 2)", "m >= 1")
+    analysisFails("pq_encode(v, array(1L, 2L), 2, 0)", "m >= 1")
+    analysisFails("pq_encode(v, CAST(NULL AS ARRAY<BIGINT>), 2, 2)", "null")
+    // a bare array() is ArrayType(NullType) — rejected by the type
+    // pattern itself; the emptiness guard needs a TYPED empty array.
+    analysisFails("pq_encode(v, CAST(array() AS ARRAY<BIGINT>), 2, 2)", "non-empty")
+    analysisFails("adc_score(array(0), CAST(NULL AS ARRAY<BIGINT>))", "null")
+    analysisFails("bloom_hits(v, CAST(NULL AS ARRAY<BIGINT>), 3, 97)", "null")
+    analysisFails("bloom_hits(v, CAST(array() AS ARRAY<BIGINT>), 3, 97)", "non-empty")
+  }
+
+  test("two adc_score calls over a NON-nullable column share a codegen scope cleanly") {
+    // r11 ADVICE regression: AdcScore.doGenCode declared a fixed local
+    // `adcRes`; with a non-nullable child, nullSafeExec emits the snippet
+    // unbraced, so two calls in one projection declared it twice and the
+    // generated Java failed to compile (silent interpreted fallback).
+    // fallback=false makes any codegen failure fatal so the regression
+    // cannot hide.
+    GraftFunctions.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("codes",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = false),
+          nullable = false)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(Seq(0, 1)),
+          org.apache.spark.sql.Row(Seq(1, 0))), 1), schema)
+      val out = df.selectExpr(
+        "adc_score(codes, array(10L, 20L, 30L, 40L)) AS a",
+        "adc_score(codes, array(1L, 2L, 3L, 4L)) AS b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // table layout is (m=2, k=2): row [0,1] -> t[0]+t[3], row [1,0] -> t[1]+t[2]
+      assert(out == Set((10L + 40L, 1L + 4L), (20L + 30L, 2L + 3L)), s"got $out")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("extensions entry point registers every native function") {
     val s2 = spark.newSession()
     // Run the injectFunction path against a raw SparkSessionExtensions:
