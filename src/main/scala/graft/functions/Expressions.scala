@@ -408,10 +408,13 @@ case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
           case cb: ArrayData if cb.numElements() == 0 =>
             TypeCheckResult.TypeCheckFailure(
               "pq_encode codebook must be non-empty (subDim would be 0)")
-          case cb: ArrayData if cb.numElements() % (m * k) == 0 =>
+          // Long multiply: m and k are each >= 1 and an Int, but m*k in
+          // Int can overflow to 0 (ArithmeticException from the modulo —
+          // the crash class this check exists to prevent) or negative.
+          case cb: ArrayData if cb.numElements() % (m.toLong * k) == 0 =>
             TypeCheckResult.TypeCheckSuccess
           case _ => TypeCheckResult.TypeCheckFailure(
-            s"pq_encode codebook length must be a multiple of m*k = ${m * k}")
+            s"pq_encode codebook length must be a multiple of m*k = ${m.toLong * k}")
         }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"pq_encode requires (ARRAY<BIGINT>, foldable ARRAY<BIGINT>), got " +

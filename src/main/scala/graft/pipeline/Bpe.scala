@@ -306,7 +306,13 @@ object Bpe {
       .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("w"), regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("s"),
+      // (?s): Java '.' excludes CR, LF, NEL, LS, PS while RE2's '.'
+      // excludes only \n — without DOTALL on BOTH engines, a word
+      // containing a line terminator gets that char left UNWRAPPED,
+      // corrupting the delimited encoding (a "symbol" containing the
+      // delimiter) and, on \r, diverging from the oracle outright
+      // (round-12 review finding). (?s) is valid in both regex dialects.
+      .select(col("w"), regexp_replace(col("w"), "(?s)(.)", Sep + "$1" + Sep).as("s"),
         col("freq"))
     var state = Checkpoints.stable(wf)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
@@ -347,7 +353,7 @@ object Bpe {
     s"""wx AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
               FROM documents),
        wf AS (SELECT w, count(*) AS freq FROM wx WHERE len(w) >= 2 GROUP BY w),
-       init AS (SELECT regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g') AS s,
+       init AS (SELECT regexp_replace(w, '(?s)(.)', $sep || '\\1' || $sep, 'g') AS s,
                        freq FROM wf),
        mg AS (
          SELECT s, freq, 0 AS k FROM init

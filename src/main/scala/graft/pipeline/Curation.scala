@@ -176,10 +176,15 @@ object Curation {
     * strata = 32-way parallel packing. Fixed here because the oracle
     * must interpolate the same constant. */
   val ShardStrata = 32L
-  /** Distinct salt (prime) decorrelating the shard stratum from every
-    * sampling decision ([[Sampling.hashBp]]'s salt discipline — sharing
-    * x14/x21/x23's salts would correlate "shard" with "split"/"sampled"). */
-  private[pipeline] val ShardSalt = 15485863L
+  /** Distinct salt (prime, 49979687 = the 3,000,000th) decorrelating
+    * the shard stratum from every sampling decision ([[Sampling.hashBp]]'s
+    * salt discipline). Checked against ALL existing salts, not just the
+    * sampling family's: the round-12 review caught this constant's first
+    * value colliding with [[Selection.DsirSalt]] (15485863), which made
+    * the low bits of every doc's shard stratum a deterministic function
+    * of its x50b Gumbel noise — exactly the "shard correlates with
+    * sampled" bias the discipline forbids. */
+  private[pipeline] val ShardSalt = 49979687L
 
   /** The scalable packer, ORACLE-EXPRESSIBLE form (x15d): x15b's
     * per-stratum exclusive-prefix-sum // budget discipline with the

@@ -223,6 +223,15 @@ object Ivf {
     val centroids = memoModel(emb, s"coarsepin$DefaultNlist") {
       pinnedCodebook(base.select(col("vec_id"), col("xi").as("s")), DefaultNlist)
     }
+    // Loud precondition instead of silent oracle divergence (round-12
+    // review): with fewer corpus rows than nlist, the quantile ranks
+    // collide and pinnedCodebook compacts them (kEff < nlist), while the
+    // SQL oracle keeps nlist duplicate centroids under distinct ids —
+    // the list_id numbering would differ. A corpus smaller than its own
+    // list count is not a meaningful IVF target; fail with the remedy.
+    require(centroids.length == DefaultNlist,
+      s"x10b needs >= $DefaultNlist embedding rows to pin $DefaultNlist distinct " +
+        s"coarse ranks (got ${centroids.length}); use b29 brute force below that size")
     val kEff = centroids.length
     val flat = centroids.flatten.toSeq
     val indexed = base.withColumn("list_id",

@@ -563,14 +563,35 @@ object Selection {
   private val clfToks = split(coalesce(col("text"), lit("")), " ")
 
   /** Single-sourced classifier accumulation over the `text` column:
-    * Σ_tok weight[token_hash(tok) mod B]. Requires
+    * Σ_tok weights[token_hash(tok) mod B] for ANY weight table —
+    * x64's pinned table and x64b's fitted one share this fold, so the
+    * scoring arithmetic cannot drift between them. Requires
     * [[graft.functions.GraftFunctions.register]] on the session that
-    * ANALYZES the expression (x64 and the ingest edge both do). */
-  private def clfSumw: Column = {
-    val weights = (0L until ClfBuckets.toLong).map(clfWeight)
+    * ANALYZES the expression (x64/x64b and the ingest edge all do). */
+  private def clfSumwOf(weights: Seq[Long]): Column =
     aggregate(clfToks, lit(0L), (acc, t) =>
       acc + element_at(typedLit(weights),
         (call_function("token_hash", t) % ClfBuckets).cast("int") + 1))
+
+  private def clfSumw: Column =
+    clfSumwOf((0L until ClfBuckets.toLong).map(clfWeight))
+
+  /** Shared scoring projection over (doc_id, n_tokens, sumw): the
+    * 6-decimal integer half-away-from-zero logit (numerator scale =
+    * 2·(weight unit per micro), i.e. 2000 for milli-unit weights, 2 for
+    * micro-unit) and the keep threshold `sumw > thresholdPerTok · n`.
+    * One copy of the rounding trick — x64 and x64b both project through
+    * it (round-12 review: the hand-kept second copy is the drift risk). */
+  private def clfScored(scored: DataFrame, numeratorScale: Long,
+      thresholdPerTok: Long): DataFrame = {
+    val n = col("n_tokens")
+    val mag = floor((abs(col("sumw")) * lit(numeratorScale) + n) / (n * lit(2L)))
+      .cast("long")
+    scored.select(col("doc_id"), col("n_tokens"),
+      ((signum(col("sumw")).cast("long") * mag).cast("double") / lit(1000000.0))
+        .as("logit"),
+      (col("sumw") > lit(thresholdPerTok) * col("n_tokens")).as("keep"))
+      .orderBy("doc_id")
   }
 
   /** The x64 keep decision as a stateless per-row predicate over a
@@ -583,7 +604,6 @@ object Selection {
 
   private[graft] def classifierQualityOf(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val sumw = clfSumw
     // 6-decimal logit via INTEGER half-away-from-zero rounding of the
     // exact rational sumw/(1000·n): round(x,6) on the double is NOT
     // engine-exact at decimal-half boundaries (Spark rounds the decimal
@@ -591,16 +611,12 @@ object Selection {
     // 1041/16000). |micro| = floor((|sumw|·2000 + n) / (2n)) is exact in
     // both engines: operands < 2^53 and a rational with denominator
     // 2n ≤ 2·10^5 is never within a double ulp of an integer unless it
-    // IS one, so floor(double-division) = true floor.
-    val n = col("n_tokens")
-    val mag = floor((abs(col("sumw")) * lit(2000L) + n) / (n * lit(2L))).cast("long")
-    corpus
-      .select(col("doc_id"), size(clfToks).cast("long").as("n_tokens"), sumw.as("sumw"))
-      .select(col("doc_id"), col("n_tokens"),
-        ((signum(col("sumw")).cast("long") * mag).cast("double") / lit(1000000.0))
-          .as("logit"),
-        (col("sumw") > lit(ClfThresholdMilli) * col("n_tokens")).as("keep"))
-      .orderBy("doc_id")
+    // IS one, so floor(double-division) = true floor. (The floor lives
+    // in [[clfScored]], shared with x64b.)
+    clfScored(
+      corpus.select(col("doc_id"), size(clfToks).cast("long").as("n_tokens"),
+        clfSumw.as("sumw")),
+      numeratorScale = 2000L, thresholdPerTok = ClfThresholdMilli)
   }
 
   def classifierQuality(s: SparkSession, dir: String): DataFrame =
@@ -688,19 +704,10 @@ object Selection {
     * the weights in SQL and stays hash-exact. */
   private[graft] def classifierFitQualityOf(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val weights = clfFitWeights(corpus).toSeq
-    val sumw = aggregate(clfToks, lit(0L), (acc, t) =>
-      acc + element_at(typedLit(weights),
-        (call_function("token_hash", t) % ClfBuckets).cast("int") + 1))
-    val n = col("n_tokens")
-    val mag = floor((abs(col("sumw")) * lit(2L) + n) / (n * lit(2L))).cast("long")
-    corpus
-      .select(col("doc_id"), size(clfToks).cast("long").as("n_tokens"), sumw.as("sumw"))
-      .select(col("doc_id"), col("n_tokens"),
-        ((signum(col("sumw")).cast("long") * mag).cast("double") / lit(1000000.0))
-          .as("logit"),
-        (col("sumw") > lit(0L)).as("keep"))
-      .orderBy("doc_id")
+    clfScored(
+      corpus.select(col("doc_id"), size(clfToks).cast("long").as("n_tokens"),
+        clfSumwOf(clfFitWeights(corpus).toSeq).as("sumw")),
+      numeratorScale = 2L, thresholdPerTok = 0L)
   }
 
   def classifierFitQuality(s: SparkSession, dir: String): DataFrame =

@@ -589,8 +589,11 @@ object TextStats {
       minContainment: Double = CopyMinContainment): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cands = Checkpoints.stable(fingerprintPairs(s, dir, minShared, maxDf))
+    // No distinct: the frame is only ever the build side of a left-semi
+    // join, which ignores duplicate rows — a distinct here would add a
+    // pointless aggregate+exchange over the endpoint union.
     val endpoints = cands.select(col("da").as("doc_id"))
-      .union(cands.select(col("db").as("doc_id"))).distinct()
+      .union(cands.select(col("db").as("doc_id")))
     val sets = docs(s, dir).select(col("doc_id"),
       array_sort(array_distinct(toks)).as("keys"))
       .join(endpoints, Seq("doc_id"), "left_semi")

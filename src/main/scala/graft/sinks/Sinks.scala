@@ -55,9 +55,6 @@ object Sinks {
   }
 
   // ---------------------------------------------------------------- A5
-  /** Header-mapping CSV (`dump_headers`, _cli.py:38-53): two columns,
-    * original_name,clean_name, one row per field in schema order. Built
-    * from the DataFrame schema + `comment` metadata — no job runs. */
   /** The original (pre-sanitization) column name carried in StructField
     * metadata: `fmp_original_name` survives a comment-mapping overwrite
     * of `comment` (MappingFile.applyCommentMapping), so it is preferred;
@@ -68,6 +65,9 @@ object Sinks {
     else if (f.metadata.contains("comment")) Some(f.metadata.getString("comment"))
     else None
 
+  /** Header-mapping CSV (`dump_headers`, _cli.py:38-53): two columns,
+    * original_name,clean_name, one row per field in schema order. Built
+    * from the DataFrame schema + `comment` metadata — no job runs. */
   def headersDf(spark: SparkSession, df: DataFrame): DataFrame = {
     val rows = df.schema.fields.map(f => Row(originalName(f).getOrElse(f.name), f.name))
     spark.createDataFrame(

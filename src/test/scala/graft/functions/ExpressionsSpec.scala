@@ -231,6 +231,9 @@ class ExpressionsSpec extends SparkSpec {
     // a bare array() is ArrayType(NullType) — rejected by the type
     // pattern itself; the emptiness guard needs a TYPED empty array.
     analysisFails("pq_encode(v, CAST(array() AS ARRAY<BIGINT>), 2, 2)", "non-empty")
+    // Int m*k overflow (65536·65536 = 0 in Int) previously threw
+    // ArithmeticException from the modulo; the check multiplies in Long.
+    analysisFails("pq_encode(v, array(1L, 2L), 65536, 65536)", "multiple of m*k")
     analysisFails("adc_score(array(0), CAST(NULL AS ARRAY<BIGINT>))", "null")
     analysisFails("bloom_hits(v, CAST(NULL AS ARRAY<BIGINT>), 3, 97)", "null")
     analysisFails("bloom_hits(v, CAST(array() AS ARRAY<BIGINT>), 3, 97)", "non-empty")

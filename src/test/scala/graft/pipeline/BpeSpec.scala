@@ -161,6 +161,23 @@ class BpeSpec extends SparkSpec {
       s"got ${r(0)}")
   }
 
+  test("x65b/x65c: words containing line terminators wrap every char (DOTALL regression)") {
+    import spark.implicits._
+    // Pre-fix, Java's '.' skipped \r, leaving it UNWRAPPED in the
+    // delimited encoding: "a\rb" became ONE corrupt symbol containing
+    // the delimiter (2 phantom tokens, no trainable pairs). With
+    // (?s) the word is 3 symbols; merges (\r,b) then (a,\rb) collapse
+    // it to 1 token. DuckDB RE2 needed the same flag for \n parity.
+    val corpus = Seq((1L, "a\rb")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("x65crlf").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = Bpe.bpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(merges.toSeq == Seq((1L, "\r", "b"), (2L, "a", "\rb")), s"got ${merges.toSeq}")
+    val applied = Bpe.bpeApplyCounts(spark, dir).collect()(0)
+    assert((applied.getLong(1), applied.getLong(2)) == ((3L, 1L)), s"got $applied")
+  }
+
   test("x65c: real-corpus invariants — merges compress, never expand or drop docs") {
     val out = Bpe.bpeApplyCounts(spark, sf).collect()
     assert(out.length == graft.Tables.t(spark, sf, "documents").count())
