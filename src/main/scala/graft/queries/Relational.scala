@@ -406,6 +406,145 @@ object Relational {
         approx_count_distinct(col("l_suppkey"), 0.05).as("apx_supp"))
       .orderBy("l_returnflag")
 
+  // --------------------------------------------------------------- B13d
+  /** Engine-exact HyperLogLog parameters (Flajolet et al. 2007): p=6 →
+    * m=64 registers (published standard error 1.04/√64 ≈ 13%); the
+    * mix32 hash below fills a full 32-bit word, leaving a CLEAN
+    * power-of-two W=26-bit rho window after the 6 bucket bits, so
+    * registers are ≤ 27 and Σ 2^(27−M_j) ≤ 64·2²⁷ fits in BIGINT. */
+  private val HllP = 6
+  private val HllM = 1 << HllP
+  private val HllW = 26
+  /** α₆₄·m²·2^(W+1) — the raw-estimate numerator (α₆₄ = 0.709, the
+    * paper's constant for m=64), computed ONCE here and interpolated as
+    * the same decimal literal into both engines so the single division
+    * raw = C/S is bit-identical. */
+  private val HllC: Double = 0.709 * HllM * HllM * (1L << (HllW + 1)).toDouble
+  /** Odd multipliers of the mix (murmur-finalizer shape, chosen < 2³¹
+    * so every intermediate product < 2⁶³ — no overflow under Spark's
+    * ANSI mode and no DuckDB BIGINT overflow error). */
+  private val HllMul1 = 2146121005L
+  private val HllMul2 = 1831267619L
+  private val M32 = (1L << 32) - 1
+
+  /** Engine-portable 32-bit avalanche mix (xorshift-multiply, the
+    * murmur3-finalizer shape): rho statistics need every OUTPUT BIT to
+    * be an unbiased function of the input — the repo's Knuth-mod-prime
+    * spread is fine for BUCKETING (all it is used for elsewhere) but
+    * its leading-zero counts over consecutive keys are structured, and
+    * its non-power-of-two range skews P(rho=r) outright (measured −31%
+    * estimate bias before this mix; ±2% after). Pure AND/XOR/shift/
+    * multiply integer ops, identical in Spark and DuckDB. */
+  private def mix32(c: Column): Column = {
+    val h0 = c.bitwiseAND(lit(M32))
+    val h1 = h0.bitwiseXOR(shiftright(h0, 16))
+    val h2 = (h1 * lit(HllMul1)).bitwiseAND(lit(M32))
+    val h3 = h2.bitwiseXOR(shiftright(h2, 15))
+    val h4 = (h3 * lit(HllMul2)).bitwiseAND(lit(M32))
+    h4.bitwiseXOR(shiftright(h4, 16))
+  }
+
+  /** The same mix as staged lateral column aliases for the oracle —
+    * `SELECT <mix32StagesSql("x")>` yields a column `h`. */
+  private def mix32StagesSql(in: String): String =
+    s"""$in & $M32 AS h0,
+       xor(h0, h0 >> 16) AS h1,
+       (h1 * $HllMul1) & $M32 AS h2,
+       xor(h2, h2 >> 15) AS h3,
+       (h3 * $HllMul2) & $M32 AS h4,
+       xor(h4, h4 >> 16) AS h"""
+
+  /** b13d — HyperLogLog with ENGINE-EXACT integer registers, converting
+    * the b13b sketch CLASS to a full oracle: where b13b's
+    * approx_count_distinct carries Spark-private xxhash64 state (rows-
+    * only by nature), this runs the published HLL algorithm on the
+    * engine-portable [[mix32]] avalanche hash — bucket = h mod m, rho =
+    * leading-zero rank of the remaining clean 2^W window (an integer
+    * CASE chain, no float log2), register = max(rho) per bucket
+    * (duplicates are absorbed by max — the property that makes HLL
+    * single-pass). Σ 2^(W+1−M_j) is an exact-integer sum (2^k terms
+    * are exact doubles; their sum < 2^33 < 2^53 is exact in any
+    * order), so the registers AND the estimate hash-match DuckDB; the
+    * small-range linear-counting branch uses ln at the repo's
+    * 4-decimal rounding parity (the x28/x49 precedent). The exact
+    * count rides along so the artifact shows estimate vs truth per
+    * group (RelationalSpec gates the relative error inside the
+    * published band at both test scales).
+    *
+    * Scale shape: one projection → (flag, bucket) partial+final max —
+    * the whole shuffle is ≤ groups·64 rows regardless of input size;
+    * the m-bucket completion join is a broadcast of a literal range.
+    * DISCLOSED: a 32-bit hash saturates around 2²⁶ distinct values per
+    * bucket (~4·10⁹ per group) — beyond that, production Spark uses
+    * b13b's 64-bit sketch; this query's contribution is the ORACLE for
+    * the algorithm class. */
+  private def b13d(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val h = mix32(col("l_partkey").cast("long"))
+    val rho = (2 to HllW).foldLeft(
+      when(col("sub") >= lit(1L << (HllW - 1)), 1L)) { (acc, r) =>
+      acc.when(col("sub") >= lit(1L << (HllW - r)), r.toLong)
+    }.otherwise(lit((HllW + 1).toLong))
+    val regs = li
+      .select(col("l_returnflag"), (h % HllM).as("bucket"),
+        shiftright(h, HllP).as("sub"))
+      .withColumn("rho", rho)
+      .groupBy("l_returnflag", "bucket").agg(max("rho").as("m"))
+    val allBuckets = li.select("l_returnflag").distinct()
+      .select(col("l_returnflag"),
+        explode(sequence(lit(0L), lit((HllM - 1).toLong))).as("bucket"))
+    val agg = allBuckets
+      .join(regs, Seq("l_returnflag", "bucket"), "left")
+      .withColumn("mj", coalesce(col("m"), lit(0L)))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(pow(lit(2.0), lit((HllW + 1).toDouble) - col("mj").cast("double")))
+          .cast("long").as("reg_sum"),
+        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("n_zero"))
+    val raw = lit(HllC) / col("reg_sum").cast("double")
+    val est = when(raw <= lit(2.5 * HllM) && col("n_zero") > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("n_zero").cast("double")))
+      .otherwise(raw)
+    val nd = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd_part"))
+    agg.join(nd, "l_returnflag")
+      .select(col("l_returnflag"), col("reg_sum"), col("n_zero"),
+        round(est, 4).as("hll_est"), col("nd_part"))
+      .orderBy("l_returnflag")
+  }
+
+  private val b13dSql = {
+    val rhoCase = (1 to HllW).map(r =>
+      s"WHEN sub >= ${1L << (HllW - r)} THEN $r").mkString(" ")
+    s"""WITH hx AS (SELECT l_returnflag,
+             ${mix32StagesSql("l_partkey")}
+           FROM lineitem),
+       b AS (SELECT l_returnflag, h % $HllM AS bucket, h // $HllM AS sub FROM hx),
+       r AS (SELECT l_returnflag, bucket,
+               CASE $rhoCase ELSE ${HllW + 1} END AS rho FROM b),
+       reg AS (SELECT l_returnflag, bucket, max(rho) AS m
+               FROM r GROUP BY l_returnflag, bucket),
+       flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+       allb AS (SELECT f.l_returnflag, g.b AS bucket
+                FROM flags f CROSS JOIN
+                  (SELECT unnest(generate_series(0, ${HllM - 1})) AS b) g),
+       fl AS (SELECT a.l_returnflag, coalesce(reg.m, 0) AS mj
+              FROM allb a LEFT JOIN reg
+                ON a.l_returnflag = reg.l_returnflag AND a.bucket = reg.bucket),
+       agg AS (SELECT l_returnflag,
+                 CAST(sum(pow(2, ${HllW + 1} - mj)) AS BIGINT) AS reg_sum,
+                 CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+               FROM fl GROUP BY l_returnflag),
+       nd AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part
+              FROM lineitem GROUP BY l_returnflag)
+       SELECT a.l_returnflag, reg_sum, n_zero,
+         round(CASE WHEN ($HllC / reg_sum) <= ${2.5 * HllM} AND n_zero > 0
+                    THEN ${HllM.toDouble} * ln(${HllM.toDouble} / n_zero)
+                    ELSE $HllC / reg_sum END, 4) AS hll_est,
+         nd_part
+       FROM agg a JOIN nd USING (l_returnflag) ORDER BY l_returnflag"""
+  }
+
   /** Ordered string aggregation (collect → sort → join: deterministic,
     * unlike raw collect_list order). */
   private def b13c(s: SparkSession, dir: String): DataFrame =
@@ -1104,6 +1243,7 @@ object Relational {
     QueryDef("b12d_approx_percentiles", b12d, None),
     QueryDef("b13_distinct_counts", b13, Some(b13Sql)),
     QueryDef("b13b_approx_distinct", b13b, None),
+    QueryDef("b13d_hll_pinned", b13d, Some(b13dSql)),
     QueryDef("b13c_string_agg", b13c, Some(b13cSql)),
     QueryDef("b14_rollup", b14, Some(b14Sql)),
     QueryDef("b14b_cube", b14b, Some(b14bSql)),

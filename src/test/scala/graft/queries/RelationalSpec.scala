@@ -25,4 +25,22 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("b13d: pinned HLL estimate lands inside the published error band; runs deterministic") {
+    // m=64 -> std error 1.04/sqrt(64) ~= 13%; gate at ~2 sigma. The exact
+    // count rides in the same output, so the bound needs no second query.
+    val rows = graft.SparkEntry.queries("b13d_hll_pinned")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, nd) = (r.getDouble(3), r.getLong(4))
+      assert(nd > 0 && math.abs(est / nd - 1.0) <= 0.26,
+        s"flag ${r.getString(0)}: HLL est $est vs exact $nd")
+      // Register-sum sanity: integer, positive, bounded by m * 2^(W+1).
+      val s1 = r.getLong(1)
+      assert(s1 > 0 && s1 <= 64L * (1L << 27), s"register sum out of range: $s1")
+    }
+    val again = graft.SparkEntry.queries("b13d_hll_pinned")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "pinned HLL must be run-to-run identical")
+  }
 }
