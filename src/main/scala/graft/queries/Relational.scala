@@ -356,6 +356,98 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.1, 10000)").as("p10_price"))
       .orderBy("l_returnflag")
 
+  // --------------------------------------------------------------- B12e
+  /** Histogram-quantile bin count: error per quantile is bounded by one
+    * bin width, (max−min)/B — the classic equi-width estimator. */
+  private val HistBins = 1000L
+
+  /** b12e — approximate percentiles with ENGINE-EXACT arithmetic,
+    * converting the b12d sketch CLASS to a full oracle (the b13d→b13b
+    * move for quantiles): where approx_percentile carries Spark-private
+    * QuantileSummaries state, this runs the classic two-pass equi-width
+    * histogram — values to integer cents, bin = ((v−min)·B) floor-div
+    * (range+1) (pure BIGINT, both engines' floor division), per-bin
+    * counts (partial+final — the shuffle is ≤ groups·B rows at any
+    * input size), cumulative count, and the estimate is the midpoint
+    * of the first bin whose cumulative count reaches ⌈q·n⌉ (an integer
+    * ceiling, never a float rank). The one float step — midpoint
+    * reconstruction — is a single IEEE expression rounded to 4
+    * decimals. Error ≤ one bin width per quantile (RelationalSpec
+    * gates it against the exact b12b at a data-derived bound).
+    *
+    * Scale: two passes over the column (min/max/count, then binning) —
+    * the price a fixed-width histogram pays for not carrying adaptive
+    * sketch state; both passes are map-side-combinable aggregations
+    * with bounded shuffle. At 100 TB with one pass required, b12d's
+    * mergeable sketch is the tool; this row contributes the
+    * oracle-checkable form of the algorithm class. */
+  private def b12e(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+    // One column's histogram quantiles: (alias, q-numerator, q-denominator).
+    def histQ(valueCol: String, qs: Seq[(String, Int, Int)]): DataFrame = {
+      val base = li.select(col("l_returnflag").as("g"),
+        round(col(valueCol) * 100, 0).cast("long").as("vi"))
+      val stats = base.groupBy("g")
+        .agg(min("vi").as("lo"), max("vi").as("hi"), count(col("vi")).as("n"))
+      val hist = base.join(stats, "g")
+        .select(col("g"),
+          expr(s"(vi - lo) * $HistBins div (hi - lo + 1)").as("bin"))
+        .groupBy("g", "bin").agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("bin")))
+        .join(stats, "g")
+      val flagged = cum.select(Seq(col("g"), col("bin"), col("lo"), col("hi")) ++
+        qs.map { case (nm, num, den) =>
+          (col("cum") >= expr(s"(n * $num + ${den - 1}) div $den")).as(s"ge_$nm")
+        }: _*)
+      val aggs = qs.map { case (nm, _, _) =>
+        min(when(col(s"ge_$nm"), col("bin"))).as(s"bin_$nm")
+      } ++ Seq(min("lo").as("lo"), min("hi").as("hi"))
+      flagged.groupBy("g").agg(aggs.head, aggs.tail: _*)
+        .select(Seq(col("g")) ++ qs.map { case (nm, _, _) =>
+          round((col("lo").cast("double") +
+            (col(s"bin_$nm").cast("double") + 0.5) *
+              (col("hi") - col("lo") + 1).cast("double") / HistBins) / 100.0, 4)
+            .as(nm)
+        }: _*)
+    }
+    histQ("l_quantity", Seq(("med_qty", 1, 2)))
+      .join(histQ("l_extendedprice",
+        Seq(("p90_price", 9, 10), ("p10_price", 1, 10))), "g")
+      .select(col("g").as("l_returnflag"), col("med_qty"),
+        col("p90_price"), col("p10_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val b12eSql = {
+    def chain(tag: String, valueCol: String, qs: Seq[(String, Int, Int)]): String = {
+      val flags = qs.map { case (nm, num, den) =>
+        s"min(CASE WHEN cum >= (n * $num + ${den - 1}) // $den THEN bin END) AS bin_$nm"
+      }.mkString(", ")
+      val ests = qs.map { case (nm, _, _) =>
+        s"round((lo + (bin_$nm + 0.5) * (hi - lo + 1) / $HistBins) / 100.0, 4) AS $nm"
+      }.mkString(", ")
+      s"""q$tag AS (SELECT l_returnflag AS g,
+             CAST(round($valueCol * 100) AS BIGINT) AS vi FROM lineitem),
+         s$tag AS (SELECT g, min(vi) AS lo, max(vi) AS hi, count(vi) AS n
+                   FROM q$tag GROUP BY g),
+         h$tag AS (SELECT g, (vi - lo) * $HistBins // (hi - lo + 1) AS bin,
+                     count(*) AS c
+                   FROM q$tag JOIN s$tag USING (g) GROUP BY g, bin),
+         c$tag AS (SELECT g, bin,
+                     sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum, n, lo, hi
+                   FROM h$tag JOIN s$tag USING (g)),
+         m$tag AS (SELECT g, $flags, min(lo) AS lo, min(hi) AS hi
+                   FROM c$tag GROUP BY g),
+         e$tag AS (SELECT g, $ests FROM m$tag)"""
+    }
+    s"""WITH ${chain("a", "l_quantity", Seq(("med_qty", 1, 2)))},
+       ${chain("b", "l_extendedprice", Seq(("p90_price", 9, 10), ("p10_price", 1, 10)))}
+       SELECT ea.g AS l_returnflag, med_qty, p90_price, p10_price
+       FROM ea JOIN eb USING (g) ORDER BY l_returnflag"""
+  }
+
   /** Statistical aggregates: spread and correlation. */
   private def b12c(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -1243,6 +1335,7 @@ object Relational {
     QueryDef("b12d_approx_percentiles", b12d, None),
     QueryDef("b13_distinct_counts", b13, Some(b13Sql)),
     QueryDef("b13b_approx_distinct", b13b, None),
+    QueryDef("b12e_histogram_percentiles", b12e, Some(b12eSql)),
     QueryDef("b13d_hll_pinned", b13d, Some(b13dSql)),
     QueryDef("b13c_string_agg", b13c, Some(b13cSql)),
     QueryDef("b14_rollup", b14, Some(b14Sql)),

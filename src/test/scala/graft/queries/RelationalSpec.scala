@@ -26,6 +26,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("b12e: histogram quantiles land within one bin width of the exact form") {
+    val exact = graft.SparkEntry.queries("b12b_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val hist = graft.SparkEntry.queries("b12e_histogram_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(hist.keySet == exact.keySet)
+    // Data-derived bound: one bin width per column (plus the exact
+    // form's interpolation, absorbed by the 1.5x slack).
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.t(spark, sf, "lineitem")
+    val Seq(wQty, wPrice) = Seq("l_quantity", "l_extendedprice").map { c =>
+      val r = li.agg((max(col(c)) - min(col(c))).as("r")).head().getDouble(0)
+      1.5 * r / 1000.0
+    }
+    hist.foreach { case (flag, (mq, p90, p10)) =>
+      val (emq, ep90, ep10) = exact(flag)
+      assert(math.abs(mq - emq) <= wQty, s"$flag med_qty: $mq vs $emq (±$wQty)")
+      assert(math.abs(p90 - ep90) <= wPrice, s"$flag p90: $p90 vs $ep90 (±$wPrice)")
+      assert(math.abs(p10 - ep10) <= wPrice, s"$flag p10: $p10 vs $ep10 (±$wPrice)")
+    }
+  }
+
   test("b13d: pinned HLL estimate lands inside the published error band; runs deterministic") {
     // m=64 -> std error 1.04/sqrt(64) ~= 13%; gate at ~2 sigma. The exact
     // count rides in the same output, so the bound needs no second query.
