@@ -713,6 +713,19 @@ object Selection {
   def classifierFitQuality(s: SparkSession, dir: String): DataFrame =
     classifierFitQualityOf(docs(s, dir))
 
+  /** The x64b keep decision as a stateless per-row predicate FIT on a
+    * reference corpus — the ingest-edge form of the production cycle:
+    * fit the table on the curated corpus, ship it, gate arrivals with
+    * pure inference (the same [[graft.streaming.StreamingJobs
+    * .ingestAdmit]] `qualityGate` hook x64's pinned column takes, so
+    * batch ≡ stream by construction; StreamingSpec gates it). The fit
+    * is one bounded collect on the REFERENCE — the stream never pays
+    * it per batch (memoized for file-backed references). */
+  def classifierFitKeepColumn(reference: DataFrame): Column = {
+    graft.functions.GraftFunctions.register(reference.sparkSession)
+    clfSumwOf(clfFitWeights(reference).toSeq) > lit(0L)
+  }
+
   private val x64bSql = {
     import HashConstants.{HashPrime, Knuth}
     s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,

@@ -540,6 +540,16 @@ class PlanSpec extends SparkSpec {
       s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
   }
 
+  test("b13d/b12e: sketch-class oracles aggregate partial+final, no corpus product") {
+    for (name <- Seq("b13d_hll_pinned", "b12e_histogram_percentiles")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: the register/bin shuffles are bounded key aggs, never a product:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$name: per-(group,bucket/bin) rollups must map-side combine:\n$p")
+    }
+  }
+
   test("x64b: fitted-classifier inference is map-only like x64 (fit is pre-collected)") {
     // clfFitWeights runs its one corpus pass at plan-construction time
     // (memoized bounded collect — the codebook discipline); the

@@ -418,6 +418,45 @@ class StreamingSpec extends SparkSpec {
       s"classifier must admit the above-threshold doc only: $streamed")
   }
 
+  test("unified ingest with the x64b FITTED classifier as the quality gate: batch ≡ stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq(Doc(1L, "alpha beta gamma delta epsilon", "en")).toDF()
+    val corpusVecs = Seq(Vec(1L, Array(1.0f, 0.0f, 0.0f))).toDF()
+    // The production cycle: fit the weight table on a REFERENCE corpus
+    // with separable good/bad vocabularies (good docs pass the Gopher
+    // label — >=50 tokens, mwl >= 3, stopwords; bad docs are symbol
+    // spam), then gate stream arrivals that reuse those vocabularies.
+    val goodText = (("the quick brown foxes jumped over the fence and chased " +
+      "rabbits through sunny meadows while farmers watched quietly ") * 4).trim
+    val badText = ("#### @@@@ !!!! %%%% " * 15).trim
+    val fitRef = (Seq((1L, goodText), (2L, goodText + " extra")) ++
+      Seq((3L, badText), (4L, badText + " @@"))).toDF("doc_id", "text")
+    val gate = graft.pipeline.Selection.classifierFitKeepColumn(fitRef)
+    val arrivals = Seq(
+      DocVec(60L, "quick foxes chased rabbits through meadows", "en", null),
+      DocVec(61L, "#### @@@@ !!!! %%%%", "en", null))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val input = MemoryStream[DocVec]
+    val dir = java.nio.file.Files.createTempDirectory("ingest_clf_fit").toString
+    val q = StreamingJobs.ingestDedupStream(
+      input.toDF(), refDocs, corpusVecs, 0.8, 0.9, dir,
+      qualityGate = Some(gate)) { (admitted, _) =>
+      out += admitted.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    input.addData(arrivals)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.flatten.toSeq
+    val batch = StreamingJobs.ingestAdmit(
+      arrivals.toDF(), refDocs, corpusVecs, 0.8, 0.9,
+      qualityGate = Some(gate))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
+    assert(streamed == Seq(60L),
+      s"fitted gate must admit the good-vocabulary arrival only: $streamed")
+  }
+
   test("x58c repetition gate (foreachBatch) equals the batch gate — per-doc, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
