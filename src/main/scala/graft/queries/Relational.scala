@@ -637,6 +637,77 @@ object Relational {
        FROM agg a JOIN nd USING (l_returnflag) ORDER BY l_returnflag"""
   }
 
+  // --------------------------------------------------------------- B13e
+  /** Count-min sketch parameters (Cormode & Muthukrishnan 2005): d=4
+    * independent hash rows × w=512 BIGINT counters. One-sided error
+    * guarantee: estimate ≥ true count always (sums only ever add);
+    * estimate ≤ true + εN with ε = e/w ≈ 0.53% at probability
+    * 1 − e^−d ≈ 98% per query. */
+  private val CmsD = 4
+  private val CmsW = 512
+  /** Per-hash-row decorrelation offset (prime, distinct from every
+    * bucketing salt in the repo — the [[Sampling.hashBp]] salt
+    * discipline): hash row i mixes key + (i+1)·P so the d rows are
+    * independent avalanche streams of the same key space. */
+  private val CmsSalt = 1000003L
+
+  /** b13e — count-min sketch frequency estimation with ENGINE-EXACT
+    * registers, completing the sketch-oracle trio (b12e quantiles,
+    * b13d HLL distinct, b13e frequencies): where a production CMS
+    * carries opaque sketch state, this runs the published algorithm
+    * on the engine-portable [[mix32]] hash — each occurrence
+    * increments counter [i][mix32(key + (i+1)·P) mod w] for the d
+    * hash rows, and a key's estimate is the MIN over its d counters.
+    * Registers are pure BIGINT sums and the estimate is an integer
+    * min, so every value hash-matches DuckDB; the exact count rides
+    * along so the artifact shows estimate vs truth per key
+    * (RelationalSpec gates the one-sided ε-band at both scales).
+    *
+    * Scale shape: one map-side projection exploding d rows per
+    * occurrence → (i, bucket) partial+final count — the register
+    * shuffle is ≤ d·w = 2048 rows REGARDLESS of input size, the
+    * whole point of the sketch; probing broadcasts the register
+    * table (16 KB) against the candidate set. Candidates here are
+    * the exact top-20 (TakeOrderedAndProject, the b19 shape) so the
+    * artifact can show truth beside estimate; a 100 TB deployment
+    * gets candidates from per-partition local top-k (b37's
+    * disclosed pattern) and keeps only the sketch's bounded state. */
+  private def b13e(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val base = li.select(col("l_partkey").cast("long").as("key"))
+    def buckets(df: DataFrame): DataFrame = df
+      .withColumn("i", explode(sequence(lit(0), lit(CmsD - 1))))
+      .withColumn("bucket",
+        mix32(col("key") + (col("i") + 1) * lit(CmsSalt)) % CmsW)
+    val regs = buckets(base).groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+    val exact = base.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("key")).limit(20)
+    buckets(exact)
+      .join(broadcast(regs), Seq("i", "bucket"))
+      .groupBy("key", "exact_cnt")
+      .agg(min("cnt").as("cms_est"))
+      .select(col("key").as("l_partkey"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey"))
+  }
+
+  private val b13eSql = {
+    def hx(src: String, keep: String): String =
+      s"""SELECT $keep, ${mix32StagesSql(s"(key + (i + 1) * $CmsSalt)")}
+          FROM (SELECT *, unnest(generate_series(0, ${CmsD - 1})) AS i FROM $src)"""
+    s"""WITH b AS (SELECT CAST(l_partkey AS BIGINT) AS key FROM lineitem),
+       bh AS (${hx("b", "i")}),
+       regs AS (SELECT i, h % $CmsW AS bucket, count(*) AS cnt
+                FROM bh GROUP BY i, bucket),
+       exact AS (SELECT key, count(*) AS exact_cnt FROM b GROUP BY key
+                 ORDER BY exact_cnt DESC, key LIMIT 20),
+       ch AS (${hx("exact", "key, exact_cnt, i")}),
+       cb AS (SELECT key, exact_cnt, i, h % $CmsW AS bucket FROM ch),
+       est AS (SELECT key, exact_cnt, min(cnt) AS cms_est
+               FROM cb JOIN regs USING (i, bucket) GROUP BY key, exact_cnt)
+       SELECT key AS l_partkey, exact_cnt, cms_est FROM est
+       ORDER BY exact_cnt DESC, l_partkey"""
+  }
+
   /** Ordered string aggregation (collect → sort → join: deterministic,
     * unlike raw collect_list order). */
   private def b13c(s: SparkSession, dir: String): DataFrame =
@@ -1337,6 +1408,7 @@ object Relational {
     QueryDef("b13b_approx_distinct", b13b, None),
     QueryDef("b12e_histogram_percentiles", b12e, Some(b12eSql)),
     QueryDef("b13d_hll_pinned", b13d, Some(b13dSql)),
+    QueryDef("b13e_cms_topk", b13e, Some(b13eSql)),
     QueryDef("b13c_string_agg", b13c, Some(b13cSql)),
     QueryDef("b14_rollup", b14, Some(b14Sql)),
     QueryDef("b14b_cube", b14b, Some(b14bSql)),

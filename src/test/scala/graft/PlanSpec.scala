@@ -541,7 +541,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("b13d/b12e: sketch-class oracles aggregate partial+final, no corpus product") {
-    for (name <- Seq("b13d_hll_pinned", "b12e_histogram_percentiles")) {
+    for (name <- Seq("b13d_hll_pinned", "b12e_histogram_percentiles",
+        "b13e_cms_topk")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name: the register/bin shuffles are bounded key aggs, never a product:\n$p")

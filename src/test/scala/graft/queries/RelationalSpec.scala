@@ -65,4 +65,24 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
       "pinned HLL must be run-to-run identical")
   }
+
+  test("b13e: CMS estimates are one-sided and inside the published ε-band") {
+    // d=4, w=512: est >= true ALWAYS (counters only add); est <= true +
+    // εN with ε = e/w ≈ 0.53% at P ≈ 1 − e^−4 per probe — gate at 2× the
+    // bound to absorb the probabilistic tail over 20 probes.
+    val rows = graft.SparkEntry.queries("b13e_cms_topk")(spark, sf).collect()
+    assert(rows.length == 20)
+    val n = graft.Tables.t(spark, sf, "lineitem").count()
+    val band = 2.0 * math.E / 512.0 * n
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact,
+        s"key ${r.getLong(0)}: CMS must never underestimate ($est < $exact)")
+      assert(est <= exact + band,
+        s"key ${r.getLong(0)}: est $est strayed past exact $exact + $band")
+    }
+    val again = graft.SparkEntry.queries("b13e_cms_topk")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "pinned CMS must be run-to-run identical")
+  }
 }
