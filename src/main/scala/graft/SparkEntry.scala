@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{AsOf, Relational}
 import graft.pipeline.{Bpe, Curation, Dedup, Ivf, Multimodal, Repetition, Report, Sampling, Selection, Similarity, TextStats}
+import graft.operators.ZOrder
 import graft.streaming.{IngestGate, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +18,7 @@ object SparkEntry {
     Relational.defs ++ AsOf.defs ++ Dedup.defs ++ Similarity.defs ++
       Ivf.defs ++ TextStats.defs ++ Curation.defs ++ Sampling.defs ++ Selection.defs ++
       Bpe.defs ++ Multimodal.defs ++ Windows.defs ++ IngestGate.defs ++
-      Repetition.defs ++ Report.defs
+      Repetition.defs ++ Report.defs ++ ZOrder.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
