@@ -280,6 +280,16 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** ORC sink — the second columnar at-rest format Spark ships a native
+    * vectorized reader/writer for. Same zone-map (min/max + optional
+    * bloom) pruning story as parquet; the choice between them is an
+    * ecosystem question (Hive-heavy stacks read ORC), not a capability
+    * one, so the engine offers both. Snappy-compressed, overwrite —
+    * mirrors the parquet sinks' semantics; partitioned layout composes
+    * via [[writePartitioned]]'s pattern with `.orc(path)`. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** SHA-256 of a file's raw bytes — driver-side by design; the
     * data-plane analogue is `sha2(col, 256)` (B26). */
   def sha256OfFile(path: String): String = {
