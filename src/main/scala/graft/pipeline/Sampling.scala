@@ -452,8 +452,102 @@ object Sampling {
               CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
        FROM c GROUP BY lang ORDER BY lang"""
 
+  // ---------------------------------------------------------------- x73
+  /** Epoch cap: repeating data past ~4 epochs adds almost no value
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models" — the RHS of their data-constrained scaling law flattens
+    * there), so extra-epoch rounds stop at 4 total. */
+  val MaxEpochs = 4
+
+  /** x73 — epoch allocation under a data-constrained token budget: when
+    * the training budget EXCEEDS the unique corpus (the regime every
+    * frontier run is now in), decide how many epochs of each source to
+    * take. Published recipe shape (Muennighoff et al. 2023): repeat the
+    * best data first, cap at [[MaxEpochs]]. Deterministic integer rule:
+    *
+    *  1. per source: unique whitespace tokens u_s and a PURE-INTEGER
+    *     source-level quality — x01's 50/50 stopword/digit blend
+    *     re-stated at source granularity in millionths,
+    *     qd = (stop_rate + (10⁶ − digit_rate)) div 2 with each rate an
+    *     integer ratio of per-source BIGINT sums (aggregate rate, not a
+    *     mean of per-doc floats — floats never enter the rank key, so
+    *     the allocation is engine/cluster/run-exact);
+    *  2. everyone gets epoch 1 (unique data is always worth one pass);
+    *     the leftover L = B − Σu_s with B = (5·Σu_s) div 2 (a 2.5-epoch
+    *     budget, scale-relative so every SF exercises the repetition
+    *     regime);
+    *  3. extra-epoch candidates (source, r ∈ 2..4) cost u_s each,
+    *     ordered by (round ASC, qd DESC, source) — breadth-first so
+    *     round 3 of a good source never starves round 2 of a lesser
+    *     one, and granting round r implies r−1 was granted (the order
+    *     makes epoch counts automatically contiguous);
+    *  4. grant by the x22 exclusive-prefix rule: a candidate is taken
+    *     iff the cost of everything ordered before it is < L. Overshoot
+    *     ≤ the last granted round's u_s; later smaller candidates are
+    *     NOT back-filled (prefix rule, not knapsack — same disclosed
+    *     trade as x22).
+    *
+    * Scale: one corpus partial+final agg on source; everything after
+    * runs on the source-cardinality frame (the candidate lattice is
+    * 3 rows per source), so the global window is bounded by the source
+    * list, never the corpus — the x55b alloc-side shape. */
+  def epochAllocation(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir).groupBy("source").agg(
+      sum(size(split(col("text"), " ")).cast("long")).as("uniq_tokens"),
+      sum(size(filter(split(col("text"), " "),
+        t => t.isin(TextStats.Stopwords: _*))).cast("long")).as("stop_sum"),
+      sum(length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+        .as("digit_sum"),
+      sum(length(col("text")).cast("long")).as("char_sum"))
+      .withColumn("qd", expr(
+        """((stop_sum * 1000000) div uniq_tokens
+           + (1000000 - (digit_sum * 1000000) div char_sum)) div 2"""))
+      .select("source", "uniq_tokens", "qd")
+    val tot = per.agg(sum("uniq_tokens").as("total_uniq"))
+    val cand = per.crossJoin(broadcast(tot))
+      .withColumn("leftover", expr("(total_uniq * 5) div 2 - total_uniq"))
+      .withColumn("r", explode(sequence(lit(2), lit(MaxEpochs))))
+    val w = Window.orderBy(col("r"), col("qd").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand
+      .withColumn("prior", coalesce(sum("uniq_tokens").over(w), lit(0L)))
+      .groupBy("source", "uniq_tokens", "qd")
+      .agg((lit(1L) + sum(when(col("prior") < col("leftover"), 1L)
+        .otherwise(0L))).as("epochs"))
+      .withColumn("alloc_tokens", col("epochs") * col("uniq_tokens"))
+      .orderBy("source")
+  }
+
+  private val x73Sql =
+    s"""WITH per AS (SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS uniq_tokens,
+           CAST(sum(len(list_filter(string_split(text, ' '),
+             t -> list_contains([${TextStats.Stopwords.map(w => s"'$w'").mkString(", ")}], t)))) AS BIGINT) AS stop_sum,
+           CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT) AS digit_sum,
+           CAST(sum(length(text)) AS BIGINT) AS char_sum
+         FROM documents GROUP BY source),
+       per2 AS (SELECT source, uniq_tokens,
+           CAST(((stop_sum * 1000000) // uniq_tokens
+             + (1000000 - (digit_sum * 1000000) // char_sum)) // 2 AS BIGINT) AS qd
+         FROM per),
+       tot AS (SELECT sum(uniq_tokens) AS total_uniq FROM per2),
+       cand AS (SELECT source, uniq_tokens, qd,
+           CAST((total_uniq * 5) // 2 - total_uniq AS BIGINT) AS leftover,
+           unnest(generate_series(2, $MaxEpochs)) AS r
+         FROM per2 CROSS JOIN tot),
+       g AS (SELECT *, coalesce(sum(uniq_tokens) OVER (ORDER BY r, qd DESC, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         FROM cand)
+       SELECT source, uniq_tokens, qd,
+         CAST(1 + sum(CASE WHEN prior < leftover THEN 1 ELSE 0 END) AS BIGINT)
+           AS epochs,
+         CAST((1 + sum(CASE WHEN prior < leftover THEN 1 ELSE 0 END))
+           * uniq_tokens AS BIGINT) AS alloc_tokens
+       FROM g GROUP BY source, uniq_tokens, qd ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x21_stratified_sample", stratifiedSample, Some(x21Sql)),
+    QueryDef("x73_epoch_alloc", epochAllocation, Some(x73Sql)),
     QueryDef("x55_budget_apportion", budgetApportion, Some(x55Sql)),
     QueryDef("x55b_budget_carveout", budgetCarveout, Some(x55bSql)),
     QueryDef("x22_source_budget", (s, d) => sourceBudgetSelect(s, d), Some(x22Sql(800L))),

@@ -140,6 +140,42 @@ class SamplingSpec extends SparkSpec {
       "two-phase pre-prune must reproduce the global selection exactly")
   }
 
+  test("x73 epoch allocation: contiguous epochs in [1,4], quality-ordered, budget-bounded") {
+    val rows = Sampling.epochAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, u, _, e, alloc) =>
+      assert(e >= 1 && e <= Sampling.MaxEpochs, s"$src: epochs $e out of range")
+      assert(alloc == e * u, s"$src: alloc must be epochs x unique tokens")
+    }
+    // Quality-ordered within the marginal round: if a source reached
+    // round r, every strictly-better source (qd desc, source tiebreak)
+    // must have reached r too — the breadth-first grant order.
+    val maxE = rows.map(_._4).max
+    if (maxE >= 2) {
+      val ordered = rows.toSeq.sortBy { case (src, _, qd, _, _) => (-qd, src) }
+      ordered.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 >= b._4,
+            s"better source ${a._1} (qd ${a._3}) got ${a._4} epochs, " +
+              s"worse ${b._1} (qd ${b._3}) got ${b._4}")
+        case _ => ()
+      }
+    }
+    // Budget contract: the 2.5-epoch budget, prefix-rule overshoot
+    // bounded by one source's single-epoch cost.
+    val total = rows.map(_._2).sum
+    val budget = total * 5 / 2
+    val alloc = rows.map(_._5).sum
+    assert(alloc >= math.min(budget, total * Sampling.MaxEpochs) - rows.map(_._2).max,
+      "allocation must approach the budget")
+    assert(alloc <= budget + rows.map(_._2).max,
+      s"overshoot past one epoch-cost: alloc $alloc vs budget $budget")
+    val again = Sampling.epochAllocation(spark, sf).collect()
+    assert(again.map(_.toString).toSeq ==
+      Sampling.epochAllocation(spark, sf).collect().map(_.toString).toSeq)
+  }
+
   test("mixture emits floor(w) to ceil(w) copies per doc, exact for integer w") {
     val out = Sampling.mixtureMaterialize(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
