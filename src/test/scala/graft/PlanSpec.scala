@@ -625,6 +625,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to SMJ:\n$p")
   }
 
+  test("x72: the Morton key is a map-only projection + top-k, no join/shuffle") {
+    val p = plan("x72_zorder_key")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the artifact cut must be top-k, not a global sort:\n$p")
+    assert(!p.contains("Join"), s"key computation must not join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"pure projection must not hash-shuffle:\n$p")
+  }
+
+  test("x73: epoch allocation windows the source lattice, never the corpus") {
+    val p = plan("x73_epoch_alloc")
+    // The corpus is touched exactly once: a partial+final agg on source.
+    assert("partial".r.findAllIn(p).size >= 1 && p.contains("HashAggregate"),
+      s"the corpus agg must map-side combine:\n$p")
+    // The global window must sit ABOVE the aggregation (bounded input):
+    // the single-partition exchange feeding Window takes the source-sized
+    // frame, so no Window node may consume a scan directly.
+    val winAt = p.indexOf("Window")
+    val aggAt = p.indexOf("HashAggregate")
+    assert(winAt > 0 && aggAt > 0,
+      s"expected both Window and HashAggregate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total joins via broadcast, not a product:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize
