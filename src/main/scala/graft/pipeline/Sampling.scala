@@ -467,11 +467,17 @@ object Sampling {
     *
     *  1. per source: unique whitespace tokens u_s and a PURE-INTEGER
     *     source-level quality — x01's 50/50 stopword/digit blend
-    *     re-stated at source granularity in millionths,
-    *     qd = (stop_rate + (10⁶ − digit_rate)) div 2 with each rate an
+    *     re-stated at source granularity in basis points,
+    *     qd = (stop_rate + (10⁴ − digit_rate)) div 2 with each rate an
     *     integer ratio of per-source BIGINT sums (aggregate rate, not a
     *     mean of per-doc floats — floats never enter the rank key, so
-    *     the allocation is engine/cluster/run-exact);
+    *     the allocation is engine/cluster/run-exact). The 10⁴ scale is
+    *     the overflow headroom choice (the mix32 constant discipline):
+    *     sum·10⁴ stays under 2⁶³ up to ~9·10¹⁴ stopword tokens / digit
+    *     chars PER SOURCE — ~300× past a 100 TB corpus — where a
+    *     millionths scale would wrap at ~9·10¹², inside the target
+    *     regime; quality ties at 4 decimal digits break on the source
+    *     tiebreak, deterministically;
     *  2. everyone gets epoch 1 (unique data is always worth one pass);
     *     the leftover L = B − Σu_s with B = (5·Σu_s) div 2 (a 2.5-epoch
     *     budget, scale-relative so every SF exercises the repetition
@@ -500,8 +506,8 @@ object Sampling {
         .as("digit_sum"),
       sum(length(col("text")).cast("long")).as("char_sum"))
       .withColumn("qd", expr(
-        """((stop_sum * 1000000) div uniq_tokens
-           + (1000000 - (digit_sum * 1000000) div char_sum)) div 2"""))
+        """((stop_sum * 10000) div uniq_tokens
+           + (10000 - (digit_sum * 10000) div char_sum)) div 2"""))
       .select("source", "uniq_tokens", "qd")
     val tot = per.agg(sum("uniq_tokens").as("total_uniq"))
     val cand = per.crossJoin(broadcast(tot))
@@ -527,8 +533,8 @@ object Sampling {
            CAST(sum(length(text)) AS BIGINT) AS char_sum
          FROM documents GROUP BY source),
        per2 AS (SELECT source, uniq_tokens,
-           CAST(((stop_sum * 1000000) // uniq_tokens
-             + (1000000 - (digit_sum * 1000000) // char_sum)) // 2 AS BIGINT) AS qd
+           CAST(((stop_sum * 10000) // uniq_tokens
+             + (10000 - (digit_sum * 10000) // char_sum)) // 2 AS BIGINT) AS qd
          FROM per),
        tot AS (SELECT sum(uniq_tokens) AS total_uniq FROM per2),
        cand AS (SELECT source, uniq_tokens, qd,

@@ -284,9 +284,11 @@ object Sinks {
     * vectorized reader/writer for. Same zone-map (min/max + optional
     * bloom) pruning story as parquet; the choice between them is an
     * ecosystem question (Hive-heavy stacks read ORC), not a capability
-    * one, so the engine offers both. Snappy-compressed, overwrite —
-    * mirrors the parquet sinks' semantics; partitioned layout composes
-    * via [[writePartitioned]]'s pattern with `.orc(path)`. */
+    * one, so the engine offers both. zstd-compressed (this build's
+    * `spark.sql.orc.compression.codec` default; pass
+    * `.option("compression", …)` to override), overwrite — mirrors the
+    * parquet sinks' semantics; partitioned layout composes via
+    * [[writePartitioned]]'s pattern with `.orc(path)`. */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 

@@ -639,13 +639,19 @@ class PlanSpec extends SparkSpec {
     // The corpus is touched exactly once: a partial+final agg on source.
     assert("partial".r.findAllIn(p).size >= 1 && p.contains("HashAggregate"),
       s"the corpus agg must map-side combine:\n$p")
-    // The global window must sit ABOVE the aggregation (bounded input):
-    // the single-partition exchange feeding Window takes the source-sized
-    // frame, so no Window node may consume a scan directly.
-    val winAt = p.indexOf("Window")
-    val aggAt = p.indexOf("HashAggregate")
-    assert(winAt > 0 && aggAt > 0,
-      s"expected both Window and HashAggregate:\n$p")
+    // The global window must sit ABOVE the aggregation (bounded input).
+    // Enforced structurally: every parquet scan's direct parent in the
+    // tree is a HashAggregate (in formatted output a leaf's parent is
+    // the line right above it), so nothing — the Window included — can
+    // consume the corpus before it is reduced to the source frame.
+    assert(p.contains("Window"), s"expected the grant window:\n$p")
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).toVector
+    tree.zipWithIndex.filter(_._1.contains("Scan parquet")).foreach {
+      case (_, i) =>
+        assert(i > 0 && tree(i - 1).contains("HashAggregate"),
+          s"a scan is consumed by ${if (i > 0) tree(i - 1) else "?"} — " +
+            s"the corpus must be reduced before any other operator:\n$p")
+    }
     assert(!p.contains("CartesianProduct"),
       s"the 1-row total joins via broadcast, not a product:\n$p")
   }

@@ -172,8 +172,8 @@ class SamplingSpec extends SparkSpec {
     assert(alloc <= budget + rows.map(_._2).max,
       s"overshoot past one epoch-cost: alloc $alloc vs budget $budget")
     val again = Sampling.epochAllocation(spark, sf).collect()
-    assert(again.map(_.toString).toSeq ==
-      Sampling.epochAllocation(spark, sf).collect().map(_.toString).toSeq)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == again.toSeq, "allocation must be run-to-run identical")
   }
 
   test("mixture emits floor(w) to ceil(w) copies per doc, exact for integer w") {
