@@ -2271,11 +2271,18 @@ object Curation {
       .join(spanDedupOn(lexSurv, shingleLen, stripMaxDf, stripMinRun),
         Seq("doc_id"))
       .transform(Checkpoints.stable)
-    // 5: semantic dedup keep-best among the still-alive ids.
+    // 5: semantic dedup keep-best among the still-alive ids. The alive
+    // restriction is pushed BELOW signature computation (the x42c
+    // candidate-restriction discipline): a pair survives only when BOTH
+    // endpoints are alive, and LSH bucket membership is per-vector, so
+    // pairs(alive emb) ≡ pairs(all emb) ∩ alive×alive — identical
+    // output, but dead vectors never cost signatures, banding, or
+    // verify work (at 100 TB the dead fraction is the whole point of
+    // the earlier tiers).
     val ids = stripped.select("doc_id")
-    val semPairs = Similarity.embeddingNearDupsLshOn(emb, semThreshold)
-      .join(ids.withColumnRenamed("doc_id", "va"), Seq("va"), "left_semi")
-      .join(ids.withColumnRenamed("doc_id", "vb"), Seq("vb"), "left_semi")
+    val aliveEmb = emb.join(ids.withColumnRenamed("doc_id", "vec_id"),
+      Seq("vec_id"), "left_semi")
+    val semPairs = Similarity.embeddingNearDupsLshOn(aliveEmb, semThreshold)
       .select(col("va").as("da"), col("vb").as("db"))
     val semKeep = dedupClustersKeepBy(
       stripped.select(col("doc_id"), col("quality")), semPairs, col("quality"))
