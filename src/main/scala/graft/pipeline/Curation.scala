@@ -525,6 +525,72 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x74
+  /** x74 — cross-source overlap matrix: for every source pair, how much
+    * of the smaller side's distinct shingle vocabulary the two share —
+    * the "which crawls duplicate each other" dashboard that decides
+    * whether a new source is worth ingesting BEFORE paying full dedup
+    * (the curation question upstream of x16/x26: overlap coefficient
+    * |A∩B| / min(|A|,|B|), the standard containment-symmetric form).
+    *
+    * Shape: distinct (source, shingle) → per-source counts (broadcast,
+    * source-sized) and a shingle-keyed self-join whose BOTH sides are
+    * the same exchange (ReusedExchange in the plan) → per-pair
+    * partial+final count. The pair blowup per shingle is C(s,2) with
+    * s = sources containing it — bounded by |sources|², INDEPENDENT of
+    * corpus rows, so a shingle shared by every source costs the same at
+    * 100 TB as at test scale. Pairs sharing zero shingles are absent
+    * (sparse matrix form — at hundreds of sources that sparsity is the
+    * point). One float: the final overlap division, rounded 4dp (the
+    * x28/x49 parity precedent). */
+  def sourceOverlap(s: SparkSession, dir: String, shingleLen: Int = 3): DataFrame =
+    sourceOverlapOf(docs(s, dir), shingleLen)
+
+  /** Library form over any (source, text) frame. */
+  private[graft] def sourceOverlapOf(d: DataFrame, shingleLen: Int): DataFrame = {
+    // shinglesOf keys on a `doc_id` slot — here that slot carries the
+    // source, so the distinct below lands on (source, shingle). Eagerly
+    // materialized ONCE (the x42b discipline): it feeds four consumers
+    // (both self-join sides + both count lookups) — without the
+    // checkpoint the plan re-scans and re-shingles the corpus four
+    // times (measured in PlanSpec before this fix).
+    val grams = shinglesOf(
+      d.select(col("source").as("doc_id"), col("text")), shingleLen)
+      .select(col("doc_id").as("source"), col("sh")).distinct()
+      .transform(Checkpoints.stable)
+    val counts = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val pairs = grams.as("a")
+      .join(grams.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("sa"),
+        col("n_grams").as("na"))), Seq("sa"))
+      .join(broadcast(counts.select(col("source").as("sb"),
+        col("n_grams").as("nb"))), Seq("sb"))
+      .select(col("sa"), col("sb"), col("shared"), col("na"), col("nb"),
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 4)
+          .as("overlap"))
+      .orderBy("sa", "sb")
+  }
+
+  private def x74Sql(shingleLen: Int = 3): String =
+    s"""WITH g AS (SELECT DISTINCT source, sh FROM (
+           SELECT source, unnest(list_transform(range(len(t) - ${shingleLen - 1}),
+             i -> array_to_string(t[(i+1):(i+$shingleLen)], ' '))) AS sh
+           FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+           WHERE len(t) >= $shingleLen)),
+       c AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+       p AS (SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+             FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+             GROUP BY a.source, b.source)
+       SELECT sa, sb, shared, ca.n_grams AS na, cb.n_grams AS nb,
+         round(CAST(shared AS DOUBLE) / least(ca.n_grams, cb.n_grams), 4)
+           AS overlap
+       FROM p JOIN c ca ON p.sa = ca.source JOIN c cb ON p.sb = cb.source
+       ORDER BY sa, sb"""
+
   // ---------------------------------------------------------------- x67
   /** Bloom mask geometry: 2^18 bits = 4096 longs (32 KB — an L1-sized
     * artifact even when the eval suite grows 100×), probed by
@@ -2588,6 +2654,7 @@ object Curation {
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
+    QueryDef("x74_source_overlap", (s, d) => sourceOverlap(s, d), Some(x74Sql())),
     QueryDef("x44_novelty_score", noveltyScoreQuery, Some(x44Sql)),
     QueryDef("x17b_decontamination_spans", decontaminationSpans, Some(x17bSql)),
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),

@@ -656,6 +656,23 @@ class PlanSpec extends SparkSpec {
       s"the 1-row total joins via broadcast, not a product:\n$p")
   }
 
+  test("x74: all four consumers read the one materialized shingle frame") {
+    val p = plan("x74_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join is a sh-keyed equi-join, never a product:\n$p")
+    // The (source, sh) frame is checkpointed once; the registered plan
+    // must contain NO parquet scan (a scan means some consumer rebuilt
+    // the shingle subtree — before the fix there were four).
+    assert(!p.contains("Scan parquet"),
+      s"a consumer re-scanned the corpus instead of the checkpoint:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed shingle frame:\n$p")
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      s"pair counts must map-side combine:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the source-sized count frames must broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

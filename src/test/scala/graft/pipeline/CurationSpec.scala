@@ -990,4 +990,23 @@ class CurationSpec extends SparkSpec {
     assert(counts("added") == cnt(3) && counts("removed") == cnt(11) &&
       counts("changed") == cnt(7))
   }
+
+  test("x74 source overlap: planted shared shingle counted once, disjoint pairs absent") {
+    import spark.implicits._
+    val d = Seq(
+      ("srcA", 1L, "a b c d e"),     // grams: "a b c","b c d","c d e"
+      ("srcA", 2L, "a b c d e"),     // duplicate doc — distinct() absorbs it
+      ("srcB", 3L, "a b c x y"),     // shares exactly "a b c" with srcA
+      ("srcC", 4L, "p q r s"))       // disjoint from both
+      .toDF("source", "doc_id", "text")
+    val m = Curation.sourceOverlapOf(d, 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(m.keySet == Set(("srcA", "srcB")),
+      s"only the sharing pair may appear, got ${m.keySet}")
+    val (shared, na, nb, overlap) = m(("srcA", "srcB"))
+    assert(shared == 1 && na == 3 && nb == 3,
+      s"expected 1 shared of 3v3 distinct grams, got $shared of $na v $nb")
+    assert(overlap == 0.3333, s"overlap must be round(1/3, 4), got $overlap")
+  }
 }
