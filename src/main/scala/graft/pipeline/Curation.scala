@@ -322,6 +322,53 @@ object Curation {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClustersFromPairs(Dedup.jaccardPairs(s, dir, ordered = false))
 
+  // ---------------------------------------------------------------- x75
+  /** x75 — duplication-aware soft dedup: KEEP every document but weight
+    * each by 1/cluster_size, so a cluster of n near-dups contributes
+    * one document's worth of sampling/loss mass in total (the
+    * downweighting alternative to x37's hard keep-best — repeated data
+    * is discounted, not discarded, the trade Muennighoff et al. 2023
+    * quantify: early repeats still carry value). Every doc is labelled
+    * — non-participants are their own singleton at weight 1.0 (the
+    * x33/x37 left-join convention), so the weight column is a complete
+    * sampling distribution: Σ weights = #clusters, Σ within a cluster
+    * = 1 (CurationSpec gates both, modulo the 4dp rounding).
+    *
+    * Scale: x16's propagation loop + one corpus-keyed left join + one
+    * window on cluster_id (near-dup clusters are small by construction
+    * after df-capping, so no whale partitions); the single float is
+    * the final 1/n division, rounded 4dp. */
+  def dedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = propagateMinLabels(
+      undirectedEdges(Dedup.jaccardPairs(s, dir, ordered = false)))
+    docs(s, dir).select("doc_id")
+      .join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("weight", round(lit(1.0) / col("cluster_size"), 4))
+      .select("doc_id", "cluster_id", "cluster_size", "weight")
+      .orderBy("doc_id")
+  }
+
+  private val x75Sql =
+    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
+       edges AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+       lab AS (SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+       sz AS (SELECT doc_id, cluster_id,
+                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM lab)
+       SELECT doc_id, cluster_id, cluster_size,
+              round(1.0 / cluster_size, 4) AS weight
+       FROM sz ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x37
   /** Cluster-aware survivor selection: x16's components with the survivor
     * chosen by QUALITY, not minimum id — a real pipeline keeps each
@@ -2652,6 +2699,7 @@ object Curation {
     QueryDef("x15d_shard_pack_strata",
       (s, d) => shardPackStrataManifest(s, d), Some(x15dSql(20000))),
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
+    QueryDef("x75_dedup_weights", dedupWeights, Some(x75Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
     QueryDef("x74_source_overlap", (s, d) => sourceOverlap(s, d), Some(x74Sql())),

@@ -991,6 +991,32 @@ class CurationSpec extends SparkSpec {
       counts("changed") == cnt(7))
   }
 
+  test("x75 soft-dedup weights: complete, cluster-normalized, singleton = 1.0") {
+    val rows = Curation.dedupWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = graft.Tables.t(spark, sf, "documents").count()
+    assert(rows.length == nDocs, "every document must carry a weight")
+    rows.filter(_._3 == 1).foreach { case (id, _, _, w) =>
+      assert(w == 1.0, s"singleton $id must keep full weight, got $w")
+    }
+    // Per-cluster mass = 1 (modulo the 4dp rounding x n members).
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val mass = members.map(_._4).sum
+      assert(math.abs(mass - 1.0) <= members.length * 1e-4,
+        s"cluster $cid mass $mass != 1")
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cid members disagree on its size")
+      assert(members.head._3 == members.length,
+        s"cluster $cid size column ${members.head._3} != ${members.length}")
+    }
+    // x37 consistency: same pair graph -> same cluster structure.
+    val hard = Curation.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => hard.contains(r._1)).foreach { case (id, cid, _, _) =>
+      assert(hard(id) == cid, s"doc $id: x75 cluster $cid != x16 ${hard(id)}")
+    }
+  }
+
   test("x74 source overlap: planted shared shingle counted once, disjoint pairs absent") {
     import spark.implicits._
     val d = Seq(
