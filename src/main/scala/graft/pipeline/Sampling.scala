@@ -551,9 +551,90 @@ object Sampling {
            * uniq_tokens AS BIGINT) AS alloc_tokens
        FROM g GROUP BY source, uniq_tokens, qd ORDER BY source"""
 
+  // ---------------------------------------------------------------- x76
+  /** Curriculum phases. */
+  val CurriculumPhases = 4
+
+  /** x76 — curriculum phase manifest (Bengio et al. 2009: present
+    * easier/cleaner data first): split the corpus into quality
+    * quartiles WITHOUT a corpus-wide rank window — the scalable
+    * alternative to x32's per-stratum ranking for a GLOBAL cut.
+    *
+    * Machinery: per-doc integer quality in basis points (the x73
+    * integer-blend at doc granularity: (stop·10⁴ div tok + (10⁴ −
+    * dig·10⁴ div len)) div 2 — deviates from x01's float round by
+    * < 1 bp, disclosed, so no float ever decides a phase), then a
+    * VALUE histogram — the key insight: the basis-point domain is
+    * ≤ 10⁴+1 distinct values, so the full histogram is a bounded
+    * partial+final agg at any corpus size, and the quartile cut runs
+    * as a window over that bounded frame, never the corpus. Each
+    * distinct quality value gets phase = 1 + Σ_k [cum > ⌈k·n/4⌉]
+    * (cum = docs at-or-above it), docs map to phases by a broadcast
+    * join, and the artifact is the per-phase manifest: doc count,
+    * whitespace-token mass, id checksum (the x22 membership pin),
+    * quality bounds. Value ties share a phase, so phases can deviate
+    * from n/4 by the tie mass — the standard histogram-cut trade,
+    * spec'd in SamplingSpec. */
+  def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
+    // coalesce + greatest: the x69 NULL-text lesson and the //0 guard —
+    // an empty/NULL doc scores digit-free, never errors or drops.
+    val q = expr(
+      """((size(filter(split(coalesce(text, ''), ' '), t -> t IN ('the','a','of','and','to','in'))) * 10000)
+           div size(split(coalesce(text, ''), ' '))
+         + (10000 - (length(regexp_replace(coalesce(text, ''), '[^0-9]', '')) * 10000)
+           div greatest(length(coalesce(text, '')), 1))) div 2""")
+    val scored = docs(s, dir).select(col("doc_id"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"),
+      q.as("qbp"))
+    val hist = scored.groupBy("qbp").agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum("c").as("n_total"))
+    val wDesc = Window.orderBy(col("qbp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phases = hist.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("c").over(wDesc))
+      .withColumn("phase", lit(1) +
+        (1 until CurriculumPhases).map(k =>
+          when(col("cum") >
+            expr(s"(n_total * $k + ${CurriculumPhases - 1}) div $CurriculumPhases"),
+            1).otherwise(0)).reduce(_ + _))
+      .select("qbp", "phase")
+    scored.join(broadcast(phases), "qbp")
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("token_mass"),
+        sum("doc_id").as("id_checksum"),
+        min("qbp").as("q_min"), max("qbp").as("q_max"))
+      .orderBy("phase")
+  }
+
+  private def x76Sql(n: String = "(SELECT count(*) FROM documents)") =
+    s"""WITH scored AS (SELECT doc_id,
+           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok,
+           CAST(((len(list_filter(string_split(coalesce(text, ''), ' '),
+               t -> list_contains(['the','a','of','and','to','in'], t))) * 10000)
+             // len(string_split(coalesce(text, ''), ' '))
+           + (10000 - (length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) * 10000)
+             // greatest(length(coalesce(text, '')), 1))) // 2 AS BIGINT) AS qbp
+         FROM documents),
+       hist AS (SELECT qbp, count(*) AS c FROM scored GROUP BY qbp),
+       cums AS (SELECT qbp, sum(c) OVER (ORDER BY qbp DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM hist),
+       ph AS (SELECT qbp, CAST(1 +
+           ${(1 until CurriculumPhases).map(k =>
+             s"(CASE WHEN cum > ($n * $k + ${CurriculumPhases - 1}) // $CurriculumPhases THEN 1 ELSE 0 END)")
+             .mkString(" + ")} AS INT) AS phase
+         FROM cums)
+       SELECT phase, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS token_mass,
+         CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         min(qbp) AS q_min, max(qbp) AS q_max
+       FROM scored JOIN ph USING (qbp)
+       GROUP BY phase ORDER BY phase"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x21_stratified_sample", stratifiedSample, Some(x21Sql)),
     QueryDef("x73_epoch_alloc", epochAllocation, Some(x73Sql)),
+    QueryDef("x76_curriculum_phases", curriculumPhases, Some(x76Sql())),
     QueryDef("x55_budget_apportion", budgetApportion, Some(x55Sql)),
     QueryDef("x55b_budget_carveout", budgetCarveout, Some(x55bSql)),
     QueryDef("x22_source_budget", (s, d) => sourceBudgetSelect(s, d), Some(x22Sql(800L))),

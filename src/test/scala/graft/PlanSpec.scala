@@ -673,6 +673,17 @@ class PlanSpec extends SparkSpec {
       s"the source-sized count frames must broadcast:\n$p")
   }
 
+  test("x76: phase assignment broadcasts the bounded phase table, no product") {
+    val p = plan("x76_curriculum_phases")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total and the phase table ride broadcasts:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"docs→phase mapping must broadcast the ≤10⁴-row phase frame:\n$p")
+    assert("partial".r.findAllIn(p).size >= 2,
+      s"the histogram and the manifest aggs must map-side combine:\n$p")
+    assert(p.contains("Window"), s"expected the bounded quartile window:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize

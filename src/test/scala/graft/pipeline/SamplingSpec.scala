@@ -176,6 +176,33 @@ class SamplingSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq, "allocation must be run-to-run identical")
   }
 
+  test("x76 curriculum: four non-overlapping quality bands covering every doc") {
+    val rows = Sampling.curriculumPhases(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to Sampling.CurriculumPhases),
+      s"all phases must be non-empty: ${rows.map(_._1).toSeq}")
+    val d = graft.Tables.t(spark, sf, "documents")
+    val n = d.count()
+    assert(rows.map(_._2).sum == n, "every doc lands in exactly one phase")
+    assert(rows.map(_._4).sum ==
+      d.agg(org.apache.spark.sql.functions.sum("doc_id")).head().getLong(0),
+      "id checksums must partition the corpus")
+    // Quality bands strictly descending and disjoint (the cut is on the
+    // integer quality value, so bands can never interleave).
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi._5 > lo._6,
+          s"phase ${hi._1} min ${hi._5} must exceed phase ${lo._1} max ${lo._6}")
+      case _ => ()
+    }
+    // Quartile balance modulo value ties: each phase within 20% of n/4.
+    rows.foreach { case (p, nd, _, _, _, _) =>
+      assert(math.abs(nd - n / 4.0) <= 0.2 * n / 4.0 + 1,
+        s"phase $p holds $nd docs vs ~${n / 4}")
+    }
+  }
+
   test("mixture emits floor(w) to ceil(w) copies per doc, exact for integer w") {
     val out = Sampling.mixtureMaterialize(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
