@@ -903,6 +903,44 @@ object Relational {
          ROWS UNBOUNDED PRECEDING), 2) AS run_sum
        FROM events ORDER BY user_id, event_id"""
 
+  // --------------------------------------------------------------- B18b
+  /** Time-window width for the RANGE frame: 24 h in microseconds. */
+  private val RangeWinUs = 86400L * 1000000L
+
+  /** b18b — VALUE-based (RANGE) window frames, the window class b18's
+    * ROWS frames can't express: "all events within the trailing 24 h",
+    * where the frame is decided by the ORDER value, not a row count —
+    * the shape behind trailing-period metrics (DAU-style rolling
+    * counts, rate limiting, trailing revenue). Ordering on integer
+    * epoch-µs keeps the frame arithmetic BIGINT-exact in both engines
+    * (Spark's rangeBetween takes numeric bounds; DuckDB RANGE over
+    * BIGINT matches), and RANGE's peer semantics make ties a non-issue:
+    * same-timestamp rows share a frame by definition, so the result is
+    * deterministic without a tiebreak column in the ORDER BY.
+    *
+    * Scale: one exchange on user_id (the b18 class); within a
+    * partition the running frame is a two-pointer sweep over the
+    * sorted events — O(rows), no quadratic re-scan. */
+  private def b18b(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(-RangeWinUs, 0)
+    t(s, dir, "events")
+      .withColumn("tus", expr("unix_micros(ts)"))
+      .select(col("user_id"), col("event_id"), col("tus"),
+        count(lit(1)).over(w).as("n_24h"),
+        round(sum(col("value")).over(w), 2).as("sum_24h"))
+      .orderBy("user_id", "tus", "event_id")
+  }
+
+  private val b18bSql =
+    s"""SELECT user_id, event_id, epoch_us(ts) AS tus,
+       count(*) OVER w AS n_24h,
+       round(sum(value) OVER w, 2) AS sum_24h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN $RangeWinUs PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, tus, event_id"""
+
   // ---------------------------------------------------------------- B19
   /** Global top-k: Catalyst plans TakeOrderedAndProject — each partition
     * keeps only k rows, the driver merges k×partitions; no full sort at
@@ -1418,6 +1456,7 @@ object Relational {
     QueryDef("b16b_window_extra", b16b, Some(b16bSql)),
     QueryDef("b17_lag_lead", b17, Some(b17Sql)),
     QueryDef("b18_moving_avg", b18, Some(b18Sql)),
+    QueryDef("b18b_range_window", b18b, Some(b18bSql)),
     QueryDef("b19_global_topk", b19, Some(b19Sql)),
     QueryDef("b20a_union", b20a, Some(b20aSql)),
     QueryDef("b20b_intersect", b20b, Some(b20bSql)),
