@@ -280,6 +280,44 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** JSONL ingestion with a quarantine lane — the robustness path a real
+    * crawl/export feed needs: a malformed line (truncated write, encoding
+    * damage, schema drift) must neither kill the job (FAILFAST) nor
+    * silently vanish (DROPMALFORMED). PERMISSIVE mode parks unparseable
+    * lines in the corrupt-record column; this splits the read into
+    * (good rows, quarantined raw lines) so the pipeline ingests what
+    * parses and retains the rest for re-processing — byte-for-byte,
+    * with provenance intact.
+    *
+    * Scale: one parse pass, persisted — Spark REFUSES corrupt-column-
+    * only queries against a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_
+    * COLUMN; the parser only materializes the raw line while parsing),
+    * so the parsed frame is cached here per the documented contract:
+    * both lanes then read the one in-memory parse. Call `release()` on
+    * the returned handle when done with both lanes.
+    *
+    * The explicit schema is required, not optional: schema inference
+    * would silently widen types to absorb drift — the exact failure
+    * this lane exists to surface. */
+  final case class QuarantineRead(good: DataFrame, quarantined: DataFrame,
+      release: () => Unit)
+
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+      schema: StructType): QuarantineRead = {
+    val corrupt = "_quarantined_record"
+    val parsed = spark.read
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      .cache()
+    val good = parsed.filter(col(corrupt).isNull)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val quarantined = parsed.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"))
+    QuarantineRead(good, quarantined, () => { parsed.unpersist(); () })
+  }
+
   /** ORC sink — the second columnar at-rest format Spark ships a native
     * vectorized reader/writer for. Same zone-map (min/max + optional
     * bloom) pruning story as parquet; the choice between them is an

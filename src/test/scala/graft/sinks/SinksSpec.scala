@@ -51,6 +51,29 @@ class SinksSpec extends SparkSpec {
       s"ORC scan must receive the pushed filter:\n$plan")
   }
 
+  test("JSONL quarantine read splits malformed lines out byte-exactly") {
+    val dir = Files.createTempDirectory("quarantine").toFile
+    val f = new java.io.File(dir, "feed.jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good one"}""",
+      """{"doc_id": 2, "text": "also fine"}""",
+      """{"doc_id": 3, "text": "truncated""",          // cut mid-string
+      """not json at all""",
+      """{"doc_id": 4, "text": "survives"}""")
+    java.nio.file.Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val qr = Sinks.readJsonlQuarantine(spark, f.toString, schema)
+    assert(qr.good.schema.fieldNames.toSeq == Seq("doc_id", "text"),
+      "the good lane must carry exactly the declared schema")
+    assert(qr.good.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 4L))
+    val raw = qr.quarantined.collect().map(_.getString(0)).sorted.toSeq
+    assert(raw == Seq("""not json at all""", """{"doc_id": 3, "text": "truncated""").sorted,
+      s"quarantine must retain the malformed lines byte-exactly, got $raw")
+    qr.release()
+  }
+
   test("toJsonlLines keeps schema field order and nulls") {
     val lines = Sinks.toJsonlLines(sampleDf).toSeq
     assert(lines.head.startsWith("""{"auteur":"""), "field order = schema order")
