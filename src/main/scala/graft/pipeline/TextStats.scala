@@ -136,6 +136,66 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x77
+  /** x77 — CCNet's perplexity binning (Wenzek et al. 2020 §4.3): per
+    * language, split the corpus into head/middle/tail TERTILES of the
+    * x28 perplexity proxy — head (lowest avg −log p) is the cleanest
+    * band, tail the noisiest; production keeps head+middle for most
+    * languages. The cut is RANK-deterministic: rows rank per language
+    * on (score, doc_id) — the 4-decimal score makes ties exact in both
+    * engines and the id breaks them totally — and the tertile test is
+    * pure integer (rn·3 vs n, no float thresholds anywhere). Artifact
+    * is the per-(lang, bin) manifest with the x22 id-checksum
+    * membership pin plus the realized score bounds.
+    *
+    * Scale: x28's chain + one doc_id equi-join to recover lang + one
+    * lang-keyed rank window (the x32 shape — per-language partitions,
+    * no global window) + a bin-sized agg. */
+  def perplexityBins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogprob(s, dir)
+      .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_neg_logp"), col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("bin",
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"),
+        min("avg_neg_logp").as("score_min"), max("avg_neg_logp").as("score_max"))
+      .orderBy("lang", "bin")
+  }
+
+  private val x77Sql =
+    """WITH tok AS (SELECT doc_id, tok, count(*) AS c
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    GROUP BY doc_id, tok),
+       lm AS (SELECT tok, sum(c) AS cf FROM tok GROUP BY tok),
+       tot AS (SELECT sum(cf) AS n_total FROM lm),
+       sc AS (SELECT doc_id,
+                round(-sum(c * ln(CAST(cf AS DOUBLE) / (SELECT n_total FROM tot)))
+                      / sum(c), 4) AS avg_neg_logp
+              FROM tok JOIN lm USING (tok) GROUP BY doc_id),
+       sl AS (SELECT sc.doc_id, d.lang, sc.avg_neg_logp,
+                CAST(row_number() OVER (PARTITION BY d.lang
+                  ORDER BY sc.avg_neg_logp, sc.doc_id) AS BIGINT) AS rn,
+                count(*) OVER (PARTITION BY d.lang) AS n
+              FROM sc JOIN documents d USING (doc_id)),
+       binned AS (SELECT lang, doc_id, avg_neg_logp,
+                    CASE WHEN rn * 3 <= n THEN 'head'
+                         WHEN rn * 3 <= n * 2 THEN 'middle'
+                         ELSE 'tail' END AS bin
+                  FROM sl)
+       SELECT lang, bin, count(*) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+              min(avg_neg_logp) AS score_min, max(avg_neg_logp) AS score_max
+       FROM binned GROUP BY lang, bin ORDER BY lang, bin"""
+
   private val x28Sql =
     """WITH tok AS (SELECT doc_id, tok, count(*) AS c
                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -666,6 +726,7 @@ object TextStats {
     QueryDef("x42c_confirmed_copies", (s, d) => confirmedCopyPairs(s, d), Some(x42cSql)),
     QueryDef("x04_token_counts", tokenCounts, Some(x04Sql)),
     QueryDef("x28_unigram_logprob", unigramLogprob, Some(x28Sql)),
+    QueryDef("x77_perplexity_bins", perplexityBins, Some(x77Sql)),
     QueryDef("x38_bigram_logprob", bigramLogprob, Some(x38Sql)),
     QueryDef("x32_quality_quantile", qualityQuantileFilter, Some(x32Sql)))
 }

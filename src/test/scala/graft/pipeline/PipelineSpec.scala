@@ -784,4 +784,29 @@ class PipelineSpec extends SparkSpec {
       assert(r.getLong(2) == r.getLong(3), s"group size column consistent: $r")
     }
   }
+
+  test("x77 perplexity bins: balanced rank tertiles per language, ordered bands") {
+    val rows = TextStats.perplexityBins(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(4),
+        r.getDouble(5)))
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, bins) =>
+      val m = bins.map(b => b._2 -> b).toMap
+      assert(m.keySet == Set("head", "middle", "tail"),
+        s"$lang: all three bands must exist, got ${m.keySet}")
+      // Rank tertiles: counts differ by at most 1.
+      val counts = bins.map(_._3)
+      assert(counts.max - counts.min <= 1,
+        s"$lang: rank tertiles must balance, got ${counts.toSeq}")
+      // Bands ordered by perplexity (non-strict: a tied score may
+      // straddle a rank boundary).
+      assert(m("head")._4 <= m("middle")._4 && m("middle")._4 <= m("tail")._4,
+        s"$lang: band minima must be non-decreasing: $bins")
+      assert(m("head")._5 <= m("middle")._5 && m("middle")._5 <= m("tail")._5,
+        s"$lang: band maxima must be non-decreasing: $bins")
+    }
+    // Coverage: every doc in exactly one band.
+    val n = graft.Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum == n, "bands must partition the corpus")
+  }
 }
