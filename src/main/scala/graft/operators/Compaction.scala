@@ -14,13 +14,19 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * The swap is the staging discipline Sinks.saveMultiRow documents: the
   * rewrite lands in `<path>.compacting`, the old directory moves to
   * `<path>.pre-compaction`, the new one renames in, and the backup is
-  * deleted last. Each HDFS rename is atomic but the SEQUENCE is not —
-  * a crash between renames leaves either the original untouched (before
-  * the first rename) or a `.pre-compaction` backup beside the new data
-  * (recover by deleting the backup); readers holding the old file list
-  * mid-swap fail and retry, the standard non-transactional-table trade
-  * (table formats with snapshot isolation solve this with metadata
-  * commits; this utility serves plain parquet directories).
+  * deleted last. Each HDFS rename is atomic but the SEQUENCE is not;
+  * the crash states, exhaustively: (a) before the first rename — the
+  * original is untouched, a stale `.compacting` may remain (swept on
+  * the next run); (b) BETWEEN the renames — `<path>` is absent, the
+  * original data is intact in `.pre-compaction` and the rewrite in
+  * `.compacting` (the next run self-heals by restoring the backup —
+  * the original, the strictly safer copy — before proceeding); (c)
+  * after the second rename — the new data is live, a stale
+  * `.pre-compaction` remains (swept on the next run). No crash state
+  * bricks future compactions or loses data. Readers holding the old
+  * file list mid-swap fail and retry, the standard non-transactional-
+  * table trade (table formats with snapshot isolation solve this with
+  * metadata commits; this utility serves plain parquet directories).
   *
   * Round-robin repartition deliberately: compaction serves UNSORTED
   * ingest output. Data with a cultivated order (z-ordered or bucketed
@@ -40,6 +46,13 @@ object Compaction {
       targetBytes: Long = 128L << 20): Stats = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(path + ".compacting")
+    val backup = new Path(path + ".pre-compaction")
+    // Self-heal crash state (b): a prior run died mid-swap — restore
+    // the original (the strictly safer copy; the rewrite is re-derived
+    // below anyway).
+    if (!fs.exists(p) && fs.exists(backup))
+      require(fs.rename(backup, p), s"could not restore $backup to $p")
     def dataFiles() = fs.listStatus(p)
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
     val before = dataFiles()
@@ -47,9 +60,13 @@ object Compaction {
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     if (before.length <= n)
       return Stats(before.length, before.length, bytes, targetBytes)
-    val staging = new Path(path + ".compacting")
-    val backup = new Path(path + ".pre-compaction")
+    // Sweep BOTH possible leftovers of a crashed prior run: a stale
+    // backup would otherwise make the rename below fail forever (posix
+    // rename-onto-existing returns false) or nest data (HDFS
+    // dst-is-directory semantics). Reaching this line means `path`
+    // exists, so a stale backup is a superseded copy, safe to drop.
     fs.delete(staging, true)
+    fs.delete(backup, true)
     spark.read.parquet(path).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     require(fs.rename(p, backup), s"could not move $p aside")

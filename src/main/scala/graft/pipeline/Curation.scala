@@ -352,13 +352,22 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  private val x75Sql =
-    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
-       edges AS (SELECT da AS src, db AS dst FROM pairs
+  /** The undirected-edges + min-label-reachability chain over a `pairs`
+    * CTE — the SQL mirror of [[undirectedEdges]]+[[propagateMinLabels]],
+    * single-sourced for the oracles whose results must agree on cluster
+    * structure (x16 and x75; CurationSpec additionally pins the
+    * agreement end-to-end). Yields `reach(node, lbl)`; each consumer
+    * writes its own `cc` aggregation alias. */
+  private val edgesReachCtes =
+    """edges AS (SELECT da AS src, db AS dst FROM pairs
                  UNION ALL SELECT db, da FROM pairs),
        reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
                  UNION
-                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src)"""
+
+  private val x75Sql =
+    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
+       $edgesReachCtes,
        cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
        lab AS (SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id
                FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
@@ -527,11 +536,7 @@ object Curation {
     * Spark-side propagation loop converges to. */
   private val x16Sql =
     s"""WITH RECURSIVE ${Dedup.b28PairCtes},
-       edges AS (SELECT da AS src, db AS dst FROM pairs
-                 UNION ALL SELECT db, da FROM pairs),
-       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
-                 UNION
-                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       $edgesReachCtes,
        cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
        SELECT doc_id, cluster_id,
               count(*) OVER (PARTITION BY cluster_id) AS cluster_size

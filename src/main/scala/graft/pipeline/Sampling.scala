@@ -577,11 +577,15 @@ object Sampling {
     * spec'd in SamplingSpec. */
   def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
     // coalesce + greatest: the x69 NULL-text lesson and the //0 guard —
-    // an empty/NULL doc scores digit-free, never errors or drops.
+    // an empty/NULL doc scores digit-free, never errors or drops. The
+    // BIGINT casts BEFORE the ×10⁴ multiplies are load-bearing: size/
+    // length are Int, and a >214 KB digit run would wrap 32-bit where
+    // DuckDB's len() is already BIGINT (the x73 cast discipline).
+    val stopList = graft.pipeline.TextStats.Stopwords.map(w => s"'$w'").mkString(", ")
     val q = expr(
-      """((size(filter(split(coalesce(text, ''), ' '), t -> t IN ('the','a','of','and','to','in'))) * 10000)
+      s"""((cast(size(filter(split(coalesce(text, ''), ' '), t -> t IN ($stopList))) as bigint) * 10000)
            div size(split(coalesce(text, ''), ' '))
-         + (10000 - (length(regexp_replace(coalesce(text, ''), '[^0-9]', '')) * 10000)
+         + (10000 - (cast(length(regexp_replace(coalesce(text, ''), '[^0-9]', '')) as bigint) * 10000)
            div greatest(length(coalesce(text, '')), 1))) div 2""")
     val scored = docs(s, dir).select(col("doc_id"),
       size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"),
@@ -610,7 +614,7 @@ object Sampling {
     s"""WITH scored AS (SELECT doc_id,
            CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok,
            CAST(((len(list_filter(string_split(coalesce(text, ''), ' '),
-               t -> list_contains(['the','a','of','and','to','in'], t))) * 10000)
+               t -> list_contains([${graft.pipeline.TextStats.Stopwords.map(w => s"'$w'").mkString(", ")}], t))) * 10000)
              // len(string_split(coalesce(text, ''), ' '))
            + (10000 - (length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) * 10000)
              // greatest(length(coalesce(text, '')), 1))) // 2 AS BIGINT) AS qbp

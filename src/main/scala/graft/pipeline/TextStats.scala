@@ -170,17 +170,24 @@ object TextStats {
       .orderBy("lang", "bin")
   }
 
-  private val x77Sql =
-    """WITH tok AS (SELECT doc_id, tok, count(*) AS c
-                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                          FROM documents)
-                    GROUP BY doc_id, tok),
+  /** x28's unigram-LM scoring chain (tok/lm/tot + the per-doc rounded
+    * mean −ln p), single-sourced: x28's oracle reports it directly and
+    * x77's tertile cut consumes it, so the binning can never drift from
+    * the score it claims to bin. */
+  private val unigramScoreCtes =
+    """tok AS (SELECT doc_id, tok, count(*) AS c
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents)
+               GROUP BY doc_id, tok),
        lm AS (SELECT tok, sum(c) AS cf FROM tok GROUP BY tok),
        tot AS (SELECT sum(cf) AS n_total FROM lm),
-       sc AS (SELECT doc_id,
+       sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
                 round(-sum(c * ln(CAST(cf AS DOUBLE) / (SELECT n_total FROM tot)))
                       / sum(c), 4) AS avg_neg_logp
-              FROM tok JOIN lm USING (tok) GROUP BY doc_id),
+              FROM tok JOIN lm USING (tok) GROUP BY doc_id)"""
+
+  private val x77Sql =
+    s"""WITH $unigramScoreCtes,
        sl AS (SELECT sc.doc_id, d.lang, sc.avg_neg_logp,
                 CAST(row_number() OVER (PARTITION BY d.lang
                   ORDER BY sc.avg_neg_logp, sc.doc_id) AS BIGINT) AS rn,
@@ -197,17 +204,8 @@ object TextStats {
        FROM binned GROUP BY lang, bin ORDER BY lang, bin"""
 
   private val x28Sql =
-    """WITH tok AS (SELECT doc_id, tok, count(*) AS c
-                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                          FROM documents)
-                    GROUP BY doc_id, tok),
-       lm AS (SELECT tok, sum(c) AS cf FROM tok GROUP BY tok),
-       tot AS (SELECT sum(cf) AS n_total FROM lm)
-       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
-              round(-sum(c * ln(CAST(cf AS DOUBLE) / (SELECT n_total FROM tot)))
-                    / sum(c), 4) AS avg_neg_logp
-       FROM tok JOIN lm USING (tok)
-       GROUP BY doc_id ORDER BY doc_id"""
+    s"""WITH $unigramScoreCtes
+       SELECT doc_id, n_tok, avg_neg_logp FROM sc ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- x38
   /** Interpolated bigram log-probability score — x28's perplexity proxy

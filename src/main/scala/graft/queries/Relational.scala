@@ -918,9 +918,15 @@ object Relational {
     * same-timestamp rows share a frame by definition, so the result is
     * deterministic without a tiebreak column in the ORDER BY.
     *
-    * Scale: one exchange on user_id (the b18 class); within a
-    * partition the running frame is a two-pointer sweep over the
-    * sorted events — O(rows), no quadratic re-scan. */
+    * Scale: one exchange on user_id (the b18 class). Honest frame-cost
+    * note: Spark's sliding-frame evaluator has NO retraction — when the
+    * lower bound advances it re-aggregates the surviving frame, so a
+    * partition costs O(rows × events-per-24 h), not O(rows). Fine when
+    * frames are bounded (events-per-key-per-day here); for dense keys,
+    * express sum/count as a DIFFERENCE of two UnboundedPreceding
+    * running frames (each O(rows)) — this registration keeps the
+    * direct RANGE form because it is the window class being
+    * demonstrated. */
   private def b18b(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("tus"))
       .rangeBetween(-RangeWinUs, 0)

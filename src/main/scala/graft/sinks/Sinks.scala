@@ -282,12 +282,18 @@ object Sinks {
 
   /** JSONL ingestion with a quarantine lane — the robustness path a real
     * crawl/export feed needs: a malformed line (truncated write, encoding
-    * damage, schema drift) must neither kill the job (FAILFAST) nor
-    * silently vanish (DROPMALFORMED). PERMISSIVE mode parks unparseable
-    * lines in the corrupt-record column; this splits the read into
-    * (good rows, quarantined raw lines) so the pipeline ingests what
-    * parses and retains the rest for re-processing — byte-for-byte,
-    * with provenance intact.
+    * damage, a declared field arriving with a conflicting type) must
+    * neither kill the job (FAILFAST) nor silently vanish
+    * (DROPMALFORMED). PERMISSIVE mode parks unparseable lines in the
+    * corrupt-record column; this splits the read into (good rows,
+    * quarantined raw lines) so the pipeline ingests what parses and
+    * retains the rest for re-processing — byte-for-byte, with
+    * provenance intact. Scope, precisely: ADDITIVE drift (a NEW field
+    * the schema doesn't declare) still parses cleanly and is dropped
+    * per JSON-projection semantics — this lane catches records that
+    * fail the declared contract, not contract growth; detect the
+    * latter by diffing an inferred-schema sample against the declared
+    * one upstream.
     *
     * Scale: one parse pass, persisted — Spark REFUSES corrupt-column-
     * only queries against a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_
