@@ -301,6 +301,55 @@ object Similarity {
   private val x09Sql =
     s"WITH ${x09PairCtes(0.3)} SELECT va, vb, cosine FROM pairs ORDER BY va, vb"
 
+  // ---------------------------------------------------------------- x78
+  /** Hard negatives per query doc. */
+  val HardNegK = 2
+
+  /** x78 — hard-negative mining for contrastive/embedding training: for
+    * each document, the [[HardNegK]] most-similar OTHER documents in
+    * the band [x09's 0.3, [[SemanticDedupThreshold]]) — semantically
+    * close enough to be informative negatives, strictly below the
+    * near-dup cut so no positive leaks into the negative set (the
+    * standard in-batch-negatives upgrade: Karpukhin et al. 2020 §3.2
+    * mine hard negatives from a retriever; here the retriever is the
+    * engine's own LSH candidate generator, so no corpus product is
+    * ever formed). Pairs are symmetric — each LSH pair serves as a
+    * candidate in both directions — and the per-doc top-k is
+    * rank-deterministic on (cosine DESC, partner id).
+    *
+    * Scale: x09's banded candidate join (cost proportional to genuine
+    * cluster structure) + a doc-keyed window over candidates only —
+    * rows ≤ 2·|candidate pairs|, never n². */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.t(s, dir, "embeddings")
+    val pairs = embeddingNearDupsLshOn(emb, 0.3)
+      .filter(col("cosine") < SemanticDedupThreshold)
+    val sym = pairs.select(col("va").as("doc_id"), col("vb").as("neg_id"), col("cosine"))
+      .union(pairs.select(col("vb").as("doc_id"), col("va").as("neg_id"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("cosine").desc, col("neg_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .orderBy("doc_id", "rank")
+  }
+
+  // lazy: SemanticDedupThreshold is declared BELOW — a plain val here
+  // would interpolate its pre-init 0.0 (caught: band `cosine < 0.0`
+  // emptied the oracle while the def-evaluated Spark side read 0.45).
+  private lazy val x78Sql =
+    s"""WITH ${x09PairCtes(0.3)},
+       band AS (SELECT va, vb, cosine FROM pairs
+                WHERE cosine < $SemanticDedupThreshold),
+       sym AS (SELECT va AS doc_id, vb AS neg_id, cosine FROM band
+               UNION ALL
+               SELECT vb, va, cosine FROM band),
+       ranked AS (SELECT doc_id, neg_id, cosine,
+                    CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cosine DESC, neg_id) AS INT) AS rank
+                  FROM sym)
+       SELECT doc_id, neg_id, cosine, rank FROM ranked
+       WHERE rank <= $HardNegK ORDER BY doc_id, rank"""
+
   /** Exact all-pairs cosine above a threshold — TEST-ONLY oracle for
     * cross-validating the LSH path (every LSH-verified pair must appear
     * here with the same cosine). Deliberately NOT a registered query: the
@@ -920,6 +969,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x68_ann_batch", annBatchTopK, Some(x68Sql)),
+    QueryDef("x78_hard_negatives", hardNegatives, Some(x78Sql)),
     QueryDef("b29_cosine_topk", cosineTopK, Some(b29Sql)),
     QueryDef("x52_ann_sq8", annSq8TopK, Some(x52Sql)),
     QueryDef("x52b_ann_ivf_sq8", annIvfSq8TopK, Some(x52bSql)),

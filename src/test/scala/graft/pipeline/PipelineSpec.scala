@@ -785,6 +785,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x78 hard negatives: band-bounded, deduped from positives, top-k per doc") {
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty, "the sf0.001 corpus has same-bucket near-band pairs")
+    rows.foreach { case (d, n, c, rk) =>
+      assert(d != n, s"a doc can never be its own negative: $d")
+      assert(c >= 0.3 && c < Similarity.SemanticDedupThreshold,
+        s"($d,$n) cosine $c outside the hard-negative band")
+      assert(rk >= 1 && rk <= Similarity.HardNegK, s"rank $rk out of range")
+    }
+    // Per doc: at most k rows, ranks contiguous from 1, cosines
+    // non-increasing with rank.
+    rows.groupBy(_._1).foreach { case (d, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length),
+        s"doc $d ranks not contiguous: ${sorted.map(_._4).toSeq}")
+      assert(sorted.length <= Similarity.HardNegK)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3,
+          s"doc $d: rank ${a._4} cosine ${a._3} < rank ${b._4} cosine ${b._3}")
+        case _ => ()
+      }
+    }
+    // No positive leaks: nothing returned is a registered near-dup pair.
+    val dups = Similarity.embeddingNearDupsLshOn(
+      Tables.t(spark, sf, "embeddings"), Similarity.SemanticDedupThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (d, n, _, _) =>
+      val key = (math.min(d, n), math.max(d, n))
+      assert(!dups.contains(key), s"near-dup pair $key leaked into negatives")
+    }
+  }
+
   test("x77 perplexity bins: balanced rank tertiles per language, ordered bands") {
     val rows = TextStats.perplexityBins(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(4),
