@@ -627,12 +627,17 @@ object Curation {
       .orderBy("sa", "sb")
   }
 
+  /** The per-(source, shingle) stream as a DuckDB subquery — shared by
+    * x74 (exact matrix) and x74b (sketch tier) so the two tiers can
+    * never disagree on what a "shingle of a source" is. */
+  private def sourceShinglesSql(shingleLen: Int): String =
+    s"""(SELECT source, unnest(list_transform(range(len(t) - ${shingleLen - 1}),
+           i -> array_to_string(t[(i+1):(i+$shingleLen)], ' '))) AS sh
+         FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+         WHERE len(t) >= $shingleLen)"""
+
   private def x74Sql(shingleLen: Int = 3): String =
-    s"""WITH g AS (SELECT DISTINCT source, sh FROM (
-           SELECT source, unnest(list_transform(range(len(t) - ${shingleLen - 1}),
-             i -> array_to_string(t[(i+1):(i+$shingleLen)], ' '))) AS sh
-           FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
-           WHERE len(t) >= $shingleLen)),
+    s"""WITH g AS (SELECT DISTINCT source, sh FROM ${sourceShinglesSql(shingleLen)}),
        c AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
        p AS (SELECT a.source AS sa, b.source AS sb, count(*) AS shared
              FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
@@ -641,6 +646,92 @@ object Curation {
          round(CAST(shared AS DOUBLE) / least(ca.n_grams, cb.n_grams), 4)
            AS overlap
        FROM p JOIN c ca ON p.sa = ca.source JOIN c cb ON p.sb = cb.source
+       ORDER BY sa, sb"""
+
+  // --------------------------------------------------------------- x74b
+  /** MinHash functions per source sketch. */
+  val SrcSketchK = 64
+
+  /** x74b — the SKETCH tier of x74 (the x67-vs-x17 tiering discipline):
+    * each source's shingle set collapses to a [[SrcSketchK]]-long
+    * MinHash signature — per-permutation min over the source's shingle
+    * hashes, a partial+final MIN whose state is k longs PER SOURCE —
+    * and the pair estimate is the matching-minima fraction, the
+    * classic unbiased Jaccard estimator (Broder 1997; σ =
+    * √(J(1−J)/k) ≈ 0.04 at k=64). x74 ships every distinct (source,
+    * shingle) row through an exchange — at 100 TB that is the gram
+    * vocabulary; here the corpus pass emits a k-row-per-source
+    * aggregate and the whole pairwise estimate runs on |sources|·k
+    * rows. The COMPLETE matrix appears (a pair with no collisions
+    * reads 0), unlike x74's sparse form.
+    *
+    * Engine-exact: hashes are the native `token_hash` char fold (the
+    * x05 oracle-mirrored formula) under the x05 affine permutation
+    * family — minima are integers, so signatures AND match counts
+    * hash-match DuckDB; the exact Jaccard rides along as truth at
+    * test scale (the b13e exact_cnt discipline — production drops
+    * that side). CurationSpec gates |est − exact| inside the
+    * estimator's error band. */
+  def sourceOverlapSketch(s: SparkSession, dir: String,
+      shingleLen: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val grams = shinglesOf(
+      docs(s, dir).select(col("source").as("doc_id"), col("text")), shingleLen)
+      .select(col("doc_id").as("source"), col("sh"))
+      .withColumn("h", call_function("token_hash", col("sh")))
+    val seeds = broadcast(s.range(SrcSketchK).select(
+      col("id").cast("int").as("i"),
+      (col("id") * 2 + 1).as("a"),
+      (col("id") * col("id") * 31 + 7).as("b")))
+    val sigs = grams.crossJoin(seeds)
+      .withColumn("hv",
+        pmod(col("a") * col("h") + col("b"), lit(HashConstants.HashPrime)))
+      .groupBy("source", "i").agg(min("hv").as("mh"))
+      .transform(Checkpoints.stable)
+    val est = sigs.as("x").join(sigs.as("y"),
+        col("x.i") === col("y.i") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+      .agg(sum(when(col("x.mh") === col("y.mh"), 1L).otherwise(0L)).as("matches"))
+    // Exact-truth ride-along (test scale): distinct sets + shared counts.
+    val dg = grams.select("source", "sh").distinct().transform(Checkpoints.stable)
+    val counts = dg.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = dg.as("a").join(dg.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("shared"))
+    est
+      .join(shared, Seq("sa", "sb"), "left")
+      .join(broadcast(counts.select(col("source").as("sa"), col("n").as("na"))), Seq("sa"))
+      .join(broadcast(counts.select(col("source").as("sb"), col("n").as("nb"))), Seq("sb"))
+      .select(col("sa"), col("sb"), col("matches"),
+        round(col("matches").cast("double") / SrcSketchK, 4).as("j_est"),
+        round(coalesce(col("shared"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("shared"), lit(0L))), 4).as("j_exact"))
+      .orderBy("sa", "sb")
+  }
+
+  private def x74bSql(shingleLen: Int = 3): String =
+    s"""WITH g0 AS (SELECT source, sh FROM ${sourceShinglesSql(shingleLen)}),
+       hx AS (SELECT source, ${Dedup.charFoldHashSql("sh")} AS h FROM g0),
+       perms AS (SELECT i FROM generate_series(0, ${SrcSketchK - 1}) t(i)),
+       sigs AS (SELECT source, i,
+                  min(((2 * i + 1) * h + (i * i * 31 + 7)) % ${HashConstants.HashPrime}) AS mh
+                FROM hx CROSS JOIN perms GROUP BY source, i),
+       est AS (SELECT x.source AS sa, y.source AS sb,
+                 CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS matches
+               FROM sigs x JOIN sigs y ON x.i = y.i AND x.source < y.source
+               GROUP BY x.source, y.source),
+       dg AS (SELECT DISTINCT source, sh FROM g0),
+       c AS (SELECT source, count(*) AS n FROM dg GROUP BY source),
+       sh2 AS (SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+               FROM dg a JOIN dg b ON a.sh = b.sh AND a.source < b.source
+               GROUP BY a.source, b.source)
+       SELECT sa, sb, matches,
+         round(CAST(matches AS DOUBLE) / $SrcSketchK, 4) AS j_est,
+         round(CAST(coalesce(shared, 0) AS DOUBLE)
+           / (ca.n + cb.n - coalesce(shared, 0)), 4) AS j_exact
+       FROM est LEFT JOIN sh2 USING (sa, sb)
+         JOIN c ca ON est.sa = ca.source JOIN c cb ON est.sb = cb.source
        ORDER BY sa, sb"""
 
   // ---------------------------------------------------------------- x67
@@ -2708,6 +2799,8 @@ object Curation {
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
     QueryDef("x74_source_overlap", (s, d) => sourceOverlap(s, d), Some(x74Sql())),
+    QueryDef("x74b_source_overlap_sketch",
+      (s, d) => sourceOverlapSketch(s, d), Some(x74bSql())),
     QueryDef("x44_novelty_score", noveltyScoreQuery, Some(x44Sql)),
     QueryDef("x17b_decontamination_spans", decontaminationSpans, Some(x17bSql)),
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),

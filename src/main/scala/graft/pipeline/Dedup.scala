@@ -671,12 +671,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The char-fold string hash as DuckDB SQL — the oracle mirror of the
+    * native `token_hash` expression, single-sourced for every oracle
+    * that hashes a string the engine hashes with [[tokenHash]] (x05 and
+    * Curation's x74b source sketch). */
+  private[pipeline] def charFoldHashSql(in: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($in, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (a, c) -> (a * 31 + c) % $HashPrime) * $Knuth) % $HashPrime"""
+
   private val x05Sql =
     s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
                      FROM documents),
-       h AS (SELECT doc_id, (list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
-               (a, c) -> (a * 31 + c) % $HashPrime) * $Knuth) % $HashPrime AS h FROM tok),
+       h AS (SELECT doc_id, ${charFoldHashSql("tok")} AS h FROM tok),
        perms AS (SELECT i FROM generate_series(0, ${MinhashK - 1}) t(i)),
        hv AS (SELECT doc_id, i, min(((2 * i + 1) * h + (i * i * 31 + 7)) % $HashPrime) AS mh
               FROM h CROSS JOIN perms GROUP BY doc_id, i),

@@ -1017,6 +1017,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x74b sketch: complete matrix, estimates inside the minhash error band") {
+    val rows = Curation.sourceOverlapSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val nSrc = graft.Tables.t(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2,
+      s"the sketch matrix is COMPLETE (got ${rows.length} of ${nSrc * (nSrc - 1) / 2})")
+    rows.foreach { case (sa, sb, m, est, exact) =>
+      assert(m >= 0 && m <= Curation.SrcSketchK)
+      assert(est == math.round(m.toDouble / Curation.SrcSketchK * 10000) / 10000.0)
+      // k=64 MinHash: sigma = sqrt(J(1-J)/64) <= 0.0625; gate ~4 sigma
+      // plus the one-permutation bias floor on near-zero J.
+      assert(math.abs(est - exact) <= 0.25,
+        s"($sa,$sb): estimate $est strayed from exact $exact")
+    }
+    val meanErr = rows.map(r => math.abs(r._4 - r._5)).sum / rows.length
+    assert(meanErr <= 0.05, s"mean |est-exact| $meanErr exceeds the k=64 band")
+  }
+
   test("x74 source overlap: planted shared shingle counted once, disjoint pairs absent") {
     import spark.implicits._
     val d = Seq(
