@@ -672,14 +672,26 @@ object Relational {
     * artifact can show truth beside estimate; a 100 TB deployment
     * gets candidates from per-partition local top-k (b37's
     * disclosed pattern) and keeps only the sketch's bounded state. */
+  /** The d-row bucket projection over any `key`-column frame — shared by
+    * b13e's batch registers and the streaming form. */
+  private[graft] def cmsBuckets(df: DataFrame): DataFrame = df
+    .withColumn("i", explode(sequence(lit(0), lit(CmsD - 1))))
+    .withColumn("bucket",
+      mix32(col("key") + (col("i") + 1) * lit(CmsSalt)) % CmsW)
+
+  /** CMS registers over any `key` frame — a pure partial+final count,
+    * which is exactly why the sketch is streaming-native: the same
+    * expression under `groupBy.count` in a streaming query accumulates
+    * identical registers micro-batch by micro-batch (StreamingSpec
+    * proves batch ≡ stream). */
+  private[graft] def cmsRegistersOf(keys: DataFrame): DataFrame =
+    cmsBuckets(keys).groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+
   private def b13e(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val base = li.select(col("l_partkey").cast("long").as("key"))
-    def buckets(df: DataFrame): DataFrame = df
-      .withColumn("i", explode(sequence(lit(0), lit(CmsD - 1))))
-      .withColumn("bucket",
-        mix32(col("key") + (col("i") + 1) * lit(CmsSalt)) % CmsW)
-    val regs = buckets(base).groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+    def buckets(df: DataFrame): DataFrame = cmsBuckets(df)
+    val regs = cmsRegistersOf(base)
     val exact = base.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("key")).limit(20)
     buckets(exact)

@@ -517,6 +517,33 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == batch, s"stream=$streaming batch=$batch")
   }
 
+  test("b13e CMS registers are streaming-native: stream registers equal batch") {
+    // The mergeable-sketch property, demonstrated: the register frame is
+    // a pure partial+final count, so the SAME expression under a
+    // streaming groupBy accumulates identical registers across
+    // micro-batches — frequency estimation over an unbounded ingest
+    // stream with d x w bounded state.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class K(key: Long)
+    val keys = (1 to 300).map(i => (i % 37).toLong)
+    val input = MemoryStream[Long]
+    val q = graft.queries.Relational.cmsRegistersOf(input.toDF().toDF("key"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_regs").start()
+    input.addData(keys.take(120))
+    q.processAllAvailable()
+    input.addData(keys.drop(120))
+    q.processAllAvailable()
+    val streamed = spark.table("cms_regs")
+      .orderBy("i", "bucket").collect().toSeq
+    q.stop()
+    val batch = graft.queries.Relational.cmsRegistersOf(keys.toDF("key"))
+      .orderBy("i", "bucket").collect().toSeq
+    assert(streamed == batch,
+      "streaming CMS registers must equal the batch sketch over the same rows")
+  }
+
   test("B34 watermark dedup drops duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
