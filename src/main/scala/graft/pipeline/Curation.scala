@@ -675,10 +675,14 @@ object Curation {
   def sourceOverlapSketch(s: SparkSession, dir: String,
       shingleLen: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // One materialization of the shingle+hash stream: it feeds both the
+    // signature build and the exact-truth side (x74's checkpoint lesson
+    // — without it the corpus re-shingles and re-hashes per consumer).
     val grams = shinglesOf(
       docs(s, dir).select(col("source").as("doc_id"), col("text")), shingleLen)
       .select(col("doc_id").as("source"), col("sh"))
       .withColumn("h", call_function("token_hash", col("sh")))
+      .transform(Checkpoints.stable)
     val seeds = broadcast(s.range(SrcSketchK).select(
       col("id").cast("int").as("i"),
       (col("id") * 2 + 1).as("a"),
