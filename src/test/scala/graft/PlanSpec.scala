@@ -684,6 +684,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the bounded quartile window:\n$p")
   }
 
+  test("x77: the tertile window partitions by lang, never one global partition") {
+    val p = plan("x77_perplexity_bins")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+    assert(p.contains("Window"), s"expected the per-lang rank window:\n$p")
+    // The scale killer this gate exists for: a global rank would funnel
+    // the corpus through a SinglePartition exchange INTO the Window.
+    // The only SinglePartition allowed is the keyless scalar reduce
+    // (the LM total — partial sums, 1 row/partition): its consumer in
+    // the detail sections must be a HashAggregate, never Window/Sort.
+    val sections = p.split("\n\n")
+    sections.zipWithIndex.filter(_._1.contains("SinglePartition")).foreach {
+      case (_, i) =>
+        val consumer = sections.lift(i + 1).getOrElse("")
+        assert(consumer.contains("HashAggregate"),
+          s"SinglePartition may only feed the scalar reduce, not:\n$consumer")
+    }
+  }
+
+  test("x78: negatives come from the banded candidate join, never a product") {
+    val p = plan("x78_hard_negatives")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates are (band,bucket) equi-joins:\n$p")
+    assert(p.contains("Window"), s"expected the per-doc top-k window:\n$p")
+  }
+
+  test("x74b: the sketch runs on the one checkpointed shingle-hash stream") {
+    val p = plan("x74b_source_overlap_sketch")
+    assert(!p.contains("Scan parquet"),
+      s"every consumer must read the checkpointed gram stream:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 64-permutation expansion broadcasts, never a product:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline (b06)") {
     val df = SparkEntry.queries("b06_filter_predicates")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages materialize
