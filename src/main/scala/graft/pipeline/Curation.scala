@@ -1707,6 +1707,161 @@ object Curation {
               coalesce(cl.clean_text, '') AS clean_text
        FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x79
+  /** C4 heuristic cleaning battery (Raffel et al. 2020 §2.2 — the
+    * "Colossal Clean Crawled Corpus" recipe), the most-cited published
+    * web-cleaning pipeline, complementing x51's Gopher battery (verdict
+    * rules) with C4's LINE-level surgery + page-level drops. Published
+    * rules at published thresholds:
+    *
+    *   - keep only lines ending in a terminal punctuation mark
+    *     (period / exclamation / question mark / closing quote);
+    *   - keep only lines with >= [[C4MinLineWords]] words;
+    *   - drop any line containing the word "javascript";
+    *   - drop any page with fewer than [[C4MinSentences]] sentences;
+    *   - drop any page containing a curly bracket;
+    *   - drop any page containing the phrase "lorem ipsum";
+    *   - drop any page containing a blocklist word (C4 uses the
+    *     "Dirty, Naughty…" list; the stand-in here is the corpus word
+    *     "[[C4Badword]]" at ~5% document frequency, DISCLOSED, so the
+    *     rule is live instead of vacuous on the synthetic vocabulary).
+    *
+    * Corpus adaptation (the x30/x30b dual discipline): the synthetic
+    * corpus is single-line all-alpha text, on which the published rules
+    * are vacuous — so the registered query runs over [[c4LinesView]], a
+    * derived multi-line page both engines build identically: lines are
+    * fixed [[C4LineTok]]-token spans, a line gains a trailing period iff
+    * its rolling hash is even (deterministic stand-in for real sentence
+    * punctuation — ~50% of lines, hash-exact in both engines via the
+    * x03b fold parity), and three hazard lines are planted by doc_id
+    * residue (javascript / lorem-ipsum / curly-bracket carriers), the
+    * x30b planted-boilerplate convention. CurationSpec proves every rule
+    * fires on real multi-line fixtures through [[c4CleanOf]].
+    *
+    * Sentence counting: terminal-punctuation marks in the RETAINED
+    * lines (C4 applies the sentence threshold after line filtering) —
+    * a pure integer char count, engine-exact.
+    *
+    * Scale shape: like x51 the whole battery is MAP-ONLY — every rule
+    * is a per-row array/string expression (higher-order filter/
+    * transform, no explode, no join, no shuffle before the output
+    * sort); at 100 TB it runs at scan speed in one whole-stage-codegen
+    * pass. */
+  val C4LineTok = 6
+  val C4MinLineWords = 3
+  val C4MinSentences = 5
+  val C4Badword = "dup"
+
+  /** The derived multi-line page: (doc_id, t array, full lines array). */
+  private def c4LinesView(docsDf: DataFrame): DataFrame = {
+    val nothing = typedLit(Seq.empty[String])
+    docsDf
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("t"))
+      .withColumn("lines0", expr(
+        s"""transform(sequence(0, CAST(ceil(size(t) / $C4LineTok.0D) AS INT) - 1),
+            i -> concat_ws(' ', slice(t, i * $C4LineTok + 1, $C4LineTok)))"""))
+      .withColumn("lp", expr(
+        "transform(lines0, l -> CASE WHEN rolling_hash(l) % 2 = 0 THEN concat(l, '.') ELSE l END)"))
+      .withColumn("full", concat(col("lp"),
+        when(col("doc_id") % 37 === 0,
+          typedLit(Seq("enable javascript to view."))).otherwise(nothing),
+        when(col("doc_id") % 41 === 0,
+          typedLit(Seq("lorem ipsum dolor sit."))).otherwise(nothing),
+        when(col("doc_id") % 43 === 0,
+          typedLit(Seq("config = {."))).otherwise(nothing)))
+      .select("doc_id", "t", "full")
+  }
+
+  /** Library form over any (doc_id, t tokens, full lines) frame — the
+    * battery itself, independent of the derived-view construction, so
+    * the spec can drive REAL multi-line pages through the same rules. */
+  private[graft] def c4CleanOf(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("kept", expr(
+        s"""filter(full, l -> substring(l, -1, 1) IN ('.', '!', '?', '\\"')
+             AND size(split(l, ' ')) >= $C4MinLineWords
+             AND NOT array_contains(split(l, ' '), 'javascript'))"""))
+      .withColumn("cl", array_join(col("kept"), "\n"))
+      .withColumn("n_sentences",
+        (length(col("cl")) - length(regexp_replace(col("cl"), "[.!?\"]", "")))
+          .cast("int"))
+      .withColumn("has_badword", array_contains(col("t"), C4Badword).cast("int"))
+      .withColumn("has_lorem",
+        array_join(col("full"), "\n").contains("lorem ipsum").cast("int"))
+      .withColumn("has_brace",
+        array_join(col("full"), "\n").contains("{").cast("int"))
+      .withColumn("pass_sentences",
+        (col("n_sentences") >= C4MinSentences).cast("int"))
+      .withColumn("page_kept",
+        (col("has_badword") === 0 && col("has_lorem") === 0 &&
+          col("has_brace") === 0 && col("pass_sentences") === 1).cast("int"))
+      .select(col("doc_id"),
+        size(col("full")).as("n_lines"),
+        size(col("kept")).as("n_kept"),
+        col("n_sentences"), col("has_badword"), col("has_lorem"),
+        col("has_brace"), col("pass_sentences"), col("page_kept"),
+        when(col("page_kept") === 1, col("cl")).otherwise("").as("clean_text"))
+      .orderBy("doc_id")
+
+  /** x79: the registered C4 battery over the derived corpus pages. */
+  def c4Clean(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    c4CleanOf(c4LinesView(docs(s, dir)))
+  }
+
+  private val x79Sql = {
+    val fold =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(l, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (a, c) -> (a * 31 + c) % 1000000007)"""
+    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+                   FROM documents),
+       sp AS (SELECT doc_id, t,
+                list_transform(generate_series(0, CAST(ceil(len(t) / $C4LineTok.0) AS BIGINT) - 1),
+                  i -> array_to_string(t[(i * $C4LineTok + 1):(i * $C4LineTok + $C4LineTok)], ' ')) AS lines0
+              FROM t),
+       p AS (SELECT doc_id, t,
+               list_transform(lines0,
+                 l -> CASE WHEN $fold % 2 = 0 THEN l || '.' ELSE l END) AS lp
+             FROM sp),
+       f AS (SELECT doc_id, t,
+               list_concat(list_concat(list_concat(lp,
+                 CASE WHEN doc_id % 37 = 0
+                   THEN ['enable javascript to view.'] ELSE []::VARCHAR[] END),
+                 CASE WHEN doc_id % 41 = 0
+                   THEN ['lorem ipsum dolor sit.'] ELSE []::VARCHAR[] END),
+                 CASE WHEN doc_id % 43 = 0
+                   THEN ['config = {.'] ELSE []::VARCHAR[] END) AS fl
+             FROM p),
+       k AS (SELECT doc_id, t, fl,
+               list_filter(fl, l -> right(l, 1) IN ('.', '!', '?', '"')
+                 AND len(string_split(l, ' ')) >= $C4MinLineWords
+                 AND NOT list_contains(string_split(l, ' '), 'javascript')) AS kept
+             FROM f),
+       c AS (SELECT doc_id, t, fl, kept,
+               -- array_to_string([]) is NULL in DuckDB where Spark's
+               -- array_join is '' — coalesce keeps the engines aligned
+               -- on zero-kept pages.
+               coalesce(array_to_string(kept, chr(10)), '') AS cl
+             FROM k),
+       v AS (SELECT doc_id, fl, kept, cl,
+               CAST(length(cl) - length(regexp_replace(cl, '[.!?"]', '', 'g')) AS INT) AS n_sentences,
+               CAST(list_contains(t, '$C4Badword') AS INT) AS has_badword,
+               CAST(contains(array_to_string(fl, chr(10)), 'lorem ipsum') AS INT) AS has_lorem,
+               CAST(contains(array_to_string(fl, chr(10)), '{') AS INT) AS has_brace
+             FROM c)
+       SELECT doc_id,
+         CAST(len(fl) AS INT) AS n_lines,
+         CAST(len(kept) AS INT) AS n_kept,
+         n_sentences, has_badword, has_lorem, has_brace,
+         CAST(n_sentences >= $C4MinSentences AS INT) AS pass_sentences,
+         CAST(has_badword = 0 AND has_lorem = 0 AND has_brace = 0
+           AND n_sentences >= $C4MinSentences AS INT) AS page_kept,
+         CASE WHEN has_badword = 0 AND has_lorem = 0 AND has_brace = 0
+           AND n_sentences >= $C4MinSentences THEN cl ELSE '' END AS clean_text
+       FROM v ORDER BY doc_id"""
+  }
+
   // ---------------------------------------------------------------- x39
   /** WITHIN-document repeated-line strip — the transform counterpart of
     * x18's repetition MEASUREMENT (Gopher's "duplicate line fraction"
@@ -2814,6 +2969,7 @@ object Curation {
     QueryDef("x48_decon_strip", deconStripQuery, Some(x48Sql)),
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
     QueryDef("x30b_line_dedup_newline", lineDedupNewline, Some(x30bSql)),
+    QueryDef("x79_c4_rules", c4Clean, Some(x79Sql)),
     QueryDef("x39_intradoc_dedup", intraDocDedup, Some(x39Sql)),
     QueryDef("x39b_intradoc_dedup_newline", intraDocDedupNewline, Some(x39bSql)),
     QueryDef("x45_cross_strip", crossStrip, Some(x45Sql)),

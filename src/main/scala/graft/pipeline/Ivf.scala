@@ -256,6 +256,83 @@ object Ivf {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  // ------------------------------------------------- topic mixture (x80)
+  /** x80: the topic-balance report over the embedding space — the
+    * cluster-level counterpart of the source-mixture family (x22/x23/
+    * x41): what a curation team checks before fixing sampling weights,
+    * and the semantic-coverage dashboard SemDeDup-style pipelines
+    * (Abbas et al. 2023) read cluster sizes from. Every embedded doc is
+    * assigned to its pinned coarse cluster (the x10b quantizer,
+    * memoized under the same tag so x10b and x80 share one fit), then
+    * per cluster: doc count, whitespace-token mass, corpus token share
+    * in basis points, integer mean/min/max of the x76 quality blend
+    * (single-sourced [[Sampling.qualityBpColumn]]), and the x22
+    * id-checksum membership pin. All arithmetic integer → hash-exact.
+    *
+    * Scale shape: the quantizer fit is x10b's bounded global sort
+    * (sampled at 100 TB — index build, not per-query); assignment is
+    * the native one-pass pq_encode tag; the doc join is one
+    * vec_id=doc_id equi-join; the report agg is K-bounded partial+
+    * final; the corpus token total is a 1-row broadcast (the x13 nd
+    * pattern). Docs without embeddings are outside the report but
+    * inside the token total, so Σ share_bp < 10⁴ exposes embedding
+    * coverage — a signal, not a leak. */
+  def topicMix(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"), intMillionths(col("embedding")).as("xi"))
+    val centroids = memoModel(emb, s"coarsepin$DefaultNlist") {
+      pinnedCodebook(base.select(col("vec_id"), col("xi").as("s")), DefaultNlist)
+    }
+    require(centroids.length == DefaultNlist,
+      s"x80 needs >= $DefaultNlist embedding rows to pin $DefaultNlist distinct " +
+        s"coarse ranks (got ${centroids.length})")
+    val flat = centroids.flatten.toSeq
+    val indexed = base.withColumn("list_id",
+      element_at(call_function("pq_encode",
+        col("xi"), typedLit(flat), lit(1), lit(DefaultNlist)), 1).cast("long"))
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"),
+      Sampling.qualityBpColumn.as("qbp"))
+    val tot = d.agg(sum("n_tok").as("total_tok"))
+    indexed.join(d, col("vec_id") === col("doc_id"))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("token_mass"),
+        sum("qbp").as("sum_qbp"),
+        min("qbp").as("q_min"), max("qbp").as("q_max"),
+        sum("doc_id").as("id_checksum"))
+      .crossJoin(broadcast(tot))
+      .select(col("list_id"), col("n_docs"), col("token_mass"),
+        expr("token_mass * 10000 div total_tok").as("share_bp"),
+        expr("sum_qbp div n_docs").as("avg_qbp"),
+        col("q_min"), col("q_max"), col("id_checksum"))
+      .orderBy("list_id")
+  }
+
+  private def x80Sql: String =
+    s"""WITH $coarseAsgCtes,
+       d AS (SELECT doc_id,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok,
+               ${Sampling.qualityBpSqlExpr} AS qbp
+             FROM documents),
+       j AS (SELECT a.list_id, d.doc_id, d.n_tok, d.qbp
+             FROM asg a JOIN d ON a.vec_id = d.doc_id),
+       g AS (SELECT list_id, count(*) AS n_docs,
+               sum(n_tok) AS token_mass, sum(qbp) AS sum_qbp,
+               min(qbp) AS q_min, max(qbp) AS q_max,
+               sum(doc_id) AS id_checksum
+             FROM j GROUP BY list_id),
+       tt AS (SELECT sum(n_tok) AS total_tok FROM d)
+       SELECT CAST(list_id AS BIGINT) AS list_id,
+         CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(token_mass AS BIGINT) AS token_mass,
+         CAST(token_mass * 10000 // total_tok AS BIGINT) AS share_bp,
+         CAST(sum_qbp // n_docs AS BIGINT) AS avg_qbp,
+         q_min, q_max,
+         CAST(id_checksum AS BIGINT) AS id_checksum
+       FROM g CROSS JOIN tt ORDER BY list_id"""
+
   // --------------------------------------------------- PQ / IVFADC (x59)
   /** Product-quantization parameters (Jegou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the 64-dim embedding
@@ -616,10 +693,14 @@ object Ivf {
     * assignment with (d2, k) tie-break, 2-list probe, exact cosine
     * top-10 over the pruned lists — every stage integer-exact or
     * 4-decimal-rounded, so the whole IVF search hash-matches. */
-  private val x10bSql = {
+  /** Shared CTE chain ending in `asg(vec_id, list_id)` — the pinned
+    * coarse quantizer (rank by integer norm, evenly spaced seeds,
+    * nearest-centroid by integer L2 with smallest-list tie-break),
+    * mirroring [[pinnedCodebook]] + the native pq_encode assignment.
+    * Single source for the x10b AND x80 oracles. */
+  private def coarseAsgCtes: String = {
     val dim = PqM * PqSubDim
-    s"""WITH $xtCte,
-       q AS (SELECT v AS qx FROM xt WHERE vec_id = 0),
+    s"""$xtCte,
        rk AS (SELECT vec_id, v,
                 row_number() OVER (ORDER BY ${dotS("v", "v", dim)}, vec_id) AS r
               FROM xt),
@@ -632,7 +713,13 @@ object Ivf {
                     row_number() OVER (PARTITION BY a.vec_id
                       ORDER BY ${sqS("a.v", "s.c", dim)}, s.k) AS rn
                   FROM xt a CROSS JOIN sd s)
-               WHERE rn = 1),
+               WHERE rn = 1)"""
+  }
+
+  private val x10bSql = {
+    val dim = PqM * PqSubDim
+    s"""WITH $coarseAsgCtes,
+       q AS (SELECT v AS qx FROM xt WHERE vec_id = 0),
        pl AS (SELECT k AS list_id FROM
                 (SELECT s.k, ${sqS("q.qx", "s.c", dim)} AS d2
                  FROM sd s CROSS JOIN q)
@@ -654,6 +741,7 @@ object Ivf {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x10_ann_ivf_kmeans", searchQuery, None),
     QueryDef("x10b_ann_ivf_pinned", searchPinnedIvfQuery, Some(x10bSql)),
+    QueryDef("x80_topic_mix", topicMix, Some(x80Sql)),
     QueryDef("x59_ann_pq_adc", searchPqQuery, Some(x59Sql)),
     QueryDef("x59b_ann_ivfadc", searchIvfPqQuery, Some(x59bSql)))
 }

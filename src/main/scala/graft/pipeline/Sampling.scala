@@ -575,18 +575,35 @@ object Sampling {
     * quality bounds. Value ties share a phase, so phases can deviate
     * from n/4 by the tie mass — the standard histogram-cut trade,
     * spec'd in SamplingSpec. */
-  def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
-    // coalesce + greatest: the x69 NULL-text lesson and the //0 guard —
-    // an empty/NULL doc scores digit-free, never errors or drops. The
-    // BIGINT casts BEFORE the ×10⁴ multiplies are load-bearing: size/
-    // length are Int, and a >214 KB digit run would wrap 32-bit where
-    // DuckDB's len() is already BIGINT (the x73 cast discipline).
+  /** Per-doc integer quality in basis points — the x73 blend at doc
+    * granularity, SINGLE-SOURCED for x76 (curriculum phases) and x80
+    * (topic mixture) in both engines.
+    *
+    * coalesce + greatest: the x69 NULL-text lesson and the //0 guard —
+    * an empty/NULL doc scores digit-free, never errors or drops. The
+    * BIGINT casts BEFORE the ×10⁴ multiplies are load-bearing: size/
+    * length are Int, and a >214 KB digit run would wrap 32-bit where
+    * DuckDB's len() is already BIGINT (the x73 cast discipline). */
+  private[pipeline] def qualityBpColumn: Column = {
     val stopList = graft.pipeline.TextStats.Stopwords.map(w => s"'$w'").mkString(", ")
-    val q = expr(
+    expr(
       s"""((cast(size(filter(split(coalesce(text, ''), ' '), t -> t IN ($stopList))) as bigint) * 10000)
            div size(split(coalesce(text, ''), ' '))
          + (10000 - (cast(length(regexp_replace(coalesce(text, ''), '[^0-9]', '')) as bigint) * 10000)
            div greatest(length(coalesce(text, '')), 1))) div 2""")
+  }
+
+  /** [[qualityBpColumn]] as a DuckDB expression over a docs-shaped
+    * relation, verbatim arithmetic. */
+  private[pipeline] def qualityBpSqlExpr: String =
+    s"""CAST(((len(list_filter(string_split(coalesce(text, ''), ' '),
+          t -> list_contains([${graft.pipeline.TextStats.Stopwords.map(w => s"'$w'").mkString(", ")}], t))) * 10000)
+        // len(string_split(coalesce(text, ''), ' '))
+      + (10000 - (length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) * 10000)
+        // greatest(length(coalesce(text, '')), 1))) // 2 AS BIGINT)"""
+
+  def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
+    val q = qualityBpColumn
     val scored = docs(s, dir).select(col("doc_id"),
       size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"),
       q.as("qbp"))
@@ -613,11 +630,7 @@ object Sampling {
   private def x76Sql(n: String = "(SELECT count(*) FROM documents)") =
     s"""WITH scored AS (SELECT doc_id,
            CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok,
-           CAST(((len(list_filter(string_split(coalesce(text, ''), ' '),
-               t -> list_contains([${graft.pipeline.TextStats.Stopwords.map(w => s"'$w'").mkString(", ")}], t))) * 10000)
-             // len(string_split(coalesce(text, ''), ' '))
-           + (10000 - (length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) * 10000)
-             // greatest(length(coalesce(text, '')), 1))) // 2 AS BIGINT) AS qbp
+           $qualityBpSqlExpr AS qbp
          FROM documents),
        hist AS (SELECT qbp, count(*) AS c FROM scored GROUP BY qbp),
        cums AS (SELECT qbp, sum(c) OVER (ORDER BY qbp DESC

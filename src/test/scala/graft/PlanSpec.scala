@@ -482,6 +482,15 @@ class PlanSpec extends SparkSpec {
       s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
   }
 
+  test("x79: the C4 battery is map-only (no join, no explode, no hash exchange)") {
+    val p = plan("x79_c4_rules")
+    assert(!p.contains("Join"), s"line surgery must not join:\n$p")
+    assert(!p.contains("Generate"),
+      s"lines stay in per-row arrays (higher-order filter), never exploded:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
+  }
+
   test("x56: subword counting is map-only (no join, no explode, no hash exchange)") {
     val p = plan("x56_bpe_token_count")
     assert(!p.contains("Join"), s"the nested-HOF form must not join:\n$p")
@@ -682,6 +691,18 @@ class PlanSpec extends SparkSpec {
     assert("partial".r.findAllIn(p).size >= 2,
       s"the histogram and the manifest aggs must map-side combine:\n$p")
     assert(p.contains("Window"), s"expected the bounded quartile window:\n$p")
+  }
+
+  test("x80: cluster tagging is native, the report agg is K-bounded, no product") {
+    val p = plan("x80_topic_mix")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row token total rides a broadcast, never a product:\n$p")
+    assert(p.contains("pq_encode"),
+      s"assignment must be the one-pass native quantizer tag:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"no per-row UDF in the tagging or scoring path:\n$p")
+    assert("partial".r.findAllIn(p).size >= 1,
+      s"the K-bounded report agg must map-side combine:\n$p")
   }
 
   test("x77: the tertile window partitions by lang, never one global partition") {

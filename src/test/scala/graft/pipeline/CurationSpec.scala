@@ -1055,4 +1055,85 @@ class CurationSpec extends SparkSpec {
       s"expected 1 shared of 3v3 distinct grams, got $shared of $na v $nb")
     assert(overlap == 0.3333, s"overlap must be round(1/3, 4), got $overlap")
   }
+
+  test("x79: every published C4 rule fires on a real multi-line fixture") {
+    import spark.implicits._
+    // Pages are fed straight to the battery (doc_id, t tokens, full
+    // lines), bypassing the corpus-derived view — these are REAL
+    // multi-line pages with genuine punctuation, the shape C4 was
+    // published for.
+    val keptLine = "this line ends with a period."
+    val pages = Seq(
+      // 1: line rules — terminal punct, min words, javascript.
+      (1L, Seq("x"), Seq(
+        keptLine,                           // kept
+        "no terminal punctuation here",     // dropped: no terminal mark
+        "short.",                           // dropped: < 3 words
+        "is this a question?",              // kept (ends '?')
+        "loads javascript on open.",        // dropped: javascript line
+        "he said \"stop\"")),               // kept (ends closing quote)
+      // 2: page survives — 5 clean sentences.
+      (2L, Seq("x"), Seq.tabulate(5)(i => s"clean sentence number $i here.")),
+      // 3: curly-bracket page.
+      (3L, Seq("x"), Seq.tabulate(5)(i => s"clean sentence number $i here.") :+
+        "function f() { return.",
+      ),
+      // 4: lorem-ipsum page.
+      (4L, Seq("x"), Seq.tabulate(5)(i => s"clean sentence number $i here.") :+
+        "lorem ipsum dolor sit amet.",
+      ),
+      // 5: blocklist word in the token stream.
+      (5L, Seq("a", Curation.C4Badword, "b"),
+        Seq.tabulate(5)(i => s"clean sentence number $i here."))
+    ).toDF("doc_id", "t", "full")
+    val out = Curation.c4CleanOf(pages).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val p1 = out(1L)
+    assert(p1.getInt(2) == 3, s"doc1 keeps punct/question/quote lines, got ${p1.getInt(2)}")
+    // 4 marks: '.', '?', and BOTH quote chars of "stop" — the sentence
+    // proxy counts terminal-mark characters in kept lines (disclosed
+    // simplification; interior quotes never occur in the derived corpus).
+    assert(p1.getInt(3) == 4 && p1.getInt(7) == 0,
+      "4 sentences < 5: page dropped by the sentence rule")
+    assert(p1.getInt(8) == 0 && p1.getString(9) == "",
+      "dropped page must emit empty clean_text")
+
+    val p2 = out(2L)
+    assert(p2.getInt(8) == 1, "clean 5-sentence page survives")
+    assert(p2.getString(9).split("\n").length == 5 &&
+      p2.getString(9).startsWith("clean sentence number 0 here."),
+      "clean_text reassembles kept lines in order")
+
+    assert(out(3L).getInt(6) == 1 && out(3L).getInt(8) == 0, "curly bracket kills the page")
+    assert(out(4L).getInt(5) == 1 && out(4L).getInt(8) == 0, "lorem ipsum kills the page")
+    assert(out(5L).getInt(4) == 1 && out(5L).getInt(8) == 0, "blocklist word kills the page")
+  }
+
+  test("x79: registered battery is total over the corpus with consistent verdicts") {
+    val docsN = Tables.t(spark, sf, "documents").count()
+    val rows = Curation.c4Clean(spark, sf).collect()
+    assert(rows.length == docsN, "one verdict row per document, drops included")
+    rows.foreach { r =>
+      val (id, nLines, nKept) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(nKept <= nLines, s"doc $id keeps more lines than it has")
+      val (nSent, bad, lorem, brace) =
+        (r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+      val (passSent, pageKept, clean) = (r.getInt(7), r.getInt(8), r.getString(9))
+      assert(passSent == (if (nSent >= Curation.C4MinSentences) 1 else 0))
+      assert(pageKept ==
+        (if (bad == 0 && lorem == 0 && brace == 0 && passSent == 1) 1 else 0),
+        s"doc $id verdict inconsistent with its own flags")
+      if (pageKept == 1) {
+        assert(clean.nonEmpty && clean.split("\n").length == nKept,
+          s"doc $id clean_text must carry exactly the kept lines")
+      } else assert(clean.isEmpty, s"doc $id dropped page must emit ''")
+      // Planted hazards land exactly on their residue classes.
+      if (id % 41 == 0) assert(lorem == 1, s"doc $id: planted lorem line must flag")
+      if (id % 43 == 0) assert(brace == 1, s"doc $id: planted brace line must flag")
+    }
+    // The battery is live in both directions on the corpus.
+    assert(rows.exists(_.getInt(8) == 1) && rows.exists(_.getInt(8) == 0),
+      "corpus must contain both kept and dropped pages")
+  }
 }

@@ -203,6 +203,38 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("x80: topic mixture is a complete, consistent partition of embedded docs") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val docsDf = Tables.t(spark, sf, "documents")
+    val rows = Ivf.topicMix(spark, sf).collect()
+    // Every embedded doc lands in exactly one cluster row.
+    val nEmbDocs = emb.select(col("vec_id"))
+      .join(docsDf.select(col("doc_id")), col("vec_id") === col("doc_id")).count()
+    assert(rows.map(_.getLong(1)).sum == nEmbDocs,
+      "cluster doc counts must partition the embedded docs")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one row per cluster")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < Ivf.DefaultNlist))
+    // The id checksum partitions the doc_id mass (membership pin).
+    val idSum = emb.select(col("vec_id"))
+      .join(docsDf.select(col("doc_id")), col("vec_id") === col("doc_id"))
+      .agg(sum("doc_id")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(7)).sum == idSum, "id checksums must partition Σ doc_id")
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(4) && r.getLong(4) <= r.getLong(6),
+        s"cluster ${r.getLong(0)}: avg quality must sit inside [min, max]")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000,
+        s"cluster ${r.getLong(0)}: share_bp out of range")
+    }
+    // Share is of the WHOLE corpus token mass: sums to ≤ 10⁴ and is
+    // close when embeddings cover the corpus.
+    assert(rows.map(_.getLong(3)).sum <= 10000L)
+    // Cluster ids agree with the registered x10b assignment discipline:
+    // same memoized quantizer tag, so a second call is byte-stable.
+    val again = Ivf.topicMix(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "report must be run-deterministic")
+  }
+
   test("with nprobe = nlist the IVF top-1 equals brute-force top-1") {
     val emb = Tables.t(spark, sf, "embeddings")
     val (model, indexed) = Ivf.build(emb)
