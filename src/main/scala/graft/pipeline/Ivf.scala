@@ -90,7 +90,9 @@ object Ivf {
       "\u0000" + df.queryExecution.optimizedPlan.canonicalized.toString +
       "\u0000" + fileKeys(df).mkString("\u0000"))
 
-  private[pipeline] def memoModel[T <: AnyRef](df: DataFrame, tag: String)(fit: => T): T =
+  // private[graft]: graft.operators.RuntimeFilter builds its Bloom mask
+  // through the same snapshot-keyed cache as the pipeline index artifacts.
+  private[graft] def memoModel[T <: AnyRef](df: DataFrame, tag: String)(fit: => T): T =
     snapshotKey(df) match {
       case None => fit
       case Some(k) =>

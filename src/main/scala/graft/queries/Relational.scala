@@ -1444,6 +1444,41 @@ object Relational {
        GROUP BY c_custkey, c_name, n_name
        ORDER BY revenue DESC, c_custkey LIMIT 20"""
 
+  /** Q4 shape (order-priority checking: quarter's orders with at least
+    * one returned line) driven through the EXPLICIT runtime filter
+    * ([[graft.operators.RuntimeFilter]]): the quarter's order keys
+    * collapse to a broadcast 32 KB Bloom mask, the lineitem side is
+    * pruned map-only at scan time, and only then does the semi-join
+    * shuffle run — the fact exchange carries ~|quarter| keys' worth of
+    * lines instead of every returned line in history. The oracle is the
+    * PLAIN exists-join: its hash match certifies the reduction lossless
+    * (the x67b discipline). At 100 TB this is the difference between
+    * shuffling a quarter's slice and shuffling the whole fact table —
+    * the shape Spark's own InjectRuntimeFilter produces when its size
+    * thresholds trigger, stated unconditionally. */
+  private def b41(s: SparkSession, dir: String): DataFrame = {
+    val ords = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val rlines = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    val pruned = graft.operators.RuntimeFilter.bloomReduce(
+      rlines, col("l_orderkey"), ords.select(col("o_orderkey")), "b41")
+    ords.join(pruned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val b41Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1997-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b05_select_rename_cast", b05, Some(b05Sql)),
@@ -1495,5 +1530,6 @@ object Relational {
     QueryDef("b36_weighted_avg_udaf", b36, Some(b36Sql)),
     QueryDef("b38_q3_shape", b38, Some(b38Sql)),
     QueryDef("b39_q5_shape", b39, Some(b39Sql)),
-    QueryDef("b40_q10_shape", b40, Some(b40Sql)))
+    QueryDef("b40_q10_shape", b40, Some(b40Sql)),
+    QueryDef("b41_runtime_filter", b41, Some(b41Sql)))
 }

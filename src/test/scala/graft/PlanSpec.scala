@@ -693,6 +693,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the bounded quartile window:\n$p")
   }
 
+  test("b41: the Bloom probe prunes the fact side below the semi-join") {
+    val p = plan("b41_runtime_filter")
+    assert(p.contains("LeftSemi"), s"expected the exists semi-join:\n$p")
+    assert(p.contains("shiftleft"),
+      s"the fact scan must carry the integer Bloom probe filter:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"the probe is built-in integer expressions only:\n$p")
+    // The probe must sit scan-side (inside a Filter over lineitem),
+    // not post-join: below any SortMergeJoin/ShuffledHashJoin marker
+    // the probe string appears at least once.
+    val joinIdx = p.indexOf("Join")
+    assert(p.indexOf("shiftleft", joinIdx) >= 0,
+      s"probe filter must be under the join (fact-side pruning):\n$p")
+  }
+
   test("x80: cluster tagging is native, the report agg is K-bounded, no product") {
     val p = plan("x80_topic_mix")
     assert(!p.contains("CartesianProduct"),
