@@ -540,8 +540,152 @@ object Bpe {
                 / e.en_tok_per_char, 4) AS premium_vs_en
        FROM a, e ORDER BY lang"""
 
+  // ---------------------------------------------------------------- x82
+  /** Unigram-LM (SentencePiece) Viterbi segmentation — the OTHER major
+    * subword algorithm (Kudo 2018, "Subword Regularization", §3.1),
+    * closing the tokenizer family: x56 applies a BPE-style vocabulary
+    * greedily, x65b trains BPE merges; x82 segments each word OPTIMALLY
+    * against a unigram vocabulary by dynamic programming, the inference
+    * rule SentencePiece's unigram model uses.
+    *
+    * Vocabulary + costs, pinned and corpus-derived IN-ENGINE on both
+    * sides (no driver artifact): candidate pieces are all substrings of
+    * length 1..[[UniMaxPiece]] of the corpus's DISTINCT words weighted
+    * by word frequency (the x65 vocab-collapse — per-corpus cost is
+    * independent of row count); the vocabulary keeps the
+    * [[UniVocabTop]] most frequent multi-char pieces ((f DESC, piece)
+    * total order) plus ALL single characters, Kudo's coverage rule that
+    * makes segmentation total. Piece cost is the INTEGER information
+    * content floor(log₂(T/f)) + 1 = length of the binary expansion of
+    * T div f (T = vocabulary mass) — a disclosed integer stand-in for
+    * the paper's float −log p that both engines compute exactly
+    * (Spark `bin`, DuckDB `printf('%b', …)`).
+    *
+    * Objective, engine-exact: each piece contributes cost·64 + 1 to a
+    * PACKED accumulator, so one integer min is lexicographic in
+    * (total cost, piece count) — the same pack discipline as x42's
+    * (hash, −pos) key. Output per distinct word: total_cost = v div 64,
+    * n_pieces = v mod 64 (words are bounded at [[UniMaxWordLen]] chars,
+    * loudly — raise_error rides the word column, the x42 discipline).
+    * BpeSpec reconstructs the actual segmentation on fixtures and pins
+    * hand-computed DPs.
+    *
+    * Engine side: one `aggregate` fold per distinct word over a
+    * broadcast piece→cost map — map-only after the two vocabulary aggs,
+    * no explode in the DP. Oracle side: the x56 lesson (DuckDB 1.0
+    * miscompiles list_reduce folds under vectorized execution) rules
+    * out the lambda fold, so the DP unrolls into [[UniMaxWordLen]]
+    * join-based CTEs (dp_i = min over the ≤[[UniMaxPiece]] predecessor
+    * positions; a piece absent from the vocabulary is an absent JOIN
+    * row, which is min-plus-equivalent to the engine's +INF arm because
+    * single-char coverage guarantees a finite path from every prefix).
+    *
+    * Scale: everything before the DP is two partial+final aggs over
+    * vocabulary-sized frames; the DP is O(L·[[UniMaxPiece]]) integer
+    * ops per DISTINCT word inside one projection; at 100 TB the whole
+    * query's corpus-dependent cost is the word-count scan. */
+  val UniMaxPiece = 4
+  val UniVocabTop = 64
+  val UniMaxWordLen = 20
+  private val UniInf = 1L << 40
+
+  def unigramViterbi(s: SparkSession, dir: String): DataFrame =
+    unigramViterbiOf(Tables.t(s, dir, "documents"))
+
+  /** Library form over any docs-shaped frame (spec fixtures). */
+  private[graft] def unigramViterbiOf(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docsDf
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wfreq"))
+      // The oracle unrolls the DP to UniMaxWordLen positions; a longer
+      // word must fail LOUDLY, not silently diverge (raise_error rides
+      // the word column so pruning cannot skip it).
+      .withColumn("word",
+        when(length(col("word")) <= UniMaxWordLen, col("word"))
+          .otherwise(raise_error(concat(
+            lit(s"x82: word longer than $UniMaxWordLen chars: "), col("word")))))
+    val pieces = words.select(col("word"), col("wfreq"),
+        explode(expr(s"""flatten(transform(sequence(0, length(word) - 1),
+          i -> transform(sequence(1, least($UniMaxPiece, length(word) - i)),
+            k -> substring(word, i + 1, k))))""")).as("piece"))
+      .groupBy("piece").agg(sum("wfreq").as("f"))
+    val multi = pieces.filter(length(col("piece")) >= 2)
+      .withColumn("r", row_number().over(Window.orderBy(col("f").desc, col("piece"))))
+      .filter(col("r") <= UniVocabTop).drop("r")
+    val vocab = multi.unionByName(pieces.filter(length(col("piece")) === 1))
+    val tot = vocab.agg(sum("f").as("tf"))
+    val vc = vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), length(bin(expr("tf div f"))).cast("long").as("cost"))
+    val vm = vc.agg(map_from_entries(collect_list(struct(col("piece"), col("cost"))))
+      .as("vm"))
+    words.crossJoin(broadcast(vm))
+      .withColumn("v", expr(s"""
+        element_at(
+          aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
+            (acc, i) -> concat(acc, array(array_min(transform(
+              sequence(greatest(i - $UniMaxPiece, 0), i - 1),
+              j -> element_at(acc, j + 1) + coalesce(
+                try_element_at(vm, substring(word, j + 1, i - j))
+                  * CAST(64 AS BIGINT) + CAST(1 AS BIGINT),
+                CAST($UniInf AS BIGINT))))))),
+          length(word) + 1)"""))
+      .select(col("word"), col("wfreq"),
+        expr("v div 64").as("total_cost"),
+        (col("v") % 64).as("n_pieces"))
+      .orderBy("word")
+  }
+
+  private val x82Sql = {
+    val dpCtes = (1 to UniMaxWordLen).map { i =>
+      val branches = (math.max(0, i - UniMaxPiece) until i).map { j =>
+        s"""SELECT d.word, d.c + (cv.cost * 64 + 1) AS c
+           FROM dp$j d JOIN vc cv ON cv.piece = substr(d.word, ${j + 1}, ${i - j})
+           WHERE length(d.word) >= $i"""
+      }.mkString("\n UNION ALL\n")
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and a
+      // chain where dp_i references dp_{i-4}..dp_{i-1} inlines into a
+      // 4^L-node plan — the first run hung before materialization.
+      s"dp$i AS MATERIALIZED (SELECT word, min(c) AS c FROM (\n$branches\n) GROUP BY word)"
+    }.mkString(",\n")
+    val finals = (1 to UniMaxWordLen).map(i =>
+      s"SELECT word, c FROM dp$i JOIN wl USING (word) WHERE l = $i")
+      .mkString("\n UNION ALL\n")
+    s"""WITH words AS MATERIALIZED (SELECT word, count(*) AS wfreq FROM
+           (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+            FROM documents)
+         WHERE length(word) > 0 GROUP BY word),
+       pieces AS (SELECT piece, sum(wfreq) AS f FROM
+           (SELECT substr(word, CAST(i + 1 AS INT), CAST(k AS INT)) AS piece, wfreq
+            FROM words, unnest(generate_series(0, length(word) - 1)) u(i),
+                 unnest(generate_series(1, $UniMaxPiece)) v(k)
+            WHERE i + k <= length(word))
+         GROUP BY piece),
+       multi AS (SELECT piece, f FROM
+           (SELECT piece, f, row_number() OVER (ORDER BY f DESC, piece) AS r
+            FROM pieces WHERE length(piece) >= 2)
+         WHERE r <= $UniVocabTop),
+       vocab AS (SELECT piece, f FROM multi
+                 UNION ALL
+                 SELECT piece, f FROM pieces WHERE length(piece) = 1),
+       tot AS (SELECT CAST(sum(f) AS BIGINT) AS tf FROM vocab),
+       vc AS MATERIALIZED (SELECT piece,
+                CAST(length(printf('%b', CAST(tf // f AS BIGINT))) AS BIGINT) AS cost
+              FROM vocab CROSS JOIN tot),
+       wl AS (SELECT word, length(word) AS l FROM words),
+       dp0 AS (SELECT word, CAST(0 AS BIGINT) AS c FROM words),
+       $dpCtes,
+       fin AS ($finals)
+       SELECT w.word, w.wfreq,
+         CAST(f.c // 64 AS BIGINT) AS total_cost,
+         CAST(f.c % 64 AS BIGINT) AS n_pieces
+       FROM words w JOIN fin f USING (word) ORDER BY word"""
+  }
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x82_unigram_viterbi", unigramViterbi, Some(x82Sql)),
     QueryDef("x56_bpe_token_count", tokenCounts, Some(x56Sql)),
     QueryDef("x56b_budget_apportion_bpe", budgetApportionBpe, Some(x56bSql)),
     QueryDef("x65_bpe_pair_counts", pairCounts, Some(x65Sql)),

@@ -491,6 +491,16 @@ class PlanSpec extends SparkSpec {
       s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
   }
 
+  test("x82: the Viterbi DP is expression-only over a broadcast vocabulary") {
+    val p = plan("x82_unigram_viterbi")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row cost map and total ride broadcasts, never a product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"the DP fold is pure expressions (aggregate HOF), no UDF:\n$p")
+    assert("partial".r.findAllIn(p).size >= 2,
+      s"word-count and piece-mass aggs must map-side combine:\n$p")
+  }
+
   test("x56: subword counting is map-only (no join, no explode, no hash exchange)") {
     val p = plan("x56_bpe_token_count")
     assert(!p.contains("Join"), s"the nested-HOF form must not join:\n$p")

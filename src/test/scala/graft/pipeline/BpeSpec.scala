@@ -230,4 +230,62 @@ class BpeSpec extends SparkSpec {
     assert(out("fr").getLong(4) == 3L, "the|c,at")
     assert(out("fr").isNullAt(7), "no English baseline -> NULL premium")
   }
+
+  test("x82: hand-computed Viterbi DP on a planted vocabulary") {
+    import spark.implicits._
+    // One doc "aaaaa aaa aaa ab ba": words aaaaa(1) aaa(2) ab(1) ba(1).
+    // Piece masses: a13 aa8 aaa5 aaaa2 ab1 ba1 b2 → T = 32; integer
+    // costs len(bin(T div f)): a=2 aa=3 aaa=3 aaaa=5 ab=6 ba=6 b=5.
+    // aaaaa (len 5 > max piece 4) MUST split: best [aaa|aa] or [aa|aaa]
+    // → packed (3+3)*64+2 = 386 → (cost 6, 2 pieces). Whole-word wins
+    // everywhere else: aaa→(3,1), ab→(6,1), ba→(6,1).
+    val planted = Seq((1L, "aaaaa aaa aaa ab ba")).toDF("doc_id", "text")
+    val out = Bpe.unigramViterbiOf(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "aaaaa" -> ((1L, 6L, 2L)),
+      "aaa" -> ((2L, 3L, 1L)),
+      "ab" -> ((1L, 6L, 1L)),
+      "ba" -> ((1L, 6L, 1L))), s"hand-computed DP must match: $out")
+  }
+
+  test("x82: corpus DP matches an independent brute-force reimplementation") {
+    // Rebuild vocabulary, costs, and the (cost, n_pieces)-lexicographic
+    // optimum in plain Scala from the raw texts — no Spark expressions
+    // shared with the implementation — and require exact agreement.
+    val texts = graft.Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(""))).collect().map(_.getString(0))
+    val wfreq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").filter(_.nonEmpty).foreach(w =>
+      wfreq(w) = wfreq.getOrElse(w, 0L) + 1))
+    val pf = scala.collection.mutable.Map.empty[String, Long]
+    wfreq.foreach { case (w, f) =>
+      for (i <- 0 until w.length; k <- 1 to math.min(Bpe.UniMaxPiece, w.length - i))
+        { val p = w.substring(i, i + k); pf(p) = pf.getOrElse(p, 0L) + f } }
+    val multi = pf.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(Bpe.UniVocabTop)
+    val vocab = (multi ++ pf.filter(_._1.length == 1)).toMap
+    val t = vocab.values.sum
+    val cost = vocab.map { case (p, f) =>
+      p -> java.lang.Long.toBinaryString(t / f).length.toLong }
+    def dp(w: String): Long = {
+      val best = Array.fill(w.length + 1)(Long.MaxValue / 2)
+      best(0) = 0L
+      for (i <- 1 to w.length;
+           j <- math.max(0, i - Bpe.UniMaxPiece) until i;
+           c <- cost.get(w.substring(j, i)))
+        best(i) = math.min(best(i), best(j) + c * 64 + 1)
+      best(w.length)
+    }
+    val out = Bpe.unigramViterbi(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, tc, np) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val v = dp(w)
+      assert(tc == v / 64 && np == v % 64,
+        s"word '$w': engine ($tc, $np) vs brute-force (${v / 64}, ${v % 64})")
+    }
+  }
 }
