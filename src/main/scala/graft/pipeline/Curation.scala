@@ -1752,35 +1752,63 @@ object Curation {
   val C4MinSentences = 5
   val C4Badword = "dup"
 
-  /** The derived multi-line page: (doc_id, t array, full lines array). */
-  private def c4LinesView(docsDf: DataFrame): DataFrame = {
+  /** The derived page's line array as ONE Column over (doc_id, text) —
+    * the single source for the frame view, the registered battery, AND
+    * the ingest-edge gate [[c4PageKeepColumn]]. */
+  private def c4FullLinesCol: Column = {
+    val t = split(coalesce(col("text"), lit("")), " ")
     val nothing = typedLit(Seq.empty[String])
-    docsDf
-      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("t"))
-      .withColumn("lines0", expr(
-        s"""transform(sequence(0, CAST(ceil(size(t) / $C4LineTok.0D) AS INT) - 1),
-            i -> concat_ws(' ', slice(t, i * $C4LineTok + 1, $C4LineTok)))"""))
-      .withColumn("lp", expr(
-        "transform(lines0, l -> CASE WHEN rolling_hash(l) % 2 = 0 THEN concat(l, '.') ELSE l END)"))
-      .withColumn("full", concat(col("lp"),
-        when(col("doc_id") % 37 === 0,
-          typedLit(Seq("enable javascript to view."))).otherwise(nothing),
-        when(col("doc_id") % 41 === 0,
-          typedLit(Seq("lorem ipsum dolor sit."))).otherwise(nothing),
-        when(col("doc_id") % 43 === 0,
-          typedLit(Seq("config = {."))).otherwise(nothing)))
-      .select("doc_id", "t", "full")
+    val lines0 = transform(
+      sequence(lit(0), ceil(size(t).cast("double") / C4LineTok).cast("int") - 1),
+      i => concat_ws(" ", slice(t, i * C4LineTok + 1, lit(C4LineTok))))
+    val lp = transform(lines0, l =>
+      when(call_function("rolling_hash", l) % 2 === 0, concat(l, lit(".")))
+        .otherwise(l))
+    concat(lp,
+      when(col("doc_id") % 37 === 0,
+        typedLit(Seq("enable javascript to view."))).otherwise(nothing),
+      when(col("doc_id") % 41 === 0,
+        typedLit(Seq("lorem ipsum dolor sit."))).otherwise(nothing),
+      when(col("doc_id") % 43 === 0,
+        typedLit(Seq("config = {."))).otherwise(nothing))
   }
+
+  /** The C4 line filter over a lines-array Column — shared by the
+    * battery and the page-keep gate. */
+  private def c4KeptCol(full: Column): Column =
+    filter(full, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(l, " ")) >= C4MinLineWords &&
+        !array_contains(split(l, " "), "javascript"))
+
+  /** The whole C4 page verdict as ONE predicate over (doc_id, text) —
+    * the ingest-edge form (the x64c discipline): pass it as
+    * `ingestAdmit`'s qualityGate and the stream edge drops exactly the
+    * pages the registered x79 battery drops (StreamingSpec gates
+    * batch ≡ stream on a planted lorem page). Map-only, stateless. */
+  private[graft] def c4PageKeepColumn: Column = {
+    val full = c4FullLinesCol
+    val cl = array_join(c4KeptCol(full), "\n")
+    val nSent = length(cl) - length(regexp_replace(cl, "[.!?\"]", ""))
+    val t = split(coalesce(col("text"), lit("")), " ")
+    !array_contains(t, C4Badword) &&
+      !array_join(full, "\n").contains("lorem ipsum") &&
+      !array_join(full, "\n").contains("{") &&
+      nSent >= C4MinSentences
+  }
+
+  /** The derived multi-line page: (doc_id, t array, full lines array). */
+  private def c4LinesView(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      split(coalesce(col("text"), lit("")), " ").as("t"),
+      c4FullLinesCol.as("full"))
 
   /** Library form over any (doc_id, t tokens, full lines) frame — the
     * battery itself, independent of the derived-view construction, so
     * the spec can drive REAL multi-line pages through the same rules. */
   private[graft] def c4CleanOf(pages: DataFrame): DataFrame =
     pages
-      .withColumn("kept", expr(
-        s"""filter(full, l -> substring(l, -1, 1) IN ('.', '!', '?', '\\"')
-             AND size(split(l, ' ')) >= $C4MinLineWords
-             AND NOT array_contains(split(l, ' '), 'javascript'))"""))
+      .withColumn("kept", c4KeptCol(col("full")))
       .withColumn("cl", array_join(col("kept"), "\n"))
       .withColumn("n_sentences",
         (length(col("cl")) - length(regexp_replace(col("cl"), "[.!?\"]", "")))

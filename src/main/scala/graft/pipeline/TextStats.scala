@@ -711,7 +711,43 @@ object TextStats {
        FROM documents ORDER BY doc_id"""
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- x83
+  /** Per-source document-length histogram on log₂ buckets — the "plot
+    * the length distribution" first step of every corpus audit (the
+    * chart behind min/max-length gate decisions like x51's 50..100k
+    * band): bucket = ⌊log₂ n_tok⌋ + 1 computed EXACTLY as the binary-
+    * expansion length of the whitespace-token count (the x82 integer-
+    * log₂ discipline — Spark `bin`, DuckDB `printf('%b', …)`; no float
+    * log whose boundary rounding could flip a bucket cross-engine).
+    * Per (source, bucket): doc count, token mass, realized min/max —
+    * the realized bounds let a reader verify the bucket edges without
+    * trusting the formula.
+    *
+    * Scale: one map-only projection into a partial+final agg on
+    * (source, bucket) — a frame bounded by |sources|·64 rows at ANY
+    * corpus size (a BIGINT has ≤ 63 usable bits, so ≤ 63 buckets). */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"))
+      .select(col("source"), col("n_tok"),
+        length(bin(col("n_tok"))).cast("int").as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("token_mass"),
+        min("n_tok").as("min_tok"), max("n_tok").as("max_tok"))
+      .orderBy("source", "bucket")
+
+  private val x83Sql =
+    """WITH s AS (SELECT source,
+           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+         FROM documents)
+       SELECT source, CAST(length(printf('%b', n_tok)) AS INT) AS bucket,
+         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS token_mass,
+         min(n_tok) AS min_tok, max(n_tok) AS max_tok
+       FROM s GROUP BY source, bucket ORDER BY source, bucket"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x83_length_histogram", lengthHistogram, Some(x83Sql)),
     QueryDef("b30_lang_stats", langStats, Some(b30Sql)),
     QueryDef("b30b_term_freq", termFreq, Some(b30bSql)),
     QueryDef("b37_shingle_freq", shingleFreq, Some(b37Sql)),

@@ -801,6 +801,37 @@ object Relational {
        round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Explicit GROUPING SETS — the set list {(status), (priority), ∅}
+    * that neither ROLLUP (b14) nor CUBE (b14b) can express (no
+    * (status, priority) cell), through the dedicated Dataset
+    * `groupingSets` API. One Expand-based aggregation pass: Spark
+    * evaluates all three groupings in a single shuffle rather than a
+    * UNION of three scans — the property that matters when the input is
+    * a 100 TB fact table. `grouping_id` disambiguates rows where a
+    * grouping column is genuinely NULL from subtotal rows. */
+  private def b14d(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("lvl"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("lvl"), col("n"), col("total"))
+      .orderBy("status", "priority", "lvl")
+
+  private val b14dSql =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS lvl,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY status, priority, lvl"""
+
   // ---------------------------------------------------------------- B15
   /** Provenance-style per-table row counts (A11 analogue): each branch is a
     * metadata-cheap count, unioned into one tiny result — one job, all ten
@@ -1504,6 +1535,7 @@ object Relational {
     QueryDef("b14_rollup", b14, Some(b14Sql)),
     QueryDef("b14b_cube", b14b, Some(b14bSql)),
     QueryDef("b14c_pivot", b14c, Some(b14cSql)),
+    QueryDef("b14d_grouping_sets", b14d, Some(b14dSql)),
     QueryDef("b15_provenance_counts", b15, Some(b15Sql)),
     QueryDef("b16_rank_topk", b16, Some(b16Sql)),
     QueryDef("b16b_window_extra", b16b, Some(b16bSql)),

@@ -85,4 +85,34 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
       "pinned CMS must be run-to-run identical")
   }
+
+  test("b14d: exactly the stated grouping sets appear — no (status, priority) cells") {
+    val rows = graft.SparkEntry.queries("b14d_grouping_sets")(spark, sf).collect()
+    // lvl bitmask: 01 = priority aggregated away (status rows),
+    // 10 = status aggregated away (priority rows), 11 = grand total.
+    val byLvl = rows.groupBy(_.getInt(2))
+    assert(byLvl.keySet == Set(1, 2, 3), s"unexpected grouping levels: ${byLvl.keySet}")
+    assert(byLvl(3).length == 1, "exactly one grand-total row")
+    byLvl(1).foreach(r => assert(r.getString(1) == "(all)",
+      s"status rows must aggregate priority away: $r"))
+    byLvl(2).foreach(r => assert(r.getString(0) == "(all)",
+      s"priority rows must aggregate status away: $r"))
+    // The three sets partition the fact mass: each level's n sums to the total.
+    val total = byLvl(3).head.getLong(3)
+    assert(byLvl(1).map(_.getLong(3)).sum == total && byLvl(2).map(_.getLong(3)).sum == total,
+      "every grouping set must cover all rows exactly once")
+  }
+
+  test("x83: log2 length buckets have exact power-of-two edges and cover the corpus") {
+    val rows = graft.pipeline.TextStats.lengthHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getInt(1), r.getLong(4), r.getLong(5))
+      assert(mn >= (1L << (b - 1)) && mx < (1L << b),
+        s"bucket $b must hold exactly [2^${b - 1}, 2^$b): [$mn, $mx]")
+      assert(mn <= mx && r.getLong(2) > 0)
+    }
+    val total = graft.Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total, "histogram must cover every doc")
+  }
 }

@@ -457,6 +457,50 @@ class StreamingSpec extends SparkSpec {
       s"fitted gate must admit the good-vocabulary arrival only: $streamed")
   }
 
+  test("unified ingest with the x79 C4 page gate: batch ≡ stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq(Doc(1L, "alpha beta gamma delta epsilon", "en")).toDF()
+    val corpusVecs = Seq(Vec(1L, Array(1.0f, 0.0f, 0.0f))).toDF()
+    // Find a text the battery itself accepts under doc_id 70 (no planted
+    // hazard residues: 70 ∉ 37ℤ ∪ 41ℤ ∪ 43ℤ) — derived from the gate,
+    // not hardcoded, the x64-test discipline: hash-parity punctuation
+    // makes a specific text's sentence count non-obvious by eye.
+    graft.functions.GraftFunctions.register(spark)
+    val seedWords = Seq("table", "scan", "query", "merge", "batch", "window",
+      "filter", "column", "stream", "value", "group", "order")
+    val candidates = (0 until 20).map(n =>
+      (0 until 60).map(i => seedWords((i * (n + 3)) % seedWords.size)).mkString(" "))
+    def pagePasses(text: String, id: Long): Boolean =
+      Seq((id, text)).toDF("doc_id", "text")
+        .filter(graft.pipeline.Curation.c4PageKeepColumn).count() == 1
+    val goodText = candidates.find(pagePasses(_, 70L)).get
+    // 82 = 2·41 → the derived page carries the planted lorem-ipsum
+    // hazard line, so ANY text is dropped at doc_id 82.
+    val arrivals = Seq(
+      DocVec(70L, goodText, "en", null),
+      DocVec(82L, goodText + " extra", "en", null))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val input = MemoryStream[DocVec]
+    val dir = java.nio.file.Files.createTempDirectory("ingest_c4").toString
+    val q = StreamingJobs.ingestDedupStream(
+      input.toDF(), refDocs, corpusVecs, 0.8, 0.9, dir,
+      qualityGate = Some(graft.pipeline.Curation.c4PageKeepColumn)) { (admitted, _) =>
+      out += admitted.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    input.addData(arrivals)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.flatten.toSeq
+    val batch = StreamingJobs.ingestAdmit(
+      arrivals.toDF(), refDocs, corpusVecs, 0.8, 0.9,
+      qualityGate = Some(graft.pipeline.Curation.c4PageKeepColumn))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
+    assert(streamed == Seq(70L),
+      s"C4 gate must admit the clean page and drop the lorem-planted one: $streamed")
+  }
+
   test("x58c repetition gate (foreachBatch) equals the batch gate — per-doc, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
