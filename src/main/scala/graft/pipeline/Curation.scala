@@ -2943,14 +2943,21 @@ object Curation {
     * deleted since prev (absent from cur), and id ≡ 7 had their text
     * edited (prev carries a ' legacy' suffix). Every status class is
     * populated at every SF. */
-  private def snapshotDiffQuery(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val cur = d.filter(col("doc_id") % 31 =!= 11)
-    val prev = d.filter(col("doc_id") % 31 =!= 3)
+  /** The derived two-snapshot convention (id ≡ 3 mod 31 added, ≡ 11
+    * removed, ≡ 7 edited) — single source for x66 AND x84's topic
+    * drift. */
+  private[pipeline] def snapshotCur(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 31 =!= 11)
+
+  private[pipeline] def snapshotPrev(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 31 =!= 3)
       .select(col("doc_id"),
         when(col("doc_id") % 31 === 7, concat(col("text"), lit(" legacy")))
           .otherwise(col("text")).as("text"))
-    snapshotDiff(cur, prev)
+
+  private def snapshotDiffQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    snapshotDiff(snapshotCur(d), snapshotPrev(d))
   }
 
   private val x66Sql =

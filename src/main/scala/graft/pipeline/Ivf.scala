@@ -279,7 +279,9 @@ object Ivf {
     * pattern). Docs without embeddings are outside the report but
     * inside the token total, so Σ share_bp < 10⁴ exposes embedding
     * coverage — a signal, not a leak. */
-  def topicMix(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, list_id) under the pinned coarse quantizer — the shared
+    * assignment pass of x80 and x84 (same memoized fit as x10b). */
+  private def coarseIndexed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = Tables.t(s, dir, "embeddings")
     val base = emb.select(col("vec_id"), intMillionths(col("embedding")).as("xi"))
@@ -287,12 +289,17 @@ object Ivf {
       pinnedCodebook(base.select(col("vec_id"), col("xi").as("s")), DefaultNlist)
     }
     require(centroids.length == DefaultNlist,
-      s"x80 needs >= $DefaultNlist embedding rows to pin $DefaultNlist distinct " +
-        s"coarse ranks (got ${centroids.length})")
+      s"pinned clustering needs >= $DefaultNlist embedding rows to pin " +
+        s"$DefaultNlist distinct coarse ranks (got ${centroids.length})")
     val flat = centroids.flatten.toSeq
-    val indexed = base.withColumn("list_id",
+    base.withColumn("list_id",
       element_at(call_function("pq_encode",
         col("xi"), typedLit(flat), lit(1), lit(DefaultNlist)), 1).cast("long"))
+      .select(col("vec_id"), col("list_id"))
+  }
+
+  def topicMix(s: SparkSession, dir: String): DataFrame = {
+    val indexed = coarseIndexed(s, dir)
     val d = Tables.t(s, dir, "documents").select(col("doc_id"),
       size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"),
       Sampling.qualityBpColumn.as("qbp"))
@@ -334,6 +341,62 @@ object Ivf {
          q_min, q_max,
          CAST(id_checksum AS BIGINT) AS id_checksum
        FROM g CROSS JOIN tt ORDER BY list_id"""
+
+  // -------------------------------------------------- topic drift (x84)
+  /** x84: per-cluster membership drift between corpus snapshots — the
+    * re-crawl monitoring view a curation team reads next to x66's
+    * per-doc delta: which SEMANTIC regions of the corpus grew or shrank
+    * since the last snapshot (a crawl that silently lost a topic shows
+    * up here before any downstream eval does). Composition of two
+    * proven parts, both single-sourced: the x66 derived snapshot pair
+    * ([[Curation.snapshotCur]]/[[Curation.snapshotPrev]] — same residue
+    * classes, same legacy-edit convention) and the x80 pinned cluster
+    * assignment ([[coarseIndexed]] — same memoized fit as x10b/x80).
+    * Membership drift only: cluster identity is a function of the
+    * embedding, which the snapshot convention leaves untouched (an
+    * edited doc keeps its cluster; disclosed).
+    *
+    * Scale: the assignment tag is x80's map-only pass; the two
+    * presence flags are doc_id-keyed left joins against id-only frames
+    * (32-byte-per-row exchanges, the x66 discipline); the report agg is
+    * K-bounded. */
+  def topicDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val cur = Curation.snapshotCur(d).select(col("doc_id"))
+      .withColumn("in_new", lit(1L))
+    val prev = Curation.snapshotPrev(d).select(col("doc_id"))
+      .withColumn("in_old", lit(1L))
+    coarseIndexed(s, dir)
+      .join(cur, col("vec_id") === cur("doc_id"), "left").drop("doc_id")
+      .join(prev, col("vec_id") === prev("doc_id"), "left").drop("doc_id")
+      .select(col("list_id"),
+        coalesce(col("in_new"), lit(0L)).as("n"),
+        coalesce(col("in_old"), lit(0L)).as("o"))
+      .groupBy("list_id")
+      .agg(sum("o").as("n_old"), sum("n").as("n_new"),
+        sum(col("n") * (lit(1L) - col("o"))).as("n_added"),
+        sum(col("o") * (lit(1L) - col("n"))).as("n_removed"))
+      .withColumn("net", col("n_new") - col("n_old"))
+      .orderBy("list_id")
+  }
+
+  private def x84Sql: String =
+    s"""WITH $coarseAsgCtes,
+       cur AS (SELECT doc_id FROM documents WHERE doc_id % 31 <> 11),
+       prev AS (SELECT doc_id FROM documents WHERE doc_id % 31 <> 3),
+       fl AS (SELECT a.list_id,
+                CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS n,
+                CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1 END AS o
+              FROM asg a
+              LEFT JOIN cur c ON a.vec_id = c.doc_id
+              LEFT JOIN prev p ON a.vec_id = p.doc_id)
+       SELECT CAST(list_id AS BIGINT) AS list_id,
+         CAST(sum(o) AS BIGINT) AS n_old,
+         CAST(sum(n) AS BIGINT) AS n_new,
+         CAST(sum(n * (1 - o)) AS BIGINT) AS n_added,
+         CAST(sum(o * (1 - n)) AS BIGINT) AS n_removed,
+         CAST(sum(n) - sum(o) AS BIGINT) AS net
+       FROM fl GROUP BY list_id ORDER BY list_id"""
 
   // --------------------------------------------------- PQ / IVFADC (x59)
   /** Product-quantization parameters (Jegou et al. 2011, "Product
@@ -744,6 +807,7 @@ object Ivf {
     QueryDef("x10_ann_ivf_kmeans", searchQuery, None),
     QueryDef("x10b_ann_ivf_pinned", searchPinnedIvfQuery, Some(x10bSql)),
     QueryDef("x80_topic_mix", topicMix, Some(x80Sql)),
+    QueryDef("x84_topic_drift", topicDrift, Some(x84Sql)),
     QueryDef("x59_ann_pq_adc", searchPqQuery, Some(x59Sql)),
     QueryDef("x59b_ann_ivfadc", searchIvfPqQuery, Some(x59bSql)))
 }

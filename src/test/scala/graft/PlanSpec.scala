@@ -730,6 +730,16 @@ class PlanSpec extends SparkSpec {
       s"the K-bounded report agg must map-side combine:\n$p")
   }
 
+  test("x84: drift joins are id-keyed, assignment native, report K-bounded") {
+    val p = plan("x84_topic_drift")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+    assert(p.contains("pq_encode"),
+      s"assignment must be the one-pass native quantizer tag:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"no per-row UDF:\n$p")
+    assert("partial".r.findAllIn(p).size >= 1,
+      s"the K-bounded drift agg must map-side combine:\n$p")
+  }
+
   test("x77: the tertile window partitions by lang, never one global partition") {
     val p = plan("x77_perplexity_bins")
     assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")

@@ -235,6 +235,29 @@ class IvfSpec extends SparkSpec {
       "report must be run-deterministic")
   }
 
+  test("x84: topic drift agrees with the per-doc snapshot diff it summarizes") {
+    val d = Tables.t(spark, sf, "documents")
+    val emb = Tables.t(spark, sf, "embeddings").select(col("vec_id"))
+    val rows = Ivf.topicDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (old, nw, add, rem, net) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(add <= nw && rem <= old && net == nw - old,
+        s"cluster ${r.getLong(0)} drift arithmetic inconsistent: $r")
+    }
+    // Cluster sums must equal the embedded slices of the snapshot sets.
+    def embedded(ids: org.apache.spark.sql.DataFrame): Long =
+      ids.join(emb, ids("doc_id") === emb("vec_id")).count()
+    val curN = embedded(d.filter(col("doc_id") % 31 =!= 11).select("doc_id"))
+    val prevN = embedded(d.filter(col("doc_id") % 31 =!= 3).select("doc_id"))
+    assert(rows.map(_.getLong(2)).sum == curN, "Σ n_new must cover the embedded cur set")
+    assert(rows.map(_.getLong(1)).sum == prevN, "Σ n_old must cover the embedded prev set")
+    // The derived convention populates both directions of drift.
+    assert(rows.map(_.getLong(3)).sum > 0 && rows.map(_.getLong(4)).sum > 0,
+      "added and removed docs must both appear at every SF")
+  }
+
   test("with nprobe = nlist the IVF top-1 equals brute-force top-1") {
     val emb = Tables.t(spark, sf, "embeddings")
     val (model, indexed) = Ivf.build(emb)
