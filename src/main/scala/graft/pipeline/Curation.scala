@@ -338,7 +338,10 @@ object Curation {
     * window on cluster_id (near-dup clusters are small by construction
     * after df-capping, so no whale partitions); the single float is
     * the final 1/n division, rounded 4dp. */
-  def dedupWeights(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, cluster_id, cluster_size) under the B28 near-dup cluster
+    * structure — the shared frame of x75 (weights) and x85 (effective
+    * size). */
+  private def clusterSizes(s: SparkSession, dir: String): DataFrame = {
     val (labels, _) = propagateMinLabels(
       undirectedEdges(Dedup.jaccardPairs(s, dir, ordered = false)))
     docs(s, dir).select("doc_id")
@@ -347,10 +350,14 @@ object Curation {
       .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select("doc_id", "cluster_id", "cluster_size")
+  }
+
+  def dedupWeights(s: SparkSession, dir: String): DataFrame =
+    clusterSizes(s, dir)
       .withColumn("weight", round(lit(1.0) / col("cluster_size"), 4))
       .select("doc_id", "cluster_id", "cluster_size", "weight")
       .orderBy("doc_id")
-  }
 
   /** The undirected-edges + min-label-reachability chain over a `pairs`
     * CTE — the SQL mirror of [[undirectedEdges]]+[[propagateMinLabels]],
@@ -365,18 +372,74 @@ object Curation {
                  UNION
                  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src)"""
 
-  private val x75Sql =
-    s"""WITH RECURSIVE ${Dedup.b28PairCtes},
+  /** The B28 cluster-size chain ending in `sz(doc_id, cluster_id,
+    * cluster_size)` — the SQL mirror of [[clusterSizes]], single source
+    * for the x75 AND x85 oracles. */
+  private lazy val clusterSizeCtes =
+    s"""${Dedup.b28PairCtes},
        $edgesReachCtes,
        cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
        lab AS (SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id
                FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
        sz AS (SELECT doc_id, cluster_id,
                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-              FROM lab)
+              FROM lab)"""
+
+  private lazy val x75Sql =
+    s"""WITH RECURSIVE $clusterSizeCtes
        SELECT doc_id, cluster_id, cluster_size,
               round(1.0 / cluster_size, 4) AS weight
        FROM sz ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x85
+  /** Effective (dedup-adjusted) dataset size per source — the "unique
+    * data" accounting of Muennighoff et al. 2023 turned into the
+    * operating metric a budget owner reads: raw token mass vs the mass
+    * that remains when each B28 near-dup cluster contributes one doc's
+    * worth (x75's 1/n law), plus the realized duplication savings.
+    * A source whose raw mass looks rich but whose effective mass is
+    * thin is a re-crawl, not new data.
+    *
+    * All-integer: the per-doc weight is basis points by rounding-to-
+    * nearest in pure integer form, wbp = (2·10⁴ + n) div 2n — the same
+    * 1/n law as x75's float weight (CurationSpec pins the agreement),
+    * and every aggregate is a BIGINT sum. Bound, disclosed: Σ n_tok·10⁴
+    * per source must stay under 2⁶³ → ~9·10¹⁴ tokens per source, ~300×
+    * past the 100 TB regime (the x73 cast discipline).
+    *
+    * Scale: x16's propagation loop + one doc-keyed join + a
+    * \|sources\|-bounded partial+final agg. */
+  def effectiveSize(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"))
+    d.join(clusterSizes(s, dir).select("doc_id", "cluster_size"), Seq("doc_id"))
+      .withColumn("wbp", expr("(20000 + cluster_size) div (2 * cluster_size)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("raw_tokens"),
+        sum("wbp").as("eff_docs_bp"),
+        sum(expr("wbp * n_tok")).as("eff_tok_bp"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("eff_docs_bp"),
+        expr("eff_tok_bp div 10000").as("eff_tokens"),
+        expr("10000 - eff_tok_bp div raw_tokens").as("savings_bp"))
+      .orderBy("source")
+  }
+
+  private lazy val x85Sql =
+    s"""WITH RECURSIVE $clusterSizeCtes,
+       d AS (SELECT doc_id, source,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+       j AS (SELECT d.source, d.n_tok,
+               (20000 + s.cluster_size) // (2 * s.cluster_size) AS wbp
+             FROM d JOIN sz s USING (doc_id))
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+         CAST(sum(wbp) AS BIGINT) AS eff_docs_bp,
+         CAST(sum(wbp * n_tok) // 10000 AS BIGINT) AS eff_tokens,
+         CAST(10000 - sum(wbp * n_tok) // sum(n_tok) AS BIGINT) AS savings_bp
+       FROM j GROUP BY source ORDER BY source"""
 
   // ---------------------------------------------------------------- x37
   /** Cluster-aware survivor selection: x16's components with the survivor
@@ -2990,6 +3053,7 @@ object Curation {
       (s, d) => shardPackStrataManifest(s, d), Some(x15dSql(20000))),
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
     QueryDef("x75_dedup_weights", dedupWeights, Some(x75Sql)),
+    QueryDef("x85_effective_size", effectiveSize, Some(x85Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
     QueryDef("x74_source_overlap", (s, d) => sourceOverlap(s, d), Some(x74Sql())),

@@ -765,6 +765,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the per-doc top-k window:\n$p")
   }
 
+  test("x85: effective-size agg map-side combines; the size window is cluster-keyed") {
+    val p = plan("x85_effective_size")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"the 1/n basis-point weight is pure integer expr, no UDF:\n$p")
+    assert("partial".r.findAllIn(p).size >= 1,
+      s"the |sources|-bounded agg must map-side combine:\n$p")
+    // The cluster-size window partitions by cluster_id; the only
+    // SinglePartition tolerable is a scalar reduce, and x85 has none
+    // feeding a Window or Sort.
+    val sections = p.split("\n\n")
+    sections.zipWithIndex.filter(_._1.contains("SinglePartition")).foreach {
+      case (_, i) =>
+        val consumer = sections.lift(i + 1).getOrElse("")
+        assert(!consumer.contains("Window") && !consumer.contains("Sort"),
+          s"no corpus-wide single-partition window/sort:\n$consumer")
+    }
+  }
+
   test("x74b: the sketch runs on the one checkpointed shingle-hash stream") {
     val p = plan("x74b_source_overlap_sketch")
     assert(!p.contains("Scan parquet"),

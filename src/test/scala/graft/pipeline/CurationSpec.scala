@@ -1017,6 +1017,50 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x85 effective size: per-source accounting agrees with x75's weights") {
+    val rows = Curation.effectiveSize(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val srcs = graft.Tables.t(spark, sf, "documents")
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    assert(rows.map(_._1).toSeq == srcs.toSeq,
+      "one row per source, every source present, source-ordered")
+    // Ground truth from the x75 frame: wbp must be the integer
+    // round-half-up of 10000/cluster_size — i.e. round(weight * 1e4).
+    val w = Curation.dedupWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val docSrc = graft.Tables.t(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), Option(r.getAs[String]("text")).getOrElse("")))
+      .toMap
+    val expected = docSrc.toSeq.groupBy(_._2._1).map { case (src, ds) =>
+      val toks = ds.map { case (_, (_, t)) => t.split(" ", -1).length.toLong }
+      val wbps = ds.map { case (id, _) =>
+        val n = w(id)._1; (20000L + n) / (2L * n)
+      }
+      val effTokBp = ds.zip(wbps).map { case ((_, (_, t)), bp) =>
+        bp * t.split(" ", -1).length
+      }.sum
+      src -> (ds.size.toLong, toks.sum, wbps.sum, effTokBp / 10000L,
+        10000L - effTokBp / toks.sum)
+    }
+    rows.foreach { case (src, nd, raw, effD, effT, sav) =>
+      val (end, eraw, eeffD, eeffT, esav) = expected(src)
+      assert((nd, raw, effD, effT, sav) == (end, eraw, eeffD, eeffT, esav),
+        s"source $src: got ($nd,$raw,$effD,$effT,$sav) want ($end,$eraw,$eeffD,$eeffT,$esav)")
+      assert(effT <= raw && sav >= 0 && sav <= 10000,
+        s"source $src: effective mass must not exceed raw ($effT vs $raw, sav=$sav)")
+      // wbp is exactly round(weight*1e4): singleton clusters keep full mass.
+      assert(effD <= nd * 10000,
+        s"source $src: eff_docs_bp $effD cannot exceed $nd docs' full mass")
+    }
+    // The 1/n law: wbp == round(x75 float weight * 1e4) for every doc.
+    w.foreach { case (id, (n, wt)) =>
+      assert((20000L + n) / (2L * n) == math.round(wt * 10000),
+        s"doc $id: integer wbp disagrees with x75's rounded weight")
+    }
+  }
+
   test("x74b sketch: complete matrix, estimates inside the minhash error band") {
     val rows = Curation.sourceOverlapSketch(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
