@@ -356,24 +356,30 @@ object Sampling {
   /** The apportionment math as a WITH-body suffix over an `avail(lang,
     * avail_tokens)` CTE the caller supplies — x55/x55b prepend the
     * whitespace-token availability, x56b ([[Bpe]]) the subword one. */
-  private[pipeline] val apportionMathCtes =
-    s"""tot AS (SELECT sum(avail_tokens) AS total_tokens FROM avail),
-       q AS (SELECT lang, avail_tokens,
+  private[pipeline] val apportionMathCtes = apportionMathCtesFor("")
+
+  /** [[apportionMathCtes]] with every CTE name suffixed, so ONE oracle
+    * can run the Hamilton machinery twice (x86 apportions the same
+    * probability budget under two weight laws); reads `avail$suffix`,
+    * ends in `alloc$suffix`. */
+  private[pipeline] def apportionMathCtesFor(suffix: String): String =
+    s"""tot$suffix AS (SELECT sum(avail_tokens) AS total_tokens FROM avail$suffix),
+       q$suffix AS (SELECT lang, avail_tokens,
                -- CAST: the BIGINT product widens to HUGEINT, which pandas
                -- reads as float64 and desyncs the dtype compare.
                CAST(($ApportionBudget * avail_tokens) // total_tokens AS BIGINT)
                  AS floor_quota,
                CAST(($ApportionBudget * avail_tokens) % total_tokens AS BIGINT)
                  AS remainder
-             FROM avail CROSS JOIN tot),
-       r AS (SELECT *,
+             FROM avail$suffix CROSS JOIN tot$suffix),
+       r$suffix AS (SELECT *,
                CAST(row_number() OVER (ORDER BY remainder DESC, lang) AS BIGINT) AS rem_rank,
                $ApportionBudget - sum(floor_quota) OVER () AS leftover
-             FROM q),
-       alloc AS (SELECT lang, avail_tokens, floor_quota, remainder,
+             FROM q$suffix),
+       alloc$suffix AS (SELECT lang, avail_tokens, floor_quota, remainder,
            CAST(floor_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT)
              AS alloc_tokens
-         FROM r)"""
+         FROM r$suffix)"""
 
   private val apportionCtes =
     s"""WITH avail AS (SELECT lang,
@@ -451,6 +457,77 @@ object Sampling {
               CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
               CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
        FROM c GROUP BY lang ORDER BY lang"""
+
+  // ---------------------------------------------------------------- x86
+  /** x86 — temperature-scaled source sampling: the α-sampling law of
+    * multilingual pretraining (Lample & Conneau 2019 §3.1; mT5's
+    * UNIMAX lineage) with α = 1/2 — sampling mass q_s ∝ n_s^α flattens
+    * the natural distribution toward uniform so low-resource sources
+    * are seen more than their raw share without drowning the big ones.
+    * x23 hand-sets mixture weights; x86 DERIVES them from corpus
+    * statistics under the published law.
+    *
+    * Engine-exact despite the fractional exponent: α = 1/2 makes
+    * n^α an INTEGER sqrt — computed as float sqrt plus a ±1 integer
+    * fixup against s² ≤ n < (s+1)², so IEEE rounding can never decide
+    * a digit (n < 2⁵⁰ keeps double sqrt within 1 ulp, the fixup
+    * absorbs it). Both probability vectors (tempered and natural) are
+    * normalized by the SAME Hamilton largest-remainder machinery as
+    * x55 ([[budgetApportionOf]] — single-sourced), so each sums to
+    * exactly [[ApportionBudget]] with no float division anywhere;
+    * boost_bp = q·10⁴ div max(p,1) is the realized up/down-sampling
+    * factor per source (smallest source > 10⁴ > largest, the
+    * flattening direction SamplingSpec gates).
+    *
+    * Scale: ONE corpus partial+final agg on source (checkpointed for
+    * its two consumers — the plan carries no second scan); everything
+    * after runs on |sources| rows. */
+  def temperatureSampling(s: SparkSession, dir: String): DataFrame = {
+    val base = Checkpoints.stable(
+      docs(s, dir).groupBy(col("source").as("lang"))
+        .agg(sum(size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long")).as("n_tok")))
+    val sq = base
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT)"))
+      .withColumn("sqrt_tok", expr(
+        """CASE WHEN (s0 + 1) * (s0 + 1) <= n_tok THEN s0 + 1
+                WHEN s0 * s0 > n_tok THEN s0 - 1 ELSE s0 END"""))
+      .drop("s0")
+    val tempered = budgetApportionOf(
+      sq.select(col("lang"), col("sqrt_tok").as("avail_tokens")))
+      .select(col("lang"), col("alloc_tokens").as("p_alpha"))
+    val natural = budgetApportionOf(
+      base.select(col("lang"), col("n_tok").as("avail_tokens")))
+      .select(col("lang"), col("alloc_tokens").as("p_natural"))
+    sq.join(tempered, Seq("lang")).join(natural, Seq("lang"))
+      .select(col("lang").as("source"), col("n_tok"), col("sqrt_tok"),
+        col("p_alpha"), col("p_natural"),
+        expr("(p_alpha * 10000) div greatest(p_natural, 1L)").as("boost_bp"))
+      .orderBy("source")
+  }
+
+  private lazy val x86Sql =
+    s"""WITH base AS (SELECT source AS lang,
+           CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tok
+         FROM documents GROUP BY source),
+       sq AS (SELECT lang, n_tok,
+           CASE WHEN (s0 + 1) * (s0 + 1) <= n_tok THEN s0 + 1
+                WHEN s0 * s0 > n_tok THEN s0 - 1 ELSE s0 END AS sqrt_tok
+         FROM (SELECT lang, n_tok,
+                 CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS s0
+               FROM base)),
+       avail AS (SELECT lang, sqrt_tok AS avail_tokens FROM sq),
+       ${apportionMathCtesFor("")},
+       availn AS (SELECT lang, n_tok AS avail_tokens FROM base),
+       ${apportionMathCtesFor("n")}
+       SELECT sq.lang AS source, n_tok, sqrt_tok,
+         a.alloc_tokens AS p_alpha,
+         an.alloc_tokens AS p_natural,
+         CAST((a.alloc_tokens * 10000) // greatest(an.alloc_tokens, 1) AS BIGINT)
+           AS boost_bp
+       FROM sq JOIN alloc a ON sq.lang = a.lang
+         JOIN allocn an ON sq.lang = an.lang
+       ORDER BY source"""
 
   // ---------------------------------------------------------------- x73
   /** Epoch cap: repeating data past ~4 epochs adds almost no value
@@ -658,6 +735,7 @@ object Sampling {
     QueryDef("x22b_source_budget_scalable",
       (s, d) => sourceBudgetSelectScalable(s, d), Some(x22Sql(800L))),
     QueryDef("x23_mixture", mixtureMaterialize, Some(x23Sql)),
+    QueryDef("x86_temperature_sampling", temperatureSampling, Some(x86Sql)),
     QueryDef("x41_source_cap", (s, d) => sourceCapByQuality(s, d),
       Some(x41Sql(DefaultSourceCap))),
     QueryDef("x41b_source_cap_scalable",

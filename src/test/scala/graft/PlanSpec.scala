@@ -675,6 +675,20 @@ class PlanSpec extends SparkSpec {
       s"the 1-row total joins via broadcast, not a product:\n$p")
   }
 
+  test("x86: both apportionments read the one checkpointed source agg") {
+    val p = plan("x86_temperature_sampling")
+    // The per-source agg is checkpointed for its two consumers: a
+    // parquet scan in the registered plan means one of them rebuilt
+    // the corpus subtree and the corpus would be read twice at 100 TB.
+    assert(!p.contains("Scan parquet"),
+      s"the corpus agg must be materialized once:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total joins via broadcast, not a product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"the isqrt fixup is a pure integer CASE, no UDF:\n$p")
+    assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
+  }
+
   test("x74: all four consumers read the one materialized shingle frame") {
     val p = plan("x74_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

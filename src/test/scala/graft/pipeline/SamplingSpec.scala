@@ -49,6 +49,40 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq)
   }
 
+  test("x86: exact integer sqrt, both pmfs sum to the budget, boost flattens") {
+    val rows = Sampling.temperatureSampling(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nSrc = graft.Tables.t(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSrc, "one row per source")
+    rows.foreach { case (src, n, s, _, _, _) =>
+      assert(s * s <= n && n < (s + 1) * (s + 1),
+        s"$src: sqrt_tok $s is not the integer sqrt of $n")
+    }
+    // Both probability vectors are exact pmfs over the budget.
+    assert(rows.map(_._4).sum == Sampling.ApportionBudget,
+      "tempered masses must sum to the budget exactly")
+    assert(rows.map(_._5).sum == Sampling.ApportionBudget,
+      "natural masses must sum to the budget exactly")
+    // The flattening direction of alpha < 1: the smallest source is
+    // upsampled past parity, the largest downsampled below it, and the
+    // tempered vector's spread never exceeds the natural one's.
+    val smallest = rows.minBy(_._2); val largest = rows.maxBy(_._2)
+    assert(smallest._6 > 10000,
+      s"smallest source ${smallest._1} must be boosted: ${smallest._6} bp")
+    assert(largest._6 < 10000,
+      s"largest source ${largest._1} must be shrunk: ${largest._6} bp")
+    val spreadA = rows.map(_._4).max - rows.map(_._4).min
+    val spreadN = rows.map(_._5).max - rows.map(_._5).min
+    assert(spreadA <= spreadN,
+      s"alpha=1/2 must compress the distribution: $spreadA vs $spreadN")
+    // boost is exactly q*1e4 div p.
+    rows.foreach { case (src, _, _, q, p, b) =>
+      assert(b == q * 10000L / math.max(p, 1L), s"$src: boost law violated")
+    }
+  }
+
   test("x55b: carve-out respects each allocation within one doc's overshoot") {
     val perLangMax = Tables.t(spark, sf, "documents")
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
