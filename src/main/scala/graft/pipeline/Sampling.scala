@@ -529,6 +529,93 @@ object Sampling {
          JOIN allocn an ON sq.lang = an.lang
        ORDER BY source"""
 
+  // ---------------------------------------------------------------- x87
+  /** x87 — UNIMAX budget allocation (Chung et al., ICLR 2023): the
+    * successor to x86's α-sampling for a FIXED total budget. Uniform
+    * share for every language, except a language whose full corpus ×
+    * epoch cap cannot absorb its share gets capped at that capacity
+    * and the surplus waterfills the rest — fairer than any power law
+    * at the low-resource end while never repeating a language past
+    * [[MaxEpochs]] (the same cap x73 uses; paper budgets characters,
+    * this engine's unit is whitespace tokens — disclosed).
+    *
+    * The sequential waterfill has a closed form under ascending caps:
+    * with languages sorted by capacity (ties by lang) and prefix_i the
+    * running capacity mass, language i is capped iff
+    * cap_i·(L−i+1) + prefix_{i−1} < B — the condition is monotone in i
+    * (cap_{i+1}·(L−i) < cap_i·(L−i) would need cap_{i+1} < cap_i), so
+    * the capped set is exactly the sorted prefix and ONE window pass
+    * decides it; water = (B − capped mass) div (survivors), with the
+    * mod-remainder granted +1 to the smallest-capacity survivors so
+    * Σ alloc ≡ B exactly (the x55 exactness contract, x22's exclusive-
+    * prefix spirit). B = 3·Σn keeps the budget scale-relative and —
+    * since Σcap = 4·Σn > B — provably leaves the largest language
+    * uncapped, so the water divisor can never hit zero.
+    *
+    * All BIGINT; epochs_bp = alloc·10⁴ div n ≤ 4·10⁴ rides far under
+    * the x73 overflow bound. Scale: ONE corpus partial+final agg on
+    * lang (checkpointed for its two consumers); the window and the
+    * 2-row reduction run on |langs| rows. */
+  def unimaxAllocation(s: SparkSession, dir: String): DataFrame = {
+    val base = Checkpoints.stable(
+      docs(s, dir).groupBy("lang")
+        .agg(sum(size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long")).as("n_tok")))
+    val tot = base.agg(sum("n_tok").as("total_tok"),
+      count(lit(1)).cast("long").as("n_langs"))
+    val ord = Window.orderBy(col("cap"), col("lang"))
+    val f = base.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("3 * total_tok"))
+      .withColumn("cap", expr(s"n_tok * $MaxEpochs"))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("prefix", coalesce(
+        sum("cap").over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped", expr("cap * (n_langs - i + 1) + prefix < budget"))
+    val sums = f.agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("capped_mass"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("k"))
+    f.crossJoin(broadcast(sums))
+      .withColumn("water", expr("(budget - capped_mass) div (n_langs - k)"))
+      .withColumn("extra", expr("(budget - capped_mass) % (n_langs - k)"))
+      .withColumn("alloc_tokens", expr(
+        "CASE WHEN capped THEN cap ELSE water + (CASE WHEN i - k <= extra THEN 1 ELSE 0 END) END"))
+      .select(col("lang"), col("n_tok"), col("cap").as("cap_tokens"),
+        col("capped"), col("alloc_tokens"),
+        expr("(alloc_tokens * 10000) div n_tok").as("epochs_bp"))
+      .orderBy("lang")
+  }
+
+  private lazy val x87Sql =
+    s"""WITH base AS (SELECT lang,
+           CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tok
+         FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok,
+                      count(*) AS n_langs FROM base),
+       f AS (SELECT lang, n_tok, 3 * total_tok AS budget, n_langs,
+               n_tok * $MaxEpochs AS cap,
+               CAST(row_number() OVER (ORDER BY n_tok * $MaxEpochs, lang) AS BIGINT) AS i,
+               CAST(coalesce(sum(n_tok * $MaxEpochs) OVER (
+                 ORDER BY n_tok * $MaxEpochs, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS prefix
+             FROM base CROSS JOIN tot),
+       c AS (SELECT *, cap * (n_langs - i + 1) + prefix < budget AS capped FROM f),
+       s AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT)
+                      AS capped_mass,
+                    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k
+             FROM c)
+       SELECT lang, n_tok, CAST(cap AS BIGINT) AS cap_tokens, capped,
+         CAST(CASE WHEN capped THEN cap
+              ELSE (budget - capped_mass) // (n_langs - k)
+                   + (CASE WHEN i - k <= (budget - capped_mass) % (n_langs - k)
+                      THEN 1 ELSE 0 END) END AS BIGINT) AS alloc_tokens,
+         CAST((CASE WHEN capped THEN cap
+              ELSE (budget - capped_mass) // (n_langs - k)
+                   + (CASE WHEN i - k <= (budget - capped_mass) % (n_langs - k)
+                      THEN 1 ELSE 0 END) END * 10000) // n_tok AS BIGINT) AS epochs_bp
+       FROM c CROSS JOIN s
+       ORDER BY lang"""
+
   // ---------------------------------------------------------------- x73
   /** Epoch cap: repeating data past ~4 epochs adds almost no value
     * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
@@ -736,6 +823,7 @@ object Sampling {
       (s, d) => sourceBudgetSelectScalable(s, d), Some(x22Sql(800L))),
     QueryDef("x23_mixture", mixtureMaterialize, Some(x23Sql)),
     QueryDef("x86_temperature_sampling", temperatureSampling, Some(x86Sql)),
+    QueryDef("x87_unimax_alloc", unimaxAllocation, Some(x87Sql)),
     QueryDef("x41_source_cap", (s, d) => sourceCapByQuality(s, d),
       Some(x41Sql(DefaultSourceCap))),
     QueryDef("x41b_source_cap_scalable",

@@ -689,6 +689,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
   }
 
+  test("x87: the waterfill windows the lang frame, never the corpus") {
+    val p = plan("x87_unimax_alloc")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus agg must be materialized once for its two consumers:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 2-row totals join via broadcast, not a product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"the closed-form waterfill is pure integer expr, no UDF:\n$p")
+    assert(p.contains("Window"), s"expected the capacity-prefix window:\n$p")
+  }
+
   test("x74: all four consumers read the one materialized shingle frame") {
     val p = plan("x74_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

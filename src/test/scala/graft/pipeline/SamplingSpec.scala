@@ -83,6 +83,50 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("x87: closed-form waterfill equals the sequential UNIMAX algorithm") {
+    val rows = Sampling.unimaxAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5)))
+    val totalTok = rows.map(_._2).sum
+    val budget = 3 * totalTok
+    assert(rows.map(_._5).sum == budget,
+      s"allocations must consume the budget exactly: ${rows.map(_._5).sum} vs $budget")
+    rows.foreach { case (lang, n, cap, capped, alloc, ebp) =>
+      assert(cap == n * Sampling.MaxEpochs, s"$lang: cap law")
+      assert(alloc <= cap, s"$lang: alloc $alloc exceeds capacity $cap")
+      if (capped) assert(alloc == cap, s"$lang: capped but not at capacity")
+      assert(ebp == alloc * 10000L / n && ebp <= Sampling.MaxEpochs * 10000L,
+        s"$lang: epoch accounting")
+    }
+    // Both branches must be exercised at this SF or the test is vacuous.
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "fixture must exercise capped AND uncapped languages")
+    // Uncapped shares are uniform within the 1-token remainder grant.
+    val un = rows.filterNot(_._4).map(_._5)
+    assert(un.max - un.min <= 1, s"waterfill shares must be uniform: $un")
+    // Ground truth: run the PAPER's sequential waterfill and compare.
+    var remaining = rows.sortBy(r => (r._3, r._1)).toList
+    var b = budget
+    val seq = scala.collection.mutable.Map[String, Long]()
+    while (remaining.nonEmpty) {
+      val share = b / remaining.length
+      remaining.find(_._3 < share) match {
+        case Some(r) =>
+          seq(r._1) = r._3; b -= r._3; remaining = remaining.filterNot(_ == r)
+        case None =>
+          val m = remaining.length; val w = b / m; val extra = b % m
+          remaining.zipWithIndex.foreach { case (r, j) =>
+            seq(r._1) = w + (if (j < extra) 1L else 0L)
+          }
+          remaining = Nil
+      }
+    }
+    rows.foreach { case (lang, _, _, _, alloc, _) =>
+      assert(seq(lang) == alloc,
+        s"$lang: closed form $alloc != sequential waterfill ${seq(lang)}")
+    }
+  }
+
   test("x55b: carve-out respects each allocation within one doc's overshoot") {
     val perLangMax = Tables.t(spark, sf, "documents")
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
