@@ -1770,6 +1770,95 @@ object Curation {
               coalesce(cl.clean_text, '') AS clean_text
        FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x88
+  /** x88 — CCNet's cleaning applied at LINE granularity: score every
+    * line of the [[multiLineDocs]] corpus with a corpus-trained unigram
+    * LM (the x28 scoring law over line tokens) and strip lines whose
+    * mean token cost exceeds 1.5× the corpus-wide mean — boilerplate
+    * survives (its tokens are corpus-frequent, cheap), rare-token noise
+    * lines go. Wenzek et al. 2020 §4.3 score PARAGRAPHS with a
+    * KenLM; the granularity is theirs, the LM is the engine's own
+    * corpus unigram model (disclosed), which makes the filter fully
+    * self-contained — no external model artifact at 100 TB.
+    *
+    * Cross-engine determinism: the cutoff is computed from the
+    * VOCABULARY-sized LM frame (Σcf·ln p/Σcf — identical value to the
+    * token-instance mean, but the same summation shape in both engines),
+    * rounded 4dp like every per-line score (the x28 ln-parity
+    * precedent); ties at the cutoff KEEP the line (strict >), and a
+    * token-free line (blank) has no score and is kept verbatim — the
+    * x69 NULL discipline.
+    *
+    * Scale: the line frame is checkpointed once for its two consumers
+    * (token chain + final keep join); the LM is the x28 shuffle chain
+    * (explode → two partial+final aggs), the cutoff a 1-row broadcast,
+    * the keep decision map-only, reassembly one doc-keyed agg. The
+    * corpus is scanned once into the checkpoint plus once for the
+    * null-safe audit roster. */
+  def paragraphLmStrip(s: SparkSession, dir: String): DataFrame = {
+    val md = multiLineDocs(docs(s, dir))
+    val lines = Checkpoints.stable(md.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line"))))
+    val ptok = lines
+      .select(col("doc_id"), col("pos"), explode(split(col("line"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "pos", "tok").agg(count(lit(1)).as("c"))
+    val lm = ptok.groupBy("tok").agg(sum("c").as("cf"))
+    val total = lm.agg(sum("cf").as("n_total"))
+    val lmp = lm.crossJoin(broadcast(total))
+      .select(col("tok"), col("cf"),
+        log(col("cf").cast("double") / col("n_total")).as("lp"))
+    val cut = lmp.agg(
+      round(lit(-1.5) * sum(col("cf") * col("lp")) / sum("cf"), 4).as("cutoff"))
+    val sc = ptok.join(lmp.select("tok", "lp"), "tok")
+      .groupBy("doc_id", "pos")
+      .agg(round(-sum(col("c") * col("lp")) / sum("c"), 4).as("score"))
+    val kept = lines.join(sc, Seq("doc_id", "pos"), "left")
+      .crossJoin(broadcast(cut))
+      .filter(col("score").isNull || !(col("score") > col("cutoff")))
+      .select(col("doc_id"), col("pos"), col("line"))
+    val cleaned = reassemble(kept, "pos", "line", "\n")
+    md.select(col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), "\n")).cast("long")).as("n_lines"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept0"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept0"), lit(0L))).as("n_removed"),
+        coalesce(col("clean0"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val x88Sql =
+    s"""WITH $mdCte,
+       t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM md),
+       lns AS (SELECT doc_id, i AS pos, lines[i+1] AS line
+               FROM t, unnest(generate_series(0, len(lines) - 1)) u(i)),
+       ptok AS (SELECT doc_id, pos, tok, count(*) AS c
+                FROM (SELECT doc_id, pos, unnest(string_split(line, ' ')) AS tok
+                      FROM lns)
+                WHERE tok <> '' GROUP BY doc_id, pos, tok),
+       lm AS (SELECT tok, sum(c) AS cf FROM ptok GROUP BY tok),
+       tot AS (SELECT sum(cf) AS n_total FROM lm),
+       lmp AS (SELECT tok, cf,
+                 ln(CAST(cf AS DOUBLE) / (SELECT n_total FROM tot)) AS lp
+               FROM lm),
+       cut AS (SELECT round(-1.5 * sum(cf * lp) / sum(cf), 4) AS cutoff FROM lmp),
+       sc AS (SELECT doc_id, pos, round(-sum(c * lp) / sum(c), 4) AS score
+              FROM ptok JOIN lmp USING (tok) GROUP BY doc_id, pos),
+       kept AS (SELECT l.doc_id, l.pos, l.line
+                FROM lns l LEFT JOIN sc USING (doc_id, pos)
+                WHERE sc.score IS NULL OR NOT sc.score > (SELECT cutoff FROM cut)),
+       cl AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id),
+       nl AS (SELECT doc_id, CAST(coalesce(len(lines), 0) AS BIGINT) AS n_lines FROM t)
+       SELECT nl.doc_id, nl.n_lines,
+              coalesce(cl.n_kept, 0) AS n_kept,
+              nl.n_lines - coalesce(cl.n_kept, 0) AS n_removed,
+              coalesce(cl.clean_text, '') AS clean_text
+       FROM nl LEFT JOIN cl USING (doc_id) ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- x79
   /** C4 heuristic cleaning battery (Raffel et al. 2020 §2.2 — the
     * "Colossal Clean Crawled Corpus" recipe), the most-cited published
@@ -3068,6 +3157,7 @@ object Curation {
     QueryDef("x48_decon_strip", deconStripQuery, Some(x48Sql)),
     QueryDef("x30_line_dedup", lineDedup, Some(x30Sql)),
     QueryDef("x30b_line_dedup_newline", lineDedupNewline, Some(x30bSql)),
+    QueryDef("x88_paragraph_lm_strip", paragraphLmStrip, Some(x88Sql)),
     QueryDef("x79_c4_rules", c4Clean, Some(x79Sql)),
     QueryDef("x39_intradoc_dedup", intraDocDedup, Some(x39Sql)),
     QueryDef("x39b_intradoc_dedup_newline", intraDocDedupNewline, Some(x39bSql)),

@@ -809,6 +809,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x88: the LM chain runs on the one checkpointed line frame") {
+    val p = plan("x88_paragraph_lm_strip")
+    // The line frame is checkpointed for its two consumers; the only
+    // parquet scan left is the null-safe audit roster (2 columns).
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
+      s"line frame must not be rebuilt from the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row cutoff joins via broadcast, not a product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"no per-row UDF:\n$p")
+    assert("partial".r.findAllIn(p).size >= 1,
+      s"the LM aggs must map-side combine:\n$p")
+  }
+
   test("x74b: the sketch runs on the one checkpointed shingle-hash stream") {
     val p = plan("x74b_source_overlap_sketch")
     assert(!p.contains("Scan parquet"),

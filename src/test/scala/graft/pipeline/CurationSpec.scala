@@ -1061,6 +1061,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x88 LM line strip: conservation, liveness both ways, ordered subsequence") {
+    val md = Curation.multiLineDocs(graft.Tables.t(spark, sf, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Curation.paragraphLmStrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.length == md.size, "every document must appear in the audit")
+    rows.foreach { case (id, n, k, rm, clean) =>
+      assert(k + rm == n, s"doc $id: kept $k + removed $rm != $n lines")
+      val cleanLines = if (clean.isEmpty) Array.empty[String] else clean.split("\n", -1)
+      assert(cleanLines.length == k, s"doc $id: clean_text carries ${cleanLines.length} lines, audit says $k")
+      // Kept lines must be an ORDERED SUBSEQUENCE of the original doc.
+      val orig = md(id).split("\n", -1)
+      var j = 0
+      cleanLines.foreach { l =>
+        while (j < orig.length && orig(j) != l) j += 1
+        assert(j < orig.length, s"doc $id: kept line not in source order: '$l'")
+        j += 1
+      }
+    }
+    // The filter is live in both directions: rare-token lines strip
+    // (the per-source header is exactly such a line), frequent-token
+    // body survives — neither all-pass nor all-drop.
+    val totalRemoved = rows.map(_._4).sum
+    val totalKept = rows.map(_._3).sum
+    assert(totalRemoved > 0, "the 1.5x-mean cutoff must strip something")
+    assert(totalKept > totalRemoved, "most lines are ordinary and must survive")
+    // Deterministic: a second run reproduces the audit exactly.
+    val again = Curation.paragraphLmStrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(again.toSeq == rows.map(r => (r._1, r._3, r._5)).toSeq)
+  }
+
   test("x74b sketch: complete matrix, estimates inside the minhash error band") {
     val rows = Curation.sourceOverlapSketch(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
