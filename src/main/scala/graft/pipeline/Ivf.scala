@@ -652,7 +652,7 @@ object Ivf {
     (1 to n).map(i =>
       s"($a[${offA + i}]-$b[${offB + i}])*($a[${offA + i}]-$b[${offB + i}])")
       .mkString(" + ")
-  private def dotS(a: String, b: String, n: Int, offA: Int = 0, offB: Int = 0): String =
+  private[pipeline] def dotS(a: String, b: String, n: Int, offA: Int = 0, offB: Int = 0): String =
     (1 to n).map(i => s"$a[${offA + i}]*$b[${offB + i}]").mkString(" + ")
 
   /** The per-subspace CTE chain mirroring [[pinnedCodebook]] +

@@ -967,7 +967,114 @@ object Similarity {
        SELECT q_id, rank, vec_id, cosine FROM r
        WHERE rank <= $AnnBatchK ORDER BY q_id, rank"""
 
+  // ---------------------------------------------------------------- x89
+  /** Margin threshold in basis points: a pair is mined only when its
+    * affinity beats its two neighborhoods' average (margin > 1.0 —
+    * Artetxe & Schwenk's "ratio" criterion at the canonical cutoff). */
+  val BitextMarginBp = 10000L
+  /** Neighborhood size for the margin denominator (k in the paper). */
+  val BitextK = 4
+
+  /** x89 — bitext margin mining (Artetxe & Schwenk 2019; the CCMatrix
+    * pipeline, Schwenk et al. 2021): align each English document with
+    * its best candidate in every other language by the RATIO margin
+    * score(x,y) = a(x,y) / (avg top-k a(x,·)/2 + avg top-k a(·,y)/2) —
+    * raw affinity alone over-selects hub vectors; dividing by the two
+    * local neighborhoods cancels hubness, the paper's core finding.
+    *
+    * Engine-exact: affinities are BIGINT dots over integer-millionths
+    * vectors (the x52/x60 discipline), and the margin is the pure
+    * integer rational a·2·kx·ky·10⁴ div (A·ky + B·kx) — no float, no
+    * sqrt, so no rounding convention anywhere (margins compare within
+    * en↔L, where the shared-norm cancellation makes dot ordering the
+    * cosine ordering up to per-doc norm variance — disclosed). Every
+    * branch is restricted to a(x,y) > 0 and a positive denominator
+    * before the division, so Spark's truncating `div` and DuckDB's
+    * flooring `//` agree. Overflow envelope, disclosed: the numerator
+    * fits BIGINT for L2-normalized embeddings (dot ≤ 10¹²) and up to
+    * per-component |x| ≤ 0.6 unnormalized; ANSI throws loudly beyond.
+    *
+    * Scale: candidates are LABEL-cell equi-joins (the b29b/x52b at-rest
+    * IVF-list surface — CCMatrix itself mines inside FAISS IVF cells),
+    * never a corpus product; the joined-lang frame and the candidate
+    * frame are each checkpointed once for their multiple consumers;
+    * neighborhoods are (src,lang)- and dst-keyed top-k windows over
+    * candidates; the best-pair cut is one more bounded window. */
+  def bitextMarginMining(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      graft.pipeline.Ivf.intMillionths(col("embedding")).as("xi"))
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val v = Checkpoints.stable(
+      e.join(d, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("label"), col("lang"), col("xi")))
+    val en = v.filter(col("lang") === "en")
+      .select(col("vec_id").as("src"), col("label"), col("xi").as("xa"))
+    val xx = v.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("dst"), col("lang").as("dst_lang"),
+        col("label"), col("xi").as("xb"))
+    val cand = Checkpoints.stable(en.join(xx, Seq("label"))
+      .select(col("src"), col("dst"), col("dst_lang"),
+        aggregate(zip_with(col("xa"), col("xb"), (p, q) => p * q),
+          lit(0L), (acc, t) => acc + t).as("dt")))
+    val wS = Window.partitionBy("src", "dst_lang")
+      .orderBy(col("dt").desc, col("dst"))
+    val nns = cand.withColumn("r", row_number().over(wS))
+      .filter(col("r") <= BitextK)
+      .groupBy("src", "dst_lang")
+      .agg(sum("dt").as("an"), count(lit(1)).as("kx"))
+    val wD = Window.partitionBy("dst").orderBy(col("dt").desc, col("src"))
+    val nnd = cand.withColumn("r", row_number().over(wD))
+      .filter(col("r") <= BitextK)
+      .groupBy("dst").agg(sum("dt").as("bn"), count(lit(1)).as("ky"))
+    val m = cand.join(nns, Seq("src", "dst_lang")).join(nnd, Seq("dst"))
+      .filter(col("dt") > 0 && col("an") * col("ky") + col("bn") * col("kx") > 0)
+      .withColumn("margin_bp",
+        expr("(dt * 2 * kx * ky * 10000) div (an * ky + bn * kx)"))
+    val wB = Window.partitionBy("src", "dst_lang")
+      .orderBy(col("margin_bp").desc, col("dst"))
+    m.withColumn("rb", row_number().over(wB))
+      .filter(col("rb") === 1 && col("margin_bp") > BitextMarginBp)
+      .select(col("src"), col("dst_lang"), col("dst"), col("dt"),
+        col("margin_bp"))
+      .orderBy("src", "dst_lang")
+  }
+
+  private lazy val x89Sql = {
+    val dot64 = graft.pipeline.Ivf.dotS("a.xi", "b.xi", 64)
+    s"""WITH e AS (SELECT vec_id, label,
+           [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) FOR x IN embedding] AS xi
+         FROM embeddings),
+       v AS (SELECT e.vec_id, e.label, d.lang, e.xi
+             FROM e JOIN documents d ON e.vec_id = d.doc_id),
+       cand AS (SELECT a.vec_id AS src, b.vec_id AS dst, b.lang AS dst_lang,
+                  CAST($dot64 AS BIGINT) AS dt
+                FROM (SELECT * FROM v WHERE lang = 'en') a
+                JOIN (SELECT * FROM v WHERE lang <> 'en') b USING (label)),
+       nns AS (SELECT src, dst_lang, CAST(sum(dt) AS BIGINT) AS an,
+                 count(*) AS kx
+               FROM (SELECT *, row_number() OVER (PARTITION BY src, dst_lang
+                       ORDER BY dt DESC, dst) AS r FROM cand)
+               WHERE r <= $BitextK GROUP BY src, dst_lang),
+       nnd AS (SELECT dst, CAST(sum(dt) AS BIGINT) AS bn, count(*) AS ky
+               FROM (SELECT *, row_number() OVER (PARTITION BY dst
+                       ORDER BY dt DESC, src) AS r FROM cand)
+               WHERE r <= $BitextK GROUP BY dst),
+       m AS (SELECT c.src, c.dst, c.dst_lang, c.dt,
+               CAST((c.dt * 2 * s.kx * d2.ky * 10000)
+                    // (s.an * d2.ky + d2.bn * s.kx) AS BIGINT) AS margin_bp
+             FROM cand c JOIN nns s ON c.src = s.src AND c.dst_lang = s.dst_lang
+                  JOIN nnd d2 ON c.dst = d2.dst
+             WHERE c.dt > 0 AND s.an * d2.ky + d2.bn * s.kx > 0),
+       best AS (SELECT *, row_number() OVER (PARTITION BY src, dst_lang
+                  ORDER BY margin_bp DESC, dst) AS rb FROM m)
+       SELECT src, dst_lang, dst, dt, margin_bp
+       FROM best WHERE rb = 1 AND margin_bp > $BitextMarginBp
+       ORDER BY src, dst_lang"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x89_bitext_margin", bitextMarginMining, Some(x89Sql)),
     QueryDef("x68_ann_batch", annBatchTopK, Some(x68Sql)),
     QueryDef("x78_hard_negatives", hardNegatives, Some(x78Sql)),
     QueryDef("b29_cosine_topk", cosineTopK, Some(b29Sql)),

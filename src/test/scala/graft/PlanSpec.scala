@@ -700,6 +700,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the capacity-prefix window:\n$p")
   }
 
+  test("x89: candidates are label-cell equi-joins over checkpointed frames") {
+    val p = plan("x89_bitext_margin")
+    assert(!p.contains("Scan parquet"),
+      s"both sides read the checkpointed lang/candidate frames:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"mining must stay inside IVF cells, never a corpus product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"the BIGINT dot is a codegen HOF fold, no per-row UDF:\n$p")
+    assert(p.contains("Window"), s"expected the neighborhood top-k windows:\n$p")
+  }
+
   test("x74: all four consumers read the one materialized shingle frame") {
     val p = plan("x74_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

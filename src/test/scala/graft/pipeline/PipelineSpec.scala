@@ -818,6 +818,58 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x89 bitext margins: every mined pair is its (src,lang) argmax above threshold") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        graft.pipeline.Ivf.intMillionths(col("embedding")).as("xi"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val lang = Tables.t(spark, sf, "documents").select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Driver-side replica of the whole margin pipeline on the same
+    // integer-millionths vectors (quantized by the ENGINE's own expr,
+    // so the replica tests the math, not the quantization).
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) => acc + a(i) * b(i))
+    val vs = emb.filter(e => lang.contains(e._1))
+    val en = vs.filter(e => lang(e._1) == "en")
+    val xx = vs.filter(e => lang(e._1) != "en")
+    val cand = for { a <- en; b <- xx if a._2 == b._2 }
+      yield (a._1, b._1, lang(b._1), dot(a._3, b._3))
+    val an = cand.groupBy(c => (c._1, c._3)).map { case (k, cs) =>
+      val top = cs.sortBy(c => (-c._4, c._2)).take(Similarity.BitextK)
+      k -> (top.map(_._4).sum, top.length.toLong)
+    }
+    val bn = cand.groupBy(_._2).map { case (k, cs) =>
+      val top = cs.sortBy(c => (-c._4, c._1)).take(Similarity.BitextK)
+      k -> (top.map(_._4).sum, top.length.toLong)
+    }
+    val expected = cand.flatMap { case (s0, d0, l0, dt) =>
+      val (a, kx) = an((s0, l0)); val (b, ky) = bn(d0)
+      val den = a * ky + b * kx
+      if (dt > 0 && den > 0)
+        Some(((s0, l0), (d0, dt, dt * 2 * kx * ky * 10000L / den)))
+      else None
+    }.groupBy(_._1).flatMap { case (k, ms) =>
+      val best = ms.map(_._2).minBy(m => (-m._3, m._1))
+      if (best._3 > Similarity.BitextMarginBp) Some(k -> best) else None
+    }
+    val rows = Similarity.bitextMarginMining(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty, "the fixture must mine pairs")
+    assert(rows.length == expected.size,
+      s"mined ${rows.length} pairs, replica says ${expected.size}")
+    rows.foreach { case (s0, l0, d0, dt, m) =>
+      assert(lang(s0) == "en" && lang(d0) == l0,
+        s"($s0,$l0,$d0): language sides violated")
+      assert(m > Similarity.BitextMarginBp && dt > 0, s"($s0,$l0): thresholds")
+      val (ed, edt, em) = expected((s0, l0))
+      assert((d0, dt, m) == (ed, edt, em),
+        s"($s0,$l0): engine ($d0,$dt,$m) != replica ($ed,$edt,$em)")
+    }
+  }
+
   test("x77 perplexity bins: balanced rank tertiles per language, ordered bands") {
     val rows = TextStats.perplexityBins(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(4),
