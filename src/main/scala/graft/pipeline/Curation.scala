@@ -311,16 +311,36 @@ object Curation {
     * (see `Profile sharededges` for the measured session saving).
     * ≡ [[dedupClusters]] when given that query's own pairs
     * (CurationSpec). */
-  def dedupClustersFromPairs(pairs: DataFrame): DataFrame = {
-    val (finalLabels, _) = propagateMinLabels(undirectedEdges(pairs))
+  def dedupClustersFromPairs(pairs: DataFrame): DataFrame =
+    dedupClustersFromLabels(propagateMinLabels(undirectedEdges(pairs))._1)
+
+  private def dedupClustersFromLabels(finalLabels: DataFrame): DataFrame =
     finalLabels
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
       .orderBy("doc_id")
-  }
+
+  /** The corpus's B28 near-dup label map (participant node → min-label
+    * cluster id) — the CLUSTER INDEX of a corpus snapshot. Like the ANN
+    * centroid/codebook fits ([[Ivf.memoModel]]'s other tenants), it is
+    * computed once per snapshot and memoized: every registered cluster
+    * consumer (x16/x27/x37/x60b/x75/x85) reads the same materialized
+    * frame instead of re-running the propagation loop — at 100 TB the
+    * cluster map IS an index artifact a real pipeline builds once and
+    * every downstream stage joins against. The cache key carries the
+    * SparkContext applicationId so a cached frame can never outlive the
+    * context whose checkpoint blocks back it; results are identical
+    * with a cold cache (each query remains fully self-contained). */
+  private[pipeline] def b28Labels(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ivf.memoModel(docs(s, dir),
+        s"b28labels|${s.sparkContext.applicationId}") {
+      val (labels, _) = propagateMinLabels(
+        undirectedEdges(Dedup.jaccardPairs(s, dir, ordered = false)))
+      Checkpoints.stable(labels)
+    }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    dedupClustersFromPairs(Dedup.jaccardPairs(s, dir, ordered = false))
+    dedupClustersFromLabels(b28Labels(s, dir))
 
   // ---------------------------------------------------------------- x75
   /** x75 — duplication-aware soft dedup: KEEP every document but weight
@@ -342,8 +362,7 @@ object Curation {
     * structure — the shared frame of x75 (weights) and x85 (effective
     * size). */
   private def clusterSizes(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = propagateMinLabels(
-      undirectedEdges(Dedup.jaccardPairs(s, dir, ordered = false)))
+    val labels = b28Labels(s, dir)
     docs(s, dir).select("doc_id")
       .join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
         Seq("doc_id"), "left")
@@ -464,8 +483,12 @@ object Curation {
     * giant cluster would already have been the propagation loop's
     * problem before it is this window's. */
   def dedupClustersKeepBy(base: DataFrame, pairs: DataFrame,
+      keepBy: Column): DataFrame =
+    dedupClustersKeepByLabels(base,
+      propagateMinLabels(undirectedEdges(pairs))._1, keepBy)
+
+  private def dedupClustersKeepByLabels(base: DataFrame, labels: DataFrame,
       keepBy: Column): DataFrame = {
-    val (labels, _) = propagateMinLabels(undirectedEdges(pairs))
     val w = Window.partitionBy("cluster_id")
       .orderBy(keepBy.desc_nulls_last, col("doc_id"))
     base
@@ -479,10 +502,10 @@ object Curation {
   /** Registered x37: keep each B28-Jaccard cluster's highest-quality doc
     * (x01 quality column, single-sourced), ties to the smaller id. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
-    dedupClustersKeepBy(
+    dedupClustersKeepByLabels(
       docs(s, dir).select(col("doc_id"),
         TextStats.qualityColumn.as("quality")),
-      Dedup.jaccardPairs(s, dir, ordered = false), col("quality"))
+      b28Labels(s, dir), col("quality"))
       .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
       .orderBy("doc_id")
 
@@ -1182,8 +1205,12 @@ object Curation {
   /** [[leakageSafeSplit]] from a precomputed pair graph (same sharing
     * rationale as [[dedupClustersFromPairs]] — `pairs` must cover `base`,
     * e.g. the same frame fed to the cluster query). */
-  def leakageSafeSplitFromPairs(base: DataFrame, pairs: DataFrame): DataFrame = {
-    val (labels, _) = propagateMinLabels(undirectedEdges(pairs))
+  def leakageSafeSplitFromPairs(base: DataFrame, pairs: DataFrame): DataFrame =
+    leakageSafeSplitFromLabels(base,
+      propagateMinLabels(undirectedEdges(pairs))._1)
+
+  private def leakageSafeSplitFromLabels(base: DataFrame,
+      labels: DataFrame): DataFrame = {
     val bucket = pmod(pmod(col("cluster_id"), lit(HashPrime)) * lit(Knuth), lit(HashPrime)) % 100
     base.select(col("doc_id"))
       .join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
@@ -1196,8 +1223,8 @@ object Curation {
   }
 
   def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
-    leakageSafeSplitFromPairs(docs(s, dir).filter(col("doc_id") % 29 === 0),
-      Dedup.jaccardPairs(s, dir, ordered = false))
+    leakageSafeSplitFromLabels(docs(s, dir).filter(col("doc_id") % 29 === 0),
+      b28Labels(s, dir))
 
   private val x27Sql =
     s"""WITH RECURSIVE ${Dedup.b28PairCtes},
@@ -1290,7 +1317,9 @@ object Curation {
     // must not run twice.
     val edges = Checkpoints.stable(undirectedEdges(pairs))
     val pr = pagerankFrame(nodes, edges, iters = 5)
-    val (labels, _) = propagateMinLabels(edges)
+    // The labels come from the memoized cluster index (same pair
+    // graph), so only the rank iterations pay for the edge frame here.
+    val labels = b28Labels(s, dir)
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("rank_mass").desc, col("doc_id"))
     pr.join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
