@@ -334,9 +334,21 @@ object Curation {
   private[pipeline] def b28Labels(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Ivf.memoModel(docs(s, dir),
         s"b28labels|${s.sparkContext.applicationId}") {
-      val (labels, _) = propagateMinLabels(
-        undirectedEdges(Dedup.jaccardPairs(s, dir, ordered = false)))
+      val (labels, _) = propagateMinLabels(undirectedEdges(b28Pairs(s, dir)))
       Checkpoints.stable(labels)
+    }
+
+  /** The B28 near-dup candidate pair frame (da, db), memoized per
+    * corpus snapshot under the same index discipline as [[b28Labels]]:
+    * the graph family (x60/x60b/x61/x62/x63) and the label build each
+    * consume the identical pair pipeline, which is their dominant cost
+    * — a real deployment materializes the candidate graph once and
+    * every graph/cluster analysis reads it. */
+  private[pipeline] def b28Pairs(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ivf.memoModel(docs(s, dir),
+        s"b28pairs|${s.sparkContext.applicationId}") {
+      Checkpoints.stable(Dedup.jaccardPairs(s, dir, ordered = false)
+        .select(col("da"), col("db")))
     }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -1300,7 +1312,7 @@ object Curation {
     * x27 universe — nodes are the `%29` base slice, singletons included). */
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     pagerankFromPairs(docs(s, dir).filter(col("doc_id") % 29 === 0),
-      Dedup.jaccardPairs(s, dir, ordered = false).select(col("da"), col("db")))
+      b28Pairs(s, dir))
 
   /** x60b: the composition the centrality exists FOR — within each
     * near-dup cluster (x16's components) keep the member with the
@@ -1310,7 +1322,7 @@ object Curation {
     * window to the x60 + CC plans (the x37 shape); singletons keep
     * themselves. */
   def pagerankKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardPairs(s, dir, ordered = false).select(col("da"), col("db"))
+    val pairs = b28Pairs(s, dir)
     val nodes = docs(s, dir).filter(col("doc_id") % 29 === 0)
     // ONE checkpointed edge materialization feeds both the rank and the
     // label propagation — the pair pipeline is the dominant cost and
@@ -1411,7 +1423,7 @@ object Curation {
   def triangleStats(s: SparkSession, dir: String): DataFrame =
     triangleStatsFromPairs(
       docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
-      Dedup.jaccardPairs(s, dir, ordered = false).select(col("da"), col("db")))
+      b28Pairs(s, dir))
 
   /** Generic form over any (doc_id) node frame and (a, b) pair frame.
     * The pair frame is canonicalized DEFENSIVELY (least/greatest +
@@ -1515,7 +1527,7 @@ object Curation {
       peels: Int = 10): DataFrame =
     kcoreFromPairs(
       docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
-      Dedup.jaccardPairs(s, dir, ordered = false).select(col("da"), col("db")), k, peels)
+      b28Pairs(s, dir), k, peels)
 
   /** Generic form over any (doc_id) node frame and 2-column pair frame. */
   def kcoreFromPairs(nodes: DataFrame, pairsIn: DataFrame, k: Int,
@@ -1609,7 +1621,7 @@ object Curation {
   def harmonicCentrality(s: SparkSession, dir: String): DataFrame =
     harmonicFromPairs(
       docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
-      Dedup.jaccardPairs(s, dir, ordered = false).select(col("da"), col("db")))
+      b28Pairs(s, dir))
 
   private val x63Sql =
     s"""WITH RECURSIVE ${Dedup.b28PairCtes},
