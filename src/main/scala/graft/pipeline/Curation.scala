@@ -499,8 +499,8 @@ object Curation {
     dedupClustersKeepByLabels(base,
       propagateMinLabels(undirectedEdges(pairs))._1, keepBy)
 
-  private def dedupClustersKeepByLabels(base: DataFrame, labels: DataFrame,
-      keepBy: Column): DataFrame = {
+  private[pipeline] def dedupClustersKeepByLabels(base: DataFrame,
+      labels: DataFrame, keepBy: Column): DataFrame = {
     val w = Window.partitionBy("cluster_id")
       .orderBy(keepBy.desc_nulls_last, col("doc_id"))
     base

@@ -396,11 +396,30 @@ object Similarity {
     * has. */
   val SemanticDedupThreshold = 0.45
 
+  /** The semantic near-dup label map (node → min-label cluster id) at
+    * `threshold` — the embedding-side cluster index. At the default
+    * [[SemanticDedupThreshold]] it is memoized per corpus snapshot
+    * exactly like [[Curation.b28Labels]] (x33/x43/x47 consume the
+    * identical pair pipeline, their dominant cost); a non-default
+    * threshold always computes fresh. */
+  private def semanticLabelsAt(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    def build: DataFrame = {
+      val pairs = embeddingNearDupsLsh(s, dir, threshold)
+        .select(col("va").as("da"), col("vb").as("db"))
+      Curation.propagateMinLabels(Curation.undirectedEdges(pairs))._1
+    }
+    if (threshold == SemanticDedupThreshold)
+      graft.pipeline.Ivf.memoModel(Tables.t(s, dir, "embeddings"),
+        s"semlabels|${s.sparkContext.applicationId}") {
+        Checkpoints.stable(build)
+      }
+    else build
+  }
+
   def semanticDedup(s: SparkSession, dir: String,
       threshold: Double = SemanticDedupThreshold): DataFrame = {
-    val pairs = embeddingNearDupsLsh(s, dir, threshold)
-      .select(col("va").as("da"), col("vb").as("db"))
-    val (labels, _) = Curation.propagateMinLabels(Curation.undirectedEdges(pairs))
+    val labels = semanticLabelsAt(s, dir, threshold)
     Tables.t(s, dir, "embeddings").select(col("vec_id"))
       .join(labels.select(col("node").as("vec_id"), col("lbl").as("cid")),
         Seq("vec_id"), "left")
@@ -424,11 +443,10 @@ object Similarity {
     * (x09 CTEs + recursive fixpoint + quality window, single-sourced). */
   def semanticDedupKeepBest(s: SparkSession, dir: String,
       threshold: Double = SemanticDedupThreshold): DataFrame = {
-    val pairs = embeddingNearDupsLsh(s, dir, threshold)
-      .select(col("va").as("da"), col("vb").as("db"))
     val scored = Tables.t(s, dir, "documents")
       .select(col("doc_id"), TextStats.qualityColumn.as("quality"))
-    Curation.dedupClustersKeepBy(scored, pairs, col("quality"))
+    Curation.dedupClustersKeepByLabels(scored,
+        semanticLabelsAt(s, dir, threshold), col("quality"))
       .select(col("doc_id"), col("quality"), col("cluster_id"), col("keep"))
       .orderBy("doc_id")
   }
@@ -480,9 +498,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     reg(s)
     val emb = Tables.t(s, dir, "embeddings")
-    val pairs = embeddingNearDupsLsh(s, dir, threshold)
-      .select(col("va").as("da"), col("vb").as("db"))
-    val (labels, _) = Curation.propagateMinLabels(Curation.undirectedEdges(pairs))
+    val labels = semanticLabelsAt(s, dir, threshold)
     val lab = emb.select(col("vec_id"))
       .join(labels.select(col("node").as("vec_id"), col("lbl").as("cid")),
         Seq("vec_id"), "left")
