@@ -726,9 +726,14 @@ object Selection {
     clfSumwOf(clfFitWeights(reference).toSeq) > lit(0L)
   }
 
-  private val x64bSql = {
+  /** The x64b fit-and-score chain (tokenize → hash buckets → class
+    * frequencies → fitted weights → per-doc sumw), ending in
+    * `sw(doc_id, sumw)` beside `t(doc_id, t, good)` — single-sourced
+    * for x64b's scoring oracle AND x90's calibration oracle, so the
+    * report can never drift from the classifier it evaluates. */
+  private lazy val clfFitScoreCtes = {
     import HashConstants.{HashPrime, Knuth}
-    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
+    s"""t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
               CASE WHEN $gopherPassSql THEN 1 ELSE 0 END AS good
             FROM documents),
        tok AS (SELECT doc_id, good, unnest(t) AS tok FROM t),
@@ -745,7 +750,11 @@ object Selection {
              - (CASE WHEN tb > 0 THEN (cb * $ClfFitScale) // tb ELSE 0 END) AS w
              FROM cnt, tot),
        sw AS (SELECT hb.doc_id, CAST(sum(w.w) AS BIGINT) AS sumw
-              FROM hb JOIN w USING (b) GROUP BY hb.doc_id)
+              FROM hb JOIN w USING (b) GROUP BY hb.doc_id)"""
+  }
+
+  private lazy val x64bSql =
+    s"""WITH $clfFitScoreCtes
        SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
          CAST(sign(sumw) AS BIGINT)
            * CAST(floor((abs(sumw) * 2 + len(t.t)) / (2 * len(t.t))) AS BIGINT)
@@ -753,9 +762,97 @@ object Selection {
          sumw > 0 AS keep
        FROM t JOIN sw USING (doc_id)
        ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x90
+  /** Calibration bin width in logit micro-units: 100 fixed-width bins
+    * over the [-1e6, 1e6] score range (bin = (micro+10⁶) div 2·10⁴,
+    * top edge clamped into bin 99) — fine enough to resolve a
+    * frequency-difference model whose mass sits near zero, still a
+    * bounded ≤ 100-group agg at any corpus size. */
+  val ClfCalBinMicro = 20000L
+
+  /** x90 — classifier calibration and precision/recall report: the
+    * evaluation step every deployed quality classifier ships with
+    * (fastText-gate practice; DCLM and FineWeb-Edu publish exactly
+    * this table for their filters). Per fixed-width score bin of x64b's fitted
+    * logit: document count, Gopher-pass count and rate (the
+    * CALIBRATION curve — a healthy model's rate rises with the bin),
+    * plus cumulative-from-the-top precision and recall treating x51
+    * `pass_all` as truth — the operating points a threshold choice
+    * trades between.
+    *
+    * All integer: micro-logit = sign·⌊(|sumw|·2+n)/2n⌋ (x64b's exact
+    * rounding verbatim), fixed-width bins, rates in basis points by
+    * BIGINT floor division. The per-bin agg is ≤ 100 groups at any
+    * corpus size; the cumulative window orders those ≤ 100 rows.
+    * DISCLOSED like x64b: fit and evaluation share the corpus here —
+    * a deployment evaluates on a held-out slice (x14's hash split
+    * composes for that).
+    *
+    * Scale: x64b's one-pass scoring chain (the fit table is the
+    * memoized driver array) + a 10-group partial+final agg + a
+    * 10-row window. */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val corpus = docs(s, dir)
+    val scored = corpus.select(col("doc_id"),
+        when(gopherPassColumn, 1L).otherwise(0L).as("good"),
+        size(clfToks).cast("long").as("n"),
+        clfSumwOf(clfFitWeights(corpus).toSeq).as("sumw"))
+      .withColumn("micro", expr(
+        "CAST(sign(sumw) AS BIGINT) * CAST(floor((abs(sumw) * 2 + n) / (2 * n)) AS BIGINT)"))
+      .withColumn("bin",
+        expr(s"least((micro + 1000000) div $ClfCalBinMicro, 99)"))
+    val g = scored.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("good").as("n_good"))
+    val tot = g.agg(sum("n_docs").as("td"), sum("n_good").as("tg"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_good", sum("n_good").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"),
+        expr(s"bin * $ClfCalBinMicro - 1000000").as("lo_micro"),
+        col("n_docs"), col("n_good"),
+        expr("(n_good * 10000) div n_docs").as("rate_bp"),
+        col("cum_docs"), col("cum_good"),
+        expr("(cum_good * 10000) div cum_docs").as("precision_bp"),
+        expr("CASE WHEN tg > 0 THEN (cum_good * 10000) div tg ELSE 0 END")
+          .as("recall_bp"))
+      .orderBy("bin")
   }
 
+  private lazy val x90Sql =
+    s"""WITH $clfFitScoreCtes,
+       mic AS (SELECT t.doc_id, t.good,
+                 CAST(sign(sumw) AS BIGINT)
+                   * CAST(floor((abs(sumw) * 2 + len(t.t)) / (2 * len(t.t)))
+                       AS BIGINT) AS micro
+               FROM t JOIN sw USING (doc_id)),
+       bs AS (SELECT least((micro + 1000000) // $ClfCalBinMicro, 99) AS bin,
+                good FROM mic),
+       g AS (SELECT bin, count(*) AS n_docs,
+               CAST(sum(good) AS BIGINT) AS n_good
+             FROM bs GROUP BY bin),
+       c AS (SELECT *,
+               CAST(sum(n_docs) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_docs,
+               CAST(sum(n_good) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_good
+             FROM g),
+       tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                CAST(sum(n_good) AS BIGINT) AS tg FROM g)
+       SELECT CAST(bin AS BIGINT) AS bin,
+         CAST(bin * $ClfCalBinMicro - 1000000 AS BIGINT) AS lo_micro,
+         CAST(n_docs AS BIGINT) AS n_docs, n_good,
+         CAST((n_good * 10000) // n_docs AS BIGINT) AS rate_bp,
+         cum_docs, cum_good,
+         CAST((cum_good * 10000) // cum_docs AS BIGINT) AS precision_bp,
+         CAST(CASE WHEN tg > 0 THEN (cum_good * 10000) // tg ELSE 0 END
+           AS BIGINT) AS recall_bp
+       FROM c CROSS JOIN tt ORDER BY bin"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x90_classifier_calibration", classifierCalibration, Some(x90Sql)),
     QueryDef("x49_bm25_topk", bm25TopK, Some(x49Sql)),
     QueryDef("x49b_bm25_batch", bm25Batch, Some(x49bSql)),
     QueryDef("x50_dsir_weights", dsirWeights, Some(x50Sql)),

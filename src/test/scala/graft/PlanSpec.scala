@@ -711,6 +711,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the neighborhood top-k windows:\n$p")
   }
 
+  test("x90: calibration is one corpus pass into a bounded bin agg") {
+    val p = plan("x90_classifier_calibration")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row totals join via broadcast, not a product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"scoring is the pinned-weight integer chain, no UDF:\n$p")
+    assert("partial".r.findAllIn(p).size >= 1,
+      s"the 100-bin agg must map-side combine:\n$p")
+    assert(p.contains("Window"), s"expected the bounded cumulative window:\n$p")
+  }
+
   test("x74: all four consumers read the one materialized shingle frame") {
     val p = plan("x74_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

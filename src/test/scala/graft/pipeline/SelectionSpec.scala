@@ -212,6 +212,40 @@ class SelectionSpec extends SparkSpec {
   }
 
   // --------------------------------------------------------------- x64b
+  test("x90: calibration table replicates exactly from x64b scores and x51 labels") {
+    val logit = Selection.classifierFitQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(2) * 1e6)).toMap
+    val good = Selection.gopherRules(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("pass_all") == 1)).toMap
+    val expected = logit.toSeq.map { case (id, micro) =>
+      (math.min((micro + 1000000L) / Selection.ClfCalBinMicro, 99L),
+        if (good(id)) 1L else 0L)
+    }.groupBy(_._1).map { case (b, xs) => b -> (xs.size.toLong, xs.map(_._2).sum) }
+    val rows = Selection.classifierCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(rows.map(_._1).toSet == expected.keySet, "one row per non-empty bin")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq, "bin-ordered")
+    val totGood = expected.values.map(_._2).sum
+    var cumD = 0L; var cumG = 0L
+    rows.reverse.foreach { case (b, lo, nd, ng, rate, cd, cg, prec, rec) =>
+      val (end, eng) = expected(b)
+      cumD += end; cumG += eng
+      assert(lo == b * Selection.ClfCalBinMicro - 1000000L, s"bin $b edge")
+      assert((nd, ng) == (end, eng), s"bin $b counts")
+      assert(rate == ng * 10000L / nd, s"bin $b rate")
+      assert((cd, cg) == (cumD, cumG), s"bin $b cumulative")
+      assert(prec == cumG * 10000L / cumD && rec == cumG * 10000L / totGood,
+        s"bin $b operating point")
+    }
+    // The bottom row sweeps everything: recall must read 10000 there.
+    assert(rows.head._9 == 10000L, "full-sweep recall")
+    // Separation sanity: the top bin's good-rate beats the bottom bin's
+    // (the x64b separation result restated on the report's own numbers).
+    assert(rows.last._5 >= rows.head._5,
+      s"calibration direction: top-bin rate ${rows.last._5} < bottom ${rows.head._5}")
+  }
+
   test("x64b: fitted gate separates planted good/bad docs far better than chance") {
     import spark.implicits._
     // Clearly separable vocabularies: "good" docs are ≥50 common English
