@@ -79,6 +79,79 @@ object Report {
        GROUP BY source ORDER BY source"""
   }
 
+  // ---------------------------------------------------------------- x91
+  /** x91 — the per-document ATTRIBUTES sidecar (the Dolma pattern,
+    * Soldaini et al. 2024: curation signals ship in a doc_id-keyed
+    * attributes file BESIDE the immutable text, and every downstream
+    * mixer/filter joins on it instead of re-deriving signals): one
+    * frame carrying, per document, every per-doc signal this engine
+    * registers — provenance (source, lang), size (chars, whitespace
+    * tokens), integer quality basis points, the quality-floor and
+    * Gopher-battery verdicts, PII incidence, the pinned classifier's
+    * keep decision, the content sha256, and the exact-dup group size.
+    * Every column is the SAME single-sourced definition its home
+    * operator registers ([[Sampling.qualityBpColumn]],
+    * [[TextStats.qualityColumn]] + x24's floor,
+    * [[Selection.gopherPassColumn]], [[PiiPatterns.emailCount]],
+    * [[Selection.classifierKeepColumn]], B27's sha grouping), so the
+    * sidecar can never disagree with the gates — x70 aggregates these
+    * signals per source; x91 EXPORTS them per document.
+    *
+    * Scale: every signal but the dup size is a map-side expression in
+    * ONE checkpointed corpus pass (the x70 frame discipline); the dup
+    * size adds B27's uniform sha shuffle joined back at doc grain.
+    * The sidecar is the join target for every later mixing decision —
+    * at 100 TB that is the point: signals are computed once, stored
+    * columnar, and re-scanned instead of re-derived. */
+  def docAttributes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val scored = Tables.t(s, dir, "documents")
+      .withColumn("text", coalesce(col("text"), lit("")))
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        Sampling.qualityBpColumn.as("quality_bp"),
+        (TextStats.qualityColumn >= graft.streaming.IngestGate.MinQuality)
+          .as("q_pass"),
+        Selection.gopherPassColumn.as("g_pass"),
+        PiiPatterns.emailCount.cast("long").as("n_emails"),
+        Selection.classifierKeepColumn.as("clf_keep"),
+        sha2(col("text"), 256).as("h"))
+      .transform(Checkpoints.stable)
+    val dup = scored.groupBy("h").agg(count(lit(1)).as("dup_group_size"))
+    scored.join(dup, "h")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("n_tok"), col("quality_bp"), col("q_pass"), col("g_pass"),
+        col("n_emails"), col("clf_keep"), col("h"), col("dup_group_size"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val x91Sql = {
+    import graft.streaming.IngestGate
+    s"""WITH ${Selection.clfPinnedScoreCtes},
+       base AS (SELECT doc_id, source, lang, coalesce(text, '') AS text
+                FROM documents),
+       attr AS (SELECT b.doc_id, b.source, b.lang,
+           CAST(length(b.text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_tok,
+           (${Sampling.qualityBpSqlExpr}) AS quality_bp,
+           (${TextStats.qualitySqlExpr}) >= ${IngestGate.MinQuality} AS q_pass,
+           (${Selection.gopherPassSql}) AS g_pass,
+           CAST(len(regexp_extract_all(b.text, '${PiiPatterns.EmailSql}'))
+             AS BIGINT) AS n_emails,
+           sw.sumw > ${Selection.ClfThresholdMilli} * len(t.t) AS clf_keep,
+           sha256(b.text) AS h
+         FROM base b JOIN t USING (doc_id) JOIN sw USING (doc_id)),
+       dup AS (SELECT h, count(*) AS dup_group_size FROM attr GROUP BY h)
+       SELECT doc_id, source, lang, n_chars, n_tok,
+         CAST(quality_bp AS BIGINT) AS quality_bp, q_pass, g_pass,
+         n_emails, clf_keep, h,
+         CAST(dup_group_size AS BIGINT) AS dup_group_size
+       FROM attr JOIN dup USING (h)
+       ORDER BY doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("x70_corpus_report", corpusReport, Some(x70Sql)))
+    QueryDef("x70_corpus_report", corpusReport, Some(x70Sql)),
+    QueryDef("x91_doc_attributes", docAttributes, Some(x91Sql)))
 }

@@ -622,9 +622,13 @@ object Selection {
   def classifierQuality(s: SparkSession, dir: String): DataFrame =
     classifierQualityOf(docs(s, dir))
 
-  private val x64Sql = {
+  /** The x64 pinned-weight scoring chain, ending in `sw(doc_id, sumw)`
+    * beside `t(doc_id, t)` — single-sourced for x64's oracle AND the
+    * x91 attributes sidecar, so the sidecar's `clf_keep` can never
+    * drift from the registered classifier. */
+  private[pipeline] lazy val clfPinnedScoreCtes = {
     import HashConstants.{HashPrime, Knuth}
-    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+    s"""t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
               FROM documents),
        tok AS (SELECT doc_id, unnest(t) AS tok FROM t),
        hb AS (SELECT doc_id,
@@ -632,7 +636,11 @@ object Selection {
               FROM tok),
        sw AS (SELECT doc_id,
                 sum((((b + 1) * $Knuth) % $HashPrime) % 2001 - 1000) AS sumw
-              FROM hb GROUP BY doc_id)
+              FROM hb GROUP BY doc_id)"""
+  }
+
+  private lazy val x64Sql =
+    s"""WITH $clfPinnedScoreCtes
        SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
          CAST(sign(sumw) AS BIGINT)
            * CAST(floor((abs(sumw) * 2000 + len(t.t)) / (2 * len(t.t))) AS BIGINT)
@@ -640,7 +648,6 @@ object Selection {
          sumw > $ClfThresholdMilli * len(t.t) AS keep
        FROM t JOIN sw USING (doc_id)
        ORDER BY doc_id"""
-  }
 
   // --------------------------------------------------------------- x64b
   /** Weight scale of the fitted classifier: micro-units — each bucket

@@ -722,6 +722,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the bounded cumulative window:\n$p")
   }
 
+  test("x91: the sidecar is one checkpointed pass plus the sha dup join") {
+    val p = plan("x91_doc_attributes")
+    assert(!p.contains("Scan parquet"),
+      s"every signal reads the one checkpointed corpus pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the dup side joins on the sha hash, never a product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"all signals are native column expressions:\n$p")
+  }
+
   test("x74: all four consumers read the one materialized shingle frame") {
     val p = plan("x74_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

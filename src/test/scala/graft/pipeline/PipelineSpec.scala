@@ -731,6 +731,43 @@ class PipelineSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- x70
+  test("x91: sidecar columns agree doc-by-doc with every home operator") {
+    val rows = Report.docAttributes(spark, sf).collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+        r.getLong(8), r.getBoolean(9), r.getString(10), r.getLong(11))).toMap
+    val docs = Tables.t(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(rows.keySet == docs, "one sidecar row per document, none lost")
+    // clf_keep must equal x64's registered keep decision per doc.
+    val x64 = Selection.classifierQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    rows.foreach { case (id, a) =>
+      assert(a._9 == x64(id), s"doc $id: clf_keep drifted from x64")
+    }
+    // g_pass totals must equal x51's pass_all mass.
+    val gopherPass = Selection.gopherRules(spark, sf).collect()
+      .count(r => r.getAs[Int]("pass_all") == 1)
+    assert(rows.values.count(_._7) == gopherPass, "g_pass vs x51")
+    // Per-source sums must reproduce the x70 report exactly.
+    val x70 = Report.corpusReport(spark, sf).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    rows.values.groupBy(_._1).foreach { case (src, as) =>
+      val (nd, nt, nq, ng, npii, ndup) = x70(src)
+      assert(as.size.toLong == nd && as.map(_._4).sum == nt, s"$src mass")
+      assert(as.count(_._6).toLong == nq && as.count(_._7).toLong == ng,
+        s"$src gate counts")
+      assert(as.count(_._8 > 0).toLong == npii, s"$src PII incidence")
+      assert(as.count(_._11 > 1).toLong == ndup, s"$src dup mass")
+    }
+    // Dup group sizes are consistent: every doc sharing a hash shares
+    // the size, and the size equals the hash's row count.
+    rows.values.groupBy(_._10).foreach { case (h, as) =>
+      assert(as.forall(_._11 == as.size), s"hash $h group size")
+    }
+  }
+
   test("x70: report totals agree with the home operators they summarize") {
     val rep = Report.corpusReport(spark, sf).collect()
     val totals = rep.map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
