@@ -104,8 +104,23 @@ object Report {
     * at 100 TB that is the point: signals are computed once, stored
     * columnar, and re-scanned instead of re-derived. */
   def docAttributes(s: SparkSession, dir: String): DataFrame = {
+    val scored = attrFrame(s, dir)
+    val dup = scored.groupBy("h").agg(count(lit(1)).as("dup_group_size"))
+    scored.join(dup, "h")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("n_tok"), col("quality_bp"), col("q_pass"), col("g_pass"),
+        col("n_emails"), col("clf_keep"), col("h"), col("dup_group_size"))
+      .orderBy("doc_id")
+  }
+
+  /** The x91 attributes frame — one checkpointed corpus pass computing
+    * every single-sourced per-doc signal map-side. Shared verbatim by
+    * x91 (which adds the dup-group size) and x92 (which adds the
+    * canonical-representative id and folds the signals into a verdict),
+    * so the mixer can never disagree with the sidecar it reads. */
+  private def attrFrame(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val scored = Tables.t(s, dir, "documents")
+    Tables.t(s, dir, "documents")
       .withColumn("text", coalesce(col("text"), lit("")))
       .select(col("doc_id"), col("source"), col("lang"),
         length(col("text")).cast("long").as("n_chars"),
@@ -118,17 +133,13 @@ object Report {
         Selection.classifierKeepColumn.as("clf_keep"),
         sha2(col("text"), 256).as("h"))
       .transform(Checkpoints.stable)
-    val dup = scored.groupBy("h").agg(count(lit(1)).as("dup_group_size"))
-    scored.join(dup, "h")
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-        col("n_tok"), col("quality_bp"), col("q_pass"), col("g_pass"),
-        col("n_emails"), col("clf_keep"), col("h"), col("dup_group_size"))
-      .orderBy("doc_id")
   }
 
-  private lazy val x91Sql = {
+  /** The oracle-side mirror of [[attrFrame]]: the x64 pinned-classifier
+    * CTE chain plus the `attr` CTE carrying the same columns. */
+  private lazy val attrCtesSql = {
     import graft.streaming.IngestGate
-    s"""WITH ${Selection.clfPinnedScoreCtes},
+    s"""${Selection.clfPinnedScoreCtes},
        base AS (SELECT doc_id, source, lang, coalesce(text, '') AS text
                 FROM documents),
        attr AS (SELECT b.doc_id, b.source, b.lang,
@@ -141,7 +152,11 @@ object Report {
              AS BIGINT) AS n_emails,
            sw.sumw > ${Selection.ClfThresholdMilli} * len(t.t) AS clf_keep,
            sha256(b.text) AS h
-         FROM base b JOIN t USING (doc_id) JOIN sw USING (doc_id)),
+         FROM base b JOIN t USING (doc_id) JOIN sw USING (doc_id))"""
+  }
+
+  private lazy val x91Sql =
+    s"""WITH $attrCtesSql,
        dup AS (SELECT h, count(*) AS dup_group_size FROM attr GROUP BY h)
        SELECT doc_id, source, lang, n_chars, n_tok,
          CAST(quality_bp AS BIGINT) AS quality_bp, q_pass, g_pass,
@@ -149,9 +164,74 @@ object Report {
          CAST(dup_group_size AS BIGINT) AS dup_group_size
        FROM attr JOIN dup USING (h)
        ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x92
+  /** x92 — the MIXER's drop ledger (the second half of the Dolma
+    * tagger→mixer split, Soldaini et al. 2024: the mixer consumes the
+    * attributes sidecar, applies a declarative rule battery, and
+    * materializes the output corpus — and every production run keeps a
+    * ledger of WHY each dropped document was dropped, because a mixture
+    * you cannot audit is a mixture you cannot debug): per document, the
+    * bitmask of failing rules in the engine's fixed battery order —
+    * quality floor (bit 0), Gopher battery (bit 1), fitted classifier
+    * (bit 2), PII incidence (bit 3), exact-duplicate non-canonical
+    * (bit 4, keep = min doc_id per sha256 group, B27's representative
+    * discipline) — the keep verdict (mask == 0), and the FIRST failing
+    * rule by battery order (the headline a drop dashboard groups by;
+    * 'none' for kept docs). Every rule reads the SAME single-sourced
+    * signal x91 exports — the ledger consumes [[attrFrame]] verbatim —
+    * so sidecar and mixer verdicts cannot drift.
+    *
+    * Scale: the one checkpointed attributes pass, B27's uniform sha
+    * shuffle for the canonical id, then map-only bit arithmetic; the
+    * ledger is columnar output at doc grain, the exact thing a 100 TB
+    * run writes next to its output shards so that "why did my doc
+    * disappear" is a point lookup, not a pipeline re-run. */
+  def mixerLedger(s: SparkSession, dir: String): DataFrame = {
+    val a = attrFrame(s, dir)
+    val canon = a.groupBy("h").agg(min("doc_id").as("canon_id"))
+    val mask =
+      (when(!col("q_pass"), 1L).otherwise(0L)
+        + when(!col("g_pass"), 2L).otherwise(0L)
+        + when(!col("clf_keep"), 4L).otherwise(0L)
+        + when(col("n_emails") > lit(0L), 8L).otherwise(0L)
+        + when(col("doc_id") =!= col("canon_id"), 16L).otherwise(0L))
+    a.join(canon, "h")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        mask.as("fail_mask"))
+      .withColumn("kept", col("fail_mask") === 0L)
+      .withColumn("first_fail",
+        when(col("fail_mask").bitwiseAND(1L) =!= 0L, "quality")
+          .when(col("fail_mask").bitwiseAND(2L) =!= 0L, "gopher")
+          .when(col("fail_mask").bitwiseAND(4L) =!= 0L, "classifier")
+          .when(col("fail_mask").bitwiseAND(8L) =!= 0L, "pii")
+          .when(col("fail_mask").bitwiseAND(16L) =!= 0L, "duplicate")
+          .otherwise("none"))
+      .orderBy("doc_id")
   }
+
+  private lazy val x92Sql =
+    s"""WITH $attrCtesSql,
+       canon AS (SELECT h, min(doc_id) AS canon_id FROM attr GROUP BY h),
+       ledger AS (SELECT a.doc_id, a.source, a.n_tok,
+           (CASE WHEN NOT a.q_pass THEN 1 ELSE 0 END
+            + CASE WHEN NOT a.g_pass THEN 2 ELSE 0 END
+            + CASE WHEN NOT a.clf_keep THEN 4 ELSE 0 END
+            + CASE WHEN a.n_emails > 0 THEN 8 ELSE 0 END
+            + CASE WHEN a.doc_id <> c.canon_id THEN 16 ELSE 0 END) AS fail_mask
+         FROM attr a JOIN canon c USING (h))
+       SELECT doc_id, source, n_tok, CAST(fail_mask AS BIGINT) AS fail_mask,
+         fail_mask = 0 AS kept,
+         CASE WHEN (fail_mask & 1) <> 0 THEN 'quality'
+              WHEN (fail_mask & 2) <> 0 THEN 'gopher'
+              WHEN (fail_mask & 4) <> 0 THEN 'classifier'
+              WHEN (fail_mask & 8) <> 0 THEN 'pii'
+              WHEN (fail_mask & 16) <> 0 THEN 'duplicate'
+              ELSE 'none' END AS first_fail
+       FROM ledger ORDER BY doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x70_corpus_report", corpusReport, Some(x70Sql)),
-    QueryDef("x91_doc_attributes", docAttributes, Some(x91Sql)))
+    QueryDef("x91_doc_attributes", docAttributes, Some(x91Sql)),
+    QueryDef("x92_mixer_ledger", mixerLedger, Some(x92Sql)))
 }

@@ -732,6 +732,16 @@ class PlanSpec extends SparkSpec {
       s"all signals are native column expressions:\n$p")
   }
 
+  test("x92: the ledger is the checkpointed attributes pass plus the sha canon join") {
+    val p = plan("x92_mixer_ledger")
+    assert(!p.contains("Scan parquet"),
+      s"every rule reads the one checkpointed attributes pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the canonical id joins on the sha hash, never a product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"the verdict is native bit arithmetic:\n$p")
+  }
+
   test("x74: all four consumers read the one materialized shingle frame") {
     val p = plan("x74_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

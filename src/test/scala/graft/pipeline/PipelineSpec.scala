@@ -768,6 +768,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x92: the ledger verdict is exactly the x91 sidecar folded through the battery") {
+    val attrs = Report.docAttributes(spark, sf).collect().map(r =>
+      r.getLong(0) -> (r.getBoolean(6), r.getBoolean(7), r.getBoolean(9),
+        r.getLong(8), r.getString(10))).toMap
+    // Canonical representative per hash = min doc_id (B27's discipline).
+    val canon = attrs.toSeq.groupBy(_._2._5)
+      .map { case (h, as) => h -> as.map(_._1).min }
+    val ledger = Report.mixerLedger(spark, sf).collect()
+    assert(ledger.map(_.getLong(0)).toSet == attrs.keySet, "one row per doc")
+    ledger.foreach { r =>
+      val (id, mask, kept, ff) =
+        (r.getLong(0), r.getLong(3), r.getBoolean(4), r.getString(5))
+      val (q, g, clf, emails, h) = attrs(id)
+      val expect = (if (q) 0L else 1L) + (if (g) 0L else 2L) +
+        (if (clf) 0L else 4L) + (if (emails > 0) 8L else 0L) +
+        (if (id != canon(h)) 16L else 0L)
+      assert(mask == expect, s"doc $id mask")
+      assert(kept == (mask == 0L), s"doc $id verdict")
+      val expectFf =
+        if (mask == 0) "none"
+        else Seq(1L -> "quality", 2L -> "gopher", 4L -> "classifier",
+          8L -> "pii", 16L -> "duplicate").find(b => (mask & b._1) != 0).get._2
+      assert(ff == expectFf, s"doc $id first_fail")
+    }
+    // The battery must actually discriminate on this corpus: kept docs
+    // exist, dropped docs exist, and at least three distinct first-fail
+    // reasons fire (quality/gopher/classifier orderings differ per doc).
+    val reasons = ledger.map(_.getString(5)).toSet
+    assert(reasons.contains("none") && reasons.size >= 4,
+      s"battery should discriminate, saw $reasons")
+  }
+
   test("x70: report totals agree with the home operators they summarize") {
     val rep = Report.corpusReport(spark, sf).collect()
     val totals = rep.map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
