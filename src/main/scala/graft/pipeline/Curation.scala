@@ -675,6 +675,99 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x93
+  /** x93 — the per-eval-item contamination AUDIT: x17 answers "which
+    * TRAINING docs must go"; x93 answers the question every benchmark
+    * report publishes afterwards (GPT-3 App. C's dirty/clean split;
+    * GPT-4 and PaLM report exactly this table per eval set): for each
+    * EVAL item, how much of it leaked — its distinct-shingle count, how
+    * many of those shingles occur anywhere in the training corpus, the
+    * containment in integer basis points (n_hit·10⁴ div n_sh — BIGINT
+    * floor division, engine-exact), and the single worst-overlapping
+    * training doc (max shared shingles, min doc_id tie-break; −1/0 when
+    * nothing leaked). Split and shingle definitions are x17's own
+    * ([[shinglesOf]], the %97 eval residue), so audit and filter can
+    * never disagree about what counts as overlap. Eval items too short
+    * to shingle (or NULL) stay in the report with n_sh = 0 — an audit
+    * that silently loses eval rows understates contamination (the x70
+    * NULL discipline).
+    *
+    * Scale: the eval side is corpus-tiny and BROADCASTS (grams + totals
+    * + roster); the training corpus streams through ONE shingle pass
+    * against the broadcast gram set, and the surviving `hits` frame —
+    * bounded by eval grams × their train occurrences, not by corpus
+    * size — is checkpointed once for its two consumers (distinct-gram
+    * count and worst-doc argmax). The argmax window partitions by
+    * eval_id over that bounded frame, never over the corpus. */
+  def evalContaminationAudit(s: SparkSession, dir: String,
+      shingleLen: Int = 3): DataFrame = {
+    val d = docs(s, dir)
+    val evalD = d.filter(col("doc_id") % 97 === 0)
+    val trainD = d.filter(col("doc_id") % 97 =!= 0)
+    val evalSh = shinglesOf(evalD, shingleLen)
+      .withColumnRenamed("doc_id", "eval_id")
+      .transform(Checkpoints.stable)
+    val evalTot = evalSh.groupBy("eval_id").agg(count(lit(1)).as("n_sh"))
+    val hits = shinglesOf(trainD, shingleLen)
+      .withColumnRenamed("doc_id", "train_id")
+      .join(broadcast(evalSh), "sh")
+      .transform(Checkpoints.stable)
+    val nHit = hits.select("eval_id", "sh").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_hit"))
+    val worst = hits.groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("rk", row_number().over(Window.partitionBy("eval_id")
+        .orderBy(col("n_shared").desc, col("train_id"))))
+      .filter(col("rk") === 1).drop("rk")
+    evalD.select(col("doc_id").as("eval_id"))
+      .join(broadcast(evalTot), Seq("eval_id"), "left")
+      .join(broadcast(nHit), Seq("eval_id"), "left")
+      .join(broadcast(worst), Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("train_id"), lit(-1L)).as("worst_train_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_worst"))
+      .withColumn("contamination_bp",
+        when(col("n_sh") === 0L, 0L)
+          .otherwise(expr("(n_hit * 10000) div n_sh")))
+      .select(col("eval_id"), col("n_sh"), col("n_hit"),
+        col("contamination_bp"), col("worst_train_id"),
+        col("n_shared_worst"))
+      .orderBy("eval_id")
+  }
+
+  private val x93Sql =
+    """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(0, len(t) - 3),
+             i -> array_to_string(t[(i+1):(i+3)], ' ')))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+           WHERE len(t) >= 3),
+       ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0),
+       tot AS (SELECT eval_id, count(*) AS n_sh FROM ev GROUP BY eval_id),
+       hits AS (SELECT e.eval_id, s.doc_id AS train_id, s.sh
+                FROM sh s JOIN ev e USING (sh) WHERE s.doc_id % 97 <> 0),
+       nh AS (SELECT eval_id, count(DISTINCT sh) AS n_hit
+              FROM hits GROUP BY eval_id),
+       worst AS (SELECT eval_id, train_id, n_shared FROM (
+           SELECT eval_id, train_id, count(*) AS n_shared,
+                  row_number() OVER (PARTITION BY eval_id
+                    ORDER BY count(*) DESC, train_id) AS rk
+           FROM hits GROUP BY eval_id, train_id) WHERE rk = 1)
+       SELECT r.doc_id AS eval_id,
+         CAST(coalesce(tot.n_sh, 0) AS BIGINT) AS n_sh,
+         CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
+         CAST(CASE WHEN coalesce(tot.n_sh, 0) = 0 THEN 0
+              ELSE (coalesce(nh.n_hit, 0) * 10000) // tot.n_sh END
+           AS BIGINT) AS contamination_bp,
+         CAST(coalesce(worst.train_id, -1) AS BIGINT) AS worst_train_id,
+         CAST(coalesce(worst.n_shared, 0) AS BIGINT) AS n_shared_worst
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) r
+       LEFT JOIN tot ON r.doc_id = tot.eval_id
+       LEFT JOIN nh ON r.doc_id = nh.eval_id
+       LEFT JOIN worst ON r.doc_id = worst.eval_id
+       ORDER BY eval_id"""
+
   // ---------------------------------------------------------------- x74
   /** x74 — cross-source overlap matrix: for every source pair, how much
     * of the smaller side's distinct shingle vocabulary the two share —
@@ -3186,6 +3279,8 @@ object Curation {
     QueryDef("x85_effective_size", effectiveSize, Some(x85Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),
+    QueryDef("x93_eval_contamination_audit",
+      (s, d) => evalContaminationAudit(s, d), Some(x93Sql)),
     QueryDef("x74_source_overlap", (s, d) => sourceOverlap(s, d), Some(x74Sql())),
     QueryDef("x74b_source_overlap_sketch",
       (s, d) => sourceOverlapSketch(s, d), Some(x74bSql())),

@@ -742,6 +742,19 @@ class PlanSpec extends SparkSpec {
       s"the verdict is native bit arithmetic:\n$p")
   }
 
+  test("x93: eval side broadcasts; the hits frame is checkpointed for both consumers") {
+    val p = plan("x93_eval_contamination_audit")
+    // The train corpus streams once into the checkpointed hits frame;
+    // the only parquet scan left is the eval roster.
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
+      s"train shingles must not be rebuilt per consumer:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram and roster joins are equi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the corpus-tiny eval frames must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"no per-row UDF:\n$p")
+  }
+
   test("x74: all four consumers read the one materialized shingle frame") {
     val p = plan("x74_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

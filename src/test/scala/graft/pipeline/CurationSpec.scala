@@ -230,6 +230,47 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(97L) && !out.contains(194L), "eval docs are not scanned")
   }
 
+  test("x93: the eval audit replays exactly from raw text driver-side") {
+    // Full replay of the audit on the sf corpus: shingle every doc with
+    // x17's definition (3-token windows, distinct, split keeping empty
+    // tokens like Spark's split), fold the containment and worst-doc
+    // argmax by hand, and pin every output row.
+    def sh(t: String): Set[String] = {
+      val tok = t.split(" ", -1)
+      if (tok.length < 3) Set.empty
+      else tok.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> sh(Option(r.getString(1)).getOrElse("")))
+    val evalIds = all.map(_._1).filter(_ % 97 == 0).toSet
+    val evalSh = all.filter(r => evalIds(r._1)).toMap
+    val train = all.filterNot(r => evalIds(r._1))
+    val trainUnion = train.iterator.flatMap(_._2).toSet
+    val out = Curation.evalContaminationAudit(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == evalIds, "one audit row per eval item")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val mySh = evalSh(id)
+      val nHit = mySh.count(trainUnion)
+      assert(r.getLong(1) == mySh.size.toLong, s"eval $id n_sh")
+      assert(r.getLong(2) == nHit.toLong, s"eval $id n_hit")
+      val bp = if (mySh.isEmpty) 0L else nHit.toLong * 10000L / mySh.size
+      assert(r.getLong(3) == bp, s"eval $id contamination_bp")
+      val shared = train.map { case (tid, ts) => tid -> (mySh & ts).size }
+        .filter(_._2 > 0)
+      if (shared.isEmpty) {
+        assert(r.getLong(4) == -1L && r.getLong(5) == 0L, s"eval $id clean")
+      } else {
+        val best = shared.minBy { case (tid, n) => (-n, tid) }
+        assert(r.getLong(4) == best._1 && r.getLong(5) == best._2.toLong,
+          s"eval $id worst doc")
+      }
+    }
+    // The audit must be non-trivial on this corpus: some contamination
+    // exists (the synthetic corpus plants near-duplicates).
+    assert(out.exists(_.getLong(2) > 0), "expected at least one leaked eval item")
+  }
+
   test("contamination spans report the first overlapping shingle's token offset") {
     import spark.implicits._
     // Eval doc 97 contributes shingles of "the quick brown fox". Train
