@@ -592,20 +592,25 @@ object Bpe {
   def unigramViterbi(s: SparkSession, dir: String): DataFrame =
     unigramViterbiOf(Tables.t(s, dir, "documents"))
 
-  /** Library form over any docs-shaped frame (spec fixtures). */
-  private[graft] def unigramViterbiOf(docsDf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = docsDf
+  /** (word, wfreq) with the loud length guard — the shared base of x82
+    * and x95. The oracle unrolls the DP to [[UniMaxWordLen]] positions;
+    * a longer word must fail LOUDLY, not silently diverge (raise_error
+    * rides the word column so pruning cannot skip it). */
+  private def uniWords(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("wfreq"))
-      // The oracle unrolls the DP to UniMaxWordLen positions; a longer
-      // word must fail LOUDLY, not silently diverge (raise_error rides
-      // the word column so pruning cannot skip it).
       .withColumn("word",
         when(length(col("word")) <= UniMaxWordLen, col("word"))
           .otherwise(raise_error(concat(
             lit(s"x82: word longer than $UniMaxWordLen chars: "), col("word")))))
+
+  /** (piece, cost) — Kudo's coverage vocabulary (top-[[UniVocabTop]]
+    * multi-char pieces + all single chars) with the integer
+    * information-content cost; shared by x82's DP and x95's E-step. */
+  private def uniVocabCosts(words: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pieces = words.select(col("word"), col("wfreq"),
         explode(expr(s"""flatten(transform(sequence(0, length(word) - 1),
           i -> transform(sequence(1, least($UniMaxPiece, length(word) - i)),
@@ -616,28 +621,80 @@ object Bpe {
       .filter(col("r") <= UniVocabTop).drop("r")
     val vocab = multi.unionByName(pieces.filter(length(col("piece")) === 1))
     val tot = vocab.agg(sum("f").as("tf"))
-    val vc = vocab.crossJoin(broadcast(tot))
+    vocab.crossJoin(broadcast(tot))
       .select(col("piece"), length(bin(expr("tf div f"))).cast("long").as("cost"))
-    val vm = vc.agg(map_from_entries(collect_list(struct(col("piece"), col("cost"))))
+  }
+
+  /** The broadcast piece→cost map column frame (1 row). */
+  private def uniVocabMap(vc: DataFrame): DataFrame =
+    vc.agg(map_from_entries(collect_list(struct(col("piece"), col("cost"))))
       .as("vm"))
-    words.crossJoin(broadcast(vm))
-      .withColumn("v", expr(s"""
-        element_at(
-          aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
-            (acc, i) -> concat(acc, array(array_min(transform(
-              sequence(greatest(i - $UniMaxPiece, 0), i - 1),
-              j -> element_at(acc, j + 1) + coalesce(
-                try_element_at(vm, substring(word, j + 1, i - j))
-                  * CAST(64 AS BIGINT) + CAST(1 AS BIGINT),
-                CAST($UniInf AS BIGINT))))))),
-          length(word) + 1)"""))
+
+  /** The packed-DP accumulator over one word: dp[i] = min over the
+    * ≤[[UniMaxPiece]] predecessors of dp[j] + cost·64 + 1 — the FULL
+    * array (x82 reads only the last element; x95's backtrack needs all
+    * of it). Requires `word` and the broadcast `vm` in scope. */
+  private val uniDpExpr = s"""
+    aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
+      (acc, i) -> concat(acc, array(array_min(transform(
+        sequence(greatest(i - $UniMaxPiece, 0), i - 1),
+        j -> element_at(acc, CAST(j + 1 AS INT)) + coalesce(
+          try_element_at(vm, substring(word, CAST(j + 1 AS INT), CAST(i - j AS INT)))
+            * CAST(64 AS BIGINT) + CAST(1 AS BIGINT),
+          CAST($UniInf AS BIGINT)))))))"""
+
+  /** Library form over any docs-shaped frame (spec fixtures). */
+  private[graft] def unigramViterbiOf(docsDf: DataFrame): DataFrame = {
+    val words = uniWords(docsDf)
+    words.crossJoin(broadcast(uniVocabMap(uniVocabCosts(words))))
+      .withColumn("v", expr(s"element_at($uniDpExpr, CAST(length(word) + 1 AS INT))"))
       .select(col("word"), col("wfreq"),
         expr("v div 64").as("total_cost"),
         (col("v") % 64).as("n_pieces"))
       .orderBy("word")
   }
 
-  private val x82Sql = {
+  /** (word, wfreq, pieces) — the actual optimal segmentation recovered
+    * by backtracking the packed DP: fold the cut positions down from
+    * length(word) (each step the SMALLEST predecessor j whose
+    * dp[j] + cost(piece) reproduces dp[pos] — both engines' tie rule),
+    * then read pieces off consecutive cuts. private[graft] so BpeSpec
+    * can pin lossless reassembly and packed-cost agreement with x82. */
+  private[graft] def uniSegmentsOf(docsDf: DataFrame): DataFrame = {
+    val words = uniWords(docsDf)
+    words.crossJoin(broadcast(uniVocabMap(uniVocabCosts(words))))
+      .withColumn("dp", expr(uniDpExpr))
+      // Cut positions: [L, j1, j2, …, 0]; once 0 is reached further
+      // iterations no-op (path length ≤ L, so L folds always suffice).
+      .withColumn("cuts", expr(s"""
+        aggregate(sequence(1, length(word)),
+          array(CAST(length(word) AS BIGINT)),
+          (acc, x) -> IF(element_at(acc, -1) <= 0, acc,
+            concat(acc, array(element_at(filter(
+              sequence(greatest(element_at(acc, -1) - $UniMaxPiece, CAST(0 AS BIGINT)),
+                element_at(acc, -1) - 1),
+              j -> element_at(dp, CAST(j + 1 AS INT)) + coalesce(
+                try_element_at(vm, substring(word, CAST(j + 1 AS INT),
+                  CAST(element_at(acc, -1) - j AS INT)))
+                  * CAST(64 AS BIGINT) + CAST(1 AS BIGINT),
+                CAST($UniInf AS BIGINT))
+                = element_at(dp, CAST(element_at(acc, -1) + 1 AS INT))), 1)))))"""))
+      // cuts descend from L to 0, so read pieces back-to-front and
+      // reverse into reading order (the spec's reassembly pin caught
+      // the reversed form).
+      .withColumn("pieces", expr(s"""
+        reverse(transform(sequence(1, CAST(size(cuts) - 1 AS BIGINT)),
+          i -> substring(word, CAST(element_at(cuts, CAST(i + 1 AS INT)) + 1 AS INT),
+            CAST(element_at(cuts, CAST(i AS INT)) - element_at(cuts, CAST(i + 1 AS INT)) AS INT))))"""))
+      .select(col("word"), col("wfreq"), col("pieces"))
+  }
+
+  /** The shared oracle CTE prefix — corpus words, the coverage
+    * vocabulary with integer costs, and the unrolled packed DP
+    * dp0..dp[[UniMaxWordLen]] — single source for the x82 AND x95
+    * oracles (the Spark side single-sources the same pieces through
+    * [[uniWords]]/[[uniVocabCosts]]/[[uniDpExpr]]). */
+  private val uniDpCtesSql = {
     val dpCtes = (1 to UniMaxWordLen).map { i =>
       val branches = (math.max(0, i - UniMaxPiece) until i).map { j =>
         s"""SELECT d.word, d.c + (cv.cost * 64 + 1) AS c
@@ -649,10 +706,7 @@ object Bpe {
       // 4^L-node plan — the first run hung before materialization.
       s"dp$i AS MATERIALIZED (SELECT word, min(c) AS c FROM (\n$branches\n) GROUP BY word)"
     }.mkString(",\n")
-    val finals = (1 to UniMaxWordLen).map(i =>
-      s"SELECT word, c FROM dp$i JOIN wl USING (word) WHERE l = $i")
-      .mkString("\n UNION ALL\n")
-    s"""WITH words AS MATERIALIZED (SELECT word, count(*) AS wfreq FROM
+    s"""words AS MATERIALIZED (SELECT word, count(*) AS wfreq FROM
            (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
             FROM documents)
          WHERE length(word) > 0 GROUP BY word),
@@ -675,7 +729,14 @@ object Bpe {
               FROM vocab CROSS JOIN tot),
        wl AS (SELECT word, length(word) AS l FROM words),
        dp0 AS (SELECT word, CAST(0 AS BIGINT) AS c FROM words),
-       $dpCtes,
+       $dpCtes"""
+  }
+
+  private val x82Sql = {
+    val finals = (1 to UniMaxWordLen).map(i =>
+      s"SELECT word, c FROM dp$i JOIN wl USING (word) WHERE l = $i")
+      .mkString("\n UNION ALL\n")
+    s"""WITH $uniDpCtesSql,
        fin AS ($finals)
        SELECT w.word, w.wfreq,
          CAST(f.c // 64 AS BIGINT) AS total_cost,
@@ -683,9 +744,90 @@ object Bpe {
        FROM words w JOIN fin f USING (word) ORDER BY word"""
   }
 
+  // ---------------------------------------------------------------- x95
+  /** x95 — one hard-EM (Viterbi) re-estimation step of the unigram LM
+    * trainer (Kudo 2018 §3.2's EM with the E-step's expectation
+    * replaced by the Viterbi path — the standard hard-EM variant;
+    * SentencePiece itself ships `--use_viterbi` style estimation):
+    * segment every distinct word optimally under the CURRENT costs
+    * (x82's DP, backtracked to actual pieces), count each piece's
+    * occurrences across the corpus weighted by word frequency (the
+    * E-step), and re-derive each surviving piece's integer
+    * information-content cost from the new totals (the M-step; the
+    * same floor(log₂(T′/f′)) + 1 discipline as the initial costs).
+    * Vocabulary pieces on no Viterbi path drop out — Kudo's prune step
+    * falls out of the counts for free. x65b completed BPE's training
+    * loop; x95 completes the unigram side.
+    *
+    * Engine-exactness: the backtrack re-applies the DP's own min rule
+    * and breaks ties by the SMALLEST predecessor position on both
+    * sides (Spark: ascending `filter(...)[1]`; oracle: NOT EXISTS on a
+    * smaller matching j), so the recovered path — not just its cost —
+    * is identical in both engines; counts and new costs are then pure
+    * integer arithmetic.
+    *
+    * Scale: everything corpus-sized is the word-count scan (the x65
+    * vocab collapse); the DP + backtrack is O(L·[[UniMaxPiece]]) per
+    * DISTINCT word inside one projection; the E-step agg and M-step
+    * total are vocabulary-sized partial+final aggs. One EM iteration's
+    * cost is independent of corpus row count beyond the word scan —
+    * the property that makes in-corpus tokenizer training viable at
+    * 100 TB. */
+  def unigramViterbiEm(s: SparkSession, dir: String): DataFrame =
+    unigramViterbiEmOf(Tables.t(s, dir, "documents"))
+
+  private[graft] def unigramViterbiEmOf(docsDf: DataFrame): DataFrame = {
+    val vc = uniVocabCosts(uniWords(docsDf))
+    val cnt = uniSegmentsOf(docsDf)
+      .select(col("wfreq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("wfreq").as("f"))
+    val tot2 = cnt.agg(sum("f").as("tf2"))
+    cnt.join(vc, Seq("piece"))
+      .withColumnRenamed("cost", "old_cost")
+      .crossJoin(broadcast(tot2))
+      .select(col("piece"), col("f"), col("old_cost"),
+        length(bin(expr("tf2 div f"))).cast("long").as("new_cost"))
+      .orderBy("piece")
+  }
+
+  private val x95Sql = {
+    val dpall = (0 to UniMaxWordLen).map(i =>
+      s"SELECT word, CAST($i AS BIGINT) AS p, c FROM dp$i")
+      .mkString("\n UNION ALL\n")
+    s"""WITH RECURSIVE $uniDpCtesSql,
+       dpall AS MATERIALIZED ($dpall),
+       back AS (SELECT word, CAST(length(word) AS BIGINT) AS pos,
+                  CAST(NULL AS VARCHAR) AS piece
+                FROM words
+                UNION ALL
+                SELECT b.word, dj.p AS pos,
+                  substr(b.word, CAST(dj.p + 1 AS INT), CAST(b.pos - dj.p AS INT)) AS piece
+                FROM back b
+                JOIN dpall di ON di.word = b.word AND di.p = b.pos
+                JOIN dpall dj ON dj.word = b.word
+                  AND dj.p >= b.pos - $UniMaxPiece AND dj.p < b.pos
+                JOIN vc v ON v.piece =
+                  substr(b.word, CAST(dj.p + 1 AS INT), CAST(b.pos - dj.p AS INT))
+                WHERE b.pos > 0 AND dj.c + v.cost * 64 + 1 = di.c
+                  AND NOT EXISTS (SELECT 1 FROM dpall dj2 JOIN vc v2
+                        ON v2.piece = substr(b.word, CAST(dj2.p + 1 AS INT),
+                             CAST(b.pos - dj2.p AS INT))
+                      WHERE dj2.word = b.word AND dj2.p >= b.pos - $UniMaxPiece
+                        AND dj2.p < dj.p AND dj2.c + v2.cost * 64 + 1 = di.c)),
+       cnt AS (SELECT bk.piece, CAST(sum(w.wfreq) AS BIGINT) AS f
+               FROM back bk JOIN words w USING (word)
+               WHERE bk.piece IS NOT NULL GROUP BY bk.piece),
+       tot2 AS (SELECT CAST(sum(f) AS BIGINT) AS tf2 FROM cnt)
+       SELECT c.piece, c.f, v.cost AS old_cost,
+         CAST(length(printf('%b', CAST(tf2 // f AS BIGINT))) AS BIGINT) AS new_cost
+       FROM cnt c JOIN vc v ON c.piece = v.piece CROSS JOIN tot2
+       ORDER BY c.piece"""
+  }
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x82_unigram_viterbi", unigramViterbi, Some(x82Sql)),
+    QueryDef("x95_unigram_viterbi_em", unigramViterbiEm, Some(x95Sql)),
     QueryDef("x56_bpe_token_count", tokenCounts, Some(x56Sql)),
     QueryDef("x56b_budget_apportion_bpe", budgetApportionBpe, Some(x56bSql)),
     QueryDef("x65_bpe_pair_counts", pairCounts, Some(x65Sql)),

@@ -398,6 +398,87 @@ object Ivf {
          CAST(sum(n) - sum(o) AS BIGINT) AS net
        FROM fl GROUP BY list_id ORDER BY list_id"""
 
+  // ------------------------------------------------- D4 pruning (x94)
+  /** x94: D4's diversification step (Tirumala et al. 2023, "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"): after SemDeDup removes near-duplicate clusters
+    * (x33's alive set — [[Similarity.semanticAliveIds]], the SAME
+    * memoized label map the registered dedup reads), cluster the
+    * survivors and DROP the members closest to their cluster centroid —
+    * the most "prototypical" examples, whose neighborhood the model
+    * sees many times over — keeping the outer hull that adds diversity.
+    *
+    * Cluster assignment is the pinned coarse quantizer (the x10b/x80
+    * memoized fit). Two disclosed deviations from the paper: (a) the
+    * quantizer is trained on the FULL corpus, not refit on the deduped
+    * survivors — the fit is an at-rest index artifact here, and a
+    * post-dedup k-means refit would be seed-dependent and thus not
+    * engine-exact; (b) prototypicality ranks by integer squared L2 to
+    * the assigned centroid instead of float cosine — same order for
+    * unit-normalized families, and exact in both engines. Per cluster
+    * the floor(n·[[D4DropBp]]/10⁴) smallest-distance members drop
+    * ((d2, vec_id) — an engine-total order), so a tiny cluster never
+    * over-drops and the kept fraction is exact by construction.
+    *
+    * Scale: the alive restriction is an id-only semi-join (32 B rows);
+    * assignment is the native one-pass pq_encode tag; d2 is one fold
+    * against a broadcast [[DefaultNlist]]-row centroid table; the rank
+    * window partitions by cluster — parallel across clusters, never a
+    * global sort. At 100 TB the quantizer comes from the bounded-sample
+    * fit and the whole query is one corpus pass plus a per-cluster
+    * window. */
+  val D4DropBp = 2500L
+
+  def d4Prune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"), intMillionths(col("embedding")).as("xi"))
+    val centroids = memoModel(emb, s"coarsepin$DefaultNlist") {
+      pinnedCodebook(base.select(col("vec_id"), col("xi").as("s")), DefaultNlist)
+    }
+    require(centroids.length == DefaultNlist,
+      s"x94 needs >= $DefaultNlist embedding rows to pin $DefaultNlist distinct " +
+        s"coarse ranks (got ${centroids.length})")
+    val flat = centroids.flatten.toSeq
+    val cenDf = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("list_id", "cvec")
+    val alive = Similarity.semanticAliveIds(s, dir)
+    val asg = base.join(alive, Seq("vec_id"))
+      .withColumn("list_id", element_at(call_function("pq_encode",
+        col("xi"), typedLit(flat), lit(1), lit(DefaultNlist)), 1).cast("long"))
+    val w = Window.partitionBy("list_id").orderBy(col("d2"), col("vec_id"))
+    asg.join(broadcast(cenDf), Seq("list_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("xi"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("list_id")))
+      .select(col("vec_id"), col("list_id").as("cluster_id"), col("d2"),
+        col("r"), (col("r") > expr(s"n * $D4DropBp div 10000")).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private def x94Sql: String = {
+    val dim = PqM * PqSubDim
+    s"""WITH RECURSIVE ${Similarity.aliveCteSql},
+       $coarseAsgCtes,
+       ad AS (SELECT a.vec_id, a.list_id, ${sqS("x.v", "s.c", dim)} AS d2
+              FROM asg a JOIN alive USING (vec_id)
+                JOIN xt x ON x.vec_id = a.vec_id
+                JOIN sd s ON s.k = a.list_id),
+       rkk AS (SELECT vec_id, list_id, d2,
+                 row_number() OVER (PARTITION BY list_id ORDER BY d2, vec_id) AS r,
+                 count(*) OVER (PARTITION BY list_id) AS n
+               FROM ad)
+       SELECT vec_id, CAST(list_id AS BIGINT) AS cluster_id,
+         CAST(d2 AS BIGINT) AS d2, CAST(r AS BIGINT) AS r,
+         r > (n * $D4DropBp // 10000) AS kept
+       FROM rkk ORDER BY vec_id"""
+  }
+
   // --------------------------------------------------- PQ / IVFADC (x59)
   /** Product-quantization parameters (Jegou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the 64-dim embedding
@@ -808,6 +889,7 @@ object Ivf {
     QueryDef("x10b_ann_ivf_pinned", searchPinnedIvfQuery, Some(x10bSql)),
     QueryDef("x80_topic_mix", topicMix, Some(x80Sql)),
     QueryDef("x84_topic_drift", topicDrift, Some(x84Sql)),
+    QueryDef("x94_d4_prune", d4Prune, Some(x94Sql)),
     QueryDef("x59_ann_pq_adc", searchPqQuery, Some(x59Sql)),
     QueryDef("x59b_ann_ivfadc", searchIvfPqQuery, Some(x59bSql)))
 }

@@ -350,6 +350,64 @@ object Similarity {
        SELECT doc_id, neg_id, cosine, rank FROM ranked
        WHERE rank <= $HardNegK ORDER BY doc_id, rank"""
 
+  // ---------------------------------------------------------------- x97
+  /** x97 — inverse-propensity density sampling over the embedding space
+    * (the DENSITY sampler of Sachdeva et al. 2024, "How to Train
+    * Data-Efficient LLMs", built on the RACE-style LSH kernel-density
+    * estimate of Coleman & Shrivastava 2020): a document's local density
+    * is estimated by how many corpus members share its LSH buckets, and
+    * the keep probability is proportional to 1/density — dense semantic
+    * regions (boilerplate clusters, template farms) are thinned toward
+    * uniform coverage of the embedding space while sparse regions are
+    * kept whole, WITHOUT ever materializing pairs (contrast x33, which
+    * must verify candidate pairs; density needs only bucket counts).
+    *
+    * Engine-exact form: the density estimate is the INTEGER sum over the
+    * [[LshBands]] bands of the vector's bucket population (each vector
+    * counts itself once per band, so dens ≥ [[LshBands]] and the
+    * keep-probability ratio LshBands/dens is ≤ 1 with no clamp); the
+    * keep decision compares the [[Sampling]] Knuth-hash selector u ∈
+    * [0, 10⁴) as u·dens < 10⁴·LshBands — cross-multiplied so no
+    * division ever truncates the probability. The exported weight_ppm =
+    * 10⁶·LshBands div dens is the Horvitz–Thompson reweighting factor a
+    * loss-weighted consumer applies (floor-divided, in ppm).
+    *
+    * Scale: bucket counts are one partial+final agg on (band, bucket)
+    * keys — bounded by corpus structure, never pairs; the per-vector
+    * density is a [[LshBands]]-row rollup on vec_id (already the bucket
+    * frame's grain); the decision is map-only integer arithmetic. At
+    * 100 TB this is the cheapest semantic thinning in the library: two
+    * narrow shuffles of (id, long) rows, no text or vector exchange. */
+  private[pipeline] val DensSalt = 104729L
+
+  def densitySample(s: SparkSession, dir: String): DataFrame = {
+    val b = bucketedOf(Tables.t(s, dir, "embeddings"))
+    val sizes = b.groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
+    val dens = b.join(sizes, Seq("band", "bucket"))
+      .groupBy("vec_id").agg(sum("cnt").as("dens"))
+    val u = pmod(pmod(col("vec_id") + DensSalt, lit(HashConstants.HashPrime)) *
+      lit(Knuth), lit(HashConstants.HashPrime)) % 10000L
+    dens
+      .select(col("vec_id"), col("dens"),
+        expr(s"(1000000 * $LshBands) div dens").as("weight_ppm"),
+        (u * col("dens") < lit(10000L * LshBands)).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private val x97Sql =
+    s"""WITH $bucketsCte,
+       sizes AS (SELECT band, bucket, count(*) AS cnt
+                 FROM buckets GROUP BY band, bucket),
+       dens AS (SELECT b.vec_id, CAST(sum(s.cnt) AS BIGINT) AS dens
+                FROM buckets b JOIN sizes s USING (band, bucket)
+                GROUP BY b.vec_id)
+       SELECT vec_id, dens,
+         CAST((1000000 * $LshBands) // dens AS BIGINT) AS weight_ppm,
+         ((((vec_id + $DensSalt) % ${HashConstants.HashPrime}) * $Knuth
+            % ${HashConstants.HashPrime}) % 10000) * dens
+           < ${10000L * LshBands} AS kept
+       FROM dens ORDER BY vec_id"""
+
   /** Exact all-pairs cosine above a threshold — TEST-ONLY oracle for
     * cross-validating the LSH path (every LSH-verified pair must appear
     * here with the same cosine). Deliberately NOT a registered query: the
@@ -452,13 +510,7 @@ object Similarity {
   }
 
   private val x43Sql =
-    s"""WITH RECURSIVE ${x09PairCtes(SemanticDedupThreshold)},
-       edges AS (SELECT va AS src, vb AS dst FROM pairs
-                 UNION ALL SELECT vb, va FROM pairs),
-       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
-                 UNION
-                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
-       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+    s"""WITH RECURSIVE ${ccCtesSql(SemanticDedupThreshold)},
        scored AS (SELECT doc_id, ${TextStats.qualitySqlExpr} AS quality
                   FROM documents),
        lab AS (SELECT s.doc_id, s.quality, coalesce(cc.cid, s.doc_id) AS cluster_id
@@ -523,13 +575,7 @@ object Similarity {
   }
 
   private val x47Sql =
-    s"""WITH RECURSIVE ${x09PairCtes(SemanticDedupThreshold)},
-       edges AS (SELECT va AS src, vb AS dst FROM pairs
-                 UNION ALL SELECT vb, va FROM pairs),
-       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
-                 UNION
-                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
-       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+    s"""WITH RECURSIVE ${ccCtesSql(SemanticDedupThreshold)},
        lab AS (SELECT e.vec_id, coalesce(cc.cid, e.vec_id) AS cluster_id
                FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node),
        qv AS (SELECT vec_id, u.j - 1 AS j,
@@ -804,14 +850,46 @@ object Similarity {
        WHERE e.vec_id % 3 = 1 AND e.vec_id NOT IN (SELECT vec_id FROM dup)
        ORDER BY vec_id"""
 
-  private val x33Sql =
-    s"""WITH RECURSIVE ${x09PairCtes(SemanticDedupThreshold)},
+  /** The x09 pair graph's connected components as a CTE chain ending in
+    * `cc(node, cid)` — pairs → symmetric edges → recursive min-label
+    * reach → per-node min. Single source for the x33/x43/x47/x94
+    * oracles (the Spark side single-sources the same way through
+    * [[semanticLabelsAt]]'s memoized map). Caller must open the WITH
+    * with RECURSIVE. */
+  private[pipeline] def ccCtesSql(threshold: Double): String =
+    s"""${x09PairCtes(threshold)},
        edges AS (SELECT va AS src, vb AS dst FROM pairs
                  UNION ALL SELECT vb, va FROM pairs),
        reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
                  UNION
                  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
-       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node)
+       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node)"""
+
+  /** CTE chain ending in `alive(vec_id)` — x33's keep set (cluster
+    * minimum or singleton) at the default threshold, the SemDeDup
+    * survivor frame the D4 composition ([[Ivf.d4Prune]]) prunes
+    * further. Caller must open the WITH with RECURSIVE. */
+  private[pipeline] def aliveCteSql: String =
+    s"""${ccCtesSql(SemanticDedupThreshold)},
+       alive AS (SELECT e.vec_id FROM embeddings e
+                 LEFT JOIN cc ON e.vec_id = cc.node
+                 WHERE coalesce(cc.cid, e.vec_id) = e.vec_id)"""
+
+  /** vec_ids surviving x33's semantic dedup at the default threshold —
+    * the Spark twin of [[aliveCteSql]], reading the same memoized label
+    * map as [[semanticDedup]] so the alive set can never drift between
+    * the registered dedup and its downstream compositions. */
+  private[pipeline] def semanticAliveIds(s: SparkSession, dir: String): DataFrame = {
+    val labels = semanticLabelsAt(s, dir, SemanticDedupThreshold)
+    Tables.t(s, dir, "embeddings").select(col("vec_id"))
+      .join(labels.select(col("node").as("vec_id"), col("lbl").as("cid")),
+        Seq("vec_id"), "left")
+      .filter(coalesce(col("cid"), col("vec_id")) === col("vec_id"))
+      .select(col("vec_id"))
+  }
+
+  private val x33Sql =
+    s"""WITH RECURSIVE ${ccCtesSql(SemanticDedupThreshold)}
        SELECT e.vec_id, coalesce(cc.cid, e.vec_id) AS cluster_id,
               coalesce(cc.cid, e.vec_id) = e.vec_id AS keep
        FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node
@@ -1104,5 +1182,6 @@ object Similarity {
     QueryDef("x36_incremental_semantic_dedup", x36, Some(x36Sql)),
     QueryDef("x36b_incremental_semantic_bucketed", x36b, Some(x36bSql)),
     QueryDef("x43_semantic_keep_best", (s, d) => semanticDedupKeepBest(s, d), Some(x43Sql)),
-    QueryDef("x47_semantic_keep_diverse", (s, d) => semanticKeepDiverse(s, d), Some(x47Sql)))
+    QueryDef("x47_semantic_keep_diverse", (s, d) => semanticKeepDiverse(s, d), Some(x47Sql)),
+    QueryDef("x97_density_sample", densitySample, Some(x97Sql)))
 }

@@ -295,6 +295,91 @@ object TextStats {
        SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_neg_logp2
        FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x96
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing the
+    * production LM filters actually run (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999 §3; KenLM's default,
+    * which is what CCNet's perplexity filter loads): x38's interpolation
+    * weights the unigram by RAW frequency, so "Francisco" — frequent but
+    * only ever after "San" — gets a large backoff share it never earns;
+    * KN replaces the unigram with the CONTINUATION probability (in how
+    * many distinct left contexts does this word appear / total distinct
+    * bigram types), the novel-continuation estimate:
+    *
+    *   P_KN(w₂|w₁) = (c(w₁w₂) − D)/c(w₁)
+    *               + (D·N₊(w₁·)/c(w₁)) · (N₊(·w₂)/B)
+    *
+    * with absolute discount D = [[KnDiscount]]. Scored bigrams come
+    * from the training corpus itself, so c(w₁w₂) ≥ 1 > D and the
+    * max(·,0) clamp is vacuous (the deployment against a foreign LM
+    * table would restore it). D = 0.75 = 3/4 is exact in binary, every
+    * count is an exact integer, and the float chain is parenthesized
+    * identically on both sides (the x38 discipline), so ln() parity at
+    * the emitted 4-decimal rounding carries over from x28/x38.
+    *
+    * Scale shape: exactly x38's — the bigram explode feeds per-(doc,w₁,
+    * w₂) counts; the LM, its left marginal + follower count (one GROUP
+    * BY w₁), the continuation count (one GROUP BY w₂), and the type
+    * total are all vocabulary-sized partial+final aggs; scoring is
+    * equi-joins + one per-doc agg; docs with < 2 tokens keep their row
+    * (n_bigrams 0, NULL score) via the left join. */
+  val KnDiscount = 0.75
+
+  def knBigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    val big = base
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val bigLm = big.groupBy("w1", "w2").agg(sum("c").as("cb"))
+    val ctx = bigLm.groupBy("w1")
+      .agg(sum("cb").as("cw1"), count(lit(1)).as("nf"))
+    val cont = bigLm.groupBy("w2").agg(count(lit(1)).as("np"))
+    val btot = bigLm.agg(count(lit(1)).as("bt"))
+    val scored = big
+      .join(bigLm, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(btot))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        round(-sum(col("c") * log(
+          ((col("cb").cast("double") - lit(KnDiscount)) / col("cw1")) +
+            (((lit(KnDiscount) * col("nf")) / col("cw1")) *
+              (col("np").cast("double") / col("bt"))))) /
+          sum("c"), 4).as("avg_neg_logp_kn"))
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_neg_logp_kn"))
+      .orderBy("doc_id")
+  }
+
+  private val x96Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, count(*) AS c
+               FROM t, unnest(generate_series(1, len(t) - 1)) u(i)
+               WHERE len(t) >= 2 GROUP BY doc_id, t[i], t[i+1]),
+       biglm AS (SELECT w1, w2, sum(c) AS cb FROM big GROUP BY w1, w2),
+       ctx AS (SELECT w1, sum(cb) AS cw1, count(*) AS nf FROM biglm GROUP BY w1),
+       cont AS (SELECT w2, count(*) AS np FROM biglm GROUP BY w2),
+       btot AS (SELECT count(*) AS bt FROM biglm),
+       sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                round(-sum(c * ln(
+                    ((CAST(cb AS DOUBLE) - $KnDiscount) / cw1)
+                    + ((($KnDiscount * nf) / cw1)
+                       * (CAST(np AS DOUBLE) / (SELECT bt FROM btot)))))
+                  / sum(c), 4) AS avg_neg_logp_kn
+              FROM big JOIN biglm USING (w1, w2) JOIN ctx USING (w1)
+                   JOIN cont USING (w2)
+              GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_neg_logp_kn
+       FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""
+
   /** Quality scoring: token/char ratios of the kind used to filter LLM
     * training corpora (length, stopword density, digit density). */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -762,5 +847,6 @@ object TextStats {
     QueryDef("x28_unigram_logprob", unigramLogprob, Some(x28Sql)),
     QueryDef("x77_perplexity_bins", perplexityBins, Some(x77Sql)),
     QueryDef("x38_bigram_logprob", bigramLogprob, Some(x38Sql)),
+    QueryDef("x96_kneser_ney", knBigramLogprob, Some(x96Sql)),
     QueryDef("x32_quality_quantile", qualityQuantileFilter, Some(x32Sql)))
 }

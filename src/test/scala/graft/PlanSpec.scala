@@ -288,6 +288,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"1-row total must broadcast:\n$p")
   }
 
+  test("x94: D4 prune — broadcast centroid join, cluster-partitioned window, no product") {
+    val p = plan("x94_d4_prune")
+    assert(!p.contains("CartesianProduct"),
+      s"no corpus product — candidates come from the LSH graph:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the nlist-row centroid table must broadcast:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("x96: KN bigram LM joins are equi-joins on vocab keys; aggs partial+final") {
+    val p = plan("x96_kneser_ney")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"bigram/context/continuation aggs must be map-side combinable:\n$p")
+    assert(p.contains("Broadcast"), s"1-row type total must broadcast:\n$p")
+  }
+
+  test("x97: density sampling is two narrow key aggs — no pairs, no product, no window") {
+    val p = plan("x97_density_sample")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"density needs bucket counts only, never pairs:\n$p")
+    assert(!p.contains("Window"), s"no global or per-key window anywhere:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"bucket-size and per-vector density aggs must be partial+final:\n$p")
+  }
+
   test("x39: intra-doc strip is one composite-key agg + doc-local reassembly") {
     val p = plan("x39_intradoc_dedup")
     // The only join is the doc_id-keyed stats left join — never a product.
@@ -499,6 +525,16 @@ class PlanSpec extends SparkSpec {
       s"the DP fold is pure expressions (aggregate HOF), no UDF:\n$p")
     assert("partial".r.findAllIn(p).size >= 2,
       s"word-count and piece-mass aggs must map-side combine:\n$p")
+  }
+
+  test("x95: the EM step stays expression-only DP + vocabulary-sized aggs") {
+    val p = plan("x95_unigram_viterbi_em")
+    assert(!p.contains("CartesianProduct"),
+      s"cost map / totals ride broadcasts, never a product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"DP, backtrack, and piece explode are pure expressions:\n$p")
+    assert("partial".r.findAllIn(p).size >= 2,
+      s"word-count and piece-count aggs must map-side combine:\n$p")
   }
 
   test("x56: subword counting is map-only (no join, no explode, no hash exchange)") {

@@ -288,4 +288,40 @@ class BpeSpec extends SparkSpec {
         s"word '$w': engine ($tc, $np) vs brute-force (${v / 64}, ${v % 64})")
     }
   }
+
+  test("x95: hand-computed hard-EM step — counts, prune, and new costs pinned") {
+    import spark.implicits._
+    // Corpus "ab ab ab cd": words ab(3) cd(1). Piece masses a3 b3 ab3
+    // c1 d1 cd1 → T = 12; costs len(bin(12 // f)): ab=3 cd=4 a=3 b=3
+    // c=4 d=4. Viterbi: "ab" → [ab] (193 < a+b 386); "cd" → [cd]
+    // (257 < 514). E-step counts: ab=3, cd=1 (singles PRUNED — on no
+    // path); T' = 4; new costs: ab len(bin(4//3=1))=1, cd len(bin(4))=3.
+    val planted = Seq((1L, "ab ab ab cd")).toDF("doc_id", "text")
+    val out = Bpe.unigramViterbiEmOf(planted).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("ab", 3L, 3L, 1L), ("cd", 1L, 4L, 3L)),
+      s"hand-computed EM step must match: ${out.toSeq}")
+  }
+
+  test("x95: backtracked segmentation reassembles losslessly and agrees with x82") {
+    val docs = Tables.t(spark, sf, "documents")
+    val segs = Bpe.uniSegmentsOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+    assert(segs.nonEmpty)
+    // Lossless: the pieces concatenate back to the word, none empty.
+    segs.foreach { case (w, _, ps) =>
+      assert(ps.mkString("") == w, s"pieces must reassemble '$w': $ps")
+      assert(ps.forall(_.nonEmpty), s"no empty piece in '$w': $ps")
+      assert(ps.forall(_.length <= Bpe.UniMaxPiece), s"piece length cap in '$w': $ps")
+    }
+    // Path length agrees with x82's packed n_pieces per word, and the
+    // E-step mass identity holds: Σ_pieces f = Σ_words wfreq·n_pieces.
+    val np = Bpe.unigramViterbi(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    segs.foreach { case (w, _, ps) =>
+      assert(ps.length.toLong == np(w)._2, s"'$w': ${ps.length} vs ${np(w)._2}") }
+    val emMass = Bpe.unigramViterbiEm(spark, sf).collect().map(_.getLong(1)).sum
+    val dpMass = np.values.map { case (wf, n) => wf * n }.sum
+    assert(emMass == dpMass, s"EM piece mass $emMass must equal DP path mass $dpMass")
+  }
 }

@@ -51,6 +51,34 @@ class IvfSpec extends SparkSpec {
       exact.get(id).foreach(e => assert(c == e, s"vec $id: $c vs $e")) }
   }
 
+  test("x94: D4 prune — alive restriction, exact per-cluster floor drop, prototypical-first") {
+    val rows = Ivf.d4Prune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // Operates on EXACTLY x33's alive set (the SemDeDup survivors).
+    val alive = Similarity.semanticAliveIds(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == alive, "x94 must rank exactly the semantic-dedup survivors")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val n = members.length.toLong
+      val dropK = n * Ivf.D4DropBp / 10000L
+      // Drop count is the exact floor; dropped = the smallest-rank rows.
+      assert(members.count(!_._5) == dropK, s"cluster $cid: drop count must be floor(n*bp/1e4)")
+      members.foreach { case (_, _, _, r, kept) =>
+        assert(kept == (r > dropK), s"cluster $cid rank $r: kept must be r > $dropK") }
+      // Rank follows (d2, vec_id): prototypical (small d2) members drop first.
+      val byRank = members.sortBy(_._4)
+      assert(byRank.map(m => (m._3, m._1)).toSeq ==
+        members.sortBy(m => (m._3, m._1)).map(m => (m._3, m._1)).toSeq,
+        s"cluster $cid: rank must be the (d2, vec_id) total order")
+    }
+  }
+
+  test("x94: D4 prune is run-to-run deterministic") {
+    val a = Ivf.d4Prune(spark, sf).collect().toSeq
+    assert(a == Ivf.d4Prune(spark, sf).collect().toSeq)
+    assert(a.nonEmpty)
+  }
+
   test("x52: int8 quantized top-10 recalls the exact top-10 within tolerance") {
     val exact = Similarity.cosineTopK(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -414,6 +414,75 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x96: Kneser–Ney — continuation count, not raw frequency, sets the backoff") {
+    import spark.implicits._
+    // v and z follow u equally often (c(uv) = c(uz) = 10, same context
+    // marginal), but z also appears after 8 OTHER distinct contexts while
+    // v only ever follows u. KN's continuation probability N+(·z)/B >
+    // N+(·v)/B must make "u z" score LESS surprising than "u v" — raw
+    // bigram MLE (x38's first term) cannot tell them apart. Hand-computed:
+    // B = 10 types; P(v|u) = 9.25/20 + (0.75·2/20)(1/10) = 0.47
+    //              P(z|u) = 9.25/20 + (0.75·2/20)(9/10) = 0.53
+    val corpus = ((1 to 10).map(i => (i.toLong, "u v")) ++
+      (11 to 20).map(i => (i.toLong, "u z")) ++
+      (21 to 28).map(i => (i.toLong, s"w$i z")) ++
+      Seq((99L, "solo"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = TextStats.knBigramLogprob(spark, dir.toString).collect()
+      val out = rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(math.abs(out(1L).get - (-math.log(0.47))) < 1.5e-4, s"P(v|u): $out")
+      assert(math.abs(out(11L).get - (-math.log(0.53))) < 1.5e-4, s"P(z|u): $out")
+      assert(out(1L).get > out(11L).get,
+        s"the novel-continuation word must score more surprising: $out")
+      assert(out(99L).isEmpty && rows.length == 29,
+        "a 1-token doc has no bigrams; every corpus row keeps a stats row")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("x97: density sampling thins the dense cluster, keeps sparse regions whole") {
+    import spark.implicits._
+    // 40 identical vectors form one dense LSH cell; 8 distinct basis-like
+    // vectors sit alone. Density must separate the two regimes, sparse
+    // vectors must ALWAYS be kept (keep probability 1 when every bucket
+    // is a singleton), and the inverse-propensity weight must be exact.
+    val dim = 8
+    val dense = (1 to 40).map(i =>
+      (i.toLong, Array.fill(dim)(0.5f).toSeq, 0))
+    val sparse = (101 to 108).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i - 101) 1.0f else -1.0f).toSeq, 1))
+    val dir = java.nio.file.Files.createTempDirectory("dens")
+    try {
+      (dense ++ sparse).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val rows = Similarity.densitySample(spark, dir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(rows.length == 48)
+      val byId = rows.map(r => r._1 -> r).toMap
+      // Identical vectors share every band bucket: dens >= 40 per band.
+      (1L to 40L).foreach { i =>
+        assert(byId(i)._2 >= 40L * Similarity.LshBands, s"dense member $i: ${byId(i)}") }
+      rows.foreach { case (id, dens, wppm, kept) =>
+        assert(dens >= Similarity.LshBands, s"self-count floor: $id")
+        assert(wppm == 1000000L * Similarity.LshBands / dens, s"HT weight must be exact: $id")
+        if (dens == Similarity.LshBands) assert(kept, s"singleton-bucket vector $id must be kept")
+      }
+      // The dense cluster thins: strictly fewer than half its members survive.
+      val denseKept = (1L to 40L).count(i => byId(i)._4)
+      assert(denseKept < 20, s"dense cluster must thin toward uniform coverage: $denseKept/40")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("winnowing: shared long passage yields shared fingerprints; density ~2/(w+1)") {
     import spark.implicits._
     // Two docs share an 8-token passage at DIFFERENT offsets (>= w+k-1 =
