@@ -812,6 +812,120 @@ object Sampling {
        FROM scored JOIN ph USING (qbp)
        GROUP BY phase ORDER BY phase"""
 
+  // ---------------------------------------------------------------- x98
+  /** x98 — DoReMi-style domain reweighting (Xie et al., NeurIPS 2023):
+    * upweight the domains where a GENERALIST model underperforms a
+    * domain SPECIALIST — the paper's excess loss ℓ_proxy − ℓ_ref per
+    * domain, driving a multiplicative-weights (exponentiated-gradient)
+    * update on the mixture. x23 hand-sets weights, x86/x87 derive them
+    * from SIZE alone; x98 derives them from modeling DIFFICULTY, the
+    * published third law.
+    *
+    * Proxy pair here (disclosed stand-in for the paper's trained
+    * transformers): the generalist is x28's corpus-wide unigram LM, the
+    * specialist each source's OWN unigram LM (MLE on that source, so
+    * per-source total NLL under it is optimal — excess ≥ 0 up to the
+    * 4-decimal per-doc rounding, clamped at 0). One Group-DRO step with
+    * the update LINEARIZED (exp(η·e) → 1 + η·e, η = 1 — the
+    * mirror-descent/χ² form of the same ascent direction): transcendental
+    * exp would break integer-exactness, and at |e| ≪ 1 nat the two agree
+    * to second order. Per-doc scores integerize at the emitted 4-decimal
+    * rounding (the x28 ln-parity precedent), so domain means
+    * (micro-nats, integer div), excess, factors, and the final weights
+    * are pure BIGINT; normalization is the x55 Hamilton machinery
+    * ([[budgetApportionOf]] — single-sourced), so Σ weight_alloc is
+    * exactly [[ApportionBudget]].
+    *
+    * Scale: ONE corpus explode feeds the per-(doc,source,tok) counts
+    * (checkpointed — three consumers, one scan); both LMs are
+    * vocabulary-sized partial+final aggs; scoring is equi-joins on
+    * tok/(source,tok) with the 1-row global total and |sources|-row
+    * per-source totals broadcast; everything after the per-source agg
+    * runs on |sources| rows. No driver collect, no product. */
+  def doremiWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = Checkpoints.stable(
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("c")))
+    val lmG = tok.groupBy("tok").agg(sum("c").as("cf"))
+    val totG = lmG.agg(sum("cf").as("n_total"))
+    val lmS = tok.groupBy("source", "tok").agg(sum("c").as("cfs"))
+    val totS = lmS.groupBy("source").agg(sum("cfs").as("n_src"))
+    val scored = tok
+      .join(lmG, "tok")
+      .join(lmS, Seq("source", "tok"))
+      .join(broadcast(totS), "source")
+      .crossJoin(broadcast(totG))
+      .groupBy("doc_id", "source")
+      .agg(
+        round((-sum(col("c") * log(col("cf").cast("double") / col("n_total"))) /
+          sum(col("c"))), 4).as("nll_gen"),
+        round((-sum(col("c") * log(col("cfs").cast("double") / col("n_src"))) /
+          sum(col("c"))), 4).as("nll_dom"))
+    val perSrc = scored
+      .withColumn("g4", expr("CAST(round(nll_gen * 10000) AS BIGINT)"))
+      .withColumn("d4", expr("CAST(round(nll_dom * 10000) AS BIGINT)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("g4").as("sg"), sum("d4").as("sd"))
+      .withColumn("mean_gen_u", expr("(sg * 100) div n_docs"))
+      .withColumn("mean_dom_u", expr("(sd * 100) div n_docs"))
+      .withColumn("excess_u",
+        greatest(col("mean_gen_u") - col("mean_dom_u"), lit(0L)))
+      .withColumn("factor_ppm", lit(1000000L) + col("excess_u"))
+    val alloc = budgetApportionOf(
+      perSrc.select(col("source").as("lang"),
+        col("factor_ppm").as("avail_tokens")))
+      .select(col("lang").as("source"), col("alloc_tokens").as("weight_alloc"))
+    perSrc.join(alloc, "source")
+      .select(col("source"), col("n_docs"), col("mean_gen_u"),
+        col("mean_dom_u"), col("excess_u"), col("factor_ppm"),
+        col("weight_alloc"))
+      .orderBy("source")
+  }
+
+  private lazy val x98Sql =
+    s"""WITH tok AS (SELECT doc_id, source, tok, count(*) AS c
+             FROM (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+             GROUP BY doc_id, source, tok),
+       lmg AS (SELECT tok, sum(c) AS cf FROM tok GROUP BY tok),
+       totg AS (SELECT sum(cf) AS n_total FROM lmg),
+       lms AS (SELECT source, tok, sum(c) AS cfs
+               FROM tok GROUP BY source, tok),
+       tots AS (SELECT source, sum(cfs) AS n_src FROM lms GROUP BY source),
+       sc AS (SELECT doc_id, t.source,
+                round(-sum(c * ln(CAST(cf AS DOUBLE)
+                      / (SELECT n_total FROM totg))) / sum(c), 4) AS nll_gen,
+                round(-sum(c * ln(CAST(cfs AS DOUBLE) / n_src))
+                      / sum(c), 4) AS nll_dom
+              FROM tok t JOIN lmg USING (tok)
+                JOIN lms USING (source, tok) JOIN tots USING (source)
+              GROUP BY doc_id, t.source),
+       per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(round(nll_gen * 10000) AS BIGINT)) AS BIGINT)
+                   AS sg,
+                 CAST(sum(CAST(round(nll_dom * 10000) AS BIGINT)) AS BIGINT)
+                   AS sd
+               FROM sc GROUP BY source),
+       m AS (SELECT source, n_docs,
+               CAST((sg * 100) // n_docs AS BIGINT) AS mean_gen_u,
+               CAST((sd * 100) // n_docs AS BIGINT) AS mean_dom_u
+             FROM per),
+       e AS (SELECT source, n_docs, mean_gen_u, mean_dom_u,
+               CAST(greatest(mean_gen_u - mean_dom_u, 0) AS BIGINT)
+                 AS excess_u,
+               CAST(1000000 + greatest(mean_gen_u - mean_dom_u, 0) AS BIGINT)
+                 AS factor_ppm
+             FROM m),
+       avail AS (SELECT source AS lang, factor_ppm AS avail_tokens FROM e),
+       ${apportionMathCtesFor("")}
+       SELECT e.source, n_docs, mean_gen_u, mean_dom_u, excess_u, factor_ppm,
+         a.alloc_tokens AS weight_alloc
+       FROM e JOIN alloc a ON e.source = a.lang
+       ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x21_stratified_sample", stratifiedSample, Some(x21Sql)),
     QueryDef("x73_epoch_alloc", epochAllocation, Some(x73Sql)),
@@ -824,6 +938,7 @@ object Sampling {
     QueryDef("x23_mixture", mixtureMaterialize, Some(x23Sql)),
     QueryDef("x86_temperature_sampling", temperatureSampling, Some(x86Sql)),
     QueryDef("x87_unimax_alloc", unimaxAllocation, Some(x87Sql)),
+    QueryDef("x98_doremi_weights", doremiWeights, Some(x98Sql)),
     QueryDef("x41_source_cap", (s, d) => sourceCapByQuality(s, d),
       Some(x41Sql(DefaultSourceCap))),
     QueryDef("x41b_source_cap_scalable",

@@ -725,6 +725,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
   }
 
+  test("x98: both LMs read the one checkpointed token frame; scoring is equi-joins") {
+    val p = plan("x98_doremi_weights")
+    // The per-(doc,source,tok) counts are checkpointed for their three
+    // consumers (global LM, per-source LMs, scoring) — a parquet scan
+    // here means a consumer rebuilt the corpus subtree.
+    assert(!p.contains("Scan parquet"),
+      s"the token frame must be materialized once:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"totals join via broadcast, never a product:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the 1-row global total and |sources|-row totals must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      s"LM and per-source aggs must be partial+final:\n$p")
+  }
+
   test("x87: the waterfill windows the lang frame, never the corpus") {
     val p = plan("x87_unimax_alloc")
     assert(!p.contains("Scan parquet"),

@@ -83,6 +83,85 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("x98: specialist-vs-generalist excess drives the weights; planted domain wins") {
+    import spark.implicits._
+    // "web" carries the corpus-dominant vocabulary, so the generalist
+    // (global) LM nearly IS web's specialist LM -> excess ~ 0. "wiki"
+    // speaks a private vocabulary that is rare globally but common in
+    // its own LM -> large positive excess -> DoReMi upweights it.
+    val corpus = Seq(
+      (1L, "wiki", "q1 q2 q3 q4 q1 q2"),
+      (2L, "wiki", "q1 q3 q2 q4 q3 q1"),
+      (3L, "web", "a b c d a b c d"),
+      (4L, "web", "b a d c b a d c"),
+      (5L, "web", "a a b b c c d d"),
+      (6L, "web", "d c b a d c b a"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("doremi").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Sampling.doremiWeights(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val byName = rows.map(r => r._1 -> r).toMap
+
+    // Independent plain-Scala recomputation of the whole integer chain.
+    val docsFx = Seq(
+      (1L, "wiki", "q1 q2 q3 q4 q1 q2"), (2L, "wiki", "q1 q3 q2 q4 q3 q1"),
+      (3L, "web", "a b c d a b c d"), (4L, "web", "b a d c b a d c"),
+      (5L, "web", "a a b b c c d d"), (6L, "web", "d c b a d c b a"))
+    val allToks = docsFx.flatMap { case (_, _, t) => t.split(" ") }
+    val cfG = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nG = allToks.size.toLong
+    val bySrc = docsFx.groupBy(_._2)
+    val expect = bySrc.map { case (src, ds) =>
+      val srcToks = ds.flatMap(_._3.split(" "))
+      val cfS = srcToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nS = srcToks.size.toLong
+      def nll(t: String, cf: Map[String, Long], n: Long): Double =
+        -math.log(cf(t).toDouble / n)
+      val (sg, sd) = ds.map { case (_, _, text) =>
+        val ts = text.split(" ")
+        val g = BigDecimal(ts.map(nll(_, cfG, nG)).sum / ts.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val d = BigDecimal(ts.map(nll(_, cfS, nS)).sum / ts.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (math.round(g * 10000), math.round(d * 10000))
+      }.unzip match { case (gs, dss) => (gs.sum, dss.sum) }
+      val mg = (sg * 100) / ds.size; val md = (sd * 100) / ds.size
+      val ex = math.max(mg - md, 0L)
+      src -> (ds.size.toLong, mg, md, ex, 1000000L + ex)
+    }
+    expect.foreach { case (src, (n, mg, md, ex, f)) =>
+      val got = byName(src)
+      assert((got._2, got._3, got._4, got._5, got._6) == ((n, mg, md, ex, f)),
+        s"$src: engine ${got} vs recomputed ($n, $mg, $md, $ex, $f)")
+    }
+    // MLE optimality: the specialist never does worse than the
+    // generalist on its own domain (means, integer micro-nats).
+    rows.foreach { case (src, _, mg, md, _, _, _) =>
+      assert(md <= mg, s"$src: specialist mean $md beats generalist $mg")
+    }
+    // The planted direction and the exact-budget contract.
+    assert(byName("wiki")._5 > byName("web")._5,
+      "private-vocabulary domain must show the larger excess")
+    assert(byName("wiki")._7 > byName("web")._7,
+      "DoReMi must upweight the underserved domain")
+    assert(rows.map(_._7).sum == Sampling.ApportionBudget,
+      "weights must sum to the budget exactly")
+  }
+
+  test("x98 on the real corpus: one row per source, factor law, exact budget") {
+    val rows = Sampling.doremiWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val nSrc = Tables.t(spark, sf, "documents").select("source").distinct().count()
+    assert(rows.length == nSrc, "one row per source")
+    rows.foreach { case (src, ex, f, _) =>
+      assert(f == 1000000L + ex, s"$src: factor must be 1e6 + excess")
+    }
+    assert(rows.map(_._4).sum == Sampling.ApportionBudget)
+  }
+
   test("x87: closed-form waterfill equals the sequential UNIMAX algorithm") {
     val rows = Sampling.unimaxAllocation(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
