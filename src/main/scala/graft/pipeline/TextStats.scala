@@ -831,8 +831,87 @@ object TextStats {
          min(n_tok) AS min_tok, max(n_tok) AS max_tok
        FROM s GROUP BY source, bucket ORDER BY source, bucket"""
 
+  // ---------------------------------------------------------------- x99
+  /** Low-entropy gate: short docs are judged by other rules (length
+    * gates), so the entropy cut only applies from this many chars up. */
+  val CharEntropyMinLen = 50L
+  /** 2 nats ≈ 2.9 bits — natural text sits near 2.8–3.0 nats of
+    * character entropy, degenerate repetition far below it. */
+  val MinCharEntropyUnats = 2000000L
+
+  /** x99 — character-entropy quality gate: the Shannon entropy of a
+    * document's CHARACTER distribution, the classic cheap detector for
+    * degenerate text (single-char floods, keyboard mashing, base64-ish
+    * uniform noise reads HIGH, repeated-char padding reads ~0) used in
+    * web-corpus cleaning batteries alongside the x01/x51/x79 rules —
+    * it catches repetition at a granularity the word-level x58 battery
+    * can't see (a document of one repeated CHARACTER has no repeated
+    * words to count).
+    *
+    * Engine-exact float discipline: each distinct char contributes
+    * term_u = round(10⁶ · (cnt/len) · ln(len/cnt)) — an integer
+    * micro-nat, computed from the same integer (cnt, len) pair by the
+    * same parenthesized expression in both engines (the x28 ln-parity
+    * precedent) — and the per-doc entropy is the INTEGER sum of terms,
+    * so summation order can never desync the engines. cnt comes from
+    * the length-minus-replace identity (len − len(text without c)),
+    * not from counting split cells, so both engines agree by
+    * construction. keep = entropy present AND (short-doc exemption OR
+    * above [[MinCharEntropyUnats]]); empty/NULL text scores NULL and
+    * is never kept.
+    *
+    * Scale: the cheapest gate in the library — ONE map-only projection
+    * (distinct-char fold via codegen'd HOFs, O(distinct·len) per doc),
+    * no shuffle before the output sort, no join, no agg, no window
+    * (PlanSpec-gated). */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+        expr("""CAST(size(filter(array_distinct(split(coalesce(text, ''), '')),
+                 c -> c != '')) AS BIGINT)""").as("n_distinct"),
+        expr(s"""CASE WHEN text IS NULL OR length(text) = 0 THEN NULL ELSE
+            aggregate(
+              transform(filter(array_distinct(split(text, '')), c -> c != ''),
+                d -> CAST(round(1000000 *
+                       (CAST(length(text) - length(replace(text, d, '')) AS DOUBLE)
+                          / length(text))
+                       * ln(CAST(length(text) AS DOUBLE)
+                          / (length(text) - length(replace(text, d, '')))))
+                     AS BIGINT)),
+              0L, (acc, x) -> acc + x) END""").as("entropy_unats"))
+      .withColumn("keep",
+        col("entropy_unats").isNotNull &&
+          (col("n_chars") < CharEntropyMinLen ||
+            col("entropy_unats") >= MinCharEntropyUnats))
+      .orderBy("doc_id")
+
+  private lazy val x99Sql =
+    s"""WITH ch AS (SELECT doc_id, text, length(text) AS len,
+             unnest(list_distinct(string_split(text, ''))) AS d
+           FROM documents WHERE length(coalesce(text, '')) > 0),
+       t AS (SELECT doc_id, len,
+               CAST(length(text) - length(replace(text, d, '')) AS BIGINT)
+                 AS cnt
+             FROM ch),
+       h AS (SELECT doc_id, len, CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(CAST(round(1000000 *
+                      (CAST(cnt AS DOUBLE) / len)
+                      * ln(CAST(len AS DOUBLE) / cnt)) AS BIGINT)) AS BIGINT)
+                 AS entropy_unats
+             FROM t GROUP BY doc_id, len)
+       SELECT d.doc_id, CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+         CAST(coalesce(h.n_distinct, 0) AS BIGINT) AS n_distinct,
+         h.entropy_unats,
+         coalesce(h.entropy_unats IS NOT NULL AND
+           (length(coalesce(d.text, '')) < $CharEntropyMinLen
+            OR h.entropy_unats >= $MinCharEntropyUnats), false) AS keep
+       FROM documents d LEFT JOIN h USING (doc_id)
+       ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x83_length_histogram", lengthHistogram, Some(x83Sql)),
+    QueryDef("x99_char_entropy", charEntropy, Some(x99Sql)),
     QueryDef("b30_lang_stats", langStats, Some(b30Sql)),
     QueryDef("b30b_term_freq", termFreq, Some(b30bSql)),
     QueryDef("b37_shingle_freq", shingleFreq, Some(b37Sql)),

@@ -501,6 +501,17 @@ class PlanSpec extends SparkSpec {
       s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
   }
 
+  test("x99: the char-entropy gate is map-only (no join, no agg, no explode)") {
+    val p = plan("x99_char_entropy")
+    assert(!p.contains("Join"), s"the entropy fold must not join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"the distinct-char fold is a per-row HOF, never an aggregation:\n$p")
+    assert(!p.contains("Generate"),
+      s"chars stay in per-row arrays, never exploded:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
+  }
+
   test("x51: the Gopher rule battery is map-only (no join, no hash exchange)") {
     val p = plan("x51_gopher_rules")
     assert(!p.contains("Join"), s"rule evaluation must not join:\n$p")

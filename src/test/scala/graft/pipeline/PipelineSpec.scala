@@ -369,6 +369,47 @@ class PipelineSpec extends SparkSpec {
       s"near-dup of a negative-id ref doc must be dropped: $out3")
   }
 
+  test("x99: char entropy separates repetition floods from fluent text; exact integers") {
+    import spark.implicits._
+    val fluent = "The quick brown fox jumps over the lazy dog while birds sing in the morning light."
+    val corpus = Seq(
+      (1L, "a" * 80),          // one-char flood: entropy 0, long -> dropped
+      (2L, fluent),            // natural text: ~2.8 nats -> kept
+      (3L, "hi"),              // short-doc exemption: kept despite low H
+      (4L, ""),                // empty: NULL entropy, never kept
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cent")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = TextStats.charEntropy(spark, dir.toString).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toMap
+      // Independent recomputation with the same integer-term formula.
+      def h(text: String): Long = {
+        val len = text.length
+        text.distinct.map { c =>
+          val cnt = text.count(_ == c)
+          math.round(1000000.0 * (cnt.toDouble / len) *
+            math.log(len.toDouble / cnt))
+        }.sum
+      }
+      assert(rows(1L) == ((80L, 1L, Some(0L), false)), s"flood: ${rows(1L)}")
+      assert(rows(2L) == ((fluent.length.toLong, fluent.distinct.length.toLong,
+        Some(h(fluent)), true)), s"fluent: ${rows(2L)} vs ${h(fluent)}")
+      assert(h(fluent) > TextStats.MinCharEntropyUnats,
+        "natural English must clear the 2-nat bar")
+      // "hi": two chars, each term round(1e6 * 0.5 * ln 2) = 346574.
+      assert(rows(3L) == ((2L, 2L, Some(693148L), true)), s"short: ${rows(3L)}")
+      assert(rows(4L) == ((0L, 0L, None, false)), s"empty: ${rows(4L)}")
+      assert(rows(5L) == ((0L, 0L, None, false)), s"null: ${rows(5L)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("unigram logprob ranks rare-token docs above boilerplate") {
     import spark.implicits._
     val corpus = ((1 to 50).map(i => (i.toLong, "common words appear here")) ++
