@@ -455,13 +455,19 @@ object TextStats {
        WHERE rn * 2 <= cnt ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- x02
+  /** The language profiles x02 (document grain) and x100 (line grain)
+    * both vote with — single-sourced so the two grains cannot drift. */
+  private val LangLexEn = Seq("the", "a", "of")
+  private val LangLexData = Seq("data", "row", "table")
+  private val LangLexQuery = Seq("query", "scan", "join")
+
   /** Language-ID heuristic: stopword-set voting (n-gram-profile style, one
     * profile per candidate language, argmax with fixed tie order). */
   def langIdHeuristic(s: SparkSession, dir: String): DataFrame = {
     def score(words: Seq[String]) = size(filter(toks, t => t.isin(words: _*)))
-    val en = score(Seq("the", "a", "of"))
-    val dataish = score(Seq("data", "row", "table"))
-    val queryish = score(Seq("query", "scan", "join"))
+    val en = score(LangLexEn)
+    val dataish = score(LangLexData)
+    val queryish = score(LangLexQuery)
     docs(s, dir).select(
       col("doc_id"), col("lang"),
       en.as("s_en"), dataish.as("s_data"), queryish.as("s_query"),
@@ -486,6 +492,84 @@ object TextStats {
             THEN 'datalang'
             ELSE 'querylang' END AS lang_pred
        FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- x100
+  /** x100 — LINE-level language identification with a per-document
+    * majority vote: the granularity the OSCAR/CCNet pipelines actually
+    * classify at (Ortiz Suárez et al. 2019; Wenzek et al. 2020 run
+    * fastText per LINE/paragraph, then keep or re-label the document
+    * from the line votes), where x02 classifies whole documents. The
+    * payoff is mixed-language pages: a document whose header/footer
+    * speak one language and body another gets a purity score — the
+    * signal CCNet thresholds to drop boilerplate-wrapped pages.
+    *
+    * Runs over the derived multi-line corpus ([[Curation.multiLineDocs]]
+    * — the x30b/x58d convention, single-sourced with its oracle CTE)
+    * and votes with x02's OWN lexica and tie rule (single-sourced
+    * constants), so line grain and document grain cannot drift. Output
+    * per doc: line count, distinct predictions seen, the majority
+    * language (ties break on lang asc — deterministic), its votes, and
+    * purity_bp = votes·10⁴ div n_lines.
+    *
+    * Scale: one bounded explode (lines per doc), ONE partial+final agg
+    * on (doc_id, pred), and per-doc windows over ≤ |languages| vote
+    * rows — the x32 per-key shape, never a global window. */
+  def lineLangVote(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lineToks = split(col("line"), " ")
+    def sc(words: Seq[String]) = size(filter(lineToks, t => t.isin(words: _*)))
+    val en = sc(LangLexEn); val da = sc(LangLexData); val qu = sc(LangLexQuery)
+    val votes = Curation.multiLineDocs(docs(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .select(col("doc_id"),
+        when(en >= da && en >= qu, "en")
+          .when(da >= qu, "datalang")
+          .otherwise("querylang").as("pred"))
+      .groupBy("doc_id", "pred").agg(count(lit(1)).as("votes"))
+    val byDoc = Window.partitionBy("doc_id")
+    votes
+      .withColumn("n_lines", sum("votes").over(byDoc))
+      .withColumn("n_preds", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(
+        byDoc.orderBy(col("votes").desc, col("pred"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_lines"), col("n_preds"),
+        col("pred").as("lang_major"), col("votes"),
+        expr("(votes * 10000) div n_lines").as("purity_bp"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val x100Sql = {
+    def lex(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+    s"""WITH ${Curation.mdCte},
+       ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM md),
+       pr AS (SELECT doc_id,
+                CASE WHEN e >= d AND e >= q THEN 'en'
+                     WHEN d >= q THEN 'datalang'
+                     ELSE 'querylang' END AS pred
+              FROM (SELECT doc_id,
+                      len(list_filter(string_split(line, ' '),
+                        t -> list_contains([${lex(LangLexEn)}], t))) AS e,
+                      len(list_filter(string_split(line, ' '),
+                        t -> list_contains([${lex(LangLexData)}], t))) AS d,
+                      len(list_filter(string_split(line, ' '),
+                        t -> list_contains([${lex(LangLexQuery)}], t))) AS q
+                    FROM ln)),
+       v AS (SELECT doc_id, pred, CAST(count(*) AS BIGINT) AS votes
+             FROM pr GROUP BY doc_id, pred),
+       wv AS (SELECT *,
+                CAST(sum(votes) OVER (PARTITION BY doc_id) AS BIGINT)
+                  AS n_lines,
+                CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                  AS n_preds,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY votes DESC, pred) AS rn
+              FROM v)
+       SELECT doc_id, n_lines, n_preds, pred AS lang_major, votes,
+         CAST((votes * 10000) // n_lines AS BIGINT) AS purity_bp
+       FROM wv WHERE rn = 1 ORDER BY doc_id"""
+  }
 
   // ---------------------------------------------------------------- x03
   /** Content fingerprint: order-insensitive token-set digest + raw digest.
@@ -917,6 +1001,7 @@ object TextStats {
     QueryDef("b37_shingle_freq", shingleFreq, Some(b37Sql)),
     QueryDef("x01_quality_score", qualityScore, Some(x01Sql)),
     QueryDef("x02_langid", langIdHeuristic, Some(x02Sql)),
+    QueryDef("x100_line_lang_vote", lineLangVote, Some(x100Sql)),
     QueryDef("x03_fingerprint", fingerprint, Some(x03Sql)),
     QueryDef("x03b_rolling_hash", nativeFingerprint, Some(x03bSql)),
     QueryDef("x42_winnow_fingerprints", (s, d) => winnowFingerprints(s, d), Some(x42Sql)),

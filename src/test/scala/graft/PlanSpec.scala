@@ -501,6 +501,19 @@ class PlanSpec extends SparkSpec {
       s"map-only pass must not hash-shuffle; only the output sort may exchange:\n$p")
   }
 
+  test("x100: line-lang vote is one vote agg + per-doc windows, never global") {
+    val p = plan("x100_line_lang_vote")
+    assert(!p.contains("Join"), s"voting must not join:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"the (doc,pred) vote count must be partial+final:\n$p")
+    // Both windows partition by doc_id — a global (empty-partition)
+    // window would funnel the corpus into one task.
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"vote windows must key on doc_id:\n$p")
+    assert(!p.contains("SinglePartition"), s"no global window allowed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x99: the char-entropy gate is map-only (no join, no agg, no explode)") {
     val p = plan("x99_char_entropy")
     assert(!p.contains("Join"), s"the entropy fold must not join:\n$p")

@@ -369,6 +369,37 @@ class PipelineSpec extends SparkSpec {
       s"near-dup of a negative-id ref doc must be dropped: $out3")
   }
 
+  test("x100: line votes find the majority language and score mixed pages' purity") {
+    import spark.implicits._
+    // multiLineDocs splits the body at " a " and adds a src header and
+    // lang footer. Doc 1's body lines are data-flavored; doc 2 mixes
+    // data lines with query lines so purity < 10000.
+    val corpus = Seq(
+      (1L, "data row table a data table row a row data", "en", "s1"),
+      (2L, "data row table a query scan join a query join scan a table data row", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("llv")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = TextStats.lineLangVote(spark, dir.toString).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4), r.getLong(5))).toMap
+      // Doc 1: 5 lines = header + 3 data-ish body lines + footer.
+      // Header/footer score 0-0-0 -> 'en' by tie rule; body -> datalang.
+      assert(rows(1L) == ((5L, 2L, "datalang", 3L, 6000L)), s"doc1: ${rows(1L)}")
+      // Doc 2: 6 lines; 2 datalang + 2 querylang + 2 'en' (header+footer).
+      // Tie at 2 votes breaks on pred asc -> datalang, purity 3333.
+      assert(rows(2L) == ((6L, 3L, "datalang", 2L, 3333L)), s"doc2: ${rows(2L)}")
+      rows.values.foreach { case (nl, _, _, v, p) =>
+        assert(p == v * 10000 / nl, "purity law")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("x99: char entropy separates repetition floods from fluent text; exact integers") {
     import spark.implicits._
     val fluent = "The quick brown fox jumps over the lazy dog while birds sing in the morning light."
