@@ -91,6 +91,84 @@ object Similarity {
        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 4) AS cosine
        FROM s ORDER BY cosine DESC, vec_id LIMIT 10"""
 
+  // --------------------------------------------------------------- x101
+  /** First-stage shortlist ranks on this embedding PREFIX (32 of 64
+    * dims = 2× fewer scan bytes); the funnel re-ranks with full dims. */
+  val MatryoshkaPrefixDims = 32
+  /** Shortlist width R ≫ k absorbs prefix-ranking error before the
+    * exact re-rank. */
+  val MatryoshkaShortlist = 100
+
+  /** x101 — Matryoshka adaptive retrieval (Kusupati et al., NeurIPS
+    * 2022 §4.3 "adaptive retrieval"): MRL-trained embeddings pack the
+    * most discriminative directions into the PREFIX, so retrieval can
+    * shortlist with the first [[MatryoshkaPrefixDims]] dims (2× fewer
+    * bytes scanned than b29's full-dim pass) and re-rank only the
+    * [[MatryoshkaShortlist]]-row shortlist with full dims — the
+    * published funnel. These synthetic embeddings are not MRL-trained
+    * (disclosed), so the prefix is an untrained truncation — IvfSpec
+    * measures the funnel's recall against exact b29 rather than
+    * assuming the paper's; the PLAN properties (prefix-width scan,
+    * bounded re-rank) hold regardless of training.
+    *
+    * Both stages round cosines to 4dp BEFORE their cut and break ties
+    * on vec_id, so shortlist membership and the final top-k are
+    * engine-deterministic (the b29 discipline). Scale: stage 1 is
+    * b29's shape on a 2×-narrower vector (query broadcast, corpus
+    * streams map-side into a TakeOrderedAndProject heap — no shuffle);
+    * stage 2 touches R rows. At rest the prefix can live as its own
+    * column/file (MRL's storage layout), making the byte cut physical;
+    * here it is a `slice`, the logical form of the same plan. */
+  def annMatryoshkaTopK(s: SparkSession, dir: String): DataFrame = {
+    reg(s)
+    val e = Tables.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"),
+        slice(col("embedding"), 1, MatryoshkaPrefixDims).as("q_pre"))
+    val short = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("q_emb"),
+        round(cosine(slice(col("embedding"), 1, MatryoshkaPrefixDims),
+          col("q_pre")), 4).as("cos_pre"))
+      .orderBy(col("cos_pre").desc, col("vec_id"))
+      .limit(MatryoshkaShortlist)
+    short
+      .select(col("vec_id"), col("cos_pre"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  private lazy val x101Sql =
+    s"""WITH q AS (SELECT embedding AS qe,
+             embedding[1:$MatryoshkaPrefixDims] AS qp
+           FROM embeddings WHERE vec_id = 0),
+       zp AS (SELECT vec_id, unnest(embedding[1:$MatryoshkaPrefixDims]) AS x,
+                unnest((SELECT qp FROM q)) AS y
+              FROM embeddings WHERE vec_id <> 0),
+       sp AS (SELECT vec_id,
+                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+              FROM zp GROUP BY vec_id),
+       pre AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 4) AS cos_pre
+               FROM sp),
+       short AS (SELECT vec_id, cos_pre FROM pre
+                 ORDER BY cos_pre DESC, vec_id LIMIT $MatryoshkaShortlist),
+       zf AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+                unnest((SELECT qe FROM q)) AS y
+              FROM embeddings e JOIN short ON e.vec_id = short.vec_id),
+       sf AS (SELECT vec_id,
+                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+              FROM zf GROUP BY vec_id)
+       SELECT sf.vec_id, short.cos_pre,
+         round(sf.dot / (sqrt(sf.na) * sqrt(sf.nq)), 4) AS cosine
+       FROM sf JOIN short ON sf.vec_id = short.vec_id
+       ORDER BY cosine DESC, sf.vec_id LIMIT 10"""
+
   // ---------------------------------------------------------------- IVF
   /** IVF-style ANN: restrict the scan to the query vector's coarse
     * partition (`label`), then exact cosine top-k inside it. */
@@ -1173,6 +1251,7 @@ object Similarity {
     QueryDef("x78_hard_negatives", hardNegatives, Some(x78Sql)),
     QueryDef("b29_cosine_topk", cosineTopK, Some(b29Sql)),
     QueryDef("x52_ann_sq8", annSq8TopK, Some(x52Sql)),
+    QueryDef("x101_ann_matryoshka", annMatryoshkaTopK, Some(x101Sql)),
     QueryDef("x52b_ann_ivf_sq8", annIvfSq8TopK, Some(x52bSql)),
     QueryDef("b29b_ann_ivf", annIvfTopK, Some(b29bSql)),
     QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),

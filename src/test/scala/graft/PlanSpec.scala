@@ -468,6 +468,16 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"only the 1-row stats frame may nest-loop ($bnlj):\n$p")
   }
 
+  test("x101: matryoshka keeps b29's broadcast + heap shape at both stages") {
+    val p = plan("x101_ann_matryoshka")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the shortlist cut must be a heap, not a global sort:\n$p")
+    assert(p.contains("Broadcast"), s"the query row must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no corpus product:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must stream map-side, never shuffle:\n$p")
+  }
+
   test("x52b: composed IVF+SQ8 keeps the broadcast + heap shape") {
     val p = plan("x52b_ann_ivf_sq8")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")

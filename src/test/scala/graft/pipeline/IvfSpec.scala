@@ -96,6 +96,27 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("x101: matryoshka funnel — full-dim re-rank is exact on its shortlist") {
+    val exact = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mat = Similarity.annMatryoshkaTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(mat.length == 10)
+    // Funnel recall vs exact b29: these embeddings are NOT MRL-trained
+    // (the prefix is an untrained truncation), so demand a majority,
+    // not the paper's near-1.0.
+    val hits = mat.count { case (id, _, _) => exact.contains(id) }
+    assert(hits >= 5, s"recall@10 was $hits/10: ${mat.toSeq} vs ${exact.keySet}")
+    // On every recalled id the re-rank cosine IS the exact cosine —
+    // stage 2 uses full dims, so no approximation survives the funnel.
+    mat.foreach { case (id, _, cos) =>
+      exact.get(id).foreach(e => assert(cos == e, s"vec $id: $cos vs $e"))
+    }
+    // The output ranks by the FULL cosine (prefix decides membership,
+    // never the final order).
+    assert(mat.map(_._3).toSeq == mat.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("x52b: IVF+SQ8 composed top-5 matches the exact-in-list top-5") {
     val exact = Similarity.annIvfTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toMap
