@@ -812,6 +812,59 @@ object Sampling {
        FROM scored JOIN ph USING (qbp)
        GROUP BY phase ORDER BY phase"""
 
+  // --------------------------------------------------------------- x102
+  /** Sample size for the weighted priority sample. */
+  val PrioritySampleK = 100
+  /** Salt decorrelating the priority draw from x14/x21/x23 decisions. */
+  private[graft] val PrioritySalt = 104729L
+
+  /** x102 — weighted random sampling without replacement by PRIORITY
+    * (Efraimidis & Spirakis 2006): each item draws u ~ U(0,1) and takes
+    * key u^(1/w); the k LARGEST keys are a weighted sample without
+    * replacement — the one-pass, fully parallel primitive for "give me
+    * k docs, token-weighted" that needs no per-stratum machinery and no
+    * second corpus pass (the x50b resampler materializes expected
+    * multiplicities instead; this draws an exact-size sample).
+    *
+    * Integerized end to end: u = (sel+1)/10002 from the deterministic
+    * [[hashBp]] selector (never 0 or 1, so ln is finite); maximizing
+    * u^(1/w) ⇔ minimizing (−ln u)/w, so the sort key is
+    * prio = (nlu_u · 10⁹) div w with nlu_u = round(−10⁶·ln u) — BIGINT
+    * division, ties broken by doc_id, max value ≈ 9.2·10¹⁵ (no
+    * overflow). Both engines compute ln from the same integer sel by
+    * the same parenthesized expression (the x28 parity precedent), so
+    * membership is engine/cluster/run-exact — the reproducibility
+    * contract of this module. Weight = whitespace token count (≥ 1 by
+    * the split convention, so every doc has a finite priority).
+    *
+    * Scale: map-only projection + ONE TakeOrderedAndProject heap — no
+    * shuffle, no window, no agg (PlanSpec-gated); the classic
+    * distributed-sample shape (per-partition heaps, driver merges k). */
+  def prioritySample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("w"))
+      .withColumn("sel", hashBp(PrioritySalt))
+      .withColumn("nlu_u", expr(
+        "CAST(round(-1000000 * ln((CAST(sel AS DOUBLE) + 1) / 10002.0)) AS BIGINT)"))
+      .withColumn("prio", expr("(nlu_u * 1000000000) div w"))
+      .orderBy(col("prio"), col("doc_id"))
+      .limit(PrioritySampleK)
+      .orderBy(col("prio"), col("doc_id"))
+
+  private lazy val x102Sql =
+    s"""WITH b AS (SELECT doc_id, source,
+           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS w,
+           CAST(${hashBpSql(PrioritySalt)} AS BIGINT) AS sel
+         FROM documents),
+       k AS (SELECT doc_id, source, w, sel,
+           CAST(round(-1000000 * ln((CAST(sel AS DOUBLE) + 1) / 10002.0))
+             AS BIGINT) AS nlu_u
+         FROM b)
+       SELECT doc_id, source, w, sel, nlu_u,
+         CAST((nlu_u * 1000000000) // w AS BIGINT) AS prio
+       FROM k ORDER BY prio, doc_id LIMIT $PrioritySampleK"""
+
   // ---------------------------------------------------------------- x98
   /** x98 — DoReMi-style domain reweighting (Xie et al., NeurIPS 2023):
     * upweight the domains where a GENERALIST model underperforms a
@@ -939,6 +992,7 @@ object Sampling {
     QueryDef("x86_temperature_sampling", temperatureSampling, Some(x86Sql)),
     QueryDef("x87_unimax_alloc", unimaxAllocation, Some(x87Sql)),
     QueryDef("x98_doremi_weights", doremiWeights, Some(x98Sql)),
+    QueryDef("x102_priority_sample", prioritySample, Some(x102Sql)),
     QueryDef("x41_source_cap", (s, d) => sourceCapByQuality(s, d),
       Some(x41Sql(DefaultSourceCap))),
     QueryDef("x41b_source_cap_scalable",

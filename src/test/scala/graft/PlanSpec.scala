@@ -759,6 +759,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
   }
 
+  test("x102: priority sampling is map-only into one top-k heap") {
+    val p = plan("x102_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k-smallest cut must be a heap, not a global sort:\n$p")
+    assert(!p.contains("Join"), s"the draw needs no join:\n$p")
+    assert(!p.contains("HashAggregate"), s"no aggregation anywhere:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"map-only before the heap; nothing may hash-shuffle:\n$p")
+  }
+
   test("x98: both LMs read the one checkpointed token frame; scoring is equi-joins") {
     val p = plan("x98_doremi_weights")
     // The per-(doc,source,tok) counts are checkpointed for their three

@@ -83,6 +83,44 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("x102: priority sampling favors heavy docs and obeys the integer key law") {
+    import spark.implicits._
+    // 200 one-token docs vs 200 thirty-token docs: under E-S priorities
+    // a heavy doc's key is an Exp draw divided by 30, so the top-100
+    // should be overwhelmingly heavy (expected ~97%).
+    val heavyText = (1 to 30).map(i => s"t$i").mkString(" ")
+    val corpus = ((0L until 200L).map(i => (i, "light", "tok")) ++
+      (200L until 400L).map(i => (i, "heavy", heavyText)))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("prio")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = Sampling.prioritySample(spark, dir.toString).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(rows.length == Sampling.PrioritySampleK, "exact-size sample")
+      val heavy = rows.count(_._2 == "heavy")
+      assert(heavy >= 80, s"weight-30 docs must dominate the sample: $heavy/100")
+      // The integer chain, independently recomputed per selected row.
+      rows.foreach { case (id, _, w, sel, nlu, prio) =>
+        val expectSel = (((id + Sampling.PrioritySalt) % HashConstants.HashPrime)
+          * HashConstants.Knuth % HashConstants.HashPrime) % 10000L
+        assert(sel == expectSel, s"doc $id: selector")
+        assert(nlu == math.round(-1000000.0 *
+          math.log((sel.toDouble + 1) / 10002.0)), s"doc $id: nlu")
+        assert(prio == nlu * 1000000000L / w, s"doc $id: priority law")
+      }
+      // Reproducibility: byte-identical membership on re-run.
+      val again = Sampling.prioritySample(spark, dir.toString).collect()
+        .map(_.getLong(0)).toSeq
+      assert(again == rows.map(_._1).toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("x98: specialist-vs-generalist excess drives the weights; planted domain wins") {
     import spark.implicits._
     // "web" carries the corpus-dominant vocabulary, so the generalist
