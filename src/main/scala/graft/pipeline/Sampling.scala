@@ -865,6 +865,66 @@ object Sampling {
          CAST((nlu_u * 1000000000) // w AS BIGINT) AS prio
        FROM k ORDER BY prio, doc_id LIMIT $PrioritySampleK"""
 
+  // --------------------------------------------------------------- x103
+  /** x103 — length-bucketed batching report: the padding-waste
+    * accounting behind bucket-by-sequence-length batching (the
+    * tensor2tensor/fairseq dynamic-batching discipline — batches pad
+    * every sequence to the batch max, so batching docs of similar
+    * length is a direct FLOP saving). Docs land in power-of-two token
+    * buckets (bucket = floor(log₂ n_tok), computed as
+    * length(bin(n)) − 1 — a pure integer/string identity, no float
+    * log2 anywhere); per bucket the report emits doc count, realized
+    * length range, token mass, the padded cost when padding to the
+    * bucket's observed max, its waste in basis points, and the waste
+    * the same docs would suffer under one global pad-to-corpus-max
+    * batch — the saving bucketing buys, per bucket, in one number.
+    * waste_bp ≤ naive_bp for every bucket by construction (bucket max
+    * ≤ global max; SamplingSpec pins it and recomputes a planted
+    * two-bucket fixture by hand).
+    *
+    * Scale: ONE corpus partial+final agg on the bucket key (≤ ~40
+    * buckets ever) + a broadcast 1-row global max; everything after
+    * runs on |buckets| rows. Map-side combinable, no window, no
+    * product (PlanSpec-gated). */
+  def lengthBucketBatching(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"))
+      .withColumn("bucket", expr("CAST(length(bin(n_tok)) - 1 AS BIGINT)"))
+    val g = base.agg(max("n_tok").as("gmax"))
+    base.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tok").as("len_min"), max("n_tok").as("len_max"),
+        sum("n_tok").as("token_mass"))
+      .crossJoin(broadcast(g))
+      .select(col("bucket"), col("n_docs"), col("len_min"), col("len_max"),
+        col("token_mass"),
+        expr("n_docs * len_max").as("padded_cost"),
+        expr("((n_docs * len_max - token_mass) * 10000) div (n_docs * len_max)")
+          .as("waste_bp"),
+        expr("((n_docs * gmax - token_mass) * 10000) div (n_docs * gmax)")
+          .as("naive_bp"))
+      .orderBy("bucket")
+  }
+
+  private lazy val x103Sql =
+    """WITH b AS (SELECT CAST(len(string_split(coalesce(text, ''), ' '))
+             AS BIGINT) AS n_tok
+         FROM documents),
+       k AS (SELECT n_tok, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket
+             FROM b),
+       g AS (SELECT max(n_tok) AS gmax FROM k),
+       a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               min(n_tok) AS len_min, max(n_tok) AS len_max,
+               CAST(sum(n_tok) AS BIGINT) AS token_mass
+             FROM k GROUP BY bucket)
+       SELECT bucket, n_docs, len_min, len_max, token_mass,
+         CAST(n_docs * len_max AS BIGINT) AS padded_cost,
+         CAST(((n_docs * len_max - token_mass) * 10000)
+              // (n_docs * len_max) AS BIGINT) AS waste_bp,
+         CAST(((n_docs * gmax - token_mass) * 10000)
+              // (n_docs * gmax) AS BIGINT) AS naive_bp
+       FROM a CROSS JOIN g ORDER BY bucket"""
+
   // ---------------------------------------------------------------- x98
   /** x98 — DoReMi-style domain reweighting (Xie et al., NeurIPS 2023):
     * upweight the domains where a GENERALIST model underperforms a
@@ -993,6 +1053,7 @@ object Sampling {
     QueryDef("x87_unimax_alloc", unimaxAllocation, Some(x87Sql)),
     QueryDef("x98_doremi_weights", doremiWeights, Some(x98Sql)),
     QueryDef("x102_priority_sample", prioritySample, Some(x102Sql)),
+    QueryDef("x103_length_buckets", lengthBucketBatching, Some(x103Sql)),
     QueryDef("x41_source_cap", (s, d) => sourceCapByQuality(s, d),
       Some(x41Sql(DefaultSourceCap))),
     QueryDef("x41b_source_cap_scalable",

@@ -759,6 +759,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
   }
 
+  test("x103: bucket report is one bucket-key agg + a broadcast global max") {
+    val p = plan("x103_length_buckets")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the bucket agg must be partial+final:\n$p")
+    assert(p.contains("Broadcast"), s"the 1-row global max must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the global max joins via broadcast, not a product:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"nothing here may shuffle-join:\n$p")
+  }
+
   test("x102: priority sampling is map-only into one top-k heap") {
     val p = plan("x102_priority_sample")
     assert(p.contains("TakeOrderedAndProject"),

@@ -83,6 +83,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("x103: length buckets cut padding waste vs one global batch; hand-pinned fixture") {
+    import spark.implicits._
+    // Bucket 2 (lens 4..7): docs of 4 and 6 tokens. Bucket 5 (32..63):
+    // docs of 32 and 40 tokens. Global max 40.
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, toks(4)), (2L, toks(6)), (3L, toks(32)), (4L, toks(40)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lbb")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = Sampling.lengthBucketBatching(spark, dir.toString).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+      // Bucket 2: n=2, mass 10, padded 2*6=12, waste 2/12=1666 bp;
+      // naive 2*40=80 pad, waste 70/80=8750 bp.
+      assert(rows(2L) == ((2L, 4L, 6L, 10L, 12L, 1666L, 8750L)), s"b2: ${rows(2L)}")
+      // Bucket 5: n=2, mass 72, padded 80, waste 8/80=1000 bp;
+      // naive waste (80-72)/80 = same here since gmax=40=len_max.
+      assert(rows(5L) == ((2L, 32L, 40L, 72L, 80L, 1000L, 1000L)), s"b5: ${rows(5L)}")
+      rows.values.foreach { case (_, _, _, _, _, waste, naive) =>
+        assert(waste <= naive, "bucketing can never pad more than one global batch")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("x102: priority sampling favors heavy docs and obeys the integer key law") {
     import spark.implicits._
     // 200 one-token docs vs 200 thirty-token docs: under E-S priorities
