@@ -230,8 +230,81 @@ object Report {
               ELSE 'none' END AS first_fail
        FROM ledger ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- x107
+  /** x107 — data-quality verification in the Deequ discipline (Schelter
+    * et al., VLDB 2018: declare constraints, compute the metrics they
+    * need in ONE pass, emit verdicts): per `source` — the unit at which
+    * a crawl or upstream feed breaks — profile the documents table and
+    * check the constraints an ingestion contract would declare:
+    * completeness(text) (null count + basis points), uniqueness(doc_id)
+    * within the source, consistency(n_chars == length(text)) — the
+    * denormalized-column drift check — plus the observability metrics
+    * (distinct langs, realized n_chars range). Verdicts are plain
+    * booleans per source and one conjunction, so a scheduler can fail
+    * the ingestion batch on `pass_all = false` rows exactly as Deequ's
+    * VerificationSuite does.
+    *
+    * x70 reports CONTENT health (quality/PII/dup mass) — this checks
+    * STRUCTURAL integrity; a feed can be structurally perfect and full
+    * of spam, or clean text with broken plumbing. Both engines count
+    * with pure integers (null-vs-null mismatch handled by the
+    * coalesce(-1) sentinel, valid because real lengths are ≥ 0).
+    *
+    * Scale: ONE partial+final agg on source; the two count-distincts
+    * expand the input ×2 but stay source-keyed (no global state); all
+    * verdicts derive from the aggregated row (PlanSpec-gated: no
+    * window, no product). */
+  def qualityVerification(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_text_null"),
+        countDistinct(col("lang")).as("n_langs"),
+        min("n_chars").as("chars_min"), max("n_chars").as("chars_max"),
+        sum(when(coalesce(length(col("text")), lit(-1L)) =!=
+          coalesce(col("n_chars"), lit(-1L)), 1L).otherwise(0L))
+          .as("n_chars_drift"))
+      .select(col("source"), col("n_rows"), col("n_ids"), col("n_text_null"),
+        expr("((n_rows - n_text_null) * 10000) div n_rows")
+          .as("text_complete_bp"),
+        col("n_langs"), col("chars_min"), col("chars_max"),
+        col("n_chars_drift"),
+        (col("n_ids") === col("n_rows")).as("chk_unique_ids"),
+        (col("n_text_null") === 0L).as("chk_text_complete"),
+        (col("n_chars_drift") === 0L).as("chk_chars_consistent"))
+      .withColumn("pass_all",
+        col("chk_unique_ids") && col("chk_text_complete") &&
+          col("chk_chars_consistent"))
+      .orderBy("source")
+
+  private val x107Sql =
+    """WITH a AS (SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text_null,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           min(n_chars) AS chars_min, max(n_chars) AS chars_max,
+           CAST(sum(CASE WHEN coalesce(length(text), -1)
+                         <> coalesce(n_chars, -1) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_chars_drift
+         FROM documents GROUP BY source)
+       SELECT source, n_rows, n_ids, n_text_null,
+         CAST(((n_rows - n_text_null) * 10000) // n_rows AS BIGINT)
+           AS text_complete_bp,
+         n_langs, chars_min, chars_max, n_chars_drift,
+         n_ids = n_rows AS chk_unique_ids,
+         n_text_null = 0 AS chk_text_complete,
+         n_chars_drift = 0 AS chk_chars_consistent,
+         (n_ids = n_rows AND n_text_null = 0 AND n_chars_drift = 0)
+           AS pass_all
+       FROM a ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x70_corpus_report", corpusReport, Some(x70Sql)),
     QueryDef("x91_doc_attributes", docAttributes, Some(x91Sql)),
-    QueryDef("x92_mixer_ledger", mixerLedger, Some(x92Sql)))
+    QueryDef("x92_mixer_ledger", mixerLedger, Some(x92Sql)),
+    QueryDef("x107_quality_verification", qualityVerification, Some(x107Sql)))
 }

@@ -759,6 +759,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
   }
 
+  test("x107: the verification profile is one source-keyed agg pass") {
+    val p = plan("x107_quality_verification")
+    assert(!p.contains("Join"), s"one-pass profiling must not join:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"metrics must aggregate map-side first:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"verdicts stay source-keyed, never a global funnel:\n$p")
+  }
+
   test("x103: bucket report is one bucket-key agg + a broadcast global max") {
     val p = plan("x103_length_buckets")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

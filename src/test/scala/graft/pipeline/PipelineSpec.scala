@@ -369,6 +369,42 @@ class PipelineSpec extends SparkSpec {
       s"near-dup of a negative-id ref doc must be dropped: $out3")
   }
 
+  test("x107: constraint verdicts flip on planted duplicate ids, nulls, and drift") {
+    import spark.implicits._
+    // clean: 3 perfect rows. dirty: duplicate doc_id, a NULL text, and
+    // an n_chars that disagrees with length(text).
+    val corpus = Seq(
+      (1L, "good text", "en", "clean", 9L),
+      (2L, "more text", "en", "clean", 9L),
+      (3L, "also fine", "de", "clean", 9L),
+      (10L, "dup id row", "en", "dirty", 10L),
+      (10L, "dup id row", "en", "dirty", 10L),
+      (11L, null.asInstanceOf[String], "en", "dirty", 0L),
+      (12L, "drifted", "fr", "dirty", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("dq")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = Report.qualityVerification(spark, dir.toString).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(8), r.getBoolean(9), r.getBoolean(10),
+          r.getBoolean(11), r.getBoolean(12))).toMap
+      val clean = rows("clean")
+      assert(clean == ((3L, 3L, 0L, 10000L, 0L, true, true, true, true)),
+        s"clean: $clean")
+      val dirty = rows("dirty")
+      // 4 rows, 3 distinct ids, 1 null text (completeness 7500 bp),
+      // drift rows: the NULL-text row (length NULL vs n_chars 0 -> the
+      // -1 sentinel catches it) and the 99-vs-7 row.
+      assert(dirty == ((4L, 3L, 1L, 7500L, 2L, false, false, false, false)),
+        s"dirty: $dirty")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("x100: line votes find the majority language and score mixed pages' purity") {
     import spark.implicits._
     // multiLineDocs splits the body at " a " and adds a src header and
