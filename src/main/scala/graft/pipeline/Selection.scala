@@ -858,8 +858,130 @@ object Selection {
            AS BIGINT) AS recall_bp
        FROM c CROSS JOIN tt ORDER BY bin"""
 
+  // --------------------------------------------------------------- x104
+  /** RETRO chunks this many whitespace tokens long (the paper uses 64
+    * BERT tokens; scaled to this corpus's 35–80-token docs so every
+    * doc yields 2–4 chunks and cross-document neighbors exist). */
+  val RetroChunkLen = 20
+  /** A token generates candidates only if it appears in at most this
+    * many chunks (the x11 df-cap discipline — hot tokens pair
+    * everything with everything and carry no signal). */
+  val RetroDfCap = 30L
+  /** Neighbors retrieved per chunk (RETRO uses k=2 at training). */
+  val RetroTopK = 2
+
+  /** x104 — RETRO-style chunk-neighbor retrieval (Borgeaud et al.,
+    * ICML 2022): split every document into fixed-length chunks and
+    * retrieve, for each chunk, its top-k nearest neighbor chunks from
+    * OTHER documents — the retrieval-augmented-pretraining preprocessing
+    * step, including the paper's two signature rules: neighbors from
+    * the SAME document are excluded (trivial self-retrieval teaches
+    * copying), and each neighbor reports whether its CONTINUATION chunk
+    * exists (RETRO prepends neighbor+continuation so the model sees
+    * what follows the match).
+    *
+    * Disclosed stand-in: the paper ranks by L2 over frozen-BERT chunk
+    * embeddings; with no pretrained encoder in scope the metric here is
+    * exact token-set Jaccard at chunk grain — the same substitution
+    * x43 discloses for SemDeDup, and a constant swap if embeddings
+    * arrive. Candidates come from a df-capped posting self-join (the
+    * x11/B28 discipline: a pair must share a sub-[[RetroDfCap]]-df
+    * token), so no chunk-level corpus product ever plans; scoring uses
+    * the native two-pointer `set_overlap` on sorted distinct arrays
+    * (the Dedup verify-stage lesson: array_intersect costs ~3 s per
+    * evaluation at sf0.1). Continuation existence is pure arithmetic
+    * (nbr_win + 1 < its doc's chunk count) — no extra join.
+    *
+    * Scale: chunking is a map-only generator explode; postings/df are
+    * (chunk, tok)-keyed partial+final aggs; candidates are equi-joins
+    * on tok with the df cap bounding fan-out; the rank window
+    * partitions on (doc_id, win_id) — never global. The checkpointed
+    * chunk frame feeds terms and both scoring sides from ONE corpus
+    * scan (PlanSpec-gated). */
+  def retroNeighbors(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val ch = Checkpoints.stable(
+      docs(s, dir)
+        .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(RetroChunkLen)))
+            .as("off"))
+        .select(col("doc_id"),
+          expr(s"CAST(off div $RetroChunkLen AS BIGINT)").as("win_id"),
+          array_sort(array_distinct(
+            slice(col("t"), col("off") + 1, lit(RetroChunkLen)))).as("keys"),
+          expr(s"CAST((size(t) + ${RetroChunkLen - 1}) div $RetroChunkLen AS BIGINT)")
+            .as("n_chunks")))
+    val terms = ch.select(col("doc_id"), col("win_id"),
+      explode(col("keys")).as("tok"))
+    val dfc = terms.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= RetroDfCap)
+    val rare = terms.join(dfc.select("tok"), "tok")
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("a.win_id").as("win_id"),
+        col("b.doc_id").as("nbr_doc"), col("b.win_id").as("nbr_win"))
+      .distinct()
+    val qs = ch.select(col("doc_id"), col("win_id"), col("keys").as("ka"))
+    val ns = ch.select(col("doc_id").as("nbr_doc"), col("win_id").as("nbr_win"),
+      col("keys").as("kb"), col("n_chunks").as("nbr_chunks"))
+    val w = Window.partitionBy("doc_id", "win_id")
+      .orderBy(col("jac").desc, col("nbr_doc"), col("nbr_win"))
+    cand.join(qs, Seq("doc_id", "win_id")).join(ns, Seq("nbr_doc", "nbr_win"))
+      .withColumn("shared", call_function("set_overlap", col("ka"), col("kb")))
+      .withColumn("na", size(col("ka")).cast("long"))
+      .withColumn("nb", size(col("kb")).cast("long"))
+      .withColumn("jac", round(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")), 4))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= RetroTopK)
+      .select(col("doc_id"), col("win_id"), col("rn"), col("nbr_doc"),
+        col("nbr_win"), col("shared"), col("jac"),
+        (col("nbr_win") + 1 < col("nbr_chunks")).as("has_cont"))
+      .orderBy("doc_id", "win_id", "rn")
+  }
+
+  private lazy val x104Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+           FROM documents),
+       ch AS (SELECT doc_id, CAST(off // $RetroChunkLen AS BIGINT) AS win_id,
+                list_distinct(t[(off + 1):(off + $RetroChunkLen)]) AS keys,
+                CAST((len(t) + ${RetroChunkLen - 1}) // $RetroChunkLen AS BIGINT)
+                  AS n_chunks
+              FROM t, unnest(generate_series(0, len(t) - 1, $RetroChunkLen))
+                u(off)),
+       terms AS (SELECT doc_id, win_id, unnest(keys) AS tok FROM ch),
+       dfc AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM terms
+                                GROUP BY tok)
+               WHERE df <= $RetroDfCap),
+       rare AS (SELECT tm.* FROM terms tm JOIN dfc USING (tok)),
+       cand AS (SELECT DISTINCT a.doc_id, a.win_id,
+                  b.doc_id AS nbr_doc, b.win_id AS nbr_win
+                FROM rare a JOIN rare b
+                  ON a.tok = b.tok AND a.doc_id <> b.doc_id),
+       sc AS (SELECT c.doc_id, c.win_id, c.nbr_doc, c.nbr_win,
+                CAST(len(list_intersect(x.keys, y.keys)) AS BIGINT) AS shared,
+                CAST(len(x.keys) AS BIGINT) AS na,
+                CAST(len(y.keys) AS BIGINT) AS nb,
+                y.n_chunks AS nbr_chunks
+              FROM cand c
+                JOIN ch x ON c.doc_id = x.doc_id AND c.win_id = x.win_id
+                JOIN ch y ON c.nbr_doc = y.doc_id AND c.nbr_win = y.win_id),
+       j AS (SELECT *, round(CAST(shared AS DOUBLE) / (na + nb - shared), 4)
+                    AS jac
+             FROM sc),
+       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id, win_id
+               ORDER BY jac DESC, nbr_doc, nbr_win) AS BIGINT) AS rn
+             FROM j)
+       SELECT doc_id, win_id, rn, nbr_doc, nbr_win, shared, jac,
+         nbr_win + 1 < nbr_chunks AS has_cont
+       FROM r WHERE rn <= $RetroTopK
+       ORDER BY doc_id, win_id, rn"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x90_classifier_calibration", classifierCalibration, Some(x90Sql)),
+    QueryDef("x104_retro_neighbors", retroNeighbors, Some(x104Sql)),
     QueryDef("x49_bm25_topk", bm25TopK, Some(x49Sql)),
     QueryDef("x49b_bm25_batch", bm25Batch, Some(x49bSql)),
     QueryDef("x50_dsir_weights", dsirWeights, Some(x50Sql)),

@@ -759,6 +759,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
   }
 
+  test("x104: retro retrieval is posting equi-joins over one checkpointed chunk frame") {
+    val p = plan("x104_retro_neighbors")
+    assert(!p.contains("Scan parquet"),
+      s"terms and both scoring sides must read the one chunk checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates come from the df-capped posting join, never a product:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"the rank window must key on (doc_id, win_id):\n$p")
+    assert(!p.contains("SinglePartition"), s"no global window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"df counts and candidate distinct must be partial+final:\n$p")
+  }
+
   test("x107: the verification profile is one source-keyed agg pass") {
     val p = plan("x107_quality_verification")
     assert(!p.contains("Join"), s"one-pass profiling must not join:\n$p")

@@ -10,6 +10,51 @@ import graft.{SparkSpec, Tables}
   * rules actually fire. */
 class SelectionSpec extends SparkSpec {
 
+  // --------------------------------------------------------------- x104
+  test("x104: retro neighbors exclude same-doc, flag continuations, exact jaccard") {
+    import spark.implicits._
+    def u(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    // Chunk length 20. doc1 = 2 chunks; its two chunks share the token
+    // "selfy" (same-doc exclusion bait). doc1c0 shares sh1..sh5 with
+    // doc2c0. doc2 = 3 chunks; doc2c2 shares q1..q4 with doc3's single
+    // chunk, so both sides of that pair have NO continuation.
+    val d1 = (u("a", 9) ++ Seq("selfy") ++ u("sh", 5) ++ u("f", 5) ++
+      u("g", 19) ++ Seq("selfy")).mkString(" ")
+    val d2 = (u("sh", 5) ++ u("h", 15) ++ u("i", 20) ++ u("q", 4) ++
+      u("j", 16)).mkString(" ")
+    val d3 = (u("q", 4) ++ u("k", 16)).mkString(" ")
+    val corpus = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("retro")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = Selection.retroNeighbors(spark, dir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+      // The paper's rule: no neighbor from the query's own document,
+      // even though doc1's chunks share a sub-cap token.
+      assert(rows.forall { case (d, _, _, nd, _, _, _, _) => d != nd },
+        s"same-doc neighbors must be excluded: ${rows.toSeq}")
+      val byChunk = rows.groupBy(r => (r._1, r._2))
+      // doc1 chunk0 -> doc2 chunk0 only: 20 distinct tokens each side,
+      // 5 shared -> jac 5/35 = 0.1429; doc2 continues -> has_cont.
+      assert(byChunk((1L, 0L)).toSeq ==
+        Seq((1L, 0L, 1L, 2L, 0L, 5L, 0.1429, true)), s"${byChunk((1L, 0L))}")
+      // doc3's chunk -> doc2 chunk2 (last of 3): no continuation;
+      // jac 4/36 = 0.1111.
+      assert(byChunk((3L, 0L)).toSeq ==
+        Seq((3L, 0L, 1L, 2L, 2L, 4L, 0.1111, false)), s"${byChunk((3L, 0L))}")
+      // ...and the reverse direction sees doc3's single chunk: no cont.
+      assert(byChunk((2L, 2L)).toSeq ==
+        Seq((2L, 2L, 1L, 3L, 0L, 4L, 0.1111, false)), s"${byChunk((2L, 2L))}")
+      // doc1 chunk1 shares nothing cross-doc: absent.
+      assert(!byChunk.contains((1L, 1L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   // ---------------------------------------------------------------- x49
   test("x49: hand-computed BM25 on a planted corpus") {
     import spark.implicits._
