@@ -555,8 +555,12 @@ object Dedup {
        SELECT da, db, round(j, 4) AS jaccard FROM scored
        WHERE j >= 0.8 ORDER BY da, db"""
 
-  private val x11Sql =
-    s"""WITH base AS (SELECT doc_id, text FROM documents
+  /** The x11 n-gram pair chain as a WITH-body fragment ending in
+    * `verified(da, db, shared, na, nb)` — x11's own oracle and the x105
+    * threshold sweep consume this single fragment, so the sweep can
+    * never drift from the pair set it claims to sweep. */
+  private[pipeline] val x11PairCtes: String =
+    s"""base AS (SELECT doc_id, text FROM documents
                       WHERE doc_id % 13 = 0 AND length(text) >= 3),
        nd AS (SELECT count(*) AS ndocs FROM base),
        sets AS (SELECT doc_id, list_distinct(list_transform(
@@ -572,12 +576,80 @@ object Dedup {
                       len(list_intersect(sa.keys, sb.keys)) AS shared,
                       len(sa.keys) AS na, len(sb.keys) AS nb
                     FROM cand JOIN sets sa ON da = sa.doc_id
-                              JOIN sets sb ON db = sb.doc_id)
+                              JOIN sets sb ON db = sb.doc_id)"""
+
+  private val x11Sql =
+    s"""WITH $x11PairCtes
        SELECT da, db,
               round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
        FROM verified
        WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) >= 0.15
        ORDER BY da, db"""
+
+  // --------------------------------------------------------------- x105
+  /** Sweep grid in basis points: x11's own 0.15 floor up to exact 1.0,
+    * 500 bp steps — the range real dedup deployments tune over
+    * (MinHash pipelines typically ship 0.7–0.9). */
+  private val SweepLoBp = 1500L
+  private val SweepHiBp = 10000L
+  private val SweepStepBp = 500L
+
+  /** x105 — dedup threshold sweep: the TUNING CURVE behind choosing a
+    * near-dup cutoff. Every published dedup config picks a Jaccard
+    * threshold (Lee et al. 2022 use 0.8; MinHash-LSH banding targets
+    * it); this emits, for each candidate threshold, how many verified
+    * pairs survive and how many distinct documents they touch — the
+    * two numbers a data engineer trades off (too low strips real
+    * variety, too high leaves near-dups in). Runs over x11's OWN
+    * verified pair frame (single-sourced fragment), so the curve is
+    * exactly the decision surface of the registered operator; jbp
+    * derives from the identical rounded double both engines already
+    * hash-match in x11.
+    *
+    * Scale: the sweep is |pairs| × 18 grid rows (pairs are candidate-
+    * bounded, never a corpus product) → two small keyed aggs + an
+    * 18-row spine left join. The pair pipeline itself is x11's cost;
+    * a deployment sweeps the materialized pair table. */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val grid = s"sequence(${SweepLoBp}L, ${SweepHiBp}L, ${SweepStepBp}L)"
+    val p = ngramJaccardPairs(s, dir)
+      .withColumn("jbp", expr("CAST(round(jaccard * 10000) AS BIGINT)"))
+    val hits = p.select(col("da"), col("db"), col("jbp"),
+        explode(expr(grid)).as("t_bp"))
+      .filter(col("jbp") >= col("t_bp"))
+    val nP = hits.groupBy("t_bp").agg(count(lit(1)).as("n_pairs"))
+    val nD = hits.select(col("t_bp"),
+        explode(array(col("da"), col("db"))).as("d"))
+      .groupBy("t_bp").agg(countDistinct(col("d")).as("n_docs"))
+    s.range(1).select(explode(expr(grid)).as("t_bp"))
+      .join(nP, Seq("t_bp"), "left").join(nD, Seq("t_bp"), "left")
+      .select(col("t_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("t_bp")
+  }
+
+  private lazy val x105Sql =
+    s"""WITH $x11PairCtes,
+       pj AS (SELECT da, db,
+                CAST(round(round(CAST(shared AS DOUBLE) / (na + nb - shared), 4)
+                     * 10000) AS BIGINT) AS jbp
+              FROM verified
+              WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 4)
+                    >= 0.15),
+       spine AS (SELECT CAST(unnest(generate_series($SweepLoBp, $SweepHiBp,
+                   $SweepStepBp)) AS BIGINT) AS t_bp),
+       hits AS (SELECT t_bp, da, db FROM spine JOIN pj ON jbp >= t_bp),
+       np AS (SELECT t_bp, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM hits GROUP BY t_bp),
+       nd2 AS (SELECT t_bp, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+               FROM (SELECT t_bp, unnest([da, db]) AS d FROM hits)
+               GROUP BY t_bp)
+       SELECT s.t_bp, coalesce(np.n_pairs, 0) AS n_pairs,
+         coalesce(nd2.n_docs, 0) AS n_docs
+       FROM spine s LEFT JOIN np ON s.t_bp = np.t_bp
+         LEFT JOIN nd2 ON s.t_bp = nd2.t_bp
+       ORDER BY s.t_bp"""
 
   // ---------------------------------------------------------------- MinHash
   /** Number of hash functions in a MinHash signature. */
@@ -747,6 +819,7 @@ object Dedup {
     QueryDef("b27_dedup_exact", exactDedup, Some(b27Sql)),
     QueryDef("b28_jaccard_pairs", (s, d) => jaccardPairs(s, d), Some(b28Sql)),
     QueryDef("x11_ngram_jaccard", x11, Some(x11Sql)),
+    QueryDef("x105_threshold_sweep", dedupThresholdSweep, Some(x105Sql)),
     QueryDef("x20_neardup_prefix", x20, Some(x20Sql)),
     QueryDef("x26_incremental_dedup", x26, Some(x26Sql)),
     QueryDef("x29_containment", x29, Some(x29Sql)),

@@ -759,6 +759,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
   }
 
+  test("x105: the sweep fans pairs over an 18-row grid — no product, keyed aggs") {
+    val p = plan("x105_threshold_sweep")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates and spine join by key, never a product:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"grid counts must be partial+final:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+  }
+
   test("x104: retro retrieval is posting equi-joins over one checkpointed chunk frame") {
     val p = plan("x104_retro_neighbors")
     assert(!p.contains("Scan parquet"),

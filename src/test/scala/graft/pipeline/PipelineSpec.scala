@@ -369,6 +369,31 @@ class PipelineSpec extends SparkSpec {
       s"near-dup of a negative-id ref doc must be dropped: $out3")
   }
 
+  test("x105: the threshold sweep is monotone and anchors to x11's own pairs") {
+    val sweep = Dedup.dedupThresholdSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._1).toSeq == (1500L to 10000L by 500L).toSeq,
+      "one row per grid threshold, zero-count rows included")
+    // Tightening the threshold can only shrink the surviving set.
+    sweep.sliding(2).foreach { case Array((_, p1, d1), (t, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, s"monotonicity broke at $t")
+    }
+    // The sweep's loosest point IS x11's registered pair set: same
+    // floor (0.15 = 1500 bp), same verified frame, so the counts must
+    // agree exactly — the single-sourcing check.
+    val x11Pairs = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (_, p0, d0) = sweep.head
+    assert(p0 == x11Pairs.length, s"pair anchor: $p0 vs ${x11Pairs.length}")
+    assert(d0 == x11Pairs.flatMap(p => Seq(p._1, p._2)).distinct.length,
+      "docs-touched anchor")
+    // Docs touched are bounded by 2 pairs (and at least a pair's worth).
+    sweep.foreach { case (t, p, d) =>
+      if (p > 0) assert(d >= 2 && d <= 2 * p, s"doc bound at $t: $p pairs, $d docs")
+      else assert(d == 0, s"zero pairs must touch zero docs at $t")
+    }
+  }
+
   test("x107: constraint verdicts flip on planted duplicate ids, nulls, and drift") {
     import spark.implicits._
     // clean: 3 perfect rows. dirty: duplicate doc_id, a NULL text, and
