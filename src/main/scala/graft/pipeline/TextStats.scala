@@ -948,22 +948,39 @@ object TextStats {
     * (distinct-char fold via codegen'd HOFs, O(distinct·len) per doc),
     * no shuffle before the output sort, no join, no agg, no window
     * (PlanSpec-gated). */
+  /** The x99 entropy value as ONE reusable Column over `text` — the
+    * single expression the registered query AND the streaming keep
+    * predicate ([[charEntropyKeepColumn]]) evaluate. */
+  private[graft] def charEntropyColumn: Column =
+    expr(s"""CASE WHEN text IS NULL OR length(text) = 0 THEN NULL ELSE
+        aggregate(
+          transform(filter(array_distinct(split(text, '')), c -> c != ''),
+            d -> CAST(round(1000000 *
+                   (CAST(length(text) - length(replace(text, d, '')) AS DOUBLE)
+                      / length(text))
+                   * ln(CAST(length(text) AS DOUBLE)
+                      / (length(text) - length(replace(text, d, '')))))
+                 AS BIGINT)),
+          0L, (acc, x) -> acc + x) END""")
+
+  /** x99's keep decision as a per-row predicate for the streaming
+    * ingest edge ([[graft.streaming.StreamingJobs.ingestAdmit]]'s
+    * qualityGate hook) — built on [[charEntropyColumn]] with the same
+    * short-doc exemption and floor as the registered query;
+    * StreamingSpec gates batch ≡ stream and PipelineSpec pins gate
+    * membership ≡ x99's own keep rows. */
+  private[graft] def charEntropyKeepColumn: Column =
+    charEntropyColumn.isNotNull &&
+      (length(coalesce(col("text"), lit(""))) < CharEntropyMinLen ||
+        charEntropyColumn >= MinCharEntropyUnats)
+
   def charEntropy(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
         length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
         expr("""CAST(size(filter(array_distinct(split(coalesce(text, ''), '')),
                  c -> c != '')) AS BIGINT)""").as("n_distinct"),
-        expr(s"""CASE WHEN text IS NULL OR length(text) = 0 THEN NULL ELSE
-            aggregate(
-              transform(filter(array_distinct(split(text, '')), c -> c != ''),
-                d -> CAST(round(1000000 *
-                       (CAST(length(text) - length(replace(text, d, '')) AS DOUBLE)
-                          / length(text))
-                       * ln(CAST(length(text) AS DOUBLE)
-                          / (length(text) - length(replace(text, d, '')))))
-                     AS BIGINT)),
-              0L, (acc, x) -> acc + x) END""").as("entropy_unats"))
+        charEntropyColumn.as("entropy_unats"))
       .withColumn("keep",
         col("entropy_unats").isNotNull &&
           (col("n_chars") < CharEntropyMinLen ||

@@ -495,6 +495,12 @@ class PipelineSpec extends SparkSpec {
       assert(rows(3L) == ((2L, 2L, Some(693148L), true)), s"short: ${rows(3L)}")
       assert(rows(4L) == ((0L, 0L, None, false)), s"empty: ${rows(4L)}")
       assert(rows(5L) == ((0L, 0L, None, false)), s"null: ${rows(5L)}")
+      // The streaming gate predicate admits exactly x99's keep set —
+      // the single-sourcing contract for the ingest edge.
+      val gateKept = corpus.filter(TextStats.charEntropyKeepColumn)
+        .collect().map(_.getLong(0)).toSet
+      assert(gateKept == rows.filter(_._2._4).keySet,
+        s"gate membership must equal the registered keep column: $gateKept")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

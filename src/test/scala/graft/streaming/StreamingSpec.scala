@@ -501,6 +501,40 @@ class StreamingSpec extends SparkSpec {
       s"C4 gate must admit the clean page and drop the lorem-planted one: $streamed")
   }
 
+  test("x99 entropy gate at the ingest edge: flood rejected before dedup, batch = stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq(Doc(1L, "alpha beta gamma delta epsilon", "en")).toDF()
+    val corpusVecs = Seq(Vec(1L, Array(1.0f, 0.0f, 0.0f))).toDF()
+    // 40 = fluent 80-char text (entropy ~2.9 nats, kept); 41 = an
+    // 80-char single-char flood (entropy 0) that is NOVEL on every
+    // dedup tier — only the entropy gate can reject it; 42 = short doc
+    // under the 50-char exemption, kept despite low entropy.
+    val fluent = "The quick brown fox jumps over the lazy dog while birds sing in the morning"
+    val arrivals = Seq(
+      DocVec(40L, fluent, "en", null),
+      DocVec(41L, "a" * 80, "en", null),
+      DocVec(42L, "hi there", "en", null))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val input = MemoryStream[DocVec]
+    val dir = java.nio.file.Files.createTempDirectory("ingest_ent").toString
+    val gate = Some(graft.pipeline.TextStats.charEntropyKeepColumn)
+    val q = StreamingJobs.ingestDedupStream(
+      input.toDF(), refDocs, corpusVecs, 0.8, 0.9, dir, gate) { (admitted, _) =>
+      out += admitted.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    input.addData(arrivals)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.flatten.toSeq
+    val batch = StreamingJobs.ingestAdmit(
+      arrivals.toDF(), refDocs, corpusVecs, 0.8, 0.9, gate)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
+    assert(streamed.sorted == Seq(40L, 42L),
+      s"the flood must die at the gate, the short doc must pass: $streamed")
+  }
+
   test("x58c repetition gate (foreachBatch) equals the batch gate — per-doc, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
