@@ -1251,6 +1251,48 @@ object Curation {
        CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
        FROM documents ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- x106
+  /** The k of k-anonymity: a quasi-identifier equivalence class smaller
+    * than this re-identifies its members (Sweeney's canonical choice). */
+  val KAnonymityK = 5L
+
+  /** x106 — k-anonymity audit over quasi-identifiers (Sweeney 2002;
+    * Samarati 2001): x19/x31 handle DIRECT identifiers (emails, URLs,
+    * digit runs); this audits RE-IDENTIFICATION risk from metadata that
+    * looks harmless per column — a document whose (lang, source,
+    * length-bucket) combination is shared by fewer than
+    * [[KAnonymityK]] corpus documents is linkable the way ZIP+birthdate+
+    * sex famously identified 87% of Americans. One row per equivalence
+    * class: its quasi-identifier tuple, class size k, the id-checksum
+    * membership pin (the x22 convention), and the verdict; the release
+    * rule is "suppress or generalize every `anonymous = false` class"
+    * — the length bucket IS the generalization lever (doubling the
+    * bucket width merges adjacent classes; the x103 bit-length bucket
+    * is single-sourced here for exactly that reason).
+    *
+    * Scale: ONE partial+final agg on the QI tuple (classes ≪ corpus);
+    * verdicts derive on class rows (PlanSpec: no join, no window). */
+  def kAnonymityAudit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("""CAST(length(bin(CAST(size(split(coalesce(text, ''), ' '))
+             AS BIGINT))) - 1 AS BIGINT)""").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("k"), sum("doc_id").as("id_checksum"))
+      .withColumn("anonymous", col("k") >= KAnonymityK)
+      .orderBy("lang", "source", "len_bucket")
+
+  private lazy val x106Sql =
+    s"""SELECT lang, source,
+         CAST(length(bin(CAST(len(string_split(coalesce(text, ''), ' '))
+              AS BIGINT))) - 1 AS BIGINT) AS len_bucket,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         count(*) >= $KAnonymityK AS anonymous
+       FROM documents
+       GROUP BY lang, source, len_bucket
+       ORDER BY lang, source, len_bucket"""
+
   // ---------------------------------------------------------------- x31
   /** PII redaction — the companion to x19's scan: REPLACE email-shaped,
     * URL-shaped and long-digit-run substrings with typed placeholders
@@ -3288,6 +3330,7 @@ object Curation {
     QueryDef("x17b_decontamination_spans", decontaminationSpans, Some(x17bSql)),
     QueryDef("x18_repetition_ratio", repetitionRatio, Some(x18Sql)),
     QueryDef("x19_pii_scan", piiScan, Some(x19Sql)),
+    QueryDef("x106_k_anonymity", kAnonymityAudit, Some(x106Sql)),
     QueryDef("x25_curate_pipeline", x25, Some(x25Sql)),
     QueryDef("x46_curate_v2", x46, Some(x46Sql)),
     QueryDef("x48_decon_strip", deconStripQuery, Some(x48Sql)),

@@ -759,6 +759,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
   }
 
+  test("x106: the k-anonymity audit is one QI-keyed agg pass") {
+    val p = plan("x106_k_anonymity")
+    assert(!p.contains("Join"), s"class sizing must not join:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"class counts must be partial+final:\n$p")
+    assert(!p.contains("SinglePartition"), s"classes stay QI-keyed:\n$p")
+  }
+
   test("x105: the sweep fans pairs over an 18-row grid — no product, keyed aggs") {
     val p = plan("x105_threshold_sweep")
     assert(!p.contains("CartesianProduct"),

@@ -194,6 +194,36 @@ class CurationSpec extends SparkSpec {
     assert(out.values.toSet == Set(29L), s"chain must collapse to one cluster rooted at 29: $out")
   }
 
+  test("x106: k-anonymity flags the singleton class, classes partition the corpus") {
+    import spark.implicits._
+    // Six docs share (en, web, bucket 2); one doc is alone in
+    // (fr, rare, bucket 2) — the linkable outlier.
+    val fiveTok = "t1 t2 t3 t4 t5" // 5 tokens -> bucket floor(log2 5) = 2
+    val corpus = ((1L to 6L).map(i => (i, fiveTok, "en", "web")) :+
+      (7L, fiveTok, "fr", "rare"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("kanon")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = Curation.kAnonymityAudit(spark, dir.toString).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+          (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+      assert(rows(("en", "web", 2L)) == ((6L, 21L, true)))
+      assert(rows(("fr", "rare", 2L)) == ((1L, 7L, false)),
+        "a singleton quasi-identifier class is linkable and must be flagged")
+      // Classes partition the corpus exactly (Σk = N, Σchecksum = Σids).
+      assert(rows.values.map(_._1).sum == 7L)
+      assert(rows.values.map(_._2).sum == (1L to 7L).sum)
+      rows.values.foreach { case (k, _, anon) =>
+        assert(anon == (k >= Curation.KAnonymityK), "verdict law")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("label propagation converges in O(log d) rounds on a diameter-20 path graph") {
     import spark.implicits._
     // Path 0-1-2-...-20: the adversarial shape for plain neighbor-min
