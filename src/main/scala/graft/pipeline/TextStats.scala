@@ -1010,9 +1010,72 @@ object TextStats {
        FROM documents d LEFT JOIN h USING (doc_id)
        ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- x108
+  /** x108 — Flesch reading-ease scoring (Flesch 1948; the Kincaid 1975
+    * recalibration family), the readability signal education-targeted
+    * corpus filters rank on: FRE = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/word). Everything integerizes: fre_milli =
+    * 206835 − (1015·W) div S − (84600·Y) div W with W = whitespace
+    * words (≥ 1 by the split convention), S = terminal-mark count
+    * ([.!?], floored at 1 so fragment docs divide safely), Y = vowel
+    * RUNS corpus-wide plus one per vowel-less word (the standard
+    * "every word has at least one syllable" fix) — the canonical cheap
+    * syllable estimator (disclosed: vowel runs, not dictionary
+    * syllabification; and integer div truncates the two ratios, a
+    * ≤ 1-milli deviation from the float formula). Both engines count
+    * with the same explicit [aeiouAEIOU] class (no (?i) dialect risk)
+    * so every column is BIGINT-exact. The 4-band reading level uses
+    * the published 90/60/30 cuts.
+    *
+    * Scale: map-only regexp/HOF projection, no shuffle before the
+    * output sort (PlanSpec-gated) — the x51/x79/x99 gate cost class. */
+  def fleschReadability(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("w"),
+        greatest(lit(1L), size(expr(
+          "regexp_extract_all(coalesce(text, ''), '[.!?]', 0)")).cast("long"))
+          .as("s"),
+        (size(expr("regexp_extract_all(coalesce(text, ''), '[aeiouAEIOU]+', 0)"))
+          .cast("long") +
+          size(expr("""filter(split(coalesce(text, ''), ' '),
+            t -> NOT t RLIKE '[aeiouAEIOU]')""")).cast("long")).as("y"))
+      .select(col("doc_id"), col("w").as("n_words"), col("s").as("n_sentences"),
+        col("y").as("n_syllables"),
+        expr("206835 - (1015 * w) div s - (84600 * y) div w").as("fre_milli"))
+      .withColumn("band",
+        when(col("fre_milli") >= 90000L, "very_easy")
+          .when(col("fre_milli") >= 60000L, "plain")
+          .when(col("fre_milli") >= 30000L, "difficult")
+          .otherwise("very_difficult"))
+      .orderBy("doc_id")
+
+  private lazy val x108Sql =
+    """WITH b AS (SELECT doc_id,
+           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS w,
+           greatest(1, CAST(len(regexp_extract_all(coalesce(text, ''),
+             '[.!?]')) AS BIGINT)) AS s,
+           CAST(len(regexp_extract_all(coalesce(text, ''), '[aeiouAEIOU]+'))
+             AS BIGINT)
+           + CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+               t -> NOT regexp_matches(t, '[aeiouAEIOU]'))) AS BIGINT) AS y
+         FROM documents)
+       SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+         CAST(206835 - (1015 * w) // s - (84600 * y) // w AS BIGINT)
+           AS fre_milli,
+         CASE WHEN 206835 - (1015 * w) // s - (84600 * y) // w >= 90000
+              THEN 'very_easy'
+              WHEN 206835 - (1015 * w) // s - (84600 * y) // w >= 60000
+              THEN 'plain'
+              WHEN 206835 - (1015 * w) // s - (84600 * y) // w >= 30000
+              THEN 'difficult'
+              ELSE 'very_difficult' END AS band
+       FROM b ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x83_length_histogram", lengthHistogram, Some(x83Sql)),
     QueryDef("x99_char_entropy", charEntropy, Some(x99Sql)),
+    QueryDef("x108_flesch_readability", fleschReadability, Some(x108Sql)),
     QueryDef("b30_lang_stats", langStats, Some(b30Sql)),
     QueryDef("b30b_term_freq", termFreq, Some(b30bSql)),
     QueryDef("b37_shingle_freq", shingleFreq, Some(b37Sql)),

@@ -524,6 +524,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x108: readability scoring is map-only (no join, no agg, no explode)") {
+    val p = plan("x108_flesch_readability")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"no aggregation anywhere:\n$p")
+    assert(!p.contains("Generate"), s"words stay in per-row arrays:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"map-only pass; only the output sort may exchange:\n$p")
+  }
+
   test("x99: the char-entropy gate is map-only (no join, no agg, no explode)") {
     val p = plan("x99_char_entropy")
     assert(!p.contains("Join"), s"the entropy fold must not join:\n$p")

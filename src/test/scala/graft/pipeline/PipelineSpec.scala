@@ -461,6 +461,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x108: hand-computed Flesch scores; easy prose outranks dense jargon") {
+    import spark.implicits._
+    val easy = "The cat sat on the mat. It was fat. It sat all day."
+    val dense = "Organizational prioritization necessitates comprehensive interdepartmental collaboration"
+    val corpus = Seq((1L, easy), (2L, dense)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("flesch")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = TextStats.fleschReadability(spark, dir.toString).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5))).toMap
+      // Independent recomputation with the same integer formula.
+      def recompute(text: String): (Long, Long, Long, Long) = {
+        val w = text.split(" ").length.toLong
+        val s = math.max(1L, text.count(c => ".!?".contains(c)).toLong)
+        val runs = "[aeiouAEIOU]+".r.findAllIn(text).length.toLong
+        val novowel = text.split(" ").count(t => !t.exists(c => "aeiouAEIOU".contains(c))).toLong
+        val y = runs + novowel
+        (w, s, y, 206835L - (1015L * w) / s - (84600L * y) / w)
+      }
+      Seq(1L -> easy, 2L -> dense).foreach { case (id, text) =>
+        val (w, s, y, fre) = recompute(text)
+        val got = rows(id)
+        assert((got._1, got._2, got._3, got._4) == ((w, s, y, fre)),
+          s"doc $id: $got vs ($w,$s,$y,$fre)")
+      }
+      // Short monosyllabic sentences score far above polysyllabic
+      // jargon, and the published bands separate them.
+      assert(rows(1L)._4 > rows(2L)._4 + 50000,
+        s"easy ${rows(1L)._4} vs dense ${rows(2L)._4}")
+      assert(rows(1L)._5 == "very_easy" && rows(2L)._5 == "very_difficult",
+        s"bands: ${rows(1L)._5} / ${rows(2L)._5}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("x99: char entropy separates repetition floods from fluent text; exact integers") {
     import spark.implicits._
     val fluent = "The quick brown fox jumps over the lazy dog while birds sing in the morning light."
