@@ -147,8 +147,58 @@ object Windows {
        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
        ORDER BY click_id, purchase_id"""
 
+  // ---------------------------------------------------------------- b42
+  /** b42 — weekly cohort retention, the canonical product-analytics
+    * matrix every event warehouse serves: users cohort by the week of
+    * their FIRST event (integer weeks since Monday 1970-01-05 — pure
+    * date arithmetic, no float anywhere), and each (cohort, offset)
+    * cell counts the cohort members active offset weeks later, with
+    * retention in basis points of the cohort size. Offset 0 is the
+    * cohort definition itself, so its retention is exactly 10⁴
+    * (gated in the spec).
+    *
+    * Scale: distinct (user, week) collapses the event stream FIRST
+    * (partial+final on the pair), the first-week frame is user-keyed,
+    * and the matrix is |cohorts|×|offsets| — cells, not events, flow
+    * into the final join; no window function at all. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val wk = expr(
+      "CAST(datediff(CAST(ts AS DATE), DATE'1970-01-05') div 7 AS BIGINT)")
+    val uw = events(s, dir).select(col("user_id"), wk.as("wk")).distinct()
+    val first = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val sizes = first.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("cohort_users"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_wk")
+      .select(col("cohort_wk"), col("offset_wk"), col("cohort_users"),
+        col("n_active"),
+        expr("(n_active * 10000) div cohort_users").as("retention_bp"))
+      .orderBy("cohort_wk", "offset_wk")
+  }
+
+  private val b42Sql =
+    """WITH uw AS (SELECT DISTINCT user_id,
+           CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+             AS BIGINT) AS wk
+         FROM events),
+       fw AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id),
+       sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_users
+                 FROM fw GROUP BY cohort_wk),
+       cells AS (SELECT f.cohort_wk, uw.wk - f.cohort_wk AS offset_wk,
+                   CAST(count(*) AS BIGINT) AS n_active
+                 FROM uw JOIN fw f USING (user_id)
+                 GROUP BY f.cohort_wk, uw.wk - f.cohort_wk)
+       SELECT c.cohort_wk, c.offset_wk, s.cohort_users, c.n_active,
+         CAST((c.n_active * 10000) // s.cohort_users AS BIGINT)
+           AS retention_bp
+       FROM cells c JOIN sizes s USING (cohort_wk)
+       ORDER BY c.cohort_wk, c.offset_wk"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x12_attribution_join", attributionQuery, Some(x12Sql)),
+    QueryDef("b42_cohort_retention", cohortRetention, Some(b42Sql)),
     QueryDef("b31_tumbling_window", tumblingQuery, Some(b31Sql)),
     QueryDef("b32_sliding_window", slidingQuery, Some(b32Sql)),
     QueryDef("b33_session_windows", sessionQuery, Some(b33Sql)),

@@ -768,6 +768,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
   }
 
+  test("b42: retention matrix aggregates events down before any join; no window") {
+    val p = plan("b42_cohort_retention")
+    assert(!p.contains("Window"), s"the matrix needs no window function:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cells join by key:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"distinct, first-week, sizes, cells must all be partial+final:\n$p")
+  }
+
   test("x106: the k-anonymity audit is one QI-keyed agg pass") {
     val p = plan("x106_k_anonymity")
     assert(!p.contains("Join"), s"class sizing must not join:\n$p")

@@ -501,6 +501,27 @@ class StreamingSpec extends SparkSpec {
       s"C4 gate must admit the clean page and drop the lorem-planted one: $streamed")
   }
 
+  test("b42: cohort retention — offset-0 row is the cohort itself, cells bounded") {
+    val rows = Windows.cohortRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val cohorts = rows.map(_._1).distinct
+    // Every cohort's offset-0 cell exists and retains exactly 100%:
+    // week-of-first-event membership IS the cohort definition.
+    cohorts.foreach { c =>
+      val zero = rows.find(r => r._1 == c && r._2 == 0L)
+        .getOrElse(fail(s"cohort $c has no offset-0 row"))
+      assert(zero._4 == zero._3 && zero._5 == 10000L,
+        s"offset 0 must retain the whole cohort: $zero")
+    }
+    rows.foreach { case (c, off, size, active, bp) =>
+      assert(off >= 0, s"activity cannot precede the first event: $c/$off")
+      assert(active >= 1 && active <= size, s"cell bounds: $c/$off")
+      assert(bp == active * 10000 / size, s"retention law: $c/$off")
+    }
+  }
+
   test("x99 entropy gate at the ingest edge: flood rejected before dedup, batch = stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
