@@ -840,7 +840,10 @@ object Sampling {
     * Scale: map-only projection + ONE TakeOrderedAndProject heap — no
     * shuffle, no window, no agg (PlanSpec-gated); the classic
     * distributed-sample shape (per-partition heaps, driver merges k). */
-  def prioritySample(s: SparkSession, dir: String): DataFrame =
+  /** The per-doc priority frame (doc_id, source, w, sel, nlu_u, prio)
+    * — the ONE chain x102 (global heap) and x102b (per-stratum rank)
+    * both consume, so the two sample laws cannot drift. */
+  private def priorityFrame(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), col("source"),
         size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("w"))
@@ -848,22 +851,69 @@ object Sampling {
       .withColumn("nlu_u", expr(
         "CAST(round(-1000000 * ln((CAST(sel AS DOUBLE) + 1) / 10002.0)) AS BIGINT)"))
       .withColumn("prio", expr("(nlu_u * 1000000000) div w"))
-      .orderBy(col("prio"), col("doc_id"))
-      .limit(PrioritySampleK)
-      .orderBy(col("prio"), col("doc_id"))
 
-  private lazy val x102Sql =
-    s"""WITH b AS (SELECT doc_id, source,
+  /** The same chain as a WITH-body fragment ending in
+    * `k(doc_id, source, w, sel, nlu_u, prio)`. */
+  private lazy val prioCtesSql =
+    s"""b AS (SELECT doc_id, source,
            CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS w,
            CAST(${hashBpSql(PrioritySalt)} AS BIGINT) AS sel
          FROM documents),
        k AS (SELECT doc_id, source, w, sel,
            CAST(round(-1000000 * ln((CAST(sel AS DOUBLE) + 1) / 10002.0))
-             AS BIGINT) AS nlu_u
-         FROM b)
-       SELECT doc_id, source, w, sel, nlu_u,
-         CAST((nlu_u * 1000000000) // w AS BIGINT) AS prio
+             AS BIGINT) AS nlu_u,
+           CAST((CAST(round(-1000000 * ln((CAST(sel AS DOUBLE) + 1)
+                / 10002.0)) AS BIGINT) * 1000000000) // w AS BIGINT) AS prio
+         FROM b)"""
+
+  def prioritySample(s: SparkSession, dir: String): DataFrame =
+    priorityFrame(s, dir)
+      .orderBy(col("prio"), col("doc_id"))
+      .limit(PrioritySampleK)
+      .orderBy(col("prio"), col("doc_id"))
+
+  private lazy val x102Sql =
+    s"""WITH $prioCtesSql
+       SELECT doc_id, source, w, sel, nlu_u, prio
        FROM k ORDER BY prio, doc_id LIMIT $PrioritySampleK"""
+
+  // -------------------------------------------------------------- x102b
+  /** Per-stratum sample size for the stratified priority sample. */
+  val StratPriorityK = 20L
+
+  /** x102b — the STRATIFIED form of x102: the k best priorities PER
+    * SOURCE instead of one global heap (Efraimidis–Spirakis §4 runs
+    * independently per stratum because priorities are independent
+    * uniforms — the restriction of the global draw to a stratum IS a
+    * weighted sample of that stratum). This is the form quota-balanced
+    * pipelines run ("20 token-weighted docs from every source,
+    * whatever the source sizes"), where x102 would let a whale source
+    * crowd the sample. Same priority chain, single-sourced
+    * ([[priorityFrame]]/`prioCtesSql`), so x102b's winners within a
+    * source are exactly x102's order restricted to it (gated in
+    * SamplingSpec).
+    *
+    * Scale: the rank window partitions by source — the x22 per-stratum
+    * shape, never global; whale-stratum caveat and remedies documented
+    * there. */
+  def prioritySampleStratified(s: SparkSession, dir: String): DataFrame =
+    priorityFrame(s, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("prio"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= StratPriorityK)
+      .select("source", "rk", "doc_id", "w", "sel", "nlu_u", "prio")
+      .orderBy("source", "rk")
+
+  private lazy val x102bSql =
+    s"""WITH $prioCtesSql,
+       r AS (SELECT source, doc_id, w, sel, nlu_u, prio,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY prio, doc_id) AS BIGINT) AS rk
+             FROM k)
+       SELECT source, rk, doc_id, w, sel, nlu_u, prio
+       FROM r WHERE rk <= $StratPriorityK
+       ORDER BY source, rk"""
 
   // --------------------------------------------------------------- x103
   /** x103 — length-bucketed batching report: the padding-waste
@@ -1053,6 +1103,7 @@ object Sampling {
     QueryDef("x87_unimax_alloc", unimaxAllocation, Some(x87Sql)),
     QueryDef("x98_doremi_weights", doremiWeights, Some(x98Sql)),
     QueryDef("x102_priority_sample", prioritySample, Some(x102Sql)),
+    QueryDef("x102b_priority_stratified", prioritySampleStratified, Some(x102bSql)),
     QueryDef("x103_length_buckets", lengthBucketBatching, Some(x103Sql)),
     QueryDef("x41_source_cap", (s, d) => sourceCapByQuality(s, d),
       Some(x41Sql(DefaultSourceCap))),

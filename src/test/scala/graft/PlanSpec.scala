@@ -829,6 +829,14 @@ class PlanSpec extends SparkSpec {
       s"nothing here may shuffle-join:\n$p")
   }
 
+  test("x102b: stratified priorities window on source, never globally") {
+    val p = plan("x102b_priority_stratified")
+    assert(p.contains("hashpartitioning(source"),
+      s"the rank window must partition by source:\n$p")
+    assert(!p.contains("SinglePartition"), s"no global window:\n$p")
+    assert(!p.contains("Join"), s"the draw needs no join:\n$p")
+  }
+
   test("x102: priority sampling is map-only into one top-k heap") {
     val p = plan("x102_priority_sample")
     assert(p.contains("TakeOrderedAndProject"),

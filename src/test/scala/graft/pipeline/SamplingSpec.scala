@@ -150,6 +150,37 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("x102b: stratified sample takes k per source and matches the global order") {
+    val strat = Sampling.prioritySampleStratified(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(6)))
+    val bySrc = strat.groupBy(_._1)
+    val srcCounts = Tables.t(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rows) =>
+      val expect = math.min(Sampling.StratPriorityK, srcCounts(src))
+      assert(rows.length == expect, s"$src: ${rows.length} vs $expect")
+      assert(rows.map(_._2).sorted.toSeq == (1L to expect).toSeq,
+        s"$src: ranks must be contiguous")
+      // Within a source the winners are the priority order itself.
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(r => (r._4, r._3)).toSeq ==
+        rows.map(r => (r._4, r._3)).sortBy(identity).toSeq,
+        s"$src: rank must follow (prio, doc_id)")
+    }
+    // Single-sourcing vs x102: any global winner inside a source must
+    // appear in that source's stratified sample at least as early.
+    val global = Sampling.prioritySample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stratIds = strat.map(_._3).toSet
+    global.groupBy(_._2).foreach { case (src, g) =>
+      g.take(Sampling.StratPriorityK.toInt).foreach { case (id, _) =>
+        assert(stratIds.contains(id),
+          s"$src: global winner $id missing from the stratified sample")
+      }
+    }
+  }
+
   test("x98: specialist-vs-generalist excess drives the weights; planted domain wins") {
     import spark.implicits._
     // "web" carries the corpus-dominant vocabulary, so the generalist
