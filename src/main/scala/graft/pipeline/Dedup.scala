@@ -652,6 +652,69 @@ object Dedup {
        ORDER BY s.t_bp"""
 
   // ---------------------------------------------------------------- MinHash
+  // --------------------------------------------------------------- x109
+  /** x109 — MinHash-LSH banding planner: the S-curve table behind
+    * choosing (bands b, rows r) for a signature of [[MinhashK]] hashes
+    * (Leskovec/Rajaraman/Ullman ch. 3; every MinHash deployment tunes
+    * this): for each factorization r·b = 16 and each Jaccard s on the
+    * 0.1–0.9 grid, the collision probability p = 1 − (1 − s^r)^b — the
+    * curve whose steep point the engineer aligns with the dedup
+    * threshold (more rows per band → the curve shifts right and
+    * sharpens; the registered x05 layout r=4, b=4 is flagged). A
+    * 45-row PLANNER, not a corpus query — it reads no table at all;
+    * the value is that both engines derive the identical table, so the
+    * tuning decision is as reproducible as the pipeline it configures.
+    *
+    * Exactness without pow(): libm pow is not guaranteed identically
+    * rounded across engines, so s^r and (1−s^r)^b are computed by
+    * REPEATED SQUARING over the exponent lattice {1,2,4,8,16} — plain
+    * IEEE multiplications in the same order on both sides, then one
+    * 4dp round. Scale: 45 literal rows; nothing to scale. */
+  def lshBandingPlanner(s: SparkSession, dir: String): DataFrame =
+    s.range(1)
+      .select(explode(expr("sequence(1000L, 9000L, 1000L)")).as("s_bp"))
+      .select(col("s_bp"), explode(expr("array(1L, 2L, 4L, 8L, 16L)")).as("r"))
+      .withColumn("b", expr("16L div r"))
+      .withColumn("s1", expr("CAST(s_bp AS DOUBLE) / 10000"))
+      .withColumn("s2", expr("s1 * s1")).withColumn("s4", expr("s2 * s2"))
+      .withColumn("s8", expr("s4 * s4")).withColumn("s16", expr("s8 * s8"))
+      .withColumn("sr", expr(
+        """CASE r WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 4 THEN s4
+                  WHEN 8 THEN s8 ELSE s16 END"""))
+      .withColumn("u1", expr("1.0 - sr"))
+      .withColumn("u2", expr("u1 * u1")).withColumn("u4", expr("u2 * u2"))
+      .withColumn("u8", expr("u4 * u4")).withColumn("u16", expr("u8 * u8"))
+      .withColumn("p_collide", expr(
+        """round(1.0 - CASE b WHEN 1 THEN u1 WHEN 2 THEN u2 WHEN 4 THEN u4
+                              WHEN 8 THEN u8 ELSE u16 END, 4)"""))
+      .withColumn("registered", col("r") === 4L && col("b") === 4L)
+      .select("s_bp", "r", "b", "p_collide", "registered")
+      .orderBy("s_bp", "r")
+
+  private val x109Sql =
+    """WITH g AS (SELECT s_bp, r, CAST(16 // r AS BIGINT) AS b
+           FROM (SELECT CAST(unnest(generate_series(1000, 9000, 1000))
+                   AS BIGINT) AS s_bp)
+           CROSS JOIN (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS r)),
+       p1 AS (SELECT *, CAST(s_bp AS DOUBLE) / 10000 AS s1 FROM g),
+       p2 AS (SELECT *, s1 * s1 AS s2 FROM p1),
+       p4 AS (SELECT *, s2 * s2 AS s4 FROM p2),
+       p8 AS (SELECT *, s4 * s4 AS s8 FROM p4),
+       p16 AS (SELECT *, s8 * s8 AS s16 FROM p8),
+       sr AS (SELECT *, CASE r WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 4 THEN s4
+                               WHEN 8 THEN s8 ELSE s16 END AS srv
+              FROM p16),
+       u1 AS (SELECT *, 1.0 - srv AS uv1 FROM sr),
+       u2 AS (SELECT *, uv1 * uv1 AS uv2 FROM u1),
+       u4 AS (SELECT *, uv2 * uv2 AS uv4 FROM u2),
+       u8 AS (SELECT *, uv4 * uv4 AS uv8 FROM u4),
+       u16 AS (SELECT *, uv8 * uv8 AS uv16 FROM u8)
+       SELECT s_bp, r, b,
+         round(1.0 - CASE b WHEN 1 THEN uv1 WHEN 2 THEN uv2 WHEN 4 THEN uv4
+                            WHEN 8 THEN uv8 ELSE uv16 END, 4) AS p_collide,
+         (r = 4 AND b = 4) AS registered
+       FROM u16 ORDER BY s_bp, r"""
+
   /** Number of hash functions in a MinHash signature. */
   val MinhashK = 16
   /** Rows per LSH band (MinhashK / bands). */
@@ -820,6 +883,7 @@ object Dedup {
     QueryDef("b28_jaccard_pairs", (s, d) => jaccardPairs(s, d), Some(b28Sql)),
     QueryDef("x11_ngram_jaccard", x11, Some(x11Sql)),
     QueryDef("x105_threshold_sweep", dedupThresholdSweep, Some(x105Sql)),
+    QueryDef("x109_lsh_planner", lshBandingPlanner, Some(x109Sql)),
     QueryDef("x20_neardup_prefix", x20, Some(x20Sql)),
     QueryDef("x26_incremental_dedup", x26, Some(x26Sql)),
     QueryDef("x29_containment", x29, Some(x29Sql)),

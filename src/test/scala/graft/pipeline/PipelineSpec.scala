@@ -369,6 +369,34 @@ class PipelineSpec extends SparkSpec {
       s"near-dup of a negative-id ref doc must be dropped: $out3")
   }
 
+  test("x109: the S-curve table matches closed-form math and orders correctly") {
+    val rows = Dedup.lshBandingPlanner(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.length == 45, "9 similarities x 5 factorizations")
+    // Closed form recomputed independently (math.pow is fine here —
+    // the assertion tolerates the last-ulp difference the engine's
+    // repeated squaring avoids).
+    rows.foreach { case (sBp, r, b, p, reg) =>
+      assert(r * b == 16, s"factorization law at $sBp/$r")
+      val expect = 1.0 - math.pow(1.0 - math.pow(sBp / 10000.0, r.toDouble),
+        b.toDouble)
+      assert(math.abs(p - expect) < 5e-4, s"($sBp,$r): $p vs $expect")
+      assert(reg == (r == 4L), s"registered flag at $sBp/$r")
+    }
+    // The defining S-curve property: at fixed s, more rows per band
+    // pushes collisions DOWN (curve moves right); at fixed (r, b),
+    // p is nondecreasing in s.
+    rows.groupBy(_._1).foreach { case (s0, g) =>
+      val byR = g.sortBy(_._2).map(_._4)
+      assert(byR.toSeq == byR.sortBy(-_).toSeq, s"p must fall with r at $s0")
+    }
+    rows.groupBy(_._2).foreach { case (r0, g) =>
+      val byS = g.sortBy(_._1).map(_._4)
+      assert(byS.toSeq == byS.sorted.toSeq, s"p must rise with s at r=$r0")
+    }
+  }
+
   test("x105: the threshold sweep is monotone and anchors to x11's own pairs") {
     val sweep = Dedup.dedupThresholdSweep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
