@@ -1010,6 +1010,64 @@ object TextStats {
        FROM documents d LEFT JOIN h USING (doc_id)
        ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- x110
+  /** x110 — quality-gate tuning curve (the x105 pattern on the quality
+    * axis): for every candidate floor on the 0–10⁴ bp grid, how many
+    * docs survive, what token mass they carry, and the survivors' mean
+    * quality — the keep-rate-vs-strictness trade-off behind choosing
+    * x24's ingest floor or x32's quantile cut, in one reproducible
+    * table (FineWeb-style ablations pick thresholds from exactly this
+    * curve before spending any training compute). Quality is the
+    * single-sourced x01 Column ([[qualityColumn]]/[[qualitySqlExpr]]),
+    * integerized at its emitted 4dp (the x105 jbp discipline); the
+    * mean is an integer division of BIGINT sums, so every cell is
+    * engine-exact. Zero-survivor grid rows stay present with zeroed
+    * metrics and a NULL mean.
+    *
+    * Scale: |docs| × 21 grid rows from one bounded explode → ONE
+    * partial+final agg on the 21-key grid + the spine left join;
+    * a deployment sweeps the materialized attributes sidecar (x91)
+    * instead of re-deriving quality. */
+  def qualitySweep(s: SparkSession, dir: String): DataFrame = {
+    val grid = "sequence(0L, 10000L, 500L)"
+    val base = docs(s, dir)
+      .select(qualityColumn.as("q"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+          .as("n_tok"))
+      .select(expr("CAST(round(q * 10000) AS BIGINT)").as("q_bp"),
+        col("n_tok"))
+    val hits = base.select(col("q_bp"), col("n_tok"),
+        explode(expr(grid)).as("t_bp"))
+      .filter(col("q_bp") >= col("t_bp"))
+      .groupBy("t_bp")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("tok_kept"),
+        sum("q_bp").as("qsum"))
+    s.range(1).select(explode(expr(grid)).as("t_bp"))
+      .join(hits, Seq("t_bp"), "left")
+      .select(col("t_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tok_kept"), lit(0L)).as("tok_kept"),
+        expr("qsum div n_kept").as("mean_q_bp"))
+      .orderBy("t_bp")
+  }
+
+  private lazy val x110Sql =
+    s"""WITH b AS (SELECT CAST(round(($qualitySqlExpr) * 10000) AS BIGINT)
+             AS q_bp,
+           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+       spine AS (SELECT CAST(unnest(generate_series(0, 10000, 500))
+                   AS BIGINT) AS t_bp),
+       h AS (SELECT t_bp, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+               CAST(sum(q_bp) AS BIGINT) AS qsum
+             FROM spine JOIN b ON q_bp >= t_bp GROUP BY t_bp)
+       SELECT s.t_bp, coalesce(h.n_kept, 0) AS n_kept,
+         coalesce(h.tok_kept, 0) AS tok_kept,
+         CAST(qsum // n_kept AS BIGINT) AS mean_q_bp
+       FROM spine s LEFT JOIN h ON s.t_bp = h.t_bp
+       ORDER BY s.t_bp"""
+
   // --------------------------------------------------------------- x108
   /** x108 — Flesch reading-ease scoring (Flesch 1948; the Kincaid 1975
     * recalibration family), the readability signal education-targeted
@@ -1076,6 +1134,7 @@ object TextStats {
     QueryDef("x83_length_histogram", lengthHistogram, Some(x83Sql)),
     QueryDef("x99_char_entropy", charEntropy, Some(x99Sql)),
     QueryDef("x108_flesch_readability", fleschReadability, Some(x108Sql)),
+    QueryDef("x110_quality_sweep", qualitySweep, Some(x110Sql)),
     QueryDef("b30_lang_stats", langStats, Some(b30Sql)),
     QueryDef("b30b_term_freq", termFreq, Some(b30bSql)),
     QueryDef("b37_shingle_freq", shingleFreq, Some(b37Sql)),

@@ -776,6 +776,14 @@ class PlanSpec extends SparkSpec {
       s"distinct, first-week, sizes, cells must all be partial+final:\n$p")
   }
 
+  test("x110: the quality sweep is one grid-keyed agg, no product, no window") {
+    val p = plan("x110_quality_sweep")
+    assert(!p.contains("CartesianProduct"), s"spine joins by key:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"grid cells must be partial+final:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+  }
+
   test("x106: the k-anonymity audit is one QI-keyed agg pass") {
     val p = plan("x106_k_anonymity")
     assert(!p.contains("Join"), s"class sizing must not join:\n$p")

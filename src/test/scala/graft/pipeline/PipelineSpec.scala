@@ -369,6 +369,34 @@ class PipelineSpec extends SparkSpec {
       s"near-dup of a negative-id ref doc must be dropped: $out3")
   }
 
+  test("x110: the quality sweep is monotone and anchors to the x01 score") {
+    val sweep = TextStats.qualitySweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(sweep.map(_._1).toSeq == (0L to 10000L by 500L).toSeq)
+    // Raising the floor can only shrink the kept set and its mass,
+    // and can only raise (or hold) the survivors' mean quality.
+    sweep.sliding(2).foreach { case Array((_, n1, m1, q1), (t, n2, m2, q2)) =>
+      assert(n2 <= n1 && m2 <= m1, s"kept-set monotonicity broke at $t")
+      (q1, q2) match {
+        case (Some(a), Some(b)) => assert(b >= a, s"mean quality fell at $t")
+        case _ => ()
+      }
+    }
+    // Anchor: the t=0 row is the whole scored corpus — cross-checked
+    // against the registered x01 output.
+    val x01 = TextStats.qualityScore(spark, sf).collect()
+      .filter(!_.isNullAt(5))
+    val qbps = x01.map(r => math.round(r.getDouble(5) * 10000))
+    val (_, n0, _, q0) = sweep.head
+    assert(n0 == qbps.length, s"doc anchor: $n0 vs ${qbps.length}")
+    assert(q0.contains(qbps.sum / qbps.length), "mean anchor")
+    sweep.foreach { case (t, n, _, q) =>
+      if (n == 0) assert(q.isEmpty, s"empty cell at $t must have NULL mean")
+      else assert(q.exists(_ >= t), s"survivor mean below the floor at $t")
+    }
+  }
+
   test("x109: the S-curve table matches closed-form math and orders correctly") {
     val rows = Dedup.lshBandingPlanner(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
