@@ -276,7 +276,20 @@ object Dedup {
         i => col("text").substr(i, lit(n)))),
       "gram", threshold, dfCapC)
 
-  private def x11(s: SparkSession, dir: String): DataFrame = ngramJaccardPairs(s, dir)
+  /** x11's verified pair frame (da, db, jaccard), memoized per corpus
+    * snapshot under the same index discipline as the B28/semantic label
+    * maps: x11 and the x105 threshold sweep both read the identical
+    * materialized pair table — exactly what a deployment does (build
+    * the candidate graph once per snapshot, tune and dedup from it). */
+  private def x11PairFrame(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ivf.memoModel(docs(s, dir),
+        s"x11pairs|${s.sparkContext.applicationId}") {
+      Checkpoints.stable(ngramJaccardPairs(s, dir, threshold = 0.15)
+        .select(col("da"), col("db"), col("jaccard")))
+    }
+
+  private def x11(s: SparkSession, dir: String): DataFrame =
+    x11PairFrame(s, dir).orderBy("da", "db")
 
   // ---------------------------------------------------------------- x20
   /** Thresholds are carried in basis points (t·10⁴) so prefix lengths use
@@ -612,7 +625,7 @@ object Dedup {
     * a deployment sweeps the materialized pair table. */
   def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
     val grid = s"sequence(${SweepLoBp}L, ${SweepHiBp}L, ${SweepStepBp}L)"
-    val p = ngramJaccardPairs(s, dir)
+    val p = x11PairFrame(s, dir)
       .withColumn("jbp", expr("CAST(round(jaccard * 10000) AS BIGINT)"))
     val hits = p.select(col("da"), col("db"), col("jbp"),
         explode(expr(grid)).as("t_bp"))
