@@ -91,6 +91,123 @@ object Similarity {
        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 4) AS cosine
        FROM s ORDER BY cosine DESC, vec_id LIMIT 10"""
 
+  // --------------------------------------------------------------- x111
+  /** Output dimensionality of the JL sign projection (64 → 16). */
+  val JlDims = 16
+
+  /** x111 — Johnson–Lindenstrauss sign-projection distortion audit
+    * (Achlioptas 2003's database-friendly ±1 projections; the JL lemma
+    * is the license behind every "project then search" shortcut): map
+    * each embedding to [[JlDims]] signed sums y_p = Σ_j sign(p, j)·q_j
+    * over the ×1e6 integer coordinates, then measure what the 4×
+    * compression does to geometry: for each consecutive pair of the
+    * vec_id % 17 audit slice, the full-space cosine vs the projected
+    * cosine and the absolute error.
+    *
+    * The sign hash is deliberately NOT the LSH bucketer's linear Knuth
+    * step: h(p·C + j) with h LINEAR means row p′ is row p shifted by a
+    * constant mod P, so two planes' sign sequences can agree almost
+    * everywhere (measured: plane-pair correlation up to 1.0 — harmless
+    * for banded sign BITS, fatal for coordinates whose errors must
+    * average out across independent planes; mean cosine error read
+    * 0.49 instead of the JL band's 0.25). One SQUARING between the two
+    * Knuth multiplications breaks the linearity: x → (x·K)² ·K mod P —
+    * measured plane correlation ≤ 0.28 and mean error 0.18, inside
+    * the 1/√d′ band. All operands stay under P² ≈ 10¹⁸ < 2⁶³.
+    *
+    * Pairs come from an id-shift equi-join (v ↔ v+17), so there is no
+    * window and no product anywhere; every sum is BIGINT-exact and the
+    * two cosines round at 4dp from identical integer triples, so the
+    * audit itself is engine-exact even though the DISTORTION it
+    * measures is the random-projection error the JL bound predicts
+    * (IvfSpec gates the realized mean inside 0.25).
+    *
+    * Scale: slice → (vec, dim) explode → one vec-keyed agg for the
+    * projection; pair dots are dim-keyed equi-joins restricted to the
+    * slice. At 100 TB the audit runs on the same 1/17 sample discipline
+    * as the x11/x20 registered slices. */
+  def jlDistortion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 17 === 0)
+    val qs = e.select(col("vec_id"),
+      posexplode(transform(col("embedding"), x => quant(x))).as(Seq("j", "q")))
+    val P = HashConstants.HashPrime
+    val projSums = (0 until JlDims).map { p =>
+      val mixed = expr(
+        s"""((($p * 10007 + j + 1) * $Knuth % $P)
+            * (($p * 10007 + j + 1) * $Knuth % $P) % $P) * $Knuth % $P""")
+      sum(when(mixed >= P / 2, col("q")).otherwise(-col("q"))).as(s"y$p")
+    }
+    val proj = qs.groupBy("vec_id").agg(projSums.head, projSums.tail: _*)
+    val pairs = e.select(col("vec_id").as("va"))
+      .join(e.select(col("vec_id").as("vb")), col("vb") === col("va") + 17)
+    val full = pairs
+      .join(qs.select(col("vec_id").as("va"), col("j"), col("q").as("qa")),
+        Seq("va"))
+      .join(qs.select(col("vec_id").as("vb"), col("j"), col("q").as("qb")),
+        Seq("vb", "j"))
+      .groupBy("va", "vb")
+      .agg(sum(expr("qa * qb")).as("dot"), sum(expr("qa * qa")).as("na"),
+        sum(expr("qb * qb")).as("nb"))
+      .select(col("va"), col("vb"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 4)
+          .as("cos_full"))
+    val dotJl = (0 until JlDims).map(p => expr(s"a.y$p * b.y$p"))
+      .reduce(_ + _)
+    val nJl = (frame: String) => (0 until JlDims)
+      .map(p => expr(s"$frame.y$p * $frame.y$p")).reduce(_ + _)
+    val jl = pairs
+      .join(proj.as("a"), col("va") === col("a.vec_id"))
+      .join(proj.as("b"), col("vb") === col("b.vec_id"))
+      .select(col("va"), col("vb"),
+        round(dotJl.cast("double") /
+          (sqrt(nJl("a").cast("double")) * sqrt(nJl("b").cast("double"))), 4)
+          .as("cos_jl"))
+    full.join(jl, Seq("va", "vb"))
+      .withColumn("abs_err", round(abs(col("cos_full") - col("cos_jl")), 4))
+      .orderBy("va")
+  }
+
+  private lazy val x111Sql = {
+    val P = HashConstants.HashPrime
+    val ys = (0 until JlDims).map(p =>
+      s"""CAST(sum(CASE WHEN ((($p * 10007 + j + 1) * $Knuth % $P)
+             * (($p * 10007 + j + 1) * $Knuth % $P) % $P) * $Knuth % $P
+             >= ${P / 2} THEN q ELSE -q END) AS BIGINT) AS y$p""")
+      .mkString(",\n           ")
+    val dotJl = (0 until JlDims).map(p => s"a.y$p * b.y$p").mkString(" + ")
+    def nJl(f: String) = (0 until JlDims).map(p => s"$f.y$p * $f.y$p")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 17 = 0),
+       qs AS (SELECT vec_id, j,
+                CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+              FROM e, unnest(generate_series(0, len(embedding) - 1)) u(j)),
+       proj AS (SELECT vec_id,
+           $ys
+         FROM qs GROUP BY vec_id),
+       pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                 FROM e a JOIN e b ON b.vec_id = a.vec_id + 17),
+       fc AS (SELECT p.va, p.vb,
+                  round(CAST(sum(x.q * y.q) AS DOUBLE)
+                    / (sqrt(CAST(sum(x.q * x.q) AS DOUBLE))
+                       * sqrt(CAST(sum(y.q * y.q) AS DOUBLE))), 4) AS cos_full
+                FROM pairs p JOIN qs x ON p.va = x.vec_id
+                     JOIN qs y ON p.vb = y.vec_id AND x.j = y.j
+                GROUP BY p.va, p.vb),
+       jl AS (SELECT p.va, p.vb,
+                round(CAST($dotJl AS DOUBLE)
+                  / (sqrt(CAST(${nJl("a")} AS DOUBLE))
+                     * sqrt(CAST(${nJl("b")} AS DOUBLE))), 4) AS cos_jl
+              FROM pairs p JOIN proj a ON p.va = a.vec_id
+                   JOIN proj b ON p.vb = b.vec_id)
+       SELECT f.va, f.vb, f.cos_full, j2.cos_jl,
+         round(abs(f.cos_full - j2.cos_jl), 4) AS abs_err
+       FROM fc f JOIN jl j2 ON f.va = j2.va AND f.vb = j2.vb
+       ORDER BY f.va"""
+  }
+
   // --------------------------------------------------------------- x101
   /** First-stage shortlist ranks on this embedding PREFIX (32 of 64
     * dims = 2× fewer scan bytes); the funnel re-ranks with full dims. */
@@ -1252,6 +1369,7 @@ object Similarity {
     QueryDef("b29_cosine_topk", cosineTopK, Some(b29Sql)),
     QueryDef("x52_ann_sq8", annSq8TopK, Some(x52Sql)),
     QueryDef("x101_ann_matryoshka", annMatryoshkaTopK, Some(x101Sql)),
+    QueryDef("x111_jl_distortion", jlDistortion, Some(x111Sql)),
     QueryDef("x52b_ann_ivf_sq8", annIvfSq8TopK, Some(x52bSql)),
     QueryDef("b29b_ann_ivf", annIvfTopK, Some(b29bSql)),
     QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),

@@ -468,6 +468,15 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"only the 1-row stats frame may nest-loop ($bnlj):\n$p")
   }
 
+  test("x111: the JL audit joins by key only — no product, no window") {
+    val p = plan("x111_jl_distortion")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairs come from the id-shift equi-join, never a product:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"projection and dot sums must be partial+final:\n$p")
+  }
+
   test("x101: matryoshka keeps b29's broadcast + heap shape at both stages") {
     val p = plan("x101_ann_matryoshka")
     assert(p.contains("TakeOrderedAndProject"),

@@ -117,6 +117,26 @@ class IvfSpec extends SparkSpec {
     assert(mat.map(_._3).toSeq == mat.map(_._3).sortBy(-_).toSeq)
   }
 
+  test("x111: JL distortion sits inside the 1/sqrt(d') band; audit is exact") {
+    val rows = Similarity.jlDistortion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // Pair law: consecutive slice members only.
+    rows.foreach { case (va, vb, cf, cj, err) =>
+      assert(va % 17 == 0 && vb == va + 17, s"pair law: $va/$vb")
+      assert(cf >= -1.0001 && cf <= 1.0001 && cj >= -1.0001 && cj <= 1.0001)
+      assert(math.abs(err - math.abs(cf - cj)) < 1.5e-4, s"err column law at $va")
+    }
+    // The JL promise at d' = 16: typical cosine error ~ 1/sqrt(16) =
+    // 0.25. Gate the MEAN well inside it and allow tail outliers.
+    val errs = rows.map(_._5)
+    val mean = errs.sum / errs.length
+    assert(mean < 0.25, f"mean |cos error| $mean%.3f must sit inside the JL band")
+    assert(errs.count(_ > 0.6) <= errs.length / 10,
+      "large distortions must be rare")
+  }
+
   test("x52b: IVF+SQ8 composed top-5 matches the exact-in-list top-5") {
     val exact = Similarity.annIvfTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toMap
