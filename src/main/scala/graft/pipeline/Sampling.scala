@@ -935,7 +935,11 @@ object Sampling {
     * Scale: ONE corpus partial+final agg on the bucket key (≤ ~40
     * buckets ever) + a broadcast 1-row global max; everything after
     * runs on |buckets| rows. Map-side combinable, no window, no
-    * product (PlanSpec-gated). */
+    * product (PlanSpec-gated). Overflow bound: the ×10⁴ bp numerators
+    * need a bucket's padded cost (n_docs·len_max, and n_docs·gmax for
+    * the naive column) under 2⁶³/10⁴ ≈ 9.2·10¹⁴ — about a petabyte of
+    * padded tokens in ONE bucket, ~40× past the 100 TB regime; a
+    * corpus beyond that splits the report by source first. */
   def lengthBucketBatching(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(
       size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"))
