@@ -979,6 +979,63 @@ object Sampling {
               // (n_docs * gmax) AS BIGINT) AS naive_bp
        FROM a CROSS JOIN g ORDER BY bucket"""
 
+  // --------------------------------------------------------------- x112
+  /** Salt for the within-source shuffle of the interleave order. */
+  private[graft] val InterleaveSalt = 7717L
+
+  /** x112 — deterministic round-robin source interleave: the ORDER a
+    * data loader feeds training examples in when the mixture must stay
+    * locally uniform (the T5/task-mixing discipline: consecutive
+    * batches cycle the sources, so no gradient window over-exposes one
+    * domain — a global shuffle gives this in expectation; the
+    * interleave gives it by CONSTRUCTION, reproducibly). Docs shuffle
+    * WITHIN their source by the deterministic Knuth selector (own
+    * salt), sources get alphabetical indices 0..S−1, and the global
+    * position is (rank−1)·S + source_index — a bijection whose
+    * consecutive positions cycle through sources for as long as every
+    * source has documents left; once a source exhausts, its slots stay
+    * EMPTY (positions are an ordering key, not an array index —
+    * relative order is what the loader consumes, and compacting would
+    * need a global window; disclosed).
+    *
+    * Scale: one per-source rank window (the x22 stratum shape), one
+    * |sources|-row broadcast for the indices; no global window over
+    * the corpus anywhere (PlanSpec-gated). */
+  def interleaveOrder(s: SparkSession, dir: String): DataFrame = {
+    val srcIdx = docs(s, dir).select("source").distinct()
+      .withColumn("si",
+        (row_number().over(Window.orderBy("source")) - 1).cast("long"))
+    val ranked = docs(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("shuffle_key", hashBp(InterleaveSalt))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("shuffle_key"), col("rk"),
+        col("si"), expr("(rk - 1) * n_src + si").as("pos"))
+      .orderBy("pos")
+  }
+
+  private lazy val x112Sql =
+    s"""WITH si AS (SELECT source,
+           CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS si
+         FROM (SELECT DISTINCT source FROM documents)),
+       ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM si),
+       r AS (SELECT doc_id, source,
+               CAST(${hashBpSql(InterleaveSalt)} AS BIGINT) AS shuffle_key
+             FROM documents),
+       rk AS (SELECT doc_id, source, shuffle_key,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY shuffle_key, doc_id) AS BIGINT) AS rk
+              FROM r)
+       SELECT rk.doc_id, rk.source, rk.shuffle_key, rk.rk, si.si,
+         CAST((rk.rk - 1) * ns.n_src + si.si AS BIGINT) AS pos
+       FROM rk JOIN si USING (source) CROSS JOIN ns
+       ORDER BY pos"""
+
   // ---------------------------------------------------------------- x98
   /** x98 — DoReMi-style domain reweighting (Xie et al., NeurIPS 2023):
     * upweight the domains where a GENERALIST model underperforms a
@@ -1109,6 +1166,7 @@ object Sampling {
     QueryDef("x102_priority_sample", prioritySample, Some(x102Sql)),
     QueryDef("x102b_priority_stratified", prioritySampleStratified, Some(x102bSql)),
     QueryDef("x103_length_buckets", lengthBucketBatching, Some(x103Sql)),
+    QueryDef("x112_interleave_order", interleaveOrder, Some(x112Sql)),
     QueryDef("x41_source_cap", (s, d) => sourceCapByQuality(s, d),
       Some(x41Sql(DefaultSourceCap))),
     QueryDef("x41b_source_cap_scalable",

@@ -846,6 +846,16 @@ class PlanSpec extends SparkSpec {
       s"nothing here may shuffle-join:\n$p")
   }
 
+  test("x112: the interleave ranks per source; only the tiny index frame sorts globally") {
+    val p = plan("x112_interleave_order")
+    assert(p.contains("hashpartitioning(source"),
+      s"the rank window must partition by source:\n$p")
+    assert(p.contains("Broadcast"),
+      s"the |sources|-row index frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row count joins via broadcast, not a product:\n$p")
+  }
+
   test("x102b: stratified priorities window on source, never globally") {
     val p = plan("x102b_priority_stratified")
     assert(p.contains("hashpartitioning(source"),

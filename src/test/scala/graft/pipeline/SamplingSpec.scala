@@ -150,6 +150,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("x112: interleave positions are unique, bijective, and cycle sources") {
+    val rows = Sampling.interleaveOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    val n = Tables.t(spark, sf, "documents").count()
+    assert(rows.length == n, "one position per document")
+    assert(rows.map(_._5).distinct.length == rows.length, "positions unique")
+    val srcs = rows.map(_._2).distinct.sorted
+    val sCount = srcs.length.toLong
+    // Position law: pos = (rk-1)*S + si, and si is the alphabetical index.
+    val siOf = srcs.zipWithIndex.map { case (s0, i) => s0 -> i.toLong }.toMap
+    rows.foreach { case (_, src, rk, si, pos) =>
+      assert(si == siOf(src), s"$src: index")
+      assert(pos == (rk - 1) * sCount + si, s"$src: position law")
+    }
+    // The interleave guarantee: in the prefix where every source still
+    // has documents, each S-length block contains all S sources.
+    val minSize = rows.groupBy(_._2).map(_._2.length).min
+    val prefix = rows.filter(_._5 < minSize.toLong * sCount).sortBy(_._5)
+    prefix.grouped(srcs.length).foreach { block =>
+      if (block.length == srcs.length)
+        assert(block.map(_._2).distinct.length == srcs.length,
+          s"block must cycle all sources: ${block.map(_._2).toSeq}")
+    }
+    // Reproducibility.
+    val again = Sampling.interleaveOrder(spark, sf).collect().map(_.getLong(0))
+    assert(again.toSeq == rows.map(_._1).toSeq)
+  }
+
   test("x102b: stratified sample takes k per source and matches the global order") {
     val strat = Sampling.prioritySampleStratified(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(6)))
