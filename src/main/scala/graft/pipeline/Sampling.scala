@@ -47,6 +47,12 @@ object Sampling {
     * Holds for every real id space this library targets and for the
     * synthetic corpus; callers sampling a HASHED id space (xxhash64 is
     * negative half the time) must pmod their ids into [0, 2^62) first. */
+  /** Selector for x113's nested vocabulary-growth prefixes — its own
+    * salt keeps prefix membership independent of x14/x21/x102. */
+  private[pipeline] val PrefixSalt = 52711L
+  private[pipeline] def prefixSelector: Column = hashBp(PrefixSalt)
+  private[pipeline] lazy val prefixSelectorSql: String = hashBpSql(PrefixSalt)
+
   private[pipeline] def hashBp(salt: Long): Column =
     pmod(pmod(col("doc_id") + salt, lit(HashPrime)) * lit(Knuth), lit(HashPrime)) % Bp
 

@@ -1010,6 +1010,100 @@ object TextStats {
        FROM documents d LEFT JOIN h USING (doc_id)
        ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- x113
+  /** x113 — vocabulary growth curve with Heaps'-law exponents (Heaps
+    * 1978; Herdan 1960): distinct-type count V as a function of token
+    * mass N over 10 nested corpus prefixes — the curve that forecasts
+    * vocabulary size at 10× the data, the input to tokenizer capacity
+    * and OOV planning. Prefixes nest by the deterministic doc selector
+    * (the x21 hashBp family under its own salt, so prefix membership
+    * is decorrelated from every other sampling decision), and prefix f
+    * contains prefix f−1 by construction; a token's FIRST prefix is
+    * the bucket of its minimum doc selector, so ONE token-keyed min
+    * aggregation + a 10-row cumulative sum yields every V_f — the
+    * corpus is never re-scanned per prefix. The local Heaps exponent
+    * β_f = (ln V_f − ln V_{f−1}) / (ln N_f − ln N_{f−1}) emits at 4dp
+    * (the x28 ln-parity precedent; sublinear β < 1 is the law's
+    * signature, spec-gated).
+    *
+    * Scale: one token explode → tok-keyed partial+final min agg +
+    * one doc-keyed projection; everything after runs on 10 rows
+    * (windows over the 10-row frame only — PlanSpec gates no corpus
+    * window). */
+  def heapsVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir).select(col("doc_id"),
+      Sampling.prefixSelector.as("dsel"),
+      split(coalesce(col("text"), lit("")), " ").as("t"))
+    val docSide = base
+      .select(expr("dsel div 1000").as("bucket"),
+        expr("CAST(size(t) AS BIGINT)").as("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("nd"), sum("n_tok").as("nt"))
+    val tokSide = base
+      .select(col("dsel"), explode(col("t")).as("tok"))
+      .groupBy("tok").agg(min("dsel").as("msel"))
+      .select(expr("msel div 1000").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = s.range(1)
+      .select(explode(expr("sequence(0L, 9L)")).as("bucket"))
+    val cum = spine
+      .join(docSide, Seq("bucket"), "left").join(tokSide, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("nd"), lit(0L)).as("nd"),
+        coalesce(col("nt"), lit(0L)).as("nt"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+      .withColumn("n_docs", sum("nd").over(w))
+      .withColumn("n_tokens", sum("nt").over(w))
+      .withColumn("v_types", sum("nv").over(w))
+    cum
+      .withColumn("pn", lag("n_tokens", 1).over(Window.orderBy("bucket")))
+      .withColumn("pv", lag("v_types", 1).over(Window.orderBy("bucket")))
+      .select(expr("(bucket + 1) * 1000").as("f_bp"),
+        col("n_docs"), col("n_tokens"), col("v_types"),
+        expr("""CASE WHEN pn IS NULL OR pn = 0 OR n_tokens = pn THEN NULL
+                ELSE round((ln(CAST(v_types AS DOUBLE)) - ln(CAST(pv AS DOUBLE)))
+                   / (ln(CAST(n_tokens AS DOUBLE)) - ln(CAST(pn AS DOUBLE))), 4)
+                END""").as("beta"))
+      .orderBy("f_bp")
+  }
+
+  private lazy val x113Sql =
+    s"""WITH b AS (SELECT doc_id,
+           CAST(${Sampling.prefixSelectorSql} AS BIGINT) AS dsel,
+           string_split(coalesce(text, ''), ' ') AS t
+         FROM documents),
+       ds AS (SELECT dsel // 1000 AS bucket, CAST(count(*) AS BIGINT) AS nd,
+                CAST(sum(len(t)) AS BIGINT) AS nt
+              FROM b GROUP BY dsel // 1000),
+       ts AS (SELECT msel // 1000 AS bucket, CAST(count(*) AS BIGINT) AS nv
+              FROM (SELECT tok, min(dsel) AS msel
+                    FROM (SELECT dsel, unnest(t) AS tok FROM b)
+                    GROUP BY tok)
+              GROUP BY msel // 1000),
+       spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT)
+                   AS bucket),
+       cum AS (SELECT s.bucket,
+                 CAST(sum(coalesce(ds.nd, 0)) OVER (ORDER BY s.bucket)
+                   AS BIGINT) AS n_docs,
+                 CAST(sum(coalesce(ds.nt, 0)) OVER (ORDER BY s.bucket)
+                   AS BIGINT) AS n_tokens,
+                 CAST(sum(coalesce(ts.nv, 0)) OVER (ORDER BY s.bucket)
+                   AS BIGINT) AS v_types
+               FROM spine s LEFT JOIN ds ON s.bucket = ds.bucket
+                 LEFT JOIN ts ON s.bucket = ts.bucket),
+       lg AS (SELECT *, lag(n_tokens) OVER (ORDER BY bucket) AS pn,
+                lag(v_types) OVER (ORDER BY bucket) AS pv
+              FROM cum)
+       SELECT (bucket + 1) * 1000 AS f_bp, n_docs, n_tokens, v_types,
+         CASE WHEN pn IS NULL OR pn = 0 OR n_tokens = pn THEN NULL
+              ELSE round((ln(CAST(v_types AS DOUBLE)) - ln(CAST(pv AS DOUBLE)))
+                 / (ln(CAST(n_tokens AS DOUBLE)) - ln(CAST(pn AS DOUBLE))), 4)
+              END AS beta
+       FROM lg ORDER BY f_bp"""
+
   // --------------------------------------------------------------- x110
   /** x110 — quality-gate tuning curve (the x105 pattern on the quality
     * axis): for every candidate floor on the 0–10⁴ bp grid, how many
@@ -1135,6 +1229,7 @@ object TextStats {
     QueryDef("x99_char_entropy", charEntropy, Some(x99Sql)),
     QueryDef("x108_flesch_readability", fleschReadability, Some(x108Sql)),
     QueryDef("x110_quality_sweep", qualitySweep, Some(x110Sql)),
+    QueryDef("x113_heaps_vocab_growth", heapsVocabGrowth, Some(x113Sql)),
     QueryDef("b30_lang_stats", langStats, Some(b30Sql)),
     QueryDef("b30b_term_freq", termFreq, Some(b30bSql)),
     QueryDef("b37_shingle_freq", shingleFreq, Some(b37Sql)),

@@ -785,6 +785,16 @@ class PlanSpec extends SparkSpec {
       s"distinct, first-week, sizes, cells must all be partial+final:\n$p")
   }
 
+  test("x113: the growth curve scans once; windows touch only the 10-row frame") {
+    val p = plan("x113_heaps_vocab_growth")
+    assert(!p.contains("CartesianProduct"), s"spine joins by key:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"token-min and bucket aggs must be partial+final:\n$p")
+    // Windows exist (cumsum + lag) but only above the bucket aggregation
+    // — the corpus itself must never flow into a window.
+    assert(p.contains("Window"), p)
+  }
+
   test("x110: the quality sweep is one grid-keyed agg, no product, no window") {
     val p = plan("x110_quality_sweep")
     assert(!p.contains("CartesianProduct"), s"spine joins by key:\n$p")

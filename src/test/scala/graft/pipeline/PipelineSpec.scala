@@ -369,6 +369,33 @@ class PipelineSpec extends SparkSpec {
       s"near-dup of a negative-id ref doc must be dropped: $out3")
   }
 
+  test("x113: vocabulary growth is cumulative, sublinear, and anchors to the corpus") {
+    val rows = TextStats.heapsVocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.map(_._1).toSeq == (1000L to 10000L by 1000L).toSeq)
+    // Nested prefixes: all three cumulative series are nondecreasing.
+    rows.sliding(2).foreach { case Array((_, d1, n1, v1, _), (f, d2, n2, v2, _)) =>
+      assert(d2 >= d1 && n2 >= n1 && v2 >= v1, s"cumulative law broke at $f")
+    }
+    // The 100% prefix IS the corpus: doc count, token mass, and the
+    // global distinct-type count all anchor exactly.
+    val docsDf = Tables.t(spark, sf, "documents")
+    val last = rows.last
+    assert(last._2 == docsDf.count(), "doc anchor")
+    val vGlobal = docsDf
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+      .distinct().count()
+    assert(last._4 == vGlobal, s"type anchor: ${last._4} vs $vGlobal")
+    // Heaps' law signature: vocabulary grows SUBLINEARLY — every local
+    // exponent sits in [0, 1). The synthetic corpus saturates its small
+    // vocabulary early, so later exponents legitimately read 0.0; on a
+    // natural corpus they would sit strictly inside (0, 1).
+    rows.flatMap(_._5).foreach { b =>
+      assert(b >= 0.0 && b < 1.0, s"local Heaps exponent $b out of [0,1)")
+    }
+  }
+
   test("x110: the quality sweep is monotone and anchors to the x01 score") {
     val sweep = TextStats.qualitySweep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
