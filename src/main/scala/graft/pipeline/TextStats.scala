@@ -1104,6 +1104,66 @@ object TextStats {
               END AS beta
        FROM lg ORDER BY f_bp"""
 
+  // --------------------------------------------------------------- x114
+  /** Ranks emitted by the Zipf curve (the head is where the law and
+    * its deviations live; Piantadosi 2014 reviews why the head bends). */
+  val ZipfTopK = 50
+
+  /** x114 — Zipf rank–frequency curve with local exponents (Zipf 1949;
+    * the dual of x113's Heaps law — the two exponents are analytically
+    * linked, β ≈ 1/s): the [[ZipfTopK]] most frequent tokens with
+    * rank, count, corpus share in ppm, and the local exponent
+    * s_r = (ln f_{r−1} − ln f_r)/(ln r − ln(r−1)) at 4dp (the x28
+    * ln-parity discipline) — the statistic that validates a corpus
+    * looks like natural language (s ≈ 1) versus template spam (flat
+    * head) or token floods (cliff), and that x113's vocabulary
+    * forecast quietly assumes. Ties rank on (count DESC, token) — the
+    * b37 total order.
+    *
+    * Scale: ONE vocabulary-sized partial+final agg, a
+    * TakeOrderedAndProject heap for the head, and windows over the
+    * 50-row result only (PlanSpec-gated). */
+  def zipfRankFrequency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("n_total"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(ZipfTopK)
+    val byRank = Window.orderBy(col("cnt").desc, col("tok"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(byRank).cast("long"))
+      .withColumn("share_ppm", expr("(cnt * 1000000) div n_total"))
+      .withColumn("pc", lag("cnt", 1).over(byRank))
+      .select(col("rank"), col("tok"), col("cnt"), col("share_ppm"),
+        expr("""CASE WHEN pc IS NULL OR rank = 1 THEN NULL
+                ELSE round((ln(CAST(pc AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+                   / (ln(CAST(rank AS DOUBLE)) - ln(CAST(rank - 1 AS DOUBLE))),
+                   4) END""").as("zipf_s"))
+      .orderBy("rank")
+  }
+
+  private lazy val x114Sql =
+    s"""WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                 FROM documents)
+           GROUP BY tok),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+       top AS (SELECT tok, cnt FROM c
+               ORDER BY cnt DESC, tok LIMIT $ZipfTopK),
+       r AS (SELECT tok, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+                 AS rank,
+               lag(cnt) OVER (ORDER BY cnt DESC, tok) AS pc
+             FROM top)
+       SELECT rank, tok, cnt,
+         CAST((cnt * 1000000) // n_total AS BIGINT) AS share_ppm,
+         CASE WHEN pc IS NULL OR rank = 1 THEN NULL
+              ELSE round((ln(CAST(pc AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+                 / (ln(CAST(rank AS DOUBLE)) - ln(CAST(rank - 1 AS DOUBLE))), 4)
+              END AS zipf_s
+       FROM r CROSS JOIN tot ORDER BY rank"""
+
   // --------------------------------------------------------------- x110
   /** x110 — quality-gate tuning curve (the x105 pattern on the quality
     * axis): for every candidate floor on the 0–10⁴ bp grid, how many
@@ -1230,6 +1290,7 @@ object TextStats {
     QueryDef("x108_flesch_readability", fleschReadability, Some(x108Sql)),
     QueryDef("x110_quality_sweep", qualitySweep, Some(x110Sql)),
     QueryDef("x113_heaps_vocab_growth", heapsVocabGrowth, Some(x113Sql)),
+    QueryDef("x114_zipf_curve", zipfRankFrequency, Some(x114Sql)),
     QueryDef("b30_lang_stats", langStats, Some(b30Sql)),
     QueryDef("b30b_term_freq", termFreq, Some(b30bSql)),
     QueryDef("b37_shingle_freq", shingleFreq, Some(b37Sql)),

@@ -785,6 +785,16 @@ class PlanSpec extends SparkSpec {
       s"distinct, first-week, sizes, cells must all be partial+final:\n$p")
   }
 
+  test("x114: the zipf head comes from a heap; windows touch 50 rows only") {
+    val p = plan("x114_zipf_curve")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the head cut must be a heap, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total joins via broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"token counts must be partial+final:\n$p")
+  }
+
   test("x113: the growth curve scans once; windows touch only the 10-row frame") {
     val p = plan("x113_heaps_vocab_growth")
     assert(!p.contains("CartesianProduct"), s"spine joins by key:\n$p")

@@ -369,6 +369,40 @@ class PipelineSpec extends SparkSpec {
       s"near-dup of a negative-id ref doc must be dropped: $out3")
   }
 
+  test("x114: zipf head is rank-consistent, share-exact, and exponents recompute") {
+    val rows = TextStats.zipfRankFrequency(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // The sf0.001 synthetic vocabulary has fewer types than the head
+    // width, so the head is min(K, |vocab|) rows.
+    val vocab = Tables.t(spark, sf, "documents")
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+      .distinct().count()
+    val expectLen = math.min(TextStats.ZipfTopK.toLong, vocab)
+    assert(rows.length.toLong == expectLen, s"${rows.length} vs $expectLen")
+    assert(rows.map(_._1).toSeq == (1L to expectLen).toSeq)
+    // Counts non-increasing down the ranks; rank 1 has no exponent.
+    rows.sliding(2).foreach { case Array((_, _, c1, _, _), (r, _, c2, _, _)) =>
+      assert(c2 <= c1, s"counts must fall with rank at $r")
+    }
+    assert(rows.head._5.isEmpty && rows.tail.forall(_._5.nonEmpty))
+    // Independent recomputation of shares and local exponents.
+    val total = Tables.t(spark, sf, "documents")
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+      .count()
+    rows.foreach { case (rank, _, cnt, ppm, sOpt) =>
+      assert(ppm == cnt * 1000000L / total, s"share law at $rank")
+      sOpt.foreach { s0 =>
+        val pc = rows(rank.toInt - 2)._3
+        val expect = BigDecimal((math.log(pc.toDouble) - math.log(cnt.toDouble)) /
+          (math.log(rank.toDouble) - math.log((rank - 1).toDouble)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(s0 - expect) < 1.5e-4, s"exponent at $rank: $s0 vs $expect")
+        assert(s0 >= 0.0, s"frequency must not rise with rank at $rank")
+      }
+    }
+  }
+
   test("x113: vocabulary growth is cumulative, sublinear, and anchors to the corpus") {
     val rows = TextStats.heapsVocabGrowth(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
