@@ -133,6 +133,16 @@ object Bench {
     // name and simply never match a real query). Only applied when the
     // recorded sf matches this run's, so a local sf0.001 iteration never
     // compares against the driver's sf0.1 numbers.
+    // Prior sources, weakest first so later (fuller) maps win the merge:
+    //  1. newest BENCH_r*.json `tail` — front-clipped to ~64 of the 200+
+    //     queries (the r12 judge traced an unguarded spike straight to
+    //     that blind spot);
+    //  2. bench_result.json — the previous round's FULL per-query map;
+    //  3. bench_full_<sf>.json — the sf-scoped full map this program
+    //     writes each run, immune to a local other-sf iteration
+    //     overwriting bench_result.json between driver rounds.
+    // All three are sf-gated by parsePriorTimes.
+    val fullMapFile = "bench_full_" + new java.io.File(sfDir).getName + ".json"
     val priorTimes: Map[String, Double] =
       try {
         val files = java.nio.file.Files.list(java.nio.file.Paths.get("."))
@@ -144,10 +154,12 @@ object Bench {
               .filter(_.matches("BENCH_r\\d+\\.json"))
               .toSeq.sortBy(n => "\\d+".r.findFirstIn(n).get.toInt)
           } finally files.close()
-        tails.lastOption.map { f =>
-          parsePriorTimes(
-            java.nio.file.Files.readString(java.nio.file.Paths.get(f)), sfDir)
-        }.getOrElse(Map.empty)
+        (tails.lastOption.toSeq ++ Seq("bench_result.json", fullMapFile))
+          .foldLeft(Map.empty[String, Double]) { (acc, f) =>
+            val p = java.nio.file.Paths.get(f)
+            if (!java.nio.file.Files.exists(p)) acc
+            else acc ++ parsePriorTimes(java.nio.file.Files.readString(p), sfDir)
+          }
       } catch { case _: Throwable => Map.empty }
 
     // Targeted ground-truthing: SPARK_GRAFT_ONLY=x42b,x42c restricts the
@@ -161,7 +173,22 @@ object Bench {
         names.exists(p => n == p || n.startsWith(p + "_")) }
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Index-build attribution (r12 judge ask): every memoized index
+    // artifact is forced and TIMED as its own idx_* line BEFORE the
+    // gauntlet, so consumer queries read steady-state — their numbers
+    // measure the query plan, not whichever consumer first touched a
+    // one-time build. Runs in ONLY mode too: a quiet re-measurement of
+    // a flagged consumer must also be steady-state to be comparable.
+    val idxResults: Seq[(String, Double)] =
+      graft.pipeline.IndexArtifacts.builds.map { case (name, build) =>
+        val t0 = System.nanoTime()
+        name -> (try { build(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          })
+      }
+
+    val gauntlet = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = Seq(timeOnce(name, fn), timeOnce(name, fn)).flatten
       // Load-outlier guard: two rounds running the driver artifact carried
       // a 4-5× phantom on some query (r4 x25/b22c, r5 x17/x34), each traced
@@ -194,6 +221,10 @@ object Bench {
       }
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
+    // idx_* lines lead (they ran first); they count into the headline
+    // total because that cost was previously inside consumer queries —
+    // dropping it would fake a round-over-round speedup.
+    val results = idxResults ++ gauntlet
     // Times rounded to 1 ms so the whole line stays well under the
     // driver's output-tail buffer (round 1 recorded parsed:null because
     // the full-precision line outgrew it); also persisted to a file so a
@@ -220,11 +251,23 @@ object Bench {
       s""""fmp_recs_per_sec":${fmpRecsPerSec.toLong},"fmp_ok":$fmpOk,"sf":"$sfDir"}"""
     // File persistence is best-effort: an IO failure here must never cost
     // the stdout line the driver contract depends on.
+    // ONLY mode writes to a side file: a partial map must never shadow
+    // the full per-query maps the cross-round drift guard reads.
+    val resultFile =
+      if (only.isEmpty) "bench_result.json" else "bench_only_result.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_result.json"), line + "\n")
+      java.nio.file.Paths.get(resultFile), line + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_result.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $resultFile write failed: ${e.getMessage}")
     }
+    // sf-scoped full map: the committed cross-round prior source that a
+    // local iteration at a DIFFERENT sf can never clobber.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(fullMapFile), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $fullMapFile write failed: ${e.getMessage}")
+      }
     // Stop Spark BEFORE the final prints so no executor/shutdown log line
     // can land after the compact headline on stdout — but GUARDED: a
     // shutdown-race throw after a successful run must never cost the two

@@ -1000,7 +1000,7 @@ object Curation {
   }
 
   /** Registered x67: the x17 slice convention (`%97 == 0` eval). */
-  private def bloomDeconQuery(s: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def bloomDeconQuery(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     bloomDecon(d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
   }

@@ -281,7 +281,7 @@ object Dedup {
     * maps: x11 and the x105 threshold sweep both read the identical
     * materialized pair table — exactly what a deployment does (build
     * the candidate graph once per snapshot, tune and dedup from it). */
-  private def x11PairFrame(s: SparkSession, dir: String): DataFrame =
+  private[pipeline] def x11PairFrame(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Ivf.memoModel(docs(s, dir),
         s"x11pairs|${s.sparkContext.applicationId}") {
       Checkpoints.stable(ngramJaccardPairs(s, dir, threshold = 0.15)

@@ -92,13 +92,35 @@ object Ivf {
 
   // private[graft]: graft.operators.RuntimeFilter builds its Bloom mask
   // through the same snapshot-keyed cache as the pipeline index artifacts.
+  //
+  // MUST stay reentrant: fit thunks legitimately call memoModel again
+  // (b28Labels builds from b28Pairs; semantic labels from the LSH pair
+  // frame), so `fit` is evaluated OUTSIDE any map lock and the result
+  // installed with putIfAbsent. computeIfAbsent is forbidden here — a
+  // nested call whose key lands in the same bin throws
+  // IllegalStateException("Recursive update") (the round-12 CurationSpec
+  // failure). The get→compute→putIfAbsent shape trades that crash for a
+  // benign race: two concurrent cold-cache callers may both run `fit`,
+  // one result wins, both see a consistent value.
   private[graft] def memoModel[T <: AnyRef](df: DataFrame, tag: String)(fit: => T): T =
     snapshotKey(df) match {
       case None => fit
       case Some(k) =>
-        if (modelCache.size > 16) modelCache.clear()
-        modelCache.computeIfAbsent(s"$tag|$k", _ => fit).asInstanceOf[T]
+        val key = s"$tag|$k"
+        val cached = modelCache.get(key)
+        if (cached != null) cached.asInstanceOf[T]
+        else {
+          if (modelCache.size > 16) modelCache.clear()
+          val computed = fit
+          val prev = modelCache.putIfAbsent(key, computed)
+          (if (prev != null) prev else computed).asInstanceOf[T]
+        }
     }
+
+  /** Test hook: drop every memoized model/index artifact so a spec can
+    * drive the cold-cache build path (including nested builds)
+    * deterministically. */
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
 
   /** Per-file cache-key entries carrying path + length + mtime, read
     * from the plan's own (already-listed, memoized) file index — so a

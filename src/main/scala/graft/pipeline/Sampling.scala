@@ -254,7 +254,7 @@ object Sampling {
     * curated corpora into the training distribution. */
   val MixWeightsX100: Map[String, Long] = Map("zh" -> 250L, "fr" -> 150L)
   val DefaultWeightX100: Long = 100L
-  private val MixSalt = 104729L
+  private[graft] val MixSalt = 104729L
 
   /** Weighted mixture materialization with deterministic fractional
     * upsampling: a doc with weight w is emitted ⌊w⌋ times, plus one more
@@ -821,8 +821,14 @@ object Sampling {
   // --------------------------------------------------------------- x102
   /** Sample size for the weighted priority sample. */
   val PrioritySampleK = 100
-  /** Salt decorrelating the priority draw from x14/x21/x23 decisions. */
-  private[graft] val PrioritySalt = 104729L
+  /** Salt decorrelating the priority draw from x14/x21/x23 decisions.
+    * Must differ from every other registered salt (SamplingSpec gates
+    * pairwise distinctness): round 12 shipped 104729 here, identical to
+    * [[MixSalt]], making the priority draw bit-equal to x23's
+    * fractional-upsampling draw — deterministically anti-correlated
+    * sampling decisions, exactly what per-operator salting exists to
+    * prevent. */
+  private[graft] val PrioritySalt = 2750159L
 
   /** x102 — weighted random sampling without replacement by PRIORITY
     * (Efraimidis & Spirakis 2006): each item draws u ~ U(0,1) and takes

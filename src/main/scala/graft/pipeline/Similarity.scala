@@ -573,7 +573,10 @@ object Similarity {
     * frame's grain); the decision is map-only integer arithmetic. At
     * 100 TB this is the cheapest semantic thinning in the library: two
     * narrow shuffles of (id, long) rows, no text or vector exchange. */
-  private[pipeline] val DensSalt = 104729L
+  // Distinct from every other registered salt (SamplingSpec gates
+  // pairwise distinctness); round 12's 104729 collided with x23's
+  // MixSalt, correlating the density keep-draw with upsampling.
+  private[pipeline] val DensSalt = 1299709L
 
   def densitySample(s: SparkSession, dir: String): DataFrame = {
     val b = bucketedOf(Tables.t(s, dir, "embeddings"))
@@ -655,7 +658,7 @@ object Similarity {
     * exactly like [[Curation.b28Labels]] (x33/x43/x47 consume the
     * identical pair pipeline, their dominant cost); a non-default
     * threshold always computes fresh. */
-  private def semanticLabelsAt(s: SparkSession, dir: String,
+  private[pipeline] def semanticLabelsAt(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     def build: DataFrame = {
       val pairs = embeddingNearDupsLsh(s, dir, threshold)

@@ -970,9 +970,15 @@ object TextStats {
     * StreamingSpec gates batch ≡ stream and PipelineSpec pins gate
     * membership ≡ x99's own keep rows. */
   private[graft] def charEntropyKeepColumn: Column =
-    charEntropyColumn.isNotNull &&
-      (length(coalesce(col("text"), lit(""))) < CharEntropyMinLen ||
-        charEntropyColumn >= MinCharEntropyUnats)
+    // The O(distinct_chars × len) entropy fold is bound ONCE per row via
+    // a single-element transform (Spark SQL has no scalar LET): embedding
+    // charEntropyColumn in both the null check and the threshold compare
+    // ran the fold twice on the streaming ingest edge unless the
+    // optimizer happened to CSE it.
+    transform(array(charEntropyColumn), e =>
+      e.isNotNull &&
+        (length(coalesce(col("text"), lit(""))) < CharEntropyMinLen ||
+          e >= MinCharEntropyUnats)).getItem(0)
 
   def charEntropy(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)

@@ -649,7 +649,7 @@ object Relational {
     * bucketing salt in the repo — the [[Sampling.hashBp]] salt
     * discipline): hash row i mixes key + (i+1)·P so the d rows are
     * independent avalanche streams of the same key space. */
-  private val CmsSalt = 1000003L
+  private[graft] val CmsSalt = 1000003L
 
   /** b13e — count-min sketch frequency estimation with ENGINE-EXACT
     * registers, completing the sketch-oracle trio (b12e quantiles,

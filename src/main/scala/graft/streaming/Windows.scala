@@ -162,8 +162,15 @@ object Windows {
     * and the matrix is |cohorts|×|offsets| — cells, not events, flow
     * into the final join; no window function at all. */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    // FLOOR division, not Spark's truncate-toward-zero `div`: DuckDB's
+    // `//` floors, so a pre-epoch event (datediff < 0) would land in a
+    // different week under `div`. pmod is non-negative, so subtracting
+    // it always rounds DOWN to the enclosing Monday boundary — exact
+    // integer arithmetic, engine-identical for every valid timestamp.
     val wk = expr(
-      "CAST(datediff(CAST(ts AS DATE), DATE'1970-01-05') div 7 AS BIGINT)")
+      """CAST((datediff(CAST(ts AS DATE), DATE'1970-01-05')
+            - pmod(datediff(CAST(ts AS DATE), DATE'1970-01-05'), 7)) div 7
+          AS BIGINT)""")
     val uw = events(s, dir).select(col("user_id"), wk.as("wk")).distinct()
     val first = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     val sizes = first.groupBy("cohort_wk")

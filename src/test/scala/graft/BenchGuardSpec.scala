@@ -92,6 +92,32 @@ class BenchGuardSpec extends AnyFunSuite {
       "quiet-vs-quiet never flags")
   }
 
+  test("full-map priors cover the whole registered suite (r12 ask: no clipped blind spots)") {
+    // r12 finding: BENCH_r*.json tails are front-clipped to ~64 of 213
+    // queries, so the drift guard was blind on 70% of the suite — the
+    // x26/x30/x34 spike arrived exactly through that gap. The committed
+    // sf-scoped full map (written by Bench each full run) must carry a
+    // prior for EVERY query registered last round; only queries NEW this
+    // round are allowed to miss.
+    val p = java.nio.file.Paths.get("bench_full_sf0.1.json")
+    assume(java.nio.file.Files.exists(p), "full-map artifact present in repo root")
+    val m = Bench.parsePriorTimes(java.nio.file.Files.readString(p), "/root/testdata/sf0.1")
+    // Registered queries with no prior expected: added AFTER the full
+    // map was last written. Update when registering a query; the next
+    // full bench run re-empties it.
+    val newThisRound = Set("x115_image_phash_dedup", "x116_audio_fingerprint_dedup",
+      "x34b_span_dedup_token_exact")
+    val idx = m.keySet.filter(_.startsWith("idx_"))
+    val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
+    assert(missing.isEmpty,
+      s"registered queries with NO cross-round prior (drift guard blind): $missing")
+    assert(m.size - idx.size >= SparkEntry.queries.size - newThisRound.size,
+      s"full map (${m.size - idx.size} non-idx priors) thinner than the suite " +
+        s"(${SparkEntry.queries.size} registered - ${newThisRound.size} new)")
+    // The alphabetical head — the exact region the clipped tails lost.
+    assert(m.contains("b05_select_rename_cast"), "head of the suite must be covered")
+  }
+
   test("the actual BENCH_r06.json artifact yields prior times for the guard") {
     val p = java.nio.file.Paths.get("BENCH_r06.json")
     assume(java.nio.file.Files.exists(p), "driver artifact present in repo root")

@@ -194,6 +194,31 @@ class CurationSpec extends SparkSpec {
     assert(out.values.toSet == Set(29L), s"chain must collapse to one cluster rooted at 29: $out")
   }
 
+  test("memoModel is reentrant: nested cold-cache index builds never throw (r12 regression)") {
+    // Round-12 bug: b28Labels's memoModel fit thunk calls b28Pairs —
+    // a nested computeIfAbsent on the same ConcurrentHashMap threw
+    // IllegalStateException("Recursive update") whenever the two keys
+    // landed in the same bin (intermittent because the key embeds the
+    // applicationId). The fix computes fits outside the map lock
+    // (get → compute → putIfAbsent). This spec forces the nested build
+    // path COLD repeatedly — every iteration clears the model cache, so
+    // b28Labels must rebuild and its thunk must re-enter memoModel for
+    // b28Pairs each time — and asserts identical results across runs.
+    val ref = Curation.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ref.nonEmpty, "sf0.001 corpus must contain near-dup clusters")
+    (1 to 5).foreach { i =>
+      Ivf.clearModelCache()
+      val again = Curation.dedupClusters(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(again == ref, s"cold rebuild $i diverged from the reference run")
+    }
+    // The other nested tenant: semantic labels build from the LSH pair
+    // frame inside the same cache. Drive it cold once as well.
+    Ivf.clearModelCache()
+    assert(Similarity.semanticDedup(spark, sf).count() > 0)
+  }
+
   test("x106: k-anonymity flags the singleton class, classes partition the corpus") {
     import spark.implicits._
     // Six docs share (en, web, bucket 2); one doc is alone in

@@ -507,4 +507,27 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("registered salt constants are pairwise distinct (r12 regression)") {
+    // Round 12 shipped PrioritySalt == MixSalt == DensSalt == 104729:
+    // three independent keep/draw decisions became bit-identical hash
+    // draws on the same key — deterministic (anti-)correlation between
+    // x23 upsampling, x97 density thinning, and x102 priority sampling.
+    // Every salted decision must use its own salt; this gate fails the
+    // build if a future operator reuses one.
+    val salts = Map(
+      "PrefixSalt(x20)" -> Sampling.PrefixSalt,
+      "SampleSalt(x21)" -> Sampling.SampleSalt,
+      "MixSalt(x23)" -> Sampling.MixSalt,
+      "CarveSalt(x55b)" -> Sampling.CarveSalt,
+      "PrioritySalt(x102)" -> Sampling.PrioritySalt,
+      "InterleaveSalt(x112)" -> Sampling.InterleaveSalt,
+      "DensSalt(x97)" -> Similarity.DensSalt,
+      "DsirSalt(x50)" -> Selection.DsirSalt,
+      "ShardSalt(x15d)" -> Curation.ShardSalt,
+      "CmsSalt(b12d)" -> graft.queries.Relational.CmsSalt)
+    val dupes = salts.groupBy(_._2).filter(_._2.size > 1)
+    assert(dupes.isEmpty,
+      s"salt collision — correlated sampling decisions: $dupes")
+  }
 }
