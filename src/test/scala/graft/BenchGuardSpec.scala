@@ -92,6 +92,21 @@ class BenchGuardSpec extends AnyFunSuite {
       "quiet-vs-quiet never flags")
   }
 
+  test("the r12 x26/x30/x34 spike: quiet ground truth would have flagged each phantom") {
+    // r12's driver artifact read x26 14.772 s / x30 12.353 s / x34
+    // 11.410 s on byte-identical plans; quiet min-of-3 at sf0.1
+    // (SCALE.md round-13 notes, measured steady-state behind the idx_*
+    // builds) reproduces 1.143 / 3.513 / 2.314 s — the r7-r10 bands.
+    // Fed the quiet values as priors, the guard flags every phantom;
+    // quiet-vs-quiet never flags. These are the committed seeds the
+    // full-map prior file carries forward.
+    assert(Bench.drifted(14.772, 1.143), "x26 phantom vs quiet prior")
+    assert(Bench.drifted(12.353, 3.513), "x30 phantom vs quiet prior")
+    assert(Bench.drifted(11.410, 2.314), "x34 phantom vs quiet prior")
+    Seq(1.143, 3.513, 2.314).foreach(q =>
+      assert(!Bench.drifted(q, q), "quiet-vs-quiet never flags"))
+  }
+
   test("full-map priors cover the whole registered suite (r12 ask: no clipped blind spots)") {
     // r12 finding: BENCH_r*.json tails are front-clipped to ~64 of 213
     // queries, so the drift guard was blind on 70% of the suite — the

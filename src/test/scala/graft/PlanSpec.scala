@@ -97,6 +97,24 @@ class PlanSpec extends SparkSpec {
       s"all-pairs product over the corpus would not survive scale-up:\n$p")
   }
 
+  test("x115: phash candidate generation is an equi-join on band buckets, never a product") {
+    val p = plan("x115_image_phash_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs image compare would not survive scale-up:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"candidates must come from a hash-bucket equi-join:\n$p")
+  }
+
+  test("x116: audio fp candidate generation is an equi-join on band buckets, never a product") {
+    val p = plan("x116_audio_fingerprint_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs clip compare would not survive scale-up:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"candidates must come from a hash-bucket equi-join:\n$p")
+  }
+
   test("x13: tf and df aggregations are partial+final; corpus count broadcasts") {
     val p = plan("x13_tfidf_top")
     assert("HashAggregate".r.findAllIn(p).size >= 4,

@@ -124,6 +124,112 @@ class PipelineSpec extends SparkSpec {
     assert(out == SparkEntry.queries("x08c_audio_decode")(spark, sf).collect().toSeq)
   }
 
+  test("x115: perceptual-hash dedup pairs near-duplicate images, skips different ones") {
+    import org.apache.spark.sql.Row
+    // A: 32×24 row-increasing gradient (within every dHash row, left
+    // cell mean < right cell mean → the all-zero hash). B: byte-identical
+    // payload (Hamming 0). C: ONE corner pixel changed — only grid cell
+    // (0,0) is touched, which participates in exactly one comparison, so
+    // Hamming(A,C) ≤ 1 BY CONSTRUCTION. D: the reversed gradient — every
+    // comparison flips (the all-ones hash), Hamming(A,D) = 64.
+    val seedA = Array.tabulate[Byte](768)(i => (i % 192).toByte)
+    val seedC = seedA.clone(); seedC(0) = 127.toByte
+    val seedD = Array.tabulate[Byte](768)(i => (191 - i % 192).toByte)
+    val pA = Multimodal.pngFixture(32, 24, seedA)
+    val pB = pA.clone()
+    val pC = Multimodal.pngFixture(32, 24, seedC)
+    val pD = Multimodal.pngFixture(32, 24, seedD)
+    val Seq(hA, hB, hC, hD) =
+      Seq(pA, pB, pC, pD).map(p => Multimodal.dhash64(p).get)
+    assert(hA == 0L && hB == hA, "monotone gradient is the all-zero hash")
+    assert(hD == -1L, "reversed gradient flips all 64 comparisons")
+    assert(java.lang.Long.bitCount(hA ^ hC) <= 1, "corner-pixel edit moves ≤ 1 bit")
+    assert(Multimodal.dhash64("not a png".getBytes).isEmpty)
+    assert(Multimodal.dhash64(Array.empty[Byte]).isEmpty)
+    // Pigeonhole law the banding relies on: any pair within Hamming 3
+    // shares at least one of the 4 16-bit bands.
+    def bands(h: Long): Seq[Long] = (0 until Multimodal.PhashBands)
+      .map(i => (h >>> (i * 16)) & 0xffffL)
+    for (base <- Seq(hA, hC, 0x123456789abcdefL);
+         flips <- Seq(Seq(0), Seq(5, 21), Seq(3, 17, 63), Seq(0, 1, 2))) {
+      val other = flips.foldLeft(base)((h, b) => h ^ (1L << b))
+      assert(bands(base).zip(bands(other)).exists(p => p._1 == p._2),
+        s"pigeonhole: $base vs $other must share a band")
+    }
+    // End-to-end: the planted quartet through the registered pair shape.
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, pA, "image/png", 32: java.lang.Integer, 24: java.lang.Integer),
+        Row(2L, pB, "image/png", 32: java.lang.Integer, 24: java.lang.Integer),
+        Row(3L, pC, "image/png", 32: java.lang.Integer, 24: java.lang.Integer),
+        Row(4L, pD, "image/png", 32: java.lang.Integer, 24: java.lang.Integer),
+        Row(5L, "corrupt".getBytes, "image/png",
+          1: java.lang.Integer, 1: java.lang.Integer)),
+      Multimodal.mediaSchema)
+    val pairs = Multimodal.phashNearDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"near-dup trio pairs exactly, far image and corrupt payload never: $pairs")
+    assert(pairs((1L, 2L)) == 0L, "identical payloads verify at Hamming 0")
+    assert(pairs((1L, 3L)) == java.lang.Long.bitCount(hA ^ hC).toLong)
+    // Registered corpus query: deterministic, law-abiding output.
+    val out = SparkEntry.queries("x115_image_phash_dedup")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs are (min, max)-oriented")
+      assert(r.getLong(2) <= Multimodal.PhashMaxHamming, "verify bound holds")
+    }
+    assert(out.toSeq ==
+      SparkEntry.queries("x115_image_phash_dedup")(spark, sf).collect().toSeq)
+  }
+
+  test("x116: audio fingerprint dedup pairs a perturbed-PCM clip, skips a different profile") {
+    import org.apache.spark.sql.Row
+    // A: ascending amplitude profile (within a segment adjacent windows
+    // tie, across boundaries the later window is louder → strict-greater
+    // never fires → the all-zero fingerprint). B: byte-identical. C: one
+    // PCM sample flipped inside the data chunk (WAV has no checksum) —
+    // sample ~28 lands in fingerprint window 1, so at most the two
+    // comparisons touching window 1 move. D: the descending profile —
+    // every segment boundary now fires, far from A.
+    val seedA = Array.tabulate[Byte](768)(i => (i % 192).toByte)
+    val seedD = Array.tabulate[Byte](768)(i => (191 - i % 192).toByte)
+    val pA = Multimodal.amWavFixture(1600, seedA)
+    val pB = pA.clone()
+    val pC = pA.clone(); pC(100) = (pC(100) ^ 0x55).toByte
+    val pD = Multimodal.amWavFixture(1600, seedD)
+    val Seq(hA, hB, hC, hD) =
+      Seq(pA, pB, pC, pD).map(p => Multimodal.audioFp64(p).get)
+    assert(hA == 0L && hB == hA, "ascending profile is the all-zero fingerprint")
+    assert(java.lang.Long.bitCount(hA ^ hC) <= Multimodal.PhashMaxHamming,
+      "a local PCM edit moves at most the adjacent comparison bits")
+    assert(java.lang.Long.bitCount(hA ^ hD) > Multimodal.PhashMaxHamming,
+      "the reversed profile must sit outside the verify bound")
+    assert(Multimodal.audioFp64("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioFp64(Array.empty[Byte]).isEmpty)
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, pA, "audio/wav", 16: java.lang.Integer, 16: java.lang.Integer),
+        Row(2L, pB, "audio/wav", 16: java.lang.Integer, 16: java.lang.Integer),
+        Row(3L, pC, "audio/wav", 16: java.lang.Integer, 16: java.lang.Integer),
+        Row(4L, pD, "audio/wav", 16: java.lang.Integer, 16: java.lang.Integer),
+        Row(5L, "corrupt".getBytes, "audio/wav",
+          1: java.lang.Integer, 1: java.lang.Integer)),
+      Multimodal.mediaSchema)
+    val pairs = Multimodal.audioFpNearDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"near-dup trio pairs exactly, far clip and corrupt payload never: $pairs")
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs((1L, 3L)) == java.lang.Long.bitCount(hA ^ hC).toLong)
+    val out = SparkEntry.queries("x116_audio_fingerprint_dedup")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs are (min, max)-oriented")
+      assert(r.getLong(2) <= Multimodal.PhashMaxHamming, "verify bound holds")
+    }
+    assert(out.toSeq ==
+      SparkEntry.queries("x116_audio_fingerprint_dedup")(spark, sf).collect().toSeq)
+  }
+
   test("multimodal resize recomputes metadata and bounds payloads") {
     val media = Multimodal.fromDocuments(Tables.t(spark, sf, "documents"))
     val resized = Multimodal.resize(media, 8, 8).orderBy("media_id").collect()
