@@ -989,5 +989,104 @@ object Selection {
     QueryDef("x51_gopher_rules", gopherRules, Some(x51Sql)),
     QueryDef("x53_selection_pipeline", selectionPipeline, Some(x53Sql)),
     QueryDef("x64_classifier_quality", classifierQuality, Some(x64Sql)),
-    QueryDef("x64b_classifier_fitted", classifierFitQuality, Some(x64bSql)))
+    QueryDef("x64b_classifier_fitted", classifierFitQuality, Some(x64bSql)),
+    QueryDef("x117_gate_agreement", gateAgreement, Some(x117Sql)))
+
+  // ---------------------------------------------------------------- x117
+  /** x117 — quality-gate agreement audit: pairwise Cohen's kappa (1960)
+    * between the library's three registered quality verdicts — the x24
+    * CLEAN gate (x01 quality floor + PII), the x51 Gopher rule battery,
+    * and the x64b fitted classifier. The statistic every multi-filter
+    * curation stack reads before composing gates (FineWeb/DCLM-style
+    * ablations): raw agreement flatters gates that both pass almost
+    * everything, kappa corrects for chance, so a near-zero kappa says
+    * two gates that "agree 90% of the time" are in fact independent —
+    * stacking them multiplies their keep rates — while a high kappa
+    * says the second gate is redundant. Each verdict is the
+    * SINGLE-SOURCED production expression (IngestGate.cleanCond,
+    * gopherPassColumn, the x64b sumw > 0 rule), so the audit measures
+    * the shipped gates, not copies.
+    *
+    * Integer-exact end to end: contingency cells are BIGINT counts;
+    * agreement and kappa are reported in ppm by FLOOR division (Spark
+    * side uses the pmod floor trick because kappa can be negative and
+    * Spark `div` truncates toward zero while DuckDB `//` floors — the
+    * b42 lesson). kappa_ppm = ⌊10⁶·(n·po_num − pe_num)/(n² − pe_num)⌋
+    * with po_num = n11+n00 and pe_num = a₁b₁ + a₀b₀; NULL when a gate
+    * is constant (n² = pe_num — kappa undefined).
+    *
+    * Scale shape: ONE corpus pass (the classifier sumw join is the
+    * dominant cost and its weight table is the memoized clffit index
+    * artifact) into a SINGLE 7-integer aggregate row; the 3-pair table
+    * is constant-size arithmetic on that row. Disclosed bound: the
+    * closed form multiplies n² — exact to n ≈ 3·10⁹ docs; past that a
+    * deployment computes the one final scalar from the same exact
+    * counts in unbounded precision (one row, no data motion). */
+  def gateAgreement(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"),
+      when(graft.streaming.IngestGate.cleanCond, 1L).otherwise(0L).as("va"),
+      when(gopherPassColumn, 1L).otherwise(0L).as("vb"))
+    val clf = classifierFitQualityOf(d)
+      .select(col("doc_id"), when(col("keep"), 1L).otherwise(0L).as("vc"))
+    val c = base.join(clf, "doc_id").agg(
+      count(lit(1)).as("n"),
+      sum("va").as("sa"), sum("vb").as("sb"), sum("vc").as("sc"),
+      sum(col("va") * col("vb")).as("nab"),
+      sum(col("va") * col("vc")).as("nac"),
+      sum(col("vb") * col("vc")).as("nbc"))
+    def pairRow(ga: String, gb: String, s1: Column, s2: Column, n11: Column) =
+      struct(lit(ga).as("gate_a"), lit(gb).as("gate_b"), n11.as("n11"),
+        (s1 - n11).as("n10"), (s2 - n11).as("n01"),
+        (col("n") - s1 - s2 + n11).as("n00"))
+    c.select(col("n"), explode(array(
+        pairRow("clean", "gopher", col("sa"), col("sb"), col("nab")),
+        pairRow("clean", "classifier", col("sa"), col("sc"), col("nac")),
+        pairRow("gopher", "classifier", col("sb"), col("sc"), col("nbc")))).as("p"))
+      .select(col("p.gate_a"), col("p.gate_b"), col("p.n11"), col("p.n10"),
+        col("p.n01"), col("p.n00"), col("n"))
+      .withColumn("agree_ppm", expr("(1000000 * (n11 + n00)) div n"))
+      .withColumn("pe_num", expr(
+        "(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"))
+      .withColumn("kappa_ppm", expr(
+        """CASE WHEN n * n - pe_num = 0 THEN CAST(NULL AS BIGINT)
+           ELSE (1000000 * (n * (n11 + n00) - pe_num)
+                 - pmod(1000000 * (n * (n11 + n00) - pe_num), n * n - pe_num))
+                div (n * n - pe_num) END"""))
+      .select(col("gate_a"), col("gate_b"), col("n11"), col("n10"),
+        col("n01"), col("n00"), col("agree_ppm"), col("kappa_ppm"))
+      .orderBy("gate_a", "gate_b")
+  }
+
+  private lazy val x117Sql = {
+    import graft.streaming.IngestGate
+    s"""WITH $clfFitScoreCtes,
+       v AS (SELECT t.doc_id,
+               CASE WHEN ${IngestGate.cleanCondSql} THEN 1 ELSE 0 END AS va,
+               t.good AS vb,
+               CASE WHEN sw.sumw > 0 THEN 1 ELSE 0 END AS vc
+             FROM t JOIN sw USING (doc_id) JOIN documents d USING (doc_id)),
+       c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(va) AS BIGINT) AS sa, CAST(sum(vb) AS BIGINT) AS sb,
+               CAST(sum(vc) AS BIGINT) AS sc,
+               CAST(sum(va * vb) AS BIGINT) AS nab,
+               CAST(sum(va * vc) AS BIGINT) AS nac,
+               CAST(sum(vb * vc) AS BIGINT) AS nbc
+             FROM v),
+       p AS (SELECT 'clean' AS gate_a, 'gopher' AS gate_b, nab AS n11,
+               sa - nab AS n10, sb - nab AS n01, n - sa - sb + nab AS n00, n FROM c
+         UNION ALL SELECT 'clean', 'classifier', nac,
+               sa - nac, sc - nac, n - sa - sc + nac, n FROM c
+         UNION ALL SELECT 'gopher', 'classifier', nbc,
+               sb - nbc, sc - nbc, n - sb - sc + nbc, n FROM c)
+       SELECT gate_a, gate_b, n11, n10, n01, n00,
+         CAST((1000000 * (n11 + n00)) // n AS BIGINT) AS agree_ppm,
+         CASE WHEN n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) = 0
+           THEN CAST(NULL AS BIGINT)
+           ELSE CAST((1000000 * (n * (n11 + n00)
+                  - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))
+                // (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                AS BIGINT) END AS kappa_ppm
+       FROM p ORDER BY gate_a, gate_b"""
+  }
 }

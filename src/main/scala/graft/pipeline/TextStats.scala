@@ -1313,5 +1313,102 @@ object TextStats {
     QueryDef("x77_perplexity_bins", perplexityBins, Some(x77Sql)),
     QueryDef("x38_bigram_logprob", bigramLogprob, Some(x38Sql)),
     QueryDef("x96_kneser_ney", knBigramLogprob, Some(x96Sql)),
-    QueryDef("x32_quality_quantile", qualityQuantileFilter, Some(x32Sql)))
+    QueryDef("x32_quality_quantile", qualityQuantileFilter, Some(x32Sql)),
+    QueryDef("x118_source_divergence", sourceDivergence, Some(x118Sql)))
+
+  // ---------------------------------------------------------------- x118
+  /** x118 — pairwise Jensen–Shannon divergence between the token
+    * distributions of every source pair: the DISTRIBUTION-level
+    * complement of x74's shingle-overlap matrix (x74 asks "do these
+    * sources share content", x118 asks "do they speak the same
+    * language") — the statistic mixture designers read to pick
+    * deduplication partners, spot a source whose register drifted
+    * between snapshots, and sanity-check that "diverse" sources are
+    * actually diverse before spending mixing weights on them (D4/DoReMi
+    * practice). JSD = ½KL(P‖M) + ½KL(Q‖M) with M = (P+Q)/2; symmetric,
+    * bounded by ln 2, zero iff identical distributions.
+    *
+    * Engine-exactness discipline (the x28/x102 ln-parity precedent):
+    * each per-token term ½p·ln(2p/(p+q)) is computed by BOTH engines
+    * from the same BIGINT counts with the same parenthesized double
+    * expression, rounded HALF_UP to integer NANO-nats, and only the
+    * resulting BIGINTs are summed — so aggregation order is irrelevant
+    * and the result is bit-exact across engines, clusters, and runs.
+    * The statistic is therefore DEFINED as nano-nat-rounded JSD
+    * (per-token rounding error ≤ 0.5 nano·|vocab| — ~10⁻⁵ nats at a
+    * 10⁴ vocabulary; the tradeoff that buys exactness).
+    *
+    * Scale shape: one (source, token) partial+final agg (corpus-sized
+    * scan, vocabulary-sized result), a tiny source-totals crossJoin
+    * scaffold (|sources|² rows — broadcast-seed pattern), and per-pair
+    * token joins keyed on token — traffic is |pairs|·|vocab| (id,
+    * long) rows, never documents. The final matrix is |pairs| rows. */
+  // lazy: `defs` (declared above) forces x118Sql at object init, BEFORE a
+  // plain val declared here would be assigned — a plain val interpolates
+  // as "null" into the oracle.
+  private lazy val JsdTermSql =
+    """CASE WHEN ca > 0 THEN CAST(round(500000000 * ((CAST(ca AS DOUBLE) / na)
+         * ln((2 * (CAST(ca AS DOUBLE) / na))
+             / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)))))
+         AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN cb > 0 THEN CAST(round(500000000 * ((CAST(cb AS DOUBLE) / nb)
+         * ln((2 * (CAST(cb AS DOUBLE) / nb))
+             / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)))))
+         AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).select(col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val c = tok.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy("source").agg(sum("cnt").as("n"))
+    val pairs = tot.as("ta").crossJoin(tot.as("tb"))
+      .filter(col("ta.source") < col("tb.source"))
+      .select(col("ta.source").as("sa"), col("tb.source").as("sb"),
+        col("ta.n").as("na"), col("tb.n").as("nb"))
+    val left = pairs
+      .join(c.select(col("source").as("sa"), col("tok"), col("cnt").as("ca")), Seq("sa"))
+      .select(col("sa"), col("sb"), col("tok"), col("na"), col("nb"), col("ca"))
+    val right = pairs
+      .join(c.select(col("source").as("sb"), col("tok"), col("cnt").as("cb")), Seq("sb"))
+      .select(col("sa"), col("sb"), col("tok"),
+        col("na").as("na2"), col("nb").as("nb2"), col("cb"))
+    left.join(right, Seq("sa", "sb", "tok"), "full_outer")
+      .select(col("sa"), col("sb"),
+        coalesce(col("na"), col("na2")).as("na"),
+        coalesce(col("nb"), col("nb2")).as("nb"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("term", expr(JsdTermSql))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+      .agg(max("na").as("n_tok_a"), max("nb").as("n_tok_b"),
+        count(lit(1)).as("vocab_union"),
+        sum("term").as("jsd_nanonats"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private lazy val x118Sql =
+    s"""WITH tk AS (SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+           FROM documents),
+       c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+             FROM tk WHERE length(tok) > 0 GROUP BY source, tok),
+       tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY source),
+       pairs AS (SELECT ta.source AS sa, tb.source AS sb, ta.n AS na, tb.n AS nb
+                 FROM tot ta, tot tb WHERE ta.source < tb.source),
+       l AS (SELECT p.sa, p.sb, c.tok, p.na, p.nb, c.cnt AS ca
+             FROM pairs p JOIN c ON c.source = p.sa),
+       r AS (SELECT p.sa, p.sb, c.tok, p.na AS na2, p.nb AS nb2, c.cnt AS cb
+             FROM pairs p JOIN c ON c.source = p.sb),
+       b AS (SELECT coalesce(l.sa, r.sa) AS sa, coalesce(l.sb, r.sb) AS sb,
+               coalesce(l.na, r.na2) AS na, coalesce(l.nb, r.nb2) AS nb,
+               CAST(coalesce(l.ca, 0) AS BIGINT) AS ca,
+               CAST(coalesce(r.cb, 0) AS BIGINT) AS cb
+             FROM l FULL OUTER JOIN r
+               ON l.sa = r.sa AND l.sb = r.sb AND l.tok = r.tok),
+       t2 AS (SELECT sa, sb, na, nb, $JsdTermSql AS term FROM b)
+       SELECT sa AS source_a, sb AS source_b,
+         max(na) AS n_tok_a, max(nb) AS n_tok_b,
+         CAST(count(*) AS BIGINT) AS vocab_union,
+         CAST(sum(term) AS BIGINT) AS jsd_nanonats
+       FROM t2 GROUP BY sa, sb ORDER BY source_a, source_b"""
 }

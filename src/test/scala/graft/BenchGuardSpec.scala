@@ -121,7 +121,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // map was last written. Update when registering a query; the next
     // full bench run re-empties it.
     val newThisRound = Set("x115_image_phash_dedup", "x116_audio_fingerprint_dedup",
-      "x34b_span_dedup_token_exact")
+      "x117_gate_agreement", "x118_source_divergence")
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,

@@ -115,6 +115,23 @@ class PlanSpec extends SparkSpec {
       s"candidates must come from a hash-bucket equi-join:\n$p")
   }
 
+  test("x117: agreement audit is one corpus pass into a single aggregate row — no product") {
+    val p = plan("x117_gate_agreement")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"verdict join must stay equi-keyed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the 7-integer contingency agg must be partial+final:\n$p")
+  }
+
+  test("x118: JSD token joins are equi-joins; only the tiny source scaffold may nest") {
+    val p = plan("x118_source_divergence")
+    assert(!p.contains("CartesianProduct"),
+      s"an unbounded product would not survive scale-up:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"per-pair token joins must be keyed on (source, token):\n$p")
+  }
+
   test("x13: tf and df aggregations are partial+final; corpus count broadcasts") {
     val p = plan("x13_tfidf_top")
     assert("HashAggregate".r.findAllIn(p).size >= 4,

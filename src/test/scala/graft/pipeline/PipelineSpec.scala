@@ -230,6 +230,52 @@ class PipelineSpec extends SparkSpec {
       SparkEntry.queries("x116_audio_fingerprint_dedup")(spark, sf).collect().toSeq)
   }
 
+  test("x118: JSD is zero for identical distributions, ln 2 for disjoint, law-abiding on the corpus") {
+    import spark.implicits._
+    // Planted: X and Y share the exact token distribution (JSD must be
+    // EXACTLY zero — every per-token term is round(p·ln 1) = 0); Z is
+    // vocabulary-disjoint (JSD = ln 2, up to the defined nano-rounding
+    // of one term per vocab entry).
+    val corpus = Seq(
+      (1L, "a b c a", "X"), (2L, "c b a a", "X"),
+      (3L, "a a b c", "Y"), (4L, "b a c a", "Y"),
+      (5L, "d e f g", "Z"), (6L, "g f e d", "Z"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("jsd")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextStats.sourceDivergence(spark, dir.toString).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(out.keySet == Set(("X", "Y"), ("X", "Z"), ("Y", "Z")))
+      assert(out(("X", "Y"))._4 == 0L, "identical distributions diverge by exactly 0")
+      val ln2Nano = math.round(1e9 * math.log(2.0))
+      Seq(("X", "Z"), ("Y", "Z")).foreach { p =>
+        val (na, nb, vocab, jsd) = out(p)
+        assert(na == 8 && nb == 8 && vocab == 7, s"$p mass/vocab")
+        assert(math.abs(jsd - ln2Nano) <= vocab,
+          s"$p: disjoint vocab must sit at ln 2 (± per-term nano rounding): $jsd")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    // Corpus run: C(|sources|, 2) rows, all within [0, ln 2], ordered,
+    // deterministic.
+    val rows = TextStats.sourceDivergence(spark, sf).collect()
+    val nSrc = Tables.t(spark, sf, "documents").select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "one row per unordered source pair")
+    val ln2Nano = math.round(1e9 * math.log(2.0))
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs are (min, max)-oriented")
+      val jsd = r.getLong(5)
+      assert(jsd >= -r.getLong(4) && jsd <= ln2Nano + r.getLong(4),
+        s"JSD must sit in [0, ln 2] up to nano rounding: $r")
+    }
+    assert(rows.toSeq == TextStats.sourceDivergence(spark, sf).collect().toSeq)
+  }
+
   test("multimodal resize recomputes metadata and bounds payloads") {
     val media = Multimodal.fromDocuments(Tables.t(spark, sf, "documents"))
     val resized = Multimodal.resize(media, 8, 8).orderBy("media_id").collect()

@@ -340,4 +340,50 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     assert(k(true) > k(false), s"keep rate by class: $k")
   }
+
+  test("x117: contingency cells partition the corpus; kappa recomputes from the cells") {
+    val rows = Selection.gateAgreement(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), if (r.isNullAt(7)) None else Some(r.getLong(7)))
+    }
+    assert(rows.map(_._1).toSeq ==
+      Seq(("clean", "classifier"), ("clean", "gopher"), ("gopher", "classifier")),
+      "exactly the three gate pairs, totally ordered")
+    val nDocs = graft.Tables.t(spark, sf, "documents").count()
+    val m = rows.toMap
+    rows.foreach { case (pair, (n11, n10, n01, n00, agree, kappa)) =>
+      assert(n11 + n10 + n01 + n00 == nDocs, s"$pair cells must partition the corpus")
+      assert(Seq(n11, n10, n01, n00).forall(_ >= 0), s"$pair cells non-negative")
+      // agree/kappa re-derived from the row's own cells with BigInt
+      // floor division — the exact published formulas.
+      val n = BigInt(nDocs)
+      assert(BigInt(agree) == (BigInt(1000000) * (n11 + n00)) / n, s"$pair agreement law")
+      val peNum = (BigInt(n11) + n10) * (BigInt(n11) + n01) +
+        (BigInt(n01) + n00) * (BigInt(n10) + n00)
+      val den = n * n - peNum
+      if (den == 0) assert(kappa.isEmpty, s"$pair kappa undefined for a constant gate")
+      else {
+        val num = BigInt(1000000) * (n * (BigInt(n11) + n00) - peNum)
+        // BigInt / truncates; emulate floor for the possibly-negative numerator.
+        val fl = if (num.sign >= 0 || num % den == 0) num / den else num / den - 1
+        assert(kappa.contains(fl.toLong), s"$pair kappa law: got $kappa want $fl")
+        assert(fl <= 1000000L && fl >= -1000000L, s"$pair kappa must sit in [-1, 1]")
+      }
+    }
+    // Marginals must be consistent ACROSS rows: each gate's positive
+    // count is pair-independent (clean appears in two rows, etc.).
+    val cleanPos1 = m(("clean", "gopher"))._1 + m(("clean", "gopher"))._2
+    val cleanPos2 = m(("clean", "classifier"))._1 + m(("clean", "classifier"))._2
+    assert(cleanPos1 == cleanPos2, "clean-gate marginal must agree across pairs")
+    val gopherPos1 = m(("clean", "gopher"))._1 + m(("clean", "gopher"))._3
+    val gopherPos2 = m(("gopher", "classifier"))._1 + m(("gopher", "classifier"))._2
+    assert(gopherPos1 == gopherPos2, "gopher marginal must agree across pairs")
+    val clfPos1 = m(("clean", "classifier"))._1 + m(("clean", "classifier"))._3
+    val clfPos2 = m(("gopher", "classifier"))._1 + m(("gopher", "classifier"))._3
+    assert(clfPos1 == clfPos2, "classifier marginal must agree across pairs")
+    // Run-deterministic.
+    assert(Selection.gateAgreement(spark, sf).collect().toSeq ==
+      Selection.gateAgreement(spark, sf).collect().toSeq)
+  }
 }
