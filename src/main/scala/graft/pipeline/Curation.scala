@@ -390,6 +390,50 @@ object Curation {
       .select("doc_id", "cluster_id", "cluster_size", "weight")
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- x120
+  /** x120 — near-dup cluster-SIZE distribution: for each cluster size,
+    * how many clusters, how many documents they hold, how many docs a
+    * keep-one-per-cluster dedup would remove, and the doc-mass share in
+    * ppm. THE observability table a dedup deployment reads before
+    * committing to a threshold (Lee et al. 2022 report exactly this
+    * histogram): a long tail of giant clusters means boilerplate/spam
+    * mass the pipeline should strip; a spike at size 2 with nothing
+    * above means mirror pairs; the singleton row is the untouched
+    * corpus. Composes with x105's threshold sweep — x105 says how many
+    * PAIRS each threshold admits, x120 says what the resulting cluster
+    * STRUCTURE costs in documents.
+    *
+    * Reads the memoized B28 label map ([[b28Labels]] — the per-snapshot
+    * cluster index artifact), so after the one-time build this is a
+    * (doc, long) aggregation: one groupBy on cluster_size (bounded by
+    * the largest cluster, corpus-tiny), integer-exact arithmetic
+    * (n_clusters = n_docs div size is exact — every size-k cluster
+    * contributes exactly k rows; share in ppm by floor division). */
+  def clusterSizeHistogram(s: SparkSession, dir: String): DataFrame = {
+    val sz = clusterSizes(s, dir)
+    val tot = sz.agg(count(lit(1)).as("n_docs_total"))
+    sz.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"),
+        expr("n_docs div cluster_size").as("n_clusters"),
+        col("n_docs"),
+        expr("n_docs - n_docs div cluster_size").as("removed_if_dedup"),
+        expr("(1000000 * n_docs) div n_docs_total").as("doc_share_ppm"))
+      .orderBy("cluster_size")
+  }
+
+  private lazy val x120Sql =
+    s"""WITH RECURSIVE $clusterSizeCtes,
+       h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_docs
+             FROM sz GROUP BY cluster_size),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+       SELECT cluster_size,
+         CAST(n_docs // cluster_size AS BIGINT) AS n_clusters, n_docs,
+         CAST(n_docs - n_docs // cluster_size AS BIGINT) AS removed_if_dedup,
+         CAST((1000000 * n_docs) // (SELECT n FROM tot) AS BIGINT) AS doc_share_ppm
+       FROM h ORDER BY cluster_size"""
+
   /** The undirected-edges + min-label-reachability chain over a `pairs`
     * CTE — the SQL mirror of [[undirectedEdges]]+[[propagateMinLabels]],
     * single-sourced for the oracles whose results must agree on cluster
@@ -3318,6 +3362,7 @@ object Curation {
       (s, d) => shardPackStrataManifest(s, d), Some(x15dSql(20000))),
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
     QueryDef("x75_dedup_weights", dedupWeights, Some(x75Sql)),
+    QueryDef("x120_cluster_size_histogram", clusterSizeHistogram, Some(x120Sql)),
     QueryDef("x85_effective_size", effectiveSize, Some(x85Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),

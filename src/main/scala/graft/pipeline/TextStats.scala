@@ -274,8 +274,13 @@ object TextStats {
       .orderBy("doc_id")
   }
 
-  private val x38Sql =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** x38's interpolated-bigram scoring chain ending in `sc2(doc_id,
+    * n_bigrams, avg_neg_logp2)`, single-sourced for x38's oracle AND
+    * x119's context-gain oracle (aliases are disjoint from
+    * [[unigramScoreCtes]] — tot2/sc2 vs tot/sc — so the two chains
+    * compose in one WITH). */
+  private val bigramScoreCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, count(*) AS c
                FROM t, unnest(generate_series(1, len(t) - 1)) u(i)
                WHERE len(t) >= 2 GROUP BY doc_id, t[i], t[i+1]),
@@ -284,16 +289,19 @@ object TextStats {
        uni AS (SELECT tok, count(*) AS cf
                FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
                GROUP BY tok),
-       tot AS (SELECT sum(cf) AS n_total FROM uni),
-       sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       tot2 AS (SELECT sum(cf) AS n_total FROM uni),
+       sc2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
                 round(-sum(c * ln($BigramLambda * (CAST(cb AS DOUBLE) / cw1)
-                    + $BigramLambdaC * (CAST(cf AS DOUBLE) / (SELECT n_total FROM tot))))
+                    + $BigramLambdaC * (CAST(cf AS DOUBLE) / (SELECT n_total FROM tot2))))
                   / sum(c), 4) AS avg_neg_logp2
               FROM big JOIN biglm USING (w1, w2) JOIN ctx USING (w1)
                    JOIN uni ON big.w2 = uni.tok
-              GROUP BY doc_id)
-       SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_neg_logp2
-       FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""
+              GROUP BY doc_id)"""
+
+  private val x38Sql =
+    s"""WITH $bigramScoreCtes
+       SELECT d.doc_id, coalesce(sc2.n_bigrams, 0) AS n_bigrams, sc2.avg_neg_logp2
+       FROM documents d LEFT JOIN sc2 USING (doc_id) ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- x96
   /** Interpolated Kneser–Ney bigram scoring — the smoothing the
@@ -1314,7 +1322,47 @@ object TextStats {
     QueryDef("x38_bigram_logprob", bigramLogprob, Some(x38Sql)),
     QueryDef("x96_kneser_ney", knBigramLogprob, Some(x96Sql)),
     QueryDef("x32_quality_quantile", qualityQuantileFilter, Some(x32Sql)),
-    QueryDef("x118_source_divergence", sourceDivergence, Some(x118Sql)))
+    QueryDef("x118_source_divergence", sourceDivergence, Some(x118Sql)),
+    QueryDef("x119_context_gain", contextGain, Some(x119Sql)))
+
+  // ---------------------------------------------------------------- x119
+  /** x119 — context-gain (learnability) score: per document, the mean
+    * information ONE TOKEN OF CONTEXT buys — x28's unigram mean −ln p
+    * minus x38's interpolated-bigram mean −ln p. The excess-loss-
+    * between-reference-models selection signal (RHO-loss, Mindermann
+    * et al. 2022, at the smallest model pair this engine can train
+    * in-corpus): compositional, structured text gains a lot from
+    * context (high delta — the model has something to LEARN from word
+    * order), while bag-of-words spam, tag soup, and shuffled-token
+    * noise gain nothing (delta ≈ 0) even when either absolute
+    * perplexity looks unremarkable. Production stacks threshold the
+    * delta, not the absolutes, to keep "hard but structured" documents
+    * a pure perplexity filter would throw away.
+    *
+    * Both inputs are the SINGLE-SOURCED registered scores (x28's chain,
+    * x38's chain — [[unigramScoreCtes]]/[[bigramScoreCtes]] compose in
+    * one oracle WITH), already 4dp-rounded, so the subtraction sees
+    * identical doubles in both engines and the re-rounded delta is
+    * engine-exact. Docs with < 2 tokens have no bigram score → NULL
+    * gain (row preserved). Scale = x28's chain + x38's chain + one
+    * doc-keyed equi-join; nothing new shuffles. */
+  def contextGain(s: SparkSession, dir: String): DataFrame =
+    unigramLogprob(s, dir)
+      .join(bigramLogprob(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("n_bigrams"),
+        col("avg_neg_logp").as("unigram_nll"),
+        col("avg_neg_logp2").as("bigram_nll"),
+        round(col("avg_neg_logp") - col("avg_neg_logp2"), 4).as("context_gain"))
+      .orderBy("doc_id")
+
+  private lazy val x119Sql =
+    s"""WITH $unigramScoreCtes,
+       $bigramScoreCtes
+       SELECT sc.doc_id, sc.n_tok, coalesce(sc2.n_bigrams, 0) AS n_bigrams,
+         sc.avg_neg_logp AS unigram_nll,
+         sc2.avg_neg_logp2 AS bigram_nll,
+         round(sc.avg_neg_logp - sc2.avg_neg_logp2, 4) AS context_gain
+       FROM sc LEFT JOIN sc2 USING (doc_id) ORDER BY sc.doc_id"""
 
   // ---------------------------------------------------------------- x118
   /** x118 — pairwise Jensen–Shannon divergence between the token

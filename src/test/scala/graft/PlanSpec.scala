@@ -132,6 +132,22 @@ class PlanSpec extends SparkSpec {
       s"per-pair token joins must be keyed on (source, token):\n$p")
   }
 
+  test("x119: context gain composes the two LM chains with equi-joins only") {
+    val p = plan("x119_context_gain")
+    assert(!p.contains("CartesianProduct"),
+      s"LM joins must stay keyed (the 1-row totals broadcast is the only nest):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"vocabulary joins must be equi:\n$p")
+  }
+
+  test("x120: histogram is one bounded agg over the memoized label map — no product") {
+    val p = plan("x120_cluster_size_histogram")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row total may broadcast-nest:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the size histogram agg must be partial+final:\n$p")
+  }
+
   test("x13: tf and df aggregations are partial+final; corpus count broadcasts") {
     val p = plan("x13_tfidf_top")
     assert("HashAggregate".r.findAllIn(p).size >= 4,

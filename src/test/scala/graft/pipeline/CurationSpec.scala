@@ -194,6 +194,38 @@ class CurationSpec extends SparkSpec {
     assert(out.values.toSet == Set(29L), s"chain must collapse to one cluster rooted at 29: $out")
   }
 
+  test("x120: cluster-size histogram counts the planted chain exactly; corpus invariants hold") {
+    import spark.implicits._
+    // The transitive-chain corpus: {29,58,87} one cluster of 3, {116} a
+    // singleton → histogram has exactly two rows with exact cells.
+    val corpus = Seq(
+      (29L, "u1 u2 u3 u4 a b"),
+      (58L, "u1 u2 u3 u4 v1 v2 v3 v4"),
+      (87L, "v1 v2 v3 v4 c d"),
+      (116L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("csh").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h = Curation.clusterSizeHistogram(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(h == Map(
+      1L -> ((1L, 1L, 0L, 250000L)),
+      3L -> ((1L, 3L, 2L, 750000L))), s"planted histogram: $h")
+    // Corpus invariants: doc mass partitions; every size row divides
+    // exactly; agrees with the x75 per-doc cluster sizes.
+    val rows = Curation.clusterSizeHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = graft.Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum == nDocs, "histogram must partition the corpus's docs")
+    rows.foreach { case (size, nc, nd, rem, _) =>
+      assert(nd % size == 0, s"size-$size mass must divide exactly")
+      assert(nc == nd / size && rem == nd - nc, s"size-$size laws")
+    }
+    val fromWeights = Curation.dedupWeights(spark, sf).collect()
+      .groupBy(_.getLong(2)).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.map(r => r._1 -> r._3).toMap == fromWeights,
+      "histogram must agree with x75's per-doc cluster sizes")
+  }
+
   test("memoModel is reentrant: nested cold-cache index builds never throw (r12 regression)") {
     // Round-12 bug: b28Labels's memoModel fit thunk calls b28Pairs —
     // a nested computeIfAbsent on the same ConcurrentHashMap threw

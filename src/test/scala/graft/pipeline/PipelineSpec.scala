@@ -276,6 +276,48 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq == TextStats.sourceDivergence(spark, sf).collect().toSeq)
   }
 
+  test("x119: context gain is higher for ordered text than its shuffled twin; laws hold") {
+    import spark.implicits._
+    // Two docs with the SAME token multiset (identical unigram score by
+    // construction — the LM is shared), one periodic (every bigram is
+    // deterministic: a→b, b→a), one scrambled. Context must buy the
+    // periodic doc strictly more information. A 1-token doc has no
+    // bigrams → NULL gain, row preserved.
+    val corpus = Seq(
+      (1L, "a b a b a b a b a b a b"),
+      (2L, "a a b b a b b a a b b a"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cgain")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextStats.contextGain(spark, dir.toString).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+      assert(out(3L)._2 == 0L && out(3L)._3.isEmpty,
+        "a bigram-less doc keeps its row with NULL gain")
+      assert(out(1L)._3.get > out(2L)._3.get,
+        s"ordered text must gain more from context than its shuffled twin: $out")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    // Corpus laws: gain recomputes from the two published scores; the
+    // interpolation bounds it below by ln(lambda_c) = -1.204 (p2 >=
+    // 0.3*p1 pointwise), up to the 4dp rounding of three quantities.
+    val rows = TextStats.contextGain(spark, sf).collect()
+    rows.filter(!_.isNullAt(5)).foreach { r =>
+      val want = BigDecimal(r.getDouble(3) - r.getDouble(4))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == want, s"gain must equal round(u - b, 4): $r")
+      assert(r.getDouble(5) >= math.log(TextStats.BigramLambdaC) - 0.0002,
+        s"interpolation lower bound violated: $r")
+    }
+    assert(rows.exists(r => !r.isNullAt(5) && r.getDouble(5) > 0),
+      "context must help somewhere in a natural-ish corpus")
+  }
+
   test("multimodal resize recomputes metadata and bounds payloads") {
     val media = Multimodal.fromDocuments(Tables.t(spark, sf, "documents"))
     val resized = Multimodal.resize(media, 8, 8).orderBy("media_id").collect()
