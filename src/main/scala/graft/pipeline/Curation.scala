@@ -423,6 +423,89 @@ object Curation {
       .orderBy("cluster_size")
   }
 
+  // ---------------------------------------------------------------- x121
+  /** x121 — incremental cluster-index MAINTENANCE: merge a new batch
+    * into a standing near-dup cluster label map WITHOUT re-clustering
+    * the old corpus — the operation that makes the per-snapshot cluster
+    * index ([[b28Labels]]) affordable under append-only ingestion at
+    * 100 TB, where a full re-cluster per batch would redo O(N²)
+    * candidate work for an O(N·ΔN) question.
+    *
+    * Construction: (1) the OLD index = min-label map over the reference
+    * corpus's lossless pairs (in production this is the standing
+    * artifact, read not rebuilt); (2) DELTA pairs = every truth pair
+    * touching the batch — new×new ([[Dedup.jaccardPairsPrefixOn]]) plus
+    * new×ref ([[Dedup.crossNearDupPairs]], union-df order); (3) the
+    * merged map = one min-label propagation over the old map's STAR
+    * EDGES (node—label) unioned with the delta pairs.
+    *
+    * Why the result EQUALS a full re-cluster of the union (the oracle
+    * hash-proves it): Jaccard is pairwise, so the union corpus's truth
+    * pairs are exactly (old truth pairs) ∪ (pairs touching the batch);
+    * the prefix filter is lossless at t ≥ 0.5, so both tiers surface
+    * their truth sets; and an old cluster's star edges have the same
+    * connectivity closure as its original pair set — components, hence
+    * min-labels, are identical. Requires one shared doc-id universe
+    * across batch and corpus (any real snapshot store satisfies this).
+    *
+    * Scale: the old side contributes only its LABEL MAP (two-column,
+    * one row per clustered doc) plus prefix postings for the cross
+    * join; the propagation loop runs over star+delta edges — ~|old
+    * clusters| + |delta| rows, not the old pair graph. */
+  def incrementalClusters(newDocs: DataFrame, refDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    val oldPairs = Dedup.jaccardPairsPrefixOn(refDocs, threshold)
+      .select(col("da"), col("db"))
+    val (oldLabels, _) = propagateMinLabels(undirectedEdges(oldPairs))
+    val newNew = Dedup.jaccardPairsPrefixOn(newDocs, threshold)
+      .select(col("da"), col("db"))
+    val cross = Dedup.crossNearDupPairs(newDocs, refDocs, threshold)
+    val starEdges = oldLabels.filter(col("node") =!= col("lbl"))
+      .select(col("node").as("da"), col("lbl").as("db"))
+    val (labels, _) = propagateMinLabels(
+      undirectedEdges(newNew.union(cross).union(starEdges)))
+    newDocs.select(col("doc_id")).union(refDocs.select(col("doc_id")))
+      .join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  /** Registered x121: the %7 slice (x20's), odd half arrives as the
+    * batch against the even half's standing index, t = 0.8. The oracle
+    * is a FULL RE-CLUSTER of the union slice from brute-force all-pairs
+    * Jaccard — the hash match certifies incremental ≡ full recompute
+    * end-to-end. */
+  private def x121(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") % 7 === 0)
+    incrementalClusters(
+      d.filter(pmod(col("doc_id"), lit(14)) === 7),
+      d.filter(pmod(col("doc_id"), lit(14)) === 0), 0.8)
+  }
+
+  private val x121Sql =
+    """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+       sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS keys FROM base),
+       pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+                 FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+                 WHERE CAST(len(list_intersect(a.keys, b.keys)) AS DOUBLE) /
+                   (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys)))
+                   >= 0.8),
+       edges AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+       lab AS (SELECT b.doc_id, coalesce(cc.cid, b.doc_id) AS cluster_id
+               FROM base b LEFT JOIN cc ON b.doc_id = cc.node)
+       SELECT doc_id, cluster_id,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       FROM lab ORDER BY doc_id"""
+
   private lazy val x120Sql =
     s"""WITH RECURSIVE $clusterSizeCtes,
        h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_docs
@@ -3363,6 +3446,7 @@ object Curation {
     QueryDef("x16_dedup_clusters", dedupClusters, Some(x16Sql)),
     QueryDef("x75_dedup_weights", dedupWeights, Some(x75Sql)),
     QueryDef("x120_cluster_size_histogram", clusterSizeHistogram, Some(x120Sql)),
+    QueryDef("x121_incremental_clusters", x121, Some(x121Sql)),
     QueryDef("x85_effective_size", effectiveSize, Some(x85Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),

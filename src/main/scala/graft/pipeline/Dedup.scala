@@ -448,6 +448,40 @@ object Dedup {
     exactSurvivors.join(dupNew, Seq("doc_id"), "left_anti")
   }
 
+  /** ALL (new, ref) pairs with true Jaccard ≥ `threshold` — the cross
+    * tier of [[incrementalDedup]] factored as a PAIR frame for index
+    * maintenance (x121 merges these into the standing cluster label
+    * map). Same union-df re-keying discipline as incrementalDedup (one
+    * shared total order certifies losslessness; 2a / 2b+1 keeps
+    * colliding id spaces apart), same raw-score verify as the prefix
+    * path. Output ids are decoded back to the callers' spaces:
+    * (da = new-side id, db = ref-side id). */
+  def crossNearDupPairs(newDocs: DataFrame, refDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(newDocs.sparkSession)
+    val key = array_distinct(split(col("text"), " "))
+    val union = newDocs
+      .select(shiftleft(col("doc_id"), 1).as("doc_id"), col("text"))
+      .union(refDocs.select((shiftleft(col("doc_id"), 1) + 1).as("doc_id"), col("text")))
+    val pre = prefixPostings(union, key, "tok", threshold)
+    val tBp = toBasisPoints(threshold)
+    val cand = pre.filter(pmod(col("doc_id"), lit(2)) === 0).as("a")
+      .join(pre.filter(pmod(col("doc_id"), lit(2)) === 1).as("b"),
+        col("a.tok") === col("b.tok") &&
+          lit(tBp) * col("a.n") <= lit(BpScale) * col("b.n") &&
+          lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sets = union.select(col("doc_id"), array_sort(key).as("keys"))
+    cand
+      .join(sets.select(col("doc_id").as("da2"), col("keys").as("ka")),
+        col("da") === col("da2"))
+      .join(sets.select(col("doc_id").as("db2"), col("keys").as("kb")),
+        col("db") === col("db2"))
+      .filter(call_function("set_jaccard", col("ka"), col("kb")) >= threshold)
+      .select(shiftright(col("da"), 1).as("da"), shiftright(col("db"), 1).as("db"))
+  }
+
   // ---------------------------------------------------------------- x29
   /** Directional containment (overlap-coefficient) join: pairs (da, db)
     * with |A∩B| / |A| ≥ t and da ≠ db — "doc A is t-contained in doc B".

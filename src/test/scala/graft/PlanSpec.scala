@@ -148,6 +148,12 @@ class PlanSpec extends SparkSpec {
       s"the size histogram agg must be partial+final:\n$p")
   }
 
+  test("x121: incremental cluster merge joins on tokens/ids, never a product") {
+    val p = plan("x121_incremental_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix/cross candidate joins must stay equi-keyed:\n$p")
+  }
+
   test("x13: tf and df aggregations are partial+final; corpus count broadcasts") {
     val p = plan("x13_tfidf_top")
     assert("HashAggregate".r.findAllIn(p).size >= 4,

@@ -226,6 +226,45 @@ class CurationSpec extends SparkSpec {
       "histogram must agree with x75's per-doc cluster sizes")
   }
 
+  test("x121: a new doc bridges two standing clusters; incremental equals full recompute") {
+    import spark.implicits._
+    // Old corpus: cluster {10,12} (J=9/11), cluster {20,22} (J=9/11),
+    // singleton 30. J(12,22) = 8/12 < 0.8 → separate standing clusters.
+    // New batch: doc 11 = shared8 ∪ {b1,y1} sits at J=9/11 ≥ 0.8 to BOTH
+    // 12 and 22 → the merge must fuse both old clusters THROUGH their
+    // star edges into one component rooted at 10; doc 13 is unrelated.
+    val s8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val oldFixed = Seq(
+      (10L, s"$s8 b1 a1"),
+      (12L, s"$s8 b1 b2"),
+      (20L, s"$s8 y1 x1"),
+      (22L, s"$s8 y1 y2"),
+      (30L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, s"$s8 b1 y1"),
+      (13L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0")).toDF("doc_id", "text")
+    val out = Curation.incrementalClusters(batch, oldFixed, 0.8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Separation premise: cross-cluster old pairs sit at J = 8/12 < 0.8.
+    val oldPairs = Dedup.jaccardPairsPrefixOn(oldFixed, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oldPairs == Set((10L, 12L), (20L, 22L)),
+      s"standing index must hold exactly two separate clusters: $oldPairs")
+    assert(out(30L) == ((30L, 1L)) && out(13L) == ((13L, 1L)), "singletons stay alone")
+    val merged = Set(10L, 11L, 12L, 20L, 22L)
+    merged.foreach(id => assert(out(id) == ((10L, 5L)),
+      s"doc $id must land in the fused cluster rooted at 10: $out"))
+    // Incremental ≡ full recompute on the union (the oracle proves this
+    // at corpus scale; this pins it on the planted shape in-engine).
+    val full = Curation.dedupClustersFromPairs(
+      Dedup.jaccardPairsPrefixOn(oldFixed.union(batch), 0.8)
+        .select(col("da"), col("db"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, (cid, _)) =>
+      assert(full.getOrElse(id, id) == cid, s"doc $id: incremental $cid vs full $full")
+    }
+  }
+
   test("memoModel is reentrant: nested cold-cache index builds never throw (r12 regression)") {
     // Round-12 bug: b28Labels's memoModel fit thunk calls b28Pairs —
     // a nested computeIfAbsent on the same ConcurrentHashMap threw
