@@ -1093,6 +1093,49 @@ object Similarity {
        FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node
        ORDER BY vec_id"""
 
+  // ---------------------------------------------------------------- x122
+  /** x122 — leakage-safe train/val/test split in EMBEDDING space: x27's
+    * whole-cluster-per-split discipline with the SEMANTIC cluster id as
+    * the split key, so a vector and its paraphrases (cosine near-dups —
+    * the rewordings lexical dedup structurally misses) can never
+    * straddle train and eval. This is the split an embedding-trained
+    * reranker/classifier needs: x27 stops lexical leakage, x122 stops
+    * semantic leakage; a pipeline holding both keys can intersect the
+    * constraints.
+    *
+    * The cluster key is the same memoized semantic label map every x33-
+    * family consumer reads ([[semanticLabelsAt]] — the per-snapshot
+    * index artifact), and the bucket hash is x14/x27's integer Knuth
+    * chain on the CANONICAL id — same-cluster ⇒ same-bucket by
+    * construction, engine/cluster/run-exact. Scale: one label-map left
+    * join + map-only bucket arithmetic; nothing beyond the one-time
+    * index build shuffles. */
+  def semanticSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val labels = semanticLabelsAt(s, dir, SemanticDedupThreshold)
+    val bucket = pmod(pmod(col("cluster_id"), lit(HashConstants.HashPrime)) *
+      lit(HashConstants.Knuth), lit(HashConstants.HashPrime)) % 100
+    Tables.t(s, dir, "embeddings").select(col("vec_id"))
+      .join(labels.select(col("node").as("vec_id"), col("lbl").as("cid")),
+        Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("vec_id")))
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .select("vec_id", "cluster_id", "split")
+      .orderBy("vec_id")
+  }
+
+  private lazy val x122Sql = {
+    val b = s"((cluster_id % ${HashConstants.HashPrime}) * ${HashConstants.Knuth}" +
+      s" % ${HashConstants.HashPrime}) % 100"
+    s"""WITH RECURSIVE ${ccCtesSql(SemanticDedupThreshold)},
+       lab AS (SELECT e.vec_id, coalesce(cc.cid, e.vec_id) AS cluster_id
+               FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node)
+       SELECT vec_id, cluster_id,
+         CASE WHEN $b < 90 THEN 'train'
+              WHEN $b < 95 THEN 'val' ELSE 'test' END AS split
+       FROM lab ORDER BY vec_id"""
+  }
+
   // ----------------------------------------------------------------
   // ---------------------------------------------------------------- x52
   /** Scalar-quantization width: int8 symmetric, the FAISS `SQ8` scheme. */
@@ -1378,6 +1421,7 @@ object Similarity {
     QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),
     QueryDef("x09_embedding_neardup", x09, Some(x09Sql)),
     QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)),
+    QueryDef("x122_semantic_safe_split", semanticSafeSplit, Some(x122Sql)),
     QueryDef("x35_semantic_decon", x35, Some(x35Sql)),
     QueryDef("x36_incremental_semantic_dedup", x36, Some(x36Sql)),
     QueryDef("x36b_incremental_semantic_bucketed", x36b, Some(x36bSql)),

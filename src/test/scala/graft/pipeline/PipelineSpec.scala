@@ -318,6 +318,52 @@ class PipelineSpec extends SparkSpec {
       "context must help somewhere in a natural-ish corpus")
   }
 
+  test("x122: semantic near-dup pairs never straddle splits; every vector is assigned") {
+    val split = Similarity.semanticSafeSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val nVecs = Tables.t(spark, sf, "embeddings").count()
+    assert(split.size == nVecs, "every embedding must receive a split")
+    assert(split.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // THE leakage property on whatever pairs the corpus holds: both
+    // endpoints of every x09 cosine pair share cluster AND split.
+    Similarity.embeddingNearDupsLsh(spark, sf, Similarity.SemanticDedupThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).foreach { case (a, b) =>
+        assert(split(a) == split(b),
+          s"pair ($a, $b) straddles clusters/splits: ${split(a)} vs ${split(b)}")
+      }
+    // Same-cluster => same-split globally (cluster key drives the hash).
+    split.values.groupBy(_._1).foreach { case (cid, members) =>
+      assert(members.map(_._2).toSet.size == 1, s"cluster $cid split apart")
+    }
+    // The split must not collapse: train holds the bulk.
+    val frac = split.values.count(_._2 == "train").toDouble / nVecs
+    assert(frac > 0.7, s"train fraction collapsed: $frac")
+    // Planted straddle-proof: two colinear vectors (cosine 1.0) MUST
+    // share a split whatever their raw ids hash to; the orthogonal
+    // third keys its own singleton cluster.
+    import spark.implicits._
+    val dim = 8
+    val planted = Seq(
+      (1L, Array.fill(dim)(0.5f).toSeq),
+      (2L, Array.fill(dim)(0.25f).toSeq),
+      (300L, Array.tabulate(dim)(j => if (j % 2 == 0) 1.0f else -1.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ssplit")
+    try {
+      planted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val p = Similarity.semanticSafeSplit(spark, dir.toString).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(p(1L)._1 == 1L && p(2L)._1 == 1L,
+        s"colinear pair must share the min-id cluster: $p")
+      assert(p(1L)._2 == p(2L)._2, s"colinear pair must share a split: $p")
+      assert(p(300L)._1 == 300L, s"orthogonal vector stays a singleton: $p")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("multimodal resize recomputes metadata and bounds payloads") {
     val media = Multimodal.fromDocuments(Tables.t(spark, sf, "documents"))
     val resized = Multimodal.resize(media, 8, 8).orderBy("media_id").collect()
