@@ -138,7 +138,7 @@ object Multimodal {
   /** Encode a small grayscale PNG (w×h, pixels cycled from `seed`) —
     * the planted-fixture generator, run EXECUTOR-side inside the same
     * mapPartitions batch shape a real encoder would use. */
-  private[pipeline] def pngFixture(w: Int, h: Int, seed: Array[Byte]): Array[Byte] = {
+  private[graft] def pngFixture(w: Int, h: Int, seed: Array[Byte]): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var i = 0
@@ -523,6 +523,24 @@ object Multimodal {
     * pigeonhole law, and determinism. */
   def imagePhashDedupQuery(s: SparkSession, dir: String): DataFrame =
     phashNearDupPairs(imagesFromDocuments(graft.Tables.t(s, dir, "documents")))
+
+  /** The x26 exact tier for IMAGES: drop arriving media whose
+    * perceptual hash already exists in the reference corpus — a
+    * STATELESS stream-static LEFT ANTI join (no watermark, no state
+    * store; the static side re-reads per micro-batch, which at scale is
+    * a broadcast or bucketed at-rest phash index), so the multimodal
+    * dedup tier runs at the ingestion edge with batch ≡ stream by
+    * construction (StreamingSpec gates it). Exact-hash only: the
+    * Hamming-≤3 near tier needs the band self-join + distinct, which is
+    * not a streamable shape — like x26's near tier it runs per batch
+    * wave (or via foreachBatch). An UNDECODABLE arrival keeps flowing
+    * (null phash never equals a reference hash) — a corrupt file must
+    * be scored downstream, never silently dropped as a "duplicate". */
+  def phashExactNewMedia(newMedia: DataFrame, refMedia: DataFrame): DataFrame =
+    imagePhashes(newMedia).join(
+      imagePhashes(refMedia).filter(col("phash").isNotNull)
+        .select(col("phash").as("ref_h")).distinct(),
+      col("phash") === col("ref_h"), "left_anti")
 
   // ---------------------------------------------------------------- x116
   /** Audio-fingerprint dedup: the audio analogue of x115. A 64-bit

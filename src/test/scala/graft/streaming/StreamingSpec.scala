@@ -11,6 +11,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, 
 case class Doc(doc_id: Long, text: String, lang: String)
 case class Vec(vec_id: Long, embedding: Array[Float])
 case class DocVec(doc_id: Long, text: String, lang: String, embedding: Array[Float])
+case class Med(media_id: Long, payload: Array[Byte])
 
 /** B31–B34 streaming semantics: the same logical query must produce the
   * same result in batch and over a stream; watermark dedup drops
@@ -693,5 +694,42 @@ class StreamingSpec extends SparkSpec {
     val batchIds = loaded.select("batch_id").distinct().collect().map(_.getLong(0)).sorted
     assert(batchIds.length == 2, s"two micro-batches expected, got ${batchIds.toSeq}")
     assert(loaded.select("event_id").distinct().count() == evs.length)
+  }
+
+  test("streaming exact-phash media dedup (stream-static anti-join) equals batch") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    // Reference corpus holds image A. Arrivals: B = identical payload
+    // (same dHash → dropped), C = one corner pixel changed (Hamming 1 ≠
+    // exact → survives the EXACT tier; the near tier is batch-only like
+    // x26's), D = structurally different (survives), E = corrupt bytes
+    // (null phash — must keep flowing, never be dropped as a "dup").
+    val seedA = Array.tabulate[Byte](768)(i => (i % 192).toByte)
+    val seedC = seedA.clone(); seedC(0) = 127.toByte
+    val seedD = Array.tabulate[Byte](768)(i => (191 - i % 192).toByte)
+    val pA = Multimodal.pngFixture(32, 24, seedA)
+    val ref = Seq(Med(1L, pA)).toDF()
+    val arrivals = Seq(
+      Med(10L, pA.clone()),
+      Med(11L, Multimodal.pngFixture(32, 24, seedC)),
+      Med(12L, Multimodal.pngFixture(32, 24, seedD)),
+      Med(13L, "corrupt".getBytes))
+    val input = MemoryStream[Med]
+    val q = Multimodal.phashExactNewMedia(input.toDF(), ref)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("phash_gate_out").start()
+    input.addData(arrivals.take(2)); q.processAllAvailable()
+    input.addData(arrivals.drop(2)); q.processAllAvailable()
+    val streaming = spark.table("phash_gate_out").orderBy("media_id")
+      .collect().toSeq
+    q.stop()
+    val batch = Multimodal.phashExactNewMedia(arrivals.toDF(), ref)
+      .orderBy("media_id").collect().toSeq
+    assert(streaming == batch, "batch ≡ stream on the identical arrivals")
+    assert(streaming.map(_.getLong(0)) == Seq(11L, 12L, 13L),
+      s"exact dup dropped; near-miss, fresh, and corrupt all flow: $streaming")
+    assert(streaming.find(_.getLong(0) == 13L).exists(_.isNullAt(1)),
+      "corrupt arrival carries a null phash for downstream scoring")
   }
 }
