@@ -453,10 +453,32 @@ object Curation {
     * join; the propagation loop runs over star+delta edges — ~|old
     * clusters| + |delta| rows, not the old pair graph. */
   def incrementalClusters(newDocs: DataFrame, refDocs: DataFrame,
-      threshold: Double): DataFrame = {
-    val oldPairs = Dedup.jaccardPairsPrefixOn(refDocs, threshold)
-      .select(col("da"), col("db"))
-    val (oldLabels, _) = propagateMinLabels(undirectedEdges(oldPairs))
+      threshold: Double): DataFrame =
+    incrementalClustersFromIndex(newDocs, refDocs,
+      propagateMinLabels(undirectedEdges(
+        Dedup.jaccardPairsPrefixOn(refDocs, threshold)
+          .select(col("da"), col("db"))))._1,
+      threshold)
+
+  /** The registered query's STANDING index — the %14==0 half's label
+    * map at t=0.8, memoized per corpus snapshot like [[b28Labels]]: in
+    * production this artifact is READ, not rebuilt, on every batch
+    * wave, so the registered query's steady-state cost is the delta +
+    * merge only. Timed as its own `idx_x121_old_index` bench line. */
+  private[pipeline] def x121OldIndex(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ivf.memoModel(docs(s, dir),
+        s"x121oldidx|${s.sparkContext.applicationId}") {
+      val ref = docs(s, dir)
+        .filter(col("doc_id") % 7 === 0)
+        .filter(pmod(col("doc_id"), lit(14)) === 0)
+      Checkpoints.stable(propagateMinLabels(undirectedEdges(
+        Dedup.jaccardPairsPrefixOn(ref, 0.8).select(col("da"), col("db"))))._1)
+    }
+
+  /** [[incrementalClusters]] with the old index supplied instead of
+    * rebuilt — the production call shape. */
+  def incrementalClustersFromIndex(newDocs: DataFrame, refDocs: DataFrame,
+      oldLabels: DataFrame, threshold: Double): DataFrame = {
     val newNew = Dedup.jaccardPairsPrefixOn(newDocs, threshold)
       .select(col("da"), col("db"))
     val cross = Dedup.crossNearDupPairs(newDocs, refDocs, threshold)
@@ -475,15 +497,16 @@ object Curation {
   }
 
   /** Registered x121: the %7 slice (x20's), odd half arrives as the
-    * batch against the even half's standing index, t = 0.8. The oracle
-    * is a FULL RE-CLUSTER of the union slice from brute-force all-pairs
-    * Jaccard — the hash match certifies incremental ≡ full recompute
-    * end-to-end. */
+    * batch against the even half's standing index (memoized — see
+    * [[x121OldIndex]]), t = 0.8. The oracle is a FULL RE-CLUSTER of the
+    * union slice from brute-force all-pairs Jaccard — the hash match
+    * certifies incremental ≡ full recompute end-to-end. */
   private def x121(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("doc_id") % 7 === 0)
-    incrementalClusters(
+    incrementalClustersFromIndex(
       d.filter(pmod(col("doc_id"), lit(14)) === 7),
-      d.filter(pmod(col("doc_id"), lit(14)) === 0), 0.8)
+      d.filter(pmod(col("doc_id"), lit(14)) === 0),
+      x121OldIndex(s, dir), 0.8)
   }
 
   private val x121Sql =
