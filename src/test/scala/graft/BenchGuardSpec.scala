@@ -123,7 +123,8 @@ class BenchGuardSpec extends AnyFunSuite {
     val newThisRound = Set("x115_image_phash_dedup", "x116_audio_fingerprint_dedup",
       "x117_gate_agreement", "x118_source_divergence",
       "x119_context_gain", "x120_cluster_size_histogram",
-      "x121_incremental_clusters", "x122_semantic_safe_split")
+      "x121_incremental_clusters", "x122_semantic_safe_split",
+      "x34c_span_dedup_token_exact")
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,

@@ -194,6 +194,40 @@ class CurationSpec extends SparkSpec {
     assert(out.values.toSet == Set(29L), s"chain must collapse to one cluster rooted at 29: $out")
   }
 
+  test("x34c: token-exact span dedup masks the shared passage to the token, keeps sub-L matches") {
+    import spark.implicits._
+    // Docs 1 and 2 share EXACTLY the 6-token passage p1..p6 at different
+    // offsets, surrounded by disjoint context; docs 3 and 4 share only a
+    // 4-token phrase (below L=5 — must survive untouched, the Lee et al.
+    // semantics, not a defect); doc 5 is noise.
+    val corpus = Seq(
+      (1L, "a1 a2 p1 p2 p3 p4 p5 p6 a3 a4"),
+      (2L, "b1 p1 p2 p3 p4 p5 p6 b2 b3 b4 b5"),
+      (3L, "c1 c2 q1 q2 q3 q4 c3 c4 c5 c6"),
+      (4L, "d1 q1 q2 q3 q4 d2 d3 d4 d5 d6"),
+      (5L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e0")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tokex")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = Curation.spanDedupTokenExact(spark, dir.toString).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // Boundary exactness: EXACTLY the 6 passage tokens go, in both
+      // docs, at both offsets — not one context token more (the rounding
+      // x34's len-3 shingles cannot avoid).
+      assert(out(1L) == ((10L, 6L, "a1 a2 a3 a4")), s"doc 1: ${out(1L)}")
+      assert(out(2L) == ((11L, 6L, "b1 b2 b3 b4 b5")), s"doc 2: ${out(2L)}")
+      // Sub-L survival: the 4-token shared phrase is BELOW the minimum
+      // match — kept verbatim.
+      assert(out(3L)._2 == 0L && out(4L)._2 == 0L,
+        s"sub-L matches must survive: ${out(3L)}, ${out(4L)}")
+      assert(out(5L)._2 == 0L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("x120: cluster-size histogram counts the planted chain exactly; corpus invariants hold") {
     import spark.implicits._
     // The transitive-chain corpus: {29,58,87} one cluster of 3, {116} a
