@@ -1323,7 +1323,70 @@ object TextStats {
     QueryDef("x96_kneser_ney", knBigramLogprob, Some(x96Sql)),
     QueryDef("x32_quality_quantile", qualityQuantileFilter, Some(x32Sql)),
     QueryDef("x118_source_divergence", sourceDivergence, Some(x118Sql)),
-    QueryDef("x119_context_gain", contextGain, Some(x119Sql)))
+    QueryDef("x119_context_gain", contextGain, Some(x119Sql)),
+    QueryDef("x123_holdout_perplexity", holdoutPerplexity, Some(x123Sql)))
+
+  // ---------------------------------------------------------------- x123
+  /** x123 — holdout perplexity under a TRAIN-SPLIT-ONLY language model:
+    * x28's perplexity proxy with the train/eval asymmetry every real
+    * evaluation has — the LM is fit on x14's train bucket (< 90) alone
+    * and scores the held-out test bucket (≥ 95), with Laplace smoothing
+    * p(tok) = (c+1)/(N+V+1) so out-of-vocabulary eval tokens score
+    * finitely (c = 0) instead of blowing up. The per-doc OOV count
+    * rides along. This is the leakage-sensitive eval loop a pipeline
+    * closes after decontamination: a held-out doc whose perplexity is
+    * SUSPICIOUSLY low under the train LM is evidence its content leaked
+    * into train (x17/x27/x122 exist to prevent exactly that), and a
+    * high OOV rate flags an eval slice that drifted from the corpus.
+    * Split membership is x14's integer bucket hash — single-sourced
+    * constants, engine-exact.
+    *
+    * Scale: one train-side token agg (vocabulary-sized LM), the (N, V)
+    * scalars as a broadcast 1-row frame, one eval-side explode + LEFT
+    * join against the LM + per-doc agg. The eval slice is ~5% of the
+    * corpus, so the scoring side is eval-sized; ln parity at the 4dp
+    * rounding (the x28 precedent). */
+  def holdoutPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.HashConstants.{HashPrime, Knuth}
+    val bucket = pmod(pmod(col("doc_id"), lit(HashPrime)) * lit(Knuth),
+      lit(HashPrime)) % 100
+    val base = docs(s, dir)
+    val train = base.filter(bucket < 90)
+    val ev = base.filter(bucket >= 95)
+    val lm = train.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nv = lm.agg(sum("c").as("n_total"), count(lit(1)).as("v_size"))
+    ev.select(col("doc_id"), explode(toks).as("tok"))
+      .join(lm, Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(-sum(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n_total") + col("v_size") + 1))) / count(lit(1)), 4)
+          .as("avg_neg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val x123Sql = {
+    import graft.pipeline.HashConstants.{HashPrime, Knuth}
+    val b = s"((doc_id % $HashPrime) * $Knuth % $HashPrime) % 100"
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE $b < 90),
+       ev AS (SELECT doc_id, text FROM documents WHERE $b >= 95),
+       lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM tr)
+              GROUP BY tok),
+       nv AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                CAST(count(*) AS BIGINT) AS v_size FROM lm),
+       et AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM ev)
+       SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN lm.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         round(-sum(ln(CAST(coalesce(lm.c, 0) + 1 AS DOUBLE) /
+             ((SELECT n_total FROM nv) + (SELECT v_size FROM nv) + 1)))
+           / count(*), 4) AS avg_neg_logp
+       FROM et e LEFT JOIN lm USING (tok)
+       GROUP BY e.doc_id ORDER BY e.doc_id"""
+  }
 
   // ---------------------------------------------------------------- x119
   /** x119 — context-gain (learnability) score: per document, the mean

@@ -364,6 +364,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x123: holdout perplexity scores eval under the train-only LM with exact Laplace math") {
+    import spark.implicits._
+    import graft.pipeline.HashConstants.{HashPrime, Knuth}
+    def bucket(id: Long): Long = ((id % HashPrime) * Knuth % HashPrime) % 100
+    // Pick ids landing in each split by the REAL hash (no special-cased
+    // test path), then hand-compute the Laplace score: train "a a b" →
+    // LM a:2 b:1, N=3, V=2, denominator 6; eval "a c" → p(a)=3/6,
+    // p(c)=1/6 (OOV) → avg = (ln 2 + ln 6)/2 = 1.2425 at 4dp, 1 OOV.
+    val trainId = (1L to 2000L).find(bucket(_) < 90).get
+    val evalId = (1L to 2000L).find(bucket(_) >= 95).get
+    val valId = (1L to 2000L).find(i => bucket(i) >= 90 && bucket(i) < 95).get
+    val corpus = Seq(
+      (trainId, "a a b"), (evalId, "a c"), (valId, "zz zz zz"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("hperp")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextStats.holdoutPerplexity(spark, dir.toString).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(out.keySet == Set(evalId),
+        s"only the ≥95 bucket is scored (val bucket must not leak in): $out")
+      val want = BigDecimal((math.log(2.0) + math.log(6.0)) / 2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(evalId) == ((2L, 1L, want)), s"hand-computed Laplace score: ${out(evalId)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    // Corpus: one row per test-bucket doc, scores positive, deterministic.
+    val rows = TextStats.holdoutPerplexity(spark, sf).collect()
+    val nTest = Tables.t(spark, sf, "documents")
+      .filter(expr(s"((doc_id % $HashPrime) * $Knuth % $HashPrime) % 100 >= 95"))
+      .count()
+    assert(rows.length == nTest, "every held-out doc must be scored")
+    rows.foreach(r => assert(r.getDouble(3) > 0, s"NLL must be positive: $r"))
+    assert(rows.toSeq == TextStats.holdoutPerplexity(spark, sf).collect().toSeq)
+  }
+
   test("multimodal resize recomputes metadata and bounds payloads") {
     val media = Multimodal.fromDocuments(Tables.t(spark, sf, "documents"))
     val resized = Multimodal.resize(media, 8, 8).orderBy("media_id").collect()
