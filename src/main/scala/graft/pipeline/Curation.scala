@@ -314,7 +314,7 @@ object Curation {
   def dedupClustersFromPairs(pairs: DataFrame): DataFrame =
     dedupClustersFromLabels(propagateMinLabels(undirectedEdges(pairs))._1)
 
-  private def dedupClustersFromLabels(finalLabels: DataFrame): DataFrame =
+  private[pipeline] def dedupClustersFromLabels(finalLabels: DataFrame): DataFrame =
     finalLabels
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))

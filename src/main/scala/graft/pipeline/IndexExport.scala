@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-rest materialization of the per-snapshot index artifacts.
+  *
+  * SCALE.md's architecture says a 100 TB deployment builds each index
+  * artifact once per corpus snapshot and every downstream job READS it;
+  * inside one JVM that is [[Ivf.memoModel]]'s cache, but across jobs the
+  * artifact must live as a table. This module writes the frame-shaped
+  * artifacts as parquet under `<outDir>/<name>.parquet` plus a
+  * `manifest.json` carrying row counts — the handoff format between the
+  * index-build stage and query jobs. Driver-side fits (centroids,
+  * codebooks, Bloom masks, classifier weights) are literal-sized and
+  * ship inside job plans; the FRAME artifacts (candidate pair graphs,
+  * cluster label maps, perceptual-hash tables) are the ones worth a
+  * table at rest.
+  *
+  * Consumers already exist for every exported frame:
+  * [[Curation.dedupClustersFromPairs]]/[[Curation.dedupClustersFromLabels]]
+  * consume pairs/labels, [[Multimodal.hashBandPairs]] consumes a phash
+  * table — IndexExportSpec proves export → read-back → consume equals
+  * the in-JVM memoized path bit for bit.
+  */
+object IndexExport {
+  /** The exported frame artifacts of a corpus snapshot, by name. */
+  def artifacts(s: SparkSession, dir: String): Map[String, DataFrame] = Map(
+    "b28_pairs" -> Curation.b28Pairs(s, dir),
+    "b28_labels" -> Curation.b28Labels(s, dir),
+    "x11_pairs" -> Dedup.x11PairFrame(s, dir),
+    "sem_labels" -> Similarity.semanticLabelsAt(s, dir,
+      Similarity.SemanticDedupThreshold),
+    "image_phash" -> Multimodal.imagePhashes(
+      Multimodal.imagesFromDocuments(graft.Tables.t(s, dir, "documents"))))
+
+  /** Write every artifact; returns name → row count (also persisted as
+    * `manifest.json` so a reader can sanity-check a snapshot without
+    * opening parquet footers). */
+  def write(s: SparkSession, dir: String, outDir: String): Map[String, Long] = {
+    val counts = artifacts(s, dir).map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      name -> s.read.parquet(s"$outDir/$name.parquet").count()
+    }
+    val json = counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/manifest.json"), json)
+    counts
+  }
+
+  /** Read one artifact back from an exported snapshot. */
+  def read(s: SparkSession, outDir: String, name: String): DataFrame =
+    s.read.parquet(s"$outDir/$name.parquet")
+}
