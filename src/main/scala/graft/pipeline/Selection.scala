@@ -990,7 +990,86 @@ object Selection {
     QueryDef("x53_selection_pipeline", selectionPipeline, Some(x53Sql)),
     QueryDef("x64_classifier_quality", classifierQuality, Some(x64Sql)),
     QueryDef("x64b_classifier_fitted", classifierFitQuality, Some(x64bSql)),
-    QueryDef("x117_gate_agreement", gateAgreement, Some(x117Sql)))
+    QueryDef("x117_gate_agreement", gateAgreement, Some(x117Sql)),
+    QueryDef("x124_rank_fusion", rankFusion, Some(x124Sql)))
+
+  // ---------------------------------------------------------------- x124
+  /** Competition rank (1 + count of strictly-better scores), DESCENDING,
+    * NULLs last — computed from a DISTINCT-VALUE histogram so the global
+    * window runs over the score's value set, never the corpus rows (the
+    * scalable global-rank shape: a per-row `rank() OVER (ORDER BY …)` is
+    * a single-partition sort at 100 TB, while the histogram is one
+    * partial+final agg plus a window over ≤ |distinct scores| rows —
+    * corpus-tiny for 4/6-decimal scores). Ties share a rank by
+    * construction (the definition is value-based), so the result is
+    * BIT-IDENTICAL to SQL's RANK() — which is exactly what the oracle
+    * uses, cross-validating the scalable shape against the canonical
+    * semantics. */
+  private def compRankDesc(scores: DataFrame, scoreCol: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scores.filter(col(scoreCol).isNotNull)
+      .groupBy(scoreCol).agg(count(lit(1)).as("cnt"))
+    val ranked = hist.withColumn("r",
+      sum("cnt").over(Window.orderBy(col(scoreCol).desc)) - col("cnt") + 1)
+    val nn = scores.agg(
+      sum(when(col(scoreCol).isNotNull, 1L).otherwise(0L)).as("nn"))
+    scores.join(ranked.select(col(scoreCol), col("r")), Seq(scoreCol), "left")
+      .crossJoin(broadcast(nn))
+      .withColumn(out, coalesce(col("r"), col("nn") + 1))
+      .drop("r", "nn")
+  }
+
+  /** x124 — rank-fusion quality ensemble: fuse the library's three
+    * independent quality signals — the x01 heuristic score, the x64b
+    * fitted-classifier logit, and the x119 context gain — by COMPETITION
+    * RANK, not raw value (Borda-style rank fusion, the ensemble move
+    * multi-classifier filter stacks make because the three scores live
+    * on incomparable scales and rank fusion needs no calibration).
+    * x117 measures whether the gates agree; x124 is what you ship when
+    * they partially do: a document must rank well on several
+    * uncorrelated signals to rank well overall, which is robust to any
+    * single signal's failure mode (the x117 kappa table says how much
+    * independence the fusion actually buys). Lower rank_sum = better.
+    * Bigram-less docs rank last on the gain axis (NULLs last), rows
+    * preserved. All ranks are exact integers; the fused sum is one
+    * addition — engine-exact, no weights to tune. */
+  def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val q = d.select(col("doc_id"), TextStats.qualityColumn.as("q"))
+    val clf = classifierFitQualityOf(d).select(col("doc_id"), col("logit"))
+    val gain = TextStats.contextGain(s, dir)
+      .select(col("doc_id"), col("context_gain").as("gain"))
+    val joined = q.join(clf, Seq("doc_id")).join(gain, Seq("doc_id"), "left")
+    compRankDesc(compRankDesc(compRankDesc(
+        joined, "q", "r_quality"), "logit", "r_clf"), "gain", "r_gain")
+      .select(col("doc_id"), col("r_quality"), col("r_clf"), col("r_gain"),
+        (col("r_quality") + col("r_clf") + col("r_gain")).as("rank_sum"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val x124Sql =
+    s"""SELECT doc_id,
+         CAST(rank() OVER (ORDER BY q DESC NULLS LAST) AS BIGINT) AS r_quality,
+         CAST(rank() OVER (ORDER BY logit DESC NULLS LAST) AS BIGINT) AS r_clf,
+         CAST(rank() OVER (ORDER BY gain DESC NULLS LAST) AS BIGINT) AS r_gain,
+         CAST(rank() OVER (ORDER BY q DESC NULLS LAST)
+            + rank() OVER (ORDER BY logit DESC NULLS LAST)
+            + rank() OVER (ORDER BY gain DESC NULLS LAST) AS BIGINT) AS rank_sum
+       FROM
+         (SELECT doc_id, ${graft.streaming.IngestGate.qualitySql} AS q
+          FROM documents) q
+         JOIN (WITH $clfFitScoreCtes
+               SELECT t.doc_id,
+                 CAST(sign(sumw) AS BIGINT)
+                   * CAST(floor((abs(sumw) * 2 + len(t.t)) / (2 * len(t.t))) AS BIGINT)
+                   / 1000000.0 AS logit
+               FROM t JOIN sw USING (doc_id)) c USING (doc_id)
+         LEFT JOIN (WITH ${TextStats.contextGainCtes}
+                    SELECT sc.doc_id,
+                      round(sc.avg_neg_logp - sc2.avg_neg_logp2, 4) AS gain
+                    FROM sc LEFT JOIN sc2 USING (doc_id)) g USING (doc_id)
+       ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- x117
   /** x117 — quality-gate agreement audit: pairwise Cohen's kappa (1960)

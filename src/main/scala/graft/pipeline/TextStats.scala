@@ -1418,9 +1418,14 @@ object TextStats {
         round(col("avg_neg_logp") - col("avg_neg_logp2"), 4).as("context_gain"))
       .orderBy("doc_id")
 
+  /** The combined unigram + bigram scoring chains (aliases disjoint) —
+    * single-sourced for x119's oracle and x124's gain subquery. */
+  private[pipeline] lazy val contextGainCtes: String =
+    s"""$unigramScoreCtes,
+       $bigramScoreCtes"""
+
   private lazy val x119Sql =
-    s"""WITH $unigramScoreCtes,
-       $bigramScoreCtes
+    s"""WITH $contextGainCtes
        SELECT sc.doc_id, sc.n_tok, coalesce(sc2.n_bigrams, 0) AS n_bigrams,
          sc.avg_neg_logp AS unigram_nll,
          sc2.avg_neg_logp2 AS bigram_nll,

@@ -124,7 +124,8 @@ class BenchGuardSpec extends AnyFunSuite {
       "x117_gate_agreement", "x118_source_divergence",
       "x119_context_gain", "x120_cluster_size_histogram",
       "x121_incremental_clusters", "x122_semantic_safe_split",
-      "x34c_span_dedup_token_exact", "x123_holdout_perplexity")
+      "x34c_span_dedup_token_exact", "x123_holdout_perplexity",
+      "x124_rank_fusion")
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,

@@ -341,6 +341,39 @@ class SelectionSpec extends SparkSpec {
     assert(k(true) > k(false), s"keep rate by class: $k")
   }
 
+  test("x124: fused ranks equal hand-computed competition ranks of the three signals") {
+    import graft.SparkEntry
+    def sig(rows: Array[org.apache.spark.sql.Row], idx: Int): Map[Long, Option[Double]] =
+      rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(idx)) None else Some(r.getDouble(idx)))).toMap
+    val q = sig(SparkEntry.queries("x01_quality_score")(spark, sf).collect(), 5)
+    val c = sig(SparkEntry.queries("x64b_classifier_fitted")(spark, sf).collect(), 2)
+    val g = sig(SparkEntry.queries("x119_context_gain")(spark, sf).collect(), 5)
+    def ranks(m: Map[Long, Option[Double]]): Map[Long, Long] = {
+      val nn = m.values.flatten.toSeq
+      m.map { case (id, v) =>
+        id -> (v match {
+          case Some(x) => 1L + nn.count(_ > x)
+          case None => nn.size + 1L
+        })
+      }
+    }
+    val (rq, rc, rg) = (ranks(q), ranks(c), ranks(g))
+    val out = Selection.rankFusion(spark, sf).collect()
+    assert(out.length == q.size, "every doc is ranked")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == rq(id), s"doc $id quality rank")
+      assert(r.getLong(2) == rc(id), s"doc $id classifier rank")
+      assert(r.getLong(3) == rg(id), s"doc $id gain rank")
+      assert(r.getLong(4) == rq(id) + rc(id) + rg(id), s"doc $id fused sum")
+    }
+    // Ties must share a rank somewhere in a 4dp-rounded signal, proving
+    // the competition (not row_number) semantics is really exercised.
+    assert(rq.values.toSeq.distinct.size < rq.size,
+      "the corpus must contain tied quality scores")
+  }
+
   test("x117: contingency cells partition the corpus; kappa recomputes from the cells") {
     val rows = Selection.gateAgreement(spark, sf).collect().map { r =>
       (r.getString(0), r.getString(1)) ->
