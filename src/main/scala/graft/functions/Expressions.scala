@@ -688,11 +688,81 @@ object CollapseSanitize extends org.apache.spark.sql.catalyst.rules.Rule[
 /** Registration for the custom expressions: per-session temp functions
   * (usable on any driver-provided session) — see also
   * [[graft.GraftExtensions]] for the `SparkSessionExtensions` path. */
+/** x99's character-entropy statistic as ONE native pass: count code-point
+  * frequencies (O(len)), then one term per DISTINCT character — replacing
+  * the interpreted `aggregate(transform(array_distinct(split(…))))` fold
+  * whose `replace`-based counting re-scans the string per distinct
+  * character (O(distinct × len); measured 3.9 s for x99 at sf0.1, scan-
+  * bound native). BIT-IDENTICAL to the fold by construction, and the
+  * fold stays the spec's reference implementation (ExpressionsSpec
+  * compares them corpus-wide + on planted unicode):
+  *  - counts are CODE POINTS, matching `length`/`split`/`replace`
+  *    semantics on UTF8String (surrogate pairs are one character);
+  *  - each per-character term replicates the fold's exact double tree
+  *    `1e6 * (cnt/len) * ln(len/cnt)` and Spark Round's
+  *    BigDecimal-HALF_UP rounding before the long cast;
+  *  - long terms then sum (order-free), empty/NULL input → NULL. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"char_entropy requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) null else java.lang.Long.valueOf(CharEntropy.entropy(s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      String ceStr = $c.toString();
+      if (ceStr.isEmpty()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.CharEntropy.entropy(ceStr);
+      }""")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  def entropy(s: String): Long = {
+    val counts = new java.util.HashMap[Integer, Integer]()
+    var i = 0
+    var len = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      i += Character.charCount(cp)
+      len += 1
+    }
+    var acc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val cnt = it.next().intValue()
+      // The fold's exact term: round(1e6 * (cnt/len) * ln(len/cnt)) with
+      // Spark Round's double semantics (BigDecimal.decimal, HALF_UP),
+      // then the BIGINT cast of the integral rounded double.
+      val term = 1000000d * (cnt.toDouble / len.toDouble) *
+        math.log(len.toDouble / cnt.toDouble)
+      acc += BigDecimal(term)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble.toLong
+    }
+    acc
+  }
+}
+
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("char_entropy",
+      exprs => CharEntropy(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("sanitize_name",
       exprs => SanitizeName(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("token_hash",

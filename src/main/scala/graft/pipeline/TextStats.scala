@@ -988,18 +988,26 @@ object TextStats {
         (length(coalesce(col("text"), lit(""))) < CharEntropyMinLen ||
           e >= MinCharEntropyUnats)).getItem(0)
 
-  def charEntropy(s: SparkSession, dir: String): DataFrame =
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    // The registered query computes the entropy NATIVELY
+    // ([[graft.functions.CharEntropy]] — one O(len) pass inside
+    // whole-stage codegen) instead of the O(distinct_chars × len)
+    // interpreted fold; [[charEntropyColumn]] stays the session-free
+    // reference form (and the streaming keep predicate), with
+    // bit-equality gated corpus-wide in ExpressionsSpec.
+    graft.functions.GraftFunctions.register(s)
     docs(s, dir)
       .select(col("doc_id"),
         length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
         expr("""CAST(size(filter(array_distinct(split(coalesce(text, ''), '')),
                  c -> c != '')) AS BIGINT)""").as("n_distinct"),
-        charEntropyColumn.as("entropy_unats"))
+        call_function("char_entropy", col("text")).as("entropy_unats"))
       .withColumn("keep",
         col("entropy_unats").isNotNull &&
           (col("n_chars") < CharEntropyMinLen ||
             col("entropy_unats") >= MinCharEntropyUnats))
       .orderBy("doc_id")
+  }
 
   private lazy val x99Sql =
     s"""WITH ch AS (SELECT doc_id, text, length(text) AS len,

@@ -302,4 +302,36 @@ class ExpressionsSpec extends SparkSpec {
     assert(s2.sql("SELECT set_jaccard(array('a', NULL), array('a', NULL))")
       .collect()(0).getDouble(0) == 1.0)
   }
+
+  test("char_entropy: native equals the reference fold corpus-wide and on planted unicode") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // Planted edge battery: repeats, empty -> NULL, NULL -> NULL, single
+    // char (entropy 0), multi-byte latin, CJK, and a SUPPLEMENTARY-plane
+    // character (surrogate pair counts as ONE code point, matching
+    // length/replace semantics on UTF8String).
+    val planted = Seq(
+      (1L, "aab"), (2L, ""), (3L, null.asInstanceOf[String]), (4L, "x"),
+      (5L, "h\u00e9llo w\u00f6rld h\u00e9llo"), (6L, "\u4e2d\u6587\u4e2d\u6587 mixed \u4e2d"),
+      (7L, "a\uD834\uDD1E\uD834\uDD1Eb")).toDF("doc_id", "text")
+    val both = planted.select(col("doc_id"),
+      call_function("char_entropy", col("text")).as("native"),
+      graft.pipeline.TextStats.charEntropyColumn.as("fold")).collect()
+    both.foreach { r =>
+      val n = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val f = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(n == f, s"doc ${r.getLong(0)}: native $n vs fold $f")
+    }
+    assert(both.find(_.getLong(0) == 4L).exists(_.getLong(1) == 0L),
+      "single-char doc has exactly zero entropy")
+    assert(both.find(_.getLong(0) == 2L).exists(_.isNullAt(1)) &&
+      both.find(_.getLong(0) == 3L).exists(_.isNullAt(1)),
+      "empty and NULL score NULL")
+    // Corpus-wide bit equality at sf (null-safe compare).
+    val mismatches = graft.Tables.t(spark, sf, "documents")
+      .select(call_function("char_entropy", col("text")).as("native"),
+        graft.pipeline.TextStats.charEntropyColumn.as("fold"))
+      .filter(!(col("native") <=> col("fold"))).count()
+    assert(mismatches == 0, s"$mismatches corpus rows disagree with the fold")
+  }
 }
