@@ -866,8 +866,14 @@ object Ivf {
     * nearest-centroid by integer L2 with smallest-list tie-break),
     * mirroring [[pinnedCodebook]] + the native pq_encode assignment.
     * Single source for the x10b AND x80 oracles. */
-  private def coarseAsgCtes: String = {
+  private def coarseAsgCtes: String = coarseAsgCtesImpl(withD2 = false)
+  /** [[coarseAsgCtes]] with the winning assignment's integer squared L2
+    * carried through (`asg(vec_id, list_id, d2)`) — x125's residual. */
+  private def coarseAsgD2Ctes: String = coarseAsgCtesImpl(withD2 = true)
+
+  private def coarseAsgCtesImpl(withD2: Boolean): String = {
     val dim = PqM * PqSubDim
+    val d2Col = if (withD2) ", d2" else ""
     s"""$xtCte,
        rk AS (SELECT vec_id, v,
                 row_number() OVER (ORDER BY ${dotS("v", "v", dim)}, vec_id) AS r
@@ -876,8 +882,9 @@ object Ivf {
               FROM (SELECT unnest(generate_series(0, ${DefaultNlist - 1})) AS k) g
               CROSS JOIN (SELECT count(*) AS n FROM xt) nn
               JOIN rk ON rk.r = (g.k * nn.n) // $DefaultNlist + 1),
-       asg AS (SELECT vec_id, list_id FROM
+       asg AS (SELECT vec_id, list_id$d2Col FROM
                  (SELECT a.vec_id, s.k AS list_id,
+                    ${sqS("a.v", "s.c", dim)} AS d2,
                     row_number() OVER (PARTITION BY a.vec_id
                       ORDER BY ${sqS("a.v", "s.c", dim)}, s.k) AS rn
                   FROM xt a CROSS JOIN sd s)
@@ -906,9 +913,66 @@ object Ivf {
        FROM sr ORDER BY cosine DESC, vec_id LIMIT 10"""
   }
 
+  // ---------------------------------------------------------------- x125
+  /** x125 — prototypicality scoring for data pruning (Sorscher et al.
+    * 2022, "Beyond neural scaling laws"): every vector's integer squared
+    * L2 residual to its nearest pinned coarse centroid, plus a
+    * competition rank (1 = most prototypical). Their result: with
+    * ABUNDANT data, prune the most prototypical (easy, cluster-core)
+    * examples and keep the hard tail; with scarce data, the reverse —
+    * either policy is a threshold on this table. Complements x47
+    * (keeps the LEAST prototypical member per dedup cluster) and x94
+    * (D4) with the GLOBAL per-example score those cluster-local rules
+    * don't expose.
+    *
+    * Engine-exact: the quantizer is x10b/x80's pinned coarse codebook
+    * (memoized — same fit, same cache key), assignment is nearest
+    * centroid by integer L2 with smallest-list tie-break, the residual
+    * is an exact BIGINT (millionths² units), and the rank is the x124
+    * histogram shape (value-set window, never corpus rows) — equal to
+    * RANK() because competition rank is value-determined.
+    *
+    * Scale: assignment + residual are map-only HOF arithmetic against
+    * a broadcast K×dim centroid table; the rank costs one residual
+    * histogram agg + a keyed join back. */
+  def prototypicality(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"), intMillionths(col("embedding")).as("xi"))
+    val centroids = memoModel(emb, s"coarsepin$DefaultNlist") {
+      pinnedCodebook(base.select(col("vec_id"), col("xi").as("s")), DefaultNlist)
+    }
+    require(centroids.length == DefaultNlist,
+      s"x125 needs >= $DefaultNlist embedding rows (the x10b precondition)")
+    val cenDf = broadcast(
+      s.createDataFrame(centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) })
+        .toDF("list_id", "c"))
+    val flat = centroids.flatten.toSeq
+    base
+      .withColumn("list_id",
+        element_at(call_function("pq_encode",
+          col("xi"), typedLit(flat), lit(1), lit(DefaultNlist)), 1).cast("long"))
+      .join(cenDf, Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        aggregate(zip_with(col("xi"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("residual_sq"))
+      .transform(df => Selection.compRankDesc(
+        df.withColumn("neg", -col("residual_sq")), "neg", "r_proto"))
+      .select(col("vec_id"), col("list_id"), col("residual_sq"), col("r_proto"))
+      .orderBy("vec_id")
+  }
+
+  private val x125Sql =
+    s"""WITH $coarseAsgD2Ctes
+       SELECT vec_id, list_id, CAST(d2 AS BIGINT) AS residual_sq,
+         CAST(rank() OVER (ORDER BY d2 ASC) AS BIGINT) AS r_proto
+       FROM asg ORDER BY vec_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x10_ann_ivf_kmeans", searchQuery, None),
     QueryDef("x10b_ann_ivf_pinned", searchPinnedIvfQuery, Some(x10bSql)),
+    QueryDef("x125_prototypicality", prototypicality, Some(x125Sql)),
     QueryDef("x80_topic_mix", topicMix, Some(x80Sql)),
     QueryDef("x84_topic_drift", topicDrift, Some(x84Sql)),
     QueryDef("x94_d4_prune", d4Prune, Some(x94Sql)),

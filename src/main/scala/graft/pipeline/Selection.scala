@@ -1005,7 +1005,7 @@ object Selection {
     * BIT-IDENTICAL to SQL's RANK() — which is exactly what the oracle
     * uses, cross-validating the scalable shape against the canonical
     * semantics. */
-  private def compRankDesc(scores: DataFrame, scoreCol: String,
+  private[pipeline] def compRankDesc(scores: DataFrame, scoreCol: String,
       out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = scores.filter(col(scoreCol).isNotNull)

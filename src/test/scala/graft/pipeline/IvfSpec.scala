@@ -341,4 +341,41 @@ class IvfSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(ivfTop == brute)
   }
+
+  test("x125: prototypicality ranks cluster cores first, the planted outlier last") {
+    import spark.implicits._
+    // Two tight 8-dim clusters around distinct centers plus one far
+    // outlier. The outlier must carry the largest residual and the worst
+    // (largest) prototypicality rank; ranks must recompute from the
+    // residuals by the competition law.
+    val dim = 64
+    def vec(center: Float, jitterId: Int): Seq[Float] =
+      Array.tabulate(dim)(j => center + (if (j == jitterId % dim) 0.001f else 0f)).toSeq
+    val a = (1 to 20).map(i => (i.toLong, vec(0.2f, i)))
+    val b = (21 to 40).map(i => (i.toLong, vec(-0.3f, i)))
+    val outlier = Seq((99L, Array.tabulate(dim)(j => if (j % 2 == 0) 5.0f else -5.0f).toSeq))
+    val dir = java.nio.file.Files.createTempDirectory("proto")
+    try {
+      (a ++ b ++ outlier).toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ivf.clearModelCache()
+      val rows = Ivf.prototypicality(spark, dir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.length == 41)
+      val byId = rows.map(r => r._1 -> r).toMap
+      val maxRes = rows.map(_._3).max
+      assert(byId(99L)._3 == maxRes, s"outlier must carry the max residual: ${byId(99L)}")
+      assert(byId(99L)._4 == rows.map(_._4).max, "outlier ranks least prototypical")
+      // Competition-rank law, recomputed brute force (ascending residual).
+      rows.foreach { case (id, _, res, rk) =>
+        assert(rk == 1L + rows.count(_._3 < res), s"vec $id rank law")
+      }
+      assert(rows.forall(r => r._2 >= 0 && r._2 < Ivf.DefaultNlist.toLong),
+        "assignments stay inside the list range")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
