@@ -529,6 +529,76 @@ object Curation {
               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        FROM lab ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x126
+  /** Rewrite threshold: a shard is worth compacting once ≥ 20% of its
+    * rows are dead under keep-one dedup. */
+  val CompactionRewriteBp = 2000L
+
+  /** x126 — dedup-aware compaction plan: per x15 shard, how many rows a
+    * keep-one-per-cluster dedup kills (non-canonical B28 cluster
+    * members), their token mass, the dead fraction in basis points, and
+    * the rewrite verdict — the LAYOUT-maintenance artifact that connects
+    * logical dedup to physical storage: a deployment doesn't rewrite
+    * 100 TB to drop 3% of rows; it rewrites exactly the shards whose
+    * dead fraction clears the threshold and leaves the rest untouched
+    * (the same economics as the small-file compactor, driven by dedup
+    * instead of file size). Composes three standing pieces: x15's
+    * packing discipline, the memoized B28 label map, and x120's
+    * removable-mass accounting (Σ n_dead across shards ≡ Σ x120
+    * removed_if_dedup — CurationSpec gates the cross-operator
+    * invariant).
+    *
+    * Scale: the label map is the per-snapshot index artifact; the
+    * packing column follows the registered x15 form (global prefix
+    * window — x15b's partition-keyed variant is the 100 TB path, same
+    * disclosure); the plan is one shard-keyed partial+final agg of
+    * (long, long) rows. */
+  def dedupCompactionPlan(s: SparkSession, dir: String,
+      budget: Int = 20000): DataFrame = {
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"))
+      .withColumn("shard_id",
+        (coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
+    assigned
+      .join(b28Labels(s, dir).select(col("node").as("doc_id"), col("lbl").as("cid")),
+        Seq("doc_id"), "left")
+      .withColumn("dead",
+        (coalesce(col("cid"), col("doc_id")) =!= col("doc_id")).cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tokens"),
+        sum("dead").as("n_dead"),
+        sum(when(col("dead") === 1L, col("n_tok")).otherwise(0L)).as("dead_tokens"))
+      .withColumn("dead_bp", expr("(10000 * n_dead) div n_docs"))
+      .withColumn("rewrite", col("dead_bp") >= CompactionRewriteBp)
+      .orderBy("shard_id")
+  }
+
+  private lazy val x126Sql =
+    s"""WITH RECURSIVE $clusterSizeCtes,
+       sh_t AS (SELECT doc_id,
+           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+       sh_c AS (SELECT doc_id, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             // 20000 AS shard_id
+         FROM sh_t),
+       j AS (SELECT sh_c.shard_id, sh_c.n_tok,
+               CASE WHEN lab.cluster_id <> sh_c.doc_id THEN 1 ELSE 0 END AS dead
+             FROM sh_c JOIN lab ON lab.doc_id = sh_c.doc_id),
+       agg AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+                 CAST(sum(dead) AS BIGINT) AS n_dead,
+                 CAST(sum(CASE WHEN dead = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+                   AS dead_tokens
+               FROM j GROUP BY shard_id)
+       SELECT shard_id, n_docs, shard_tokens, n_dead, dead_tokens,
+         CAST((10000 * n_dead) // n_docs AS BIGINT) AS dead_bp,
+         (10000 * n_dead) // n_docs >= $CompactionRewriteBp AS rewrite
+       FROM agg ORDER BY shard_id"""
+
   private lazy val x120Sql =
     s"""WITH RECURSIVE $clusterSizeCtes,
        h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_docs
@@ -3506,6 +3576,8 @@ object Curation {
     QueryDef("x75_dedup_weights", dedupWeights, Some(x75Sql)),
     QueryDef("x120_cluster_size_histogram", clusterSizeHistogram, Some(x120Sql)),
     QueryDef("x121_incremental_clusters", x121, Some(x121Sql)),
+    QueryDef("x126_dedup_compaction_plan",
+      (s, d) => dedupCompactionPlan(s, d), Some(x126Sql)),
     QueryDef("x85_effective_size", effectiveSize, Some(x85Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),

@@ -228,6 +228,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x126: compaction plan kills non-canonical members; agrees with x120's removable mass") {
+    import spark.implicits._
+    // Budget 10 tokens → the 4-doc transitive corpus packs into multiple
+    // shards; docs 58 and 87 are the non-canonical members of the
+    // {29,58,87} cluster (canonical 29), so exactly they count dead.
+    val corpus = Seq(
+      (29L, "u1 u2 u3 u4 a b"),
+      (58L, "u1 u2 u3 u4 v1 v2 v3 v4"),
+      (87L, "v1 v2 v3 v4 c d"),
+      (116L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cplan").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation.dedupCompactionPlan(spark, dir, budget = 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(5), r.getBoolean(6)))).toMap
+    // Exclusive prefix sums 0,6,14,20 at budget 10 → shards 0{29,58},
+    // 1{87}, 2{116}.
+    assert(rows.keySet == Set(0L, 1L, 2L), s"three shards at budget 10: $rows")
+    assert(rows(0L) == ((2L, 1L, 5000L, true)),
+      s"shard 0 holds dup 58 of 2 docs -> 5000 bp, rewrite: ${rows(0L)}")
+    assert(rows(1L) == ((1L, 1L, 10000L, true)),
+      s"shard 1 is entirely the dup 87: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 0L, 0L, false)),
+      s"the singleton shard has nothing to rewrite: ${rows(2L)}")
+    // Corpus invariant: total dead across shards equals x120's total
+    // removable mass (the same keep-one dedup, two accountings).
+    val deadTotal = Curation.dedupCompactionPlan(spark, sf).collect()
+      .map(_.getLong(3)).sum
+    val removedTotal = Curation.clusterSizeHistogram(spark, sf).collect()
+      .map(_.getLong(3)).sum
+    assert(deadTotal == removedTotal,
+      s"shard accounting ($deadTotal) must equal histogram accounting ($removedTotal)")
+  }
+
   test("x120: cluster-size histogram counts the planted chain exactly; corpus invariants hold") {
     import spark.implicits._
     // The transitive-chain corpus: {29,58,87} one cluster of 3, {116} a
