@@ -575,6 +575,53 @@ object Curation {
       .orderBy("shard_id")
   }
 
+  // ---------------------------------------------------------------- x127
+  /** x127 — cross-source duplication matrix: for every source pair, how
+    * many B28 near-dup clusters contain documents from BOTH, and each
+    * side's doc mass inside those shared clusters — the
+    * mirror-detection report (who republishes whom) that decides
+    * whether two "independent" sources should count once in mixture
+    * weights, and which source pairs to co-partition for dedup. The
+    * distribution-level complement: x118 says two sources SPEAK alike,
+    * x74 says they share shingles, x127 says their documents literally
+    * co-cluster. Cluster structure follows the registered B28
+    * convention (the memoized label map); singleton clusters never
+    * cross sources, so the matrix is exactly the cross-source dup
+    * structure.
+    *
+    * Scale: one (cluster, source) partial+final agg over the label map
+    * + a cluster-keyed self-join whose per-key width is bounded by
+    * |sources| (≤ 20 here), never by cluster size — (long, string)
+    * traffic only. */
+  def crossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val labeled = docs(s, dir).select("doc_id", "source")
+      .join(b28Labels(s, dir).select(col("node").as("doc_id"), col("lbl").as("cid")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+    val cs = labeled.groupBy("cluster_id", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    cs.as("a").join(cs.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum(col("a.n_docs")).as("docs_a"), sum(col("b.n_docs")).as("docs_b"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private lazy val x127Sql =
+    s"""WITH RECURSIVE $clusterSizeCtes,
+       ls AS (SELECT lab.cluster_id, d.source, CAST(count(*) AS BIGINT) AS n_docs
+              FROM lab JOIN documents d USING (doc_id)
+              GROUP BY lab.cluster_id, d.source),
+       p AS (SELECT a.cluster_id, a.source AS source_a, b.source AS source_b,
+               a.n_docs AS na, b.n_docs AS nb
+             FROM ls a JOIN ls b
+               ON a.cluster_id = b.cluster_id AND a.source < b.source)
+       SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_clusters,
+         CAST(sum(na) AS BIGINT) AS docs_a, CAST(sum(nb) AS BIGINT) AS docs_b
+       FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b"""
+
   private lazy val x126Sql =
     s"""WITH RECURSIVE $clusterSizeCtes,
        sh_t AS (SELECT doc_id,
@@ -3578,6 +3625,7 @@ object Curation {
     QueryDef("x121_incremental_clusters", x121, Some(x121Sql)),
     QueryDef("x126_dedup_compaction_plan",
       (s, d) => dedupCompactionPlan(s, d), Some(x126Sql)),
+    QueryDef("x127_cross_source_dups", crossSourceDups, Some(x127Sql)),
     QueryDef("x85_effective_size", effectiveSize, Some(x85Sql)),
     QueryDef("x37_dedup_keep_best", dedupKeepBest, Some(x37Sql)),
     QueryDef("x17_decontamination", (s, d) => decontamination(s, d), Some(x17Sql)),

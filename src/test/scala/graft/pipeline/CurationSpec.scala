@@ -262,6 +262,31 @@ class CurationSpec extends SparkSpec {
       s"shard accounting ($deadTotal) must equal histogram accounting ($removedTotal)")
   }
 
+  test("x127: cross-source matrix reports exactly the planted mirror pair") {
+    import spark.implicits._
+    // Chain cluster {29, 58, 87} spans srcA (doc 29) and srcB (58, 87);
+    // srcC's doc 116 is a singleton — no row may involve it.
+    val corpus = Seq(
+      (29L, "u1 u2 u3 u4 a b", "srcA"),
+      (58L, "u1 u2 u3 u4 v1 v2 v3 v4", "srcB"),
+      (87L, "v1 v2 v3 v4 c d", "srcB"),
+      (116L, "w1 w2 w3 w4 w5 w6", "srcC")).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("xsrc").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.crossSourceDups(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(("srcA", "srcB") -> ((1L, 1L, 2L))),
+      s"exactly one shared cluster, 1 srcA doc vs 2 srcB docs: $out")
+    // Corpus: ordered pairs, positive cells, deterministic.
+    val rows = Curation.crossSourceDups(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs are (min, max)-oriented")
+      assert(r.getLong(2) >= 1 && r.getLong(3) >= 1 && r.getLong(4) >= 1, s"cells positive: $r")
+    }
+    assert(rows.toSeq == Curation.crossSourceDups(spark, sf).collect().toSeq)
+  }
+
   test("x120: cluster-size histogram counts the planted chain exactly; corpus invariants hold") {
     import spark.implicits._
     // The transitive-chain corpus: {29,58,87} one cluster of 3, {116} a
