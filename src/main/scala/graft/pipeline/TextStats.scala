@@ -1361,7 +1361,87 @@ object TextStats {
     QueryDef("x32_quality_quantile", qualityQuantileFilter, Some(x32Sql)),
     QueryDef("x118_source_divergence", sourceDivergence, Some(x118Sql)),
     QueryDef("x119_context_gain", contextGain, Some(x119Sql)),
-    QueryDef("x123_holdout_perplexity", holdoutPerplexity, Some(x123Sql)))
+    QueryDef("x123_holdout_perplexity", holdoutPerplexity, Some(x123Sql)),
+    QueryDef("x128_quality_jackknife", qualityJackknife, Some(x128Sql)))
+
+  // ---------------------------------------------------------------- x128
+  /** x128 — delete-one-bucket JACKKNIFE error bar for the corpus mean
+    * quality: corpus dashboards report point estimates (x70, x91); a
+    * drift alarm needs to know whether this week's mean moved by more
+    * than the ESTIMATOR'S noise. Docs hash into 100 integer buckets
+    * (the x14 Knuth chain — engine/run-exact membership), each bucket
+    * is deleted in turn, and the spread of the leave-one-out means
+    * gives the classic jackknife standard error
+    * SE² = (B−1)/B · Σ(θ₍ᵢ₎ − θ̄)² (Tukey 1958) — the
+    * resampling-without-randomness shape that works distributed,
+    * because bucket sums are one partial+final agg (a bootstrap's
+    * random resamples would need per-replica corpus passes or Poisson
+    * weights; delete-one over hash buckets needs nothing but the 100
+    * bucket sums).
+    *
+    * Integer discipline: per-doc quality (already 4dp) integerizes to
+    * basis points exactly; bucket sums, leave-one-out means (micro-bp
+    * by floor division), and the squared deviations are all BIGINT —
+    * order-free; the ONE float op is the final sqrt of a single
+    * integer-derived value (identical expression both engines).
+    * Disclosed bounds: docs with NULL quality (null text) are outside
+    * the estimate; deviations are exact while |θ₍ᵢ₎ − θ̄| < 3·10⁹
+    * micro-bp (leave-one-bucket deviations sit orders below that). */
+  def qualityJackknife(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.HashConstants.{HashPrime, Knuth}
+    val bucket = pmod(pmod(col("doc_id"), lit(HashPrime)) * lit(Knuth),
+      lit(HashPrime)) % 100
+    val scored = docs(s, dir)
+      .select(col("doc_id"), qualityColumn.as("q"))
+      .filter(col("q").isNotNull)
+      .select(bucket.as("b"),
+        expr("CAST(round(q * 10000) AS BIGINT)").as("q_bp"))
+    val perBucket = scored.groupBy("b")
+      .agg(count(lit(1)).as("n_b"), sum("q_bp").as("s_b"))
+    val tot = perBucket.agg(sum("n_b").as("n"), sum("s_b").as("s"),
+      count(lit(1)).as("n_buckets"))
+    val theta = perBucket.crossJoin(broadcast(tot))
+      .filter(col("n") > col("n_b"))
+      .select(col("n"), col("s"), col("n_buckets"),
+        expr("((s - s_b) * 1000000) div (n - n_b)").as("theta"))
+    val thetaBar = theta.groupBy("n", "s", "n_buckets")
+      .agg(sum("theta").as("sum_theta"), count(lit(1)).as("bb"))
+      .select(col("n"), col("s"), col("n_buckets"),
+        expr("sum_theta div bb").as("theta_bar"), col("bb"))
+    theta.join(broadcast(thetaBar), Seq("n", "s", "n_buckets"))
+      .groupBy("n", "s", "n_buckets", "bb")
+      .agg(sum(expr("(theta - theta_bar) * (theta - theta_bar)")).as("ssq"))
+      .select(col("n").as("n_docs"), col("n_buckets"),
+        expr("(s * 1000000) div n").as("mean_micro_bp"),
+        expr("CAST(round(sqrt(CAST((bb - 1) * ssq AS DOUBLE) / bb)) AS BIGINT)")
+          .as("se_micro_bp"))
+      .orderBy("n_docs")
+  }
+
+  private lazy val x128Sql = {
+    import graft.pipeline.HashConstants.{HashPrime, Knuth}
+    s"""WITH sc AS (SELECT ((doc_id % $HashPrime) * $Knuth % $HashPrime) % 100 AS b,
+             CAST(round(($qualitySqlExpr) * 10000) AS BIGINT) AS q_bp
+           FROM documents WHERE ($qualitySqlExpr) IS NOT NULL),
+       pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+                CAST(sum(q_bp) AS BIGINT) AS s_b FROM sc GROUP BY b),
+       tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(s_b) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS n_buckets FROM pb),
+       th AS (SELECT t.n, t.s, t.n_buckets,
+                CAST(((t.s - pb.s_b) * 1000000) // (t.n - pb.n_b) AS BIGINT) AS theta
+              FROM pb CROSS JOIN tot t WHERE t.n > pb.n_b),
+       tb AS (SELECT n, s, n_buckets,
+                CAST(sum(theta) // count(*) AS BIGINT) AS theta_bar,
+                CAST(count(*) AS BIGINT) AS bb
+              FROM th GROUP BY n, s, n_buckets)
+       SELECT th.n AS n_docs, th.n_buckets,
+         CAST((th.s * 1000000) // th.n AS BIGINT) AS mean_micro_bp,
+         CAST(round(sqrt(CAST((tb.bb - 1)
+             * sum((th.theta - tb.theta_bar) * (th.theta - tb.theta_bar))
+             AS DOUBLE) / tb.bb)) AS BIGINT) AS se_micro_bp
+       FROM th JOIN tb USING (n, s, n_buckets)
+       GROUP BY th.n, th.n_buckets, th.s, tb.bb ORDER BY n_docs"""
+  }
 
   // ---------------------------------------------------------------- x123
   /** x123 — holdout perplexity under a TRAIN-SPLIT-ONLY language model:

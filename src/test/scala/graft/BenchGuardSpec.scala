@@ -126,7 +126,7 @@ class BenchGuardSpec extends AnyFunSuite {
       "x121_incremental_clusters", "x122_semantic_safe_split",
       "x34c_span_dedup_token_exact", "x123_holdout_perplexity",
       "x124_rank_fusion", "x125_prototypicality", "x126_dedup_compaction_plan",
-      "x127_cross_source_dups")
+      "x127_cross_source_dups", "x128_quality_jackknife")
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,

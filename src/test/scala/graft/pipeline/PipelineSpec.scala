@@ -403,6 +403,46 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq == TextStats.holdoutPerplexity(spark, sf).collect().toSeq)
   }
 
+  test("x128: jackknife SE is zero on a constant corpus, recomputes brute force on sf") {
+    import spark.implicits._
+    // Every doc identical → every leave-one-out mean equals the mean →
+    // SE exactly 0 (the integer discipline makes this EXACT, not ~0).
+    val flat = (1L to 60L).map(i => (i, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("jk")
+    try {
+      flat.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = TextStats.qualityJackknife(spark, dir.toString).collect().head
+      assert(r.getLong(0) == 60L && r.getLong(3) == 0L,
+        s"constant corpus must carry exactly zero jackknife SE: $r")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    // Brute-force law on the real corpus: recompute buckets, bucket
+    // sums, leave-one-out means, and the SE from per-doc qualities.
+    import graft.pipeline.HashConstants.{HashPrime, Knuth}
+    val q = graft.SparkEntry.queries("x01_quality_score")(spark, sf).collect()
+      .filter(!_.isNullAt(5))
+      .map(r => r.getLong(0) -> math.round(r.getDouble(5) * 10000))
+    val byBucket = q.groupBy { case (id, _) => ((id % HashPrime) * Knuth % HashPrime) % 100 }
+    val n = q.length.toLong
+    val s0 = q.map(_._2).sum
+    val thetas = byBucket.values.toSeq
+      .map(v => (s0 - v.map(_._2).sum) * 1000000L / (n - v.length))
+    val tbar = thetas.sum / thetas.length
+    val ssq = thetas.map(t => (t - tbar) * (t - tbar)).sum
+    val wantSe = math.round(math.sqrt(
+      ((thetas.length - 1) * ssq).toDouble / thetas.length))
+    val row = TextStats.qualityJackknife(spark, sf).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == byBucket.size.toLong,
+      s"doc/bucket counts: $row")
+    assert(row.getLong(2) == s0 * 1000000L / n, s"mean law: $row")
+    assert(row.getLong(3) == wantSe, s"SE law: got ${row.getLong(3)} want $wantSe")
+    assert(row.getLong(3) > 0, "a mixed corpus has nonzero estimator noise")
+  }
+
   test("multimodal resize recomputes metadata and bounds payloads") {
     val media = Multimodal.fromDocuments(Tables.t(spark, sf, "documents"))
     val resized = Multimodal.resize(media, 8, 8).orderBy("media_id").collect()
