@@ -410,7 +410,7 @@ object Multimodal {
     * past the lower, so sub-9×8 images sample repeated pixels instead
     * of dividing by zero. None for undecodable payloads ([[decodeImage]]
     * contract: corrupt files score, never kill the task). */
-  private[pipeline] def dhash64(payload: Array[Byte]): Option[Long] =
+  private[graft] def dhash64(payload: Array[Byte]): Option[Long] =
     if (payload == null || payload.isEmpty) None
     else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -558,7 +558,7 @@ object Multimodal {
     * discipline carry over verbatim. */
   /** 16-bit little-endian PCM only (the fixture format — other
     * encodings return None rather than guessing). */
-  private[pipeline] def audioFp64(payload: Array[Byte]): Option[Long] =
+  private[graft] def audioFp64(payload: Array[Byte]): Option[Long] =
     if (payload == null || payload.isEmpty) None
     else try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -614,7 +614,7 @@ object Multimodal {
     * `seed` — so the ENERGY PROFILE follows the seed bytes and the
     * fingerprint is structurally meaningful (x08c's constant-amplitude
     * fixture has a flat profile — every clip would hash to zero). */
-  private[pipeline] def amWavFixture(nFrames: Int, seed: Array[Byte],
+  private[graft] def amWavFixture(nFrames: Int, seed: Array[Byte],
       sampleRate: Int = 8000): Array[Byte] = {
     val pcm = new Array[Byte](nFrames * 2)
     var i = 0

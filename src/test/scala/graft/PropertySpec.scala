@@ -278,4 +278,61 @@ class PropertySpec extends SparkSpec {
     val over = est.where(col("est") > col("exact") + lit(2.0 * math.E / w * n)).count()
     assert(over == 0, s"$over keys past the 2x epsilon-band on a skewed corpus")
   }
+
+  test("round-13 hash primitives are total and law-abiding on random inputs") {
+    import graft.pipeline.Multimodal
+    val r = new scala.util.Random(4242)
+    // dhash64 / audioFp64: NEVER throw on arbitrary bytes (corrupt files
+    // at 100 TB must score, not kill tasks); real fixtures always hash;
+    // Hamming is symmetric and bounded by 64.
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(r.nextInt(400))(r.nextInt(256).toByte)
+      Multimodal.dhash64(junk)   // must not throw
+      Multimodal.audioFp64(junk) // must not throw
+    }
+    val hs = (1 to 25).map { i =>
+      val seed = Array.fill(192)((r.nextInt(200) + 1).toByte)
+      val h = Multimodal.dhash64(
+        Multimodal.pngFixture(1 + r.nextInt(30), 1 + r.nextInt(20), seed))
+      assert(h.isDefined, s"a real PNG must always hash (iter $i)")
+      h.get
+    }
+    for (a <- hs; b <- hs) {
+      val d = java.lang.Long.bitCount(a ^ b)
+      assert(d >= 0 && d <= 64 && d == java.lang.Long.bitCount(b ^ a))
+    }
+    (1 to 25).foreach { i =>
+      val seed = Array.fill(192)((r.nextInt(200) + 1).toByte)
+      assert(Multimodal.audioFp64(
+        Multimodal.amWavFixture(800 + r.nextInt(1600), seed)).isDefined,
+        s"a real WAV must always fingerprint (iter $i)")
+    }
+  }
+
+  test("char entropy: native law battery on random unicode strings") {
+    val alphabets = Seq("ab", "abcde", "a\u00e9\u4e2d", "a\uD834\uDD1Eb")
+    val r = new scala.util.Random(99)
+    alphabets.foreach { alpha =>
+      val cps = alpha.codePoints().toArray
+      (1 to 50).foreach { _ =>
+        val n = 1 + r.nextInt(80)
+        val sb = new java.lang.StringBuilder()
+        (1 to n).foreach(_ => sb.appendCodePoint(cps(r.nextInt(cps.length))))
+        val s0 = sb.toString
+        val e = graft.functions.CharEntropy.entropy(s0)
+        assert(e >= 0L, s"entropy is non-negative: '$s0' -> $e")
+        val distinct = s0.codePoints().distinct().count()
+        if (distinct == 1L) assert(e == 0L, s"uniform string has zero entropy: '$s0'")
+        else assert(e > 0L, s"mixed string has positive entropy: '$s0'")
+        // Permutation invariance: entropy sees the multiset only.
+        val shuffled = {
+          val arr = s0.codePoints().toArray
+          val perm = r.shuffle(arr.toSeq).toArray
+          val b = new java.lang.StringBuilder(); perm.foreach(b.appendCodePoint); b.toString
+        }
+        assert(graft.functions.CharEntropy.entropy(shuffled) == e,
+          s"entropy must be permutation-invariant: '$s0' vs '$shuffled'")
+      }
+    }
+  }
 }
