@@ -39,6 +39,7 @@ object IndexArtifacts {
       { Similarity.semanticLabelsAt(s, d, Similarity.SemanticDedupThreshold); () }),
     "idx_x11_pairs" -> ((s: SparkSession, d: String) => { Dedup.x11PairFrame(s, d); () }),
     "idx_x121_old_index" -> ((s: SparkSession, d: String) => { Curation.x121OldIndex(s, d); () }),
+    "idx_x129_old_index" -> ((s: SparkSession, d: String) => { Similarity.x129OldIndex(s, d); () }),
     "idx_unigram_lm" -> ((s: SparkSession, d: String) => { TextStats.unigramLmFrame(s, d); () }),
     "idx_bigram_lm" -> ((s: SparkSession, d: String) => { TextStats.bigramLmFrame(s, d); () }),
     // Driver-side fits, forced via their first consumer's constructor.

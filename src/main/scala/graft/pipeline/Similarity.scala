@@ -1136,6 +1136,123 @@ object Similarity {
        FROM lab ORDER BY vec_id"""
   }
 
+  // ---------------------------------------------------------------- x129
+  /** All (new, ref) embedding pairs sharing ≥1 LSH band bucket with
+    * cosine ≥ `threshold` — the CROSS tier of semantic index
+    * maintenance (the embedding analogue of
+    * [[graft.pipeline.Dedup.crossNearDupPairs]]). A vector's band
+    * buckets depend only on its own coordinates (the hyperplanes are
+    * fixed integer hashes of (plane, dim)), so bucketing the two frames
+    * separately yields exactly the buckets a union-frame bucketing
+    * would — the candidate join across frames surfaces precisely the
+    * union corpus's cross pairs, no re-bucketing of the reference
+    * corpus's ENTIRE history required (at 100 TB the ref side's
+    * (vec_id, band, bucket) rows are a standing at-rest index; only
+    * the batch side is hashed fresh).
+    *
+    * Scale: candidate cost is Σ_bucket n_new,b · n_ref,b — batch-size
+    * bound per bucket, never |new|·|ref|; the verify is one dot-product
+    * fold per candidate. */
+  def crossSemanticPairs(newEmb: DataFrame, refEmb: DataFrame,
+      threshold: Double): DataFrame = {
+    reg(newEmb.sparkSession)
+    val cand = bucketedOf(newEmb).as("a").join(bucketedOf(refEmb).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val en = newEmb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      sqrt(norm2(col("embedding"))).as("na"))
+    val er = refEmb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      sqrt(norm2(col("embedding"))).as("nb"))
+    cand.join(en, "va").join(er, "vb")
+      .select(col("va"), col("vb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** x129 — incremental SEMANTIC cluster-index maintenance: merge a new
+    * batch of embeddings into a standing semantic label map
+    * ([[semanticLabelsAt]]'s artifact) WITHOUT re-clustering the old
+    * corpus — x121's star-edge + delta-pair merge
+    * ([[graft.pipeline.Curation.incrementalClustersFromIndex]])
+    * transplanted from the lexical Jaccard chain to the LSH cosine
+    * chain. This closes the one asymmetry the r13 audit flagged: the
+    * semantic index was the only major standing artifact without an
+    * append-only maintenance path.
+    *
+    * Why incremental ≡ full re-cluster (the oracle hash-proves it):
+    * pair admission is PAIRWISE — (a, b) is an edge iff they share a
+    * band bucket AND exact cosine ≥ t, and both conditions depend only
+    * on the two vectors (buckets are per-vector functions of the fixed
+    * hyperplanes) — so the union corpus's edge set is exactly
+    * (old×old edges) ∪ (new×new edges) ∪ (new×old edges); and an old
+    * cluster's star edges (node—label) have the same connectivity
+    * closure as its original pair set, so min-label components over
+    * star ∪ delta equal components over the full edge set. Unlike the
+    * lexical tier there is NO threshold restriction: the argument never
+    * invokes a prefix filter, only the per-vector bucket determinism.
+    *
+    * Scale: the old side contributes its two-column label map (plus
+    * its at-rest bucket index for the cross join); the propagation loop
+    * runs over ~|old clusters| + |delta| edges, not the old pair graph
+    * — O(N·ΔN) candidate work for the append, never O(N²). */
+  def incrementalSemanticClustersFromIndex(newEmb: DataFrame,
+      refEmb: DataFrame, oldLabels: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val newNew = embeddingNearDupsLshOn(newEmb, threshold)
+      .select(col("va").as("da"), col("vb").as("db"))
+    val cross = crossSemanticPairs(newEmb, refEmb, threshold)
+      .select(col("va").as("da"), col("vb").as("db"))
+    val star = oldLabels.filter(col("node") =!= col("lbl"))
+      .select(col("node").as("da"), col("lbl").as("db"))
+    val (labels, _) = Curation.propagateMinLabels(
+      Curation.undirectedEdges(newNew.union(cross).union(star)))
+    newEmb.select(col("vec_id")).union(refEmb.select(col("vec_id")))
+      .join(labels.select(col("node").as("vec_id"), col("lbl").as("cid")),
+        Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("vec_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select("vec_id", "cluster_id", "cluster_size")
+      .orderBy("vec_id")
+  }
+
+  /** The registered x129's STANDING index — the even-vec_id half's
+    * semantic label map at the default threshold, memoized per corpus
+    * snapshot like [[semanticLabelsAt]]: in production this artifact is
+    * READ, not rebuilt, per batch wave, so the registered query's
+    * steady-state cost is the delta + merge only. Timed as its own
+    * `idx_x129_old_index` bench line. */
+  private[pipeline] def x129OldIndex(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ivf.memoModel(Tables.t(s, dir, "embeddings"),
+        s"x129oldidx|${s.sparkContext.applicationId}") {
+      val ref = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      Checkpoints.stable(Curation.propagateMinLabels(Curation.undirectedEdges(
+        embeddingNearDupsLshOn(ref, SemanticDedupThreshold)
+          .select(col("va").as("da"), col("vb").as("db"))))._1)
+    }
+
+  /** Registered x129: odd vec_ids arrive as the batch against the even
+    * half's standing index (memoized — see [[x129OldIndex]]) at the
+    * default threshold. The oracle is a FULL RE-CLUSTER of the whole
+    * embeddings table through the same x09 CTE chain — the hash match
+    * certifies incremental ≡ full recompute end-to-end. */
+  private def x129(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").select("vec_id", "embedding")
+    incrementalSemanticClustersFromIndex(
+      e.filter(col("vec_id") % 2 === 1),
+      e.filter(col("vec_id") % 2 === 0),
+      x129OldIndex(s, dir), SemanticDedupThreshold)
+  }
+
+  private lazy val x129Sql =
+    s"""WITH RECURSIVE ${ccCtesSql(SemanticDedupThreshold)},
+       lab AS (SELECT e.vec_id, coalesce(cc.cid, e.vec_id) AS cluster_id
+               FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node)
+       SELECT vec_id, cluster_id,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       FROM lab ORDER BY vec_id"""
+
   // ----------------------------------------------------------------
   // ---------------------------------------------------------------- x52
   /** Scalar-quantization width: int8 symmetric, the FAISS `SQ8` scheme. */
@@ -1422,6 +1539,7 @@ object Similarity {
     QueryDef("x09_embedding_neardup", x09, Some(x09Sql)),
     QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)),
     QueryDef("x122_semantic_safe_split", semanticSafeSplit, Some(x122Sql)),
+    QueryDef("x129_incremental_semantic_clusters", x129, Some(x129Sql)),
     QueryDef("x35_semantic_decon", x35, Some(x35Sql)),
     QueryDef("x36_incremental_semantic_dedup", x36, Some(x36Sql)),
     QueryDef("x36b_incremental_semantic_bucketed", x36b, Some(x36bSql)),

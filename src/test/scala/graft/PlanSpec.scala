@@ -154,6 +154,12 @@ class PlanSpec extends SparkSpec {
       s"prefix/cross candidate joins must stay equi-keyed:\n$p")
   }
 
+  test("x129: incremental semantic merge joins on (band, bucket)/ids, never a product") {
+    val p = plan("x129_incremental_semantic_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate joins must stay equi-keyed on (band, bucket):\n$p")
+  }
+
   test("x13: tf and df aggregations are partial+final; corpus count broadcasts") {
     val p = plan("x13_tfidf_top")
     assert("HashAggregate".r.findAllIn(p).size >= 4,

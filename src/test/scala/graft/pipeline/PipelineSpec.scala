@@ -1646,4 +1646,84 @@ class PipelineSpec extends SparkSpec {
     val n = graft.Tables.t(spark, sf, "documents").count()
     assert(rows.map(_._3).sum == n, "bands must partition the corpus")
   }
+
+  // Fixture directions for the x129 merge spec, chosen so the LSH
+  // collisions are GUARANTEED by construction (not by luck): u and v
+  // agree on every band-1 plane sign while cos(u, v) = 0.058 — they
+  // collide but are no edge at t = 0.45 — and the bridge w = u + v
+  // inherits the shared band-1 signs exactly (a sum of same-signed
+  // projections keeps the sign), with cos(w, u) = 0.79, cos(w, v) =
+  // 0.65, both ≥ 0.45. z is unrelated to all three (|cos| < 0.25).
+  private lazy val x129U = Array(-0.1924f,-0.2224f,-1.4947f,0.9300f,-0.5347f,1.4356f,0.8519f,0.0209f,0.7270f,-1.1119f,-0.3257f,-0.5761f,-1.2693f,0.0171f,-0.1450f,1.4354f,-3.3528f,-0.6721f,-0.9185f,-0.4641f,0.4219f,0.4038f,0.0283f,-0.4741f,0.4945f,0.3598f,-1.8428f,-0.2622f,-1.3747f,-1.1816f,0.1466f,0.0603f,0.1139f,-0.8756f,-0.2012f,-0.9127f,0.3819f,0.6887f,1.7552f,1.2661f,-0.8054f,-0.4578f,-0.9385f,0.3060f,1.9805f,0.7085f,-2.1994f,-1.2575f,-1.2926f,0.5151f,0.0013f,0.2999f,1.7816f,-0.8271f,-0.8476f,1.9658f,0.3423f,-0.7789f,-2.0287f,-1.5243f,-2.4444f,0.0683f,0.0442f,0.9930f)
+  private lazy val x129V = Array(-0.1393f,-0.6936f,-0.7411f,1.9012f,-1.7657f,0.1737f,0.0256f,0.6167f,-0.4046f,0.4992f,0.8156f,-0.1474f,-0.4576f,-0.1863f,-0.9649f,-0.2077f,-0.3019f,0.2102f,1.3361f,1.3077f,-0.4453f,0.6030f,0.2949f,0.7616f,0.0215f,0.2657f,-0.4688f,-0.7846f,0.8721f,1.2988f,0.6623f,0.4358f,0.2662f,-0.4501f,-1.7831f,0.6634f,0.1993f,-0.5542f,-0.9647f,1.2779f,-1.8043f,1.7618f,0.6396f,2.3707f,-0.7178f,-0.0218f,-0.5066f,0.1552f,-0.2100f,-0.7485f,1.0749f,-0.7849f,-0.5078f,0.5546f,-0.5376f,-0.4346f,0.3560f,-0.3678f,-1.2466f,-0.1023f,-0.2198f,1.7048f,-1.0970f,0.9694f)
+  private lazy val x129Z = Array(-0.5502f,0.3791f,0.3269f,0.6814f,0.0472f,-0.7591f,-1.1268f,1.0180f,-2.2916f,-0.5674f,-1.0441f,0.0705f,-0.5294f,-0.4563f,0.7901f,-0.5590f,-1.1554f,0.9792f,0.8470f,1.2015f,0.5345f,-0.7360f,1.1589f,-0.4020f,0.1723f,-1.1119f,-0.6486f,0.4551f,0.6743f,0.0323f,1.2337f,-0.0810f,-2.0865f,0.5066f,-2.1614f,-1.6876f,-0.4361f,0.5441f,0.5203f,-0.2828f,0.3496f,-1.2991f,2.3865f,-0.2576f,-0.1468f,-0.2323f,1.1210f,0.1653f,0.1744f,-0.3727f,-0.3784f,0.1916f,-0.0391f,0.0992f,-0.5845f,1.0680f,0.5353f,1.6758f,0.6479f,0.2351f,-0.0484f,1.0163f,0.0809f,-0.9310f)
+
+  private def scaleVec(a: Array[Float], k: Float): Array[Float] = a.map(_ * k)
+
+  test("x129: a new embedding bridges two standing semantic clusters via star edges; incremental equals full") {
+    import spark.implicits._
+    val t = Similarity.SemanticDedupThreshold
+    // Standing corpus: cluster {10, 12} (parallel → cosine 1, identical
+    // buckets), cluster {20, 22}, singleton 30 (direction -u: every
+    // projection sign flips, cosine -1 to the u cluster).
+    val w = x129U.zip(x129V).map { case (a, b) => a + b }
+    val old = Seq(
+      (10L, x129U), (12L, scaleVec(x129U, 1.1f)),
+      (20L, x129V), (22L, scaleVec(x129V, 0.9f)),
+      (30L, scaleVec(x129U, -1.0f))).toDF("vec_id", "embedding")
+    // Batch: 11 = u + v bridges BOTH standing clusters; {13, 14} are a
+    // fresh parallel new×new pair; nothing touches 30.
+    val batch = Seq(
+      (11L, w), (13L, x129Z), (14L, scaleVec(x129Z, 1.2f)))
+      .toDF("vec_id", "embedding")
+    // Separation premise: the standing index holds exactly two 2-clusters.
+    val oldPairs = Similarity.embeddingNearDupsLshOn(old, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oldPairs == Set((10L, 12L), (20L, 22L)),
+      s"standing index must hold exactly two separate clusters: $oldPairs")
+    // Bridge premise: the cross tier surfaces 11 against members of BOTH
+    // old clusters (guaranteed band-1 collisions by construction).
+    val cross = Similarity.crossSemanticPairs(batch, old, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((11L, 10L), (11L, 12L), (11L, 20L), (11L, 22L)).subsetOf(cross),
+      s"bridge must pair with both standing clusters: $cross")
+    assert(!cross.exists(p => p._1 == 13L || p._1 == 14L),
+      s"unrelated batch vectors must not cross-pair: $cross")
+    val oldLabels = Curation.propagateMinLabels(Curation.undirectedEdges(
+      Seq((10L, 12L), (20L, 22L)).toDF("da", "db")))._1
+    val out = Similarity.incrementalSemanticClustersFromIndex(
+        batch, old, oldLabels, t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // The merge fuses both old clusters THROUGH their star edges.
+    Seq(10L, 11L, 12L, 20L, 22L).foreach(id => assert(out(id) == ((10L, 5L)),
+      s"vec $id must land in the fused cluster rooted at 10: $out"))
+    assert(out(13L) == ((13L, 2L)) && out(14L) == ((13L, 2L)),
+      s"new-new pair must form its own cluster: $out")
+    assert(out(30L) == ((30L, 1L)), s"singleton stays alone: $out")
+    // Incremental ≡ full re-cluster of the union (the oracle proves this
+    // at corpus scale; this pins it on the planted shape in-engine).
+    val full = Curation.propagateMinLabels(Curation.undirectedEdges(
+      Similarity.embeddingNearDupsLshOn(old.union(batch), t)
+        .select(col("va").as("da"), col("vb").as("db"))))._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, (cid, _)) =>
+      assert(full.getOrElse(id, id) == cid, s"vec $id: incremental $cid vs full $full")
+    }
+  }
+
+  test("x129: corpus-scale incremental merge equals a full re-cluster (both parities)") {
+    val t = Similarity.SemanticDedupThreshold
+    val e = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val full = Curation.propagateMinLabels(Curation.undirectedEdges(
+      Similarity.embeddingNearDupsLshOn(e, t)
+        .select(col("va").as("da"), col("vb").as("db"))))._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = SparkEntry.queries("x129_incremental_semantic_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc.nonEmpty && inc.size == e.count(),
+      "every vector must receive a cluster id")
+    inc.foreach { case (id, cid) =>
+      assert(full.getOrElse(id, id) == cid, s"vec $id: incremental $cid vs full")
+    }
+  }
 }
