@@ -133,15 +133,17 @@ object Bench {
     // name and simply never match a real query). Only applied when the
     // recorded sf matches this run's, so a local sf0.001 iteration never
     // compares against the driver's sf0.1 numbers.
-    // Prior sources, weakest first so later (fuller) maps win the merge:
-    //  1. newest BENCH_r*.json `tail` — front-clipped to ~64 of the 200+
-    //     queries (the r12 judge traced an unguarded spike straight to
-    //     that blind spot);
-    //  2. bench_result.json — the previous round's FULL per-query map;
-    //  3. bench_full_<sf>.json — the sf-scoped full map this program
-    //     writes each run, immune to a local other-sf iteration
-    //     overwriting bench_result.json between driver rounds.
-    // All three are sf-gated by parsePriorTimes.
+    // Prior sources: the newest BENCH_r*.json `tail` (front-clipped to
+    // ~64 of the 200+ queries — the r12 judge traced an unguarded spike
+    // straight to that blind spot), bench_result.json (the previous
+    // round's FULL per-query map), and bench_full_<sf>.json (the
+    // sf-scoped full map this program writes each run, immune to a local
+    // other-sf iteration overwriting bench_result.json between rounds).
+    // Merged in FILE-MTIME order so the newest measurement wins per key:
+    // a fixed priority let a stale committed full map override both
+    // newer sources for every query it covered, feeding outdated priors
+    // to the drift guard indefinitely (r13 advice). All sources are
+    // sf-gated by parsePriorTimes.
     val fullMapFile = "bench_full_" + new java.io.File(sfDir).getName + ".json"
     val priorTimes: Map[String, Double] =
       try {
@@ -155,10 +157,11 @@ object Bench {
               .toSeq.sortBy(n => "\\d+".r.findFirstIn(n).get.toInt)
           } finally files.close()
         (tails.lastOption.toSeq ++ Seq("bench_result.json", fullMapFile))
-          .foldLeft(Map.empty[String, Double]) { (acc, f) =>
-            val p = java.nio.file.Paths.get(f)
-            if (!java.nio.file.Files.exists(p)) acc
-            else acc ++ parsePriorTimes(java.nio.file.Files.readString(p), sfDir)
+          .map(java.nio.file.Paths.get(_))
+          .filter(java.nio.file.Files.exists(_))
+          .sortBy(java.nio.file.Files.getLastModifiedTime(_))
+          .foldLeft(Map.empty[String, Double]) { (acc, p) =>
+            acc ++ parsePriorTimes(java.nio.file.Files.readString(p), sfDir)
           }
       } catch { case _: Throwable => Map.empty }
 

@@ -455,6 +455,7 @@ object Curation {
   def incrementalClusters(newDocs: DataFrame, refDocs: DataFrame,
       threshold: Double): DataFrame =
     incrementalClustersFromIndex(newDocs, refDocs,
+      // (threshold guard lives in incrementalClustersFromIndex)
       propagateMinLabels(undirectedEdges(
         Dedup.jaccardPairsPrefixOn(refDocs, threshold)
           .select(col("da"), col("db"))))._1,
@@ -479,6 +480,13 @@ object Curation {
     * rebuilt — the production call shape. */
   def incrementalClustersFromIndex(newDocs: DataFrame, refDocs: DataFrame,
       oldLabels: DataFrame, threshold: Double): DataFrame = {
+    // The incremental ≡ full-recluster guarantee rests on the prefix
+    // filter's losslessness, which holds only at t ≥ 0.5 (r13 advice:
+    // below it the merged map silently misses pairs a full recluster
+    // would find — fail loudly instead).
+    require(threshold >= Dedup.PrefixFilterMinThreshold,
+      s"incremental lexical cluster maintenance requires threshold >= " +
+        s"${Dedup.PrefixFilterMinThreshold} (prefix-filter losslessness); got $threshold")
     val newNew = Dedup.jaccardPairsPrefixOn(newDocs, threshold)
       .select(col("da"), col("db"))
     val cross = Dedup.crossNearDupPairs(newDocs, refDocs, threshold)
@@ -534,6 +542,11 @@ object Curation {
     * rows are dead under keep-one dedup. */
   val CompactionRewriteBp = 2000L
 
+  /** Shard token budget shared by [[dedupCompactionPlan]] and its
+    * oracle SQL — one constant so a change can never silently diverge
+    * the two sides (r13 advice: the 20000 literal was duplicated). */
+  val CompactionTokenBudget = 20000
+
   /** x126 — dedup-aware compaction plan: per x15 shard, how many rows a
     * keep-one-per-cluster dedup kills (non-canonical B28 cluster
     * members), their token mass, the dead fraction in basis points, and
@@ -554,7 +567,7 @@ object Curation {
     * disclosure); the plan is one shard-keyed partial+final agg of
     * (long, long) rows. */
   def dedupCompactionPlan(s: SparkSession, dir: String,
-      budget: Int = 20000): DataFrame = {
+      budget: Int = CompactionTokenBudget): DataFrame = {
     val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     val assigned = docs(s, dir)
       .select(col("doc_id"),
@@ -630,7 +643,7 @@ object Curation {
        sh_c AS (SELECT doc_id, n_tok,
            CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-             // 20000 AS shard_id
+             // $CompactionTokenBudget AS shard_id
          FROM sh_t),
        j AS (SELECT sh_c.shard_id, sh_c.n_tok,
                CASE WHEN lab.cluster_id <> sh_c.doc_id THEN 1 ELSE 0 END AS dead

@@ -458,6 +458,12 @@ object Dedup {
     * (da = new-side id, db = ref-side id). */
   def crossNearDupPairs(newDocs: DataFrame, refDocs: DataFrame,
       threshold: Double): DataFrame = {
+    // ALL-pairs completeness (the x121 merge contract) rests on prefix
+    // losslessness, which holds only at t ≥ 0.5 — fail loudly below it
+    // (r13 advice) rather than silently under-reporting cross pairs.
+    require(threshold >= PrefixFilterMinThreshold,
+      s"crossNearDupPairs requires threshold >= $PrefixFilterMinThreshold " +
+        s"(prefix-filter losslessness); got $threshold")
     graft.functions.GraftFunctions.register(newDocs.sparkSession)
     val key = array_distinct(split(col("text"), " "))
     val union = newDocs

@@ -44,8 +44,15 @@ object IndexExport {
     }
     val json = counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/manifest.json"), json)
+    // Through the Hadoop FileSystem resolved from outDir (r13 advice):
+    // java.nio would throw on any non-local snapshot root (hdfs://,
+    // s3a://) AFTER the parquet writes succeeded, leaving a snapshot
+    // without the manifest the module documents as the handoff contract.
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$outDir/manifest.json")
+    val fs = manifestPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(manifestPath, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     counts
   }
 

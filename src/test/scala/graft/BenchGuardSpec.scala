@@ -120,13 +120,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // Registered queries with no prior expected: added AFTER the full
     // map was last written. Update when registering a query; the next
     // full bench run re-empties it.
-    val newThisRound = Set("x115_image_phash_dedup", "x116_audio_fingerprint_dedup",
-      "x117_gate_agreement", "x118_source_divergence",
-      "x119_context_gain", "x120_cluster_size_histogram",
-      "x121_incremental_clusters", "x122_semantic_safe_split",
-      "x34c_span_dedup_token_exact", "x123_holdout_perplexity",
-      "x124_rank_fusion", "x125_prototypicality", "x126_dedup_compaction_plan",
-      "x127_cross_source_dups", "x128_quality_jackknife")
+    val newThisRound = Set("x129_incremental_semantic_clusters")
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,

@@ -358,6 +358,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x121: sub-0.5 thresholds are rejected (prefix losslessness bound)") {
+    import spark.implicits._
+    // Below t = 0.5 the prefix filter loses pairs, so the incremental
+    // merge would silently diverge from a full recluster — the public
+    // entry points must fail loudly instead (r13 advice).
+    val a = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val b = Seq((2L, "a b d")).toDF("doc_id", "text")
+    val lbl = Seq((1L, 1L)).toDF("node", "lbl")
+    intercept[IllegalArgumentException] {
+      Curation.incrementalClustersFromIndex(a, b, lbl, 0.4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.crossNearDupPairs(a, b, 0.49)
+    }
+    // At the bound itself both construct fine.
+    assert(Curation.incrementalClustersFromIndex(a, b, lbl, 0.5).count() == 2)
+  }
+
   test("memoModel is reentrant: nested cold-cache index builds never throw (r12 regression)") {
     // Round-12 bug: b28Labels's memoModel fit thunk calls b28Pairs —
     // a nested computeIfAbsent on the same ConcurrentHashMap threw
