@@ -32,7 +32,15 @@ object IndexExport {
     "sem_labels" -> Similarity.semanticLabelsAt(s, dir,
       Similarity.SemanticDedupThreshold),
     "image_phash" -> Multimodal.imagePhashes(
-      Multimodal.imagesFromDocuments(graft.Tables.t(s, dir, "documents"))))
+      Multimodal.imagesFromDocuments(graft.Tables.t(s, dir, "documents"))),
+    "audio_fp" -> Multimodal.audioFingerprints(
+      Multimodal.audioAmFromDocuments(graft.Tables.t(s, dir, "documents"))),
+    // The standing cluster indexes of the incremental-maintenance pair
+    // (x121 lexical, x129 semantic): exporting them is what makes the
+    // merge a cross-JOB operation — the next batch wave's job reads the
+    // old label map from the snapshot store instead of an in-JVM memo.
+    "x121_old_index" -> Curation.x121OldIndex(s, dir),
+    "x129_old_index" -> Similarity.x129OldIndex(s, dir))
 
   /** Write every artifact; returns name → row count (also persisted as
     * `manifest.json` so a reader can sanity-check a snapshot without

@@ -13,7 +13,8 @@ class IndexExportSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("idxexp").toString
     val counts = IndexExport.write(spark, sf, out)
     assert(counts.keySet ==
-      Set("b28_pairs", "b28_labels", "x11_pairs", "sem_labels", "image_phash"))
+      Set("b28_pairs", "b28_labels", "x11_pairs", "sem_labels", "image_phash",
+        "audio_fp", "x121_old_index", "x129_old_index"))
     // Manifest counts are the parquet truth.
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/manifest.json"))
@@ -24,8 +25,12 @@ class IndexExportSpec extends SparkSpec {
     assert(counts("image_phash") ==
       graft.Tables.t(spark, sf, "documents").count(),
       "one phash row per document")
+    assert(counts("audio_fp") ==
+      graft.Tables.t(spark, sf, "documents").count(),
+      "one audio fingerprint row per document")
     // Read-back frames equal the memoized artifacts row for row.
-    Seq("b28_pairs", "b28_labels", "x11_pairs", "sem_labels").foreach { name =>
+    Seq("b28_pairs", "b28_labels", "x11_pairs", "sem_labels",
+        "x121_old_index", "x129_old_index").foreach { name =>
       val live = IndexExport.artifacts(spark, sf)(name)
       val cols = live.columns.map(col)
       val back = IndexExport.read(spark, out, name)
@@ -45,5 +50,41 @@ class IndexExportSpec extends SparkSpec {
     val pairsRegistered = graft.SparkEntry
       .queries("x115_image_phash_dedup")(spark, sf).collect().toSeq
     assert(pairsFromExport == pairsRegistered, "x115 from the exported index")
+    // The audio dedup pairs from the at-rest fingerprint table (the
+    // r13 gap: audio had no at-rest handoff path).
+    val audioFromExport = Multimodal.hashBandPairs(
+      IndexExport.read(spark, out, "audio_fp")).collect().toSeq
+    val audioRegistered = graft.SparkEntry
+      .queries("x116_audio_fingerprint_dedup")(spark, sf).collect().toSeq
+    assert(audioFromExport == audioRegistered, "x116 from the exported index")
+  }
+
+  test("incremental cluster merges read the old index from parquet, not the memo (cross-job handoff)") {
+    // The x121/x129 registered queries read their standing index via
+    // the in-JVM memo; production reads it from the snapshot store.
+    // Prove the parquet round-trip feeds the merge identically — the
+    // cross-JOB version of the incremental ≡ full guarantee.
+    val out = java.nio.file.Files.createTempDirectory("idxjob").toString
+    IndexExport.artifacts(spark, sf)
+      .filter { case (name, _) => name.endsWith("_old_index") }
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet") }
+    val d = graft.Tables.t(spark, sf, "documents").filter(col("doc_id") % 7 === 0)
+    val lexFromParquet = Curation.incrementalClustersFromIndex(
+      d.filter(pmod(col("doc_id"), lit(14)) === 7),
+      d.filter(pmod(col("doc_id"), lit(14)) === 0),
+      IndexExport.read(spark, out, "x121_old_index"), 0.8).collect().toSeq
+    val lexRegistered = graft.SparkEntry
+      .queries("x121_incremental_clusters")(spark, sf).collect().toSeq
+    assert(lexFromParquet == lexRegistered, "x121 merge from the at-rest index")
+    val e = graft.Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val semFromParquet = Similarity.incrementalSemanticClustersFromIndex(
+      e.filter(col("vec_id") % 2 === 1),
+      e.filter(col("vec_id") % 2 === 0),
+      IndexExport.read(spark, out, "x129_old_index"),
+      Similarity.SemanticDedupThreshold).collect().toSeq
+    val semRegistered = graft.SparkEntry
+      .queries("x129_incremental_semantic_clusters")(spark, sf).collect().toSeq
+    assert(semFromParquet == semRegistered, "x129 merge from the at-rest index")
   }
 }
