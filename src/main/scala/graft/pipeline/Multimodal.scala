@@ -489,13 +489,7 @@ object Multimodal {
     // Checkpoint the hash frame: the decode pass is the dominant cost
     // and feeds both sides of the band self-join.
     val ph = Checkpoints.stable(hashes.filter(col("phash").isNotNull))
-    val banded = ph.select(col("media_id"), col("phash"),
-        explode(array((0 until PhashBands).map(i =>
-          struct(lit(i).as("band"),
-            shiftrightunsigned(col("phash"), i * 16)
-              .bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("bb"))
-      .select(col("media_id"), col("phash"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedHashes(ph)
     val capped = banded
       .withColumn("cnt",
         count(lit(1)).over(Window.partitionBy("band", "bucket")))
@@ -541,6 +535,100 @@ object Multimodal {
       imagePhashes(refMedia).filter(col("phash").isNotNull)
         .select(col("phash").as("ref_h")).distinct(),
       col("phash") === col("ref_h"), "left_anti")
+
+  /** (media_id, band, bucket, phash) banding of a 64-bit hash frame —
+    * the shared layout of [[hashBandPairs]]' self-join and the cross
+    * (arrivals × reference) gate join. */
+  private def bandedHashes(hashes: DataFrame): DataFrame =
+    hashes.filter(col("phash").isNotNull)
+      .select(col("media_id"), col("phash"),
+        explode(array((0 until PhashBands).map(i =>
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col("phash"), i * 16)
+              .bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("bb"))
+      .select(col("media_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** The NEAR tier of the media ingestion gate: drop arriving media
+    * whose perceptual hash is within [[PhashMaxHamming]] of ANY
+    * reference hash — the Hamming > 0 counterpart of
+    * [[phashExactNewMedia]] that catches re-encodes and small edits,
+    * not just byte-level re-uploads. Candidates come from the banded
+    * CROSS join (arrival bands × reference bands — pigeonhole-lossless
+    * exactly as in [[hashBandPairs]]: ≤ 3 differing bits leave ≥ 1 of
+    * the 4 16-bit bands intact); the exact Hamming verify then gates.
+    * The [[PhashBucketCap]] df-cap discipline applies to the REFERENCE
+    * side only (a degenerate flat-image crowd in the corpus must not
+    * quadratically inflate every batch wave; capped buckets are
+    * disclosed recall loss, same trade as x11). An UNDECODABLE arrival
+    * keeps flowing (null phash matches nothing) — corrupt files are
+    * scored downstream, never silently dropped.
+    *
+    * Batch-shaped on purpose: the band join + distinct is not a
+    * streamable plan, so the streaming form runs THIS function per
+    * micro-batch via [[phashNearGateStream]] (foreachBatch) — batch ≡
+    * stream holds because the gate is a deterministic function of
+    * (batch, reference) with no cross-batch state.
+    *
+    * Scale: per wave the arrival side is ΔN hashes; the reference
+    * bands are a standing at-rest index ([[IndexExport]]'s image_phash
+    * frame banded once per snapshot); join cost is Σ_bucket
+    * n_Δ,b · min(n_ref,b, cap). */
+  def phashNearNewMedia(newMedia: DataFrame, refMedia: DataFrame): DataFrame =
+    phashNearNewHashes(imagePhashes(newMedia), imagePhashes(refMedia))
+
+  /** [[phashNearNewMedia]] with the two hash frames supplied — the
+    * production call shape (the reference side reads the at-rest
+    * phash/audio-fp index instead of re-decoding the corpus). Works
+    * for ANY 64-bit perceptual-hash frame, so the audio tier gates
+    * through the same machinery. */
+  def phashNearNewHashes(newHashes: DataFrame, refHashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val refBanded = bandedHashes(refHashes)
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("cnt") <= PhashBucketCap)
+    val dupIds = bandedHashes(newHashes).as("a").join(refBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+        .cast("long") <= PhashMaxHamming)
+      .select(col("a.media_id")).distinct()
+    newHashes.join(dupIds, Seq("media_id"), "left_anti")
+  }
+
+  /** The streaming form of the near-dup media gate: each micro-batch
+    * of arrivals is gated against the static reference corpus via
+    * foreachBatch — the recipe the [[phashExactNewMedia]] scaladoc
+    * names for the Hamming > 0 tier (the band join + distinct is not a
+    * streamable plan, so it runs per wave as a batch job on the
+    * micro-batch). Admitted hash rows append to `outDir` as parquet;
+    * exactly-once per micro-batch rides on the checkpoint + the
+    * idempotent-by-batch-id file sink convention. */
+  def phashNearGateStream(newMedia: DataFrame, refMedia: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newMedia.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        phashNearNewMedia(batch, refMedia)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Registered x131: the near-gate batch form over the REAL PNG
+    * corpus — odd doc_ids arrive against the even half's reference
+    * images (exact text dups across the parity split become Hamming-0
+    * drops; near-misses within Hamming ≤ 3 also gate). Rows-only:
+    * DuckDB cannot decode PNG; StreamingSpec gates batch ≡ stream with
+    * planted near-dup/far/corrupt arrivals. */
+  def mediaNearGateQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.t(s, dir, "documents")
+    phashNearNewMedia(
+      imagesFromDocuments(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
+      imagesFromDocuments(docs.filter(pmod(col("doc_id"), lit(2)) === 0)))
+      .orderBy("media_id")
+  }
 
   // ---------------------------------------------------------------- x116
   /** Audio-fingerprint dedup: the audio analogue of x115. A 64-bit
@@ -696,5 +784,6 @@ object Multimodal {
     QueryDef("x08b_image_decode", imageDecodeQuery, None),
     QueryDef("x08c_audio_decode", audioDecodeQuery, None),
     QueryDef("x115_image_phash_dedup", imagePhashDedupQuery, None),
-    QueryDef("x116_audio_fingerprint_dedup", audioFpDedupQuery, None))
+    QueryDef("x116_audio_fingerprint_dedup", audioFpDedupQuery, None),
+    QueryDef("x131_media_near_gate", mediaNearGateQuery, None))
 }

@@ -120,7 +120,8 @@ class BenchGuardSpec extends AnyFunSuite {
     // Registered queries with no prior expected: added AFTER the full
     // map was last written. Update when registering a query; the next
     // full bench run re-empties it.
-    val newThisRound = Set("x129_incremental_semantic_clusters")
+    val newThisRound = Set("x129_incremental_semantic_clusters",
+      "x131_media_near_gate")
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,

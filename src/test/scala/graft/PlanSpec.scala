@@ -160,6 +160,12 @@ class PlanSpec extends SparkSpec {
       s"LSH candidate joins must stay equi-keyed on (band, bucket):\n$p")
   }
 
+  test("x131: near-gate candidate join is equi-keyed on band buckets, never a product") {
+    val p = plan("x131_media_near_gate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"arrival×reference candidates must join on (band, bucket):\n$p")
+  }
+
   test("x13: tf and df aggregations are partial+final; corpus count broadcasts") {
     val p = plan("x13_tfidf_top")
     assert("HashAggregate".r.findAllIn(p).size >= 4,

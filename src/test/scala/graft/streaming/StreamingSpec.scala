@@ -732,4 +732,44 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.find(_.getLong(0) == 13L).exists(_.isNullAt(1)),
       "corrupt arrival carries a null phash for downstream scoring")
   }
+
+  test("foreachBatch near-dup media gate drops Hamming<=3 arrivals; batch equals stream") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    // Same cast as the exact-gate test, but the NEAR tier now also
+    // drops C (the one-pixel edit at Hamming 1-3) — the re-encode /
+    // small-edit case the exact tier structurally misses.
+    val seedA = Array.tabulate[Byte](768)(i => (i % 192).toByte)
+    val seedC = seedA.clone(); seedC(0) = 127.toByte
+    val seedD = Array.tabulate[Byte](768)(i => (191 - i % 192).toByte)
+    val pA = Multimodal.pngFixture(32, 24, seedA)
+    val pC = Multimodal.pngFixture(32, 24, seedC)
+    val ref = Seq(Med(1L, pA)).toDF()
+    val arrivals = Seq(
+      Med(10L, pA.clone()),
+      Med(11L, pC),
+      Med(12L, Multimodal.pngFixture(32, 24, seedD)),
+      Med(13L, "corrupt".getBytes))
+    // Planted premise: C is a TRUE near-dup (0 < Hamming ≤ 3) of A.
+    val d = java.lang.Long.bitCount(
+      Multimodal.dhash64(pA).get ^ Multimodal.dhash64(pC).get)
+    assert(d > 0 && d <= Multimodal.PhashMaxHamming,
+      s"planted near-dup must sit in the near band, Hamming $d")
+    val outDir = java.nio.file.Files.createTempDirectory("neargate_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("neargate_ck").toString
+    val input = MemoryStream[Med]
+    val q = Multimodal.phashNearGateStream(input.toDF(), ref, outDir, ckpt)
+    input.addData(arrivals.take(2)); q.processAllAvailable()
+    input.addData(arrivals.drop(2)); q.processAllAvailable()
+    q.stop()
+    val streaming = spark.read.parquet(outDir).orderBy("media_id").collect().toSeq
+    val batch = Multimodal.phashNearNewMedia(arrivals.toDF(), ref)
+      .orderBy("media_id").collect().toSeq
+    assert(streaming == batch, "batch ≡ stream per micro-batch wave")
+    assert(streaming.map(_.getLong(0)) == Seq(12L, 13L),
+      s"exact AND near dups dropped; fresh and corrupt flow: $streaming")
+    assert(streaming.find(_.getLong(0) == 13L).exists(_.isNullAt(1)),
+      "corrupt arrival carries a null phash for downstream scoring")
+  }
 }
