@@ -646,7 +646,11 @@ object Multimodal {
     * discipline carry over verbatim. */
   /** 16-bit little-endian PCM only (the fixture format — other
     * encodings return None rather than guessing). */
-  private[graft] def audioFp64(payload: Array[Byte]): Option[Long] =
+  /** Decoded 16-bit little-endian PCM bytes, or None for anything the
+    * fixture format does not cover (corrupt files score downstream,
+    * never kill tasks) — the shared decode of [[audioFp64]] and
+    * [[audioSpectralFp64]]. */
+  private def pcm16Data(payload: Array[Byte]): Option[Array[Byte]] =
     if (payload == null || payload.isEmpty) None
     else try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -654,8 +658,12 @@ object Multimodal {
       try {
         val f = ais.getFormat
         if (f.getSampleSizeInBits != 16 || f.isBigEndian) None
-        else {
-          val data = ais.readAllBytes()
+        else Some(ais.readAllBytes())
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  private[graft] def audioFp64(payload: Array[Byte]): Option[Long] =
+    pcm16Data(payload).flatMap { data =>
           val n = data.length / 2
           if (n < 2) None
           else {
@@ -693,9 +701,7 @@ object Multimodal {
             }
             Some(hash)
           }
-        }
-      } finally ais.close()
-    } catch { case _: Exception => None }
+    }
 
   /** Amplitude-modulated WAV fixture: a 16-frame-period square wave
     * whose amplitude steps every 64 frames through values derived from
@@ -714,6 +720,12 @@ object Multimodal {
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
+    wavBytes(pcm, nFrames, sampleRate)
+  }
+
+  /** Wrap raw 16-bit LE mono PCM as a WAV byte array — shared by the
+    * AM and tone fixture generators. */
+  private def wavBytes(pcm: Array[Byte], nFrames: Int, sampleRate: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
@@ -722,6 +734,150 @@ object Multimodal {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
+
+  /** Tone-sequence WAV fixture: a CONSTANT-amplitude square wave whose
+    * PERIOD steps every 64 frames through {32, 16, 8} samples (250 /
+    * 500 / 1000 Hz at the 8 kHz default) selected by the seed bytes —
+    * the melody is in the seed, the energy envelope is FLAT. This is
+    * exactly the signal [[audioFp64]] is structurally blind to (its
+    * per-window energies are all equal, so every such clip hashes to
+    * zero) and [[audioSpectralFp64]] exists to see. */
+  private[graft] def toneWavFixture(nFrames: Int, seed: Array[Byte],
+      sampleRate: Int = 8000, amp: Int = 4096): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val seg = i / 64
+      val sel = if (seed.isEmpty) 0 else (seed(seg % seed.length) & 0xff) % 3
+      val half = sel match { case 0 => 16; case 1 => 8; case _ => 4 }
+      val v = if ((i / half) % 2 == 0) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    wavBytes(pcm, nFrames, sampleRate)
+  }
+
+  // ---------------------------------------------------------------- x130
+  /** Fixed-point quarter-degree trig tables for the 4-band integer DFT:
+    * 32 phases × round(32767·cos/sin). Built with StrictMath so the
+    * TABLE is bit-identical on every JVM/platform (java.lang.Math
+    * permits 1-ulp variation; the table is the only transcendental
+    * input, everything downstream is integer/IEEE-exact arithmetic). */
+  private val CosQ: Array[Long] =
+    Array.tabulate(32)(i => math.round(32767.0 * StrictMath.cos(2 * StrictMath.PI * i / 32)))
+  private val SinQ: Array[Long] =
+    Array.tabulate(32)(i => math.round(32767.0 * StrictMath.sin(2 * StrictMath.PI * i / 32)))
+
+  /** Spectral audio fingerprint — the Chromaprint-class upgrade of
+    * [[audioFp64]] (r13 ask #6): instead of raw time-domain energy, each
+    * of 17 windows gets FOUR band energies from a fixed-point integer
+    * DFT at 1/2/3/4 cycles per 32 samples (250/500/750/1000 Hz at
+    * 8 kHz), and bit (w, b) = 1 iff band b's energy falls from window w
+    * to w+1 — 16 transitions × 4 bands = 64 bits, the dHash gradient
+    * idea on a (time × frequency) grid exactly as Chromaprint quantizes
+    * its chroma image (Lalinský 2011; no FFT needed for 4 fixed bins).
+    *
+    * Determinism: correlations are pure integer arithmetic (sample ×
+    * table, accumulated in Long — exact to ~10¹¹ samples/clip:
+    * |v·cos_q| < 2³⁰ and a 17th of the clip accumulates); the energy
+    * re² + im² exceeds 64 bits so it compares as IEEE doubles, whose
+    * multiply/add round identically on every JVM given identical
+    * integer inputs. Energy is phase-invariant (|Σ x·e^{-iωj}| is
+    * unchanged by index shift) and VOLUME-invariant in the comparison
+    * (scaling all samples scales every energy by the same factor, so
+    * the falls/rises — hence the fingerprint — are unchanged; the
+    * property battery pins a ×2 gain producing the identical hash).
+    * Same totality contract as every hash primitive: garbage bytes →
+    * None, never a throw. */
+  private[graft] def audioSpectralFp64(payload: Array[Byte]): Option[Long] =
+    pcm16Data(payload).flatMap { data =>
+      val n = data.length / 2
+      if (n < 2) None
+      else {
+        val re = Array.ofDim[Long](17, 4)
+        val im = Array.ofDim[Long](17, 4)
+        var wI = 0
+        while (wI < 17) {
+          val lo = wI.toLong * n / 17
+          val hi = math.max(lo + 1, (wI + 1).toLong * n / 17)
+          var j = lo
+          while (j < hi) {
+            val v = (((data(2 * j.toInt) & 0xff) |
+              (data(2 * j.toInt + 1) << 8)).toShort).toLong
+            var b = 0
+            while (b < 4) {
+              val ph = ((j * (b + 1)) % 32).toInt
+              re(wI)(b) += v * CosQ(ph)
+              im(wI)(b) += v * SinQ(ph)
+              b += 1
+            }
+            j += 1
+          }
+          wI += 1
+        }
+        def energy(w: Int, b: Int): Double = {
+          val r = re(w)(b).toDouble; val i = im(w)(b).toDouble
+          r * r + i * i
+        }
+        var hash = 0L
+        var w = 0
+        while (w < 16) {
+          var b = 0
+          while (b < 4) {
+            if (energy(w, b) > energy(w + 1, b)) hash |= 1L << (w * 4 + b)
+            b += 1
+          }
+          w += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** The spectral fingerprint pass — same batch tier and output schema
+    * as [[audioFingerprints]] so [[hashBandPairs]] is shared unchanged. */
+  def audioSpectralFingerprints(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(phashSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        Row(r.getLong(0),
+          audioSpectralFp64(payload).map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc)
+  }
+
+  /** A media table of FIXED-LENGTH tone-sequence WAV clips derived from
+    * `documents` (melody = text bytes, constant amplitude) — the corpus
+    * for the spectral dedup tier. Fixed length matters: the AM corpus
+    * varies clip length with n_chars, which shifts every window
+    * boundary, so even near-identical texts diverge spectrally (probed:
+    * 0 pairs at every sf); with length pinned, docs sharing their
+    * leading text produce identical melodies and near-dup texts land
+    * within the Hamming band. */
+  def audioToneFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val seed =
+          if (r.isNullAt(1)) Array.empty[Byte]
+          else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Row(r.getLong(0), toneWavFixture(1600, seed), "audio/wav",
+          16: java.lang.Integer, 16: java.lang.Integer)
+      }
+    }(enc)
+  }
+
+  /** Registered x130: spectral audio-fingerprint near-dup pairs over
+    * the REAL WAV tone corpus ([[audioToneFromDocuments]] — these clips
+    * all share a FLAT energy envelope, so the x116 time-domain tier is
+    * structurally blind to them; only the frequency-domain fingerprint
+    * separates or matches them). Rows-only (DuckDB cannot parse WAV);
+    * PipelineSpec plants the blindness premise, a pitch-preserving
+    * perturbation, volume invariance, and determinism. */
+  def audioSpectralDedupQuery(s: SparkSession, dir: String): DataFrame =
+    hashBandPairs(audioSpectralFingerprints(
+      audioToneFromDocuments(graft.Tables.t(s, dir, "documents"))))
 
   /** A media table of amplitude-modulated WAV clips derived from
     * `documents` (energy profile = text bytes) — exact text dups become
@@ -785,5 +941,6 @@ object Multimodal {
     QueryDef("x08c_audio_decode", audioDecodeQuery, None),
     QueryDef("x115_image_phash_dedup", imagePhashDedupQuery, None),
     QueryDef("x116_audio_fingerprint_dedup", audioFpDedupQuery, None),
+    QueryDef("x130_audio_spectral_dedup", audioSpectralDedupQuery, None),
     QueryDef("x131_media_near_gate", mediaNearGateQuery, None))
 }

@@ -121,7 +121,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // map was last written. Update when registering a query; the next
     // full bench run re-empties it.
     val newThisRound = Set("x129_incremental_semantic_clusters",
-      "x131_media_near_gate")
+      "x130_audio_spectral_dedup", "x131_media_near_gate")
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,

@@ -160,6 +160,12 @@ class PlanSpec extends SparkSpec {
       s"LSH candidate joins must stay equi-keyed on (band, bucket):\n$p")
   }
 
+  test("x130: spectral audio dedup candidates join on band buckets, never a product") {
+    val p = plan("x130_audio_spectral_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate generation must stay equi-keyed:\n$p")
+  }
+
   test("x131: near-gate candidate join is equi-keyed on band buckets, never a product") {
     val p = plan("x131_media_near_gate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -287,8 +287,9 @@ class PropertySpec extends SparkSpec {
     // Hamming is symmetric and bounded by 64.
     (1 to 200).foreach { _ =>
       val junk = Array.fill(r.nextInt(400))(r.nextInt(256).toByte)
-      Multimodal.dhash64(junk)   // must not throw
-      Multimodal.audioFp64(junk) // must not throw
+      Multimodal.dhash64(junk)           // must not throw
+      Multimodal.audioFp64(junk)         // must not throw
+      Multimodal.audioSpectralFp64(junk) // must not throw
     }
     val hs = (1 to 25).map { i =>
       val seed = Array.fill(192)((r.nextInt(200) + 1).toByte)
@@ -303,9 +304,14 @@ class PropertySpec extends SparkSpec {
     }
     (1 to 25).foreach { i =>
       val seed = Array.fill(192)((r.nextInt(200) + 1).toByte)
-      assert(Multimodal.audioFp64(
-        Multimodal.amWavFixture(800 + r.nextInt(1600), seed)).isDefined,
+      val wav = Multimodal.amWavFixture(800 + r.nextInt(1600), seed)
+      assert(Multimodal.audioFp64(wav).isDefined,
         s"a real WAV must always fingerprint (iter $i)")
+      assert(Multimodal.audioSpectralFp64(wav).isDefined,
+        s"a real WAV must always spectral-fingerprint (iter $i)")
+      assert(Multimodal.audioSpectralFp64(
+        Multimodal.toneWavFixture(800 + r.nextInt(1600), seed)).isDefined,
+        s"a real tone WAV must always spectral-fingerprint (iter $i)")
     }
   }
 

@@ -1647,6 +1647,45 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._3).sum == n, "bands must partition the corpus")
   }
 
+  test("x130: spectral fingerprint hears melody the time-domain tier is blind to") {
+    import graft.pipeline.Multimodal
+    // Three constant-amplitude tone clips: A = melody from seedA, D =
+    // the REVERSED melody, all with IDENTICAL (flat) energy envelopes.
+    // audioFp64 (time-domain energy deltas) hashes every one to zero —
+    // structurally blind; the spectral fingerprint separates them.
+    val seedA = Array.tabulate[Byte](25)(i => (i * 7).toByte)
+    val seedD = seedA.reverse
+    val pA = Multimodal.toneWavFixture(1600, seedA)
+    val pB = pA.clone()
+    // Pitch-preserving perturbation: one PCM sample flipped — melody
+    // intact, at most the window-local band comparisons move.
+    val pC = pA.clone(); pC(100) = (pC(100) ^ 0x55).toByte
+    val pD = Multimodal.toneWavFixture(1600, seedD)
+    // Volume invariance: same melody at 2x gain.
+    val pV = Multimodal.toneWavFixture(1600, seedA, amp = 8192)
+    val Seq(tA, tD) = Seq(pA, pD).map(p => Multimodal.audioFp64(p).get)
+    assert(tA == 0L && tD == 0L,
+      "flat energy envelopes: the time-domain fingerprint sees nothing")
+    val Seq(hA, hB, hC, hD, hV) =
+      Seq(pA, pB, pC, pD, pV).map(p => Multimodal.audioSpectralFp64(p).get)
+    assert(hB == hA, "byte-identical clip → identical fingerprint")
+    assert(hV == hA, "2x gain → identical fingerprint (volume invariance)")
+    assert(java.lang.Long.bitCount(hA ^ hC) <= Multimodal.PhashMaxHamming,
+      s"pitch-preserving local edit stays in the near band: ${java.lang.Long.bitCount(hA ^ hC)}")
+    assert(java.lang.Long.bitCount(hA ^ hD) > Multimodal.PhashMaxHamming,
+      s"the reversed melody must sit outside the verify bound: ${java.lang.Long.bitCount(hA ^ hD)}")
+    assert(Multimodal.audioSpectralFp64("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioSpectralFp64(Array.empty[Byte]).isEmpty)
+    // Registered-query laws + determinism on the sf corpus.
+    val out = SparkEntry.queries("x130_audio_spectral_dedup")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs are (min, max)-oriented")
+      assert(r.getLong(2) <= Multimodal.PhashMaxHamming, "verify bound holds")
+    }
+    assert(out.toSeq ==
+      SparkEntry.queries("x130_audio_spectral_dedup")(spark, sf).collect().toSeq)
+  }
+
   // Fixture directions for the x129 merge spec, chosen so the LSH
   // collisions are GUARANTEED by construction (not by luck): u and v
   // agree on every band-1 plane sign while cos(u, v) = 0.058 — they
