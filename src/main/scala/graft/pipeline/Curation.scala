@@ -537,6 +537,112 @@ object Curation {
               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        FROM lab ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- x132
+  /** x132 — incremental-merge DRIFT REPORT: the one-row observability
+    * artifact a deployment reads after every x121 merge wave, BEFORE
+    * committing the new index — how much the batch changed the standing
+    * cluster structure. Columns: batch/ref sizes; how many batch docs
+    * joined an EXISTING cluster (ordinary duplication pressure); how
+    * many batch-only clusters formed (novel duplication arriving —
+    * e.g. a new mirror site); how many batch docs stayed singletons
+    * (the healthy case); how many standing clusters the old index held;
+    * and how many FUSIONS the batch caused (old clusters united through
+    * a bridging arrival — the structurally surprising event worth an
+    * alarm, since heavy fusion means the standing index was fragmenting
+    * a true cluster). Monitoring merges is the maintenance counterpart
+    * of x120's static histogram: x120 says what the structure IS, x132
+    * says how a wave MOVED it.
+    *
+    * Shape: the merged map is x121's (star∪delta propagation); the
+    * report adds cluster-keyed semi/anti joins and DISTINCT counts —
+    * (long, long) traffic bounded by |batch| + |old clusters| — then
+    * seven 1-row aggregates broadcast-composed (the registered 1-row
+    * crossJoin convention). Nothing touches the old pair graph. */
+  def incrementalMergeReport(newDocs: DataFrame, refDocs: DataFrame,
+      oldLabels: DataFrame, threshold: Double): DataFrame = {
+    val merged = incrementalClustersFromIndex(newDocs, refDocs, oldLabels, threshold)
+    val mNew = merged.join(newDocs.select(col("doc_id")), "doc_id")
+    val refClusters = merged.join(refDocs.select(col("doc_id")), "doc_id")
+      .select("cluster_id").distinct()
+    val joinedOld = mNew.join(refClusters, Seq("cluster_id"), "left_semi")
+    val batchNewClusters = mNew.filter(col("cluster_size") >= 2)
+      .join(refClusters, Seq("cluster_id"), "left_anti")
+      .select("cluster_id").distinct()
+    val old = oldLabels.select(col("node").as("doc_id"), col("lbl").as("old_cid"))
+    val mergedContainingOld = old
+      .join(merged.select("doc_id", "cluster_id"), "doc_id")
+      .select("cluster_id").distinct()
+    newDocs.agg(count(lit(1)).as("n_batch"))
+      .crossJoin(broadcast(refDocs.agg(count(lit(1)).as("n_ref"))))
+      .crossJoin(broadcast(joinedOld.agg(count(lit(1)).as("batch_joined_old"))))
+      .crossJoin(broadcast(batchNewClusters.agg(count(lit(1)).as("batch_new_clusters"))))
+      .crossJoin(broadcast(mNew.filter(col("cluster_size") === 1)
+        .agg(count(lit(1)).as("batch_singletons"))))
+      .crossJoin(broadcast(old.agg(countDistinct(col("old_cid")).as("old_clusters"))))
+      .crossJoin(broadcast(mergedContainingOld
+        .agg(count(lit(1)).as("merged_containing_old"))))
+      .select(col("n_batch"), col("n_ref"), col("batch_joined_old"),
+        col("batch_new_clusters"), col("batch_singletons"), col("old_clusters"),
+        (col("old_clusters") - col("merged_containing_old")).as("old_fusions"))
+  }
+
+  /** Registered x132: the report over x121's exact wave (odd-14 half
+    * arrives against the even-14 half's memoized standing index at
+    * t = 0.8). The oracle recomputes BOTH cluster structures from
+    * brute-force pairs — the standing index from the ref slice's pair
+    * graph, the merged map from a full union re-cluster — and derives
+    * the same seven counters, so a hash match certifies the whole
+    * report end-to-end. */
+  private def x132(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") % 7 === 0)
+    incrementalMergeReport(
+      d.filter(pmod(col("doc_id"), lit(14)) === 7),
+      d.filter(pmod(col("doc_id"), lit(14)) === 0),
+      x121OldIndex(s, dir), 0.8)
+  }
+
+  private val x132Sql =
+    """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+       sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS keys FROM base),
+       pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+                 FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+                 WHERE CAST(len(list_intersect(a.keys, b.keys)) AS DOUBLE) /
+                   (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys)))
+                   >= 0.8),
+       edges AS (SELECT da AS src, db AS dst FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+       reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+       cc AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+       opairs AS (SELECT da, db FROM pairs WHERE da % 14 = 0 AND db % 14 = 0),
+       oedges AS (SELECT da AS src, db AS dst FROM opairs
+                  UNION ALL SELECT db, da FROM opairs),
+       oreach AS (SELECT DISTINCT src AS node, src AS lbl FROM oedges
+                  UNION
+                  SELECT e.dst, r.lbl FROM oreach r JOIN oedges e ON r.node = e.src),
+       occ AS (SELECT node, min(lbl) AS cid FROM oreach GROUP BY node),
+       lab AS (SELECT b.doc_id, coalesce(cc.cid, b.doc_id) AS cluster_id
+               FROM base b LEFT JOIN cc ON b.doc_id = cc.node),
+       sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id),
+       labn AS (SELECT lab.doc_id, lab.cluster_id, sz.n
+                FROM lab JOIN sz USING (cluster_id)),
+       bat AS (SELECT * FROM labn WHERE doc_id % 14 = 7),
+       refc AS (SELECT DISTINCT cluster_id FROM labn WHERE doc_id % 14 = 0)
+       SELECT
+         (SELECT count(*) FROM bat) AS n_batch,
+         (SELECT count(*) FROM labn WHERE doc_id % 14 = 0) AS n_ref,
+         (SELECT count(*) FROM bat
+          WHERE cluster_id IN (SELECT cluster_id FROM refc)) AS batch_joined_old,
+         (SELECT count(DISTINCT cluster_id) FROM bat
+          WHERE n >= 2 AND cluster_id NOT IN (SELECT cluster_id FROM refc))
+           AS batch_new_clusters,
+         (SELECT count(*) FROM bat WHERE n = 1) AS batch_singletons,
+         (SELECT count(DISTINCT cid) FROM occ) AS old_clusters,
+         (SELECT count(DISTINCT cid) FROM occ)
+           - (SELECT count(DISTINCT l.cluster_id)
+              FROM occ o JOIN lab l ON o.node = l.doc_id) AS old_fusions"""
+
   // ---------------------------------------------------------------- x126
   /** Rewrite threshold: a shard is worth compacting once ≥ 20% of its
     * rows are dead under keep-one dedup. */
@@ -3636,6 +3742,7 @@ object Curation {
     QueryDef("x75_dedup_weights", dedupWeights, Some(x75Sql)),
     QueryDef("x120_cluster_size_histogram", clusterSizeHistogram, Some(x120Sql)),
     QueryDef("x121_incremental_clusters", x121, Some(x121Sql)),
+    QueryDef("x132_incremental_merge_report", x132, Some(x132Sql)),
     QueryDef("x126_dedup_compaction_plan",
       (s, d) => dedupCompactionPlan(s, d), Some(x126Sql)),
     QueryDef("x127_cross_source_dups", crossSourceDups, Some(x127Sql)),

@@ -41,6 +41,7 @@ object IndexArtifacts {
     "idx_x121_old_index" -> ((s: SparkSession, d: String) => { Curation.x121OldIndex(s, d); () }),
     "idx_x129_old_index" -> ((s: SparkSession, d: String) => { Similarity.x129OldIndex(s, d); () }),
     "idx_unigram_lm" -> ((s: SparkSession, d: String) => { TextStats.unigramLmFrame(s, d); () }),
+    "idx_x133_old_lm" -> ((s: SparkSession, d: String) => { TextStats.x133OldLm(s, d); () }),
     "idx_bigram_lm" -> ((s: SparkSession, d: String) => { TextStats.bigramLmFrame(s, d); () }),
     // Driver-side fits, forced via their first consumer's constructor.
     "idx_kmeans_quantizer" -> ((s: SparkSession, d: String) => { Ivf.searchQuery(s, d); () }),

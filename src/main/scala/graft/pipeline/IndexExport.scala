@@ -40,7 +40,8 @@ object IndexExport {
     // merge a cross-JOB operation — the next batch wave's job reads the
     // old label map from the snapshot store instead of an in-JVM memo.
     "x121_old_index" -> Curation.x121OldIndex(s, dir),
-    "x129_old_index" -> Similarity.x129OldIndex(s, dir))
+    "x129_old_index" -> Similarity.x129OldIndex(s, dir),
+    "x133_old_lm" -> TextStats.x133OldLm(s, dir))
 
   /** Write every artifact; returns name → row count (also persisted as
     * `manifest.json` so a reader can sanity-check a snapshot without

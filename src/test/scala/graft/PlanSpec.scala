@@ -160,6 +160,19 @@ class PlanSpec extends SparkSpec {
       s"LSH candidate joins must stay equi-keyed on (band, bucket):\n$p")
   }
 
+  test("x132: merge report joins stay keyed; only the seven 1-row counters nest") {
+    val p = plan("x132_incremental_merge_report")
+    assert(!p.contains("CartesianProduct"),
+      s"cluster-keyed semi/anti joins must stay equi-keyed; 1-row broadcasts only:\n$p")
+  }
+
+  test("x133: incremental LM merge is two partial+final aggs, no join at all") {
+    val p = plan("x133_incremental_unigram_lm")
+    assert(!p.contains("Join"), s"count merge must be union + re-agg, never a join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"batch count and merge agg must each combine map-side:\n$p")
+  }
+
   test("x130: spectral audio dedup candidates join on band buckets, never a product") {
     val p = plan("x130_audio_spectral_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -358,6 +358,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x132: merge report counts joins, novel clusters, singletons, and fusions on the planted wave") {
+    import spark.implicits._
+    // x121's planted shape extended with a novel batch-only pair:
+    // standing clusters {10,12} and {20,22}, singleton 30; batch doc 11
+    // bridges BOTH standing clusters (1 join + 1 fusion), 13 is
+    // unrelated (1 singleton), {14,15} are exact dups of each other but
+    // nothing standing (1 novel batch-only cluster).
+    val s8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val oldFixed = Seq(
+      (10L, s"$s8 b1 a1"),
+      (12L, s"$s8 b1 b2"),
+      (20L, s"$s8 y1 x1"),
+      (22L, s"$s8 y1 y2"),
+      (30L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, s"$s8 b1 y1"),
+      (13L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0"),
+      (14L, "v1 v2 v3"),
+      (15L, "v1 v2 v3")).toDF("doc_id", "text")
+    val oldLabels = Curation.propagateMinLabels(Curation.undirectedEdges(
+      Dedup.jaccardPairsPrefixOn(oldFixed, 0.8).select(col("da"), col("db"))))._1
+    val r = Curation.incrementalMergeReport(batch, oldFixed, oldLabels, 0.8)
+      .collect()(0)
+    assert((0 until 7).map(r.getLong) == Seq(4L, 5L, 1L, 1L, 1L, 2L, 1L),
+      s"(n_batch, n_ref, joined_old, new_clusters, singletons, old_clusters, fusions): $r")
+  }
+
   test("x121: sub-0.5 thresholds are rejected (prefix losslessness bound)") {
     import spark.implicits._
     // Below t = 0.5 the prefix filter loses pairs, so the incremental

@@ -14,7 +14,7 @@ class IndexExportSpec extends SparkSpec {
     val counts = IndexExport.write(spark, sf, out)
     assert(counts.keySet ==
       Set("b28_pairs", "b28_labels", "x11_pairs", "sem_labels", "image_phash",
-        "audio_fp", "x121_old_index", "x129_old_index"))
+        "audio_fp", "x121_old_index", "x129_old_index", "x133_old_lm"))
     // Manifest counts are the parquet truth.
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/manifest.json"))
@@ -30,7 +30,7 @@ class IndexExportSpec extends SparkSpec {
       "one audio fingerprint row per document")
     // Read-back frames equal the memoized artifacts row for row.
     Seq("b28_pairs", "b28_labels", "x11_pairs", "sem_labels",
-        "x121_old_index", "x129_old_index").foreach { name =>
+        "x121_old_index", "x129_old_index", "x133_old_lm").foreach { name =>
       val live = IndexExport.artifacts(spark, sf)(name)
       val cols = live.columns.map(col)
       val back = IndexExport.read(spark, out, name)
@@ -65,8 +65,9 @@ class IndexExportSpec extends SparkSpec {
     // Prove the parquet round-trip feeds the merge identically — the
     // cross-JOB version of the incremental ≡ full guarantee.
     val out = java.nio.file.Files.createTempDirectory("idxjob").toString
+    val standing = Set("x121_old_index", "x129_old_index", "x133_old_lm")
     IndexExport.artifacts(spark, sf)
-      .filter { case (name, _) => name.endsWith("_old_index") }
+      .filter { case (name, _) => standing(name) }
       .foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$out/$name.parquet") }
     val d = graft.Tables.t(spark, sf, "documents").filter(col("doc_id") % 7 === 0)
@@ -86,5 +87,12 @@ class IndexExportSpec extends SparkSpec {
     val semRegistered = graft.SparkEntry
       .queries("x129_incremental_semantic_clusters")(spark, sf).collect().toSeq
     assert(semFromParquet == semRegistered, "x129 merge from the at-rest index")
+    val lmFromParquet = TextStats.incrementalUnigramLm(
+      graft.Tables.t(spark, sf, "documents").filter(col("doc_id") % 2 === 1),
+      IndexExport.read(spark, out, "x133_old_lm"))
+      .orderBy("tok").collect().toSeq
+    val lmRegistered = graft.SparkEntry
+      .queries("x133_incremental_unigram_lm")(spark, sf).collect().toSeq
+    assert(lmFromParquet == lmRegistered, "x133 merge from the at-rest LM table")
   }
 }

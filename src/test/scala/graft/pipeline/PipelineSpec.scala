@@ -1647,6 +1647,28 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._3).sum == n, "bands must partition the corpus")
   }
 
+  test("x133: incremental LM merge equals a full recount (planted and corpus-scale)") {
+    import spark.implicits._
+    // Planted: old corpus {a a b}, batch {b c} → merged counts a=2,
+    // b=2, c=1 — b's count must SUM across the standing table and the
+    // batch, c is batch-novel, a is untouched standing mass.
+    val old = Seq((2L, "a a b")).toDF("doc_id", "text")
+    val batch = Seq((1L, "b c")).toDF("doc_id", "text")
+    val oldLm = old.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+    val merged = TextStats.incrementalUnigramLm(batch, oldLm).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == Map("a" -> 2L, "b" -> 2L, "c" -> 1L), s"planted merge: $merged")
+    // Corpus-scale: the registered parity merge equals a full recount.
+    val full = graft.Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cf")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inc = SparkEntry.queries("x133_incremental_unigram_lm")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc == full, "incremental LM must equal the full recount")
+  }
+
   test("x130: spectral fingerprint hears melody the time-domain tier is blind to") {
     import graft.pipeline.Multimodal
     // Three constant-amplitude tone clips: A = melody from seedA, D =
