@@ -341,4 +341,63 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("merge law: incremental equals full for RANDOM batch/ref splits (all three artifact families)") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Curation, Dedup, Similarity, TextStats}
+    // The registered x121/x129/x133 queries prove incremental ≡ full on
+    // ONE split (even/odd) via their oracles; this battery proves the
+    // merge LAW itself — the equality cannot depend on which documents
+    // happen to land in the batch. Each iteration splits the corpus by
+    // a salted hash and checks the merged artifact against a full
+    // rebuild of the union.
+    val docs = graft.Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val emb = graft.Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    Seq(17L, 90001L).foreach { salt =>
+      val side = pmod(col("doc_id") * 2654435761L + salt, lit(5)) === 0
+      val batch = docs.filter(side)
+      val ref = docs.filter(!side)
+      // Lexical clusters (x121's merge) vs full re-cluster of the union.
+      val oldLabels = Curation.propagateMinLabels(Curation.undirectedEdges(
+        Dedup.jaccardPairsPrefixOn(ref, 0.8).select(col("da"), col("db"))))._1
+      val inc = Curation.incrementalClustersFromIndex(batch, ref, oldLabels, 0.8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Curation.propagateMinLabels(Curation.undirectedEdges(
+        Dedup.jaccardPairsPrefixOn(docs, 0.8).select(col("da"), col("db"))))._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc.size == docs.count(), s"salt $salt: every doc labelled")
+      inc.foreach { case (id, cid) =>
+        assert(full.getOrElse(id, id) == cid,
+          s"salt $salt lexical: doc $id incremental $cid vs full")
+      }
+      // LM table (x133's merge) vs full recount of the union.
+      val oldLm = ref.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cf"))
+      val incLm = TextStats.incrementalUnigramLm(batch, oldLm).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fullLm = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cf")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(incLm == fullLm, s"salt $salt: merged LM must equal full recount")
+    }
+    // Semantic clusters (x129's merge) — one salted split (the pair
+    // chain is the expensive piece; the even/odd split is oracle-proved
+    // every round).
+    val eSide = pmod(col("vec_id") * 2654435761L + 40503L, lit(3)) === 0
+    val t = Similarity.SemanticDedupThreshold
+    val oldSem = Curation.propagateMinLabels(Curation.undirectedEdges(
+      Similarity.embeddingNearDupsLshOn(emb.filter(!eSide), t)
+        .select(col("va").as("da"), col("vb").as("db"))))._1
+    val incSem = Similarity.incrementalSemanticClustersFromIndex(
+        emb.filter(eSide), emb.filter(!eSide), oldSem, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullSem = Curation.propagateMinLabels(Curation.undirectedEdges(
+      Similarity.embeddingNearDupsLshOn(emb, t)
+        .select(col("va").as("da"), col("vb").as("db"))))._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    incSem.foreach { case (id, cid) =>
+      assert(fullSem.getOrElse(id, id) == cid,
+        s"semantic: vec $id incremental $cid vs full")
+    }
+  }
 }
