@@ -1345,26 +1345,57 @@ object Curation {
     * positions (rate (set_bits/m)^k; CurationSpec measures it and pins
     * the superset guarantee against x17). Gram length follows the x17
     * registration (3; GPT-3 used 13-grams — a constant, disclosed). */
+  /** Build the Bloom bitmask of an eval corpus — the driver-side index
+    * artifact [[bloomDecon]] broadcasts. The collect is the index
+    * build, not query flow: ≤ |eval grams|·k integers, driver-bounded
+    * the same way IVF centroids / PQ codebooks are. */
+  private[pipeline] def bloomMaskOf(evalDocs: DataFrame,
+      shingleLen: Int = 3): Array[Long] = {
+    graft.functions.GraftFunctions.register(evalDocs.sparkSession)
+    val posRows = shinglesOf(evalDocs, shingleLen).select(col("sh")).distinct()
+      .select(call_function("rolling_hash", col("sh")).as("h"))
+      .select(explode(array((0 until BloomK).map(i =>
+        bloomPos(col("h"), i)): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val m = new Array[Long](BloomBits / 64)
+    posRows.foreach(p => m((p / 64).toInt) |= 1L << (p % 64).toInt)
+    m
+  }
+
+  /** OR-merge of Bloom masks — incremental maintenance for the
+    * driver-side fit family (the fourth standing-artifact kind, after
+    * the cluster indexes x121/x129, the LM tables x133, and the
+    * per-item perceptual hash tables): a Bloom filter over the UNION of
+    * two eval corpora is exactly the bitwise OR of their filters (same
+    * bits m, same hash family k — set positions are per-shingle
+    * functions, so set(union) = set(a) ∪ set(b)). A growing eval suite
+    * therefore extends the standing mask per wave without re-hashing
+    * history; CurationSpec proves mask bit-equality AND probe-set
+    * equality against a fresh union build. */
+  def mergeBloomMasks(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"mask geometries differ: ${a.length} vs ${b.length} longs")
+    Array.tabulate(a.length)(i => a(i) | b(i))
+  }
+
   def bloomDecon(train: DataFrame, evalDocs: DataFrame,
       shingleLen: Int = 3): DataFrame = {
+    // MEMOIZED per eval-corpus snapshot through the same cache
+    // ([[Ivf.memoModel]]), so bench/verify re-runs and the x67b sieve
+    // pay the build once, not per call.
+    val mask = Ivf.memoModel(evalDocs, s"bloommask-$shingleLen") {
+      bloomMaskOf(evalDocs, shingleLen)
+    }
+    bloomDeconWithMask(train, mask, shingleLen)
+  }
+
+  /** The probe pass against a SUPPLIED mask — the production call shape
+    * when the mask comes from the snapshot store or an OR-merge instead
+    * of a fresh build. */
+  private[pipeline] def bloomDeconWithMask(train: DataFrame,
+      mask: Array[Long], shingleLen: Int = 3): DataFrame = {
     val s = train.sparkSession
     graft.functions.GraftFunctions.register(s)
-    // Build: distinct eval shingles → k positions each → bitmask.
-    // The collect is the index build, not query flow: ≤ |eval grams|·k
-    // integers, driver-bounded the same way IVF centroids / PQ
-    // codebooks are — and MEMOIZED per eval-corpus snapshot through the
-    // same cache ([[Ivf.memoModel]]), so bench/verify re-runs and the
-    // x67b sieve pay the build once, not per call.
-    val mask = Ivf.memoModel(evalDocs, s"bloommask-$shingleLen") {
-      val posRows = shinglesOf(evalDocs, shingleLen).select(col("sh")).distinct()
-        .select(call_function("rolling_hash", col("sh")).as("h"))
-        .select(explode(array((0 until BloomK).map(i =>
-          bloomPos(col("h"), i)): _*)).as("p"))
-        .distinct().collect().map(_.getLong(0))
-      val m = new Array[Long](BloomBits / 64)
-      posRows.foreach(p => m((p / 64).toInt) |= 1L << (p % 64).toInt)
-      m
-    }
     val maskLit = typedLit(mask.toSeq)
     // Probe: TWO native expressions inside one codegen'd projection —
     // [[graft.functions.ShingleHashes]] (distinct shingle rolling

@@ -385,6 +385,34 @@ class CurationSpec extends SparkSpec {
       s"(n_batch, n_ref, joined_old, new_clusters, singletons, old_clusters, fusions): $r")
   }
 
+  test("Bloom mask OR-merge equals a fresh union build (mask bits AND probe sets)") {
+    import spark.implicits._
+    // The driver-side fit family's maintenance law: a growing eval
+    // suite extends the standing mask by OR, never re-hashing history.
+    val evalA = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val evalB = Seq((2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val mA = Curation.bloomMaskOf(evalA)
+    val mB = Curation.bloomMaskOf(evalB)
+    val merged = Curation.mergeBloomMasks(mA, mB)
+    val fresh = Curation.bloomMaskOf(evalA.union(evalB))
+    assert(merged.sameElements(fresh), "OR-merge must equal the union build bit for bit")
+    // Probe-set equality: a train corpus gated by the merged mask flags
+    // exactly what the fresh union mask flags (incl. a doc that only
+    // the B side contaminates).
+    val train = Seq(
+      (10L, "alpha beta gamma delta padding words here"),
+      (11L, "epsilon zeta eta theta other padding text"),
+      (12L, "completely unrelated clean document body")).toDF("doc_id", "text")
+    val viaMerged = Curation.bloomDeconWithMask(train, merged).collect().toSeq
+    val viaFresh = Curation.bloomDeconWithMask(train, fresh).collect().toSeq
+    assert(viaMerged == viaFresh, "probe results identical")
+    val flagged = viaMerged.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(flagged == Set(10L, 11L), s"both sides' contamination flagged: $flagged")
+    intercept[IllegalArgumentException] {
+      Curation.mergeBloomMasks(mA, new Array[Long](1))
+    }
+  }
+
   test("x121: sub-0.5 thresholds are rejected (prefix losslessness bound)") {
     import spark.implicits._
     // Below t = 0.5 the prefix filter loses pairs, so the incremental
