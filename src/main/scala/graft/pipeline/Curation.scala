@@ -560,7 +560,12 @@ object Curation {
     * crossJoin convention). Nothing touches the old pair graph. */
   def incrementalMergeReport(newDocs: DataFrame, refDocs: DataFrame,
       oldLabels: DataFrame, threshold: Double): DataFrame = {
-    val merged = incrementalClustersFromIndex(newDocs, refDocs, oldLabels, threshold)
+    // Eager-checkpoint the merged map: all seven counter branches read
+    // it, and without the truncation each branch would re-run the
+    // cluster-size window (the propagation itself is already
+    // checkpoint-backed inside propagateMinLabels).
+    val merged = Checkpoints.stable(
+      incrementalClustersFromIndex(newDocs, refDocs, oldLabels, threshold))
     val mNew = merged.join(newDocs.select(col("doc_id")), "doc_id")
     val refClusters = merged.join(refDocs.select(col("doc_id")), "doc_id")
       .select("cluster_id").distinct()
