@@ -120,9 +120,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // Registered queries with no prior expected: added AFTER the full
     // map was last written. Update when registering a query; the next
     // full bench run re-empties it.
-    val newThisRound = Set("x129_incremental_semantic_clusters",
-      "x130_audio_spectral_dedup", "x131_media_near_gate",
-      "x132_incremental_merge_report", "x133_incremental_unigram_lm")
+    val newThisRound = Set.empty[String]
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,
