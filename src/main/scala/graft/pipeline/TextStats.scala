@@ -1407,6 +1407,7 @@ object TextStats {
     QueryDef("x96_kneser_ney", knBigramLogprob, Some(x96Sql)),
     QueryDef("x32_quality_quantile", qualityQuantileFilter, Some(x32Sql)),
     QueryDef("x118_source_divergence", sourceDivergence, Some(x118Sql)),
+    QueryDef("x134_ingest_drift_gate", x134, Some(x134Sql)),
     QueryDef("x119_context_gain", contextGain, Some(x119Sql)),
     QueryDef("x123_holdout_perplexity", holdoutPerplexity, Some(x123Sql)),
     QueryDef("x128_quality_jackknife", qualityJackknife, Some(x128Sql)))
@@ -1691,4 +1692,104 @@ object TextStats {
          CAST(count(*) AS BIGINT) AS vocab_union,
          CAST(sum(term) AS BIGINT) AS jsd_nanonats
        FROM t2 GROUP BY sa, sb ORDER BY source_a, source_b"""
+
+  // ---------------------------------------------------------------- x134
+  /** Drift alarm threshold: 0.005 nats of decile-histogram JSD. A batch
+    * drawn from the corpus distribution measures ~0 (ln(1) terms); a
+    * batch whose quality profile genuinely moved (a new crawl source, a
+    * broken extractor) clears it by orders of magnitude. */
+  // `final` + literal ⇒ compile-time constant, safe to reference from
+  // x134Sql even though `defs` (declared above) forces that lazy val at
+  // object init, before later plain vals would initialize.
+  final val DriftAlarmNanonats = 5000000L
+
+  /** Per-side decile histogram of the x01 quality signal: qbp =
+    * quality·10⁴ (integer-exact — the quality column is 4dp-rounded),
+    * bin = min(qbp div 1000, 9). NULL-quality docs excluded (x128's
+    * disclosed convention). */
+  private def qualityBins(d: DataFrame): DataFrame =
+    // round BEFORE the cast: Spark's double→long cast truncates while
+    // DuckDB's rounds, and 0.1234·10⁴ can land at 1233.999… in binary.
+    d.select(qualityColumn.as("q")).filter(col("q").isNotNull)
+      .select(round(col("q") * 10000, 0).cast("long").as("qbp"))
+      .select(least(expr("qbp div 1000"), lit(9L)).as("bin"), col("qbp"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"), sum("qbp").as("sq"))
+
+  /** x134 — ingest DISTRIBUTION-drift gate: before merging a batch into
+    * the standing corpus (and into every standing artifact x121/x129/
+    * x131/x133 maintain), compare the batch's QUALITY distribution
+    * against the corpus's — Jensen–Shannon divergence over the ten
+    * quality deciles plus the mean shift — and emit the verdict a
+    * pipeline wires into its admission control. This is the
+    * distribution-level complement of x132 (which watches the CLUSTER
+    * structure move): a broken extractor or a new low-quality source
+    * shifts this histogram wholesale long before it shows up as
+    * duplication. Same nano-nat integerization as x118 (terms rounded
+    * to integers BEFORE the sum, so the statistic is
+    * aggregation-order-free and engine-exact); the mean shift is
+    * integer bp arithmetic on the exact 4dp quality.
+    *
+    * Scale: two corpus scans into 10-row histograms (partial+final
+    * aggs), then constant-size arithmetic — the cheapest possible gate;
+    * at 100 TB the REF histogram is itself a standing artifact
+    * refreshed by the same mergeable-counts algebra as x133. */
+  def ingestDriftGate(newDocs: DataFrame, refDocs: DataFrame): DataFrame = {
+    val a = qualityBins(newDocs)
+      .select(col("bin"), col("cnt").as("ca"), col("sq").as("sqa"))
+    val b = qualityBins(refDocs)
+      .select(col("bin"), col("cnt").as("cb"), col("sq").as("sqb"))
+    val joined = a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("sqa"), lit(0L)).as("sqa"),
+        coalesce(col("sqb"), lit(0L)).as("sqb"))
+    val tot = joined.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      sum("sqa").as("tsqa"), sum("sqb").as("tsqb"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("term", expr(JsdTermSql))
+      .agg(max("na").as("n_batch"), max("nb").as("n_ref"),
+        sum("term").as("jsd_nanonats"),
+        expr("max(tsqa) div max(na)").as("mean_batch_qbp"),
+        expr("max(tsqb) div max(nb)").as("mean_ref_qbp"))
+      .withColumn("mean_shift_qbp",
+        col("mean_batch_qbp") - col("mean_ref_qbp"))
+      .withColumn("alarm", col("jsd_nanonats") > DriftAlarmNanonats)
+  }
+
+  /** Registered x134: the %5 == 0 slice arrives as the batch against
+    * the rest — same-distribution draw, so the registered row is the
+    * HEALTHY baseline (alarm false, JSD ≈ 0); PipelineSpec plants the
+    * broken-extractor wave that trips the alarm. */
+  private def x134(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    ingestDriftGate(d.filter(col("doc_id") % 5 === 0),
+      d.filter(col("doc_id") % 5 =!= 0))
+  }
+
+  private lazy val x134Sql =
+    s"""WITH qa AS (SELECT CAST(round($qualitySqlExpr * 10000) AS BIGINT) AS qbp
+             FROM documents WHERE doc_id % 5 = 0 AND $qualitySqlExpr IS NOT NULL),
+       qb AS (SELECT CAST(round($qualitySqlExpr * 10000) AS BIGINT) AS qbp
+             FROM documents WHERE doc_id % 5 <> 0 AND $qualitySqlExpr IS NOT NULL),
+       ha AS (SELECT least(qbp // 1000, 9) AS bin, CAST(count(*) AS BIGINT) AS ca,
+                CAST(sum(qbp) AS BIGINT) AS sqa FROM qa GROUP BY 1),
+       hb AS (SELECT least(qbp // 1000, 9) AS bin, CAST(count(*) AS BIGINT) AS cb,
+                CAST(sum(qbp) AS BIGINT) AS sqb FROM qb GROUP BY 1),
+       j AS (SELECT coalesce(ha.bin, hb.bin) AS bin,
+               coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
+               coalesce(sqa, 0) AS sqa, coalesce(sqb, 0) AS sqb
+             FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+       t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+               CAST(sum(sqa) AS BIGINT) AS tsqa, CAST(sum(sqb) AS BIGINT) AS tsqb
+             FROM j),
+       terms AS (SELECT j.*, t.na, t.nb, t.tsqa, t.tsqb, $JsdTermSql AS term
+                 FROM j CROSS JOIN t)
+       SELECT max(na) AS n_batch, max(nb) AS n_ref,
+         CAST(sum(term) AS BIGINT) AS jsd_nanonats,
+         max(tsqa) // max(na) AS mean_batch_qbp,
+         max(tsqb) // max(nb) AS mean_ref_qbp,
+         max(tsqa) // max(na) - max(tsqb) // max(nb) AS mean_shift_qbp,
+         CAST(sum(term) AS BIGINT) > $DriftAlarmNanonats AS alarm
+       FROM terms"""
 }

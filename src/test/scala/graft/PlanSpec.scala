@@ -160,6 +160,14 @@ class PlanSpec extends SparkSpec {
       s"LSH candidate joins must stay equi-keyed on (band, bucket):\n$p")
   }
 
+  test("x134: drift gate is two histogram aggs + constant-size arithmetic") {
+    val p = plan("x134_ingest_drift_gate")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row totals and the 10-row histogram join may nest:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"both decile histograms must be partial+final:\n$p")
+  }
+
   test("x132: merge report joins stay keyed; only the seven 1-row counters nest") {
     val p = plan("x132_incremental_merge_report")
     assert(!p.contains("CartesianProduct"),

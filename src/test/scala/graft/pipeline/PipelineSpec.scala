@@ -1669,6 +1669,32 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, "incremental LM must equal the full recount")
   }
 
+  test("x134: drift gate trips on a broken-extractor wave, stays quiet on a same-distribution draw") {
+    import spark.implicits._
+    // Standing corpus: clean stopword-bearing prose. Broken wave: pure
+    // digit strings (quality ~0 — no stopwords, all digits).
+    val ref = (1L to 20L).map(i =>
+      (i, s"the quick brown fox and the lazy dog number $i are of it"))
+      .toDF("doc_id", "text")
+    val broken = (100L to 109L).map(i => (i, s"12345 67890 ${i}99 00$i"))
+      .toDF("doc_id", "text")
+    val tripped = TextStats.ingestDriftGate(broken, ref).collect()(0)
+    assert(tripped.getBoolean(6), s"broken wave must trip the alarm: $tripped")
+    assert(tripped.getLong(5) < 0,
+      s"mean shift must be negative (batch worse than corpus): $tripped")
+    assert(tripped.getLong(0) == 10L && tripped.getLong(1) == 20L)
+    // A same-distribution draw (the corpus against itself) is the
+    // healthy baseline: JSD exactly 0, alarm quiet, mean shift 0.
+    val quiet = TextStats.ingestDriftGate(ref, ref).collect()(0)
+    assert(quiet.getLong(2) == 0L && !quiet.getBoolean(6) && quiet.getLong(5) == 0L,
+      s"self-comparison must be exactly zero: $quiet")
+    // Registered baseline on the sf corpus: a parity slice of one
+    // distribution must not alarm.
+    val corpus = SparkEntry.queries("x134_ingest_drift_gate")(spark, sf).collect()(0)
+    assert(!corpus.getBoolean(6), s"same-distribution slice must stay quiet: $corpus")
+    assert(corpus.getLong(2) >= 0L, "JSD is non-negative")
+  }
+
   test("x130: spectral fingerprint hears melody the time-domain tier is blind to") {
     import graft.pipeline.Multimodal
     // Three constant-amplitude tone clips: A = melody from seedA, D =
