@@ -224,6 +224,49 @@ object StreamingJobs {
       }
       .start()
 
+  /** x121 streaming: standing cluster-index MAINTENANCE at the
+    * ingestion edge. Each micro-batch (1) merges into the AT-REST label
+    * index via the proven star∪delta operator
+    * ([[graft.pipeline.Curation.incrementalClustersFromIndex]]), (2)
+    * overwrites the index with the merged participants-only map, and
+    * (3) appends the batch to the at-rest corpus — so the index wave
+    * N+1 reads is the one wave N wrote. This is the piece the
+    * stream-static gate jobs structurally cannot do: their static side
+    * never advances, so a wave-2 arrival duplicating a WAVE-1 arrival
+    * goes unseen; here it clusters with it (StreamingSpec plants
+    * exactly that).
+    *
+    * `corpusDir`/`indexDir` must be seeded (the initial corpus and its
+    * label map — an empty (node, lbl) frame for a fresh start). The
+    * merged index is EAGERLY materialized (Checkpoints.stable) before
+    * the overwrite, so the read-overwrite hazard of rewriting the
+    * frame's own input cannot bite. Delivery is at-least-once like
+    * every foreachBatch job: a replayed batch re-appends its corpus
+    * rows — production makes the append idempotent by batchId-keyed
+    * output paths (the corpus merge itself is idempotent: re-merging
+    * already-indexed docs adds edges the closure already contains). */
+  def clusterIndexMaintenanceStream(newDocs: DataFrame, corpusDir: String,
+      indexDir: String, threshold: Double, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text"))
+        val ref = s.read.parquet(corpusDir).select(col("doc_id"), col("text"))
+        val oldLabels = s.read.parquet(indexDir)
+        val merged = graft.pipeline.Curation
+          .incrementalClustersFromIndex(b, ref, oldLabels, threshold)
+        val newIndex = graft.pipeline.Checkpoints.stable(
+          merged.filter(col("cluster_size") >= 2)
+            .select(col("doc_id").as("node"), col("cluster_id").as("lbl")))
+        newIndex.write.mode("overwrite").parquet(indexDir)
+        b.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
+
   /** x12 streaming: stream-stream interval join. Both sides carry
     * watermarks and the join condition bounds purchase time to
     * [click, click + 2h], so Spark evicts click state once the watermark

@@ -733,6 +733,60 @@ class StreamingSpec extends SparkSpec {
       "corrupt arrival carries a null phash for downstream scoring")
   }
 
+  test("streaming cluster-index maintenance: the standing index advances wave over wave") {
+    import spark.implicits._
+    import graft.pipeline.{Curation, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    val s8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    // Seed: the x121 planted shape — standing clusters {10,12} and
+    // {20,22}, singleton 30 — at rest as corpus + label index.
+    val seed = Seq(
+      (10L, s"$s8 b1 a1"), (12L, s"$s8 b1 b2"),
+      (20L, s"$s8 y1 x1"), (22L, s"$s8 y1 y2"),
+      (30L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0")).toDF("doc_id", "text")
+    val corpusDir = java.nio.file.Files.createTempDirectory("cim_corpus").toString
+    val indexDir = java.nio.file.Files.createTempDirectory("cim_index").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cim_ck").toString
+    seed.write.mode("overwrite").parquet(corpusDir)
+    Curation.propagateMinLabels(Curation.undirectedEdges(
+        Dedup.jaccardPairsPrefixOn(seed, 0.8).select(col("da"), col("db"))))._1
+      .write.mode("overwrite").parquet(indexDir)
+    val input = MemoryStream[Doc]
+    val q = StreamingJobs.clusterIndexMaintenanceStream(
+      input.toDF(), corpusDir, indexDir, 0.8, ckpt)
+    // Wave 1: 11 bridges BOTH standing clusters; 13 arrives fresh.
+    input.addData(Seq(Doc(11L, s"$s8 b1 y1", "en"),
+      Doc(13L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0", "en")))
+    q.processAllAvailable()
+    // Wave 2: 14 is an exact dup of WAVE-1's 13 — only an ADVANCING
+    // standing state can catch it (a stream-static gate's frozen ref
+    // side never would); 15 is fresh.
+    input.addData(Seq(Doc(14L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0", "en"),
+      Doc(15L, "q1 q2 q3", "en")))
+    q.processAllAvailable()
+    q.stop()
+    val idx = spark.read.parquet(indexDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(10L, 11L, 12L, 20L, 22L).foreach(id =>
+      assert(idx(id) == 10L, s"wave-1 fusion must persist for $id: $idx"))
+    assert(idx(13L) == 13L && idx(14L) == 13L,
+      s"the cross-WAVE duplicate must cluster with its wave-1 twin: $idx")
+    assert(!idx.contains(15L) && !idx.contains(30L),
+      "singletons stay out of the participants-only index")
+    val corpusAfter = spark.read.parquet(corpusDir)
+    assert(corpusAfter.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 11L, 12L, 13L, 14L, 15L, 20L, 22L, 30L), "corpus advanced")
+    // The standing index after two waves equals a full re-cluster of
+    // everything that ever arrived — the streaming form of the x121
+    // incremental ≡ full guarantee.
+    val full = Curation.propagateMinLabels(Curation.undirectedEdges(
+        Dedup.jaccardPairsPrefixOn(
+          corpusAfter.select(col("doc_id"), col("text")), 0.8)
+          .select(col("da"), col("db"))))._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx == full, s"standing index must equal the full re-cluster: $idx vs $full")
+  }
+
   test("foreachBatch near-dup media gate drops Hamming<=3 arrivals; batch equals stream") {
     import spark.implicits._
     import graft.pipeline.Multimodal
