@@ -267,6 +267,38 @@ object StreamingJobs {
       }
       .start()
 
+  /** x129 streaming: the SEMANTIC cluster index maintained at the
+    * ingestion edge — [[clusterIndexMaintenanceStream]]'s exact shape
+    * with the LSH-cosine merge
+    * ([[graft.pipeline.Similarity.incrementalSemanticClustersFromIndex]])
+    * over (vec_id, embedding) waves. Same read-overwrite discipline
+    * (eager materialization before the index rewrite), same
+    * at-least-once caveat, same wave-over-wave guarantee: the standing
+    * semantic index after N waves equals a full re-cluster of every
+    * vector that ever arrived (StreamingSpec gates it with a planted
+    * cross-wave duplicate). */
+  def semanticIndexMaintenanceStream(newVecs: DataFrame, corpusDir: String,
+      indexDir: String, threshold: Double, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select(col("vec_id"), col("embedding"))
+        val ref = s.read.parquet(corpusDir).select(col("vec_id"), col("embedding"))
+        val oldLabels = s.read.parquet(indexDir)
+        val merged = graft.pipeline.Similarity
+          .incrementalSemanticClustersFromIndex(b, ref, oldLabels, threshold)
+        val newIndex = graft.pipeline.Checkpoints.stable(
+          merged.filter(col("cluster_size") >= 2)
+            .select(col("vec_id").as("node"), col("cluster_id").as("lbl")))
+        newIndex.write.mode("overwrite").parquet(indexDir)
+        b.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
+
   /** x12 streaming: stream-stream interval join. Both sides carry
     * watermarks and the join condition bounds purchase time to
     * [click, click + 2h], so Spark evicts click state once the watermark

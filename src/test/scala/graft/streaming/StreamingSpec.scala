@@ -787,6 +787,52 @@ class StreamingSpec extends SparkSpec {
     assert(idx == full, s"standing index must equal the full re-cluster: $idx vs $full")
   }
 
+  test("streaming semantic-index maintenance: cross-wave embedding duplicates cluster") {
+    import spark.implicits._
+    import graft.pipeline.{Curation, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val t = Similarity.SemanticDedupThreshold
+    // Orthogonal directions: parallel (scaled) vectors are guaranteed
+    // LSH collisions at cosine 1; cross-direction cosines are 0.
+    def vec(i: Int, k: Float) = { val a = Array(0f, 0f, 0f); a(i) = k; a }
+    val seed = Seq(Vec(10L, vec(0, 1f)), Vec(12L, vec(0, 1.1f)),
+      Vec(30L, vec(0, -1f))).toDF()  // -u: opposite signs, cosine -1
+    val corpusDir = java.nio.file.Files.createTempDirectory("sim_corpus").toString
+    val indexDir = java.nio.file.Files.createTempDirectory("sim_index").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sim_ck").toString
+    seed.write.mode("overwrite").parquet(corpusDir)
+    Curation.propagateMinLabels(Curation.undirectedEdges(
+        Similarity.embeddingNearDupsLshOn(seed, t)
+          .select(col("va").as("da"), col("vb").as("db"))))._1
+      .write.mode("overwrite").parquet(indexDir)
+    val input = MemoryStream[Vec]
+    val q = StreamingJobs.semanticIndexMaintenanceStream(
+      input.toDF(), corpusDir, indexDir, t, ckpt)
+    // Wave 1: 11 joins the standing {10, 12} cluster; 13 arrives fresh.
+    input.addData(Seq(Vec(11L, vec(0, 2f)), Vec(13L, vec(1, 1f))))
+    q.processAllAvailable()
+    // Wave 2: 14 duplicates WAVE-1's 13 (cosine 1); 15 is fresh.
+    input.addData(Seq(Vec(14L, vec(1, 1.5f)), Vec(15L, vec(2, 1f))))
+    q.processAllAvailable()
+    q.stop()
+    val idx = spark.read.parquet(indexDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(10L, 11L, 12L).foreach(id =>
+      assert(idx(id) == 10L, s"wave-1 join must persist for $id: $idx"))
+    assert(idx(13L) == 13L && idx(14L) == 13L,
+      s"the cross-WAVE embedding duplicate must cluster with its twin: $idx")
+    assert(!idx.contains(15L) && !idx.contains(30L),
+      "fresh and anti-parallel vectors stay out of the participants-only index")
+    // Wave-over-wave ≡ full re-cluster of every vector that arrived.
+    val corpusAfter = spark.read.parquet(corpusDir)
+    val full = Curation.propagateMinLabels(Curation.undirectedEdges(
+        Similarity.embeddingNearDupsLshOn(
+          corpusAfter.select(col("vec_id"), col("embedding")), t)
+          .select(col("va").as("da"), col("vb").as("db"))))._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx == full, s"standing semantic index must equal the full re-cluster: $idx vs $full")
+  }
+
   test("foreachBatch near-dup media gate drops Hamming<=3 arrivals; batch equals stream") {
     import spark.implicits._
     import graft.pipeline.Multimodal
