@@ -129,4 +129,46 @@ class RecoverySpec extends SparkSpec {
       ("2024-01-01 01:00:00", 1L, 8.0)),  // event 4 only
       s"state must survive the restart exactly once, got $rows")
   }
+
+  test("cluster-index maintenance restarts from checkpoint: no replay, index still equals full") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Curation, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    // The maintenance stream mutates AT-REST state (corpus + index), so
+    // a restart has two failure modes worth pinning: replaying the
+    // committed wave would double-append its corpus rows, and losing
+    // state would break the incremental ≡ full guarantee. Stop after
+    // wave 1, restart on the same checkpoint, feed wave 2.
+    val seed = Seq((10L, "a1 a2 a3 a4 a5"), (30L, "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "text")
+    val corpusDir = Files.createTempDirectory("rec_corpus").toString
+    val indexDir = Files.createTempDirectory("rec_index").toString
+    val ckpt = Files.createTempDirectory("rec_ck").toString
+    seed.write.mode("overwrite").parquet(corpusDir)
+    Curation.propagateMinLabels(Curation.undirectedEdges(
+        Dedup.jaccardPairsPrefixOn(seed, 0.8).select(col("da"), col("db"))))._1
+      .write.mode("overwrite").parquet(indexDir)
+    val input = MemoryStream[Doc]
+    def start() = StreamingJobs.clusterIndexMaintenanceStream(
+      input.toDF(), corpusDir, indexDir, 0.8, ckpt)
+    val q1 = start()
+    input.addData(Seq(Doc(11L, "a1 a2 a3 a4 a5", "en")))  // dup of seed 10
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    input.addData(Seq(Doc(12L, "a1 a2 a3 a4 a5", "en")))  // dup of 10 AND 11
+    q2.processAllAvailable()
+    q2.stop()
+    // No replay: wave 1's doc appears exactly once in the corpus.
+    val corpusIds = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(corpusIds.sorted == Seq(10L, 11L, 12L, 30L),
+      s"restart must not re-append the committed wave: $corpusIds")
+    // Index correct across the restart: {10, 11, 12} one cluster.
+    val idx = spark.read.parquet(indexDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx == Map(10L -> 10L, 11L -> 10L, 12L -> 10L),
+      s"standing index must survive the restart and keep merging: $idx")
+  }
 }
