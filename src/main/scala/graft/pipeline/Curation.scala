@@ -559,15 +559,24 @@ object Curation {
     * seven 1-row aggregates broadcast-composed (the registered 1-row
     * crossJoin convention). Nothing touches the old pair graph. */
   def incrementalMergeReport(newDocs: DataFrame, refDocs: DataFrame,
-      oldLabels: DataFrame, threshold: Double): DataFrame = {
+      oldLabels: DataFrame, threshold: Double): DataFrame =
+    mergeReportFrom(
+      incrementalClustersFromIndex(newDocs, refDocs, oldLabels, threshold),
+      newDocs.select(col("doc_id")), refDocs.select(col("doc_id")), oldLabels)
+
+  /** The seven merge-wave counters over an already-computed merged map
+    * (doc_id, cluster_id, cluster_size) — shared by the lexical (x132)
+    * and semantic (x135) reports so the counter semantics cannot drift
+    * between the two index families. */
+  private[pipeline] def mergeReportFrom(mergedIn: DataFrame,
+      newIds: DataFrame, refIds: DataFrame, oldLabels: DataFrame): DataFrame = {
     // Eager-checkpoint the merged map: all seven counter branches read
     // it, and without the truncation each branch would re-run the
     // cluster-size window (the propagation itself is already
     // checkpoint-backed inside propagateMinLabels).
-    val merged = Checkpoints.stable(
-      incrementalClustersFromIndex(newDocs, refDocs, oldLabels, threshold))
-    val mNew = merged.join(newDocs.select(col("doc_id")), "doc_id")
-    val refClusters = merged.join(refDocs.select(col("doc_id")), "doc_id")
+    val merged = Checkpoints.stable(mergedIn)
+    val mNew = merged.join(newIds, "doc_id")
+    val refClusters = merged.join(refIds, "doc_id")
       .select("cluster_id").distinct()
     val joinedOld = mNew.join(refClusters, Seq("cluster_id"), "left_semi")
     val batchNewClusters = mNew.filter(col("cluster_size") >= 2)
@@ -577,8 +586,8 @@ object Curation {
     val mergedContainingOld = old
       .join(merged.select("doc_id", "cluster_id"), "doc_id")
       .select("cluster_id").distinct()
-    newDocs.agg(count(lit(1)).as("n_batch"))
-      .crossJoin(broadcast(refDocs.agg(count(lit(1)).as("n_ref"))))
+    newIds.agg(count(lit(1)).as("n_batch"))
+      .crossJoin(broadcast(refIds.agg(count(lit(1)).as("n_ref"))))
       .crossJoin(broadcast(joinedOld.agg(count(lit(1)).as("batch_joined_old"))))
       .crossJoin(broadcast(batchNewClusters.agg(count(lit(1)).as("batch_new_clusters"))))
       .crossJoin(broadcast(mNew.filter(col("cluster_size") === 1)

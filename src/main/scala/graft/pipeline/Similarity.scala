@@ -1253,6 +1253,63 @@ object Similarity {
               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        FROM lab ORDER BY vec_id"""
 
+  // ---------------------------------------------------------------- x135
+  /** x135 — the merge DRIFT REPORT for the SEMANTIC index: x132's seven
+    * counters ([[Curation.mergeReportFrom]] — shared code, so the
+    * counter semantics cannot drift between the index families) over
+    * the x129 wave. Embedding-side fusion is the alarm that matters
+    * most in practice: a paraphrase arriving between two standing
+    * semantic clusters means the threshold was fragmenting one topic's
+    * near-dups. The oracle derives the standing structure from the
+    * FULL pair chain restricted to even ids — sound because admission
+    * is pairwise, so pairs(even slice) ≡ pairs(all) ∩ even×even — and
+    * the merged structure from a full re-cluster. */
+  def incrementalSemanticMergeReport(newEmb: DataFrame, refEmb: DataFrame,
+      oldLabels: DataFrame, threshold: Double): DataFrame =
+    Curation.mergeReportFrom(
+      incrementalSemanticClustersFromIndex(newEmb, refEmb, oldLabels, threshold)
+        .withColumnRenamed("vec_id", "doc_id"),
+      newEmb.select(col("vec_id").as("doc_id")),
+      refEmb.select(col("vec_id").as("doc_id")), oldLabels)
+
+  private def x135(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").select("vec_id", "embedding")
+    incrementalSemanticMergeReport(
+      e.filter(col("vec_id") % 2 === 1),
+      e.filter(col("vec_id") % 2 === 0),
+      x129OldIndex(s, dir), SemanticDedupThreshold)
+  }
+
+  private lazy val x135Sql =
+    s"""WITH RECURSIVE ${ccCtesSql(SemanticDedupThreshold)},
+       opairs AS (SELECT va, vb FROM pairs WHERE va % 2 = 0 AND vb % 2 = 0),
+       oedges AS (SELECT va AS src, vb AS dst FROM opairs
+                  UNION ALL SELECT vb, va FROM opairs),
+       oreach AS (SELECT DISTINCT src AS node, src AS lbl FROM oedges
+                  UNION
+                  SELECT e.dst, r.lbl FROM oreach r JOIN oedges e ON r.node = e.src),
+       occ AS (SELECT node, min(lbl) AS cid FROM oreach GROUP BY node),
+       lab AS (SELECT e.vec_id, coalesce(cc.cid, e.vec_id) AS cluster_id
+               FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node),
+       sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id),
+       labn AS (SELECT lab.vec_id, lab.cluster_id, sz.n
+                FROM lab JOIN sz USING (cluster_id)),
+       bat AS (SELECT * FROM labn WHERE vec_id % 2 = 1),
+       refc AS (SELECT DISTINCT cluster_id FROM labn WHERE vec_id % 2 = 0)
+       SELECT
+         (SELECT count(*) FROM bat) AS n_batch,
+         (SELECT count(*) FROM labn WHERE vec_id % 2 = 0) AS n_ref,
+         (SELECT count(*) FROM bat
+          WHERE cluster_id IN (SELECT cluster_id FROM refc)) AS batch_joined_old,
+         (SELECT count(DISTINCT cluster_id) FROM bat
+          WHERE n >= 2 AND cluster_id NOT IN (SELECT cluster_id FROM refc))
+           AS batch_new_clusters,
+         (SELECT count(*) FROM bat WHERE n = 1) AS batch_singletons,
+         (SELECT count(DISTINCT cid) FROM occ) AS old_clusters,
+         (SELECT count(DISTINCT cid) FROM occ)
+           - (SELECT count(DISTINCT l.cluster_id)
+              FROM occ o JOIN lab l ON o.node = l.vec_id) AS old_fusions"""
+
   // ----------------------------------------------------------------
   // ---------------------------------------------------------------- x52
   /** Scalar-quantization width: int8 symmetric, the FAISS `SQ8` scheme. */
@@ -1540,6 +1597,7 @@ object Similarity {
     QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)),
     QueryDef("x122_semantic_safe_split", semanticSafeSplit, Some(x122Sql)),
     QueryDef("x129_incremental_semantic_clusters", x129, Some(x129Sql)),
+    QueryDef("x135_semantic_merge_report", x135, Some(x135Sql)),
     QueryDef("x35_semantic_decon", x35, Some(x35Sql)),
     QueryDef("x36_incremental_semantic_dedup", x36, Some(x36Sql)),
     QueryDef("x36b_incremental_semantic_bucketed", x36b, Some(x36bSql)),

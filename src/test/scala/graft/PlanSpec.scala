@@ -168,6 +168,12 @@ class PlanSpec extends SparkSpec {
       s"both decile histograms must be partial+final:\n$p")
   }
 
+  test("x135: semantic merge report joins stay keyed; only the 1-row counters nest") {
+    val p = plan("x135_semantic_merge_report")
+    assert(!p.contains("CartesianProduct"),
+      s"cluster-keyed semi/anti joins must stay equi-keyed; 1-row broadcasts only:\n$p")
+  }
+
   test("x132: merge report joins stay keyed; only the seven 1-row counters nest") {
     val p = plan("x132_incremental_merge_report")
     assert(!p.contains("CartesianProduct"),
