@@ -1695,6 +1695,50 @@ class PipelineSpec extends SparkSpec {
     assert(corpus.getLong(2) >= 0L, "JSD is non-negative")
   }
 
+  test("x131: the reference-side bucket cap is a DISCLOSED recall trade, pinned") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    // A degenerate reference crowd: > PhashBucketCap items with the
+    // IDENTICAL hash. The cap skips those buckets, so an arriving
+    // duplicate of the crowd is ADMITTED — the disclosed trade (a flat-
+    // image flood must not quadratically inflate every wave). This pin
+    // prevents the trade from silently becoming a different semantic.
+    val crowdHash = 0x0123456789abcdefL
+    val crowd = (1L to (Multimodal.PhashBucketCap + 1).toLong)
+      .map(i => (i, java.lang.Long.valueOf(crowdHash)))
+    val refHashes = (crowd :+ ((1000L, java.lang.Long.valueOf(0x7777000011112222L))))
+      .toDF("media_id", "phash")
+    val arrivals = Seq(
+      (5000L, java.lang.Long.valueOf(crowdHash)),            // dup of the capped crowd
+      (5001L, java.lang.Long.valueOf(0x7777000011112222L)),  // dup of the normal ref
+      (5002L, java.lang.Long.valueOf(0x5555aaaa5555aaaaL)))  // fresh
+      .toDF("media_id", "phash")
+    val admitted = Multimodal.phashNearNewHashes(arrivals, refHashes)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(5000L, 5002L),
+      s"capped-crowd dup flows (disclosed), normal dup gates, fresh flows: $admitted")
+    // Below the cap the same crowd DOES gate the arrival.
+    val smallCrowd = (1L to (Multimodal.PhashBucketCap - 1).toLong)
+      .map(i => (i, java.lang.Long.valueOf(crowdHash))).toDF("media_id", "phash")
+    val admitted2 = Multimodal.phashNearNewHashes(arrivals, smallCrowd)
+      .collect().map(_.getLong(0)).toSet
+    assert(!admitted2.contains(5000L),
+      s"under the cap the crowd dup must gate: $admitted2")
+  }
+
+  test("x133: fresh-start merge (empty standing table) equals the batch counts") {
+    import spark.implicits._
+    val batch = Seq((1L, "a b b")).toDF("doc_id", "text")
+    val empty = spark.emptyDataFrame
+      .withColumn("tok", lit("").cast("string"))
+      .withColumn("cf", lit(0L)).limit(0)
+      .select("tok", "cf")
+    val merged = TextStats.incrementalUnigramLm(batch, empty).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == Map("a" -> 1L, "b" -> 2L),
+      s"day-zero ingestion must bootstrap the table from nothing: $merged")
+  }
+
   test("x130: spectral fingerprint hears melody the time-domain tier is blind to") {
     import graft.pipeline.Multimodal
     // Three constant-amplitude tone clips: A = melody from seedA, D =
