@@ -159,7 +159,14 @@ object Bench {
         (tails.lastOption.toSeq ++ Seq("bench_result.json", fullMapFile))
           .map(java.nio.file.Paths.get(_))
           .filter(java.nio.file.Files.exists(_))
-          .sortBy(java.nio.file.Files.getLastModifiedTime(_))
+          // Mtime quantized to 5 s buckets: git does not preserve
+          // mtimes, so after a fresh clone all three files carry
+          // near-identical checkout timestamps in arbitrary sub-second
+          // order — within a bucket the stable sort keeps the explicit
+          // weakest-first base order (clipped tail < prior full map <
+          // sf-scoped full map), so the merge winner is deterministic
+          // across clones (r14 advice).
+          .sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis / 5000)
           .foldLeft(Map.empty[String, Double]) { (acc, p) =>
             acc ++ parsePriorTimes(java.nio.file.Files.readString(p), sfDir)
           }

@@ -39,7 +39,12 @@ object IndexArtifacts {
       { Similarity.semanticLabelsAt(s, d, Similarity.SemanticDedupThreshold); () }),
     "idx_x11_pairs" -> ((s: SparkSession, d: String) => { Dedup.x11PairFrame(s, d); () }),
     "idx_x121_old_index" -> ((s: SparkSession, d: String) => { Curation.x121OldIndex(s, d); () }),
+    "idx_x121_merged" -> ((s: SparkSession, d: String) => { Curation.x121MergedMap(s, d); () }),
     "idx_x129_old_index" -> ((s: SparkSession, d: String) => { Similarity.x129OldIndex(s, d); () }),
+    "idx_x129_merged" -> ((s: SparkSession, d: String) => { Similarity.x129MergedMap(s, d); () }),
+    "idx_x46b_old_ded" -> ((s: SparkSession, d: String) => { Curation.x46bOldDed(s, d); () }),
+    "idx_x46b_lex_index" -> ((s: SparkSession, d: String) => { Curation.x46bLexIndex(s, d); () }),
+    "idx_x46b_sem_edges" -> ((s: SparkSession, d: String) => { Curation.x46bSemEdges(s, d); () }),
     "idx_unigram_lm" -> ((s: SparkSession, d: String) => { TextStats.unigramLmFrame(s, d); () }),
     "idx_x133_old_lm" -> ((s: SparkSession, d: String) => { TextStats.x133OldLm(s, d); () }),
     "idx_bigram_lm" -> ((s: SparkSession, d: String) => { TextStats.bigramLmFrame(s, d); () }),

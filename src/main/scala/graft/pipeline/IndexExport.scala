@@ -41,7 +41,14 @@ object IndexExport {
     // old label map from the snapshot store instead of an in-JVM memo.
     "x121_old_index" -> Curation.x121OldIndex(s, dir),
     "x129_old_index" -> Similarity.x129OldIndex(s, dir),
-    "x133_old_lm" -> TextStats.x133OldLm(s, dir))
+    "x133_old_lm" -> TextStats.x133OldLm(s, dir),
+    // The Bloom decon mask (x17/x67's standing eval-suite artifact, as
+    // the (word_idx, bits) frame): the one driver-side fit with a
+    // PROVEN incremental maintenance law (OR-merge), so it earns an
+    // at-rest form + a streaming maintenance path like the cluster/LM
+    // indexes — [[graft.streaming.StreamingJobs
+    // .bloomMaskMaintenanceStream]] folds each eval wave in.
+    "bloom_mask" -> Curation.bloomMaskFrame(s, dir))
 
   /** Write every artifact; returns name → row count (also persisted as
     * `manifest.json` so a reader can sanity-check a snapshot without

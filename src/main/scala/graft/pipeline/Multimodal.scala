@@ -484,11 +484,16 @@ object Multimodal {
     * (x115) and audio (x116) dedup tiers so the LSH discipline cannot
     * drift between modalities. Output: (ma, mb, hamming ≤
     * [[PhashMaxHamming]]), ma < mb, totally ordered. */
-  private[pipeline] def hashBandPairs(hashes: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[pipeline] def hashBandPairs(hashes: DataFrame): DataFrame =
     // Checkpoint the hash frame: the decode pass is the dominant cost
     // and feeds both sides of the band self-join.
-    val ph = Checkpoints.stable(hashes.filter(col("phash").isNotNull))
+    hashBandPairsOf(Checkpoints.stable(hashes.filter(col("phash").isNotNull)))
+
+  /** [[hashBandPairs]] over an ALREADY-materialized non-null hash frame
+    * — the call shape for consumers that also need the frame itself
+    * (the cluster queries), so the decode pass is paid once. */
+  private[pipeline] def hashBandPairsOf(ph: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val banded = bandedHashes(ph)
     val capped = banded
       .withColumn("cnt",
@@ -601,16 +606,19 @@ object Multimodal {
     * foreachBatch — the recipe the [[phashExactNewMedia]] scaladoc
     * names for the Hamming > 0 tier (the band join + distinct is not a
     * streamable plan, so it runs per wave as a batch job on the
-    * micro-batch). Admitted hash rows append to `outDir` as parquet;
-    * exactly-once per micro-batch rides on the checkpoint + the
-    * idempotent-by-batch-id file sink convention. */
+    * micro-batch). Admitted hash rows land under a BATCH-ID-KEYED
+    * subpath (`outDir/batch=<id>`, overwrite mode), which is what makes
+    * the sink idempotent: a post-failure micro-batch replay rewrites
+    * its own subdirectory instead of double-appending — exactly-once
+    * for the at-rest output, not just at-least-once (readers see the
+    * partition-style `batch` column and may drop it). */
   def phashNearGateStream(newMedia: DataFrame, refMedia: DataFrame,
       outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newMedia.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         phashNearNewMedia(batch, refMedia)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -933,6 +941,184 @@ object Multimodal {
       (col("n_chars") % 64).cast("int").as("meta_width"),
       (col("n_chars") % 48).cast("int").as("meta_height"))
 
+  // ------------------------------------------------------- x115b/x130b
+  /** Cluster label map over a perceptual-hash frame: the x33-shape
+    * resolution (connected components of the Hamming-≤3 near-dup graph,
+    * min-label, with cluster sizes) over [[hashBandPairsOf]] candidates
+    * — the dedup-graph half of the media tiers, now ORACLE-CERTIFIED
+    * (r14 ask #3): both fixture hash functions are pure integer/IEEE
+    * functions of the document text (pixels cycle the text bytes;
+    * samples are seed-selected square waves; the DFT trig table is 32
+    * pinned integers), so DuckDB can recompute the hash table FROM TEXT
+    * and mirror banding, bucket cap, Hamming verify, and the recursive
+    * CC — hash-matching the whole chain end-to-end, including the
+    * [[PhashBucketCap]] drops (the x11 df-cap discipline: the 1-px-wide
+    * flat-hash crowd is capped identically on both sides).
+    *
+    * Scale: the decode/hash pass is paid once (checkpointed frame feeds
+    * the band join AND the output universe); everything after is
+    * (long, long) traffic — band join bounded by the cap, one
+    * propagation loop over near-dup edges, one cluster-size window. */
+  private[pipeline] def hashClusterMap(hashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ph = Checkpoints.stable(hashes.filter(col("phash").isNotNull))
+    val pairs = hashBandPairsOf(ph)
+      .select(col("ma").as("da"), col("mb").as("db"))
+    val (labels, _) = Curation.propagateMinLabels(Curation.undirectedEdges(pairs))
+    ph.select(col("media_id"))
+      .join(labels.select(col("node").as("media_id"), col("lbl").as("cid")),
+        Seq("media_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("media_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select("media_id", "cluster_id", "cluster_size")
+      .orderBy("media_id")
+  }
+
+  /** Registered x115b: the image-phash dedup graph RESOLVED to clusters,
+    * with the pinned-fixture oracle (the x10b discipline — x115's pair
+    * tier stays rows-only, this certifies the same hashes, banding, cap
+    * and graph logic against DuckDB). */
+  def imagePhashClustersQuery(s: SparkSession, dir: String): DataFrame =
+    hashClusterMap(imagePhashes(
+      imagesFromDocuments(graft.Tables.t(s, dir, "documents"))))
+
+  /** Registered x130b: the spectral audio dedup graph resolved to
+    * clusters — certifies the integer-DFT fingerprint (trig table
+    * embedded in the oracle as 32 pinned constants), banding, cap and
+    * graph logic end-to-end. */
+  def audioSpectralClustersQuery(s: SparkSession, dir: String): DataFrame =
+    hashClusterMap(audioSpectralFingerprints(
+      audioToneFromDocuments(graft.Tables.t(s, dir, "documents"))))
+
+  /** The oracle's dHash-from-text CTEs, ending in
+    * `mhash(media_id, phash)`: [[pngFixture]] pixels are the text bytes
+    * cycled row-major over a (n%16+1)×(n%12+1) grid and PNG is
+    * lossless, so the decoded block means ARE byte-list sums — the
+    * whole [[dhash64]] integer chain re-expressed over
+    * `unicode(text[i])` (the corpus is ASCII; gated below vs the real
+    * ImageIO decode at every sf). The uniform 3× RGB factor cancels in
+    * the cross-multiplied compare and is dropped on both sides. */
+  private val dhashCtes =
+    """ibase AS (
+         SELECT doc_id, length(text) AS L, length(text) % 16 + 1 AS w,
+                length(text) % 12 + 1 AS h,
+                list_transform(generate_series(1, length(text)),
+                               i -> unicode(text[i])) AS bs
+         FROM documents),
+       icell AS (
+         SELECT doc_id, gy, gx,
+           list_sum(flatten(list_transform(
+             generate_series((gy*h)//8,
+                             greatest((gy*h)//8 + 1, ((gy+1)*h)//8) - 1),
+             y -> list_transform(
+               generate_series((gx*w)//9,
+                               greatest((gx*w)//9 + 1, ((gx+1)*w)//9) - 1),
+               x -> bs[((y*w + x) % L) + 1])))) AS s,
+           (greatest((gx*w)//9 + 1, ((gx+1)*w)//9) - (gx*w)//9) *
+           (greatest((gy*h)//8 + 1, ((gy+1)*h)//8) - (gy*h)//8) AS area
+         FROM ibase, generate_series(0, 7) t1(gy), generate_series(0, 8) t2(gx)),
+       mhash AS (
+         SELECT b.doc_id AS media_id,
+                coalesce(CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                     THEN hu - 18446744073709551616::HUGEINT
+                     ELSE hu END AS BIGINT), 0) AS phash
+         FROM ibase b LEFT JOIN (
+           SELECT a.doc_id, sum(1::HUGEINT << (a.gy*8 + a.gx))::HUGEINT AS hu
+           FROM icell a JOIN icell c
+             ON a.doc_id = c.doc_id AND a.gy = c.gy AND c.gx = a.gx + 1
+           WHERE a.gx < 8 AND a.s * c.area > c.s * a.area
+           GROUP BY a.doc_id) q ON b.doc_id = q.doc_id)"""
+
+  /** The oracle's spectral-fingerprint CTEs, ending in
+    * `mhash(media_id, phash)`: [[toneWavFixture]] samples are
+    * seed-selected ±4096 square waves (WAV PCM round-trips losslessly),
+    * [[audioSpectralFp64]]'s correlations are integer sums against the
+    * 32-entry pinned trig table, and the energy compare is IEEE-double
+    * exact on both engines. */
+  private val spectralCtes =
+    """trig AS (
+         SELECT [32767,32137,30273,27245,23170,18204,12539,6393,0,-6393,
+                 -12539,-18204,-23170,-27245,-30273,-32137,-32767,-32137,
+                 -30273,-27245,-23170,-18204,-12539,-6393,0,6393,12539,
+                 18204,23170,27245,30273,32137]::BIGINT[] AS cs,
+                [0,6393,12539,18204,23170,27245,30273,32137,32767,32137,
+                 30273,27245,23170,18204,12539,6393,0,-6393,-12539,-18204,
+                 -23170,-27245,-30273,-32137,-32767,-32137,-30273,-27245,
+                 -23170,-18204,-12539,-6393]::BIGINT[] AS sn),
+       abase AS (
+         SELECT doc_id, length(text) AS L,
+                list_transform(generate_series(1, length(text)),
+                               i -> unicode(text[i])) AS bs
+         FROM documents),
+       awin AS (
+         SELECT w, unnest(generate_series((w*1600)//17,
+           greatest((w*1600)//17 + 1, ((w+1)*1600)//17) - 1)) AS j
+         FROM generate_series(0, 16) t(w)),
+       asamp AS (
+         SELECT doc_id, w, j,
+           CASE WHEN (j // half) % 2 = 0 THEN 4096 ELSE -4096 END AS v
+         FROM (
+           SELECT doc_id, w, j,
+             CASE bs[((j // 64) % L) + 1] % 3
+               WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 4 END AS half
+           FROM abase, awin)),
+       acorr AS (
+         SELECT doc_id, w, b,
+           sum(v * cs[((j*(b+1)) % 32) + 1]) AS re,
+           sum(v * sn[((j*(b+1)) % 32) + 1]) AS im
+         FROM asamp, generate_series(0, 3) tb(b), trig
+         GROUP BY doc_id, w, b),
+       aen AS (
+         SELECT doc_id, w, b,
+           CAST(re AS DOUBLE) * CAST(re AS DOUBLE) +
+           CAST(im AS DOUBLE) * CAST(im AS DOUBLE) AS e
+         FROM acorr),
+       mhash AS (
+         SELECT b0.doc_id AS media_id,
+                coalesce(CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                     THEN hu - 18446744073709551616::HUGEINT
+                     ELSE hu END AS BIGINT), 0) AS phash
+         FROM (SELECT doc_id FROM abase) b0 LEFT JOIN (
+           SELECT a.doc_id, sum(1::HUGEINT << (a.w*4 + a.b))::HUGEINT AS hu
+           FROM aen a JOIN aen c
+             ON a.doc_id = c.doc_id AND a.b = c.b AND c.w = a.w + 1
+           WHERE a.w < 16 AND a.e > c.e
+           GROUP BY a.doc_id) q ON b0.doc_id = q.doc_id)"""
+
+  /** Band → cap → Hamming-verify → recursive-CC resolution over
+    * `mhash`, mirroring [[hashBandPairsOf]] exactly: 4×16-bit bands
+    * ((h >> 16b) & 0xFFFF is sign-fill-agnostic, so BIGINT arithmetic
+    * shift matches Spark's shiftrightunsigned), the 128 bucket cap, the
+    * Hamming ≤ 3 verify via bit_count(xor), then x33's recursive CTE. */
+  private val mediaClusterSql =
+    """mband AS (
+         SELECT media_id, phash, band, (phash >> (band*16)) & 65535 AS bucket
+         FROM mhash, generate_series(0, 3) t(band)),
+       mcap AS (
+         SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS cnt
+                        FROM mband)
+         WHERE cnt <= 128),
+       mpairs AS (
+         SELECT DISTINCT a.media_id AS da, b.media_id AS db
+         FROM mcap a JOIN mcap b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.media_id < b.media_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       medges AS (SELECT da AS src, db AS dst FROM mpairs
+                  UNION ALL SELECT db, da FROM mpairs),
+       mreach AS (SELECT DISTINCT src AS node, src AS lbl FROM medges
+                  UNION
+                  SELECT e.dst, r.lbl FROM mreach r JOIN medges e ON r.node = e.src),
+       mcc AS (SELECT node, min(lbl) AS cid FROM mreach GROUP BY node),
+       mlab AS (SELECT h.media_id, coalesce(mcc.cid, h.media_id) AS cluster_id
+                FROM mhash h LEFT JOIN mcc ON h.media_id = mcc.node)
+       SELECT media_id, cluster_id,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       FROM mlab ORDER BY media_id"""
+
+  private val x115bSql = s"WITH RECURSIVE $dhashCtes, $mediaClusterSql"
+  private val x130bSql = s"WITH RECURSIVE $spectralCtes, $mediaClusterSql"
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x08_multimodal_meta", TextStats.multimodalMeta,
@@ -940,7 +1126,9 @@ object Multimodal {
     QueryDef("x08b_image_decode", imageDecodeQuery, None),
     QueryDef("x08c_audio_decode", audioDecodeQuery, None),
     QueryDef("x115_image_phash_dedup", imagePhashDedupQuery, None),
+    QueryDef("x115b_image_phash_clusters", imagePhashClustersQuery, Some(x115bSql)),
     QueryDef("x116_audio_fingerprint_dedup", audioFpDedupQuery, None),
     QueryDef("x130_audio_spectral_dedup", audioSpectralDedupQuery, None),
+    QueryDef("x130b_audio_spectral_clusters", audioSpectralClustersQuery, Some(x130bSql)),
     QueryDef("x131_media_near_gate", mediaNearGateQuery, None))
 }

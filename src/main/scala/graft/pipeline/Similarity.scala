@@ -1197,6 +1197,15 @@ object Similarity {
     * runs over ~|old clusters| + |delta| edges, not the old pair graph
     * — O(N·ΔN) candidate work for the append, never O(N²). */
   def incrementalSemanticClustersFromIndex(newEmb: DataFrame,
+      refEmb: DataFrame, oldLabels: DataFrame, threshold: Double): DataFrame =
+    mergedSemanticClusterMap(newEmb, refEmb, oldLabels, threshold)
+      .orderBy("vec_id")
+
+  /** The semantic merge wave's label map WITHOUT the oracle-contract
+    * total order — the frame checkpointed once per wave and shared
+    * between the index commit (x129) and the drift report (x135), so
+    * delta-pair generation + propagation is charged once per wave. */
+  private[pipeline] def mergedSemanticClusterMap(newEmb: DataFrame,
       refEmb: DataFrame, oldLabels: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val newNew = embeddingNearDupsLshOn(newEmb, threshold)
@@ -1214,7 +1223,6 @@ object Similarity {
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .select("vec_id", "cluster_id", "cluster_size")
-      .orderBy("vec_id")
   }
 
   /** The registered x129's STANDING index — the even-vec_id half's
@@ -1237,13 +1245,22 @@ object Similarity {
     * default threshold. The oracle is a FULL RE-CLUSTER of the whole
     * embeddings table through the same x09 CTE chain — the hash match
     * certifies incremental ≡ full recompute end-to-end. */
-  private def x129(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings").select("vec_id", "embedding")
-    incrementalSemanticClustersFromIndex(
-      e.filter(col("vec_id") % 2 === 1),
-      e.filter(col("vec_id") % 2 === 0),
-      x129OldIndex(s, dir), SemanticDedupThreshold)
-  }
+  /** The registered wave's MERGED semantic map (odd vec_ids against the
+    * even half's standing index), checkpointed and memoized per corpus
+    * snapshot — built once (timed as `idx_x129_merged`) and READ by
+    * both the index commit (x129) and the drift report (x135). */
+  private[pipeline] def x129MergedMap(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ivf.memoModel(Tables.t(s, dir, "embeddings"),
+        s"x129merged|${s.sparkContext.applicationId}") {
+      val e = Tables.t(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.pipeline.Checkpoints.stable(mergedSemanticClusterMap(
+        e.filter(col("vec_id") % 2 === 1),
+        e.filter(col("vec_id") % 2 === 0),
+        x129OldIndex(s, dir), SemanticDedupThreshold))
+    }
+
+  private def x129(s: SparkSession, dir: String): DataFrame =
+    x129MergedMap(s, dir).orderBy("vec_id")
 
   private lazy val x129Sql =
     s"""WITH RECURSIVE ${ccCtesSql(SemanticDedupThreshold)},
@@ -1267,17 +1284,19 @@ object Similarity {
   def incrementalSemanticMergeReport(newEmb: DataFrame, refEmb: DataFrame,
       oldLabels: DataFrame, threshold: Double): DataFrame =
     Curation.mergeReportFrom(
-      incrementalSemanticClustersFromIndex(newEmb, refEmb, oldLabels, threshold)
+      graft.pipeline.Checkpoints.stable(
+        mergedSemanticClusterMap(newEmb, refEmb, oldLabels, threshold))
         .withColumnRenamed("vec_id", "doc_id"),
       newEmb.select(col("vec_id").as("doc_id")),
       refEmb.select(col("vec_id").as("doc_id")), oldLabels)
 
   private def x135(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings").select("vec_id", "embedding")
-    incrementalSemanticMergeReport(
-      e.filter(col("vec_id") % 2 === 1),
-      e.filter(col("vec_id") % 2 === 0),
-      x129OldIndex(s, dir), SemanticDedupThreshold)
+    Curation.mergeReportFrom(
+      x129MergedMap(s, dir).withColumnRenamed("vec_id", "doc_id"),
+      e.filter(col("vec_id") % 2 === 1).select(col("vec_id").as("doc_id")),
+      e.filter(col("vec_id") % 2 === 0).select(col("vec_id").as("doc_id")),
+      x129OldIndex(s, dir))
   }
 
   private lazy val x135Sql =

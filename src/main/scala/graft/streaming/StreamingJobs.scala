@@ -132,15 +132,46 @@ object StreamingJobs {
     *     (no cosine can reach any threshold) — embeddings lagging
     *     ingestion must not silently drop documents.
     *
-    * Returns the ORIGINAL batch rows that cleared every tier. Running
-    * the tiers inside ONE body means a single admission decision sees
-    * all three verdicts — one sink, one idempotency story, one
-    * checkpoint — instead of three independent stream jobs whose
-    * partial admissions a downstream join would have to reconcile. */
+    * The curateV2 tail tiers run when their standing artifacts are
+    * supplied (r14 ask #4 — a production ingest wave needs them BEFORE
+    * admission, and each follows the lineStripStream recipe: the
+    * reference set comes from the AT-REST corpus, the batch is
+    * processed against it by the proven batch operator):
+    *
+    *  3. span strip (x34b) against `hotShingles` — the corpus's
+    *     standing hot-shingle set ([[graft.pipeline.Curation
+    *     .hotShinglesOf]], computed once per snapshot): admitted rows
+    *     gain (n_tokens, n_masked, clean_text). Frequency MUST come
+    *     from the corpus, not the batch (a micro-batch can't see
+    *     corpus-wide df). Computed on DISTINCT (doc_id, text) and
+    *     rejoined — the repetition-gate discipline, so at-least-once
+    *     duplicate delivery can't corrupt per-doc reassembly;
+    *  4. Bloom decontamination (x17/x67) against `deconMask` — the
+    *     standing eval-suite mask (OR-merge-maintained;
+    *     [[graft.pipeline.Curation.mergeBloomMasks]]): any doc whose
+    *     CLEAN text (post-strip when tier 3 ran) shares a shingle with
+    *     the mask is rejected. The Bloom sieve is lossless in the
+    *     reject direction (x67b): zero hits proves zero overlap;
+    *  5. semantic decontamination (x35) against `evalVecs`: arrivals
+    *     whose embedding reaches `deconSemThreshold` cosine of any eval
+    *     vector are rejected; null embeddings pass (same contract as
+    *     the semantic dedup tier).
+    *
+    * Returns the ORIGINAL batch rows that cleared every tier (plus the
+    * strip audit columns when tier 3 ran). Running the tiers inside ONE
+    * body means a single admission decision sees all verdicts — one
+    * sink, one idempotency story, one checkpoint — instead of
+    * independent stream jobs whose partial admissions a downstream join
+    * would have to reconcile. */
   def ingestAdmit(batch: DataFrame, refDocs: DataFrame, corpusVecs: DataFrame,
       lexThreshold: Double, semThreshold: Double,
       qualityGate: Option[Column] = None,
-      repetitionGate: Boolean = false): DataFrame = {
+      repetitionGate: Boolean = false,
+      hotShingles: Option[DataFrame] = None,
+      stripShingleLen: Int = 3, stripMinRun: Int = 5,
+      deconMask: Option[Array[Long]] = None, deconShingleLen: Int = 3,
+      evalVecs: Option[DataFrame] = None,
+      deconSemThreshold: Double = 0.3): DataFrame = {
     // Cheapest tier first: a per-row quality predicate (e.g. the x51
     // Gopher battery via Selection.gopherPassColumn, or the x64
     // classifier via Selection.classifierKeepColumn) rejects before any
@@ -178,7 +209,46 @@ object StreamingJobs {
     // rows in BOTH frames; an inner join would emit k*k rows —
     // amplifying duplicates downstream — where semi preserves the
     // batch's own multiplicity for the idempotent sink to absorb.
-    lexOk.join(semOk, Seq("doc_id"), "left_semi")
+    val admitted = lexOk.join(semOk, Seq("doc_id"), "left_semi")
+    // Tier 3: x34b span strip vs the at-rest hot set. The audit frame
+    // is per-doc (DISTINCT input, inner rejoin on doc_id preserves the
+    // batch's own multiplicity without amplification).
+    val stripped = hotShingles match {
+      case None => admitted
+      case Some(hot) =>
+        admitted.join(
+          graft.pipeline.Curation.spanMaskAgainst(
+            admitted.select(col("doc_id"), col("text")).distinct(),
+            hot, stripShingleLen, minRun = stripMinRun)
+            .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+              col("clean_text")),
+          Seq("doc_id"))
+    }
+    // Tier 4: Bloom-mask decon on the clean text (post-strip when the
+    // strip tier ran — a masked passage must not still leak its grams
+    // into the decon probe).
+    val deconText = if (hotShingles.isDefined) col("clean_text") else col("text")
+    val bloomOk = deconMask match {
+      case None => stripped
+      case Some(mask) =>
+        val flagged = graft.pipeline.Curation.bloomDeconWithMask(
+          stripped.select(col("doc_id"), deconText.as("text")).distinct(),
+          mask, deconShingleLen)
+          .filter(col("flagged")).select("doc_id")
+        stripped.join(flagged, Seq("doc_id"), "left_anti")
+    }
+    // Tier 5: semantic decon vs the eval vectors; null embeddings pass.
+    evalVecs match {
+      case None => bloomOk
+      case Some(ev) =>
+        val contam = graft.pipeline.Similarity.semanticDecon(
+          bloomOk.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding")).distinct(),
+          ev, deconSemThreshold)
+          .filter(col("contaminated"))
+          .select(col("vec_id").as("doc_id"))
+        bloomOk.join(contam, Seq("doc_id"), "left_anti")
+    }
   }
 
   /** Unified ingestion edge: ALL dedup tiers — exact sha, lexical
@@ -194,14 +264,21 @@ object StreamingJobs {
   def ingestDedupStream(newDocs: DataFrame, refDocs: DataFrame,
       corpusVecs: DataFrame, lexThreshold: Double, semThreshold: Double,
       checkpointDir: String, qualityGate: Option[Column] = None,
-      repetitionGate: Boolean = false)(
+      repetitionGate: Boolean = false,
+      hotShingles: Option[DataFrame] = None,
+      stripShingleLen: Int = 3, stripMinRun: Int = 5,
+      deconMask: Option[Array[Long]] = None, deconShingleLen: Int = 3,
+      evalVecs: Option[DataFrame] = None,
+      deconSemThreshold: Double = 0.3)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(ingestAdmit(batch, refDocs, corpusVecs, lexThreshold, semThreshold,
-          qualityGate, repetitionGate), batchId)
+          qualityGate, repetitionGate, hotShingles, stripShingleLen,
+          stripMinRun, deconMask, deconShingleLen, evalVecs,
+          deconSemThreshold), batchId)
       }
       .start()
 
@@ -295,6 +372,42 @@ object StreamingJobs {
             .select(col("vec_id").as("node"), col("cluster_id").as("lbl")))
         newIndex.write.mode("overwrite").parquet(indexDir)
         b.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
+
+  /** x17/x67 streaming: standing Bloom-decon-mask MAINTENANCE at the
+    * eval-suite edge. Each micro-batch of NEW EVAL DOCS (a fresh
+    * benchmark added to the held-out suite) is hashed to its own delta
+    * mask and OR-merged into the at-rest mask frame
+    * ([[graft.pipeline.IndexExport]]'s `bloom_mask` artifact) — sound
+    * because a Bloom filter over a union of corpora is exactly the
+    * bitwise OR of their filters (set positions are per-shingle
+    * functions; law proven in CurationSpec via
+    * [[graft.pipeline.Curation.mergeBloomMasks]]). The standing mask
+    * the ingestion gate probes therefore tracks a GROWING eval suite
+    * without ever re-hashing history.
+    *
+    * `maskDir` must be seeded (an all-zero frame for a fresh start —
+    * [[graft.pipeline.Curation.bloomMaskToFrame]] of an empty mask).
+    * The old mask is fully collected BEFORE the overwrite, so the
+    * read-overwrite hazard cannot bite. Delivery is at-least-once like
+    * every foreachBatch job, and here that is ALREADY exactly-once in
+    * effect: the OR-merge is idempotent (re-merging a replayed wave
+    * sets bits that are already set). */
+  def bloomMaskMaintenanceStream(newEvalDocs: DataFrame, maskDir: String,
+      shingleLen: Int, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newEvalDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val old = graft.pipeline.Curation.bloomMaskFromFrame(s.read.parquet(maskDir))
+        val delta = graft.pipeline.Curation.bloomMaskOf(batch, shingleLen)
+        graft.pipeline.Curation.bloomMaskToFrame(s,
+          graft.pipeline.Curation.mergeBloomMasks(old, delta))
+          .write.mode("overwrite").parquet(maskDir)
         ()
       }
       .start()

@@ -17,14 +17,28 @@ object TestReport {
   final case class Suite(name: String, tests: Int, errors: Int,
       failures: Int, timestamp: String)
 
-  private val Header =
-    """<testsuite[^>]*\bname="([^"]+)"[^>]*\btests="(\d+)"[^>]*\berrors="(\d+)"[^>]*\bfailures="(\d+)"[^>]*\btimestamp="([^"]+)"""".r
+  private val Header = """<testsuite\b[^>]*>""".r
 
-  /** Parse the `<testsuite ...>` header of one report file's text. */
+  private def attr(header: String, name: String): Option[String] =
+    // \b so `name=` never matches inside `hostname=`.
+    ("""\b""" + name + """="([^"]*)"""").r
+      .findFirstMatchIn(header).map(_.group(1))
+
+  /** Parse the `<testsuite ...>` header of one report file's text.
+    * Each attribute is extracted with its own regex so a JUnit writer
+    * emitting them in a different order still parses (r14 advice: the
+    * old single fixed-order regex silently dropped such suites from
+    * the certification artifact). */
   private[graft] def parseSuite(xml: String): Option[Suite] =
-    Header.findFirstMatchIn(xml).map(m =>
-      Suite(m.group(1), m.group(2).toInt, m.group(3).toInt,
-        m.group(4).toInt, m.group(5)))
+    Header.findFirstIn(xml).flatMap { h =>
+      for {
+        name <- attr(h, "name")
+        tests <- attr(h, "tests")
+        errors <- attr(h, "errors")
+        failures <- attr(h, "failures")
+        ts <- attr(h, "timestamp")
+      } yield Suite(name, tests.toInt, errors.toInt, failures.toInt, ts)
+    }
 
   /** Condense a directory of TEST-*.xml reports to the JSON artifact. */
   private[graft] def render(suites: Seq[Suite]): String = {
@@ -55,14 +69,22 @@ $body
     require(java.nio.file.Files.isDirectory(dir),
       s"no test reports at $dir — run `sbt test` first")
     val files = java.nio.file.Files.list(dir)
-    val suites =
+    val parsed =
       try {
         import scala.jdk.CollectionConverters._
         files.iterator().asScala
           .filter(_.getFileName.toString.matches("TEST-.*\\.xml"))
-          .flatMap(p => parseSuite(java.nio.file.Files.readString(p)))
+          .map(p => p -> parseSuite(java.nio.file.Files.readString(p)))
           .toSeq
       } finally files.close()
+    // A report file that yields no suite must fail LOUDLY: silently
+    // dropping it would quietly weaken the certification this artifact
+    // exists to harden (r14 advice).
+    val unparsed = parsed.collect { case (p, None) => p }
+    require(unparsed.isEmpty,
+      s"TEST-*.xml files with no parseable <testsuite> header: " +
+        unparsed.mkString(", "))
+    val suites = parsed.flatMap(_._2)
     require(suites.nonEmpty, s"no parseable TEST-*.xml under $dir")
     val json = render(suites)
     java.nio.file.Files.writeString(

@@ -19,6 +19,16 @@ class TestReportSpec extends AnyFunSuite {
     assert(TestReport.parseSuite("<notareport/>").isEmpty)
   }
 
+  test("parses attributes in ANY order (r14 advice: fixed-order regex dropped suites)") {
+    val xml =
+      """<testsuite timestamp="2026-08-15T15:20:12" failures="2" errors="1" tests="42" name="graft.FooSpec">
+        |</testsuite>""".stripMargin
+    assert(TestReport.parseSuite(xml).contains(
+      TestReport.Suite("graft.FooSpec", 42, 1, 2, "2026-08-15T15:20:12")))
+    // A header missing a required attribute parses to None (main fails loudly).
+    assert(TestReport.parseSuite("""<testsuite name="x" tests="1">""").isEmpty)
+  }
+
   test("render sums totals, sorts suites, and keeps the newest timestamp") {
     val json = TestReport.render(Seq(
       TestReport.Suite("b.Spec", 2, 0, 1, "2026-08-15T10:00:00"),

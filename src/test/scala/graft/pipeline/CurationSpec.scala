@@ -754,6 +754,67 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x46b incremental curateV2 equals the full recompute, incl. the EVICTION corner") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // A batch doc with the SAME sha as a standing keeper but a SMALLER
+    // id evicts it from the union's exact-dedup tier — the one corner
+    // the registered %-slice may never exercise. The evicted keeper (4)
+    // must keep bridging its old cluster as a phantom pair node while
+    // never reaching the output.
+    val stop = "the a of and to in"
+    val tDup = s"$stop d1 d2 d3 d4"
+    def doc(id: Long, text: String) = (id, text, "en", "src1")
+    val old = Seq(
+      doc(4L, tDup),                    // standing keeper, evicted by 3
+      doc(6L, tDup),                    // lost old sha-dedup to 4
+      doc(8L, s"$stop d1 d2 d3 d5"),    // J = 9/11 with tDup → old cluster {4,8}
+      doc(12L, s"$stop u1 u2 u3 u4"))   // old singleton, semantic pair with 7
+      .toDF("doc_id", "text", "lang", "source")
+    val batch = Seq(
+      doc(3L, tDup),                    // evicts 4 (3 < 4, same sha)
+      doc(5L, s"$stop d1 d2 d3 d6"),    // joins the {3,8} cluster
+      doc(7L, s"$stop f1 f2 f3 f4"),    // fresh; wins the semantic pair vs 12
+      doc(9L, s"$stop s1 s2 s3 s4"),    // semantic decon target
+      doc(11L, s"$stop q1 q2 q3 q4"))   // n-gram decon target
+      .toDF("doc_id", "text", "lang", "source")
+    val evalDocs = Seq(doc(99L, "q1 q2 q3 leak check words"))
+      .toDF("doc_id", "text", "lang", "source")
+    val emb = Seq(
+      (7L, Array(1.0f, 0.0f)),          // scaled copies share all LSH buckets
+      (12L, Array(2.0f, 0.0f)),
+      (9L, Array(0.0f, 3.0f)))          // colinear with the eval vector
+      .toDF("vec_id", "embedding")
+    val evalVecs = Seq((900L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // Standing artifacts, by the production recipe.
+    val oldAdmitted = old.filter(graft.streaming.IngestGate.cleanCond)
+    val keep = oldAdmitted.groupBy(sha2(col("text"), 256).as("sha"))
+      .agg(min("doc_id").as("doc_id"))
+    val oldDed = oldAdmitted.join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("sha"), col("text"), col("lang"),
+        col("source"), TextStats.qualityColumn.as("quality"))
+    val oldLex = Curation.propagateMinLabels(Curation.undirectedEdges(
+      Dedup.jaccardPairsPrefixOn(oldDed, 0.8, ordered = false)
+        .select(col("da"), col("db"))))._1
+    val oldEmb = emb.filter(col("vec_id") === 12L)
+    val newEmb = emb.filter(col("vec_id") =!= 12L)
+    val oldSemEdges = Similarity.embeddingNearDupsLshOn(oldEmb, 0.3)
+      .select(col("va").as("da"), col("vb").as("db"))
+    val incr = Curation.curateV2FromIndexes(batch, oldDed, oldLex,
+      newEmb, oldEmb, oldSemEdges, evalDocs, emb, evalVecs)
+      .collect().toSeq
+    val full = Curation.curateV2(old.union(batch), evalDocs, emb, evalVecs)
+      .collect().toSeq
+    assert(incr == full, s"incremental ≡ full recompute:\nincr=$incr\nfull=$full")
+    val ids = incr.map(_.getLong(0))
+    assert(ids == Seq(3L, 7L),
+      s"3 evicts 4 and wins its cluster; 7 wins the semantic pair; " +
+        s"9/11 deconned; 12 loses keep-best: $ids")
+    // The strip tier did real work on the shared stopword prefix.
+    assert(incr.forall(_.getAs[Long]("n_masked") == 6L),
+      s"the 6-token shared prefix must be masked in every survivor: $incr")
+  }
+
   test("x46 curation v2: survivor guarantees across every tier, and idempotence") {
     graft.functions.GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.01"

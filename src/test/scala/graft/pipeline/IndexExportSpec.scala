@@ -14,7 +14,8 @@ class IndexExportSpec extends SparkSpec {
     val counts = IndexExport.write(spark, sf, out)
     assert(counts.keySet ==
       Set("b28_pairs", "b28_labels", "x11_pairs", "sem_labels", "image_phash",
-        "audio_fp", "x121_old_index", "x129_old_index", "x133_old_lm"))
+        "audio_fp", "x121_old_index", "x129_old_index", "x133_old_lm",
+        "bloom_mask"))
     // Manifest counts are the parquet truth.
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/manifest.json"))
@@ -30,7 +31,8 @@ class IndexExportSpec extends SparkSpec {
       "one audio fingerprint row per document")
     // Read-back frames equal the memoized artifacts row for row.
     Seq("b28_pairs", "b28_labels", "x11_pairs", "sem_labels",
-        "x121_old_index", "x129_old_index", "x133_old_lm").foreach { name =>
+        "x121_old_index", "x129_old_index", "x133_old_lm",
+        "bloom_mask").foreach { name =>
       val live = IndexExport.artifacts(spark, sf)(name)
       val cols = live.columns.map(col)
       val back = IndexExport.read(spark, out, name)
@@ -57,6 +59,16 @@ class IndexExportSpec extends SparkSpec {
     val audioRegistered = graft.SparkEntry
       .queries("x116_audio_fingerprint_dedup")(spark, sf).collect().toSeq
     assert(audioFromExport == audioRegistered, "x116 from the exported index")
+    // The Bloom probe fed the EXPORTED mask equals the registered x67
+    // (the 10th frame's consumer path — r14 ask #6).
+    val maskBack = Curation.bloomMaskFromFrame(
+      IndexExport.read(spark, out, "bloom_mask"))
+    val probeFromExport = Curation.bloomDeconWithMask(
+      graft.Tables.t(spark, sf, "documents").filter(col("doc_id") % 97 =!= 0),
+      maskBack).collect().toSeq
+    val probeRegistered = graft.SparkEntry
+      .queries("x67_bloom_decon")(spark, sf).collect().toSeq
+    assert(probeFromExport == probeRegistered, "x67 from the exported mask")
   }
 
   test("incremental cluster merges read the old index from parquet, not the memo (cross-job handoff)") {

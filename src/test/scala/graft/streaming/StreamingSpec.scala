@@ -863,7 +863,13 @@ class StreamingSpec extends SparkSpec {
     input.addData(arrivals.take(2)); q.processAllAvailable()
     input.addData(arrivals.drop(2)); q.processAllAvailable()
     q.stop()
-    val streaming = spark.read.parquet(outDir).orderBy("media_id").collect().toSeq
+    // The sink writes batch=<id> subdirs (the idempotent-replay key);
+    // partition discovery surfaces that as a `batch` column — dropped
+    // here to compare against the one-shot batch result.
+    val outRead = spark.read.parquet(outDir)
+    assert(outRead.columns.contains("batch"),
+      "output must be batch-id-keyed (replay idempotence)")
+    val streaming = outRead.drop("batch").orderBy("media_id").collect().toSeq
     val batch = Multimodal.phashNearNewMedia(arrivals.toDF(), ref)
       .orderBy("media_id").collect().toSeq
     assert(streaming == batch, "batch ≡ stream per micro-batch wave")
@@ -871,5 +877,100 @@ class StreamingSpec extends SparkSpec {
       s"exact AND near dups dropped; fresh and corrupt flow: $streaming")
     assert(streaming.find(_.getLong(0) == 13L).exists(_.isNullAt(1)),
       "corrupt arrival carries a null phash for downstream scoring")
+  }
+
+  test("full curation edge: strip + Bloom decon + semantic decon tiers; batch equals stream") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    implicit val sqlCtx = spark.sqlContext
+    // Standing artifacts, all computed from AT-REST data (the
+    // lineStripStream recipe): a hot-shingle set from a corpus where
+    // one 6-token passage repeats across two docs; a Bloom mask over a
+    // held-out eval doc; one eval embedding.
+    val corpus = Seq(
+      Doc(1L, "first doc omega phi chi psi rho sigma trailing words", "en"),
+      Doc(2L, "second doc omega phi chi psi rho sigma other ending", "en"),
+      Doc(3L, "totally unrelated reference corpus text here", "en")).toDF()
+    val hot = Curation.hotShinglesOf(corpus, 3, 1)
+    val evalDocs = Seq(Doc(900L, "leak eval question answer tuple secret", "en")).toDF()
+    val mask = Curation.bloomMaskOf(evalDocs)
+    val evalVecs = Seq(Vec(900L, Array(0.0f, 0.0f, 1.0f))).toDF()
+    val refDocs = corpus
+    val corpusVecs = Seq(Vec(1L, Array(1.0f, 0.0f, 0.0f))).toDF()
+    // 40 = clean of dups/decon but carries the corpus-hot passage →
+    // admitted WITH the passage stripped; 41 = carries an eval shingle
+    // → Bloom decon rejects; 42 = embedding colinear with the eval
+    // vector → semantic decon rejects; 43 = clean, embedding pending.
+    val arrivals = Seq(
+      DocVec(40L, "intro words here omega phi chi psi rho sigma closing bits finish",
+        "en", Array(0.0f, 1.0f, 0.0f)),
+      DocVec(41L, "novel text with eval question answer inside it", "en",
+        Array(0.0f, 1.0f, 0.0f)),
+      DocVec(42L, "fresh wording nobody wrote before anywhere", "en",
+        Array(0.0f, 0.0f, 2.0f)),
+      DocVec(43L, "another genuinely novel document text", "en", null))
+    def admit(df: org.apache.spark.sql.DataFrame) =
+      StreamingJobs.ingestAdmit(df, refDocs, corpusVecs, 0.8, 0.9,
+        hotShingles = Some(hot), deconMask = Some(mask),
+        evalVecs = Some(evalVecs))
+    val batch = admit(arrivals.toDF()).orderBy("doc_id").collect().toSeq
+    assert(batch.map(_.getLong(0)) == Seq(40L, 43L),
+      s"strip admits 40, decon tiers drop 41/42, clean 43 flows: " +
+        s"${batch.map(_.getLong(0))}")
+    val r40 = batch.find(_.getLong(0) == 40L).get
+    assert(r40.getAs[Long]("n_masked") == 6L,
+      s"the 6-token hot passage must be masked: $r40")
+    val clean40 = r40.getAs[String]("clean_text")
+    assert(!clean40.contains("omega") && clean40.contains("intro words here"),
+      s"clean text drops the passage, keeps the fluent text: $clean40")
+    // Stream form: same artifacts, two waves, identical decisions.
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[org.apache.spark.sql.Row])]
+    val input = MemoryStream[DocVec]
+    val dir = java.nio.file.Files.createTempDirectory("ingest_curate").toString
+    val q = StreamingJobs.ingestDedupStream(input.toDF(), refDocs, corpusVecs,
+      0.8, 0.9, dir, hotShingles = Some(hot), deconMask = Some(mask),
+      evalVecs = Some(evalVecs)) { (admitted, batchId) =>
+      out += batchId -> admitted.orderBy("doc_id").collect().toSeq
+    }
+    input.addData(arrivals.take(2)); q.processAllAvailable()
+    input.addData(arrivals.drop(2)); q.processAllAvailable()
+    q.stop()
+    val streamed = out.sortBy(_._1).flatMap(_._2).toSeq
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq),
+      s"batch ≡ stream for the full curation edge: " +
+        s"stream=${streamed.map(_.getLong(0))} batch=${batch.map(_.getLong(0))}")
+  }
+
+  test("Bloom-mask maintenance stream: per-wave OR-merge equals a fresh union build") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val wave1 = Seq(Doc(900L, "first benchmark question answer tuple", "en"))
+    val wave2 = Seq(Doc(901L, "second held out evaluation prompt text", "en"))
+    val maskDir = java.nio.file.Files.createTempDirectory("mask_art").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mask_ck").toString
+    // Seed: the all-zero mask (a fresh suite).
+    Curation.bloomMaskToFrame(spark,
+      new Array[Long](Curation.BloomBits / 64))
+      .write.mode("overwrite").parquet(maskDir)
+    val input = MemoryStream[Doc]
+    val q = StreamingJobs.bloomMaskMaintenanceStream(input.toDF(), maskDir, 3, ckpt)
+    input.addData(wave1); q.processAllAvailable()
+    input.addData(wave2); q.processAllAvailable()
+    q.stop()
+    val standing = Curation.bloomMaskFromFrame(spark.read.parquet(maskDir))
+    val fresh = Curation.bloomMaskOf((wave1 ++ wave2).toDF(), 3)
+    assert(standing.toSeq == fresh.toSeq,
+      "two OR-merged waves must equal the fresh union build bit for bit")
+    // And the standing artifact actually gates: both waves' docs flag,
+    // an innocent doc does not.
+    val probe = Curation.bloomDeconWithMask(
+      Seq(Doc(1L, "first benchmark question answer tuple here", "en"),
+        Doc(2L, "second held out evaluation prompt text copy", "en"),
+        Doc(3L, "completely innocent training document words", "en")).toDF(),
+      standing, 3)
+    val flagged = probe.filter(col("flagged")).collect().map(_.getLong(0)).toSeq
+    assert(flagged == Seq(1L, 2L), s"mask gates both waves' leaks: $flagged")
   }
 }
