@@ -56,6 +56,20 @@ object Checkpoints {
     * lifecycle the checkpoint directory (bucket TTL / scheduled sweep) —
     * one rdd-* subdirectory accrues per checkpointed frame per run.
     * SCALE.md "Fault tolerance of the composed pipelines" carries this. */
+  /** [[stable]] + PINNED statistics — for checkpoints that ITERATE (the
+    * min-label propagation rounds): the checkpoint's stats rewrite
+    * inherits the size-only join estimator's multiplied sizeInBytes, so
+    * a loop that joins its own previous checkpoint twice per round
+    * doubles the stat's DIGIT COUNT every round — the sf1 probe caught
+    * the driver spending minutes in BigInteger.multiply inside
+    * planning by round ~20. Pinning each round's frame to
+    * defaultSizeInBytes keeps every rewrite small-digit and leaves
+    * broadcast decisions as they were (the inflated stats already
+    * precluded auto-broadcast of these frames). See
+    * [[org.apache.spark.sql.execution.GraftCheckpointStats]]. */
+  def stablePinned(df: DataFrame): DataFrame =
+    org.apache.spark.sql.execution.GraftCheckpointStats.pinDefault(stable(df))
+
   def stable(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.get(ModeKey, "local") match {

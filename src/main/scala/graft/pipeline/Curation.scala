@@ -500,10 +500,17 @@ object Curation {
     val newNew = Dedup.jaccardPairsPrefixOn(newDocs, threshold)
       .select(col("da"), col("db"))
     val cross = Dedup.crossNearDupPairs(newDocs, refDocs, threshold)
+    // Eager-checkpoint the DELTA pairs before propagation: they are the
+    // wave's own artifact (multi-round consumer inside the loop), and
+    // truncating here also bounds PLANNING cost — the sf1 probe caught
+    // Catalyst's sizeInBytes estimation going exponential on the union
+    // of two posting/bucket self-join trees (BigInt stats blow-up in
+    // round-1 persist planning), which lineage truncation removes.
+    val delta = Checkpoints.stable(newNew.union(cross))
     val starEdges = oldLabels.filter(col("node") =!= col("lbl"))
       .select(col("node").as("da"), col("lbl").as("db"))
     val (labels, _) = propagateMinLabels(
-      undirectedEdges(newNew.union(cross).union(starEdges)))
+      undirectedEdges(delta.union(starEdges)))
     newDocs.select(col("doc_id")).union(refDocs.select(col("doc_id")))
       .join(labels.select(col("node").as("doc_id"), col("lbl").as("cid")),
         Seq("doc_id"), "left")
@@ -925,7 +932,7 @@ object Curation {
     dedupClustersKeepByLabels(base,
       propagateMinLabels(undirectedEdges(pairs))._1, keepBy)
 
-  private[pipeline] def dedupClustersKeepByLabels(base: DataFrame,
+  private[graft] def dedupClustersKeepByLabels(base: DataFrame,
       labels: DataFrame, keepBy: Column): DataFrame = {
     val w = Window.partitionBy("cluster_id")
       .orderBy(keepBy.desc_nulls_last, col("doc_id"))
@@ -1039,7 +1046,12 @@ object Curation {
           .join(short, col("lbl") === col("p"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"), col("old"))
-          .transform(Checkpoints.stable)
+          // stablePinned, not stable: this checkpoint ITERATES — without
+          // pinned stats each round's rewrite squares the size-only
+          // join estimate and the digit count doubles per round (the
+          // sf1 probe hung the driver in BigInteger.multiply inside
+          // planning). See Checkpoints.stablePinned.
+          .transform(Checkpoints.stablePinned)
         // Cheap: a local scan of the checkpoint blocks just written.
         val changed = next.filter(col("lbl") =!= col("old")).count()
         release(nbrMin)
@@ -3660,7 +3672,7 @@ object Curation {
     * batch wave resolve union-wide min-doc-id keepers without rereading
     * old text. Memoized per corpus snapshot; timed as
     * `idx_x46b_old_ded`. */
-  private[pipeline] def x46bOldDed(s: SparkSession, dir: String): DataFrame =
+  private[graft] def x46bOldDed(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Ivf.memoModel(docs(s, dir),
         s"x46boldded|${s.sparkContext.applicationId}") {
       val old = docs(s, dir).filter(col("doc_id") % 97 =!= 0)
@@ -3677,7 +3689,7 @@ object Curation {
     * near-dup threshold — the x121-style label map whose star edges
     * replace old×old pair generation in every x46b wave. Timed as
     * `idx_x46b_lex_index`. */
-  private[pipeline] def x46bLexIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def x46bLexIndex(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Ivf.memoModel(docs(s, dir),
         s"x46blexidx|${s.sparkContext.applicationId}") {
       Checkpoints.stable(propagateMinLabels(undirectedEdges(
@@ -3696,7 +3708,7 @@ object Curation {
     * vector), so edges(old) ∪ edges(new×new) ∪ edges(new×old) is
     * EXACTLY the union corpus's edge set. Timed as
     * `idx_x46b_sem_edges`. */
-  private[pipeline] def x46bSemEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def x46bSemEdges(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Ivf.memoModel(Tables.t(s, dir, "embeddings"),
         s"x46bsemedges|${s.sparkContext.applicationId}") {
       val oldEmb = Tables.t(s, dir, "embeddings")
@@ -3784,8 +3796,11 @@ object Curation {
       .select(col("da"), col("db"))
     val star = oldLexLabels.filter(col("node") =!= col("lbl"))
       .select(col("node").as("da"), col("lbl").as("db"))
+    // Delta pairs checkpointed before propagation (the mergedClusterMap
+    // discipline: wave artifact + bounded planning).
+    val lexDelta = Checkpoints.stable(newNew.union(cross))
     val lexLabels = propagateMinLabels(
-      undirectedEdges(newNew.union(cross).union(star)))._1
+      undirectedEdges(lexDelta.union(star)))._1
     val lexKeep = dedupClustersKeepByLabels(
       dedUnion.select(col("doc_id"), col("quality")), lexLabels, col("quality"))
       .filter(col("keep")).select("doc_id")
@@ -3811,7 +3826,7 @@ object Curation {
       .join(ids.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
       .join(ids.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
       .select(col("da"), col("db"))
-      .union(newNewSem).union(crossSem)
+      .union(Checkpoints.stable(newNewSem.union(crossSem)))
     val semKeep = dedupClustersKeepBy(
       stripped.select(col("doc_id"), col("quality")), semPairs, col("quality"))
       .filter(col("keep")).select("doc_id")

@@ -1086,19 +1086,71 @@ object Multimodal {
            WHERE a.w < 16 AND a.e > c.e
            GROUP BY a.doc_id) q ON b0.doc_id = q.doc_id)"""
 
-  /** Band → cap → Hamming-verify → recursive-CC resolution over
-    * `mhash`, mirroring [[hashBandPairsOf]] exactly: 4×16-bit bands
-    * ((h >> 16b) & 0xFFFF is sign-fill-agnostic, so BIGINT arithmetic
-    * shift matches Spark's shiftrightunsigned), the 128 bucket cap, the
-    * Hamming ≤ 3 verify via bit_count(xor), then x33's recursive CTE. */
-  private val mediaClusterSql =
+  /** The time-domain energy fingerprint ([[audioFp64]] over
+    * [[audioAmFromDocuments]]' AM clips) re-derived from text: sample
+    * amplitude is a pure function of the seed byte (sign cancels in the
+    * energy square), window energies are exact integer sums, and the
+    * mean compare replays the quotient-then-cross-multiplied-remainder
+    * chain verbatim. Ends in `mhash(media_id, phash)`. */
+  private val afpCtes =
+    """fbase AS (
+         SELECT doc_id, length(text) AS L, 1600 + n_chars % 800 AS n,
+                list_transform(generate_series(1, length(text)),
+                               i -> unicode(text[i])) AS bs
+         FROM documents),
+       fwin AS (
+         SELECT f.doc_id, w.w,
+           (w.w * f.n) // 65 AS lo,
+           greatest((w.w * f.n) // 65 + 1, ((w.w + 1) * f.n) // 65) AS hi,
+           f.L, f.bs
+         FROM fbase f, generate_series(0, 64) w(w)),
+       fen AS (
+         SELECT doc_id, w, hi - lo AS ln,
+           list_sum(list_transform(generate_series(lo, hi - 1), j ->
+             CAST(256 * (1 + bs[((j // 64) % L) + 1] % 31) AS BIGINT) *
+             CAST(256 * (1 + bs[((j // 64) % L) + 1] % 31) AS BIGINT))) AS e
+         FROM fwin),
+       mhash AS (
+         SELECT b0.doc_id AS media_id,
+                coalesce(CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                     THEN hu - 18446744073709551616::HUGEINT
+                     ELSE hu END AS BIGINT), 0) AS phash
+         FROM (SELECT doc_id FROM fbase) b0 LEFT JOIN (
+           SELECT a.doc_id, sum(1::HUGEINT << a.w)::HUGEINT AS hu
+           FROM fen a JOIN fen c ON a.doc_id = c.doc_id AND c.w = a.w + 1
+           WHERE a.w < 64 AND
+             CASE WHEN a.e // a.ln <> c.e // c.ln THEN a.e // a.ln > c.e // c.ln
+                  ELSE (a.e % a.ln) * c.ln > (c.e % c.ln) * a.ln END
+           GROUP BY a.doc_id) q ON b0.doc_id = q.doc_id)"""
+
+  /** Band + cap over `mhash`, mirroring [[bandedHashes]] + the
+    * [[PhashBucketCap]] window exactly ((h >> 16b) & 0xFFFF is
+    * sign-fill-agnostic, so BIGINT arithmetic shift matches Spark's
+    * shiftrightunsigned). Shared by the pair, cluster and gate
+    * oracles. */
+  private val mediaBandCapSql =
     """mband AS (
          SELECT media_id, phash, band, (phash >> (band*16)) & 65535 AS bucket
          FROM mhash, generate_series(0, 3) t(band)),
        mcap AS (
          SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS cnt
                         FROM mband)
-         WHERE cnt <= 128),
+         WHERE cnt <= 128)"""
+
+  /** The [[hashBandPairsOf]] output — (ma, mb, hamming), totally
+    * ordered — over the capped bands. */
+  private val mediaPairTailSql =
+    """SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+              CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       FROM mcap a JOIN mcap b
+         ON a.band = b.band AND a.bucket = b.bucket AND a.media_id < b.media_id
+       WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       ORDER BY ma, mb"""
+
+  /** Band → cap → Hamming-verify → recursive-CC resolution over
+    * `mhash`, then x33's recursive CTE. */
+  private val mediaClusterSql =
+    s"""$mediaBandCapSql,
        mpairs AS (
          SELECT DISTINCT a.media_id AS da, b.media_id AS db
          FROM mcap a JOIN mcap b
@@ -1119,16 +1171,44 @@ object Multimodal {
   private val x115bSql = s"WITH RECURSIVE $dhashCtes, $mediaClusterSql"
   private val x130bSql = s"WITH RECURSIVE $spectralCtes, $mediaClusterSql"
 
+  // Direct oracles for the PAIR queries (round 15): same pinned-fixture
+  // hash recomputation, band+cap mirror, Hamming verify — no recursion
+  // needed, so these run as plain WITH chains.
+  private val x115Sql = s"WITH $dhashCtes, $mediaBandCapSql $mediaPairTailSql"
+  private val x116Sql = s"WITH $afpCtes, $mediaBandCapSql $mediaPairTailSql"
+  private val x130Sql = s"WITH $spectralCtes, $mediaBandCapSql $mediaPairTailSql"
+
+  /** x131's oracle: odd-doc arrivals gated against the even half's
+    * capped reference bands ([[phashNearNewHashes]] — cap on the
+    * REFERENCE side only), surviving hash rows ordered by media_id. */
+  private val x131Sql =
+    s"""WITH $dhashCtes,
+       nh AS (SELECT * FROM mhash WHERE media_id % 2 = 1),
+       rh AS (SELECT * FROM mhash WHERE media_id % 2 = 0),
+       rb AS (SELECT media_id, phash, band, (phash >> (band*16)) & 65535 AS bucket
+              FROM rh, generate_series(0, 3) t(band)),
+       rcap AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS cnt
+                               FROM rb)
+                WHERE cnt <= 128),
+       nb AS (SELECT media_id, phash, band, (phash >> (band*16)) & 65535 AS bucket
+              FROM nh, generate_series(0, 3) t(band)),
+       dup AS (SELECT DISTINCT a.media_id FROM nb a JOIN rcap b
+                 ON a.band = b.band AND a.bucket = b.bucket
+               WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+       SELECT media_id, phash FROM nh
+       WHERE media_id NOT IN (SELECT media_id FROM dup)
+       ORDER BY media_id"""
+
   // ----------------------------------------------------------------
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x08_multimodal_meta", TextStats.multimodalMeta,
       Some(TextStats.x08OracleSql)),
     QueryDef("x08b_image_decode", imageDecodeQuery, None),
     QueryDef("x08c_audio_decode", audioDecodeQuery, None),
-    QueryDef("x115_image_phash_dedup", imagePhashDedupQuery, None),
+    QueryDef("x115_image_phash_dedup", imagePhashDedupQuery, Some(x115Sql)),
     QueryDef("x115b_image_phash_clusters", imagePhashClustersQuery, Some(x115bSql)),
-    QueryDef("x116_audio_fingerprint_dedup", audioFpDedupQuery, None),
-    QueryDef("x130_audio_spectral_dedup", audioSpectralDedupQuery, None),
+    QueryDef("x116_audio_fingerprint_dedup", audioFpDedupQuery, Some(x116Sql)),
+    QueryDef("x130_audio_spectral_dedup", audioSpectralDedupQuery, Some(x130Sql)),
     QueryDef("x130b_audio_spectral_clusters", audioSpectralClustersQuery, Some(x130bSql)),
-    QueryDef("x131_media_near_gate", mediaNearGateQuery, None))
+    QueryDef("x131_media_near_gate", mediaNearGateQuery, Some(x131Sql)))
 }

@@ -1212,10 +1212,15 @@ object Similarity {
       .select(col("va").as("da"), col("vb").as("db"))
     val cross = crossSemanticPairs(newEmb, refEmb, threshold)
       .select(col("va").as("da"), col("vb").as("db"))
+    // Eager-checkpoint the DELTA pairs before propagation — the wave's
+    // own artifact, and the lineage truncation that keeps Catalyst's
+    // stats estimation bounded (the sf1 probe caught the union of two
+    // LSH bucket-join trees sending sizeInBytes planning exponential).
+    val delta = graft.pipeline.Checkpoints.stable(newNew.union(cross))
     val star = oldLabels.filter(col("node") =!= col("lbl"))
       .select(col("node").as("da"), col("lbl").as("db"))
     val (labels, _) = Curation.propagateMinLabels(
-      Curation.undirectedEdges(newNew.union(cross).union(star)))
+      Curation.undirectedEdges(delta.union(star)))
     newEmb.select(col("vec_id")).union(refEmb.select(col("vec_id")))
       .join(labels.select(col("node").as("vec_id"), col("lbl").as("cid")),
         Seq("vec_id"), "left")

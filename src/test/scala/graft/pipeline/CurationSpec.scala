@@ -754,6 +754,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("iterated checkpoint statistics stay bounded (sf1 planner blow-up gate)") {
+    import spark.implicits._
+    // A 64-node chain forces several propagation rounds; each round
+    // joins the previous round's checkpoint twice, so WITHOUT pinned
+    // stats the size-only join estimate squares per round (digit count
+    // doubles — the sf1 probe hung the driver in BigInteger.multiply
+    // inside planning). The pinned invariant: the returned label map's
+    // sizeInBytes never exceeds the unknown-leaf convention.
+    val pairs = (1L to 64L).sliding(2).map(s => (s.head, s(1))).toSeq
+      .toDF("da", "db")
+    val (labels, rounds) =
+      Curation.propagateMinLabels(Curation.undirectedEdges(pairs))
+    assert(rounds >= 3, s"chain must take several rounds, took $rounds")
+    val size = org.apache.spark.sql.execution.GraftCheckpointStats
+      .statsSizeOf(labels)
+    assert(size <= BigInt(Long.MaxValue),
+      s"iterated checkpoint stats must stay pinned/bounded, got $size")
+    assert(labels.select(countDistinct(col("lbl"))).head.getLong(0) == 1L,
+      "the chain is one component")
+  }
+
   test("x46b incremental curateV2 equals the full recompute, incl. the EVICTION corner") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
