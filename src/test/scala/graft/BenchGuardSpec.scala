@@ -120,8 +120,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // Registered queries with no prior expected: added AFTER the full
     // map was last written. Update when registering a query; the next
     // full bench run re-empties it.
-    val newThisRound = Set("x46b_curate_v2_incremental",
-      "x115b_image_phash_clusters", "x130b_audio_spectral_clusters")
+    val newThisRound = Set.empty[String]
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,
