@@ -913,6 +913,103 @@ object Ivf {
        FROM sr ORDER BY cosine DESC, vec_id LIMIT 10"""
   }
 
+  // ---------------------------------------------------------------- x137
+  /** Probed lists swept in the x137 recall curve: 1..MaxNprobe. */
+  val MaxNprobe = 4
+
+  /** x137 — the nprobe recall curve over the pinned IVF index: for each
+    * `nprobe` in 1..[[MaxNprobe]], how many of the TRUE cosine top-10
+    * (brute force over the whole corpus, the b29 kernel) live in the
+    * `nprobe` coarse lists nearest the query. This is THE tuning table an
+    * IVF deployment reads before fixing its probe width — at 100 TB,
+    * nprobe is the knob that trades a probe's scan fraction
+    * (~nprobe/nlist of the corpus) against recall, and the decision
+    * must come from a measured curve, not a guess. x10b registers the
+    * search at nprobe=2; this registers the evidence for that choice.
+    *
+    * Engine-exact end to end: the quantizer is x10b's pinned coarse
+    * codebook (memoized — same fit, same cache key), list ranking is
+    * integer squared L2 with (d2, list) tie-break, the ground-truth
+    * top-10 is the 4-decimal-rounded cosine with vec_id tie-break (the
+    * b29 total order), and the recall cells are integer counts — so the
+    * whole curve hash-matches a DuckDB re-derivation.
+    *
+    * Scale shape: ONE brute-force pass builds the ground truth (the
+    * evaluation cost, not the serving cost — and at 100 TB it runs over
+    * a bounded query/eval sample, never the corpus×corpus product),
+    * assignment is the native one-pass pq_encode tag, the centroid
+    * ranking is driver arithmetic over the nlist×dim broadcast-scale
+    * index artifact, and the sweep itself aggregates a 10-row frame —
+    * the whole curve costs one corpus scan regardless of MaxNprobe. */
+  def nprobeRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dim = PqM * PqSubDim
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"), col("embedding"),
+      intMillionths(col("embedding")).as("xi"))
+    val centroids = memoModel(emb, s"coarsepin$DefaultNlist") {
+      pinnedCodebook(base.select(col("vec_id"), col("xi").as("s")), DefaultNlist)
+    }
+    require(centroids.length == DefaultNlist,
+      s"x137 needs >= $DefaultNlist embedding rows (the x10b precondition)")
+    val flat = centroids.flatten.toSeq
+    val indexed = base.withColumn("list_id",
+      element_at(call_function("pq_encode",
+        col("xi"), typedLit(flat), lit(1), lit(centroids.length)), 1).cast("long"))
+    val qv = base.filter(col("vec_id") === 0)
+      .select("xi").head().getSeq[Long](0).toArray
+    // Rank ALL lists by distance to the query (integer L2, ties -> smaller
+    // list id) — the prefix of length nprobe is exactly x10b's probe set.
+    val ranked = centroids.zipWithIndex.map { case (c, i) =>
+      var d2 = 0L; var j = 0
+      while (j < dim) { val t = qv(j) - c(j); d2 += t * t; j += 1 }
+      (d2, i.toLong)
+    }.sorted.zipWithIndex.map { case ((_, k), r) => (k, (r + 1).toLong) }
+    val rl = s.createDataFrame(ranked.toSeq).toDF("list_id", "lrank")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val gt = indexed.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("list_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+    val gtl = gt.join(broadcast(rl), Seq("list_id")).select("vec_id", "lrank")
+    val np = s.range(1, MaxNprobe + 1).select(col("id").as("nprobe"))
+    np.crossJoin(broadcast(gtl))
+      .groupBy("nprobe")
+      .agg(sum(when(col("lrank") <= col("nprobe"), 1L).otherwise(0L)).as("hits"))
+      .withColumn("recall_bp", col("hits") * 1000)
+      .orderBy("nprobe")
+  }
+
+  private val x137Sql = {
+    val dim = PqM * PqSubDim
+    s"""WITH $coarseAsgCtes,
+       q AS (SELECT v AS qx FROM xt WHERE vec_id = 0),
+       rl AS (SELECT k AS list_id,
+                row_number() OVER (ORDER BY d2, k) AS lrank
+              FROM (SELECT s.k, ${sqS("q.qx", "s.c", dim)} AS d2
+                    FROM sd s CROSS JOIN q)),
+       z AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+               unnest((SELECT embedding FROM embeddings WHERE vec_id = 0)) AS y
+             FROM embeddings e WHERE e.vec_id <> 0),
+       sc AS (SELECT vec_id,
+                sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+              FROM z GROUP BY vec_id),
+       gt AS (SELECT vec_id FROM sc
+              ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 4) DESC, vec_id LIMIT 10),
+       gtl AS (SELECT g.vec_id, rl.lrank
+               FROM gt g JOIN asg a USING (vec_id)
+                         JOIN rl ON a.list_id = rl.list_id),
+       np AS (SELECT unnest(generate_series(1, $MaxNprobe)) AS nprobe)
+       SELECT np.nprobe AS nprobe,
+         CAST(sum(CASE WHEN gtl.lrank <= np.nprobe THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         CAST(sum(CASE WHEN gtl.lrank <= np.nprobe THEN 1 ELSE 0 END) * 1000 AS BIGINT) AS recall_bp
+       FROM np CROSS JOIN gtl GROUP BY np.nprobe ORDER BY nprobe"""
+  }
+
   // ---------------------------------------------------------------- x125
   /** x125 — prototypicality scoring for data pruning (Sorscher et al.
     * 2022, "Beyond neural scaling laws"): every vector's integer squared
@@ -972,6 +1069,7 @@ object Ivf {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x10_ann_ivf_kmeans", searchQuery, None),
     QueryDef("x10b_ann_ivf_pinned", searchPinnedIvfQuery, Some(x10bSql)),
+    QueryDef("x137_ivf_nprobe_recall", nprobeRecall, Some(x137Sql)),
     QueryDef("x125_prototypicality", prototypicality, Some(x125Sql)),
     QueryDef("x80_topic_mix", topicMix, Some(x80Sql)),
     QueryDef("x84_topic_drift", topicDrift, Some(x84Sql)),

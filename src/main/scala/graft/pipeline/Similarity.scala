@@ -496,6 +496,84 @@ object Similarity {
   private val x09Sql =
     s"WITH ${x09PairCtes(0.3)} SELECT va, vb, cosine FROM pairs ORDER BY va, vb"
 
+  // ---------------------------------------------------------------- x136
+  /** Bucket-membership caps the x136 cost profile sweeps. */
+  val LshCostCaps: Seq[Long] = Seq(8L, 16L, 32L, 64L, 128L, 256L)
+
+  /** Per-(band, bucket) populations of the LSH table — the x136 profile's
+    * input, exposed for the spec's independent Scala-side fold. */
+  private[pipeline] def lshCandidateBucketSizes(emb: DataFrame): DataFrame =
+    bucketedOf(emb).groupBy("band", "bucket").agg(count(lit(1)).as("n")).select("n")
+
+  /** x136 — the hot-crowd cost profile of the embedding LSH table: per
+    * candidate-side cap, how much of the x09/x33/idx_sem_labels
+    * candidate mass Σ_bucket C(n_b, 2) a per-(band, bucket) membership
+    * cap would keep, how many buckets it would clip, and the saved
+    * fraction in basis points. This is the GOVERNANCE table for the one
+    * superlinear term the scale probe exposed (idx_sem_labels grew 5.3×
+    * at 10× data — candidate mass grows with bucket population², the
+    * disclosed Σ n_b² term): before a 100 TB run, a curation team reads
+    * this profile off a sample to decide whether the banding layout
+    * needs more bits (smaller buckets), whether oversized crowds should
+    * be quarantined into a dedicated pass, and what a cap would cost.
+    *
+    * The registration deliberately profiles the cap rather than
+    * APPLYING one: measured on this corpus, rank-truncating buckets to
+    * 64 members keeps only ~13% of sf0.1's verified x09 pairs — at
+    * [[LshBands]] = 2 each vector has exactly two candidate paths, so
+    * clipping a crowd removes the ONLY path for most of its pairs
+    * (unlike the lexical tier's df-cap, where a near-dup pair shares
+    * many grams and hot-gram removal is near-lossless — the two
+    * governors are NOT analogous, which is exactly what this table
+    * makes visible). The actionable remedies are layout changes, and
+    * they are decided from this profile, not hardcoded.
+    *
+    * Everything is integer arithmetic over bucket COUNTS (n·(n−1)/2 is
+    * exact — n·(n−1) is even; saved_bp is integer division), so the
+    * profile hash-matches the DuckDB re-derivation at every scale.
+    *
+    * Scale shape: one (band, bucket) groupBy count over the bucket
+    * table (the same shuffle key the candidate join itself uses — the
+    * profile is strictly cheaper than one candidate round), then a
+    * |caps| × |buckets| broadcast expansion aggregated to |caps| rows;
+    * no pair is ever materialized. */
+  def lshCostProfileOn(emb: DataFrame, caps: Seq[Long]): DataFrame = {
+    val s = emb.sparkSession
+    val bs = bucketedOf(emb).groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    val capDf = s.createDataFrame(caps.map(Tuple1(_))).toDF("cap")
+    bs.crossJoin(broadcast(capDf))
+      .groupBy("cap")
+      .agg(
+        sum(when(col("n") > col("cap"), 1L).otherwise(0L)).as("buckets_clipped"),
+        max("n").as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("cand_exact"),
+        sum(expr("least(n, cap) * (least(n, cap) - 1) div 2")).as("cand_capped"))
+      .withColumn("saved_bp", expr(
+        """CASE WHEN cand_exact = 0 THEN 0L
+                ELSE (cand_exact - cand_capped) * 10000 div cand_exact END"""))
+      .select("cap", "buckets_clipped", "max_bucket", "cand_exact",
+        "cand_capped", "saved_bp")
+      .orderBy("cap")
+  }
+
+  private def x136(s: SparkSession, dir: String): DataFrame =
+    lshCostProfileOn(Tables.t(s, dir, "embeddings"), LshCostCaps)
+
+  private val x136Sql =
+    s"""WITH $bucketsCte,
+       bs AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY band, bucket),
+       caps AS (SELECT CAST(unnest([${LshCostCaps.mkString(", ")}]) AS BIGINT) AS cap),
+       agg AS (SELECT cap,
+                 CAST(sum(CASE WHEN n > cap THEN 1 ELSE 0 END) AS BIGINT) AS buckets_clipped,
+                 CAST(max(n) AS BIGINT) AS max_bucket,
+                 CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_exact,
+                 CAST(sum(least(n, cap) * (least(n, cap) - 1) // 2) AS BIGINT) AS cand_capped
+               FROM caps CROSS JOIN bs GROUP BY cap)
+       SELECT cap, buckets_clipped, max_bucket, cand_exact, cand_capped,
+         CAST(CASE WHEN cand_exact = 0 THEN 0
+                   ELSE (cand_exact - cand_capped) * 10000 // cand_exact END AS BIGINT) AS saved_bp
+       FROM agg ORDER BY cap"""
+
   // ---------------------------------------------------------------- x78
   /** Hard negatives per query doc. */
   val HardNegK = 2
@@ -1618,6 +1696,7 @@ object Similarity {
     QueryDef("b29b_ann_ivf", annIvfTopK, Some(b29bSql)),
     QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),
     QueryDef("x09_embedding_neardup", x09, Some(x09Sql)),
+    QueryDef("x136_lsh_cost_profile", x136, Some(x136Sql)),
     QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)),
     QueryDef("x122_semantic_safe_split", semanticSafeSplit, Some(x122Sql)),
     QueryDef("x129_incremental_semantic_clusters", x129, Some(x129Sql)),

@@ -342,6 +342,32 @@ class IvfSpec extends SparkSpec {
     assert(ivfTop == brute)
   }
 
+  test("x137: nprobe recall curve is monotone, bounded, and agrees with the x10b search") {
+    val rows = Ivf.nprobeRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1L to Ivf.MaxNprobe).toSeq, "one row per nprobe")
+    rows.foreach { case (np, hits, bp) =>
+      assert(hits >= 0 && hits <= 10, s"nprobe $np: hits $hits out of [0, 10]")
+      assert(bp == hits * 1000, s"nprobe $np: recall_bp must be hits * 1000")
+    }
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 <= hi._2, s"widening the probe can only add hits: $lo vs $hi")
+    }
+    // Cross-query law: the curve's nprobe=2 cell IS the overlap between
+    // the brute-force top-10 (b29) and the registered 2-list pinned
+    // search (x10b) — any ground-truth vector inside the probed lists
+    // outranks every other in-list candidate, so x10b must surface it.
+    val gt = Similarity.cosineTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    val x10b = Ivf.searchPinnedIvfQuery(spark, sf).collect().map(_.getLong(0)).toSet
+    val hits2 = rows.find(_._1 == 2L).get._2
+    assert(hits2 == (gt & x10b).size.toLong,
+      s"x137 hits@2 ($hits2) != |b29 top10 ∩ x10b top10| (${(gt & x10b).size})")
+    // Determinism: the pinned quantizer + integer ranking re-derive
+    // identically run to run.
+    assert(Ivf.nprobeRecall(spark, sf).collect().toSeq ==
+      Ivf.nprobeRecall(spark, sf).collect().toSeq)
+  }
+
   test("x125: prototypicality ranks cluster cores first, the planted outlier last") {
     import spark.implicits._
     // Two tight 8-dim clusters around distinct centers plus one far

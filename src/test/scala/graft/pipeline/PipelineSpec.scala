@@ -463,6 +463,37 @@ class PipelineSpec extends SparkSpec {
       .forall(_.getInt(0) % 2 == 0), "only every stride-th frame sampled")
   }
 
+  test("x136: LSH cost profile matches an independent bucket-size fold and is monotone") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val rows = Similarity.lshCostProfileOn(emb, Similarity.LshCostCaps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Similarity.LshCostCaps, "one row per cap, ascending")
+    // Independent fold: bucket sizes -> Σ C(n,2) and the capped sums,
+    // computed in plain Scala from the same bucket table the candidate
+    // join reads (different aggregation path than the registered query).
+    val sizes = Similarity.lshCandidateBucketSizes(emb).collect().map(_.getLong(0))
+    def c2(n: Long) = n * (n - 1) / 2
+    val exact = sizes.map(c2).sum
+    rows.foreach { case (cap, clipped, maxB, candExact, candCapped, savedBp) =>
+      assert(candExact == exact, s"cap $cap: exact mass $candExact != fold $exact")
+      assert(maxB == sizes.max, s"cap $cap: max bucket")
+      assert(clipped == sizes.count(_ > cap).toLong, s"cap $cap: clipped count")
+      assert(candCapped == sizes.map(n => c2(math.min(n, cap))).sum, s"cap $cap: capped mass")
+      assert(savedBp == (if (exact == 0) 0L else (exact - candCapped) * 10000 / exact))
+    }
+    // Monotone: a larger cap keeps at least as much candidate mass.
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._5 <= hi._5, s"cand_capped must be nondecreasing: $lo vs $hi")
+      assert(lo._6 >= hi._6, s"saved_bp must be nonincreasing: $lo vs $hi")
+    }
+    // A cap at/above the largest bucket clips nothing and saves nothing.
+    rows.filter(r => r._1 >= rows.head._3).foreach { r =>
+      assert(r._2 == 0L && r._4 == r._5 && r._6 == 0L,
+        s"cap ${r._1} >= max bucket ${r._3} must be a no-op: $r")
+    }
+  }
+
   test("LSH near-dup pairs are a subset of exact all-pairs with identical cosines") {
     val lsh = Similarity.embeddingNearDupsLsh(spark, sf, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
