@@ -51,6 +51,7 @@ object IndexArtifacts {
     // Driver-side fits, forced via their first consumer's constructor.
     "idx_kmeans_quantizer" -> ((s: SparkSession, d: String) => { Ivf.searchQuery(s, d); () }),
     "idx_coarse_pin" -> ((s: SparkSession, d: String) => { Ivf.searchPinnedIvfQuery(s, d); () }),
+    "idx_ivf_partitioned" -> ((s: SparkSession, d: String) => { Ivf.partitionedIndexPath(s, d); () }),
     "idx_pq_codebooks" -> ((s: SparkSession, d: String) => { Ivf.searchPqQuery(s, d); () }),
     "idx_ivfadc_codebooks" -> ((s: SparkSession, d: String) => { Ivf.searchIvfPqQuery(s, d); () }),
     "idx_bloom_mask" -> ((s: SparkSession, d: String) => { Curation.bloomDeconQuery(s, d); () }),

@@ -1010,6 +1010,88 @@ object Ivf {
        FROM np CROSS JOIN gtl GROUP BY np.nprobe ORDER BY nprobe"""
   }
 
+  // ---------------------------------------------------------------- x138
+  /** Root for at-rest list-partitioned IVF indexes (one subdir per
+    * corpus snapshot). Lives under the repo tmp/ like the media
+    * fixtures; a deployment points this at its index volume. */
+  private val PartitionedIndexRoot = "tmp/idx"
+
+  /** Write-once path of the list-partitioned embedding index for the
+    * corpus at `dir`: (vec_id, embedding) parquet PARTITIONED BY the
+    * pinned coarse list_id — the physical layout that turns an IVF
+    * probe into a partition-pruned scan. Memoized per corpus snapshot
+    * (the [[memoModel]] discipline: built once by the index-build
+    * stage, only read by query jobs); timed as `idx_ivf_partitioned`. */
+  private[graft] def partitionedIndexPath(s: SparkSession, dir: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"), col("embedding"),
+      intMillionths(col("embedding")).as("xi"))
+    val centroids = memoModel(emb, s"coarsepin$DefaultNlist") {
+      pinnedCodebook(base.select(col("vec_id"), col("xi").as("s")), DefaultNlist)
+    }
+    require(centroids.length == DefaultNlist,
+      s"partitioned IVF needs >= $DefaultNlist embedding rows (the x10b precondition)")
+    val flat = centroids.flatten.toSeq
+    memoModel(emb, "ivfpartpath") {
+      val name = new java.io.File(dir).getName
+      val path = s"$PartitionedIndexRoot/ivf_part_${name}_${math.abs(dir.hashCode)}"
+      base.withColumn("list_id",
+          element_at(call_function("pq_encode",
+            col("xi"), typedLit(flat), lit(1), lit(centroids.length)), 1).cast("long"))
+        .select("vec_id", "embedding", "list_id")
+        .write.mode("overwrite").partitionBy("list_id").parquet(path)
+      path
+    }
+  }
+
+  /** x138 — x10b's pinned IVF search re-expressed as a PARTITION-PRUNED
+    * scan of the at-rest index: the embedding table is written once per
+    * snapshot partitioned by the pinned coarse list_id
+    * ([[partitionedIndexPath]]), and a probe becomes
+    * `read.parquet(index).filter(list_id IN probes)` — Catalyst resolves
+    * the literal IN against the partition directories at PLANNING time,
+    * so the scan touches nprobe/nlist of the files and none of the rest
+    * (PlanSpec gates `PartitionFilters` + the planned partition count).
+    * This is the physical realization the x10b scaladoc promises
+    * ("partition-pruned when the table is written partitioned by
+    * list_id") — at 100 TB the difference between an IVF probe that
+    * READS 1/4 of the corpus and one that merely filters it after a
+    * full scan is the whole point of the index.
+    *
+    * Results are bit-identical to x10b (same pinned quantizer, same
+    * probe arithmetic, same exact-cosine top-10; float arrays
+    * round-trip parquet exactly), so the registration reuses x10b's
+    * DuckDB oracle verbatim — the hash match certifies the whole
+    * write→prune→scan path end to end. */
+  def searchPartitionedIvfQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dim = PqM * PqSubDim
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"), intMillionths(col("embedding")).as("xi"))
+    val centroids = memoModel(emb, s"coarsepin$DefaultNlist") {
+      pinnedCodebook(base.select(col("vec_id"), col("xi").as("s")), DefaultNlist)
+    }
+    val qv = base.filter(col("vec_id") === 0)
+      .select("xi").head().getSeq[Long](0).toArray
+    val lists = centroids.zipWithIndex.map { case (c, i) =>
+      var d2 = 0L; var j = 0
+      while (j < dim) { val t = qv(j) - c(j); d2 += t * t; j += 1 }
+      (d2, i.toLong)
+    }.sorted.take(2).map(_._2).toSeq
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    // Partition-column values parse back as INTs; cast to the long the
+    // oracle (and x10b) carries.
+    s.read.parquet(partitionedIndexPath(s, dir))
+      .filter(col("vec_id") =!= 0 && col("list_id").isin(lists: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- x125
   /** x125 — prototypicality scoring for data pruning (Sorscher et al.
     * 2022, "Beyond neural scaling laws"): every vector's integer squared
@@ -1070,6 +1152,7 @@ object Ivf {
     QueryDef("x10_ann_ivf_kmeans", searchQuery, None),
     QueryDef("x10b_ann_ivf_pinned", searchPinnedIvfQuery, Some(x10bSql)),
     QueryDef("x137_ivf_nprobe_recall", nprobeRecall, Some(x137Sql)),
+    QueryDef("x138_ann_ivf_partitioned", searchPartitionedIvfQuery, Some(x10bSql)),
     QueryDef("x125_prototypicality", prototypicality, Some(x125Sql)),
     QueryDef("x80_topic_mix", topicMix, Some(x80Sql)),
     QueryDef("x84_topic_drift", topicDrift, Some(x84Sql)),

@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x138: the IVF probe plans as a partition-pruned scan of the at-rest index") {
+    val p = plan("x138_ann_ivf_partitioned")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("list_id"),
+      s"probe must carry partition filters on the list column:\n$p")
+    assert(pf.toUpperCase.contains(" IN "),
+      s"the literal probe list must prune at planning time: $pf")
+  }
+
   test("b29: query vector broadcasts; no shuffle before the top-k") {
     val p = plan("b29_cosine_topk")
     assert(p.contains("Broadcast"), p)

@@ -368,6 +368,23 @@ class IvfSpec extends SparkSpec {
       Ivf.nprobeRecall(spark, sf).collect().toSeq)
   }
 
+  test("x138: partition-pruned IVF search equals x10b bit for bit") {
+    val part = Ivf.searchPartitionedIvfQuery(spark, sf).collect().toSeq
+    val pinned = Ivf.searchPinnedIvfQuery(spark, sf).collect().toSeq
+    assert(part.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+      pinned.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))),
+      "the at-rest partitioned path must reproduce the in-memory search exactly")
+    // The at-rest index covers the corpus: one directory per coarse list,
+    // and the union of partitions holds every vector exactly once.
+    val path = Ivf.partitionedIndexPath(spark, sf)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+    assert(dirs.length == Ivf.DefaultNlist,
+      s"expected ${Ivf.DefaultNlist} list partitions, got ${dirs.map(_.getName).toSeq}")
+    val total = spark.read.parquet(path).count()
+    assert(total == Tables.t(spark, sf, "embeddings").count(), "index must cover the corpus")
+  }
+
   test("x125: prototypicality ranks cluster cores first, the planted outlier last") {
     import spark.implicits._
     // Two tight 8-dim clusters around distinct centers plus one far
