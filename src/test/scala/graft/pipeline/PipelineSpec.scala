@@ -124,6 +124,47 @@ class PipelineSpec extends SparkSpec {
     assert(out == SparkEntry.queries("x08c_audio_decode")(spark, sf).collect().toSeq)
   }
 
+  test("lock-free WAV path: fixture bytes and decode equal the JDK codec exactly") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def jdkWav(pcm: Array[Byte], nFrames: Int, rate: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // Byte-for-byte: the hand-rolled canonical header (the executor-
+    // thread-scaling replacement for the globally synchronized
+    // AudioSystem registry) is indistinguishable at rest from the JDK
+    // writer's output, across sizes, rates, and both fixture families.
+    for ((n, period, rate) <- Seq((100, 10, 8000), (800, 16, 8000),
+        (1599, 63, 8000), (64, 2, 16000))) {
+      val w = Multimodal.wavFixture(n, period, rate)
+      assert(java.util.Arrays.equals(w, jdkWav(w.drop(44), n, rate)),
+        s"fixture ($n, $period, $rate) must match the JDK writer byte for byte")
+      // And the lock-free parser agrees with the JDK reader on it.
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(w))
+      val f = ais.getFormat
+      assert(Multimodal.decodeAudio(w).exists { case (r, c, fr, _) =>
+        r == f.getSampleRate.toInt && c == f.getChannels &&
+          fr == ais.getFrameLength
+      }, "fast-path decode must agree with the JDK reader's header fields")
+      ais.close()
+    }
+    // Beyond-PCM-16 payloads FALL BACK to the JDK codec (same outputs as
+    // before the fast path existed): an 8-bit WAV still decodes, with
+    // the disclosed mean-square 0 for non-16-bit encodings.
+    val pcm8 = Array.tabulate[Byte](200)(i => (i % 64).toByte)
+    val fmt8 = new AudioFormat(8000f, 8, 1, false, false)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), fmt8, 200L),
+      AudioFileFormat.Type.WAVE, bos8)
+    assert(Multimodal.decodeAudio(bos8.toByteArray).contains((8000, 1, 200L, 0L)),
+      "non-16-bit WAV must take the JDK fallback with the pre-existing contract")
+  }
+
   test("x115: perceptual-hash dedup pairs near-duplicate images, skips different ones") {
     import org.apache.spark.sql.Row
     // A: 32×24 row-increasing gradient (within every dHash row, left
