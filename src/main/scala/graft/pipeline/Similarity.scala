@@ -1543,18 +1543,35 @@ object Similarity {
     * per-partition heap of TakeOrdered generalized per query. The
     * registered form keeps the single window the oracle can mirror. */
   def annBatchTopK(s: SparkSession, dir: String): DataFrame = {
-    reg(s)
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.t(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") < AnnBatchQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    annTopKOn(
+      e.filter(col("vec_id") < AnnBatchQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      e.filter(col("vec_id") >= AnnBatchQueries),
+      AnnBatchK)
+  }
+
+  /** The x68 kernel as a library form: per-query exact cosine top-`k`
+    * of `queries` (q_id, q_emb) against `corpus` (vec_id, embedding) —
+    * the retrieval-serving operator a deployment calls with whatever
+    * query block just arrived. Query block broadcasts, corpus streams
+    * map-side in ONE pass regardless of |Q|, per-query rank on the
+    * rounded score with vec_id tie-break (deterministic). Composed by
+    * the x68 registration AND the ingestion-edge serve job
+    * ([[graft.streaming.StreamingJobs.annServeStream]] runs it verbatim
+    * per micro-batch — queries are independent, so batch boundaries
+    * cannot change any result row, the same batch ≡ stream argument as
+    * the dedup gates). */
+  def annTopKOn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    reg(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-    e.filter(col("vec_id") >= AnnBatchQueries)
-      .crossJoin(broadcast(q))
+    corpus
+      .crossJoin(broadcast(queries.select(col("q_id"), col("q_emb"))))
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), 4).as("cosine"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= AnnBatchK)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }

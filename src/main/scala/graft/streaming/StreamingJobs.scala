@@ -61,6 +61,33 @@ object StreamingJobs {
       }
       .start()
 
+  /** Online retrieval at the serving edge: each micro-batch of QUERY
+    * vectors (q_id, q_emb) is answered with its exact cosine top-`k`
+    * against the at-rest corpus via the proven x68 kernel
+    * ([[graft.pipeline.Similarity.annTopKOn]]) inside `foreachBatch` —
+    * the embedding-side counterpart of the dedup/decon gates: those
+    * stream DOCUMENTS against standing indexes, this streams QUERIES
+    * against the standing corpus. One corpus pass per micro-batch
+    * regardless of batch width (the x68 batching win, now at the edge);
+    * at deployment scale the corpus side is the at-rest IVF layout, so
+    * the same call serves from the x138 partition-pruned index.
+    *
+    * Batch ≡ stream by construction: queries are mutually independent
+    * and the corpus is static within a wave, so micro-batch boundaries
+    * cannot change any result row (StreamingSpec pins two waves against
+    * the one-shot batch answer). At-least-once delivery, idempotent
+    * sink recommended — a replayed wave re-emits the same rows. */
+  def annServeStream(queryVecs: DataFrame, corpus: DataFrame, k: Int,
+      checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryVecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.pipeline.Similarity.annTopKOn(batch, corpus, k), batchId)
+      }
+      .start()
+
   /** x26 streaming, near tier included: full incremental dedup (exact
     * sha-match PLUS near-dup Jaccard ≥ `threshold` against the static
     * corpus) per micro-batch via `foreachBatch`. The exact tier alone

@@ -12,6 +12,7 @@ case class Doc(doc_id: Long, text: String, lang: String)
 case class Vec(vec_id: Long, embedding: Array[Float])
 case class DocVec(doc_id: Long, text: String, lang: String, embedding: Array[Float])
 case class Med(media_id: Long, payload: Array[Byte])
+case class QVec(q_id: Long, q_emb: Array[Float])
 
 /** B31–B34 streaming semantics: the same logical query must produce the
   * same result in batch and over a stream; watermark dedup drops
@@ -178,6 +179,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sorted == batch.sorted, s"stream=$streamed batch=$batch")
     assert(streamed.sorted == Seq(11L, 12L),
       s"colinear 10 and near-copy 13 must drop; near-miss 12 survives: $streamed")
+  }
+
+  test("ANN serve stream: per-wave answers equal the one-shot batch retrieval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Corpus on the three axes plus a diagonal; queries aligned so each
+    // wave has a crisp, hand-checkable top-2.
+    val corpus = Seq(
+      Vec(1L, Array(1.0f, 0.0f, 0.0f)),
+      Vec(2L, Array(0.0f, 1.0f, 0.0f)),
+      Vec(3L, Array(0.0f, 0.0f, 1.0f)),
+      Vec(4L, Array(1.0f, 1.0f, 0.0f))).toDF()
+    val queries = Seq(
+      QVec(100L, Array(2.0f, 0.0f, 0.0f)),
+      QVec(101L, Array(0.0f, 0.0f, 5.0f)),
+      QVec(102L, Array(1.0f, 1.0f, 0.1f)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Int, Long, Double)])]
+    val input = MemoryStream[QVec]
+    val dir = java.nio.file.Files.createTempDirectory("annserve").toString
+    val q = StreamingJobs.annServeStream(input.toDF(), corpus, 2, dir) {
+      (answers, batchId) =>
+        out += batchId -> answers.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    }
+    input.addData(queries.take(2))
+    q.processAllAvailable()
+    input.addData(queries.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    // Queries are independent and the corpus is static, so the waves'
+    // concatenation must equal the one-shot batch retrieval row for row.
+    val streamed = out.sortBy(_._1).flatMap(_._2).toSeq.sortBy(t => (t._1, t._2))
+    val batch = graft.pipeline.Similarity.annTopKOn(queries.toDF(), corpus, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // Hand-checked heads: 100 → axis 1 then diagonal 4; 101 → axis 3;
+    // 102 → diagonal 4 first (cos ≈ 0.9965).
+    val head = streamed.groupBy(_._1).view.mapValues(_.minBy(_._2)._3).toMap
+    assert(head == Map(100L -> 1L, 101L -> 3L, 102L -> 4L), s"heads: $head")
   }
 
   test("unified ingest stream: one admission decision sees exact, lexical and semantic verdicts") {
