@@ -47,6 +47,7 @@ object IndexArtifacts {
     "idx_x46b_sem_edges" -> ((s: SparkSession, d: String) => { Curation.x46bSemEdges(s, d); () }),
     "idx_unigram_lm" -> ((s: SparkSession, d: String) => { TextStats.unigramLmFrame(s, d); () }),
     "idx_x133_old_lm" -> ((s: SparkSession, d: String) => { TextStats.x133OldLm(s, d); () }),
+    "idx_x139_old_stats" -> ((s: SparkSession, d: String) => { Selection.x139OldStats(s, d); () }),
     "idx_bigram_lm" -> ((s: SparkSession, d: String) => { TextStats.bigramLmFrame(s, d); () }),
     // Driver-side fits, forced via their first consumer's constructor.
     "idx_kmeans_quantizer" -> ((s: SparkSession, d: String) => { Ivf.searchQuery(s, d); () }),

@@ -979,7 +979,101 @@ object Selection {
        FROM r WHERE rn <= $RetroTopK
        ORDER BY doc_id, win_id, rn"""
 
+  // ---------------------------------------------------------------- x139
+  /** x139 — incremental BM25 INDEX-STATS maintenance: merge a batch's
+    * retrieval statistics into the standing (term → df) table plus the
+    * (n_docs, sumdl) scalars without re-reading the old corpus — the
+    * x121/x129/x133 append-only discipline applied to the FOURTH kind
+    * of standing artifact this engine maintains (cluster indexes,
+    * perceptual-hash tables, LM tables, and now the retrieval index's
+    * statistics, which x49/x49b re-derive per query today and a
+    * production search tier keeps standing). All three pieces are
+    * mergeable counts over DISJOINT doc sets: df(term) adds (a doc
+    * contains a term in exactly one snapshot), n_docs and sumdl add —
+    * one union + vocabulary-sized re-aggregate per wave, ΔN-document
+    * cost, never a corpus recount.
+    *
+    * The artifact deliberately carries EXACT integers only — (tok, df,
+    * n_docs, sumdl), no precomputed average — so a scoring job derives
+    * avgdl = sumdl/n_docs in its own numeric width and reproduces
+    * x49's live-computed scores bit for bit (SelectionSpec pins
+    * [[bm25FromStats]] over this table against the registered x49
+    * output). The oracle is a FULL RECOUNT of the whole corpus: the
+    * hash match certifies merged ≡ rebuilt, the same
+    * incremental-equals-full contract as the other index families. */
+  def incrementalBm25Stats(newDocs: DataFrame, oldDf: DataFrame,
+      oldScal: DataFrame): DataFrame = {
+    val batchDf = newDocs.select(col("doc_id"), explode(toks).as("tok"))
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val batchScal = newDocs.agg(count(lit(1)).cast("long").as("n_docs"),
+      coalesce(sum(size(toks).cast("long")), lit(0L)).as("sumdl"))
+    val scal = batchScal.unionByName(oldScal)
+      .agg(sum("n_docs").as("n_docs"), sum("sumdl").as("sumdl"))
+    batchDf.unionByName(oldDf)
+      .groupBy("tok").agg(sum("df").as("df"))
+      .crossJoin(broadcast(scal))
+      .select(col("tok"), col("df"), col("n_docs"), col("sumdl"))
+      .orderBy("tok")
+  }
+
+  /** The registered x139's STANDING pieces — the even-doc half's
+    * (tok, df) table and 1-row (n_docs, sumdl) scalars, memoized per
+    * snapshot and timed as `idx_x139_old_stats` (production reads them
+    * from the snapshot store, the x133 convention). */
+  private[pipeline] def x139OldStats(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    Ivf.memoModel(docs(s, dir),
+        s"x139oldstats|${s.sparkContext.applicationId}") {
+      val even = docs(s, dir).filter(col("doc_id") % 2 === 0)
+      (Checkpoints.stable(
+        even.select(col("doc_id"), explode(toks).as("tok")).distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))),
+        Checkpoints.stable(
+          even.agg(count(lit(1)).cast("long").as("n_docs"),
+            coalesce(sum(size(toks).cast("long")), lit(0L)).as("sumdl"))))
+    }
+
+  private def x139(s: SparkSession, dir: String): DataFrame = {
+    val (oldDf, oldScal) = x139OldStats(s, dir)
+    incrementalBm25Stats(docs(s, dir).filter(col("doc_id") % 2 === 1), oldDf, oldScal)
+  }
+
+  private val x139Sql =
+    """WITH tf AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+       dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl
+              FROM documents)
+       SELECT tok, df, n_docs, sumdl FROM dfx CROSS JOIN st ORDER BY tok"""
+
+  /** BM25 top-k scored FROM the standing stats table instead of live
+    * corpus statistics — the production read path a search tier runs
+    * against the x139-maintained artifact. avgdl derives as
+    * sumdl/n_docs in double (dl values are integers, exact in double,
+    * so this equals x49's live avg() bit for bit — SelectionSpec pins
+    * the equality); df comes from the table's term rows. Postings are
+    * x49's (explode filtered to the query terms), so only the statistic
+    * SOURCE changes. */
+  private[graft] def bm25FromStats(corpus: DataFrame, stats: DataFrame,
+      terms: Seq[String], topK: Int): DataFrame = {
+    val tf = corpus
+      .select(col("doc_id"), size(toks).cast("double").as("dl"), explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val st = stats.filter(col("tok").isin(terms: _*))
+      .select(col("tok"), col("df"), col("n_docs").cast("double").as("n_docs"),
+        (col("sumdl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    tf.join(broadcast(st), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"), bm25ScoreAgg.as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("x139_incremental_bm25_stats", x139, Some(x139Sql)),
     QueryDef("x90_classifier_calibration", classifierCalibration, Some(x90Sql)),
     QueryDef("x104_retro_neighbors", retroNeighbors, Some(x104Sql)),
     QueryDef("x49_bm25_topk", bm25TopK, Some(x49Sql)),

@@ -56,6 +56,42 @@ class SelectionSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- x49
+  test("x139: merged stats equal a full recount; x49 scored from the table is bit-identical") {
+    import spark.implicits._
+    // Planted two-snapshot corpus: term overlap across snapshots (the
+    // df-addition law needs disjoint DOC sets, not disjoint vocab),
+    // repeated terms within one doc (df counts docs, not occurrences).
+    val old_ = Seq((0L, "spark join join fast"), (2L, "dup spark scan")).toDF("doc_id", "text")
+    val batch = Seq((1L, "join dup dup"), (3L, "window spark")).toDF("doc_id", "text")
+    val oldDf = old_.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val oldScal = old_.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
+    val merged = Selection.incrementalBm25Stats(batch, oldDf, oldScal)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // Full recount of the union, derived independently in Scala.
+    val all = Seq("spark join join fast", "dup spark scan", "join dup dup", "window spark")
+    val dfExp = all.map(_.split(" ").toSet).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sumdl = all.map(_.split(" ").length.toLong).sum
+    assert(merged.map(_._1) == merged.map(_._1).sorted, "ordered by term")
+    merged.foreach { case (tok, df, n, s) =>
+      assert(df == dfExp(tok), s"df($tok)")
+      assert(n == 4L && s == sumdl, s"scalars on $tok")
+    }
+    assert(merged.map(_._1).toSet == dfExp.keySet, "full vocabulary covered")
+    // Production read path: x49 scored FROM the registered standing
+    // table reproduces the live-statistics x49 output bit for bit
+    // (exact-integer artifact, avgdl derived in double on both paths).
+    val stats = graft.SparkEntry.queries("x139_incremental_bm25_stats")(spark, sf)
+    val fromStats = Selection.bm25FromStats(
+      Tables.t(spark, sf, "documents"), stats, Selection.Bm25Query, Selection.Bm25TopK)
+      .collect().toSeq
+    val live = Selection.bm25TopK(spark, sf).collect().toSeq
+    assert(fromStats == live,
+      s"table-scored BM25 must equal live-scored: ${fromStats.take(3)} vs ${live.take(3)}")
+  }
+
   test("x49: hand-computed BM25 on a planted corpus") {
     import spark.implicits._
     val corpus = Seq(
