@@ -42,6 +42,14 @@ object IndexExport {
     "x121_old_index" -> Curation.x121OldIndex(s, dir),
     "x129_old_index" -> Similarity.x129OldIndex(s, dir),
     "x133_old_lm" -> TextStats.x133OldLm(s, dir),
+    // The standing BM25 retrieval statistics (x139): the combined
+    // (tok, df, n_docs, sumdl) artifact a search tier scores from
+    // (Selection.bm25FromStats) and the next wave's merge reads.
+    "x139_old_stats" -> {
+      val (df_, scal) = Selection.x139OldStats(s, dir)
+      df_.crossJoin(broadcast(scal))
+        .select(col("tok"), col("df"), col("n_docs"), col("sumdl"))
+    },
     // The Bloom decon mask (x17/x67's standing eval-suite artifact, as
     // the (word_idx, bits) frame): the one driver-side fit with a
     // PROVEN incremental maintenance law (OR-merge), so it earns an

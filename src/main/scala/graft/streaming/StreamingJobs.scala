@@ -439,6 +439,63 @@ object StreamingJobs {
       }
       .start()
 
+  /** x133 streaming: standing unigram-LM-TABLE maintenance at the
+    * ingestion edge. Each micro-batch's token counts merge into the
+    * at-rest LM table via the proven mergeable-counts operator
+    * ([[graft.pipeline.TextStats.incrementalUnigramLm]]) and the table
+    * is rewritten — the wave-over-wave form of x133's merged ≡ rebuilt
+    * law (StreamingSpec proves the table after N waves equals a full
+    * recount of everything that ever arrived). `lmDir` must be seeded
+    * (an empty (tok, cf) frame for a fresh start). The merged table is
+    * EAGERLY materialized before the overwrite (the read-overwrite
+    * discipline of the cluster-index streams). At-least-once caveat is
+    * SHARPER here than for the idempotent OR-merge: a replayed batch
+    * double-counts its tokens, so production pairs this with a
+    * batchId ledger (skip already-merged ids) or batchId-keyed delta
+    * tables compacted offline. */
+  def lmMaintenanceStream(newDocs: DataFrame, lmDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val merged = graft.pipeline.Checkpoints.stable(
+          graft.pipeline.TextStats.incrementalUnigramLm(
+            batch, s.read.parquet(lmDir)))
+        merged.write.mode("overwrite").parquet(lmDir)
+        ()
+      }
+      .start()
+
+  /** x139 streaming: standing BM25 retrieval-statistics maintenance —
+    * the same wave shape over the (tok, df, n_docs, sumdl) artifact
+    * ([[graft.pipeline.IndexExport]]'s `x139_old_stats` frame; scoring
+    * reads it via [[graft.pipeline.Selection.bm25FromStats]]). The old
+    * scalars are recovered from the combined table (max over its
+    * constant columns; 0 for the empty fresh-start seed), the merge is
+    * [[graft.pipeline.Selection.incrementalBm25Stats]], and the
+    * rewritten table is again self-contained. Same eager-materialize
+    * discipline and the same non-idempotent-replay caveat as
+    * [[lmMaintenanceStream]]. */
+  def bm25StatsMaintenanceStream(newDocs: DataFrame, statsDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val old = s.read.parquet(statsDir)
+        val merged = graft.pipeline.Checkpoints.stable(
+          graft.pipeline.Selection.incrementalBm25Stats(batch,
+            old.select(col("tok"), col("df")),
+            old.agg(coalesce(max("n_docs"), lit(0L)).as("n_docs"),
+              coalesce(max("sumdl"), lit(0L)).as("sumdl"))))
+        merged.write.mode("overwrite").parquet(statsDir)
+        ()
+      }
+      .start()
+
   /** x12 streaming: stream-stream interval join. Both sides carry
     * watermarks and the join condition bounds purchase time to
     * [click, click + 2h], so Spark evicts click state once the watermark

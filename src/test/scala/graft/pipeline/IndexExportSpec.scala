@@ -15,7 +15,7 @@ class IndexExportSpec extends SparkSpec {
     assert(counts.keySet ==
       Set("b28_pairs", "b28_labels", "x11_pairs", "sem_labels", "image_phash",
         "audio_fp", "x121_old_index", "x129_old_index", "x133_old_lm",
-        "bloom_mask"))
+        "x139_old_stats", "bloom_mask"))
     // Manifest counts are the parquet truth.
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/manifest.json"))

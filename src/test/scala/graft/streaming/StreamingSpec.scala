@@ -828,6 +828,54 @@ class StreamingSpec extends SparkSpec {
     assert(idx == full, s"standing index must equal the full re-cluster: $idx vs $full")
   }
 
+  test("LM-table maintenance stream: the standing table after N waves equals a full recount") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lmDir = java.nio.file.Files.createTempDirectory("lm_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lm_ckpt").toString
+    // Seed: a standing table from an initial corpus (not empty, so the
+    // merge exercises overlap with pre-stream history too).
+    Seq(("alpha", 2L), ("beta", 1L)).toDF("tok", "cf")
+      .write.mode("overwrite").parquet(lmDir)
+    val input = MemoryStream[Doc]
+    val q = StreamingJobs.lmMaintenanceStream(input.toDF(), lmDir, ckpt)
+    input.addData(Seq(Doc(1L, "alpha gamma gamma", "en")))
+    q.processAllAvailable()
+    input.addData(Seq(Doc(2L, "beta beta delta", "en")))
+    q.processAllAvailable()
+    q.stop()
+    val table = spark.read.parquet(lmDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(table == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 2L, "delta" -> 1L),
+      s"standing LM table must equal the full recount of seed + every wave: $table")
+  }
+
+  test("BM25-stats maintenance stream: df and scalars track every wave exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val statsDir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25_ckpt").toString
+    // Fresh start: the empty self-contained artifact.
+    Seq.empty[(String, Long, Long, Long)].toDF("tok", "df", "n_docs", "sumdl")
+      .write.mode("overwrite").parquet(statsDir)
+    val input = MemoryStream[Doc]
+    val q = StreamingJobs.bm25StatsMaintenanceStream(input.toDF(), statsDir, ckpt)
+    // Wave 1: "join" twice in one doc must count ONE df.
+    input.addData(Seq(Doc(1L, "spark join join", "en"), Doc(2L, "dup scan", "en")))
+    q.processAllAvailable()
+    input.addData(Seq(Doc(3L, "join spark spark window", "en")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(statsDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dfm = rows.map(t => t._1 -> t._2).toMap
+    assert(dfm == Map("spark" -> 2L, "join" -> 2L, "dup" -> 1L,
+      "scan" -> 1L, "window" -> 1L), s"df must count docs, merged across waves: $dfm")
+    rows.foreach { case (tok, _, n, s) =>
+      assert(n == 3L && s == 9L, s"scalars must track every wave: ($tok, $n, $s)")
+    }
+  }
+
   test("streaming semantic-index maintenance: cross-wave embedding duplicates cluster") {
     import spark.implicits._
     import graft.pipeline.{Curation, Similarity}
