@@ -120,7 +120,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // Registered queries with no prior expected: added AFTER the full
     // map was last written. Update when registering a query; the next
     // full bench run re-empties it.
-    val newThisRound = Set("x139_incremental_bm25_stats")
+    val newThisRound = Set.empty[String]
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,
