@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * not absorb JVM/codegen start-up, and the `noop` sink as the action —
   * `count()` would let Catalyst prune projection work entirely, timing a
   * different (smaller) plan than the query declares.
+  *
+  * Load honesty (r15 finding — the driver artifact inflated 2× vs the
+  * same-commit quiet map, twice running): every query takes min-of-2 with
+  * immediate >3×-spread and cross-round drift retries, still-drifted
+  * queries get ONE more run at the END of the gauntlet (time-decorrelated
+  * from whatever burst hit their first samples), and a single-thread CPU
+  * probe measured at start/post-idx/end is reported in both JSON lines so
+  * a contended VM shows up in the artifact itself.
   */
 object Bench {
   /** Per-query times parsed from a prior bench artifact (either a raw
@@ -45,6 +53,33 @@ object Bench {
   private[graft] def drifted(minRun: Double, prior: Double): Boolean =
     prior > 0.2 && minRun > prior * driftX(prior)
 
+  /** Single-thread CPU calibration probe: a fixed 50M-step integer mix
+    * (SplitMix64's constants), JIT-warmed, min of three. Pure CPU, no
+    * allocation, no Spark — its ONLY variable is how much of one core
+    * the VM actually gives this process. Measured at bench start, after
+    * the index builds, and after the gauntlet, and reported in the JSON
+    * line: two rounds running, the driver artifact carried 5–22×
+    * per-line spikes (median ratio 1.29) that dissolved under quiet
+    * re-measurement — VM contention, not plan cost. The probe makes
+    * that attribution part of the artifact itself: a spiked line next
+    * to a spiked probe is the machine; next to a flat probe it's real. */
+  private[graft] def probeMs(): Double = {
+    def once(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 50000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= x >>> 33
+        i += 1
+      }
+      if (x == 42L) System.err.println("") // keep x live
+      (System.nanoTime() - t0) / 1e6
+    }
+    once() // JIT warm-up
+    Seq(once(), once(), once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +94,8 @@ object Bench {
 
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    val probeStart = probeMs()
 
     // Warm-up: JVM + whole-stage-codegen + parquet footer caches.
     run(Tables.t(spark, sfDir, "region"))
@@ -197,6 +234,10 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
           })
       }
+    // Index builds are memoized (a re-invocation times the cache hit, not
+    // a rebuild), so idx_* lines cannot take a min-of-N — the probe
+    // sandwich is their load attribution instead.
+    val probePostIdx = probeMs()
 
     val gauntlet = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = Seq(timeOnce(name, fn), timeOnce(name, fn)).flatten
@@ -231,10 +272,32 @@ object Bench {
       }
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
+    // End-of-run decorrelated retry (r15 finding): a query's min-of-2 and
+    // its immediate drift-guard third run all execute within one ~seconds
+    // window, so a single multi-second contention burst inflates EVERY
+    // sample — b12_q1_agg read 22× its quiet time with all guards firing.
+    // Queries still drifted vs their prior after the gauntlet get ONE more
+    // run here, minutes of other work later, so at least one sample lands
+    // outside the burst by construction; the min merges.
+    val stillDrifted = gauntlet.collect {
+      case (n, t) if t >= 0 && priorTimes.get(n).exists(p => drifted(t, p)) => n
+    }.toSet
+    val gauntletFinal =
+      if (stillDrifted.isEmpty) gauntlet
+      else {
+        System.err.println(s"[bench] end-of-run decorrelated retry for " +
+          s"${stillDrifted.size} still-drifted queries: ${stillDrifted.toSeq.sorted.mkString(", ")}")
+        gauntlet.map { case (n, t) =>
+          if (stillDrifted(n))
+            n -> timeOnce(n, selected(n)).map(math.min(t, _)).getOrElse(t)
+          else n -> t
+        }
+      }
+    val probeEnd = probeMs()
     // idx_* lines lead (they ran first); they count into the headline
     // total because that cost was previously inside consumer queries —
     // dropping it would fake a round-over-round speedup.
-    val results = idxResults ++ gauntlet
+    val results = idxResults ++ gauntletFinal
     // Times rounded to 1 ms so the whole line stays well under the
     // driver's output-tail buffer (round 1 recorded parsed:null because
     // the full-precision line outgrew it); also persisted to a file so a
@@ -247,10 +310,15 @@ object Bench {
     // speedup); the failed count makes a partially-failed run unmissable.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val nFailed = results.count(_._2 < 0)
+    // Probe times rounded to whole ms: they are machine-load attribution,
+    // not query measurements, and must never collide with parsePriorTimes'
+    // query-time regex (which requires a decimal fraction).
+    val probes = s""""probe_ms":{"start":${probeStart.toLong},""" +
+      s""""post_idx":${probePostIdx.toLong},"end":${probeEnd.toLong}}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,"queries":$qs,""" +
       s""""fmp_recs_per_sec":${fmpRecsPerSec.toLong},""" +
       s""""fmp_baseline_recs_per_sec":${graft.tools.FmpFixture.BaselineRecsPerSec.toLong},""" +
-      s""""fmp_ok":$fmpOk,"sf":"$sfDir"}"""
+      s""""fmp_ok":$fmpOk,$probes,"sf":"$sfDir"}"""
     // Compact headline (<200 bytes): the driver captures only a ~2-3 KB
     // tail of stdout, and the full per-query line above outgrew it three
     // rounds running (BENCH_r01-r03 all parsed:null — sbt's [success]
@@ -258,7 +326,8 @@ object Bench {
     // is printed LAST so it is always complete inside any tail buffer;
     // the per-query detail stays in the long line and bench_result.json.
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,""" +
-      s""""fmp_recs_per_sec":${fmpRecsPerSec.toLong},"fmp_ok":$fmpOk,"sf":"$sfDir"}"""
+      s""""fmp_recs_per_sec":${fmpRecsPerSec.toLong},"fmp_ok":$fmpOk,""" +
+      s""""probe_ms":[${probeStart.toLong},${probePostIdx.toLong},${probeEnd.toLong}],"sf":"$sfDir"}"""
     // File persistence is best-effort: an IO failure here must never cost
     // the stdout line the driver contract depends on.
     // ONLY mode writes to a side file: a partial map must never shadow

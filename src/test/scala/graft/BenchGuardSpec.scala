@@ -120,7 +120,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // Registered queries with no prior expected: added AFTER the full
     // map was last written. Update when registering a query; the next
     // full bench run re-empties it.
-    val newThisRound = Set.empty[String]
+    val newThisRound = Set("x09c_embedding_neardup_sel", "x136b_lsh_layout_profile")
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,
@@ -130,6 +130,19 @@ class BenchGuardSpec extends AnyFunSuite {
         s"(${SparkEntry.queries.size} registered - ${newThisRound.size} new)")
     // The alphabetical head — the exact region the clipped tails lost.
     assert(m.contains("b05_select_rename_cast"), "head of the suite must be covered")
+  }
+
+  test("probe fields never pollute the prior map; probeMs measures real work") {
+    // The probe values are whole-ms integers precisely so the query-time
+    // regex (\d+\.\d+) can never read them as priors.
+    val line = """{"metric":"total","value":9.123,"unit":"sec","failed":0,
+      "queries":{"b05_select_rename_cast":0.123},"fmp_recs_per_sec":27000,
+      "fmp_ok":true,"probe_ms":{"start":103,"post_idx":98,"end":2041},
+      "sf":"/root/testdata/sf0.1"}"""
+    val m = Bench.parsePriorTimes(line, "/root/testdata/sf0.1")
+    assert(m == Map("b05_select_rename_cast" -> 0.123), s"got $m")
+    val p = Bench.probeMs()
+    assert(p > 1.0 && p < 60000.0, s"probe out of sane range: $p ms")
   }
 
   test("the actual BENCH_r06.json artifact yields prior times for the guard") {
