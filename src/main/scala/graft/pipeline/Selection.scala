@@ -1003,6 +1003,22 @@ object Selection {
     * incremental-equals-full contract as the other index families. */
   def incrementalBm25Stats(newDocs: DataFrame, oldDf: DataFrame,
       oldScal: DataFrame): DataFrame = {
+    val (vocab, scal) = incrementalBm25StatsParts(newDocs, oldDf, oldScal)
+    vocab
+      .crossJoin(broadcast(scal))
+      .select(col("tok"), col("df"), col("n_docs"), col("sumdl"))
+      .orderBy("tok")
+  }
+
+  /** The (vocab, scalars) PARTS of [[incrementalBm25Stats]] — the vocab
+    * (tok, df) frame and the always-one-row (n_docs, sumdl) scalars,
+    * BEFORE the denormalizing crossJoin. The maintenance stream commits
+    * these as separate tables of one versioned artifact: the scalars
+    * must survive a zero-vocab wave (e.g. a first wave of empty-text
+    * docs), which the denormalized form cannot guarantee (r15 ADVICE —
+    * max() recovery over zero vocab rows silently reset them). */
+  def incrementalBm25StatsParts(newDocs: DataFrame, oldDf: DataFrame,
+      oldScal: DataFrame): (DataFrame, DataFrame) = {
     val batchDf = newDocs.select(col("doc_id"), explode(toks).as("tok"))
       .distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1010,11 +1026,7 @@ object Selection {
       coalesce(sum(size(toks).cast("long")), lit(0L)).as("sumdl"))
     val scal = batchScal.unionByName(oldScal)
       .agg(sum("n_docs").as("n_docs"), sum("sumdl").as("sumdl"))
-    batchDf.unionByName(oldDf)
-      .groupBy("tok").agg(sum("df").as("df"))
-      .crossJoin(broadcast(scal))
-      .select(col("tok"), col("df"), col("n_docs"), col("sumdl"))
-      .orderBy("tok")
+    (batchDf.unionByName(oldDf).groupBy("tok").agg(sum("df").as("df")), scal)
   }
 
   /** The registered x139's STANDING pieces — the even-doc half's

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming forms of the windowed event operators (B31–B34).
@@ -445,56 +445,72 @@ object StreamingJobs {
     * ([[graft.pipeline.TextStats.incrementalUnigramLm]]) and the table
     * is rewritten — the wave-over-wave form of x133's merged ≡ rebuilt
     * law (StreamingSpec proves the table after N waves equals a full
-    * recount of everything that ever arrived). `lmDir` must be seeded
-    * (an empty (tok, cf) frame for a fresh start). The merged table is
-    * EAGERLY materialized before the overwrite (the read-overwrite
-    * discipline of the cluster-index streams). At-least-once caveat is
-    * SHARPER here than for the idempotent OR-merge: a replayed batch
-    * double-counts its tokens, so production pairs this with a
-    * batchId ledger (skip already-merged ids) or batchId-keyed delta
-    * tables compacted offline. */
+    * recount of everything that ever arrived). The artifact lives in a
+    * [[VersionedTable]] (table name "lm"; seed with an empty (tok, cf)
+    * frame for a fresh start): each wave writes a COMPLETE new version
+    * and atomically advances the pointer, so a crash anywhere leaves
+    * the previous version live and intact — the prior in-place
+    * overwrite destroyed the artifact if the app died mid-write (old
+    * parquet deleted, localCheckpoint blocks gone with the app).
+    * Replay is EXACTLY-ONCE in effect: the pointer records the last
+    * merged batch id and a re-delivered micro-batch is skipped
+    * (the r15 double-count caveat, closed; StreamingSpec replays a
+    * merged batch through a fresh checkpoint and proves the counts do
+    * not move). */
   def lmMaintenanceStream(newDocs: DataFrame, lmDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val merged = graft.pipeline.Checkpoints.stable(
-          graft.pipeline.TextStats.incrementalUnigramLm(
-            batch, s.read.parquet(lmDir)))
-        merged.write.mode("overwrite").parquet(lmDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!VersionedTable.alreadyMerged(lmDir, batchId)) {
+          val merged = graft.pipeline.TextStats.incrementalUnigramLm(
+            batch, VersionedTable.read(batch.sparkSession, lmDir, "lm"))
+          VersionedTable.commit(lmDir, batchId, Seq("lm" -> merged))
+        }
         ()
       }
       .start()
 
   /** x139 streaming: standing BM25 retrieval-statistics maintenance —
-    * the same wave shape over the (tok, df, n_docs, sumdl) artifact
-    * ([[graft.pipeline.IndexExport]]'s `x139_old_stats` frame; scoring
-    * reads it via [[graft.pipeline.Selection.bm25FromStats]]). The old
-    * scalars are recovered from the combined table (max over its
-    * constant columns; 0 for the empty fresh-start seed), the merge is
-    * [[graft.pipeline.Selection.incrementalBm25Stats]], and the
-    * rewritten table is again self-contained. Same eager-materialize
-    * discipline and the same non-idempotent-replay caveat as
-    * [[lmMaintenanceStream]]. */
+    * the same wave shape over the BM25 stats artifact (scoring reads it
+    * via [[graft.pipeline.Selection.bm25FromStats]]). The artifact is a
+    * [[VersionedTable]] with TWO tables committed in one atomic swap:
+    * "vocab" (tok, df) and "scalars" (its own always-one-row
+    * (n_docs, sumdl) table, NOT columns denormalized onto vocab rows —
+    * so a zero-vocab wave or an empty-text seed can never reset the
+    * scalars through a max()-over-no-rows recovery; r15 ADVICE closed).
+    * The merge is [[graft.pipeline.Selection.incrementalBm25StatsParts]];
+    * crash-safety and exactly-once replay semantics are
+    * [[lmMaintenanceStream]]'s. [[readBm25Stats]] rejoins the two
+    * tables into the self-contained (tok, df, n_docs, sumdl) frame the
+    * scorers consume. */
   def bm25StatsMaintenanceStream(newDocs: DataFrame, statsDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val old = s.read.parquet(statsDir)
-        val merged = graft.pipeline.Checkpoints.stable(
-          graft.pipeline.Selection.incrementalBm25Stats(batch,
-            old.select(col("tok"), col("df")),
-            old.agg(coalesce(max("n_docs"), lit(0L)).as("n_docs"),
-              coalesce(max("sumdl"), lit(0L)).as("sumdl"))))
-        merged.write.mode("overwrite").parquet(statsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!VersionedTable.alreadyMerged(statsDir, batchId)) {
+          val s = batch.sparkSession
+          val (vocab, scal) = graft.pipeline.Selection.incrementalBm25StatsParts(
+            batch,
+            VersionedTable.read(s, statsDir, "vocab"),
+            VersionedTable.read(s, statsDir, "scalars"))
+          VersionedTable.commit(statsDir, batchId,
+            Seq("vocab" -> vocab, "scalars" -> scal))
+        }
         ()
       }
       .start()
+
+  /** The self-contained (tok, df, n_docs, sumdl) frame the scorers
+    * consume ([[graft.pipeline.Selection.bm25FromStats]]), rejoined
+    * from the live version's vocab + scalars tables. */
+  def readBm25Stats(s: SparkSession, statsDir: String): DataFrame =
+    VersionedTable.read(s, statsDir, "vocab")
+      .crossJoin(broadcast(VersionedTable.read(s, statsDir, "scalars")))
+      .select(col("tok"), col("df"), col("n_docs"), col("sumdl"))
 
   /** x12 streaming: stream-stream interval join. Both sides carry
     * watermarks and the join condition bounds purchase time to

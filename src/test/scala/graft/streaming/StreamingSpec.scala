@@ -835,8 +835,8 @@ class StreamingSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("lm_ckpt").toString
     // Seed: a standing table from an initial corpus (not empty, so the
     // merge exercises overlap with pre-stream history too).
-    Seq(("alpha", 2L), ("beta", 1L)).toDF("tok", "cf")
-      .write.mode("overwrite").parquet(lmDir)
+    VersionedTable.seed(lmDir,
+      Seq("lm" -> Seq(("alpha", 2L), ("beta", 1L)).toDF("tok", "cf")))
     val input = MemoryStream[Doc]
     val q = StreamingJobs.lmMaintenanceStream(input.toDF(), lmDir, ckpt)
     input.addData(Seq(Doc(1L, "alpha gamma gamma", "en")))
@@ -844,10 +844,59 @@ class StreamingSpec extends SparkSpec {
     input.addData(Seq(Doc(2L, "beta beta delta", "en")))
     q.processAllAvailable()
     q.stop()
-    val table = spark.read.parquet(lmDir).collect()
+    def table() = VersionedTable.read(spark, lmDir, "lm").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(table == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 2L, "delta" -> 1L),
-      s"standing LM table must equal the full recount of seed + every wave: $table")
+    assert(table() == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 2L, "delta" -> 1L),
+      s"standing LM table must equal the full recount of seed + every wave: ${table()}")
+    // Exactly-once under replay (r15 ADVICE): a FRESH checkpoint
+    // re-delivers batch ids from 0 — the ledger in the pointer must
+    // skip both already-merged waves, leaving the counts unmoved.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("lm_ckpt2").toString
+    val input2 = MemoryStream[Doc]
+    val q2 = StreamingJobs.lmMaintenanceStream(input2.toDF(), lmDir, ckpt2)
+    input2.addData(Seq(Doc(1L, "alpha gamma gamma", "en")))
+    q2.processAllAvailable()
+    input2.addData(Seq(Doc(2L, "beta beta delta", "en")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(table() == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 2L, "delta" -> 1L),
+      s"replayed micro-batches must not double-count: ${table()}")
+    // A genuinely NEW batch id (2, beyond the merged 0/1) still merges.
+    val ckpt3 = java.nio.file.Files.createTempDirectory("lm_ckpt3").toString
+    val input3 = MemoryStream[Doc]
+    val q3 = StreamingJobs.lmMaintenanceStream(input3.toDF(), lmDir, ckpt3)
+    input3.addData(Seq(Doc(9L, "skipme", "en")))
+    q3.processAllAvailable() // batch 0: skipped by ledger
+    input3.addData(Seq(Doc(10L, "skipme2", "en")))
+    q3.processAllAvailable() // batch 1: skipped by ledger
+    input3.addData(Seq(Doc(3L, "epsilon", "en")))
+    q3.processAllAvailable() // batch 2: merges
+    q3.stop()
+    assert(table().get("epsilon").contains(1L) && !table().contains("skipme"),
+      s"post-ledger batches must merge, replayed ids must not: ${table()}")
+  }
+
+  test("LM-table maintenance: a crash mid-write cannot destroy the standing artifact") {
+    import spark.implicits._
+    val lmDir = java.nio.file.Files.createTempDirectory("lm_crash").toString
+    VersionedTable.seed(lmDir, Seq("lm" -> Seq(("alpha", 2L)).toDF("tok", "cf")))
+    val before = VersionedTable.current(lmDir).get
+    // Simulate an app dying mid-commit: a half-written NEXT version
+    // exists but the pointer was never swapped. The live artifact must
+    // read back exactly as before, and a later commit must succeed.
+    val half = java.nio.file.Paths.get(lmDir, "v1", "lm")
+    java.nio.file.Files.createDirectories(half)
+    java.nio.file.Files.writeString(half.resolve("part-garbage.parquet"), "torn write")
+    assert(VersionedTable.current(lmDir).get == before,
+      "pointer must still name the pre-crash version")
+    assert(VersionedTable.read(spark, lmDir, "lm").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("alpha" -> 2L),
+      "the live version must be untouched by the torn write")
+    // Recovery: the next commit overwrites the torn v1 and swaps.
+    VersionedTable.commit(lmDir, 0L, Seq("lm" -> Seq(("alpha", 5L)).toDF("tok", "cf")))
+    assert(VersionedTable.read(spark, lmDir, "lm").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("alpha" -> 5L))
+    assert(VersionedTable.lastBatchId(lmDir) == 0L)
   }
 
   test("BM25-stats maintenance stream: df and scalars track every wave exactly") {
@@ -855,9 +904,10 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val statsDir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
     val ckpt = java.nio.file.Files.createTempDirectory("bm25_ckpt").toString
-    // Fresh start: the empty self-contained artifact.
-    Seq.empty[(String, Long, Long, Long)].toDF("tok", "df", "n_docs", "sumdl")
-      .write.mode("overwrite").parquet(statsDir)
+    // Fresh start: empty vocab, zero scalars — each its OWN table.
+    VersionedTable.seed(statsDir, Seq(
+      "vocab" -> Seq.empty[(String, Long)].toDF("tok", "df"),
+      "scalars" -> Seq((0L, 0L)).toDF("n_docs", "sumdl")))
     val input = MemoryStream[Doc]
     val q = StreamingJobs.bm25StatsMaintenanceStream(input.toDF(), statsDir, ckpt)
     // Wave 1: "join" twice in one doc must count ONE df.
@@ -866,7 +916,7 @@ class StreamingSpec extends SparkSpec {
     input.addData(Seq(Doc(3L, "join spark spark window", "en")))
     q.processAllAvailable()
     q.stop()
-    val rows = spark.read.parquet(statsDir).collect()
+    val rows = StreamingJobs.readBm25Stats(spark, statsDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val dfm = rows.map(t => t._1 -> t._2).toMap
     assert(dfm == Map("spark" -> 2L, "join" -> 2L, "dup" -> 1L,
@@ -874,6 +924,43 @@ class StreamingSpec extends SparkSpec {
     rows.foreach { case (tok, _, n, s) =>
       assert(n == 3L && s == 9L, s"scalars must track every wave: ($tok, $n, $s)")
     }
+    // Replay through a fresh checkpoint: counts must not move (r15 ADVICE).
+    val ckpt2 = java.nio.file.Files.createTempDirectory("bm25_ckpt2").toString
+    val input2 = MemoryStream[Doc]
+    val q2 = StreamingJobs.bm25StatsMaintenanceStream(input2.toDF(), statsDir, ckpt2)
+    input2.addData(Seq(Doc(1L, "spark join join", "en"), Doc(2L, "dup scan", "en")))
+    q2.processAllAvailable()
+    q2.stop()
+    val scal = VersionedTable.read(spark, statsDir, "scalars").collect()
+    assert(scal.length == 1 && scal.head.getLong(0) == 3L && scal.head.getLong(1) == 9L,
+      s"a replayed wave must not double-count the scalars: ${scal.mkString}")
+  }
+
+  test("BM25-stats maintenance: scalars survive a zero-vocab wave") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // r15 ADVICE: with scalars denormalized onto vocab rows, a first
+    // wave of empty-text docs left zero vocab rows and the max()-based
+    // recovery silently reset (n_docs, sumdl) to 0. The dedicated
+    // 1-row scalars table cannot lose them.
+    val statsDir = java.nio.file.Files.createTempDirectory("bm25_zv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25_zv_ckpt").toString
+    VersionedTable.seed(statsDir, Seq(
+      "vocab" -> Seq.empty[(String, Long)].toDF("tok", "df"),
+      "scalars" -> Seq((0L, 0L)).toDF("n_docs", "sumdl")))
+    val input = MemoryStream[Doc]
+    val q = StreamingJobs.bm25StatsMaintenanceStream(input.toDF(), statsDir, ckpt)
+    // null text -> split yields null -> explode emits NO vocab rows:
+    // the genuine zero-vocab first wave the r15 ADVICE names.
+    input.addData(Seq(Doc(1L, null, "en"), Doc(2L, null, "en")))
+    q.processAllAvailable()
+    input.addData(Seq(Doc(3L, "spark", "en")))
+    q.processAllAvailable()
+    q.stop()
+    val scal = VersionedTable.read(spark, statsDir, "scalars").collect()
+    assert(scal.length == 1, "scalars stay a single dedicated row")
+    assert(scal.head.getLong(0) == 3L,
+      s"n_docs must count the token-less wave too: ${scal.head.getLong(0)}")
   }
 
   test("streaming semantic-index maintenance: cross-wave embedding duplicates cluster") {
