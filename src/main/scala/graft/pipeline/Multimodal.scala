@@ -308,7 +308,13 @@ object Multimodal {
       }
       off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    if (!pcmFmt || dataOff < 0 || channels <= 0 || bits != 16) None
+    // rate/channels sanity (r15 ADVICE): a structurally valid RIFF with
+    // nonsense fmt values (rate <= 0, absurd channel count) must fall
+    // through to the JDK codec, which rejects it — keeping the original
+    // None contract for corrupt media instead of emitting garbage
+    // features. 64 channels is far beyond any real WAV this gate sees.
+    if (!pcmFmt || dataOff < 0 || channels <= 0 || channels > 64 ||
+      rate <= 0 || bits != 16) None
     else {
       val frames = dataLen.toLong / (channels * 2)
       var sumSq = 0L; var n = 0L; var i = dataOff
@@ -331,7 +337,42 @@ object Multimodal {
     * the JDK codec below, keeping format generality. */
   private[pipeline] def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Long)] =
     if (payload == null || payload.isEmpty) None
-    else parsePcm16Wav(payload).orElse(decodeAudioJdk(payload))
+    else parsePcm16Wav(payload) match {
+      case some @ Some(_) => some
+      // A RIFF/WAVE whose fmt chunk carries insane values (rate <= 0,
+      // absurd channel count) must NOT reach the JDK fallback: measured
+      // here, AudioSystem can spin indefinitely on a negative sample
+      // rate — on an executor that is a hung task, strictly worse than
+      // a wrong feature. Reject it outright (r15 ADVICE, hardened).
+      case None if isRiffWave(payload) && !riffFmtSane(payload) => None
+      case None => decodeAudioJdk(payload)
+    }
+
+  private def isRiffWave(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** True iff the payload's fmt chunk (if any) carries plausible values.
+    * A missing or truncated fmt chunk returns true — the JDK codec
+    * rejects those quickly and cleanly; this screen only exists for the
+    * parse-then-hang class. */
+  private def riffFmtSane(p: Array[Byte]): Boolean = {
+    val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= p.length) {
+      val sz = bb.getInt(off + 4)
+      if (sz < 0 || off.toLong + 8 + sz > p.length) return true // malformed: JDK rejects fast
+      if (p(off) == 'f' && p(off + 1) == 'm' && p(off + 2) == 't' && p(off + 3) == ' ') {
+        if (sz < 16) return true
+        val channels = bb.getShort(off + 10)
+        val rate = bb.getInt(off + 12)
+        return rate > 0 && channels > 0 && channels <= 64
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    true
+  }
 
   private def decodeAudioJdk(payload: Array[Byte]): Option[(Int, Int, Long, Long)] =
     try {

@@ -111,6 +111,20 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(wav).contains((8000, 1, 100L, 67108864L)))
     assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
     assert(Multimodal.decodeAudio(Array.empty[Byte]).isEmpty)
+    // r15 ADVICE: structurally valid RIFF with nonsense fmt values must
+    // stay on the None contract (the JDK codec rejects such payloads),
+    // not classify as decodable with garbage features. rate=0 at bytes
+    // 24-27; channels at 22-23 of the canonical 44-byte header.
+    val zeroRate = wav.clone()
+    zeroRate(24) = 0; zeroRate(25) = 0; zeroRate(26) = 0; zeroRate(27) = 0
+    assert(Multimodal.decodeAudio(zeroRate).isEmpty, "rate=0 must not decode")
+    val negRate = wav.clone()
+    negRate(27) = 0x80.toByte // sign bit -> negative little-endian rate
+    assert(Multimodal.decodeAudio(negRate).isEmpty, "rate<0 must not decode")
+    val absurdChannels = wav.clone()
+    absurdChannels(22) = 0xff.toByte; absurdChannels(23) = 0x7f.toByte // 32767 ch
+    assert(Multimodal.decodeAudio(absurdChannels).isEmpty,
+      "an absurd channel count must not decode")
     val out = SparkEntry.queries("x08c_audio_decode")(spark, sf).collect().toSeq
     assert(out.size == 500)
     assert(out.forall(r => r.getInt(2) == 1), "every generated WAV must decode")
