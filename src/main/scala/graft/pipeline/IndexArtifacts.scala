@@ -45,6 +45,10 @@ object IndexArtifacts {
     "idx_x46b_old_ded" -> ((s: SparkSession, d: String) => { Curation.x46bOldDed(s, d); () }),
     "idx_x46b_lex_index" -> ((s: SparkSession, d: String) => { Curation.x46bLexIndex(s, d); () }),
     "idx_x46b_sem_edges" -> ((s: SparkSession, d: String) => { Curation.x46bSemEdges(s, d); () }),
+    "idx_x46c_old_surv" -> ((s: SparkSession, d: String) => { Curation.x46cOldLexSurv(s, d); () }),
+    "idx_x46c_postings" -> ((s: SparkSession, d: String) => { Curation.x46cPostings(s, d); () }),
+    "idx_x46c_strip" -> ((s: SparkSession, d: String) => { Curation.x46cStrip(s, d); () }),
+    "idx_x46c_decon" -> ((s: SparkSession, d: String) => { Curation.x46cDecon(s, d); () }),
     "idx_unigram_lm" -> ((s: SparkSession, d: String) => { TextStats.unigramLmFrame(s, d); () }),
     "idx_x133_old_lm" -> ((s: SparkSession, d: String) => { TextStats.x133OldLm(s, d); () }),
     "idx_x139_old_stats" -> ((s: SparkSession, d: String) => { Selection.x139OldStats(s, d); () }),

@@ -120,7 +120,8 @@ class BenchGuardSpec extends AnyFunSuite {
     // Registered queries with no prior expected: added AFTER the full
     // map was last written. Update when registering a query; the next
     // full bench run re-empties it.
-    val newThisRound = Set("x09c_embedding_neardup_sel", "x136b_lsh_layout_profile")
+    val newThisRound = Set("x09c_embedding_neardup_sel", "x136b_lsh_layout_profile",
+      "x46c_curate_v2_standing")
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,

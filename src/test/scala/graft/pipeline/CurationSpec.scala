@@ -1628,4 +1628,37 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(_.getInt(8) == 1) && rows.exists(_.getInt(8) == 0),
       "corpus must contain both kept and dropped pages")
   }
+
+  test("x46c incremental strip: restrips exactly the touched set and equals the full recompute") {
+    import spark.implicits._
+    // Controlled corpus, shingleLen 2, maxDf 1 (df > 1 is hot), minRun 1.
+    // Standing old survivors: A shares "x y" with C (hot); B is isolated.
+    val oldSurv = Seq(
+      (1L, "x y z w"), (2L, "p q r"), (3L, "x y c1 c2"))
+      .toDF("doc_id", "text")
+    val postings = Curation.shinglesOf(oldSurv, 2).select("sh", "doc_id")
+    val dfOld = postings.groupBy("sh").agg(count(lit(1)).as("df"))
+    val hotOld = dfOld.filter(col("df") > 1).select("sh")
+    val stripOutOld = Curation.spanMaskAgainst(oldSurv, hotOld, 2)
+    // Wave: C departs; D arrives sharing "y z" with A. Two hot flips:
+    // "x y" (2 -> 1, cools) and "y z" (1 -> 2, heats) - both touch A
+    // and only A among the alive old docs; B must NOT restrip.
+    val lexSurv = Seq(
+      (1L, "x y z w"), (2L, "p q r"), (4L, "y z d1"))
+      .toDF("doc_id", "text")
+    val (restripIds, frame) = Curation.incrementalStrip(lexSurv,
+      oldSurv.select("doc_id"), postings, dfOld, stripOutOld, 2, 1, 1)
+    assert(restripIds.collect().map(_.getLong(0)).toSet == Set(1L, 4L),
+      "restrip set must be exactly (added union flipped-shingle docs)")
+    val got = frame.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val full = Curation.spanDedupOn(lexSurv, 2, 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == full, s"incremental strip must equal the full recompute: $got vs $full")
+    // Spot the semantics: "y z" is now hot, so A masks tokens 1-2 and D
+    // masks 0-1; "x y" cooled, so A keeps "x"; B is untouched verbatim.
+    assert(got(1L) == (4L, 2L, "x w"))
+    assert(got(2L) == (3L, 0L, "p q r"))
+    assert(got(4L) == (3L, 2L, "d1"))
+  }
 }
