@@ -125,6 +125,29 @@ class PipelineSpec extends SparkSpec {
     absurdChannels(22) = 0xff.toByte; absurdChannels(23) = 0x7f.toByte // 32767 ch
     assert(Multimodal.decodeAudio(absurdChannels).isEmpty,
       "an absurd channel count must not decode")
+  }
+
+  test("x08d: exact-integer image features round-trip the PNG encode/decode") {
+    // 2x2 gray PNG from bytes 'ab' cycled: pixels 97,98,97,98 ->
+    // graysum 390, mean_bp = 390*10000 // 4 = 975000.
+    val png = Multimodal.pngFixture(2, 2, "ab".getBytes)
+    assert(Multimodal.decodeImageRaw(png).contains((2, 2, 3L * 390L)))
+    val out = SparkEntry.queries("x08d_image_decode_certified")(spark, sf).collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getInt(3) == 1), "decoded dims must match metadata")
+    // The double-mean query (x08b) and the exact-bp query must agree to
+    // the floor: mean_bp div 10000 == floor(mean).
+    val means = SparkEntry.queries("x08b_image_decode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    out.foreach { r =>
+      val bp = r.getLong(4)
+      val m = means(r.getLong(0))
+      assert(math.abs(bp / 10000.0 - m) < 0.0002,
+        s"media ${r.getLong(0)}: exact bp $bp vs double mean $m")
+    }
+  }
+
+  test("x08c: full-corpus audio decode features match the generation rule") {
     val out = SparkEntry.queries("x08c_audio_decode")(spark, sf).collect().toSeq
     assert(out.size == 500)
     assert(out.forall(r => r.getInt(2) == 1), "every generated WAV must decode")
