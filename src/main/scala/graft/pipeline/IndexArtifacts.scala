@@ -60,5 +60,6 @@ object IndexArtifacts {
     "idx_pq_codebooks" -> ((s: SparkSession, d: String) => { Ivf.searchPqQuery(s, d); () }),
     "idx_ivfadc_codebooks" -> ((s: SparkSession, d: String) => { Ivf.searchIvfPqQuery(s, d); () }),
     "idx_bloom_mask" -> ((s: SparkSession, d: String) => { Curation.bloomDeconQuery(s, d); () }),
+    "idx_lex_postings" -> ((s: SparkSession, d: String) => { Selection.lexPostingsIndexPath(s, d); () }),
     "idx_clf_weights" -> ((s: SparkSession, d: String) => { Selection.classifierFitQuality(s, d); () }))
 }

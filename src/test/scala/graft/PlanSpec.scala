@@ -61,6 +61,17 @@ class PlanSpec extends SparkSpec {
       s"the literal probe list must prune at planning time: $pf")
   }
 
+  test("x49c: the BM25 probe plans as a partition-pruned scan of the posting index") {
+    val p = plan("x49c_bm25_indexed")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tok"),
+      s"probe must carry partition filters on the token column:\n$p")
+    assert(pf.toUpperCase.contains(" IN "),
+      s"the literal term list must prune at planning time: $pf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must stay a TakeOrderedAndProject over the pruned read:\n$p")
+  }
+
   test("b29: query vector broadcasts; no shuffle before the top-k") {
     val p = plan("b29_cosine_topk")
     assert(p.contains("Broadcast"), p)
