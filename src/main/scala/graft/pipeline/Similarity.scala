@@ -914,13 +914,14 @@ object Similarity {
     * identical pair pipeline, their dominant cost); a non-default
     * threshold always computes fresh. */
   private[pipeline] def semanticLabelsAt(s: SparkSession, dir: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, layout: LshLayout = DefaultLshLayout): DataFrame = {
     def build: DataFrame = {
-      val pairs = embeddingNearDupsLsh(s, dir, threshold)
+      val pairs = embeddingNearDupsLshOn(
+          Tables.t(s, dir, "embeddings"), threshold, layout)
         .select(col("va").as("da"), col("vb").as("db"))
       Curation.propagateMinLabels(Curation.undirectedEdges(pairs))._1
     }
-    if (threshold == SemanticDedupThreshold)
+    if (threshold == SemanticDedupThreshold && layout == DefaultLshLayout)
       graft.pipeline.Ivf.memoModel(Tables.t(s, dir, "embeddings"),
         s"semlabels|${s.sparkContext.applicationId}") {
         Checkpoints.stable(build)
@@ -1414,9 +1415,17 @@ object Similarity {
     * bound per bucket, never |new|·|ref|; the verify is one dot-product
     * fold per candidate. */
   def crossSemanticPairs(newEmb: DataFrame, refEmb: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    crossSemanticPairs(newEmb, refEmb, threshold, DefaultLshLayout)
+
+  /** [[crossSemanticPairs]] at an explicit banding layout. The layout
+    * must MATCH the one any standing edge/bucket index it merges with
+    * was built at (the x46b/x46c union-edge-set law quantifies over one
+    * bucket function) — both sides default together. */
+  def crossSemanticPairs(newEmb: DataFrame, refEmb: DataFrame,
+      threshold: Double, layout: LshLayout): DataFrame = {
     reg(newEmb.sparkSession)
-    val cand = bucketedOf(newEmb).as("a").join(bucketedOf(refEmb).as("b"),
+    val cand = bucketedOf(newEmb, layout).as("a").join(bucketedOf(refEmb, layout).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
