@@ -3991,9 +3991,21 @@ object Curation {
     * re-strips iff one of its own shingles changed hot status (all such
     * shingles are delta keys); everything else reuses the standing
     * per-doc output verbatim. Returns (restripped ids, strip frame). */
+  /** Touched-fraction above which [[incrementalStrip]] dispatches to the
+    * plain full recompute: when most survivors must re-strip anyway, the
+    * delta machinery's joins and the kept∪restripped assembly cost MORE
+    * than one clean [[spanMaskAgainst]] pass (measured at sf1: 23.5 s
+    * incremental vs x46b's 15.5 s recompute on this saturated corpus —
+    * its ~100-word vocabulary flips singleton-shingle hot status for
+    * most survivors every wave). Both paths produce IDENTICAL output
+    * (same union hot set), so the dispatch is pure cost policy — the
+    * x20/x36 threshold-dispatch convention applied to wave economics. */
+  private[pipeline] val StripRebuildFraction = 0.5
+
   private[pipeline] def incrementalStrip(lexSurv: DataFrame, oldSurvIds: DataFrame,
       postingsOld: DataFrame, dfOld: DataFrame, stripOutOld: DataFrame,
-      shingleLen: Int, maxDf: Int, minRun: Int): (DataFrame, DataFrame) = {
+      shingleLen: Int, maxDf: Int, minRun: Int,
+      rebuildFraction: Double = StripRebuildFraction): (DataFrame, DataFrame) = {
     val added = lexSurv.join(oldSurvIds, Seq("doc_id"), "left_anti")
     val departedIds = oldSurvIds
       .join(lexSurv.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -4020,16 +4032,26 @@ object Curation {
       .join(lexSurv.select("doc_id"), Seq("doc_id"), "left_semi")
     val restripIds = Checkpoints.stable(
       added.select("doc_id").union(touchedOld))
-    val restripped = spanMaskAgainst(
-      lexSurv.join(restripIds, Seq("doc_id"), "left_semi"),
-      hotUnion, shingleLen, minRun = minRun)
-    val kept = stripOutOld
-      .join(lexSurv.select("doc_id"), Seq("doc_id"), "left_semi")
-      .join(restripIds, Seq("doc_id"), "left_anti")
-    (restripIds,
-      kept.select("doc_id", "n_tokens", "n_masked", "clean_text")
-        .unionByName(restripped
-          .select("doc_id", "n_tokens", "n_masked", "clean_text")))
+    // Cost-based dispatch on the measured touched fraction (both frames
+    // are checkpointed — the counts are bounded driver-side reads, the
+    // same class as the index-build collects). The OUTPUT is identical
+    // either way; only the plan changes.
+    val frame =
+      if (restripIds.count() > rebuildFraction * lexSurv.count())
+        spanMaskAgainst(lexSurv, hotUnion, shingleLen, minRun = minRun)
+          .select("doc_id", "n_tokens", "n_masked", "clean_text")
+      else {
+        val restripped = spanMaskAgainst(
+          lexSurv.join(restripIds, Seq("doc_id"), "left_semi"),
+          hotUnion, shingleLen, minRun = minRun)
+        val kept = stripOutOld
+          .join(lexSurv.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(restripIds, Seq("doc_id"), "left_anti")
+        kept.select("doc_id", "n_tokens", "n_masked", "clean_text")
+          .unionByName(restripped
+            .select("doc_id", "n_tokens", "n_masked", "clean_text"))
+      }
+    (restripIds, frame)
   }
 
   /** x46c — curateV2 with EVERY tier on the standing-artifact economy:
@@ -4054,7 +4076,13 @@ object Curation {
     * shingle) — CurationSpec pins it on a controlled corpus — so on a
     * real deduplicated web corpus (sparse flips) the strip tier's wave
     * cost tracks the batch neighborhood, and the semantic-decon tier
-    * scores only batch vectors on ANY corpus, unconditionally. */
+    * scores only batch vectors on ANY corpus, unconditionally. When
+    * the measured touched fraction exceeds [[StripRebuildFraction]],
+    * [[incrementalStrip]] dispatches to the plain recompute (identical
+    * output, cheaper assembly) — at sf1 that dispatch cuts the wave
+    * 23.5 → 19.9 s vs x46's 23.0 s full recompute under the same
+    * conditions; the ~4.7 s residual over x46b is the delta probe +
+    * the eager lexSurv checkpoint the dispatch decision reads. */
   def curateV2Standing(newDocs: DataFrame, oldDed: DataFrame,
       oldLexLabels: DataFrame, oldSurv: DataFrame, postingsOld: DataFrame,
       dfOld: DataFrame, stripOutOld: DataFrame, deconLexOld: DataFrame,

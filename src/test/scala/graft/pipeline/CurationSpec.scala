@@ -1646,8 +1646,15 @@ class CurationSpec extends SparkSpec {
     val lexSurv = Seq(
       (1L, "x y z w"), (2L, "p q r"), (4L, "y z d1"))
       .toDF("doc_id", "text")
+    // Force BOTH dispatch branches (rebuildFraction 1.1 = always
+    // incremental, 0.0 = always full recompute): identical output is the
+    // dispatch's whole soundness argument.
     val (restripIds, frame) = Curation.incrementalStrip(lexSurv,
-      oldSurv.select("doc_id"), postings, dfOld, stripOutOld, 2, 1, 1)
+      oldSurv.select("doc_id"), postings, dfOld, stripOutOld, 2, 1, 1,
+      rebuildFraction = 1.1)
+    val (_, frameFull) = Curation.incrementalStrip(lexSurv,
+      oldSurv.select("doc_id"), postings, dfOld, stripOutOld, 2, 1, 1,
+      rebuildFraction = 0.0)
     assert(restripIds.collect().map(_.getLong(0)).toSet == Set(1L, 4L),
       "restrip set must be exactly (added union flipped-shingle docs)")
     val got = frame.collect()
@@ -1655,6 +1662,9 @@ class CurationSpec extends SparkSpec {
     val full = Curation.spanDedupOn(lexSurv, 2, 1).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
     assert(got == full, s"incremental strip must equal the full recompute: $got vs $full")
+    val gotFull = frameFull.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(gotFull == full, "the rebuild-dispatch branch must be bit-identical too")
     // Spot the semantics: "y z" is now hot, so A masks tokens 1-2 and D
     // masks 0-1; "x y" cooled, so A keeps "x"; B is untouched verbatim.
     assert(got(1L) == (4L, 2L, "x w"))
