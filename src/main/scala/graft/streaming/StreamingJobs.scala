@@ -340,33 +340,40 @@ object StreamingJobs {
     * goes unseen; here it clusters with it (StreamingSpec plants
     * exactly that).
     *
-    * `corpusDir`/`indexDir` must be seeded (the initial corpus and its
-    * label map — an empty (node, lbl) frame for a fresh start). The
-    * merged index is EAGERLY materialized (Checkpoints.stable) before
-    * the overwrite, so the read-overwrite hazard of rewriting the
-    * frame's own input cannot bite. Delivery is at-least-once like
-    * every foreachBatch job: a replayed batch re-appends its corpus
-    * rows — production makes the append idempotent by batchId-keyed
-    * output paths (the corpus merge itself is idempotent: re-merging
-    * already-indexed docs adds edges the closure already contains). */
+    * Storage discipline (r16, the same hardening the LM/BM25 streams
+    * got): the corpus is batch-keyed subdirs (`corpusDir/batch=<id>`;
+    * seed the initial corpus under `batch=-1`) — a replayed wave
+    * REWRITES its own subdirectory instead of double-appending — and
+    * the label index is a [[VersionedTable]] (table "labels"; seed an
+    * empty (node, lbl) frame for a fresh start), so a crash mid-wave
+    * leaves the previous index version live and the pointer's batch-id
+    * ledger makes the merge exactly-once. Write order is load-bearing:
+    * the corpus subdir lands FIRST (idempotent), the merge reads `ref`
+    * as the strictly-earlier batches (`batch < batchId` — partition
+    * pruning keeps the just-written subdir out of the reference side),
+    * and the index commit is the atomic last step — a crash between
+    * the two replays into an identical corpus rewrite + the merge. */
   def clusterIndexMaintenanceStream(newDocs: DataFrame, corpusDir: String,
       indexDir: String, threshold: Double, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val b = batch.select(col("doc_id"), col("text"))
-        val ref = s.read.parquet(corpusDir).select(col("doc_id"), col("text"))
-        val oldLabels = s.read.parquet(indexDir)
-        val merged = graft.pipeline.Curation
-          .incrementalClustersFromIndex(b, ref, oldLabels, threshold)
-        val newIndex = graft.pipeline.Checkpoints.stable(
-          merged.filter(col("cluster_size") >= 2)
-            .select(col("doc_id").as("node"), col("cluster_id").as("lbl")))
-        newIndex.write.mode("overwrite").parquet(indexDir)
-        b.write.mode("append").parquet(corpusDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!VersionedTable.alreadyMerged(indexDir, batchId)) {
+          val s = batch.sparkSession
+          val b = batch.select(col("doc_id"), col("text"))
+          b.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          val ref = s.read.parquet(corpusDir)
+            .filter(col("batch") < batchId)
+            .select(col("doc_id"), col("text"))
+          val merged = graft.pipeline.Curation
+            .incrementalClustersFromIndex(b, ref,
+              VersionedTable.read(s, indexDir, "labels"), threshold)
+          VersionedTable.commit(indexDir, batchId, Seq("labels" ->
+            merged.filter(col("cluster_size") >= 2)
+              .select(col("doc_id").as("node"), col("cluster_id").as("lbl"))))
+        }
         ()
       }
       .start()
@@ -375,30 +382,34 @@ object StreamingJobs {
     * ingestion edge — [[clusterIndexMaintenanceStream]]'s exact shape
     * with the LSH-cosine merge
     * ([[graft.pipeline.Similarity.incrementalSemanticClustersFromIndex]])
-    * over (vec_id, embedding) waves. Same read-overwrite discipline
-    * (eager materialization before the index rewrite), same
-    * at-least-once caveat, same wave-over-wave guarantee: the standing
-    * semantic index after N waves equals a full re-cluster of every
-    * vector that ever arrived (StreamingSpec gates it with a planted
-    * cross-wave duplicate). */
+    * over (vec_id, embedding) waves. Same storage discipline
+    * (batch-keyed corpus subdirs + [[VersionedTable]] label index,
+    * exactly-once via the pointer ledger, corpus-first write order),
+    * same wave-over-wave guarantee: the standing semantic index after
+    * N waves equals a full re-cluster of every vector that ever
+    * arrived (StreamingSpec gates it with a planted cross-wave
+    * duplicate). */
   def semanticIndexMaintenanceStream(newVecs: DataFrame, corpusDir: String,
       indexDir: String, threshold: Double, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newVecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val b = batch.select(col("vec_id"), col("embedding"))
-        val ref = s.read.parquet(corpusDir).select(col("vec_id"), col("embedding"))
-        val oldLabels = s.read.parquet(indexDir)
-        val merged = graft.pipeline.Similarity
-          .incrementalSemanticClustersFromIndex(b, ref, oldLabels, threshold)
-        val newIndex = graft.pipeline.Checkpoints.stable(
-          merged.filter(col("cluster_size") >= 2)
-            .select(col("vec_id").as("node"), col("cluster_id").as("lbl")))
-        newIndex.write.mode("overwrite").parquet(indexDir)
-        b.write.mode("append").parquet(corpusDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!VersionedTable.alreadyMerged(indexDir, batchId)) {
+          val s = batch.sparkSession
+          val b = batch.select(col("vec_id"), col("embedding"))
+          b.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          val ref = s.read.parquet(corpusDir)
+            .filter(col("batch") < batchId)
+            .select(col("vec_id"), col("embedding"))
+          val merged = graft.pipeline.Similarity
+            .incrementalSemanticClustersFromIndex(b, ref,
+              VersionedTable.read(s, indexDir, "labels"), threshold)
+          VersionedTable.commit(indexDir, batchId, Seq("labels" ->
+            merged.filter(col("cluster_size") >= 2)
+              .select(col("vec_id").as("node"), col("cluster_id").as("lbl"))))
+        }
         ()
       }
       .start()
@@ -415,26 +426,30 @@ object StreamingJobs {
     * the ingestion gate probes therefore tracks a GROWING eval suite
     * without ever re-hashing history.
     *
-    * `maskDir` must be seeded (an all-zero frame for a fresh start —
-    * [[graft.pipeline.Curation.bloomMaskToFrame]] of an empty mask).
-    * The old mask is fully collected BEFORE the overwrite, so the
-    * read-overwrite hazard cannot bite. Delivery is at-least-once like
-    * every foreachBatch job, and here that is ALREADY exactly-once in
-    * effect: the OR-merge is idempotent (re-merging a replayed wave
-    * sets bits that are already set). */
+    * The mask lives in a [[VersionedTable]] (table "mask"; seed with
+    * [[graft.pipeline.Curation.bloomMaskToFrame]] of an empty mask for
+    * a fresh start). The OR-merge was always idempotent under replay
+    * (re-setting set bits), but the old in-place overwrite still had
+    * the crash-loss window every maintenance stream shared — a death
+    * mid-write destroyed the on-disk mask with the collected copy lost
+    * with the app. Versioned commits close it, and the pointer ledger
+    * additionally skips replayed waves outright. */
   def bloomMaskMaintenanceStream(newEvalDocs: DataFrame, maskDir: String,
       shingleLen: Int, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newEvalDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val old = graft.pipeline.Curation.bloomMaskFromFrame(s.read.parquet(maskDir))
-        val delta = graft.pipeline.Curation.bloomMaskOf(batch, shingleLen)
-        graft.pipeline.Curation.bloomMaskToFrame(s,
-          graft.pipeline.Curation.mergeBloomMasks(old, delta))
-          .write.mode("overwrite").parquet(maskDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!VersionedTable.alreadyMerged(maskDir, batchId)) {
+          val s = batch.sparkSession
+          val old = graft.pipeline.Curation.bloomMaskFromFrame(
+            VersionedTable.read(s, maskDir, "mask"))
+          val delta = graft.pipeline.Curation.bloomMaskOf(batch, shingleLen)
+          VersionedTable.commit(maskDir, batchId, Seq("mask" ->
+            graft.pipeline.Curation.bloomMaskToFrame(s,
+              graft.pipeline.Curation.mergeBloomMasks(old, delta))))
+        }
         ()
       }
       .start()

@@ -145,10 +145,10 @@ class RecoverySpec extends SparkSpec {
     val corpusDir = Files.createTempDirectory("rec_corpus").toString
     val indexDir = Files.createTempDirectory("rec_index").toString
     val ckpt = Files.createTempDirectory("rec_ck").toString
-    seed.write.mode("overwrite").parquet(corpusDir)
-    Curation.propagateMinLabels(Curation.undirectedEdges(
-        Dedup.jaccardPairsPrefixOn(seed, 0.8).select(col("da"), col("db"))))._1
-      .write.mode("overwrite").parquet(indexDir)
+    seed.write.mode("overwrite").parquet(s"$corpusDir/batch=-1")
+    VersionedTable.seed(indexDir, Seq("labels" ->
+      Curation.propagateMinLabels(Curation.undirectedEdges(
+        Dedup.jaccardPairsPrefixOn(seed, 0.8).select(col("da"), col("db"))))._1))
     val input = MemoryStream[Doc]
     def start() = StreamingJobs.clusterIndexMaintenanceStream(
       input.toDF(), corpusDir, indexDir, 0.8, ckpt)
@@ -166,7 +166,7 @@ class RecoverySpec extends SparkSpec {
     assert(corpusIds.sorted == Seq(10L, 11L, 12L, 30L),
       s"restart must not re-append the committed wave: $corpusIds")
     // Index correct across the restart: {10, 11, 12} one cluster.
-    val idx = spark.read.parquet(indexDir).collect()
+    val idx = VersionedTable.read(spark, indexDir, "labels").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(idx == Map(10L -> 10L, 11L -> 10L, 12L -> 10L),
       s"standing index must survive the restart and keep merging: $idx")

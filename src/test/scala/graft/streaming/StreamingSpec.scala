@@ -788,10 +788,10 @@ class StreamingSpec extends SparkSpec {
     val corpusDir = java.nio.file.Files.createTempDirectory("cim_corpus").toString
     val indexDir = java.nio.file.Files.createTempDirectory("cim_index").toString
     val ckpt = java.nio.file.Files.createTempDirectory("cim_ck").toString
-    seed.write.mode("overwrite").parquet(corpusDir)
-    Curation.propagateMinLabels(Curation.undirectedEdges(
-        Dedup.jaccardPairsPrefixOn(seed, 0.8).select(col("da"), col("db"))))._1
-      .write.mode("overwrite").parquet(indexDir)
+    seed.write.mode("overwrite").parquet(s"$corpusDir/batch=-1")
+    VersionedTable.seed(indexDir, Seq("labels" ->
+      Curation.propagateMinLabels(Curation.undirectedEdges(
+        Dedup.jaccardPairsPrefixOn(seed, 0.8).select(col("da"), col("db"))))._1))
     val input = MemoryStream[Doc]
     val q = StreamingJobs.clusterIndexMaintenanceStream(
       input.toDF(), corpusDir, indexDir, 0.8, ckpt)
@@ -806,7 +806,7 @@ class StreamingSpec extends SparkSpec {
       Doc(15L, "q1 q2 q3", "en")))
     q.processAllAvailable()
     q.stop()
-    val idx = spark.read.parquet(indexDir).collect()
+    val idx = VersionedTable.read(spark, indexDir, "labels").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     Seq(10L, 11L, 12L, 20L, 22L).foreach(id =>
       assert(idx(id) == 10L, s"wave-1 fusion must persist for $id: $idx"))
@@ -976,11 +976,11 @@ class StreamingSpec extends SparkSpec {
     val corpusDir = java.nio.file.Files.createTempDirectory("sim_corpus").toString
     val indexDir = java.nio.file.Files.createTempDirectory("sim_index").toString
     val ckpt = java.nio.file.Files.createTempDirectory("sim_ck").toString
-    seed.write.mode("overwrite").parquet(corpusDir)
-    Curation.propagateMinLabels(Curation.undirectedEdges(
+    seed.write.mode("overwrite").parquet(s"$corpusDir/batch=-1")
+    VersionedTable.seed(indexDir, Seq("labels" ->
+      Curation.propagateMinLabels(Curation.undirectedEdges(
         Similarity.embeddingNearDupsLshOn(seed, t)
-          .select(col("va").as("da"), col("vb").as("db"))))._1
-      .write.mode("overwrite").parquet(indexDir)
+          .select(col("va").as("da"), col("vb").as("db"))))._1))
     val input = MemoryStream[Vec]
     val q = StreamingJobs.semanticIndexMaintenanceStream(
       input.toDF(), corpusDir, indexDir, t, ckpt)
@@ -991,7 +991,7 @@ class StreamingSpec extends SparkSpec {
     input.addData(Seq(Vec(14L, vec(1, 1.5f)), Vec(15L, vec(2, 1f))))
     q.processAllAvailable()
     q.stop()
-    val idx = spark.read.parquet(indexDir).collect()
+    val idx = VersionedTable.read(spark, indexDir, "labels").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     Seq(10L, 11L, 12L).foreach(id =>
       assert(idx(id) == 10L, s"wave-1 join must persist for $id: $idx"))
@@ -1127,15 +1127,15 @@ class StreamingSpec extends SparkSpec {
     val maskDir = java.nio.file.Files.createTempDirectory("mask_art").toString
     val ckpt = java.nio.file.Files.createTempDirectory("mask_ck").toString
     // Seed: the all-zero mask (a fresh suite).
-    Curation.bloomMaskToFrame(spark,
-      new Array[Long](Curation.BloomBits / 64))
-      .write.mode("overwrite").parquet(maskDir)
+    VersionedTable.seed(maskDir, Seq("mask" -> Curation.bloomMaskToFrame(spark,
+      new Array[Long](Curation.BloomBits / 64))))
     val input = MemoryStream[Doc]
     val q = StreamingJobs.bloomMaskMaintenanceStream(input.toDF(), maskDir, 3, ckpt)
     input.addData(wave1); q.processAllAvailable()
     input.addData(wave2); q.processAllAvailable()
     q.stop()
-    val standing = Curation.bloomMaskFromFrame(spark.read.parquet(maskDir))
+    val standing = Curation.bloomMaskFromFrame(
+      VersionedTable.read(spark, maskDir, "mask"))
     val fresh = Curation.bloomMaskOf((wave1 ++ wave2).toDF(), 3)
     assert(standing.toSeq == fresh.toSeq,
       "two OR-merged waves must equal the fresh union build bit for bit")
