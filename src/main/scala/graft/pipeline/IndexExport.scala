@@ -56,7 +56,16 @@ object IndexExport {
     // at-rest form + a streaming maintenance path like the cluster/LM
     // indexes — [[graft.streaming.StreamingJobs
     // .bloomMaskMaintenanceStream]] folds each eval wave in.
-    "bloom_mask" -> Curation.bloomMaskFrame(s, dir))
+    "bloom_mask" -> Curation.bloomMaskFrame(s, dir),
+    // The x46c standing-curation artifacts (r16): the strip tier's
+    // shingle postings + mergeable df counts, its per-doc strip output,
+    // and the per-doc decon verdicts — what makes every curateV2 wave's
+    // tier 4/6 cost O(batch + touched neighborhood) across JOBS, not
+    // just inside one JVM's memo.
+    "x46c_postings" -> Curation.x46cPostings(s, dir),
+    "x46c_strip_df" -> Curation.x46cStrip(s, dir)._1,
+    "x46c_strip_out" -> Curation.x46cStrip(s, dir)._2,
+    "x46c_decon_lex" -> Curation.x46cDecon(s, dir)._1)
 
   /** Write every artifact; returns name → row count (also persisted as
     * `manifest.json` so a reader can sanity-check a snapshot without

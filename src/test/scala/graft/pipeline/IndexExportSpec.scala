@@ -15,7 +15,8 @@ class IndexExportSpec extends SparkSpec {
     assert(counts.keySet ==
       Set("b28_pairs", "b28_labels", "x11_pairs", "sem_labels", "image_phash",
         "audio_fp", "x121_old_index", "x129_old_index", "x133_old_lm",
-        "x139_old_stats", "bloom_mask"))
+        "x139_old_stats", "bloom_mask", "x46c_postings", "x46c_strip_df",
+        "x46c_strip_out", "x46c_decon_lex"))
     // Manifest counts are the parquet truth.
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/manifest.json"))
@@ -32,7 +33,8 @@ class IndexExportSpec extends SparkSpec {
     // Read-back frames equal the memoized artifacts row for row.
     Seq("b28_pairs", "b28_labels", "x11_pairs", "sem_labels",
         "x121_old_index", "x129_old_index", "x133_old_lm",
-        "bloom_mask").foreach { name =>
+        "bloom_mask", "x46c_postings", "x46c_strip_df", "x46c_strip_out",
+        "x46c_decon_lex").foreach { name =>
       val live = IndexExport.artifacts(spark, sf)(name)
       val cols = live.columns.map(col)
       val back = IndexExport.read(spark, out, name)

@@ -46,6 +46,38 @@ class SimilarityLayoutSpec extends SparkSpec {
       candBudget = 1L) == Similarity.LshLayout(1, 63))
   }
 
+  test("diffuse high-cosine tail: more bands keep recall the selected layout loses") {
+    import spark.implicits._
+    // The behavioral ground for selectLshLayout's diffuse branch: a
+    // corpus whose near-dup pairs are NON-identical vectors at cosine
+    // ~0.98 (tiny perturbations — re-encodings through a lossy step,
+    // the regime where 1 - (1 - p^bits)^bands governs). Deterministic
+    // seed; 40 planted pairs.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val norm = math.sqrt(base.map(x => x * x.toDouble).sum).toFloat
+      val u = base.map(_ / norm)
+      val twin = u.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, u), (1000L + i, twin))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val truth = Similarity.embeddingNearDupsAllPairs(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 35, s"the planted tail must exist: ${truth.size}")
+    def recall(l: Similarity.LshLayout): Double = {
+      val found = Similarity.embeddingNearDupsLshOn(emb, 0.9, l)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & found).size.toDouble / truth.size
+    }
+    val bands4 = recall(Similarity.LshLayout(4, 16))
+    val sel = recall(Similarity.SelectedLshLayout)
+    assert(bands4 >= 0.5,
+      s"4 bands must keep most of the diffuse tail: $bands4")
+    assert(bands4 > 2 * sel,
+      s"more bands must beat the min-mass layout on a diffuse tail: $bands4 vs $sel")
+  }
+
   test("identical quantized vectors collide under every ladder layout") {
     import spark.implicits._
     // The recall floor selectLshLayout's default regime rests on: equal
