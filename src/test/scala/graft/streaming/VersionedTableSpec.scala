@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The storage core under every r16 maintenance stream: atomic pointer
+  * swaps, the batch-id replay ledger, multi-table commit atomicity, and
+  * version pruning. The stream specs prove the end-to-end semantics;
+  * this spec pins the primitive's own contract. */
+class VersionedTableSpec extends SparkSpec {
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("vt").toString
+
+  test("seed -> commit advances versions; lastBatchId tracks the ledger") {
+    import spark.implicits._
+    val dir = tmp()
+    assert(VersionedTable.current(dir).isEmpty && VersionedTable.lastBatchId(dir) == -1L)
+    VersionedTable.seed(dir, Seq("t" -> Seq((1L, "a")).toDF("k", "v")))
+    assert(VersionedTable.current(dir).contains(("v0", -1L)))
+    assert(!VersionedTable.alreadyMerged(dir, 0L))
+    VersionedTable.commit(dir, 0L, Seq("t" -> Seq((2L, "b")).toDF("k", "v")))
+    assert(VersionedTable.current(dir).contains(("v1", 0L)))
+    assert(VersionedTable.alreadyMerged(dir, 0L) && !VersionedTable.alreadyMerged(dir, 1L))
+    assert(VersionedTable.read(spark, dir, "t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("multi-table commits are atomic: both tables come from one version") {
+    import spark.implicits._
+    val dir = tmp()
+    VersionedTable.seed(dir, Seq(
+      "a" -> Seq(1L).toDF("x"), "b" -> Seq(10L).toDF("y")))
+    VersionedTable.commit(dir, 0L, Seq(
+      "a" -> Seq(2L).toDF("x"), "b" -> Seq(20L).toDF("y")))
+    assert(VersionedTable.read(spark, dir, "a").head().getLong(0) == 2L)
+    assert(VersionedTable.read(spark, dir, "b").head().getLong(0) == 20L)
+    // A torn NEXT version (one table written, no pointer swap) leaves
+    // BOTH reads on the committed version - no mixed state is readable.
+    Seq(3L).toDF("x").write.parquet(s"$dir/v2/a")
+    assert(VersionedTable.read(spark, dir, "a").head().getLong(0) == 2L)
+    assert(VersionedTable.read(spark, dir, "b").head().getLong(0) == 20L)
+  }
+
+  test("pruning keeps the live and previous versions only") {
+    import spark.implicits._
+    val dir = tmp()
+    VersionedTable.seed(dir, Seq("t" -> Seq(0L).toDF("x")))
+    (0L to 3L).foreach(i =>
+      VersionedTable.commit(dir, i, Seq("t" -> Seq(i + 1).toDF("x"))))
+    val versions = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("v\\d+")).toSet
+      } finally l.close()
+    }
+    assert(versions == Set("v3", "v4"),
+      s"only the live and previous versions survive pruning: $versions")
+    assert(VersionedTable.read(spark, dir, "t").head().getLong(0) == 4L)
+  }
+
+  test("unseeded reads fail loudly, not with a phantom empty table") {
+    val dir = tmp()
+    val e = intercept[RuntimeException](VersionedTable.read(spark, dir, "t"))
+    assert(e.getMessage.contains("unseeded"))
+  }
+}
