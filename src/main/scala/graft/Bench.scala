@@ -226,7 +226,17 @@ object Bench {
     // measure the query plan, not whichever consumer first touched a
     // one-time build. Runs in ONLY mode too: a quiet re-measurement of
     // a flagged consumer must also be steady-state to be comparable.
-    val idxResults: Seq[(String, Double)] =
+    // Index builds are memoized (a re-invocation inside one pass times
+    // the cache hit, not a rebuild), so a naive min-of-N was impossible
+    // and r14-r16's idx_* lines carried 3.5-3.6× contention spikes the
+    // CPU probe could see but the artifact couldn't shed (r16 judge ask
+    // #3). Remedy: run the WHOLE build sequence twice with a model-cache
+    // clear between passes — dependency order means each line still
+    // times exactly one artifact (its prerequisites were rebuilt fresh
+    // by the preceding lines of the same pass) — and take the per-line
+    // min. The second pass ends with the cache fully repopulated under
+    // the same keys, so the gauntlet still reads steady-state.
+    def idxPass(): Seq[(String, Double)] =
       graft.pipeline.IndexArtifacts.builds.map { case (name, build) =>
         val t0 = System.nanoTime()
         name -> (try { build(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
@@ -234,9 +244,15 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
           })
       }
-    // Index builds are memoized (a re-invocation times the cache hit, not
-    // a rebuild), so idx_* lines cannot take a min-of-N — the probe
-    // sandwich is their load attribution instead.
+    val idxFirst = idxPass()
+    graft.pipeline.Ivf.clearModelCache()
+    val idxSecond = idxPass()
+    val idxResults: Seq[(String, Double)] =
+      idxFirst.zip(idxSecond).map { case ((name, a), (_, b)) =>
+        // A failed run (-1) must never win the min over a slow success.
+        val ok = Seq(a, b).filter(_ >= 0)
+        name -> (if (ok.isEmpty) -1.0 else ok.min)
+      }
     val probePostIdx = probeMs()
 
     val gauntlet = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

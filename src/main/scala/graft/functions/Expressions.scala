@@ -140,6 +140,62 @@ object VecOps {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** Exact BIGINT dot product over two long arrays — the integer-
+    * millionths discipline's hot loop (x89 candidate affinities). Long
+    * addition/multiplication in array order, bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces; overflow wraps like
+    * the non-ANSI fold did (callers carry the documented ≤2⁶³ envelope,
+    * disclosed at the x89 scaladoc). */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  private[functions] def isLongVec(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+}
+
+/** Exact integer dot product of two array<bigint> vectors — the
+  * codegen'd kernel under x89's bitext-margin affinities, where the
+  * interpreted `aggregate(zip_with(...))` fold paid a lambda dispatch
+  * and an intermediate 64-element array PER CANDIDATE PAIR (the
+  * label-cell join's dominant per-row cost at sf1). Same null contract
+  * as [[VecDot]]: ragged pairs yield NULL, never a truncated sum. */
+case class VecDotLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecOps.isLongVec(left.dataType) && VecOps.isLongVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_long requires ARRAY<BIGINT> args, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else VecOps.dotLong(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecOps.dotLong($a, $b);
+      }""")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotLong =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Dot product of two numeric vectors (array<float> | array<double>) as a
@@ -769,6 +825,8 @@ object GraftFunctions {
       exprs => TokenHash(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("vec_dot",
       exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("vec_dot_long",
+      exprs => VecDotLong(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("vec_norm2",
       exprs => VecNorm2(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("set_jaccard",

@@ -37,6 +37,7 @@ object IndexArtifacts {
     "idx_b28_labels" -> ((s: SparkSession, d: String) => { Curation.b28Labels(s, d); () }),
     "idx_sem_labels" -> ((s: SparkSession, d: String) =>
       { Similarity.semanticLabelsAt(s, d, Similarity.SemanticDedupThreshold); () }),
+    "idx_x11_postings" -> ((s: SparkSession, d: String) => { Dedup.x11PostingsIndexPath(s, d); () }),
     "idx_x11_pairs" -> ((s: SparkSession, d: String) => { Dedup.x11PairFrame(s, d); () }),
     "idx_x121_old_index" -> ((s: SparkSession, d: String) => { Curation.x121OldIndex(s, d); () }),
     "idx_x121_merged" -> ((s: SparkSession, d: String) => { Curation.x121MergedMap(s, d); () }),

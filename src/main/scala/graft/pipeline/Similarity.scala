@@ -334,9 +334,33 @@ object Similarity {
     def nPlanes: Int = bands * bits
   }
 
-  /** The historical default (2 bands × 16 bits) — every pre-r16 query's
-    * registered results are bit-identical under it. */
+  /** The historical 2-band × 16-bit layout (the pre-r17 default for the
+    * pair-generating registrations, now flipped to [[SelectedLshLayout]]
+    * — the x136b ladder measured 2×16 as its WORST row, 37.1M sf1
+    * candidates vs 6.5M selected). Still the layout of the bucket-COUNT
+    * consumers that want multi-band collision paths or profile the
+    * historical table: x07's query-time ANN (2 bands = 2 recall paths
+    * per vector at no pair cost — it joins only against the one query
+    * vector's buckets), x97's density estimate, and the x136 cap
+    * profile. None of those materialize a corpus pair set, so the
+    * candidate-mass economics that forced the flip do not apply. */
   val DefaultLshLayout: LshLayout = LshLayout(2, 16)
+
+  /** The layout [[selectLshLayout]] picks off this corpus's x136b
+    * profile (SimilarityLayoutSpec pins the equality at test scale, so
+    * this constant can never silently drift from the rule): one band of
+    * 63 sign bits. Measured on the sf1 scale-up corpus: candidate mass
+    * 37,118,462 → 6,548,359 (5.67× down) vs the 2×16 default, and
+    * 5.75× down at sf0.1 — while the dispatch-regime recall floor
+    * (identical re-encodings) is untouched by construction, which
+    * x36b's brute-force oracle certifies end-to-end every round. As of
+    * r17 this is the DEFAULT of every pair-generating builder
+    * ([[embeddingNearDupsLshOn]], [[crossSemanticPairs]],
+    * [[semanticLabelsAt]], [[x09PairCtes]]) — declared here, above the
+    * first oracle `val` that interpolates it, because object-init order
+    * is the one place a forward reference turns into a null. */
+  val SelectedLshLayout: LshLayout = LshLayout(1, 63)
+
   val LshBands: Int = DefaultLshLayout.bands
   val LshBandBits: Int = DefaultLshLayout.bits
   private val NPlanes = DefaultLshLayout.nPlanes
@@ -473,9 +497,25 @@ object Similarity {
   /** [[embeddingNearDupsLsh]] over an arbitrary (vec_id, embedding)
     * frame — the library form the x46 pipeline composes (its semantic
     * tier clusters the pair graph restricted to the docs still alive at
-    * that stage). */
+    * that stage).
+    *
+    * DEFAULT LAYOUT = [[SelectedLshLayout]] as of r17 (previously the
+    * 2×16 [[DefaultLshLayout]]). The x136b governance loop chose it
+    * (5.67× less candidate mass at sf1, the ladder's cheapest row) and
+    * x09c/x36b certified it for two rounds before every registration
+    * adopted it. Honesty ledger for the recall trade, same terms as
+    * x09c's: LSH near-dup recall below the production re-encoding
+    * regime is layout-dependent — at the registered 0.3/0.45 cuts the
+    * 1×63 band surfaces FEWER diffuse-tail pairs than 2×16 did (sf0.01:
+    * 65 vs 202 pairs at 0.3) while the identical-re-encoding floor
+    * (`floor_pairs` — equal quantized arrays collide under ANY layout)
+    * is untouched by construction. Every oracle re-derives candidates
+    * at the SAME layout, so the hash gate certifies the plan, and
+    * SimilarityLayoutSpec pins the floor-recall invariant. A caller
+    * needing the diffuse tail passes an explicit many-band layout
+    * (the [[selectLshLayout]] diffuse regime). */
   def embeddingNearDupsLshOn(emb: DataFrame, threshold: Double): DataFrame =
-    embeddingNearDupsLshOn(emb, threshold, DefaultLshLayout)
+    embeddingNearDupsLshOn(emb, threshold, SelectedLshLayout)
 
   /** [[embeddingNearDupsLshOn]] at an explicit banding layout — the form
     * x09c registers with [[SelectedLshLayout]] (chosen by
@@ -512,7 +552,7 @@ object Similarity {
     * verify is equivalent to filtering verified pairs, since the verify
     * is per-pair. */
   private[pipeline] def x09PairCtes(threshold: Double, candCond: String = ""): String =
-    x09PairCtesFor(threshold, DefaultLshLayout, candCond)
+    x09PairCtesFor(threshold, SelectedLshLayout, candCond)
 
   /** [[x09PairCtes]] at an explicit banding layout (x09c's oracle). */
   private[pipeline] def x09PairCtesFor(threshold: Double, layout: LshLayout,
@@ -714,22 +754,13 @@ object Similarity {
     }
   }
 
-  /** The layout [[selectLshLayout]] picks off this corpus's x136b
-    * profile (SimilarityLayoutSpec pins the equality at test scale, so
-    * this constant can never silently drift from the rule): one band of
-    * 63 sign bits. Measured on the sf1 scale-up corpus: candidate mass
-    * 37,118,462 → 6,548,359 (5.67× down) vs the 2×16 default, and
-    * 5.75× down at sf0.1 — while the dispatch-regime recall floor
-    * (identical re-encodings) is untouched by construction, which
-    * x36b's brute-force oracle certifies end-to-end every round. */
-  val SelectedLshLayout: LshLayout = LshLayout(1, 63)
-
-  /** x09c — [[embeddingNearDupsLshOn]] at [[SelectedLshLayout]]: the
-    * registered proof that the parameterized layout + selection rule
-    * compose into a working near-dup pass (same verify-stage exact
-    * cosine, same threshold as x09, 5.7× less candidate mass at sf1).
-    * The oracle re-derives candidates at the SAME layout and verifies
-    * with brute-force cosine, the x09 convention. */
+  /** x09c — [[embeddingNearDupsLshOn]] at an EXPLICIT
+    * [[SelectedLshLayout]]: registered in r16 as the proof that the
+    * parameterized layout + selection rule compose (5.7× less candidate
+    * mass at sf1); since the r17 default flip it coincides with x09 and
+    * stays registered as the explicit-layout pin — if the default ever
+    * drifts from the rule's pick, x09 and x09c diverge and the
+    * correctness gate says so. */
   private def x09c(s: SparkSession, dir: String): DataFrame =
     embeddingNearDupsLshOn(Tables.t(s, dir, "embeddings"), 0.3, SelectedLshLayout)
 
@@ -914,14 +945,14 @@ object Similarity {
     * identical pair pipeline, their dominant cost); a non-default
     * threshold always computes fresh. */
   private[pipeline] def semanticLabelsAt(s: SparkSession, dir: String,
-      threshold: Double, layout: LshLayout = DefaultLshLayout): DataFrame = {
+      threshold: Double, layout: LshLayout = SelectedLshLayout): DataFrame = {
     def build: DataFrame = {
       val pairs = embeddingNearDupsLshOn(
           Tables.t(s, dir, "embeddings"), threshold, layout)
         .select(col("va").as("da"), col("vb").as("db"))
       Curation.propagateMinLabels(Curation.undirectedEdges(pairs))._1
     }
-    if (threshold == SemanticDedupThreshold && layout == DefaultLshLayout)
+    if (threshold == SemanticDedupThreshold && layout == SelectedLshLayout)
       graft.pipeline.Ivf.memoModel(Tables.t(s, dir, "embeddings"),
         s"semlabels|${s.sparkContext.applicationId}") {
         Checkpoints.stable(build)
@@ -1118,8 +1149,9 @@ object Similarity {
     * micro-batch — see [[graft.streaming.StreamingJobs.incrementalSemanticDedupStream]].
     *
     * Deliberately EXACT, not LSH-bucketed: measured on this corpus at
-    * sf0.001/0.01/0.1, the x09 2-band×16-sign-bit buckets miss 75–96% of
-    * the true cross-corpus pairs at the dup threshold (0.4) — random-
+    * sf0.001/0.01/0.1, the banded sign buckets miss 75–96% of the true
+    * cross-corpus pairs at the dup threshold (0.4) even at the
+    * historical 2×16 layout (fewer-band layouts miss more) — random-
     * hyperplane band recall only approaches 1 near cosine ≈ 1, and this
     * corpus has no such regime — so a bucketed candidate tier here would
     * silently admit most duplicates. At real SemDeDup cuts of ~0.95+ the
@@ -1416,7 +1448,7 @@ object Similarity {
     * fold per candidate. */
   def crossSemanticPairs(newEmb: DataFrame, refEmb: DataFrame,
       threshold: Double): DataFrame =
-    crossSemanticPairs(newEmb, refEmb, threshold, DefaultLshLayout)
+    crossSemanticPairs(newEmb, refEmb, threshold, SelectedLshLayout)
 
   /** [[crossSemanticPairs]] at an explicit banding layout. The layout
     * must MATCH the one any standing edge/bucket index it merges with
@@ -1821,6 +1853,7 @@ object Similarity {
     * candidates; the best-pair cut is one more bounded window. */
   def bitextMarginMining(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    reg(s)
     val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("label"),
       graft.pipeline.Ivf.intMillionths(col("embedding")).as("xi"))
     val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("lang"))
@@ -1832,10 +1865,15 @@ object Similarity {
     val xx = v.filter(col("lang") =!= "en")
       .select(col("vec_id").as("dst"), col("lang").as("dst_lang"),
         col("label"), col("xi").as("xb"))
+    // The per-pair affinity runs through the native codegen'd
+    // vec_dot_long kernel (bit-identical to the aggregate(zip_with)
+    // fold it replaced — exact long arithmetic, same array order): the
+    // lambda fold allocated an intermediate 64-element array and paid
+    // two lambda dispatches per element PER CANDIDATE PAIR, the
+    // label-cell join's dominant cost at sf1.
     val cand = Checkpoints.stable(en.join(xx, Seq("label"))
       .select(col("src"), col("dst"), col("dst_lang"),
-        aggregate(zip_with(col("xa"), col("xb"), (p, q) => p * q),
-          lit(0L), (acc, t) => acc + t).as("dt")))
+        call_function("vec_dot_long", col("xa"), col("xb")).as("dt")))
     val wS = Window.partitionBy("src", "dst_lang")
       .orderBy(col("dt").desc, col("dst"))
     val nns = cand.withColumn("r", row_number().over(wS))

@@ -328,6 +328,35 @@ object StreamingJobs {
       }
       .start()
 
+  /** The maintenance streams' identity for the [[VersionedTable]]
+    * replay ledger: the streaming query id persisted in the
+    * checkpoint's `metadata` file (a documented, stable on-disk JSON —
+    * `{"id":"<uuid>"}`), written by Spark at query start, BEFORE the
+    * first micro-batch runs. Restarting the same checkpoint keeps the
+    * id (replay skip applies); deleting/recreating the checkpoint —
+    * even at the same path — mints a fresh id, which is exactly the
+    * event that restarts the batch-id counter and must reset the
+    * ledger instead of silently dropping data (r16 ADVICE, medium).
+    * Unreadable metadata degrades to "" = the legacy bare-id rule. */
+  private[streaming] def streamIdOf(checkpointDir: String): String =
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(checkpointDir, "metadata"))
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1).replace(":", "")).getOrElse("")
+    } catch { case _: Throwable => "" }
+
+  /** The corpus-subdir partition value for one maintenance wave:
+    * unique per (stream identity, batch id), so a ledger-reset stream
+    * (fresh checkpoint, ids restarting at 0) can never OVERWRITE a
+    * previous stream's batch subdirectory — its wave 0 lands beside
+    * history, not on top of it. The reference side of a merge is then
+    * "every wave except the current one" (≡ `batch < batchId` within
+    * one stream, plus all prior streams' merged waves). Seed data uses
+    * the literal `wave=seed`. */
+  private[streaming] def waveKey(streamId: String, batchId: Long): String =
+    s"${if (streamId.isEmpty) "legacy" else streamId.take(8)}-$batchId"
+
   /** x121 streaming: standing cluster-index MAINTENANCE at the
     * ingestion edge. Each micro-batch (1) merges into the AT-REST label
     * index via the proven star∪delta operator
@@ -341,18 +370,28 @@ object StreamingJobs {
     * exactly that).
     *
     * Storage discipline (r16, the same hardening the LM/BM25 streams
-    * got): the corpus is batch-keyed subdirs (`corpusDir/batch=<id>`;
-    * seed the initial corpus under `batch=-1`) — a replayed wave
-    * REWRITES its own subdirectory instead of double-appending — and
+    * got; r17 wave keys): the corpus is wave-keyed subdirs
+    * (`corpusDir/wave=<streamId8>-<id>` via [[waveKey]]; seed the
+    * initial corpus under `wave=seed`) — a replayed wave REWRITES its
+    * own subdirectory instead of double-appending, and a ledger-reset
+    * stream (fresh checkpoint, ids restarting at 0) lands BESIDE
+    * history instead of overwriting another stream's `batch=0` — and
     * the label index is a [[VersionedTable]] (table "labels"; seed an
     * empty (node, lbl) frame for a fresh start), so a crash mid-wave
-    * leaves the previous index version live and the pointer's batch-id
-    * ledger makes the merge exactly-once. Write order is load-bearing:
-    * the corpus subdir lands FIRST (idempotent), the merge reads `ref`
-    * as the strictly-earlier batches (`batch < batchId` — partition
-    * pruning keeps the just-written subdir out of the reference side),
-    * and the index commit is the atomic last step — a crash between
-    * the two replays into an identical corpus rewrite + the merge. */
+    * leaves the previous index version live and the pointer's
+    * (stream, batch-id) ledger makes the merge exactly-once. Write
+    * order is load-bearing: the corpus subdir lands FIRST (idempotent),
+    * the merge reads `ref` as every wave EXCEPT the current one
+    * (partition pruning keeps the just-written subdir out of the
+    * reference side; within one stream this equals `batch < batchId`,
+    * and prior streams' merged waves stay reference), and the index
+    * commit is the atomic last step — a crash between the two replays
+    * into an identical corpus rewrite + the merge. Replay determinism
+    * is the SOURCE's contract (standard Structured Streaming): a
+    * non-replayable source re-delivering a batch id with different
+    * data rewrites the wave subdir without re-merging the index —
+    * don't do that (r16 ADVICE, documented). Exactly one maintenance
+    * stream may own an artifact at a time. */
   def clusterIndexMaintenanceStream(newDocs: DataFrame, corpusDir: String,
       indexDir: String, threshold: Double, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -360,19 +399,22 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!VersionedTable.alreadyMerged(indexDir, batchId)) {
+        val sid = streamIdOf(checkpointDir)
+        if (!VersionedTable.alreadyMerged(indexDir, batchId, sid)) {
           val s = batch.sparkSession
+          val wave = waveKey(sid, batchId)
           val b = batch.select(col("doc_id"), col("text"))
-          b.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          b.write.mode("overwrite").parquet(s"$corpusDir/wave=$wave")
           val ref = s.read.parquet(corpusDir)
-            .filter(col("batch") < batchId)
+            .filter(col("wave") =!= wave)
             .select(col("doc_id"), col("text"))
           val merged = graft.pipeline.Curation
             .incrementalClustersFromIndex(b, ref,
               VersionedTable.read(s, indexDir, "labels"), threshold)
           VersionedTable.commit(indexDir, batchId, Seq("labels" ->
             merged.filter(col("cluster_size") >= 2)
-              .select(col("doc_id").as("node"), col("cluster_id").as("lbl"))))
+              .select(col("doc_id").as("node"), col("cluster_id").as("lbl"))),
+            sid)
         }
         ()
       }
@@ -396,19 +438,22 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!VersionedTable.alreadyMerged(indexDir, batchId)) {
+        val sid = streamIdOf(checkpointDir)
+        if (!VersionedTable.alreadyMerged(indexDir, batchId, sid)) {
           val s = batch.sparkSession
+          val wave = waveKey(sid, batchId)
           val b = batch.select(col("vec_id"), col("embedding"))
-          b.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          b.write.mode("overwrite").parquet(s"$corpusDir/wave=$wave")
           val ref = s.read.parquet(corpusDir)
-            .filter(col("batch") < batchId)
+            .filter(col("wave") =!= wave)
             .select(col("vec_id"), col("embedding"))
           val merged = graft.pipeline.Similarity
             .incrementalSemanticClustersFromIndex(b, ref,
               VersionedTable.read(s, indexDir, "labels"), threshold)
           VersionedTable.commit(indexDir, batchId, Seq("labels" ->
             merged.filter(col("cluster_size") >= 2)
-              .select(col("vec_id").as("node"), col("cluster_id").as("lbl"))))
+              .select(col("vec_id").as("node"), col("cluster_id").as("lbl"))),
+            sid)
         }
         ()
       }
@@ -441,14 +486,15 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!VersionedTable.alreadyMerged(maskDir, batchId)) {
+        val sid = streamIdOf(checkpointDir)
+        if (!VersionedTable.alreadyMerged(maskDir, batchId, sid)) {
           val s = batch.sparkSession
           val old = graft.pipeline.Curation.bloomMaskFromFrame(
             VersionedTable.read(s, maskDir, "mask"))
           val delta = graft.pipeline.Curation.bloomMaskOf(batch, shingleLen)
           VersionedTable.commit(maskDir, batchId, Seq("mask" ->
             graft.pipeline.Curation.bloomMaskToFrame(s,
-              graft.pipeline.Curation.mergeBloomMasks(old, delta))))
+              graft.pipeline.Curation.mergeBloomMasks(old, delta))), sid)
         }
         ()
       }
@@ -478,10 +524,11 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!VersionedTable.alreadyMerged(lmDir, batchId)) {
+        val sid = streamIdOf(checkpointDir)
+        if (!VersionedTable.alreadyMerged(lmDir, batchId, sid)) {
           val merged = graft.pipeline.TextStats.incrementalUnigramLm(
             batch, VersionedTable.read(batch.sparkSession, lmDir, "lm"))
-          VersionedTable.commit(lmDir, batchId, Seq("lm" -> merged))
+          VersionedTable.commit(lmDir, batchId, Seq("lm" -> merged), sid)
         }
         ()
       }
@@ -506,14 +553,15 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!VersionedTable.alreadyMerged(statsDir, batchId)) {
+        val sid = streamIdOf(checkpointDir)
+        if (!VersionedTable.alreadyMerged(statsDir, batchId, sid)) {
           val s = batch.sparkSession
           val (vocab, scal) = graft.pipeline.Selection.incrementalBm25StatsParts(
             batch,
             VersionedTable.read(s, statsDir, "vocab"),
             VersionedTable.read(s, statsDir, "scalars"))
           VersionedTable.commit(statsDir, batchId,
-            Seq("vocab" -> vocab, "scalars" -> scal))
+            Seq("vocab" -> vocab, "scalars" -> scal), sid)
         }
         ()
       }

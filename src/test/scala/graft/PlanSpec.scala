@@ -61,6 +61,15 @@ class PlanSpec extends SparkSpec {
       s"the literal probe list must prune at planning time: $pf")
   }
 
+  test("x11c: the near-dup probe plans as a partition-pruned scan of the gram index") {
+    val p = plan("x11c_ngram_indexed_probe")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("gram"),
+      s"probe must carry partition filters on the gram column:\n$p")
+    assert(pf.toUpperCase.contains(" IN "),
+      s"the literal query-gram list must prune at planning time: $pf")
+  }
+
   test("x49c: the BM25 probe plans as a partition-pruned scan of the posting index") {
     val p = plan("x49c_bm25_indexed")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")

@@ -149,6 +149,25 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("vec_dot_long equals the integer zip_with/aggregate fold it replaced") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val e = graft.Tables.t(spark, sf, "embeddings").limit(50)
+      .select(graft.pipeline.Ivf.intMillionths(col("embedding")).as("xi"))
+    val q = e.select(col("xi").as("b")).limit(1)
+    val both = e.crossJoin(broadcast(q)).select(
+      call_function("vec_dot_long", col("xi"), col("b")).as("nd"),
+      aggregate(zip_with(col("xi"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hd"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), s"long dot mismatch: $r"))
+    import spark.implicits._
+    val ragged = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+      .select(call_function("vec_dot_long", col("a"), col("b"))).collect()
+    assert(ragged(0).isNullAt(0),
+      "ragged integer vectors must surface as null, not a truncated sum")
+  }
+
   test("vec_dot yields NULL for mismatched vector lengths (zip_with parity)") {
     import org.apache.spark.sql.functions._
     GraftFunctions.register(spark)

@@ -788,7 +788,7 @@ class StreamingSpec extends SparkSpec {
     val corpusDir = java.nio.file.Files.createTempDirectory("cim_corpus").toString
     val indexDir = java.nio.file.Files.createTempDirectory("cim_index").toString
     val ckpt = java.nio.file.Files.createTempDirectory("cim_ck").toString
-    seed.write.mode("overwrite").parquet(s"$corpusDir/batch=-1")
+    seed.write.mode("overwrite").parquet(s"$corpusDir/wave=seed")
     VersionedTable.seed(indexDir, Seq("labels" ->
       Curation.propagateMinLabels(Curation.undirectedEdges(
         Dedup.jaccardPairsPrefixOn(seed, 0.8).select(col("da"), col("db"))))._1))
@@ -848,32 +848,37 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(table() == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 2L, "delta" -> 1L),
       s"standing LM table must equal the full recount of seed + every wave: ${table()}")
-    // Exactly-once under replay (r15 ADVICE): a FRESH checkpoint
-    // re-delivers batch ids from 0 — the ledger in the pointer must
-    // skip both already-merged waves, leaving the counts unmoved.
+    // Same-stream replay skip (the exactly-once ledger): the pointer
+    // carries this stream's identity + last batch id, so re-offering a
+    // merged id UNDER THE SAME identity is skipped...
+    val sid = StreamingJobs.streamIdOf(ckpt)
+    assert(sid.nonEmpty, "checkpoint metadata must yield a stream identity")
+    assert(VersionedTable.alreadyMerged(lmDir, 1L, sid) &&
+      !VersionedTable.alreadyMerged(lmDir, 2L, sid),
+      "same-identity replay ledger must skip merged ids and admit new ones")
+    // ...while a FRESH checkpoint (new stream identity, batch ids
+    // restarting at 0) RESETS the ledger instead of silently dropping
+    // data until the new counter passes the old high-water mark — the
+    // r16 ADVICE data-loss case: batch 0 of the new stream carries
+    // genuinely NEW data and must merge, where the old bare-id rule
+    // discarded it ('skipme' semantics, now gone).
     val ckpt2 = java.nio.file.Files.createTempDirectory("lm_ckpt2").toString
     val input2 = MemoryStream[Doc]
     val q2 = StreamingJobs.lmMaintenanceStream(input2.toDF(), lmDir, ckpt2)
-    input2.addData(Seq(Doc(1L, "alpha gamma gamma", "en")))
-    q2.processAllAvailable()
-    input2.addData(Seq(Doc(2L, "beta beta delta", "en")))
-    q2.processAllAvailable()
+    input2.addData(Seq(Doc(3L, "epsilon", "en")))
+    q2.processAllAvailable() // batch 0 of a NEW stream: merges
     q2.stop()
-    assert(table() == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 2L, "delta" -> 1L),
-      s"replayed micro-batches must not double-count: ${table()}")
-    // A genuinely NEW batch id (2, beyond the merged 0/1) still merges.
-    val ckpt3 = java.nio.file.Files.createTempDirectory("lm_ckpt3").toString
-    val input3 = MemoryStream[Doc]
-    val q3 = StreamingJobs.lmMaintenanceStream(input3.toDF(), lmDir, ckpt3)
-    input3.addData(Seq(Doc(9L, "skipme", "en")))
-    q3.processAllAvailable() // batch 0: skipped by ledger
-    input3.addData(Seq(Doc(10L, "skipme2", "en")))
-    q3.processAllAvailable() // batch 1: skipped by ledger
-    input3.addData(Seq(Doc(3L, "epsilon", "en")))
-    q3.processAllAvailable() // batch 2: merges
-    q3.stop()
-    assert(table().get("epsilon").contains(1L) && !table().contains("skipme"),
-      s"post-ledger batches must merge, replayed ids must not: ${table()}")
+    assert(table().get("epsilon").contains(1L),
+      s"a new stream's batch 0 must merge, not vanish under the old " +
+        s"high-water mark: ${table()}")
+    assert(table().get("alpha").contains(3L),
+      s"ledger reset must not disturb standing counts: ${table()}")
+    // The commit adopted the new identity: its own replay now skips.
+    val sid2 = StreamingJobs.streamIdOf(ckpt2)
+    assert(sid2.nonEmpty && sid2 != sid, "fresh checkpoint mints a fresh identity")
+    assert(VersionedTable.alreadyMerged(lmDir, 0L, sid2) &&
+      !VersionedTable.alreadyMerged(lmDir, 1L, sid2),
+      "the ledger must re-key to the adopting stream")
   }
 
   test("LM-table maintenance: a crash mid-write cannot destroy the standing artifact") {
@@ -924,16 +929,23 @@ class StreamingSpec extends SparkSpec {
     rows.foreach { case (tok, _, n, s) =>
       assert(n == 3L && s == 9L, s"scalars must track every wave: ($tok, $n, $s)")
     }
-    // Replay through a fresh checkpoint: counts must not move (r15 ADVICE).
+    // Same-stream exactly-once + fresh-stream ledger reset (r16 ADVICE):
+    // a merged id under THIS stream's identity is skipped; a FRESH
+    // checkpoint's batch 0 carries new data and must merge (the old
+    // bare-id rule silently dropped it).
+    val sid = StreamingJobs.streamIdOf(ckpt)
+    assert(VersionedTable.alreadyMerged(statsDir, 1L, sid) &&
+      !VersionedTable.alreadyMerged(statsDir, 2L, sid),
+      "same-identity replay ledger must hold for the stats artifact")
     val ckpt2 = java.nio.file.Files.createTempDirectory("bm25_ckpt2").toString
     val input2 = MemoryStream[Doc]
     val q2 = StreamingJobs.bm25StatsMaintenanceStream(input2.toDF(), statsDir, ckpt2)
-    input2.addData(Seq(Doc(1L, "spark join join", "en"), Doc(2L, "dup scan", "en")))
-    q2.processAllAvailable()
+    input2.addData(Seq(Doc(4L, "flink window", "en")))
+    q2.processAllAvailable() // batch 0 of a NEW stream: merges
     q2.stop()
     val scal = VersionedTable.read(spark, statsDir, "scalars").collect()
-    assert(scal.length == 1 && scal.head.getLong(0) == 3L && scal.head.getLong(1) == 9L,
-      s"a replayed wave must not double-count the scalars: ${scal.mkString}")
+    assert(scal.length == 1 && scal.head.getLong(0) == 4L && scal.head.getLong(1) == 11L,
+      s"a new stream's first wave must merge into the scalars: ${scal.mkString}")
   }
 
   test("BM25-stats maintenance: scalars survive a zero-vocab wave") {
@@ -976,7 +988,7 @@ class StreamingSpec extends SparkSpec {
     val corpusDir = java.nio.file.Files.createTempDirectory("sim_corpus").toString
     val indexDir = java.nio.file.Files.createTempDirectory("sim_index").toString
     val ckpt = java.nio.file.Files.createTempDirectory("sim_ck").toString
-    seed.write.mode("overwrite").parquet(s"$corpusDir/batch=-1")
+    seed.write.mode("overwrite").parquet(s"$corpusDir/wave=seed")
     VersionedTable.seed(indexDir, Seq("labels" ->
       Curation.propagateMinLabels(Curation.undirectedEdges(
         Similarity.embeddingNearDupsLshOn(seed, t)

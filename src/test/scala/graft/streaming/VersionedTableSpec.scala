@@ -41,6 +41,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir, "b").head().getLong(0) == 20L)
   }
 
+  test("replay ledger keys on (stream identity, batchId): same id skips, new id resets") {
+    import spark.implicits._
+    val dir = tmp()
+    VersionedTable.seed(dir, Seq("t" -> Seq(0L).toDF("x")))
+    VersionedTable.commit(dir, 1L, Seq("t" -> Seq(1L).toDF("x")), "streamA")
+    // Same identity: the monotonic-id replay skip holds.
+    assert(VersionedTable.alreadyMerged(dir, 0L, "streamA") &&
+      VersionedTable.alreadyMerged(dir, 1L, "streamA") &&
+      !VersionedTable.alreadyMerged(dir, 2L, "streamA"))
+    // Different identity (fresh checkpoint, ids restart at 0): the
+    // ledger RESETS — batch 0 of the new stream is NOT "already merged"
+    // (the r16 ADVICE silent-drop case), and the commit re-keys the
+    // ledger to the adopter.
+    assert(!VersionedTable.alreadyMerged(dir, 0L, "streamB"),
+      "a new stream's batches must merge, not vanish under the old high-water mark")
+    VersionedTable.commit(dir, 0L, Seq("t" -> Seq(2L).toDF("x")), "streamB")
+    assert(VersionedTable.alreadyMerged(dir, 0L, "streamB") &&
+      !VersionedTable.alreadyMerged(dir, 1L, "streamB"))
+    assert(VersionedTable.currentEntry(dir).exists(_._3 == "streamB"))
+    // Empty identity on either side degrades to the legacy bare-id rule.
+    assert(VersionedTable.alreadyMerged(dir, 0L) &&
+      !VersionedTable.alreadyMerged(dir, 1L))
+    // Colon would corrupt the pointer format: rejected loudly.
+    intercept[IllegalArgumentException](
+      VersionedTable.commit(dir, 2L, Seq("t" -> Seq(3L).toDF("x")), "a:b"))
+  }
+
+  test("scheme-qualified dirs fail fast: the pointer is driver-local java.nio") {
+    import spark.implicits._
+    // r16 ADVICE: an hdfs:// or s3a:// dir would silently split the
+    // artifact (parquet remote, pointer on a bogus driver-local path,
+    // reads forever 'unseeded'). The contract is local-only until the
+    // pointer rides the Hadoop FS API.
+    intercept[IllegalArgumentException](
+      VersionedTable.current("hdfs://nn:8020/idx"))
+    intercept[IllegalArgumentException](
+      VersionedTable.seed("s3a://bucket/idx", Seq("t" -> Seq(1L).toDF("x"))))
+    intercept[IllegalArgumentException](
+      VersionedTable.read(spark, "file:///tmp/idx", "t"))
+  }
+
   test("pruning keeps the live and previous versions only") {
     import spark.implicits._
     val dir = tmp()
