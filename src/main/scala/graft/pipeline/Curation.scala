@@ -2248,8 +2248,10 @@ object Curation {
   }
 
   def harmonicFromPairs(nodes: DataFrame, pairsIn: DataFrame,
-      radius: Int = 3): DataFrame = {
-    val dist = shortestDistances(pairsIn, radius)
+      radius: Int = 3): DataFrame =
+    harmonicFromDistances(nodes, shortestDistances(pairsIn, radius))
+
+  private def harmonicFromDistances(nodes: DataFrame, dist: DataFrame): DataFrame = {
     val hc = dist.groupBy("node").agg(
       count(lit(1)).as("n_reach"),
       sum(expr("1000000 div d")).as("harmonic_mass"))
@@ -2262,10 +2264,22 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The registered graph's distance frame, memoized per corpus snapshot
+    * like [[b28Labels]] — x63 (centrality) and x142 (frontier profile)
+    * read the IDENTICAL artifact, so registering the profile costs one
+    * aggregation, not a second BFS (the first x142 registration naively
+    * recomputed it and added 8 s to the sf1 battery). Timed as its own
+    * `idx_x63_distances` line. */
+  private[pipeline] def x63Distances(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ivf.memoModel(docs(s, dir),
+        s"x63dist|${s.sparkContext.applicationId}") {
+      shortestDistances(b28Pairs(s, dir))
+    }
+
   def harmonicCentrality(s: SparkSession, dir: String): DataFrame =
-    harmonicFromPairs(
+    harmonicFromDistances(
       docs(s, dir).filter(col("doc_id") % 29 === 0).select(col("doc_id")),
-      b28Pairs(s, dir))
+      x63Distances(s, dir))
 
   // --------------------------------------------------------------- x142
   /** x142 — x136's profile-then-decide governance extended to the x63
@@ -2280,15 +2294,16 @@ object Curation {
     * means the graph genuinely has long paths. That read — saturation
     * vs growth — is the dispatch decision for the whole x60-x63 family;
     * on this corpus the series COLLAPSES after d=2 (sf0.01: 298 pairs
-    * at d=1, 8 at d=2, NO pairs at d=3 — duplicate cliques saturate at
-    * diameter ≤ 2), so x63's growth is component-mass-bound (the same
-    * Σ|c|² that prices x16's clusters), not a runaway frontier: benign
-    * in the r16 audit's sense, now measured rather than asserted.
+    * at d=1, 8 at d=2, none at d=3; sf0.1: d=1 ONLY — the registered
+    * slice's duplicate cliques are complete, diameter 1), so x63's
+    * growth is component-mass-bound (the same Σ|c|² that prices x16's
+    * clusters), not a runaway frontier: benign in the r16 audit's
+    * sense, now measured rather than asserted.
     *
     * Exact integers over the same checkpointed distance frame x63
     * consumes; oracle = x63's own recursive chain grouped by d. */
   def centralityFrontierProfile(s: SparkSession, dir: String): DataFrame =
-    shortestDistances(b28Pairs(s, dir))
+    x63Distances(s, dir)
       .groupBy(col("d"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("node")).as("n_nodes"))

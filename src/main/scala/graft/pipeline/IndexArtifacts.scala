@@ -35,6 +35,7 @@ object IndexArtifacts {
     // Checkpointed frame artifacts.
     "idx_b28_pairs" -> ((s: SparkSession, d: String) => { Curation.b28Pairs(s, d); () }),
     "idx_b28_labels" -> ((s: SparkSession, d: String) => { Curation.b28Labels(s, d); () }),
+    "idx_x63_distances" -> ((s: SparkSession, d: String) => { Curation.x63Distances(s, d); () }),
     "idx_sem_labels" -> ((s: SparkSession, d: String) =>
       { Similarity.semanticLabelsAt(s, d, Similarity.SemanticDedupThreshold); () }),
     "idx_x11_postings" -> ((s: SparkSession, d: String) => { Dedup.x11PostingsIndexPath(s, d); () }),

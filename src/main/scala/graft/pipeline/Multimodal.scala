@@ -1530,11 +1530,14 @@ object Multimodal {
     * low-gradient hash crowds, disclosed at [[PhashBucketCap]]) and
     * the curation team reads this table to decide whether to raise the
     * cap, quarantine the crowd, or accept the clip. Measured on this
-    * corpus (sf0.1 → sf1): zero buckets clipped at 128 at BOTH scales —
-    * the x115/x116/x130 sf1 growth (13–14×) is the VERIFY stage's
-    * within-bucket pair work over genuine duplicate structure, not a
-    * runaway candidate stage, which is the "benign growth" finding the
-    * ask wanted measured rather than asserted.
+    * corpus: at sf0.001/0.01 the 128 cap clips NOTHING (max bucket
+    * ~50); at sf0.1 it clips 9 of the buckets (max bucket 458,
+    * candidate mass 547,609 → 184,402 — 66% saved) — i.e. the x115
+    * family's 13–14× sf1 growth IS candidate-stage on hash crowds,
+    * and the registered cap is the governor actively containing it;
+    * what the profile adds is the exact price (saved_bp) and the crowd
+    * count, per cap, so raising or quarantining is a measured decision
+    * instead of a constant.
     *
     * Everything is integer arithmetic over bucket COUNTS (the x136
     * discipline), so the profile hash-matches the DuckDB re-derivation,
