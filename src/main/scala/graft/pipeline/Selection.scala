@@ -205,8 +205,10 @@ object Selection {
     * `read.parquet(postings).filter(tok IN terms)` — Catalyst resolves
     * the literal IN against the partition directories at PLANNING time,
     * so the scan touches |terms|/|vocab| of the files and none of the
-    * rest (PlanSpec gates PartitionFilters). On this corpus the
-    * partition column is the raw token (31-word vocabulary); at 100 TB
+    * rest (PlanSpec gates PartitionFilters). The partition DIRECTORY
+    * value is the inference-proof encoded token ([[PartitionKeys]]);
+    * the raw token rides in the data files. Directory count is
+    * vocabulary-bounded here (31 words); at 100 TB
     * the same layout keys on a token-hash bucket so directory counts
     * stay bounded — a constant swap, same plan shape. Memoized per
     * corpus snapshot; timed as `idx_lex_postings`. */
@@ -218,12 +220,15 @@ object Selection {
       d.select(col("doc_id"), size(toks).cast("double").as("dl"),
           explode(toks).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+        // Directory value is the inference-proof encoded token; the raw
+        // token stays as a data column ([[PartitionKeys]], r17 ADVICE).
+        .withColumn("tokh", PartitionKeys.encode(col("tok")))
         // Cluster rows by the partition column before the partitioned
         // write: without this every task writes a sliver into every
         // token directory (|tasks| × |vocab| small files — measured
         // 18.6 s at sf1); clustered, each directory gets one file.
-        .repartition(col("tok"))
-        .write.mode("overwrite").partitionBy("tok").parquet(s"$root/postings")
+        .repartition(col("tokh"))
+        .write.mode("overwrite").partitionBy("tokh").parquet(s"$root/postings")
       d.select(size(toks).cast("double").as("dl"))
         .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
         .write.mode("overwrite").parquet(s"$root/stats")
@@ -245,7 +250,9 @@ object Selection {
   def bm25IndexedQuery(s: SparkSession, dir: String): DataFrame = {
     val (postPath, statsPath) = lexPostingsIndexPath(s, dir)
     val post = s.read.parquet(postPath)
-      .filter(col("tok").isin(Bm25Query: _*))
+      // Prune on the encoded PARTITION column (planning-time directory
+      // selection); consume the raw token data column.
+      .filter(col("tokh").isin(Bm25Query.map(PartitionKeys.encodeLiteral): _*))
       .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
     val df_ = post.groupBy("tok").agg(count(lit(1)).as("df"))
     post.join(broadcast(df_), Seq("tok"))
@@ -1100,7 +1107,7 @@ object Selection {
     * from the snapshot store, the x133 convention). */
   private[pipeline] def x139OldStats(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     Ivf.memoModel(docs(s, dir),
-        s"x139oldstats|${s.sparkContext.applicationId}") {
+        "x139oldstats") {
       val even = docs(s, dir).filter(col("doc_id") % 2 === 0)
       (Checkpoints.stable(
         even.select(col("doc_id"), explode(toks).as("tok")).distinct()

@@ -954,7 +954,7 @@ object Similarity {
     }
     if (threshold == SemanticDedupThreshold && layout == SelectedLshLayout)
       graft.pipeline.Ivf.memoModel(Tables.t(s, dir, "embeddings"),
-        s"semlabels|${s.sparkContext.applicationId}") {
+        "semlabels") {
         Checkpoints.stable(build)
       }
     else build
@@ -1539,7 +1539,7 @@ object Similarity {
     * `idx_x129_old_index` bench line. */
   private[pipeline] def x129OldIndex(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Ivf.memoModel(Tables.t(s, dir, "embeddings"),
-        s"x129oldidx|${s.sparkContext.applicationId}") {
+        "x129oldidx") {
       val ref = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
       Checkpoints.stable(Curation.propagateMinLabels(Curation.undirectedEdges(
         embeddingNearDupsLshOn(ref, SemanticDedupThreshold)
@@ -1557,7 +1557,7 @@ object Similarity {
     * both the index commit (x129) and the drift report (x135). */
   private[pipeline] def x129MergedMap(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Ivf.memoModel(Tables.t(s, dir, "embeddings"),
-        s"x129merged|${s.sparkContext.applicationId}") {
+        "x129merged") {
       val e = Tables.t(s, dir, "embeddings").select("vec_id", "embedding")
       graft.pipeline.Checkpoints.stable(mergedSemanticClusterMap(
         e.filter(col("vec_id") % 2 === 1),

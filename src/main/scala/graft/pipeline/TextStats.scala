@@ -131,7 +131,7 @@ object TextStats {
     * c = direct count). */
   private[pipeline] def unigramLmFrame(s: SparkSession, dir: String): DataFrame =
     Ivf.memoModel(docs(s, dir),
-        s"x28unilm|${s.sparkContext.applicationId}") {
+        "x28unilm") {
       Checkpoints.stable(docs(s, dir).select(explode(toks).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cf")))
     }
@@ -141,7 +141,7 @@ object TextStats {
     * with vocabulary-sized aggs per consumer. */
   private[pipeline] def bigramLmFrame(s: SparkSession, dir: String): DataFrame =
     Ivf.memoModel(docs(s, dir),
-        s"x38biglm|${s.sparkContext.applicationId}") {
+        "x38biglm") {
       Checkpoints.stable(docs(s, dir)
         .select(toks.as("t"))
         .filter(size(col("t")) >= 2)
@@ -182,7 +182,7 @@ object TextStats {
     * snapshot store; see IndexExport). */
   private[pipeline] def x133OldLm(s: SparkSession, dir: String): DataFrame =
     Ivf.memoModel(docs(s, dir),
-        s"x133oldlm|${s.sparkContext.applicationId}") {
+        "x133oldlm") {
       Checkpoints.stable(docs(s, dir).filter(col("doc_id") % 2 === 0)
         .select(explode(toks).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cf")))

@@ -120,8 +120,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // Registered queries with no prior expected: added AFTER the full
     // map was last written. Update when registering a query; the next
     // full bench run re-empties it.
-    val newThisRound = Set("x09c_embedding_neardup_sel", "x136b_lsh_layout_profile",
-      "x46c_curate_v2_standing", "x08d_image_decode_certified", "x49c_bm25_indexed")
+    val newThisRound = Set("x141b_containment_dispatch", "x140b_media_cap_recall")
     val idx = m.keySet.filter(_.startsWith("idx_"))
     val missing = SparkEntry.queries.keySet -- m.keySet -- newThisRound
     assert(missing.isEmpty,

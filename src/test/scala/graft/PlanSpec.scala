@@ -66,7 +66,10 @@ class PlanSpec extends SparkSpec {
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("gram"),
       s"probe must carry partition filters on the gram column:\n$p")
-    assert(pf.toUpperCase.contains(" IN "),
+    // Catalyst prints a literal membership predicate as IN below the
+    // inSetConversionThreshold and INSET above it — both are
+    // planning-time directory selection.
+    assert(pf.toUpperCase.contains(" IN ") || pf.toUpperCase.contains(" INSET "),
       s"the literal query-gram list must prune at planning time: $pf")
   }
 

@@ -746,6 +746,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x141b dispatch: both containment branches are bit-equal; the decision reads the profile") {
+    import spark.implicits._
+    // Mixed corpus: a hot token ("common") crowding many docs plus a
+    // planted full-containment pair on rare tokens — exercises the
+    // salted branch's hot/cold split AND its salted join output.
+    val rnd = new scala.util.Random(11)
+    val small = (1 to 8).map(i => s"rare_$i").mkString(" ")
+    val big = ((1 to 8).map(i => s"rare_$i") ++ (1 to 40).map(i => s"fill_$i")).mkString(" ")
+    val corpus = (Seq((1L, small), (2L, big)) ++ (10 to 80).map { i =>
+      (i.toLong, ("common " + Seq.fill(6)(s"w${rnd.nextInt(20)}").mkString(" ")))
+    }).toDF("doc_id", "text")
+    for (t <- Seq(0.7, 0.9)) {
+      val direct = Dedup.containmentPairsOn(corpus, t).collect().toSeq
+      // Force real salting with a hot threshold the "common" crowd (and
+      // most fill tokens) exceed — the test seam pins the salted-join
+      // LOGIC; production engages past X29HotTokenDf.
+      val salted = Dedup.containmentPairsSaltedOn(corpus, t, hotDf = 1L)
+        .collect().toSeq
+      assert(direct == salted,
+        s"t=$t: dispatch branches must be bit-equal (${direct.size} vs ${salted.size})")
+      // Degenerate seams: everything hot and nothing hot both still
+      // equal the direct branch.
+      assert(Dedup.containmentPairsSaltedOn(corpus, t, hotDf = 0L)
+        .collect().toSeq == direct, s"t=$t all-hot")
+    }
+    // The registered decision line carries the profile mass and the
+    // branch actually taken; on every shipped corpus the mass sits
+    // under budget -> the direct prefix branch.
+    val row = Dedup.containmentDispatchQuery(spark, sf).collect().head
+    assert(row.getAs[Long]("budget_rows") == Dedup.X29JoinRowBudget)
+    assert(row.getAs[String]("path") == "prefix",
+      s"test-scale mass must sit under the 10M budget: $row")
+    assert(row.getAs[Long]("join_rows") < Dedup.X29JoinRowBudget)
+    // And the dispatch itself equals the direct branch on that corpus.
+    val base = graft.Tables.t(spark, sf, "documents").filter(col("doc_id") % 17 === 0)
+    assert(Dedup.containmentPairsDispatched(base, 0.9).collect().toSeq ==
+      Dedup.containmentPairsOn(base, 0.9).collect().toSeq)
+  }
+
   test("prefix length uses exact integer arithmetic (ceil(0.8*25) trap)") {
     import spark.implicits._
     // 25 distinct tokens at t=0.8: prefix must be 25 - ceil(20) + 1 = 6.
