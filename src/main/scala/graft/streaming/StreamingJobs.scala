@@ -335,16 +335,41 @@ object StreamingJobs {
     * first micro-batch runs. Restarting the same checkpoint keeps the
     * id (replay skip applies); deleting/recreating the checkpoint —
     * even at the same path — mints a fresh id, which is exactly the
-    * event that restarts the batch-id counter and must reset the
-    * ledger instead of silently dropping data (r16 ADVICE, medium).
-    * Unreadable metadata degrades to "" = the legacy bare-id rule. */
-  private[streaming] def streamIdOf(checkpointDir: String): String =
-    try {
-      val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(checkpointDir, "metadata"))
-      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-        .map(_.group(1).replace(":", "")).getOrElse("")
-    } catch { case _: Throwable => "" }
+    * event that restarts the batch-id counter and must begin a fresh
+    * ledger entry instead of silently dropping data (r16 ADVICE,
+    * medium).
+    *
+    * Read through the HADOOP FILESYSTEM API, and FAIL FAST when no
+    * identity can be derived (r17 ADVICE, medium): the old driver-local
+    * java.nio read swallowed every Throwable into "", so on any
+    * checkpointLocation that is not driver-local-readable (hdfs://,
+    * s3a://, permissions) the ledger silently degraded to the legacy
+    * bare-id rule — resurrecting the exact fresh-checkpoint silent
+    * data-drop the identities exist to prevent. By the time a
+    * foreachBatch body calls this, Spark has already written the
+    * metadata file at query start; an unreadable/unparseable file here
+    * is an operational fault that must stop the stream loudly, the
+    * VersionedTable requireLocal discipline. */
+  private[streaming] def streamIdOf(s: SparkSession, checkpointDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val txt =
+      try {
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val in = fs.open(path)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"cannot read streaming-query metadata at $path — the " +
+            s"maintenance streams' replay ledger needs the query identity " +
+            s"Spark persists there at start; refusing to degrade to the " +
+            s"bare-batch-id rule (it silently drops or double-merges data " +
+            s"across checkpoint resets)", e)
+      }
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1).replace(":", "")).getOrElse(throw new IllegalStateException(
+        s"streaming-query metadata at $path carries no \"id\" field: $txt"))
+  }
 
   /** The corpus-subdir partition value for one maintenance wave:
     * unique per (stream identity, batch id), so a ledger-reset stream
@@ -353,9 +378,13 @@ object StreamingJobs {
     * history, not on top of it. The reference side of a merge is then
     * "every wave except the current one" (≡ `batch < batchId` within
     * one stream, plus all prior streams' merged waves). Seed data uses
-    * the literal `wave=seed`. */
+    * the literal `wave=seed`. The FULL stream UUID keys the namespace
+    * (r17 ADVICE: an 8-hex-char prefix left a ~2⁻³² prefix-collision
+    * window in which a new stream's mode("overwrite") wave write would
+    * land on — and destroy — another stream's subdirectory; the full
+    * UUID is already directory-name-safe and collision-free). */
   private[streaming] def waveKey(streamId: String, batchId: Long): String =
-    s"${if (streamId.isEmpty) "legacy" else streamId.take(8)}-$batchId"
+    s"${if (streamId.isEmpty) "legacy" else streamId}-$batchId"
 
   /** x121 streaming: standing cluster-index MAINTENANCE at the
     * ingestion edge. Each micro-batch (1) merges into the AT-REST label
@@ -371,7 +400,7 @@ object StreamingJobs {
     *
     * Storage discipline (r16, the same hardening the LM/BM25 streams
     * got; r17 wave keys): the corpus is wave-keyed subdirs
-    * (`corpusDir/wave=<streamId8>-<id>` via [[waveKey]]; seed the
+    * (`corpusDir/wave=<streamId>-<id>` via [[waveKey]]; seed the
     * initial corpus under `wave=seed`) — a replayed wave REWRITES its
     * own subdirectory instead of double-appending, and a ledger-reset
     * stream (fresh checkpoint, ids restarting at 0) lands BESIDE
@@ -399,7 +428,7 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sid = streamIdOf(checkpointDir)
+        val sid = streamIdOf(batch.sparkSession, checkpointDir)
         if (!VersionedTable.alreadyMerged(indexDir, batchId, sid)) {
           val s = batch.sparkSession
           val wave = waveKey(sid, batchId)
@@ -438,7 +467,7 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sid = streamIdOf(checkpointDir)
+        val sid = streamIdOf(batch.sparkSession, checkpointDir)
         if (!VersionedTable.alreadyMerged(indexDir, batchId, sid)) {
           val s = batch.sparkSession
           val wave = waveKey(sid, batchId)
@@ -486,7 +515,7 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sid = streamIdOf(checkpointDir)
+        val sid = streamIdOf(batch.sparkSession, checkpointDir)
         if (!VersionedTable.alreadyMerged(maskDir, batchId, sid)) {
           val s = batch.sparkSession
           val old = graft.pipeline.Curation.bloomMaskFromFrame(
@@ -524,7 +553,7 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sid = streamIdOf(checkpointDir)
+        val sid = streamIdOf(batch.sparkSession, checkpointDir)
         if (!VersionedTable.alreadyMerged(lmDir, batchId, sid)) {
           val merged = graft.pipeline.TextStats.incrementalUnigramLm(
             batch, VersionedTable.read(batch.sparkSession, lmDir, "lm"))
@@ -553,7 +582,7 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sid = streamIdOf(checkpointDir)
+        val sid = streamIdOf(batch.sparkSession, checkpointDir)
         if (!VersionedTable.alreadyMerged(statsDir, batchId, sid)) {
           val s = batch.sparkSession
           val (vocab, scal) = graft.pipeline.Selection.incrementalBm25StatsParts(

@@ -851,7 +851,7 @@ class StreamingSpec extends SparkSpec {
     // Same-stream replay skip (the exactly-once ledger): the pointer
     // carries this stream's identity + last batch id, so re-offering a
     // merged id UNDER THE SAME identity is skipped...
-    val sid = StreamingJobs.streamIdOf(ckpt)
+    val sid = StreamingJobs.streamIdOf(spark, ckpt)
     assert(sid.nonEmpty, "checkpoint metadata must yield a stream identity")
     assert(VersionedTable.alreadyMerged(lmDir, 1L, sid) &&
       !VersionedTable.alreadyMerged(lmDir, 2L, sid),
@@ -874,7 +874,7 @@ class StreamingSpec extends SparkSpec {
     assert(table().get("alpha").contains(3L),
       s"ledger reset must not disturb standing counts: ${table()}")
     // The commit adopted the new identity: its own replay now skips.
-    val sid2 = StreamingJobs.streamIdOf(ckpt2)
+    val sid2 = StreamingJobs.streamIdOf(spark, ckpt2)
     assert(sid2.nonEmpty && sid2 != sid, "fresh checkpoint mints a fresh identity")
     assert(VersionedTable.alreadyMerged(lmDir, 0L, sid2) &&
       !VersionedTable.alreadyMerged(lmDir, 1L, sid2),
@@ -933,7 +933,7 @@ class StreamingSpec extends SparkSpec {
     // a merged id under THIS stream's identity is skipped; a FRESH
     // checkpoint's batch 0 carries new data and must merge (the old
     // bare-id rule silently dropped it).
-    val sid = StreamingJobs.streamIdOf(ckpt)
+    val sid = StreamingJobs.streamIdOf(spark, ckpt)
     assert(VersionedTable.alreadyMerged(statsDir, 1L, sid) &&
       !VersionedTable.alreadyMerged(statsDir, 2L, sid),
       "same-identity replay ledger must hold for the stats artifact")
@@ -1160,5 +1160,27 @@ class StreamingSpec extends SparkSpec {
       standing, 3)
     val flagged = probe.filter(col("flagged")).collect().map(_.getLong(0)).toSeq
     assert(flagged == Seq(1L, 2L), s"mask gates both waves' leaks: $flagged")
+  }
+
+  test("streamIdOf fails fast when no identity can be derived (r17 ADVICE)") {
+    // The old driver-local read swallowed every Throwable into "",
+    // silently degrading the replay ledger to the bare-id rule on any
+    // checkpoint the driver could not read. Missing metadata must now
+    // stop the stream loudly.
+    val noMeta = java.nio.file.Files.createTempDirectory("no_meta").toString
+    val e = intercept[IllegalStateException](
+      StreamingJobs.streamIdOf(spark, noMeta))
+    assert(e.getMessage.contains("metadata"))
+    // An id-less metadata file is equally fatal (never a silent "").
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(noMeta, "metadata"), "{}")
+    intercept[IllegalStateException](StreamingJobs.streamIdOf(spark, noMeta))
+  }
+
+  test("waveKey carries the FULL stream UUID (r17 ADVICE: no prefix-collision window)") {
+    val sid = "6ba7b810-9dad-11d1-80b4-00c04fd430c8"
+    assert(StreamingJobs.waveKey(sid, 3L) == s"$sid-3",
+      "a truncated id would let two streams share a wave namespace")
+    assert(StreamingJobs.waveKey("", 0L) == "legacy-0")
   }
 }

@@ -68,6 +68,52 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.commit(dir, 2L, Seq("t" -> Seq(3L).toDF("x")), "a:b"))
   }
 
+  test("per-identity ledger: a rolled-back old stream skips its own replays (r17 ADVICE)") {
+    import spark.implicits._
+    val dir = tmp()
+    VersionedTable.seed(dir, Seq("t" -> Seq(0L).toDF("x")))
+    // Stream A merges batches 0 and 1, then stream B takes over.
+    VersionedTable.commit(dir, 0L, Seq("t" -> Seq(1L).toDF("x")), "streamA")
+    VersionedTable.commit(dir, 1L, Seq("t" -> Seq(2L).toDF("x")), "streamA")
+    VersionedTable.commit(dir, 0L, Seq("t" -> Seq(3L).toDF("x")), "streamB")
+    // The r17 scenario: stream A restarts from its still-valid
+    // checkpoint (orchestrator rollback) and replays its batches. With
+    // only the LATEST identity retained, the A->B mismatch used to
+    // reset the ledger and batches 0/1 RE-MERGED — double-counting the
+    // standing statistics. The per-identity map keeps A's high-water
+    // mark alive across B's commits:
+    assert(VersionedTable.alreadyMerged(dir, 0L, "streamA") &&
+      VersionedTable.alreadyMerged(dir, 1L, "streamA"),
+      "an identity that ever committed must skip its own replayed batches")
+    assert(!VersionedTable.alreadyMerged(dir, 2L, "streamA"),
+      "genuinely new batches of a returning identity must still merge")
+    assert(VersionedTable.alreadyMerged(dir, 0L, "streamB") &&
+      !VersionedTable.alreadyMerged(dir, 1L, "streamB"))
+    // A never-seen identity begins its own ledger (merges from scratch).
+    assert(!VersionedTable.alreadyMerged(dir, 0L, "streamC"))
+    // Interleaved ownership keeps every mark: A commits again, B's and
+    // A's marks both advance independently.
+    VersionedTable.commit(dir, 2L, Seq("t" -> Seq(4L).toDF("x")), "streamA")
+    assert(VersionedTable.ledger(dir) == Map("streamA" -> 2L, "streamB" -> 0L))
+    assert(VersionedTable.alreadyMerged(dir, 0L, "streamB"),
+      "another identity's commit must not erase an existing mark")
+  }
+
+  test("pre-map pointers degrade to a one-entry ledger seeded from the owner") {
+    import spark.implicits._
+    val dir = tmp()
+    VersionedTable.seed(dir, Seq("t" -> Seq(0L).toDF("x")))
+    // Simulate an artifact last written by the r17 (single-identity)
+    // format: rewrite the pointer to a bare first line.
+    val p = java.nio.file.Paths.get(dir, "_CURRENT")
+    val firstLine = java.nio.file.Files.readString(p).linesIterator.next()
+    java.nio.file.Files.writeString(p, firstLine.split(":", 3).take(2).mkString(":") + ":oldStream")
+    assert(VersionedTable.ledger(dir) == Map("oldStream" -> -1L))
+    assert(VersionedTable.alreadyMerged(dir, -1L, "oldStream") &&
+      !VersionedTable.alreadyMerged(dir, 0L, "oldStream"),
+      "the owning identity's replay skip must survive the format upgrade")
+  }
+
   test("scheme-qualified dirs fail fast: the pointer is driver-local java.nio") {
     import spark.implicits._
     // r16 ADVICE: an hdfs:// or s3a:// dir would silently split the
