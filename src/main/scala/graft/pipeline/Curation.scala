@@ -1012,7 +1012,39 @@ object Curation {
     val live = scala.collection.mutable.Set.empty[DataFrame]
     def cache(df: DataFrame): DataFrame = { df.persist(); live += df; df }
     def release(df: DataFrame): Unit = { df.unpersist(); live -= df }
-    val edges = cache(edgeList)
+    val edgesFull = cache(edgeList)
+    // Contraction pre-pass (counted as round 1): lbl0(u) = min(u, N(u))
+    // needs NO join at all — the initial label of every node is itself,
+    // so the first neighbor-min round is a single partial aggregation
+    // over the edge list. The loop below then runs on the CONTRACTED
+    // graph (endpoints relabeled by lbl0, self-loops dropped, dups
+    // merged): on near-dup graphs — dense cliques by construction — one
+    // round collapses each clique to its minimum, so the contracted
+    // edge set is orders of magnitude smaller than the input and every
+    // subsequent round pays |contracted|, not |edges| (the x46 lex
+    // graph at sf0.1: 1.79M directed edges, 4 loop rounds each
+    // re-joining all of them; contracted: ~0 edges).
+    // Losslessness: u and lbl0(u) are endpoints of an edge (or equal),
+    // so relabeling merges only nodes already in one component —
+    // components of the contracted graph are exactly the input's
+    // components under the lbl0 mapping; composing the loop's fixpoint
+    // with lbl0 (both only ever decrease toward the component minimum)
+    // yields the same per-node component minimum the recursive-CTE
+    // oracle computes (CurationSpec pins the planted diameter-20 chain
+    // and the clique mixes).
+    val l0 = cache(edgesFull.groupBy("src")
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("node"), least(col("src"), col("nmin")).as("lbl")))
+    val edges = cache(
+      edgesFull.join(l0.select(col("node").as("sn"), col("lbl").as("sl")),
+          col("src") === col("sn"))
+        .join(l0.select(col("node").as("dn"), col("lbl").as("dl")),
+          col("dst") === col("dn"))
+        .filter(col("sl") =!= col("dl"))
+        .select(col("sl").as("src"), col("dl").as("dst"))
+        .distinct()
+        .transform(Checkpoints.stablePinned))
+    release(edgesFull)
     var labels = cache(edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")))
     var converged = false
@@ -1066,7 +1098,19 @@ object Curation {
       }
       if (!converged) throw new IllegalStateException(
         s"propagateMinLabels: did not converge in $maxRounds rounds")
-      (labels, rounds)
+      // Compose the contracted fixpoint back through the pre-pass map:
+      // final(u) = loop(lbl0(u)), falling back to lbl0(u) for nodes whose
+      // whole component collapsed in the pre-pass (their label never
+      // entered the contracted graph). Checkpointed so the returned
+      // frame does not pin the loop caches swept below (the contract
+      // this function always had).
+      val composed = l0
+        .join(labels.select(col("node").as("cn"), col("lbl").as("clbl")),
+          col("lbl") === col("cn"), "left")
+        .select(col("node"), coalesce(col("clbl"), col("lbl")).as("lbl"))
+        .transform(Checkpoints.stablePinned)
+      // The pre-pass is a genuine neighbor-min round: count it.
+      (composed, rounds + 1)
     } finally live.foreach(_.unpersist())
   }
 

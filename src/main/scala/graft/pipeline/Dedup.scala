@@ -474,18 +474,34 @@ object Dedup {
     // integer quotient.
     val ceilTn = floor((lit(tBp) * col("n") + lit(BpScale - 1)) / lit(BpScale))
     ranked.filter(col("pos") <= col("n") - ceilTn + 1)
-      .select(col("doc_id"), col(keyName), col("n"))
+      .select(col("doc_id"), col(keyName), col("n"), col("pos"))
   }
 
-  /** Candidate pairs from the prefix postings, with the Jaccard length
-    * filter `t·max(na,nb) ≤ min(na,nb)` applied inside the join (also
-    * exact-integer: `t·na ≤ nb  ⇔  tBp·na ≤ nb·10⁴`). */
+  /** Candidate pairs from the prefix postings, with two lossless
+    * in-join prunes (both exact-integer):
+    *  - the Jaccard length filter `t·max(na,nb) ≤ min(na,nb)`
+    *    (`t·na ≤ nb  ⇔  tBp·na ≤ nb·10⁴`);
+    *  - the PPJoin POSITIONAL filter (Xiao et al., WWW'08): a pair with
+    *    true Jaccard ≥ t needs overlap O ≥ α = ⌈t/(1+t)·(na+nb)⌉, and
+    *    at the FIRST prefix key the two docs share, the remaining
+    *    overlap capacity is at most 1 + min(na−pa, nb−pb) (pa, pb =
+    *    the key's rank in each doc's global df-ordered key list — the
+    *    `pos` [[prefixPostings]] already computes). Keys met deeper in
+    *    both lists than α allows cannot certify the pair; the pair
+    *    itself survives through its first shared key, so the DISTINCT
+    *    candidate set keeps every true pair (losslessness untouched)
+    *    while the raw pre-distinct pair mass drops with exactly the
+    *    redundancy a near-dup-saturated corpus produces. Integer-exact:
+    *    m ≥ ⌈x/y⌉  ⇔  m·y ≥ x for integers, so the condition is
+    *    (1 + min(na−pa, nb−pb)) · (10⁴ + tBp) ≥ tBp · (na + nb). */
   private def prefixCandidates(pre: DataFrame, keyName: String,
       threshold: Double): DataFrame = {
     val tBp = toBasisPoints(threshold)
     selfJoinCandidates(pre, keyName,
       lit(tBp) * col("a.n") <= lit(BpScale) * col("b.n") &&
-        lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n"))
+        lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n") &&
+        (lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) *
+          lit(BpScale + tBp) >= lit(tBp) * (col("a.n") + col("b.n")))
   }
 
   /** High-threshold near-dup pairs via the lossless prefix filter: every
@@ -570,7 +586,12 @@ object Dedup {
       .join(pre.filter(pmod(col("doc_id"), lit(2)) === 1).as("b"),
         col("a.tok") === col("b.tok") &&
           lit(tBp) * col("a.n") <= lit(BpScale) * col("b.n") &&
-          lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n"))
+          lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n") &&
+          // PPJoin positional filter — same lossless first-shared-key
+          // argument as [[prefixCandidates]] (one total order over the
+          // UNION corpus covers both sides).
+          (lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) *
+            lit(BpScale + tBp) >= lit(tBp) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val sets = union.select(col("doc_id"), array_sort(key).as("keys"))
@@ -611,7 +632,12 @@ object Dedup {
       .join(pre.filter(pmod(col("doc_id"), lit(2)) === 1).as("b"),
         col("a.tok") === col("b.tok") &&
           lit(tBp) * col("a.n") <= lit(BpScale) * col("b.n") &&
-          lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n"))
+          lit(tBp) * col("b.n") <= lit(BpScale) * col("a.n") &&
+          // PPJoin positional filter — same lossless first-shared-key
+          // argument as [[prefixCandidates]] (one total order over the
+          // UNION corpus covers both sides).
+          (lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) *
+            lit(BpScale + tBp) >= lit(tBp) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val sets = union.select(col("doc_id"), array_sort(key).as("keys"))

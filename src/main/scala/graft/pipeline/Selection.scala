@@ -748,11 +748,23 @@ object Selection {
     * than dividing by zero. */
   private[graft] def clfFitWeights(corpus: DataFrame): Array[Long] =
     Ivf.memoModel(corpus, "clffit") {
+      // The gopher label is computed on a PER-DOC frame and re-attached
+      // to the exploded token rows by doc_id, NOT projected alongside
+      // the explode: in the single-projection form the optimizer
+      // collapses the label into the post-Generate projection, where
+      // the whole rule battery (two splits + two regex HOF filters per
+      // rule) re-evaluates PER TOKEN — measured 7.1 s vs 0.4 s for the
+      // same pass at sf0.1 (~700× redundant work per doc). The join is
+      // a per-doc (doc_id, 0/1) side — AQE broadcasts it at small
+      // scale; at 100 TB it is a plain equi-join, still paying the
+      // label once per doc instead of once per token.
+      val good = corpus.select(col("doc_id"),
+        when(gopherPassColumn, 1L).otherwise(0L).as("good"))
       val cnt = corpus
-        .select(when(gopherPassColumn, 1L).otherwise(0L).as("good"),
-          explode(clfToks).as("tok"))
-        .select(col("good"),
+        .select(col("doc_id"), explode(clfToks).as("tok"))
+        .select(col("doc_id"),
           (call_function("token_hash", col("tok")) % ClfBuckets).as("b"))
+        .join(good, "doc_id")
         .groupBy("b")
         .agg(sum(col("good")).as("cg"), sum(lit(1L) - col("good")).as("cb"))
         .collect()

@@ -312,6 +312,218 @@ object Profile {
         time("shared: x27 from pairs")(noop(Curation.leakageSafeSplitFromPairs(base, pairs)))
         pairs.unpersist()
 
+      case "prefparts" :: sfDir :: Nil =>
+        // Warm stage attribution INSIDE jaccardPairsPrefixOn + the
+        // propagation loop, on the x46 ded corpus (the shape x46/x25/
+        // idx_x46b_lex_index all pay). Two iterations; read the 2nd
+        // (JIT-warm) numbers.
+        import graft.pipeline.{Curation, Dedup, TextStats}
+        import org.apache.spark.sql.expressions.Window
+        val d = graft.Tables.t(spark, sfDir, "documents")
+        val train = d.filter(col("doc_id") % 97 =!= 0)
+        val admitted = train.filter(graft.streaming.IngestGate.cleanCond)
+        val keepIds = admitted.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        val ded = admitted.join(keepIds, "doc_id")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            TextStats.qualityColumn.as("quality"))
+          .localCheckpoint(true)
+        println(s"ded rows: ${ded.count()}")
+        val key = array_distinct(split(col("text"), " "))
+        val tBp = 8000L
+        (1 to 2).foreach { i =>
+          val tok0 = ded.select(col("doc_id"), explode(key).as("tok"))
+          time(s"run $i: explode only")(noop(tok0))
+          val dfTbl = tok0.groupBy("tok").agg(count(lit(1)).as("df"))
+          time(s"run $i: df table")(noop(dfTbl))
+          val perDoc = Window.partitionBy("doc_id")
+          val ranked = tok0.join(dfTbl, "tok")
+            .withColumn("pos", row_number().over(perDoc.orderBy(col("df"), col("tok"))))
+            .withColumn("n", count(lit(1)).over(perDoc))
+          val ceilTn = floor((lit(tBp) * col("n") + lit(9999)) / lit(10000))
+          val pre = ranked.filter(col("pos") <= col("n") - ceilTn + 1)
+            .select(col("doc_id"), col("tok"), col("n"))
+          time(s"run $i: prefix postings (join+window)")(noop(pre))
+          val lenCond = col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+            lit(tBp) * col("a.n") <= lit(10000) * col("b.n") &&
+            lit(tBp) * col("b.n") <= lit(10000) * col("a.n")
+          val posCond = (lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) *
+            lit(10000 + tBp) >= lit(tBp) * (col("a.n") + col("b.n"))
+          val preP = ranked.filter(col("pos") <= col("n") - ceilTn + 1)
+            .select(col("doc_id"), col("tok"), col("n"), col("pos"))
+          if (i == 1) {
+            println(s"raw join rows (len only): " +
+              preP.as("a").join(preP.as("b"), lenCond).count())
+            println(s"raw join rows (len+pos): " +
+              preP.as("a").join(preP.as("b"), lenCond && posCond).count())
+          }
+          val cand = preP.as("a").join(preP.as("b"), lenCond)
+            .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+            .distinct()
+          time(s"run $i: candidates len-only")(noop(cand))
+          val candP = preP.as("a").join(preP.as("b"), lenCond && posCond)
+            .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+            .distinct()
+          time(s"run $i: candidates len+pos")(noop(candP))
+          val pairs = Dedup.jaccardPairsPrefixOn(ded, 0.8, ordered = false)
+            .select(col("da"), col("db"))
+          time(s"run $i: full pairs (verify incl.)")(noop(pairs))
+          val pairsCk = pairs.localCheckpoint(true)
+          println(s"run $i: pair rows: ${pairsCk.count()}")
+          var labels: DataFrame = null
+          time(s"run $i: propagation") {
+            val (l, rounds) = Curation.propagateMinLabels(
+              Curation.undirectedEdges(pairsCk))
+            labels = l
+            println(s"  rounds: $rounds")
+          }
+          time(s"run $i: keepBest window") {
+            noop(Curation.dedupClustersKeepByLabels(
+              ded.select(col("doc_id"), col("quality")), labels, col("quality"))
+              .filter(col("keep")).select("doc_id"))
+          }
+        }
+
+      case "propvar" :: sfDir :: Nil =>
+        // Propagation-round shape experiment on the x46 lex pair graph:
+        // current round shape (labels LEFT-joined to edges then to labels
+        // again — the big side reshuffled twice per round, never
+        // broadcastable because labels is the left-outer's left side) vs
+        // the nbr-table shape (edges INNER-join labels on dst, aggregate
+        // min per src — AQE can broadcast the small labels side, so the
+        // cached edge frame never shuffles).
+        import graft.pipeline.{Curation, Dedup, TextStats}
+        val d = graft.Tables.t(spark, sfDir, "documents")
+        val train = d.filter(col("doc_id") % 97 =!= 0)
+        val admitted = train.filter(graft.streaming.IngestGate.cleanCond)
+        val keepIds = admitted.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        val ded = admitted.join(keepIds, "doc_id")
+          .select(col("doc_id"), col("text"), TextStats.qualityColumn.as("quality"))
+          .localCheckpoint(true)
+        val pairs = Dedup.jaccardPairsPrefixOn(ded, 0.8, ordered = false)
+          .select(col("da"), col("db")).localCheckpoint(true)
+        println(s"pairs: ${pairs.count()}")
+        val edges = Curation.undirectedEdges(pairs)
+        (1 to 2).foreach { i =>
+          time(s"run $i: current propagateMinLabels") {
+            val (l, r) = Curation.propagateMinLabels(edges)
+            noop(l); println(s"  rounds: $r")
+          }
+          time(s"run $i: nbr-table variant") {
+            val e = edges.persist()
+            var labels = e.select(col("src").as("node")).distinct()
+              .withColumn("lbl", col("node")).persist()
+            var converged = false
+            var rounds = 0
+            while (!converged && rounds < 100) {
+              val nbr = e.join(labels.select(col("node").as("dstn"), col("lbl").as("nbr_lbl")),
+                  col("dst") === col("dstn"))
+                .groupBy("src").agg(min("nbr_lbl").as("nbr_lbl"))
+              val merged = labels.join(nbr, col("node") === col("src"), "left")
+                .select(col("node"),
+                  least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+                  col("lbl").as("old"))
+              val short = merged.select(col("node").as("p"), col("lbl").as("plbl"))
+              val next = merged.join(short, col("lbl") === col("p"), "left")
+                .select(col("node"),
+                  least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"), col("old"))
+                .localCheckpoint(true)
+              val changed = next.filter(col("lbl") =!= col("old")).count()
+              labels.unpersist()
+              labels = next.select("node", "lbl").persist()
+              converged = changed == 0
+              rounds += 1
+            }
+            noop(labels); println(s"  rounds: $rounds")
+            labels.unpersist(); e.unpersist()
+          }
+        }
+
+      case "verifyvar" :: sfDir :: Nil =>
+        // Verify-stage experiment: current string-array SetJaccard vs
+        // explicit-broadcast sets vs dense-int dictionary arrays.
+        import graft.pipeline.{Dedup, TextStats}
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(spark)
+        val d = graft.Tables.t(spark, sfDir, "documents")
+        val train = d.filter(col("doc_id") % 97 =!= 0)
+        val admitted = train.filter(graft.streaming.IngestGate.cleanCond)
+        val keepIds = admitted.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        val ded = admitted.join(keepIds, "doc_id")
+          .select(col("doc_id"), col("text")).localCheckpoint(true)
+        val key = array_distinct(split(col("text"), " "))
+        val tBp = 8000L
+        val tok0 = ded.select(col("doc_id"), explode(key).as("tok"))
+        val dfTbl = tok0.groupBy("tok").agg(count(lit(1)).as("df"))
+        val perDoc = Window.partitionBy("doc_id")
+        val ranked = tok0.join(dfTbl, "tok")
+          .withColumn("pos", row_number().over(perDoc.orderBy(col("df"), col("tok"))))
+          .withColumn("n", count(lit(1)).over(perDoc))
+        val ceilTn = floor((lit(tBp) * col("n") + lit(9999)) / lit(10000))
+        val pre = ranked.filter(col("pos") <= col("n") - ceilTn + 1)
+          .select(col("doc_id"), col("tok"), col("n"))
+        val cand = pre.as("a").join(pre.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+              lit(tBp) * col("a.n") <= lit(10000) * col("b.n") &&
+              lit(tBp) * col("b.n") <= lit(10000) * col("a.n"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct().localCheckpoint(true)
+        println(s"candidates: ${cand.count()}")
+        val sets = ded.select(col("doc_id"), array_sort(key).as("keys"))
+        val raw = call_function("set_jaccard", col("ka"), col("kb"))
+        def verifyWith(s1: DataFrame, s2: DataFrame): DataFrame = cand
+          .join(s1.select(col("doc_id").as("da2"), col("keys").as("ka")), col("da") === col("da2"))
+          .join(s2.select(col("doc_id").as("db2"), col("keys").as("kb")), col("db") === col("db2"))
+          .filter(raw >= 0.8)
+          .select(col("da"), col("db"), round(raw, 4).as("jaccard"))
+        (1 to 2).foreach { i =>
+          time(s"run $i: verify current")(noop(verifyWith(sets, sets)))
+          time(s"run $i: verify broadcast sets")(noop(verifyWith(broadcast(sets), broadcast(sets))))
+          val setsCk = sets.localCheckpoint(true)
+          time(s"run $i: verify checkpointed sets")(noop(verifyWith(setsCk, setsCk)))
+        }
+
+      case "clfparts" :: sfDir :: Nil =>
+        // Where does the idx_clf_weights build spend: the gopher label,
+        // the token explode + hash, the 512-bucket agg, or the collect?
+        import graft.pipeline.Selection
+        graft.functions.GraftFunctions.register(spark)
+        val corpus = graft.Tables.t(spark, sfDir, "documents")
+        noop(corpus)
+        (1 to 2).foreach { i =>
+          time(s"run $i: gopher label only")(noop(
+            corpus.select(col("doc_id"), Selection.gopherPassColumn.as("g"))))
+          time(s"run $i: explode+hash only")(noop(
+            corpus.select(explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+              .select((call_function("token_hash", col("tok")) % 512).as("b"))))
+          time(s"run $i: label+explode+hash+agg")(noop(
+            corpus.select(when(Selection.gopherPassColumn, 1L).otherwise(0L).as("good"),
+                explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+              .select(col("good"), (call_function("token_hash", col("tok")) % 512).as("b"))
+              .groupBy("b")
+              .agg(sum(col("good")).as("cg"), sum(lit(1L) - col("good")).as("cb"))))
+          graft.pipeline.Ivf.clearModelCache()
+          time(s"run $i: full classifierFitQuality construct") {
+            Selection.classifierFitQuality(spark, sfDir)
+          }
+          time(s"run $i: fitted inference noop") {
+            noop(Selection.classifierFitQuality(spark, sfDir))
+          }
+        }
+
+      case "clfplan" :: sfDir :: Nil =>
+        import graft.pipeline.Selection
+        graft.functions.GraftFunctions.register(spark)
+        val corpus = graft.Tables.t(spark, sfDir, "documents")
+        println(corpus.select(when(Selection.gopherPassColumn, 1L).otherwise(0L).as("good"),
+            explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+          .select(col("good"), (call_function("token_hash", col("tok")) % 512).as("b"))
+          .groupBy("b")
+          .agg(sum(col("good")).as("cg"), sum(lit(1L) - col("good")).as("cb"))
+          .queryExecution.explainString(ExplainMode.fromString("formatted")))
+
       case "explain" :: sfDir :: q :: Nil =>
         println(SparkEntry.queries(q)(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted")))
