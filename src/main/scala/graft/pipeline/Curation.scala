@@ -1003,8 +1003,51 @@ object Curation {
     * bug, not on any real input. All loop caches are released on EVERY
     * exit path (try/finally); the returned frame is localCheckpoint-ed so
     * its lineage does not pin the unpersisted loop state. */
+  /** Contracted-edge budget under which component resolution finishes
+    * as a bounded DRIVER union-find instead of the distributed loop —
+    * the broadcast-join economics applied to the propagation tail: a
+    * loop round costs 4-5 shuffles + a checkpoint + a count action
+    * REGARDLESS of size (measured ~0.7-0.9 s/round on a 1k-edge media
+    * graph — pure fixed cost), while 200k (src, dst) longs are ~3 MB
+    * on the driver, far under any broadcast build it already tolerates.
+    * The dispatch reads the size of the CONTRACTED edge set (already
+    * checkpointed, so the count is a local block scan): near-dup
+    * graphs contract by orders of magnitude, so bench-scale graphs all
+    * take the driver path, while a 100 TB corpus whose contracted
+    * graph still exceeds the budget keeps the scale-correct loop —
+    * same cost-model-dispatch pattern as x29/x46c, equivalence
+    * spec-pinned on both branches (CurationSpec). */
+  private[graft] val PropagateDriverEdgeBudget = 200000L
+
+  /** Resolve min-label components of a ≤budget edge list driver-side:
+    * path-compressed union-find, then per-component minimum — exactly
+    * the loop's fixpoint. Returns (node → component-min) pairs. */
+  private def unionFindMinLabels(
+      edges: Array[(Long, Long)]): scala.collection.mutable.LongMap[Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = scala.collection.mutable.LongMap.empty[Long]
+    // Roots are unioned smaller-under-larger… (smaller id wins above),
+    // so find(x) IS the component minimum: every union attaches the
+    // larger root beneath the smaller, and roots only ever decrease.
+    parent.keys.foreach { n => out(n) = find(n) }
+    out
+  }
+
   private[graft] def propagateMinLabels(
-      edgeList: DataFrame, maxRounds: Int = 100): (DataFrame, Int) = {
+      edgeList: DataFrame, maxRounds: Int = 100,
+      driverEdgeBudget: Long = PropagateDriverEdgeBudget): (DataFrame, Int) = {
     // Every persisted frame registers in `live`; the finally block sweeps
     // whatever is still cached, so NO exit path — happy, non-convergence
     // throw, or a failed mid-round action — leaks caches into the shared
@@ -1012,7 +1055,47 @@ object Curation {
     val live = scala.collection.mutable.Set.empty[DataFrame]
     def cache(df: DataFrame): DataFrame = { df.persist(); live += df; df }
     def release(df: DataFrame): Unit = { df.unpersist(); live -= df }
+    val srcType0 = edgeList.schema("src").dataType
+    val integralIds0 = srcType0 == org.apache.spark.sql.types.LongType ||
+      srcType0 == org.apache.spark.sql.types.IntegerType
+    // Fast front door: a LIMIT-probe collect. If the WHOLE edge list
+    // fits the driver budget the probe already holds every edge after
+    // ONE job (CollectLimit short-circuits, so on a big graph this
+    // reads ~one partition and falls through), and the result is a
+    // LocalRelation — exact stats, broadcastable, no checkpoint, no
+    // loop, no contraction pass at all. Small pair graphs (media
+    // clusters, slice queries) previously paid 4-6 fixed-cost actions
+    // here; now they pay one collect + a local union-find.
+    // The probe runs over the PERSISTED frame registered in `live`:
+    // partitions it materializes are cached and the over-budget path's
+    // full pass below reuses them (and the upstream shuffle files), so
+    // a big expensive edge pipeline never pays the probe twice —
+    // unpersisted, the probe's partial evaluation of the x46 lex pair
+    // pipeline cost it ~3 s per call.
     val edgesFull = cache(edgeList)
+    if (integralIds0 && driverEdgeBudget > 0 &&
+        driverEdgeBudget < Int.MaxValue.toLong) {
+      val probe = edgesFull.select(col("src"), col("dst"))
+        .limit(driverEdgeBudget.toInt + 1).collect()
+      if (probe.length <= driverEdgeBudget) {
+        try {
+          val lbl = unionFindMinLabels(probe.map(r =>
+            (r.get(0).asInstanceOf[Number].longValue,
+              r.get(1).asInstanceOf[Number].longValue)))
+          val spark = edgeList.sparkSession
+          val asId: Long => Any =
+            if (srcType0 == org.apache.spark.sql.types.LongType) (v: Long) => v
+            else (v: Long) => v.toInt
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", srcType0),
+            org.apache.spark.sql.types.StructField("lbl", srcType0)))
+          val rows = new java.util.ArrayList[org.apache.spark.sql.Row](lbl.size)
+          lbl.foreach { case (n, l) =>
+            rows.add(org.apache.spark.sql.Row(asId(n), asId(l))) }
+          return (spark.createDataFrame(rows, schema), 1)
+        } finally live.foreach(_.unpersist())
+      }
+    }
     // Contraction pre-pass (counted as round 1): lbl0(u) = min(u, N(u))
     // needs NO join at all — the initial label of every node is itself,
     // so the first neighbor-min round is a single partial aggregation
@@ -1045,6 +1128,40 @@ object Curation {
         .distinct()
         .transform(Checkpoints.stablePinned))
     release(edgesFull)
+    // Cost-based dispatch on the CONTRACTED edge count (a local scan of
+    // the checkpoint blocks just written — no extra distributed work):
+    // under the budget, finish driver-side; see
+    // [[PropagateDriverEdgeBudget]]. Only integral id types take the
+    // driver path (every production graph keys on BIGINT doc/vec/media
+    // ids); anything else falls through to the loop unchanged.
+    val srcType = edges.schema("src").dataType
+    val integralIds = srcType == org.apache.spark.sql.types.LongType ||
+      srcType == org.apache.spark.sql.types.IntegerType
+    if (integralIds && edges.count() <= driverEdgeBudget) {
+      try {
+        val arr = edges.collect().map(r =>
+          (r.get(0).asInstanceOf[Number].longValue,
+            r.get(1).asInstanceOf[Number].longValue))
+        val lbl = unionFindMinLabels(arr)
+        val spark = edgeList.sparkSession
+        val asId: Long => Any =
+          if (srcType == org.apache.spark.sql.types.LongType) (v: Long) => v
+          else (v: Long) => v.toInt
+        val rows = lbl.toSeq.map { case (n, l) =>
+          org.apache.spark.sql.Row(asId(n), asId(l)) }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cn", srcType),
+          org.apache.spark.sql.types.StructField("clbl", srcType)))
+        val contractedLbl = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+        val composed = l0
+          .join(contractedLbl, col("lbl") === col("cn"), "left")
+          .select(col("node"), coalesce(col("clbl"), col("lbl")).as("lbl"))
+          .transform(Checkpoints.stablePinned)
+        // One genuine neighbor-min round (the pre-pass) happened.
+        return (composed, 1)
+      } finally live.foreach(_.unpersist())
+    }
     var labels = cache(edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")))
     var converged = false

@@ -600,9 +600,13 @@ object Ivf {
     * and take ranks floor(k*N/K)+1, k = 0..K-1. The window is global,
     * which is exactly as expensive as sorting the training frame — the
     * bounded-sample story above. */
-  private def pinnedCodebook(sub: DataFrame, k: Int = PqK): Array[Array[Long]] = {
+  private def pinnedCodebook(sub: DataFrame, k: Int = PqK,
+      nKnown: Long = -1L): Array[Array[Long]] = {
     import org.apache.spark.sql.expressions.Window
-    val n = sub.count()
+    // `nKnown` lets [[buildPq]] share ONE count across its M subspace
+    // builds (the rank set depends only on n, which is the same frame
+    // every time); -1 keeps the self-counting form for direct callers.
+    val n = if (nKnown >= 0) nKnown else sub.count()
     val ranks = (0 until k).map(kk => kk.toLong * n / k + 1L).distinct
     sub.select(col("vec_id"), col("s"),
         aggregate(col("s"), lit(0L), (a, v) => a + v * v).as("nm"))
@@ -628,9 +632,21 @@ object Ivf {
   def buildPq(input: DataFrame, vecCol: String = "xi"): (Array[Array[Array[Long]]], DataFrame) = {
     graft.functions.GraftFunctions.register(input.sparkSession)
     val codebooks = memoModel(input, s"pqpin-$vecCol") {
+      // ONE materialization + ONE count shared by all M subspace
+      // builds: each pinnedCodebook runs a global window sort + a
+      // bounded collect, and without the checkpoint every one of them
+      // re-evaluated the full input pipeline (for IVFADC: centroid
+      // join + residual zip_with) plus its own count() — 2M actions
+      // over the upstream plan for M codebooks (measured: the
+      // idx_ivfadc_codebooks build spent most of its time re-deriving
+      // residuals, not fitting).
+      val snap = Checkpoints.stable(
+        input.select(col("vec_id"), col(vecCol)))
+      val n = snap.count()
       (0 until PqM).map { ms =>
-        pinnedCodebook(input.select(col("vec_id"),
-          slice(col(vecCol), ms * PqSubDim + 1, PqSubDim).as("s")))
+        pinnedCodebook(snap.select(col("vec_id"),
+          slice(col(vecCol), ms * PqSubDim + 1, PqSubDim).as("s")),
+          nKnown = n)
       }.toArray
     }
     // Flat layout (ms, k, j)-major — the index contract of

@@ -792,7 +792,7 @@ object Multimodal {
   /** [[hashBandPairs]] over an ALREADY-materialized non-null hash frame
     * — the call shape for consumers that also need the frame itself
     * (the cluster queries), so the decode pass is paid once. */
-  private[pipeline] def hashBandPairsOf(ph: DataFrame): DataFrame = {
+  private[graft] def hashBandPairsOf(ph: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val banded = bandedHashes(ph)
     val capped = banded

@@ -524,6 +524,72 @@ object Profile {
           .agg(sum(col("good")).as("cg"), sum(lit(1L) - col("good")).as("cb"))
           .queryExecution.explainString(ExplainMode.fromString("formatted")))
 
+      case "x11idx" :: sfDir :: Nil =>
+        // idx_x11_postings build attribution: gram explode, repartition,
+        // partitioned write, stats write.
+        import graft.pipeline.PartitionKeys
+        val base = graft.Tables.t(spark, sfDir, "documents")
+          .filter(col("doc_id") % 13 === 0 && length(col("text")) >= 3)
+        noop(base)
+        val grams = array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 2), i => col("text").substr(i, lit(3))))
+        (1 to 2).foreach { i =>
+          val exploded = base.select(col("doc_id"), explode(grams).as("gram"))
+            .withColumn("gramh", PartitionKeys.encode(col("gram")))
+          time(s"run $i: explode+encode")(noop(exploded))
+          time(s"run $i: +repartition")(noop(exploded.repartition(col("gramh"))))
+          time(s"run $i: partitioned write") {
+            exploded.repartition(col("gramh"))
+              .write.mode("overwrite").partitionBy("gramh")
+              .parquet(s"/tmp/x11idx_probe_$i/postings")
+          }
+          time(s"run $i: flat write (no partitionBy)") {
+            exploded.repartition(col("gramh"))
+              .write.mode("overwrite").parquet(s"/tmp/x11idx_probe_flat_$i/postings")
+          }
+          time(s"run $i: stats write") {
+            base.agg(count(lit(1)).as("ndocs"))
+              .write.mode("overwrite").parquet(s"/tmp/x11idx_probe_$i/stats")
+          }
+        }
+
+      case "mediaparts" :: sfDir :: Nil =>
+        // x115b attribution: decode+hash, checkpoint, band pairs,
+        // propagation, cluster window.
+        import graft.pipeline.{Curation, Multimodal}
+        import org.apache.spark.sql.expressions.Window
+        val docsDf = graft.Tables.t(spark, sfDir, "documents")
+        noop(docsDf)
+        (1 to 2).foreach { i =>
+          val hashes = Multimodal.imagePhashes(Multimodal.imagesFromDocuments(docsDf))
+          time(s"run $i: decode+hash noop")(noop(hashes))
+          var ph: DataFrame = null
+          time(s"run $i: checkpoint") {
+            ph = graft.pipeline.Checkpoints.stable(hashes.filter(col("phash").isNotNull))
+          }
+          val pairs = Multimodal.hashBandPairsOf(ph)
+            .select(col("ma").as("da"), col("mb").as("db"))
+          time(s"run $i: band pairs")(noop(pairs))
+          var labels: DataFrame = null
+          time(s"run $i: propagation") {
+            val (l, r) = Curation.propagateMinLabels(Curation.undirectedEdges(pairs))
+            labels = l
+            println(s"  rounds: $r")
+          }
+          time(s"run $i: cluster window + sort") {
+            noop(ph.select(col("media_id"))
+              .join(labels.select(col("node").as("media_id"), col("lbl").as("cid")),
+                Seq("media_id"), "left")
+              .withColumn("cluster_id", coalesce(col("cid"), col("media_id")))
+              .withColumn("cluster_size",
+                count(lit(1)).over(Window.partitionBy("cluster_id")))
+              .select("media_id", "cluster_id", "cluster_size")
+              .orderBy("media_id"))
+          }
+          time(s"run $i: full x115b")(noop(
+            SparkEntry.queries("x115b_image_phash_clusters")(spark, sfDir)))
+        }
+
       case "explain" :: sfDir :: q :: Nil =>
         println(SparkEntry.queries(q)(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted")))

@@ -64,8 +64,8 @@ class PlanSpec extends SparkSpec {
   test("x11c: the near-dup probe plans as a partition-pruned scan of the gram index") {
     val p = plan("x11c_ngram_indexed_probe")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
-    assert(pf.contains("gram"),
-      s"probe must carry partition filters on the gram column:\n$p")
+    assert(pf.contains("gramb"),
+      s"probe must carry partition filters on the gram-bucket column:\n$p")
     // Catalyst prints a literal membership predicate as IN below the
     // inSetConversionThreshold and INSET above it — both are
     // planning-time directory selection.

@@ -496,12 +496,39 @@ class CurationSpec extends SparkSpec {
     // diameter ~2^100, firing only on a structural bug.
     val edges = (0L until 20L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
       .toDF("src", "dst")
-    val (labels, rounds) = Curation.propagateMinLabels(edges)
+    // driverEdgeBudget = 0 pins the DISTRIBUTED loop (the default
+    // dispatch resolves a 20-edge graph driver-side in one round).
+    val (labels, rounds) = Curation.propagateMinLabels(edges, driverEdgeBudget = 0L)
     val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == (0L to 20L).toSet)
     assert(out.values.forall(_ == 0L), s"every node must reach the component min: $out")
     assert(rounds <= 6, s"doubling must beat the diameter (took $rounds rounds for d=20)")
     assert(rounds >= 3, s"a diameter-20 path cannot converge in ${rounds - 1} propagation rounds")
+  }
+
+  test("propagation driver dispatch is bit-equal to the distributed loop") {
+    import spark.implicits._
+    // The dispatch contract (the x29/x46c discipline): both branches of
+    // the cost dispatch produce the identical label map. Planted mix:
+    // two cliques bridged by a chain, a long path, self-contained
+    // pairs, and id gaps — shapes that exercise contraction, doubling,
+    // and the pre-pass fallback (fully-collapsed components).
+    val pairs = (
+      (1L to 5L).combinations(2).map(s => (s(0), s(1))).toSeq ++ // clique 1-5
+        (10L to 13L).combinations(2).map(s => (s(0), s(1))).toSeq ++ // clique 10-13
+        Seq((5L, 7L), (7L, 9L), (9L, 10L)) ++ // bridge chain
+        (100L to 120L).sliding(2).map(s => (s.head, s(1))).toSeq ++ // path
+        Seq((500L, 501L))
+      ).toDF("da", "db")
+    val edges = Curation.undirectedEdges(pairs)
+    val viaDriver = Curation.propagateMinLabels(edges)
+      ._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Curation.propagateMinLabels(edges, driverEdgeBudget = 0L)
+      ._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop,
+      s"dispatch branches disagree:\ndriver=$viaDriver\nloop=$viaLoop")
+    assert(viaDriver((1L to 13L).filter(viaDriver.contains).max) == 1L,
+      "bridged cliques form one component labelled by the global min")
   }
 
   test("decontamination flags only train docs sharing shingles with the eval slice") {
@@ -765,7 +792,8 @@ class CurationSpec extends SparkSpec {
     val pairs = (1L to 64L).sliding(2).map(s => (s.head, s(1))).toSeq
       .toDF("da", "db")
     val (labels, rounds) =
-      Curation.propagateMinLabels(Curation.undirectedEdges(pairs))
+      Curation.propagateMinLabels(Curation.undirectedEdges(pairs),
+        driverEdgeBudget = 0L)
     assert(rounds >= 3, s"chain must take several rounds, took $rounds")
     val size = org.apache.spark.sql.execution.GraftCheckpointStats
       .statsSizeOf(labels)
