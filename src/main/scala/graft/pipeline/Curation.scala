@@ -1477,14 +1477,21 @@ object Curation {
       .select(col("doc_id").as("source"), col("sh"))
       .withColumn("h", call_function("token_hash", col("sh")))
       .transform(Checkpoints.stable)
-    val seeds = broadcast(s.range(SrcSketchK).select(
-      col("id").cast("int").as("i"),
-      (col("id") * 2 + 1).as("a"),
-      (col("id") * col("id") * 31 + 7).as("b")))
-    val sigs = grams.crossJoin(seeds)
-      .withColumn("hv",
-        pmod(col("a") * col("h") + col("b"), lit(HashConstants.HashPrime)))
-      .groupBy("source", "i").agg(min("hv").as("mh"))
+    // One aggregation pass with SrcSketchK min columns instead of a
+    // SrcSketchK× crossJoin row explode (guide §2.3 "aggregate before
+    // you shuffle"): the k minima are k independent partial+final MIN
+    // aggregates over the SAME gram rows — same pmod expressions, same
+    // integers, identical minima — without materializing k copies of
+    // the gram stream through a hash aggregate. The k-column row then
+    // unpivots to the (source, i, mh) shape the estimator join reads.
+    val minCols = (0 until SrcSketchK).map { i =>
+      min(pmod(lit(2L * i + 1) * col("h") + lit(31L * i * i + 7),
+        lit(HashConstants.HashPrime))).as(s"mh$i")
+    }
+    val sigs = grams.groupBy("source").agg(minCols.head, minCols.tail: _*)
+      .select(col("source"), explode(array((0 until SrcSketchK).map(i =>
+        struct(lit(i).as("i"), col(s"mh$i").as("mh"))): _*)).as("im"))
+      .select(col("source"), col("im.i").as("i"), col("im.mh").as("mh"))
       .transform(Checkpoints.stable)
     val est = sigs.as("x").join(sigs.as("y"),
         col("x.i") === col("y.i") && col("x.source") < col("y.source"))

@@ -73,12 +73,19 @@ object Repetition {
       .select(col("doc_id"), (col("m.c") * col("m.l")).as(name))
 
   /** (doc_id, cmN) — token character mass covered by duplicated n-grams.
-    * Positions are deduplicated BEFORE weighing (overlap-exact). */
+    * Positions are deduplicated BEFORE weighing (overlap-exact).
+    * Duplicate detection is a COUNT WINDOW over (doc_id, g), not a
+    * groupBy + join-back: the join-back form evaluated the gram explode
+    * twice per n (12 explodes across the 5..10 battery) and shuffled
+    * the gram stream twice (once into the aggregate, once into the
+    * join); the window keeps every instance row — positions included —
+    * so one shuffle serves detection AND coverage. Same per-doc
+    * duplicate semantics, same masses. */
   private def dupCoverMass(b: DataFrame, tl: DataFrame, n: Int, name: String): DataFrame = {
-    val g = grams(b, n)
-    val dupKeys = g.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).drop("c")
-    g.join(dupKeys, Seq("doc_id", "g"))
+    import org.apache.spark.sql.expressions.Window
+    grams(b, n)
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id", "g")))
+      .filter(col("c") > 1)
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
       .join(tl, Seq("doc_id", "pos"))
@@ -144,7 +151,9 @@ object Repetition {
 
   /** Un-ordered coverage frame: dup-n-gram char fractions, n = 5..10. */
   private def coverageFrame(b: DataFrame): DataFrame = {
-    val tl = tokLens(b)
+    // Checkpointed once: the token-length frame feeds the total mass AND
+    // all six coverage joins — unmaterialized, the posexplode re-ran 7×.
+    val tl = Checkpoints.stable(tokLens(b))
     val tm = tl.groupBy("doc_id").agg(sum("tl").as("tm"))
     val joined = (5 to 10).map(n => dupCoverMass(b, tl, n, s"cm$n"))
       .foldLeft(tm)((acc, c) => acc.join(c, Seq("doc_id"), "left"))

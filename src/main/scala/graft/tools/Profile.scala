@@ -15,13 +15,21 @@ import graft.SparkEntry
   *   runMain graft.tools.Profile b23parts <sfDir>
   */
 object Profile {
-  private def session(): SparkSession = SparkSession.builder()
-    .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-    .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events TIMESTAMP(NANOS)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private def session(): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events TIMESTAMP(NANOS)
+      .config("spark.ui.enabled", "false")
+    // A/B experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v".
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2); bb.config(k, v)
+      }
+      .getOrCreate()
+  }
 
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
